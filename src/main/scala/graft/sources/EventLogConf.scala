@@ -1,0 +1,115 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import types._
+
+/**
+ * Case-insensitive, string-typed configuration for the graft event-log
+ * connector (ref: core/.../EventHubsConf.scala:55-104 — a settings bag
+ * serialized into DataSource options; ours is a thin typed view over Spark's
+ * own CaseInsensitiveStringMap instead of a custom map implementation).
+ *
+ * Options:
+ *   name                 logical hub name (in-memory registry key); or
+ *   path                 parquet file/dir to expose as a seeded event log
+ *   partitions           partition count for `path`-seeded or auto-created logs
+ *   startingPosition     "start-of-stream" | "end-of-stream" | {"seqNo":N} |
+ *                        {"enqueuedTime":"ISO"} — default start for reads
+ *   endingPosition       same forms; batch reads only (default end-of-stream)
+ *   maxEventsPerTrigger  admission-control cap per micro-batch (default
+ *                        partitionCount*1000, ref EventHubsSource.scala:91-96)
+ *   failOnDataLoss       true => error when requested seqNos have aged out;
+ *                        false => clamp to earliest and log (ref R4)
+ *   placementStrategy    "none" | "hash" | "balanced-hash" (ref package.scala:84-87)
+ */
+final case class EventLogConf(options: Map[String, String]) {
+  private def get(k: String): Option[String] = options.get(k.toLowerCase)
+
+  def name: String =
+    get("name").orElse(get("path").map(p => EventLogConf.parquetLogName(p, partitions)))
+      .getOrElse(throw new IllegalArgumentException(
+        "one of 'name' or 'path' is required for the graft-eventlog source"))
+
+  def path: Option[String] = get("path")
+  def partitions: Int = get("partitions").map(_.toInt).getOrElse(DefaultPartitionCount)
+
+  def startingPosition: EventPosition =
+    get("startingposition").map(EventPosition.parse).getOrElse(EventPosition.FromStartOfStream)
+  def endingPosition: EventPosition =
+    get("endingposition").map(EventPosition.parse).getOrElse(EventPosition.FromEndOfStream)
+
+  def maxEventsPerTrigger: Option[Long] = get("maxeventspertrigger").map(_.toLong)
+  def failOnDataLoss: Boolean = get("failondataloss").forall(_.toBoolean)
+  def placementStrategy: String = get("placementstrategy").getOrElse("none")
+}
+
+object EventLogConf {
+  def apply(opts: CaseInsensitiveStringMap): EventLogConf =
+    EventLogConf(opts.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+
+  def parquetLogName(path: String, partitions: Int): String = s"parquet:$path#$partitions"
+}
+
+/**
+ * Proportional admission control: split a per-trigger event budget across
+ * partitions proportionally to backlog, guaranteeing small partitions are not
+ * starved (ref: EventHubsSource.rateLimit, core/.../EventHubsSource.scala:263-319
+ * — same floor/ceil semantics, reimplemented).
+ *
+ * Given per-partition (from, latest) bounds and a total budget, returns the
+ * per-partition until-seqNo for the next batch.
+ */
+object RateLimiter {
+  def prorate(
+      bounds: Map[PartitionId, (SequenceNumber, SequenceNumber)],
+      budget: Long,
+      throttleFactor: PartitionId => Double = _ => 1.0): Map[PartitionId, SequenceNumber] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val backlog: Map[PartitionId, Long] =
+      bounds.map { case (p, (from, latest)) => p -> math.max(0L, latest - from) }
+    val total = backlog.values.sum
+    if (total == 0) {
+      bounds.map { case (p, (from, _)) => p -> from }
+    } else if (total <= budget) {
+      bounds.map { case (p, (_, latest)) => p -> latest }
+    } else {
+      bounds.map { case (p, (from, latest)) =>
+        val share = budget.toDouble * backlog(p) / total * throttleFactor(p)
+        // ceil so that tiny-backlog partitions receive at least one event per
+        // trigger (starvation guard, ref EventHubsSource.scala:308-315); clamp
+        // to the service-reported latest.
+        val until = from + math.ceil(share).toLong
+        p -> math.min(latest, math.max(from, until))
+      }
+    }
+  }
+}
+
+/**
+ * Stable partition->executor placement so executor-side reader caches stay
+ * warm across micro-batches (ref: core/.../EventHubsSource.scala:386-397 and
+ * 468-484; strategies at package.scala:84-87).
+ *
+ *  - Hash: place partition i on executor hash(name-i) mod E.
+ *  - BalancedHash: start at hash(name) mod E and round-robin partitions from
+ *    there — guarantees an even spread even when the hash clusters.
+ */
+object PlacementStrategy {
+  def locate(
+      strategy: String,
+      np: NameAndPartition,
+      sortedExecutors: IndexedSeq[String]): Option[String] = {
+    if (sortedExecutors.isEmpty) None
+    else strategy.toLowerCase match {
+      case "hash" =>
+        Some(sortedExecutors(math.floorMod(np.toString.hashCode, sortedExecutors.size)))
+      case "balanced-hash" | "balancedhash" =>
+        val base = math.floorMod(np.name.hashCode, sortedExecutors.size)
+        Some(sortedExecutors(math.floorMod(base + np.partitionId, sortedExecutors.size)))
+      case _ => None
+    }
+  }
+}

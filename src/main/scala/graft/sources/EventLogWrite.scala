@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import types._
+
+/**
+ * Write path: `df.write.format("graft-eventlog")` (batch) and
+ * `df.writeStream.format("graft-eventlog")` (streaming).
+ *
+ * Schema contract identical to the reference sink (ref:
+ * core/.../EventHubsWriter.scala:41-70, EventHubsWriteTask.scala:118-218):
+ *   body            STRING | BINARY   required
+ *   partition(/Id)  STRING            optional, mutually exclusive with key
+ *   partitionKey    STRING            optional
+ *   properties      MAP<STRING,STRING> optional, no null keys/values
+ * Extra columns are ignored (attributes are resolved by name).
+ *
+ * Delivery: tasks buffer events into their commit message and the driver
+ * appends on commit — for the local in-memory log this upgrades the
+ * reference's at-least-once contract to idempotent-per-batch (streaming
+ * epochs are skipped when already committed, ref EventHubsSink.scala:35-42).
+ * A remote backend behind EventLogClient would instead send from tasks
+ * (at-least-once), exactly like the reference.
+ */
+object EventLogWriteSupport {
+  /** last committed streaming epoch per (log, queryId) for idempotent restart */
+  private val committedEpochs = new ConcurrentHashMap[(String, String), Long]()
+
+  def alreadyCommitted(name: String, queryId: String, epochId: Long): Boolean = {
+    val last = committedEpochs.getOrDefault((name, queryId), Long.MinValue)
+    epochId <= last
+  }
+  def markCommitted(name: String, queryId: String, epochId: Long): Unit =
+    committedEpochs.merge((name, queryId), epochId, (a, b) => math.max(a, b))
+
+  final case class ColumnPlan(
+      bodyIdx: Int, bodyIsString: Boolean,
+      partitionIdx: Int, partitionKeyIdx: Int, propertiesIdx: Int)
+
+  /** Validate the written schema and resolve column positions
+    * (ref: EventHubsWriter.validateQuery + EventHubsWriteTask.createProjection). */
+  def plan(schema: StructType): ColumnPlan = {
+    def idx(names: String*): Int =
+      schema.fields.indexWhere(f => names.exists(_.equalsIgnoreCase(f.name)))
+    val bodyIdx = idx("body")
+    if (bodyIdx < 0)
+      throw new IllegalArgumentException("required attribute 'body' not found in write schema")
+    val bodyIsString = schema.fields(bodyIdx).dataType match {
+      case StringType => true
+      case BinaryType => false
+      case dt => throw new IllegalArgumentException(
+        s"'body' must be STRING or BINARY, got ${dt.simpleString}")
+    }
+    val pIdx = idx("partition", "partitionId")
+    if (pIdx >= 0 && schema.fields(pIdx).dataType != StringType)
+      throw new IllegalArgumentException(
+        s"'${schema.fields(pIdx).name}' must be STRING, got ${schema.fields(pIdx).dataType.simpleString}")
+    val kIdx = idx("partitionKey")
+    if (kIdx >= 0 && schema.fields(kIdx).dataType != StringType)
+      throw new IllegalArgumentException(
+        s"'partitionKey' must be STRING, got ${schema.fields(kIdx).dataType.simpleString}")
+    if (pIdx >= 0 && kIdx >= 0)
+      throw new IllegalArgumentException(
+        "'partition' and 'partitionKey' are mutually exclusive in the write schema")
+    val propIdx = idx("properties")
+    if (propIdx >= 0) schema.fields(propIdx).dataType match {
+      case MapType(StringType, StringType, _) => ()
+      case dt => throw new IllegalArgumentException(
+        s"'properties' must be MAP<STRING,STRING>, got ${dt.simpleString}")
+    }
+    ColumnPlan(bodyIdx, bodyIsString, pIdx, kIdx, propIdx)
+  }
+}
+
+class EventLogWriteBuilder(conf: EventLogConf, schema: StructType, queryId: String)
+    extends WriteBuilder {
+  override def build(): Write = {
+    val plan = EventLogWriteSupport.plan(schema) // validate eagerly at planning
+    new EventLogWrite(conf, schema, plan, queryId)
+  }
+}
+
+/** A routed event ready to append: (explicit partition, partition key, event). */
+final case class RoutedEvent(pid: Option[Int], key: Option[String], event: Event)
+final case class BufferedEventsMessage(events: Array[RoutedEvent]) extends WriterCommitMessage
+
+class EventLogWrite(
+    conf: EventLogConf,
+    schema: StructType,
+    plan: EventLogWriteSupport.ColumnPlan,
+    queryId: String) extends Write {
+
+  private def appendAll(messages: Array[WriterCommitMessage]): Unit = {
+    val log = EventLogRegistry.ensure(conf)
+    messages.foreach {
+      case BufferedEventsMessage(events) =>
+        events.foreach(r => log.append(log.route(r.event, r.pid, r.key), r.event))
+      case null => ()
+      case other => throw new IllegalStateException(s"unexpected commit message $other")
+    }
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new EventLogWriterFactory(schema, plan, EventLogRegistry.ensure(conf).numPartitions)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = appendAll(messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      new EventLogWriterFactory(schema, plan, EventLogRegistry.ensure(conf).numPartitions)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val name = conf.name
+      if (!EventLogWriteSupport.alreadyCommitted(name, queryId, epochId)) {
+        appendAll(messages)
+        EventLogWriteSupport.markCommitted(name, queryId, epochId)
+      }
+    }
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+class EventLogWriterFactory(
+    schema: StructType,
+    plan: EventLogWriteSupport.ColumnPlan,
+    numPartitions: Int)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new EventLogDataWriter(schema, plan, numPartitions)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new EventLogDataWriter(schema, plan, numPartitions)
+}
+
+/** Per-task row writer (ref S9: EventHubsWriteTask.scala:59-67,136-154). */
+class EventLogDataWriter(
+    schema: StructType,
+    plan: EventLogWriteSupport.ColumnPlan,
+    numPartitions: Int) extends DataWriter[InternalRow] {
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[RoutedEvent]
+
+  override def write(row: InternalRow): Unit = {
+    val body: Array[Byte] =
+      if (row.isNullAt(plan.bodyIdx))
+        throw new IllegalArgumentException("null 'body' in write")
+      else if (plan.bodyIsString) row.getUTF8String(plan.bodyIdx).getBytes
+      else row.getBinary(plan.bodyIdx)
+
+    val pid: Option[Int] =
+      if (plan.partitionIdx < 0 || row.isNullAt(plan.partitionIdx)) None
+      else {
+        val s = row.getUTF8String(plan.partitionIdx).toString
+        val p = try s.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"invalid partition id '$s'")
+        }
+        if (p < 0 || p >= numPartitions)
+          throw new IllegalArgumentException(
+            s"partition id $p out of range [0, $numPartitions)")
+        Some(p)
+      }
+
+    val key: Option[String] =
+      if (plan.partitionKeyIdx < 0 || row.isNullAt(plan.partitionKeyIdx)) None
+      else Some(row.getUTF8String(plan.partitionKeyIdx).toString)
+
+    val props: Map[String, String] =
+      if (plan.propertiesIdx < 0 || row.isNullAt(plan.propertiesIdx)) Map.empty
+      else {
+        val m = row.getMap(plan.propertiesIdx)
+        val keys = m.keyArray(); val vals = m.valueArray()
+        (0 until m.numElements()).map { i =>
+          if (keys.isNullAt(i) || vals.isNullAt(i))
+            throw new IllegalArgumentException(
+              "null key or value in 'properties' map (ref EventHubsWriteTask.scala:125-128)")
+          keys.getUTF8String(i).toString -> vals.getUTF8String(i).toString
+        }.toMap
+      }
+
+    buf += RoutedEvent(pid, key,
+      Event(body, enqueuedTimeMicros = System.currentTimeMillis() * 1000L,
+        partitionKey = key.orNull, properties = props))
+  }
+
+  override def commit(): WriterCommitMessage = BufferedEventsMessage(buf.toArray)
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}

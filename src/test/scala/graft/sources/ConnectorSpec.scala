@@ -1,0 +1,271 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class ConnectorBatchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshLog(name: String, partitions: Int = 4, perPartition: Int = 10)
+      : InMemoryEventLog = {
+    EventLogRegistry.drop(name)
+    val log = EventLogRegistry.create(name, partitions)
+    for (p <- 0 until partitions; i <- 0 until perPartition)
+      log.append(p, Event(s"$p-$i".getBytes("UTF-8"), i * 1000000L,
+        properties = Map("i" -> i.toString)))
+    log
+  }
+
+  test("batch read: full scan with fixed 9-col schema") {
+    freshLog("b1")
+    val df = spark.read.format("graft-eventlog").option("name", "b1").load()
+    assert(df.schema == EventLogTable.schema)
+    assert(df.count() == 40)
+    val row = df.filter($"partition" === "2" && $"sequenceNumber" === 3L).collect().head
+    assert(new String(row.getAs[Array[Byte]]("body")) == "2-3")
+    assert(row.getAs[String]("offset") == "3")
+    assert(row.getAs[Map[String, String]]("properties") == Map("i" -> "3"))
+  }
+
+  test("batch read: starting/ending positions narrow the scan (ref EventHubsRelationSuite)") {
+    freshLog("b2")
+    val df = spark.read.format("graft-eventlog").option("name", "b2")
+      .option("startingPosition", """{"seqNo":5}""")
+      .option("endingPosition", """{"seqNo":8}""")
+      .load()
+    assert(df.count() == 4 * 3)
+    assert(df.agg(min("sequenceNumber"), max("sequenceNumber")).as[(Long, Long)].head() == ((5L, 7L)))
+  }
+
+  test("batch read: enqueuedTime start position") {
+    freshLog("b3")
+    val df = spark.read.format("graft-eventlog").option("name", "b3")
+      .option("startingPosition", """{"enqueuedTime":"1970-01-01T00:00:07Z"}""")
+      .load()
+    assert(df.count() == 4 * 3) // seqNos 7,8,9 per partition
+  }
+
+  test("pushdown: sequenceNumber predicates narrow ranges and appear in explain") {
+    freshLog("b4")
+    val df = spark.read.format("graft-eventlog").option("name", "b4").load()
+      .filter($"sequenceNumber" >= 8L)
+    assert(df.count() == 4 * 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-eventlog"), plan)
+  }
+
+  test("pushdown: limit clamps per-partition ranges") {
+    freshLog("b5", partitions = 4, perPartition = 1000)
+    val got = spark.read.format("graft-eventlog").option("name", "b5").load().limit(3).count()
+    assert(got == 3)
+  }
+
+  test("column pruning reaches the reader") {
+    freshLog("b6")
+    val df = spark.read.format("graft-eventlog").option("name", "b6").load()
+      .select($"sequenceNumber", $"partition")
+    assert(df.distinct().count() == 40)
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves().head.schema
+    assert(scanSchema.fieldNames.toSet == Set("sequenceNumber", "partition"))
+  }
+
+  test("data-loss: aged-out start clamps (failOnDataLoss=false) or throws (true)") {
+    val log = freshLog("b7", partitions = 1, perPartition = 10)
+    log.ageOut(0, 4)
+    val ok = spark.read.format("graft-eventlog").option("name", "b7")
+      .option("failOnDataLoss", "false").load()
+    assert(ok.count() == 6)
+    val bad = spark.read.format("graft-eventlog").option("name", "b7")
+      .option("failOnDataLoss", "true")
+      .option("startingPosition", """{"seqNo":0}""").load()
+    val e = intercept[Exception](bad.count())
+    assert(e.getMessage.contains("aged out") ||
+      Option(e.getCause).exists(_.getMessage.contains("aged out")))
+  }
+
+  test("parquet-seeded log: deterministic partition/seqNo layout") {
+    val dir = SparkTestSession.sf0001
+    val df = spark.read.format("graft-eventlog")
+      .option("path", s"$dir/events.parquet")
+      .option("partitions", "4").load()
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    assert(df.count() == events.count())
+    // body carries props; partition = event_id % 4; enqueuedTime = ts
+    val viaLog = df.select($"partition".cast("int"),
+      col("body").cast("string").as("props"), $"enqueuedTime")
+    val expected = events.select(pmod($"event_id", lit(4)).cast("int").as("partition"),
+      $"props", expr("timestamp_micros(ts div 1000)").as("enqueuedTime"))
+    assert(viaLog.except(expected).isEmpty && expected.except(viaLog).isEmpty)
+  }
+}
+
+class ConnectorStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def populate(name: String, partitions: Int, perPartition: Int): InMemoryEventLog = {
+    EventLogRegistry.drop(name)
+    val log = EventLogRegistry.create(name, partitions)
+    for (p <- 0 until partitions; i <- 0 until perPartition)
+      log.append(p, Event(s"$p-$i".getBytes, (p * perPartition + i) * 1000000L))
+    log
+  }
+
+  test("streaming: rate-limited micro-batches consume the full log (ref :202-255)") {
+    populate("s1", 4, 50)
+    val q = spark.readStream.format("graft-eventlog")
+      .option("name", "s1").option("maxEventsPerTrigger", "40").load()
+      .writeStream.format("memory").queryName("s1_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("s1_out").count() == 200)
+    // each partition delivered in order without gaps
+    val perPart = spark.table("s1_out").groupBy("partition")
+      .agg(count("*").as("n"), min("sequenceNumber").as("lo"), max("sequenceNumber").as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(perPart.forall { case (_, n, lo, hi) => n == 50 && lo == 0 && hi == 49 })
+  }
+
+  // parquet sink (memory sink does not support checkpoint recovery)
+  private def runToParquet(src: String, ckpt: String, out: String): Unit = {
+    val q = spark.readStream.format("graft-eventlog").option("name", src).load()
+      .select($"partition", $"sequenceNumber")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  test("streaming: checkpoint recovery resumes from committed offsets (ref :298-328)") {
+    val log = populate("s2", 2, 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s2")
+    val (ckpt, out) = (s"$tmp/ckpt", s"$tmp/out")
+    runToParquet("s2", ckpt, out)
+    assert(spark.read.parquet(out).count() == 20)
+    // append more events, restart from checkpoint: only the delta arrives
+    for (p <- 0 until 2; i <- 10 until 15)
+      log.append(p, Event(s"$p-$i".getBytes, i * 1000000L))
+    runToParquet("s2", ckpt, out)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 30) // no duplicates: delta was exactly 10
+    val seqs = all.filter($"sequenceNumber" >= 10).select($"sequenceNumber")
+      .as[Long].collect().toSet
+    assert(seqs == (10L until 15L).toSet)
+  }
+
+  test("streaming: partition growth mid-stream picks up new partitions at earliest (ref :257-329)") {
+    populate("s3", 2, 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s3")
+    val (ckpt, out) = (s"$tmp/ckpt", s"$tmp/out")
+    runToParquet("s3", ckpt, out)
+    assert(spark.read.parquet(out).count() == 20)
+    val bigger = EventLogRegistry.grow("s3", 3)
+    for (i <- 0 until 7) bigger.append(2, Event(s"2-$i".getBytes, i * 1000000L))
+    runToParquet("s3", ckpt, out)
+    val rows = spark.read.parquet(out).groupBy("partition").count()
+      .as[(String, Long)].collect().toMap
+    assert(rows == Map("0" -> 10L, "1" -> 10L, "2" -> 7L),
+      s"new partition should merge in at earliest: $rows")
+  }
+
+  test("streaming: watermark + tumbling window aggregation end-to-end (ref :737-778)") {
+    EventLogRegistry.drop("s4")
+    val log = EventLogRegistry.create("s4", 1)
+    // events at t=0s..99s, one per second
+    for (i <- 0 until 100) log.append(0, Event(s"$i".getBytes, i * 1000000L))
+    val q = spark.readStream.format("graft-eventlog").option("name", "s4").load()
+      .withWatermark("enqueuedTime", "10 seconds")
+      .groupBy(window($"enqueuedTime", "5 seconds"))
+      .agg(count("*").as("n"))
+      .writeStream.format("memory").queryName("s4_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val counts = spark.table("s4_out").select($"n").as[Long].collect()
+    assert(counts.length == 20 && counts.forall(_ == 5), counts.mkString(","))
+  }
+
+  test("O(1) count from offset arithmetic (ref S5) matches scan count") {
+    populate("s5", 3, 17)
+    val meta = graft.GraftEventLog.count("s5")
+    assert(meta == 51)
+  }
+}
+
+class ConnectorSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("batch write: string body round-robins across partitions (ref EventHubsSinkSuite)") {
+    EventLogRegistry.drop("w1"); EventLogRegistry.create("w1", 4)
+    (0 until 20).map(i => s"m$i").toDF("body")
+      .write.mode("append").format("graft-eventlog").option("name", "w1").save()
+    val b = EventLogRegistry.boundedSeqNos("w1")
+    assert(b.values.map(_._2).sum == 20)
+    assert(b.values.forall(_._2 > 0), s"round-robin skipped a partition: $b")
+  }
+
+  test("batch write: explicit partition targeting") {
+    EventLogRegistry.drop("w2"); EventLogRegistry.create("w2", 4)
+    (0 until 10).map(i => (s"m$i", "2")).toDF("body", "partition")
+      .write.mode("append").format("graft-eventlog").option("name", "w2").save()
+    val b = EventLogRegistry.boundedSeqNos("w2")
+    assert(b(2) == ((0L, 10L)) && b(0) == ((0L, 0L)))
+  }
+
+  test("batch write: partitionKey routes deterministically; properties preserved") {
+    EventLogRegistry.drop("w3"); EventLogRegistry.create("w3", 4)
+    Seq(("a", "k1", Map("p" -> "1")), ("b", "k1", Map("p" -> "2")))
+      .toDF("body", "partitionKey", "properties")
+      .write.mode("append").format("graft-eventlog").option("name", "w3").save()
+    val nonEmpty = EventLogRegistry.boundedSeqNos("w3").filter(_._2._2 > 0)
+    assert(nonEmpty.size == 1, "same key must land in one partition")
+    val evs = EventLogRegistry.receive("w3", nonEmpty.keys.head, 0, 10).toVector
+    assert(evs.map(_._2.properties("p")).toSet == Set("1", "2"))
+    assert(evs.forall(_._2.partitionKey == "k1"))
+  }
+
+  test("write schema error matrix (ref EventHubsSinkSuite:93-466)") {
+    EventLogRegistry.drop("w4"); EventLogRegistry.create("w4", 2)
+    def attempt(df: org.apache.spark.sql.DataFrame): Throwable =
+      intercept[Throwable](df.write.mode("append").format("graft-eventlog").option("name", "w4").save())
+    // missing body
+    assert(attempt(Seq(1).toDF("x")).getMessage.contains("body"))
+    // both partition and partitionKey
+    assert(attempt(Seq(("b", "0", "k")).toDF("body", "partition", "partitionKey"))
+      .getMessage.contains("mutually exclusive"))
+    // wrong body type
+    assert(attempt(Seq(1).toDF("body")).getMessage.contains("STRING or BINARY"))
+    // wrong partition type
+    assert(attempt(Seq(("b", 1)).toDF("body", "partition")).getMessage.contains("STRING"))
+    // out-of-range partition id fails at execution
+    intercept[Throwable] {
+      Seq(("b", "9")).toDF("body", "partition")
+        .write.mode("append").format("graft-eventlog").option("name", "w4").save()
+    }
+  }
+
+  test("streaming write: source->sink roundtrip preserves events") {
+    EventLogRegistry.drop("w5src"); EventLogRegistry.drop("w5dst")
+    val src = EventLogRegistry.create("w5src", 2)
+    EventLogRegistry.create("w5dst", 2)
+    for (p <- 0 until 2; i <- 0 until 25)
+      src.append(p, Event(s"$p-$i".getBytes, i * 1000000L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = spark.readStream.format("graft-eventlog").option("name", "w5src")
+      .option("maxEventsPerTrigger", "20").load()
+      .select($"body", $"partition")
+      .writeStream.format("graft-eventlog").option("name", "w5dst")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val dst = spark.read.format("graft-eventlog").option("name", "w5dst").load()
+    assert(dst.count() == 50)
+    // same bodies arrive, partition-targeted
+    val bodies = dst.select(col("body").cast("string")).as[String].collect().toSet
+    assert(bodies == (for (p <- 0 until 2; i <- 0 until 25) yield s"$p-$i").toSet)
+  }
+}
