@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions for the sketch/hash primitives Spark lacks
+ * (SURVEY §2.6: the reference has no expression library — these are the
+ * green-field analytics additions; design follows the guide's preference
+ * order: native `Expression` over UDF for the hot path).
+ *
+ * All hashing is seed-deterministic so results are reproducible across runs
+ * and partitionings.
+ */
+object HashUtil {
+  /** FNV-1a 64-bit over UTF-8 bytes — cheap, stable, good diffusion. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Deterministic affine permutation parameters for MinHash. */
+  def permParams(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val a = Array.fill(numHashes)(rnd.nextLong() | 1L) // odd => bijective mod 2^64
+    val b = Array.fill(numHashes)(rnd.nextLong())
+    (a, b)
+  }
+}
+
+/**
+ * MinHash signature of a set of string shingles: `numHashes` 64-bit values,
+ * h_i = min over shingles of (a_i * fnv1a(shingle) + b_i), unsigned order.
+ * One base hash per shingle + k affine permutations — O(n + n*k) cheap ops
+ * rather than k full hash passes, so a 128-perm signature over 100-shingle
+ * docs stays CPU-light at 100 TB scan widths.
+ *
+ * Returns null for null/empty input arrays.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val (pa, pb) = HashUtil.permParams(numHashes, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashUtil.fnv1a64(arr.getUTF8String(i))
+        var k = 0
+        while (k < numHashes) {
+          val v = pa(k) * h + pb(k)
+          // unsigned comparison: flip sign bit
+          if ((v ^ Long.MinValue) < (sig(k) ^ Long.MinValue)) sig(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/**
+ * 64-bit SimHash over string tokens: bit j of the result is 1 iff the sum of
+ * (+1/-1) votes from token-hash bit j is positive. Near-duplicate documents
+ * have small Hamming distance between SimHashes.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashUtil.fnv1a64(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/**
+ * Cosine similarity between two numeric arrays, computed in double precision
+ * with a single sequential pass (same accumulation order as a left-to-right
+ * SQL fold, so results are bit-comparable with the DuckDB oracle).
+ * Null if either side is null/empty or lengths differ.
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0 || b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : CosineSimilarity = copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Random-hyperplane LSH bucket for a numeric vector: bit j = sign of the dot
+ * product with a seed-deterministic Gaussian hyperplane. Vectors with high
+ * cosine similarity collide with high probability; the bucket id (a Long of
+ * `numBits` sign bits) is a shuffle key, so candidate generation is a
+ * hash-partitioned groupBy — no all-pairs join at scale.
+ */
+case class HyperplaneLshBucket(child: Expression, numBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(numBits > 0 && numBits <= 63, s"numBits must be in [1,63], got $numBits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hyperplane_lsh_bucket"
+
+  // hyperplanes materialized lazily once the vector dimension is known
+  @transient private var planes: Array[Array[Double]] = _
+  @transient private var planeDim: Int = -1
+
+  private def planesFor(dim: Int): Array[Array[Double]] = {
+    if (planes == null || planeDim != dim) {
+      val rnd = new java.util.Random(seed)
+      planes = Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
+      planeDim = dim
+    }
+    planes
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0) return null
+    val ps = planesFor(n)
+    var bucket = 0L
+    var j = 0
+    while (j < numBits) {
+      val p = ps(j)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * p(i); i += 1 }
+      if (dot >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =
+    copy(child = newChild)
+}
+
+/** Column-level entry points. */
+object hashFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  def minhash_signature(c: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    column(MinHashSignature(expression(c), numHashes, seed))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a.cast("array<double>")),
+      expression(b.cast("array<double>"))))
+  def hyperplane_lsh_bucket(c: Column, numBits: Int = 16, seed: Long = 42L): Column =
+    column(HyperplaneLshBucket(expression(c.cast("array<double>")), numBits, seed))
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for LLM-data-pipeline work, composed from
+ * `org.apache.spark.sql.functions._` only — every one stays inside
+ * whole-stage codegen and has an exactly-equivalent DuckDB SQL rendering
+ * (used by the correctness oracle; the SQL strings live next to the Scala so
+ * the two definitions cannot drift independently — see `TextFunctions.sql*`).
+ */
+object TextFunctions {
+
+  /** Whitespace-token count. `split` on a single space matches the synthetic
+    * corpus and DuckDB's `string_split(text, ' ')` exactly. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+  val sqlTokenCount = "len(string_split(%s, ' '))"
+
+  /** Word array. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** k-word shingles (ordered, with duplicates). Empty array when the
+    * document has fewer than k words. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val w = words(text)
+    when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+  def sqlWordShingles(col: String, k: Int): String = {
+    val parts = (0 until k).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len(string_split($col, ' ')) - ${k - 1}, 0)), " +
+      s"i -> $parts)"
+  }
+
+  // language marker words; shared by the Scala and SQL renderings
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "una"))
+
+  /** Heuristic language id: arg-max of marker-word hits with fixed priority
+    * order; "und" (undetermined) when no marker hits. */
+  def langIdGuess(text: Column): Column = {
+    val w = words(text)
+    val counts = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, t => t.isin(ms.map(m => lit(m)): _*)))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(c > 0 && c === best, lit(lang)).otherwise(acc)
+    }
+  }
+  def sqlLangIdGuess(col: String): String = {
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter(string_split($col, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val cs = langMarkers.map { case (lang, ms) => lang -> cnt(ms) }
+    val best = cs.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    cs.reverse.foldLeft("'und'") { case (acc, (lang, c)) =>
+      s"CASE WHEN $c > 0 AND $c = $best THEN '$lang' ELSE $acc END"
+    }
+  }
+
+  /** Punctuation-character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+  val sqlPunctCount = "len(regexp_extract_all(%s, '[.,!?;:]'))"
+
+  /**
+   * Quality score in [0,1]: equal-weight blend of length saturation,
+   * punctuation cleanliness, marker-stopword presence and mean word length —
+   * the standard cheap pre-filter shape for pretraining corpora. Pure
+   * double arithmetic, so the DuckDB rendering is bit-identical.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val stop = size(filter(words(text),
+      t => t.isin(langMarkers.flatMap(_._2).map(lit): _*))).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0))
+    val stopScore = least(stop * 10.0 / greatest(nTok, lit(1.0)), lit(1.0))
+    val wordLenScore = least((nChar / greatest(nTok, lit(1.0))) / 10.0, lit(1.0))
+    (lenScore + punctScore + stopScore + wordLenScore) / 4.0
+  }
+  def sqlQualityScore(col: String): String = {
+    val nTok = s"CAST(len(string_split($col, ' ')) AS DOUBLE)"
+    val nChar = s"CAST(len($col) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all($col, '[.,!?;:]')) AS DOUBLE)"
+    val allMarkers = langMarkers.flatMap(_._2).map(m => s"'$m'").mkString(",")
+    val stop = s"CAST(len(list_filter(string_split($col, ' '), t -> t IN ($allMarkers))) AS DOUBLE)"
+    s"(least($nTok / 100.0, 1.0) + (1.0 - least($punct / greatest($nTok, 1.0), 1.0)) + " +
+      s"least($stop * 10.0 / greatest($nTok, 1.0), 1.0) + " +
+      s"least(($nChar / greatest($nTok, 1.0)) / 10.0, 1.0)) / 4.0"
+  }
+
+  /** Document fingerprint: 128-bit content hash of the normalized text,
+    * rendered as hex (md5 in both engines ⇒ oracle-identical). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)).cast("binary"))
+  val sqlFingerprint = "md5(lower(trim(%s)))"
+
+  /** Character-set Jaccard similarity (DuckDB `jaccard()` semantics:
+    * similarity of the distinct-character sets of the two strings). */
+  def charJaccard(a: Column, b: Column): Column = {
+    val ca = array_distinct(split(a, ""))
+    val cb = array_distinct(split(b, ""))
+    size(array_intersect(ca, cb)).cast("double") /
+      size(array_union(ca, cb)).cast("double")
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.hashFunctions._
+
+/**
+ * Deduplication operators for large text corpora. All operators are pure
+ * DataFrame transformations: candidate generation always goes through a
+ * shuffle key (hash of content / LSH band / simhash band / vector bucket),
+ * never an all-pairs cross join, so each one scales to 100 TB by adding
+ * shuffle partitions. Verification of candidates is exact and happens only
+ * within buckets.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: keep one deterministic representative (min of `keepBy`)
+   * per distinct value of `keyCols`. A single hash-partitioned aggregation —
+   * the minimal-shuffle shape (vs dropDuplicates, whose survivor is
+   * partitioning-dependent and thus not reproducible).
+   */
+  def exact(df: DataFrame, keyCols: Seq[Column], keepBy: Column): DataFrame =
+    df.groupBy(keyCols: _*).agg(min(keepBy).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup returning the surviving rows themselves (row_number window
+    * over the content key, deterministic tie-break). */
+  def exactRows(df: DataFrame, keyCols: Seq[Column], keepBy: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(keepBy.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Exact n-gram Jaccard near-duplicate pairs via an inverted shingle index:
+   * explode distinct shingles, self-join on shingle (a shuffle-key equijoin,
+   * NOT a cross join), count shared shingles per pair, then
+   * J = shared / (|A| + |B| - shared) >= threshold.
+   *
+   * Exact but quadratic in per-shingle document frequency — the scale path
+   * for very hot shingles is `minHashLsh` below; this operator is the
+   * ground-truth it is verified against.
+   */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), k)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * MinHash + LSH banding near-dup candidates, verified by exact Jaccard:
+   * shingle -> 64-perm MinHash signature -> `bands` bands of `rows` perms ->
+   * band-hash bucket join -> exact shingle-Jaccard on the (small) candidate
+   * set. Candidate generation cost is O(docs x bands) shuffle rows; only
+   * same-bucket pairs are compared, which is the property that survives a
+   * 1000x scale-up.
+   */
+  def minHashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rows = numHashes / bands
+    val withSig = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), k)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhash_signature(col("sh"), numHashes, seed))
+    // band id + hash of that band's signature slice = LSH bucket key
+    val bandBuckets = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(array(bandBuckets: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit simhash over word shingles, banded into
+   * four 16-bit chunks (any pair within Hamming distance <= 3*16 shares at
+   * least one chunk by pigeonhole when distance < 4 chunks differ; in
+   * practice chunk-collision + exact Hamming filter). Returns pairs with
+   * hammingDistance <= maxHamming.
+   */
+  def simHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxHamming: Int = 8): DataFrame = {
+    val withSim = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("simhash", simhash64(col("sh")))
+    val chunks = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
+    val banded = withSim.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunks: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /**
+   * Embedding near-duplicate pairs: banded hyperplane LSH + exact cosine
+   * verification. A
+   * `bands * bitsPerBand`-bit sign signature is split into bands; vectors
+   * sharing any band's chunk become candidates (collide-in-one-band
+   * probability 1-(1-p^r)^B, p = 1 - angle/pi), then exact cosine filters.
+   * Band chunk is the shuffle key — no all-pairs join; recall/bucket-size
+   * trades via (bands, bitsPerBand), independent of corpus size.
+   */
+  def embeddingCosinePairs(
+      embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bands: Int = 8, bitsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(bands * bitsPerBand <= 63, "bands*bitsPerBand must fit in a long")
+    val sigBits = bands * bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    val withSig = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("sig", hyperplane_lsh_bucket(col("v"), sigBits, seed))
+    val chunks = (0 until bands).map(b =>
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)))
+    val banded = withSig.select(col("vec_id"), col("v"), posexplode(array(chunks: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

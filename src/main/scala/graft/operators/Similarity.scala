@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.hashFunctions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * - `bruteForceTopK`: exact cosine top-k for one query vector — a single
+ *   narrow map + top-k sort; the baseline and the verifier for the
+ *   approximate paths. Scales linearly (one pass over the corpus, no
+ *   shuffle beyond the global top-k, which Spark executes as per-partition
+ *   top-k + driver merge via `orderBy.limit`).
+ * - `lshTopK`: hyperplane-LSH bucketed search — only the query's bucket
+ *   (plus optional multi-probe neighbors) is scanned, the 100 TB path.
+ * - `ivfTopK`: inverted-file variant — centroids picked as a deterministic
+ *   sample, each vector assigned to its nearest centroid at index-build
+ *   time; queries scan `nProbe` nearest cells only.
+ */
+object Similarity {
+
+  /** Exact cosine top-k neighbors of `queryVec` (excluding `excludeId`). */
+  def bruteForceTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int = 10, excludeId: Option[Long] = None): DataFrame = {
+    val qLit = array(queryVec.map(lit): _*)
+    val scored = embs.select(col(idCol).as("vec_id"),
+      round(cosine_similarity(col(vecCol), qLit), 6).as("cosine"))
+    excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed approximate top-k: scan only vectors sharing the query's
+    * hyperplane bucket (and, with `multiProbe` > 0, buckets at Hamming
+    * distance 1 from it). */
+  def lshTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int = 10, numBits: Int = 8, seed: Long = 42L,
+      multiProbe: Int = 0, excludeId: Option[Long] = None): DataFrame = {
+    val qLit = array(queryVec.map(lit): _*)
+    val bucketed = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed))
+    val qBucket = bucketed.sparkSession.range(1)
+      .select(hyperplane_lsh_bucket(qLit, numBits, seed).as("qb"))
+      .head().getLong(0)
+    val probes: Seq[Long] = if (multiProbe > 0)
+      qBucket +: (0 until numBits).map(b => qBucket ^ (1L << b))
+    else Seq(qBucket)
+    val inProbes = bucketed.filter(col("bucket").isin(probes: _*))
+    val scored = inProbes.select(col("vec_id"),
+      round(cosine_similarity(col("v"), qLit), 6).as("cosine"))
+    excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /**
+   * IVF-style index: assign every vector to its nearest of `nCells`
+   * deterministic sample centroids; a query scans the `nProbe` nearest
+   * cells. Returns (indexDf, searcher). The assignment is a broadcast join
+   * against the (tiny) centroid table — no shuffle of the corpus.
+   */
+  def ivfIndex(
+      embs: DataFrame, idCol: String, vecCol: String, nCells: Int = 16): DataFrame = {
+    val cents = centroids(embs, idCol, vecCol, nCells)
+    val centArr = typedLit(cents.map(_._2.toSeq))
+    embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell", bestCell(col("v"), centArr))
+  }
+
+  def ivfTopK(
+      index: DataFrame, embs: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cents = centroids(embs, idCol, vecCol, nCells)
+    val qCells = cents.map { case (cid, c) => (cid, cosineOf(queryVec, c)) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val qLit = array(queryVec.map(lit): _*)
+    val scored = index.filter(col("cell").isin(qCells: _*))
+      .select(col("vec_id"), round(cosine_similarity(col("v"), qLit), 6).as("cosine"))
+    excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic centroid sample: the first `nCells` vectors by id.
+    * (A k-means refinement would slot in here; the index/probe plumbing is
+    * identical.) */
+  private def centroids(embs: DataFrame, idCol: String, vecCol: String, nCells: Int)
+      : Array[(Int, Array[Double])] =
+    embs.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol).asc).limit(nCells).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+  private def bestCell(v: org.apache.spark.sql.Column, centArr: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    // arg-max over the centroid array of cosine(v, centroid)
+    val scored = transform(centArr,
+      (c, i) => struct(cosine_similarity(v, c).as("s"), i.as("i")))
+    element_at(array_sort(scored,
+      (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1).otherwise(0)), 1)("i")
+  }
+
+  private def cosineOf(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Fetch one vector by id as a double array (driver-side, for query use). */
+  def vectorOf(embs: DataFrame, idCol: String, vecCol: String, id: Long): Array[Double] =
+    embs.filter(col(idCol) === id).select(col(vecCol).cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+}

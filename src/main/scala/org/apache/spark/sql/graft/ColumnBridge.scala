@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Column <-> Expression bridge. Spark 4 made these conversions private[sql],
+ * so, like the reference connector (which lives in
+ * org.apache.spark.sql.eventhubs for the same reason), we expose the two
+ * calls our expression library needs from inside the sql package.
+ */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.TextFunctions
+import graft.functions.hashFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokenCount / shingles / punct on edge cases") {
+    val df = Seq("a b c d", "one", "", "x y z").toDF("t")
+    val got = df.select(
+      TextFunctions.tokenCount($"t").as("n"),
+      TextFunctions.wordShingles($"t", 3).as("sh"),
+      TextFunctions.punctCount(lit("a, b! c?")).as("p")).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(4, 1, 1, 3))
+    assert(got(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(got(1).getSeq[String](1) == Seq.empty)
+    assert(got(3).getSeq[String](1) == Seq("x y z"))
+    assert(got(0).getInt(2) == 3)
+  }
+
+  test("langIdGuess picks marker-dominant language, und for none") {
+    val df = Seq(
+      "the cat is on the mat", "le chat et la souris", "der hund und die katze",
+      "el perro y los gatos", "zzz qqq").toDF("t")
+    val got = df.select(TextFunctions.langIdGuess($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "de", "es", "und"))
+  }
+
+  test("qualityScore in [0,1] and monotone in stopword presence") {
+    val df = Seq("the a is of and the a is of and", "zz qq ww").toDF("t")
+    val got = df.select(TextFunctions.qualityScore($"t")).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("fingerprint is normalization-invariant md5") {
+    val df = Seq(("  Hello World ", "hello world")).toDF("a", "b")
+    val r = df.select(TextFunctions.fingerprint($"a"), TextFunctions.fingerprint($"b"))
+      .as[(String, String)].head()
+    assert(r._1 == r._2)
+    assert(r._1.length == 32)
+  }
+
+  test("charJaccard matches known value") {
+    // chars{hello}={h,e,l,o}, chars{help}={h,e,l,p}: |∩|=3, |∪|=5 -> 0.6
+    val r = Seq(1).toDF("x")
+      .select(TextFunctions.charJaccard(lit("hello"), lit("help"))).as[Double].head()
+    assert(math.abs(r - 0.6) < 1e-12)
+  }
+}
+
+class HashExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("minhash: identical sets match, signature is order/dup-insensitive") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a", "a")),
+      (3L, Seq("x", "y", "z"))).toDF("id", "sh")
+    val sigs = df.select($"id", minhash_signature($"sh", 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).size == 32)
+  }
+
+  test("minhash: signature agreement estimates jaccard") {
+    val a = (0 until 100).map(i => s"sh$i")
+    val b = (50 until 150).map(i => s"sh$i") // true J = 50/150 = 1/3
+    val df = Seq((1L, a), (2L, b)).toDF("id", "sh")
+    val sigs = df.select($"id", minhash_signature($"sh", 256).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(agree - 1.0 / 3.0) < 0.1, s"estimate $agree far from 1/3")
+  }
+
+  test("simhash: near-identical token sets have small hamming distance") {
+    val base = (0 until 60).map(i => s"t$i")
+    val near = base.updated(3, "CHANGED").updated(40, "ALSO")
+    val far = (0 until 60).map(i => s"u$i")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "sh")
+    val h = df.select($"id", simhash64($"sh")).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < 12, s"near docs hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 16, s"far docs hamming ${ham(h(1L), h(3L))}")
+  }
+
+  test("cosine_similarity matches manual computation; null on mismatch") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(cosine_similarity($"a", $"b")).as[Double].head()
+    val expected = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - expected) < 1e-12)
+    val bad = Seq((Seq(1.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(bad.select(cosine_similarity($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("hyperplane LSH: identical vectors same bucket; deterministic across runs") {
+    val df = Seq((1L, Seq(1.0f, 0.5f)), (2L, Seq(1.0f, 0.5f)), (3L, Seq(-1.0f, -0.5f)))
+      .toDF("id", "v")
+    val b = df.select($"id", hyperplane_lsh_bucket($"v", 16)).as[(Long, Long)]
+      .collect().toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L)) // antipodal vector flips every sign bit
+    val again = df.select($"id", hyperplane_lsh_bucket($"v", 16)).as[(Long, Long)]
+      .collect().toMap
+    assert(b == again)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+    (4L, "another unrelated piece of text mentioning vectors and embeddings"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text") {
+    val got = Dedup.exact(docs, Seq($"text"), $"doc_id")
+      .select($"keeper", $"n_dups").as[(Long, Long)].collect().toMap
+    assert(got(0L) == 2L) // docs 0 and 3 collapse to keeper 0
+    assert(got.values.sum == 5L)
+    val rows = Dedup.exactRows(docs, Seq($"text"), $"doc_id")
+    assert(rows.count() == 4)
+    assert(rows.filter($"doc_id" === 3L).isEmpty)
+  }
+
+  test("ngram jaccard pairs find exact and near duplicates with correct scores") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    val exactPair = pairs.find(p => p._1 == 0L && p._2 == 3L).get
+    assert(exactPair._3 == 1.0)
+  }
+
+  test("minhash LSH recovers the same pairs as exact jaccard on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("simhash pairs catch near-dups only") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3, maxHamming = 8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical => hamming 0
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("embedding cosine pairs: banded LSH finds high-cosine pairs") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f, 0.1f)), // near-dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+        threshold = 0.95, bands = 8, bitsPerBand = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(pairs.head._3 > 0.99)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val embs = graft.Tables.embeddings(spark, SparkTestSession.sf001)
+
+  test("bruteForceTopK returns k ordered neighbors") {
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv, 10, Some(0L))
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1)), "not sorted desc")
+    // self-query sanity: vector 5 queried against the corpus returns itself first
+    val qv5 = Similarity.vectorOf(embs, "vec_id", "embedding", 5L)
+    val self = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv5, 1, None)
+      .as[(Long, Double)].head()
+    assert(self._1 == 5L && math.abs(self._2 - 1.0) < 1e-9)
+  }
+
+  test("lshTopK returns results from the query bucket (approximate, bounded scan)") {
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val top = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,
+      numBits = 8, multiProbe = 1, excludeId = Some(0L)).as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.length <= 10)
+    assert(top.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("ivfTopK probes nearest cells and ranks by exact cosine") {
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val idx = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 16)
+    assert(idx.select($"cell").distinct().count() <= 16)
+    val top = Similarity.ivfTopK(idx, embs, "vec_id", "embedding", qv, 10,
+      nCells = 16, nProbe = 4, excludeId = Some(0L)).as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.length <= 10)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("decode pipeline: deterministic metadata + normalized features") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet")
+    val decoded = Multimodal.decode(media)
+    val rows = decoded.collect()
+    assert(rows.length == media.count())
+    assert(rows.forall(d => d.width >= 16 && d.height >= 16))
+    assert(rows.forall(d => math.abs(d.features.sum - 1.0) < 1e-9 || d.byte_len == 0))
+    // deterministic: decoding twice gives identical results
+    val again = Multimodal.decode(media).collect()
+    assert(rows.map(_.width).toSeq == again.map(_.width).toSeq)
+  }
+
+  test("frame sampling yields stride-spaced frames for video rows only") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet")
+    val frames = Multimodal.sampleFrames(media, stride = 10).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_no % 10 == 0))
+    val ids = frames.map(_.media_id).toSet
+    val videoIds = media.filter(_.format == "video").collect().map(_.media_id).toSet
+    assert(ids.subsetOf(videoIds))
+  }
+}
