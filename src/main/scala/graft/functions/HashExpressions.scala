@@ -214,10 +214,55 @@ object hashFunctions {
 
   def minhash_signature(c: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     column(MinHashSignature(expression(c), numHashes, seed))
+  def word_shingles(c: Column, k: Int): Column =
+    column(WordShingles(expression(c), k))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a.cast("array<double>")),
       expression(b.cast("array<double>"))))
   def hyperplane_lsh_bucket(c: Column, numBits: Int = 16, seed: Long = 42L): Column =
     column(HyperplaneLshBucket(expression(c.cast("array<double>")), numBits, seed))
+}
+
+/**
+ * k-word shingles of a space-separated string: returns the array
+ * ["w1 w2 .. wk", "w2 .. wk+1", ...] (empty when fewer than k words).
+ * Semantics identical to the composed built-in form
+ * `transform(sequence(...), i -> concat_ws(' ', element_at(words, i)...))`
+ * but evaluated in one tight pass — the HOF form costs ~1 ms/doc interpreted,
+ * which dominates dedup scans at corpus scale.
+ */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // split(" ") with Java semantics matches Spark's split(text, " ") and
+    // DuckDB's string_split: "" -> [""], consecutive separators -> empty words
+    val words = text.split(" ", -1)
+    val n = words.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
 }

@@ -22,13 +22,8 @@ object TextFunctions {
 
   /** k-word shingles (ordered, with duplicates). Empty array when the
     * document has fewer than k words. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val w = words(text)
-    when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, k: Int): Column =
+    hashFunctions.word_shingles(text, k)
   def sqlWordShingles(col: String, k: Int): String = {
     val parts = (0 until k).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
     s"list_transform(generate_series(1, greatest(len(string_split($col, ' ')) - ${k - 1}, 0)), " +

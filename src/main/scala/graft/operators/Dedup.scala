@@ -73,33 +73,55 @@ object Dedup {
   def minHashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val rows = numHashes / bands
-    val withSig = docs.select(
+    val base = docs.select(
       col(idCol).as("doc_id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), k)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhash_signature(col("sh"), numHashes, seed))
-    // band id + hash of that band's signature slice = LSH bucket key
+    // Candidate generation over NARROW rows (doc_id, band, bucket) only —
+    // the shingle arrays never enter the band shuffle; they are re-joined by
+    // doc_id for the (small) surviving candidate set. At 100 TB the band
+    // shuffle is the dominant data movement, so its rows must stay a few
+    // dozen bytes.
+    val sigs = base.select(col("doc_id"),
+      minhash_signature(col("sh"), numHashes, seed).as("sig"))
     val bandBuckets = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))
-    val banded = withSig.select(
-      col("doc_id"), col("sh"),
-      posexplode(array(bandBuckets: _*)))
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandBuckets: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .dropDuplicates("doc_a", "doc_b")
+    val candidates = bucketedPairs(banded, "bucket", maxBucketSize)
+    val payload = base.select(col("doc_id"), col("sh"))
     candidates
+      .join(payload.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(payload.as("pb"), col("doc_b") === col("pb.doc_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+        size(array_intersect(col("pa.sh"), col("pb.sh"))).cast("double") /
+          size(array_union(col("pa.sh"), col("pb.sh"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * Same-bucket candidate pairs from a (doc_id, band, <bucketCol>) table,
+   * with ultra-hot buckets dropped: a bucket shared by thousands of
+   * documents carries ~zero discriminative signal but quadratic join cost —
+   * capping it is the standard LSH skew guard (the recall loss is confined
+   * to buckets whose collision probability was near-uniform anyway).
+   */
+  private def bucketedPairs(banded: DataFrame, bucketCol: String, maxBucketSize: Int)
+      : DataFrame = {
+    val sized = banded.withColumn("__bsz",
+      count(lit(1)).over(Window.partitionBy(col("band"), col(bucketCol))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val a = sized.as("a"); val b = sized.as("b")
+    a.join(b, col(s"a.band") === col(s"b.band") &&
+        col(s"a.$bucketCol") === col(s"b.$bucketCol") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /**
@@ -111,24 +133,22 @@ object Dedup {
    */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, maxHamming: Int = 8): DataFrame = {
+      k: Int = 3, maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
     val withSim = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.wordShingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("simhash", simhash64(col("sh")))
+      .select(col("doc_id"), col("simhash"))
     val chunks = (0 until 4).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
-    val banded = withSim.select(col("doc_id"), col("simhash"),
-      posexplode(array(chunks: _*)))
+    val banded = withSim.select(col("doc_id"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    bucketedPairs(banded, "chunk", maxBucketSize)
+      .join(withSim.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(withSim.as("pb"), col("doc_b") === col("pb.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("pa.simhash").bitwiseXOR(col("pb.simhash"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
@@ -145,24 +165,23 @@ object Dedup {
   def embeddingCosinePairs(
       embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bands: Int = 8, bitsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
     require(bands * bitsPerBand <= 63, "bands*bitsPerBand must fit in a long")
     val sigBits = bands * bitsPerBand
     val mask = (1L << bitsPerBand) - 1
-    val withSig = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("sig", hyperplane_lsh_bucket(col("v"), sigBits, seed))
+    val base = embs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+    val withSig = base.select(col("doc_id"),
+      hyperplane_lsh_bucket(col("v"), sigBits, seed).as("sig"))
     val chunks = (0 until bands).map(b =>
       shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)))
-    val banded = withSig.select(col("vec_id"), col("v"), posexplode(array(chunks: _*)))
+    val banded = withSig.select(col("doc_id"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine_similarity(col("va"), col("vb")))
+    bucketedPairs(banded, "chunk", maxBucketSize)
+      .join(base.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(base.as("pb"), col("doc_b") === col("pb.doc_id"))
+      .withColumn("cosine", cosine_similarity(col("pa.v"), col("pb.v")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        round(col("cosine"), 4).as("cosine"))
   }
 }
