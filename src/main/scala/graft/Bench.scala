@@ -46,7 +46,12 @@ object Bench {
     val trigger = partitions * 1000
     def stream(agg: Boolean): Double = {
       val out = "bench_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      time {
+      // state-partition sizing: the windowed agg commits every state
+      // partition per micro-batch; 4-partition sources want far fewer than
+      // the 32 scan-side shuffle partitions (at cluster scale this is the
+      // `spark.sql.shuffle.partitions` the streaming job is launched with)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try time {
         val src = spark.readStream.format(GraftEventLog.Format)
           .option("path", s"$sfDir/events.parquet")
           .option("partitions", partitions.toString)
@@ -62,7 +67,7 @@ object Bench {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination(600000)
         ()
-      }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
     val passthrough = stream(agg = false)
     val windowed = stream(agg = true)

@@ -44,6 +44,17 @@ final case class EventLogConf(options: Map[String, String]) {
   def maxEventsPerTrigger: Option[Long] = get("maxeventspertrigger").map(_.toLong)
   def failOnDataLoss: Boolean = get("failondataloss").forall(_.toBoolean)
   def placementStrategy: String = get("placementstrategy").getOrElse("none")
+
+  /** Adaptive slow-partition throttling (ref R3); off by default like the
+    * reference's `slowPartitionAdjustment`. */
+  def slowPartitionAdjustment: Boolean =
+    get("slowpartitionadjustment").exists(_.toBoolean)
+  def metricPlugin: Option[MetricPlugin] =
+    get("metricplugin").map(cls => Class.forName(cls)
+      .getDeclaredConstructor().newInstance().asInstanceOf[MetricPlugin])
+  def throttlingStatusPlugin: Option[ThrottlingStatusPlugin] =
+    get("throttlingstatusplugin").map(cls => Class.forName(cls)
+      .getDeclaredConstructor().newInstance().asInstanceOf[ThrottlingStatusPlugin])
 }
 
 object EventLogConf {

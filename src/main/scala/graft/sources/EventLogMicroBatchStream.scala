@@ -44,11 +44,22 @@ object EventLogSourceOffset {
  * per committed batch, identical to the reference's contract (SURVEY §2.4).
  */
 class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
-    extends MicroBatchStream with SupportsAdmissionControl with Logging {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with Logging {
 
   private val client: EventLogClient = EventLogRegistry
   EventLogRegistry.ensureForRead(conf)
   private val name = conf.name
+
+  // Trigger.AvailableNow: snapshot the end offsets once; rate-limited
+  // micro-batches then run until the snapshot is reached (without this,
+  // Spark falls back to one unbounded batch and admission control is
+  // silently bypassed).
+  @volatile private var availableNowEnd: Option[Map[PartitionId, SequenceNumber]] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowEnd = Some(
+      client.boundedSeqNos(name).map { case (p, (_, latest)) => p -> latest })
+  }
 
   private def defaultBudget: Long =
     conf.maxEventsPerTrigger.getOrElse(client.partitionCount(name) * DefaultMaxEventsPerTrigger)
@@ -78,7 +89,7 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
     // Partition growth: partitions unseen in `start` begin at earliest
     // (ref: EventHubsSource.scala:183-192,350-366).
     val merged: Map[PartitionId, (SequenceNumber, SequenceNumber)] =
-      bounds.map { case (pid, (earliest, latest)) =>
+      bounds.map { case (pid, (earliest, latest0)) =>
         val from0 = startSeqNos.getOrElse(pid, earliest)
         // Data-loss clamp (ref R4: EventHubsSource.adjustStartingOffset).
         val from = if (from0 < earliest) {
@@ -87,13 +98,25 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
           logWarning(s"$name-$pid: events [$from0,$earliest) aged out; advancing to earliest")
           earliest
         } else from0
+        // AvailableNow: never read past the prepared snapshot
+        val latest = availableNowEnd.flatMap(_.get(pid))
+          .fold(latest0)(math.min(_, latest0))
         pid -> ((from, math.max(from, latest)))
       }
+    // Adaptive throttling: shrink slow partitions' share (ref R3).
+    val factor: PartitionId => Double =
+      if (conf.slowPartitionAdjustment) {
+        val f = PartitionThrottler.forLog(name).factors
+        conf.throttlingStatusPlugin.foreach(p =>
+          p.onPartitionsStatusUpdate(merged.keys.map(k => k -> f(k)).toMap))
+        f
+      } else _ => 1.0
     val untils: Map[PartitionId, SequenceNumber] = limit match {
       case _: ReadAllAvailable => merged.map { case (p, (_, latest)) => p -> latest }
-      case r: ReadMaxRows      => RateLimiter.prorate(merged, r.maxRows())
-      case _                   => RateLimiter.prorate(merged, defaultBudget)
+      case r: ReadMaxRows      => RateLimiter.prorate(merged, r.maxRows(), factor)
+      case _                   => RateLimiter.prorate(merged, defaultBudget, factor)
     }
+    conf.throttlingStatusPlugin.foreach(_.onBatchCreation(-1L, untils))
     EventLogSourceOffset(name, untils)
   }
 

@@ -251,6 +251,8 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
   import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
   import org.apache.spark.unsafe.types.UTF8String
 
+  private val startedNanos = System.nanoTime()
+  private var rowsRead = 0L
   private val iter: Iterator[(SequenceNumber, Event)] = {
     EventLogRegistry.ensure(conf)
     EventLogRegistry.receive(range.name, range.partitionId, range.fromSeqNo, range.count)
@@ -267,6 +269,7 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
 
   override def next(): Boolean = {
     if (!iter.hasNext) return false
+    rowsRead += 1
     val (seqNo, e) = iter.next()
     val values = schema.fields.map { f =>
       f.name match {
@@ -287,5 +290,17 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+
+  /** Report receive metrics for adaptive throttling (ref R3: executor ->
+    * driver; here the batch surrogate id is the range start, unique per
+    * micro-batch for a progressing stream). */
+  override def close(): Unit = {
+    val elapsed = System.nanoTime() - startedNanos
+    if (conf.slowPartitionAdjustment) {
+      PartitionThrottler.forLog(range.name)
+        .record(range.fromSeqNo, range.partitionId, rowsRead, elapsed)
+    }
+    conf.metricPlugin.foreach(
+      _.onReceiveMetric(range.nameAndPartition, range.fromSeqNo, rowsRead, elapsed))
+  }
 }

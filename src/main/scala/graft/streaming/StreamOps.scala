@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.{Event, EventLogRegistry}
+
+/**
+ * Streaming operators over the event-log source. Watermarks, windows and
+ * state management are Spark Structured Streaming's own (SURVEY §2.4 — the
+ * connector's obligation is offset determinism + the event-time column);
+ * these helpers add the shapes the reference demonstrates plus the custom
+ * state the reference lacks.
+ */
+object StreamOps {
+
+  /** The reference's demo query shape (EventHubsSourceSuite.scala:737-778):
+    * watermark + tumbling-window count over the event-time column. */
+  def windowedCounts(df: DataFrame, timeCol: String, watermark: String,
+      windowLen: String): DataFrame =
+    df.withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowLen))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup on a key with bounded state: watermark +
+    * dropDuplicates keeps state only for the watermark horizon. */
+  def streamingDedup(df: DataFrame, timeCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(timeCol, watermark).dropDuplicates(keyCols :+ timeCol)
+
+  final case class SessionUpdate(key: String, nEvents: Long, startMs: Long, endMs: Long)
+
+  /**
+   * Session windows via flatMapGroupsWithState: a session closes after
+   * `gapMs` of event-time silence (processing-time timeout locally). The
+   * custom-state shape the reference has no helper for (SURVEY §2.7) —
+   * state per key is O(1), emitted on close.
+   */
+  def sessionize(
+      ds: Dataset[(String, Timestamp)], gapMs: Long): Dataset[SessionUpdate] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Long, Long)]) =>
+          var (n, start, end) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+            if (n > 0 && t - end > gapMs) {
+              closed += SessionUpdate(key, n, start, end)
+              n = 0; start = Long.MaxValue; end = Long.MinValue
+            }
+            n += 1; start = math.min(start, t); end = math.max(end, t)
+          }
+          if (n > 0) state.update((n, start, end)) else state.remove()
+          closed.iterator
+      }
+  }
+
+  /**
+   * Simplest possible sink: a ForeachWriter that round-robins string rows
+   * into a named in-memory log (ref S11: EventHubsForeachWriter.scala:41-99).
+   */
+  def foreachWriter(logName: String): ForeachWriter[String] =
+    new ForeachWriter[String] {
+      override def open(partitionId: Long, epochId: Long): Boolean = true
+      override def process(value: String): Unit = {
+        val log = EventLogRegistry.get(logName)
+        val e = Event(value.getBytes("UTF-8"), System.currentTimeMillis() * 1000L)
+        log.append(log.route(e, None, None), e)
+      }
+      override def close(errorOrNull: Throwable): Unit = ()
+    }
+
+  /** Row-typed variant honoring the sink schema columns (body / partition). */
+  def foreachRowWriter(logName: String): ForeachWriter[Row] =
+    new ForeachWriter[Row] {
+      override def open(partitionId: Long, epochId: Long): Boolean = true
+      override def process(r: Row): Unit = {
+        val log = EventLogRegistry.get(logName)
+        val body = r.schema.fieldNames.indexOf("body") match {
+          case -1 => throw new IllegalArgumentException("row needs a 'body' column")
+          case i => r.get(i) match {
+            case s: String => s.getBytes("UTF-8")
+            case b: Array[Byte] => b
+            case other => throw new IllegalArgumentException(s"bad body type $other")
+          }
+        }
+        val pid = r.schema.fieldNames.indexOf("partition") match {
+          case -1 => None
+          case i => Option(r.getString(i)).map(_.toInt)
+        }
+        val e = Event(body, System.currentTimeMillis() * 1000L)
+        log.append(log.route(e, pid, None), e)
+      }
+      override def close(errorOrNull: Throwable): Unit = ()
+    }
+}

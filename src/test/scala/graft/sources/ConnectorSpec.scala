@@ -123,6 +123,12 @@ class ConnectorStreamSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     assert(spark.table("s1_out").count() == 200)
+    // admission control must actually split the log into rate-limited
+    // micro-batches (200 events / 40 per trigger = 5 batches), not fall back
+    // to one unbounded batch
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 5, s"expected 5 rate-limited batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 40))
     // each partition delivered in order without gaps
     val perPart = spark.table("s1_out").groupBy("partition")
       .agg(count("*").as("n"), min("sequenceNumber").as("lo"), max("sequenceNumber").as("hi"))

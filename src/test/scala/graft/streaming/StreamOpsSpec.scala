@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.{Event, EventLogRegistry}
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def populate(name: String, partitions: Int, n: Int) = {
+    EventLogRegistry.drop(name)
+    val log = EventLogRegistry.create(name, partitions)
+    for (p <- 0 until partitions; i <- 0 until n)
+      log.append(p, Event(s"$p-$i".getBytes, i * 1000000L))
+    log
+  }
+
+  test("windowedCounts over the source (reference demo shape)") {
+    populate("so1", 2, 100) // 2 partitions, events at t=0..99s
+    val src = spark.readStream.format("graft-eventlog").option("name", "so1").load()
+    val q = StreamOps.windowedCounts(src, "enqueuedTime", "10 seconds", "10 seconds")
+      .writeStream.format("memory").queryName("so1_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val counts = spark.table("so1_out").select($"n").as[Long].collect()
+    assert(counts.length == 10 && counts.forall(_ == 20))
+  }
+
+  test("streamingDedup drops same-key duplicates within the watermark") {
+    EventLogRegistry.drop("so2")
+    val log = EventLogRegistry.create("so2", 1)
+    // bodies repeat: 0,1,2,0,1,2,... at increasing times
+    for (i <- 0 until 30) log.append(0, Event(s"${i % 3}".getBytes, i * 1000000L))
+    val src = spark.readStream.format("graft-eventlog").option("name", "so2").load()
+      .select(col("enqueuedTime"), col("body").cast("string").as("k"))
+      .withColumn("enqueuedTime", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val q = StreamOps.streamingDedup(src, "enqueuedTime", "1 hour", Seq("k"))
+      .writeStream.format("memory").queryName("so2_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("so2_out").count() == 3)
+  }
+
+  test("sessionize closes sessions after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // user a: events at 0s,10s then 1000s (gap closes first session of 2)
+    input.addData(("a", ts(0)), ("a", ts(10)), ("b", ts(5)))
+    val q = StreamOps.sessionize(input.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("so3_out").outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(("a", ts(1000)))
+    q.processAllAvailable()
+    input.addData(("a", ts(5000)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("so3_out")
+      .as[StreamOps.SessionUpdate].collect().sortBy(_.startMs)
+    // a's first session (0s-10s, 2 events) closed by the 1000s event;
+    // a's second (1000s) closed by the 5000s event
+    assert(sessions.map(s => (s.key, s.nEvents)).toSeq ==
+      Seq(("a", 2L), ("a", 1L)), sessions.mkString(","))
+  }
+
+  test("foreachWriter round-robins into a named log (ref S11)") {
+    EventLogRegistry.drop("so4"); populate("so4src", 1, 12)
+    EventLogRegistry.create("so4", 3)
+    val q = spark.readStream.format("graft-eventlog").option("name", "so4src").load()
+      .select(col("body").cast("string").as("value")).as[String]
+      .writeStream.foreach(StreamOps.foreachWriter("so4"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val bounds = EventLogRegistry.boundedSeqNos("so4")
+    assert(bounds.values.map(_._2).sum == 12)
+    assert(bounds.values.forall(_._2 > 0), s"round robin skipped: $bounds")
+  }
+}
