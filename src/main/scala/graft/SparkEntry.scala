@@ -282,6 +282,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).as("ws_tok"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpe_tok"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws_tok")).as("total_ws_tokens"),
+          sum(col("bpe_tok")).as("total_bpe_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_dedup_winnow" -> ((s, dir) => {
+      Dedup.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
+          ngram = 24, window = 8, minShared = 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -468,6 +485,11 @@ object SparkEntry {
            |FROM (SELECT source, ${TextFunctions.sqlQualityScore("text")} AS q
            |      FROM documents)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_text_tokens" ->
+        s"""SELECT lang, sum(${TextFunctions.sqlTokenCount.format("text")}) AS total_ws_tokens,
+           | sum(${TextFunctions.sqlBpeTokenCount.format("text")}) AS total_bpe_tokens
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_text_fingerprint" ->
         s"""SELECT source, count(DISTINCT ${TextFunctions.sqlFingerprint.format("text")}) AS n_distinct,

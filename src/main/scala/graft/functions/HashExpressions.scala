@@ -216,6 +216,8 @@ object hashFunctions {
     column(MinHashSignature(expression(c), numHashes, seed))
   def word_shingles(c: Column, k: Int): Column =
     column(WordShingles(expression(c), k))
+  def rolling_fingerprints(c: Column, ngram: Int = 8, window: Int = 4): Column =
+    column(RollingFingerprints(expression(c), ngram, window))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a.cast("array<double>")),
@@ -264,5 +266,65 @@ case class WordShingles(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/**
+ * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's algorithm, the
+ * standard rolling-hash fingerprinting for near-copy detection): polynomial
+ * rolling hash over every `ngram`-byte window of the UTF-8 text, then the
+ * minimum hash of each `window`-sized span of consecutive window hashes
+ * (rightmost minimum, deduplicated). Any shared substring of length >=
+ * ngram + window - 1 bytes is guaranteed to share a fingerprint.
+ */
+case class RollingFingerprints(child: Expression, ngram: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(ngram >= 2 && window >= 1, s"bad winnowing params ($ngram, $window)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_fingerprints"
+
+  private val Base = 1000003L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length - ngram + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // rolling polynomial hashes of all ngram-byte windows
+    var pow = 1L
+    var i = 1
+    while (i < ngram) { pow *= Base; i += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < ngram) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * Base + (bytes(i + ngram - 1) & 0xff)
+      hs(i) = h
+      i += 1
+    }
+    // winnow: rightmost minimum of each `window` consecutive hashes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = -1
+    var w = 0
+    val spans = math.max(1, n - window + 1)
+    while (w < spans) {
+      var minIdx = w
+      var j = w
+      val end = math.min(n, w + window)
+      while (j < end) {
+        if ((hs(j) ^ Long.MinValue) <= (hs(minIdx) ^ Long.MinValue)) minIdx = j
+        j += 1
+      }
+      if (minIdx != last) { out += hs(minIdx); last = minIdx }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprints =
     copy(child = newChild)
 }

@@ -64,6 +64,14 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
   val sqlPunctCount = "len(regexp_extract_all(%s, '[.,!?;:]'))"
 
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * non-alphanumeric symbols each count as one token — the cheap regex
+    * approximation of a byte-pair-encoded vocabulary's token count. */
+  val bpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeTokenPattern), lit(0)))
+  val sqlBpeTokenCount = s"len(regexp_extract_all(lower(%s), '$bpeTokenPattern'))"
+
   /**
    * Quality score in [0,1]: equal-weight blend of length saturation,
    * punctuation cleanliness, marker-stopword presence and mean word length —

@@ -86,15 +86,26 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic centroid sample: the first `nCells` vectors by id.
-    * (A k-means refinement would slot in here; the index/probe plumbing is
-    * identical.) */
+  /** Seeded k-means centroids (Spark MLlib; deterministic for a fixed seed
+    * and input). Cached per (plan-agnostic) table identity via a small keyed
+    * memo so index build and query use identical centroids. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
+
   private def centroids(embs: DataFrame, idCol: String, vecCol: String, nCells: Int)
-      : Array[(Int, Array[Double])] =
-    embs.select(col(idCol), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol).asc).limit(nCells).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+      : Array[(Int, Array[Double])] = {
+    val key = s"${embs.schema.map(_.name).mkString(",")}|$idCol|$vecCol|$nCells|" +
+      embs.queryExecution.analyzed.semanticHash()
+    centroidCache.computeIfAbsent(key, _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val feats = embs.select(
+        array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+        .fit(feats)
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    })
+  }
 
   private def bestCell(v: org.apache.spark.sql.Column, centArr: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan shape assertions: the properties that matter at 100 TB
+ * (pushdown reaching the scan, broadcast joins chosen, column pruning) are
+ * pinned here so a regression shows up as a test failure, not a silent
+ * slowdown.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = SparkTestSession.sf0001
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan: filters are pushed and columns pruned") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    df.count()
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("broadcast join is chosen for the dimension side") {
+    val q = SparkEntry.queries("q_join_broadcast")(spark, dir)
+    assert(plan(q).contains("BroadcastHashJoin"), plan(q))
+  }
+
+  test("multi-join query broadcasts the small dims (nation, region)") {
+    val q = SparkEntry.queries("q_join_multi")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("connector scan: narrowed range appears in scan description; whole-stage codegen above") {
+    val df = GraftEventLog.readParquetLog(spark, s"$dir/events.parquet", 4,
+        Map("startingPosition" -> """{"seqNo":10}"""))
+      .filter(col("sequenceNumber") < 20)
+      .select(col("partition"), col("sequenceNumber"))
+    df.count()
+    val p = plan(df)
+    assert(p.contains("maxSeqEx=20"), p)
+    assert(p.contains("start={\"seqNo\":10}"), p)
+    // "*(1)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(p.contains("*(1) Filter"), p)
+  }
+
+  test("connector scan reports statistics for the optimizer") {
+    val df = GraftEventLog.readParquetLog(spark, s"$dir/events.parquet", 4)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // 1000 events * 96 bytes estimate
+    assert(stats.sizeInBytes == BigInt(96000), s"stats: $stats")
+    assert(stats.rowCount.isEmpty || stats.rowCount.contains(BigInt(1000)))
+  }
+
+  test("window-rank query keeps a single shuffle for partitionBy") {
+    val q = SparkEntry.queries("q_window_rank")(spark, dir)
+    val p = plan(q)
+    // one exchange for the window partitioning (+ possibly one for the final
+    // orderBy); no repeated shuffling of the same keys
+    assert(p.contains("Window"), p)
+  }
+
+  test("driver smoke: entry() works on a fresh plain session config") {
+    // the driver calls entry() without our nanosAsLong session conf; the
+    // seeded-log loader must set it on the fly
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      val df = SparkEntry.entry(spark)
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+}

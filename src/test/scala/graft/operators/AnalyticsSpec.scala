@@ -47,6 +47,43 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(r._1.length == 32)
   }
 
+  test("bpeTokenCount splits letter runs, digit runs, symbols") {
+    val got = Seq("Hello world42 x!y").toDF("t")
+      .select(TextFunctions.bpeTokenCount($"t")).as[Int].head()
+    // hello, world, 42, x, !, y
+    assert(got == 6)
+  }
+
+  test("winnowing fingerprints: shared long substrings share fingerprints") {
+    import graft.functions.hashFunctions.rolling_fingerprints
+    val common = "the quick brown fox jumps over the lazy dog repeatedly"
+    val df = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"zz $common qq"),
+      (3L, "completely unrelated content with no shared spans at all here"))
+      .toDF("id", "t")
+    val fps = df.select($"id", rolling_fingerprints($"t", 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val shared12 = fps(1L).toSet.intersect(fps(2L).toSet)
+    val shared13 = fps(1L).toSet.intersect(fps(3L).toSet)
+    assert(shared12.size >= 5, s"copied span must share fingerprints: ${shared12.size}")
+    assert(shared13.size <= 1, s"unrelated docs share too much: ${shared13.size}")
+    // guarantee property: substring of len >= ngram+window-1 -> >=1 shared
+    assert(shared12.nonEmpty)
+  }
+
+  test("fingerprintPairs flags the near-copy pair only") {
+    val common = "the quick brown fox jumps over the lazy dog repeatedly and often"
+    val df = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"zz $common qq"),
+      (3L, "completely unrelated content with no shared spans at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintPairs(df, "doc_id", "text", minShared = 5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("charJaccard matches known value") {
     // chars{hello}={h,e,l,o}, chars{help}={h,e,l,p}: |∩|=3, |∪|=5 -> 0.6
     val r = Seq(1).toDF("x")
