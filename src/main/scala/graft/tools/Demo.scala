@@ -74,6 +74,17 @@ object Demo {
     println(s"[6] parquet-seeded log count = ${seeded.count()}")
     seeded.groupBy($"partition").count().orderBy($"partition").show()
 
+    // 7. typed application properties: erased to strings in the row schema
+    graft.sources.EventLogRegistry.drop("demo-typed")
+    val typedLog = EventLogRegistry.create("demo-typed", 1)
+    typedLog.append(0, graft.sources.PropertyErasure.event(
+      "payload".getBytes, 0L,
+      Map("count" -> 42, "score" -> 3.5, "tags" -> Seq("a", "b"),
+        "nested" -> Map("k" -> true), "note" -> "plain")))
+    val typedRow = spark.read.format("graft-eventlog").option("name", "demo-typed")
+      .load().select($"properties").collect().head.getAs[Map[String, String]](0)
+    println(s"[7] typed properties erased: ${typedRow.toSeq.sortBy(_._1).mkString(", ")}")
+
     // probes: bad write schema + unknown hub + aged-out data
     def expectError(label: String)(f: => Unit): Unit =
       try { f; println(s"[probe] $label: NO ERROR (unexpected)") }

@@ -159,3 +159,39 @@ class EventLogBackendSpec extends AnyFunSuite {
     assert(b == Map(0 -> ((0L, 3L)), 1 -> ((0L, 3L)), 2 -> ((0L, 0L)), 3 -> ((0L, 0L))))
   }
 }
+
+/** Mirrors the reference's "with application properties" matrix
+  * (EventHubsSourceSuite.scala:566-655): typed values erased to strings with
+  * per-type rules. */
+class PropertyErasureSpec extends AnyFunSuite {
+  import PropertyErasure._
+
+  test("strings, chars and binary pass through as text") {
+    assert(eraseValue("hello") == "hello")
+    assert(eraseValue('c') == "c")
+    assert(eraseValue("bytes".getBytes("UTF-8")) == "bytes")
+  }
+
+  test("scalars render as literals") {
+    assert(eraseValue(java.lang.Boolean.TRUE) == "true")
+    assert(eraseValue(42) == "42")
+    assert(eraseValue(42L) == "42")
+    assert(eraseValue(3.5) == "3.5")
+    assert(eraseValue(2.0) == "2")                      // integral doubles compact
+    assert(eraseValue(new java.math.BigDecimal("1.50")) == "1.50")
+    assert(eraseValue(null) == "null")
+  }
+
+  test("structured values are JSON-serialized deterministically") {
+    assert(eraseValue(Map("b" -> 1, "a" -> "x")) == """{"a":"x","b":1}""")
+    assert(eraseValue(Seq(1, "two", null)) == """[1,"two",null]""")
+    assert(eraseValue(Map("outer" -> Map("inner" -> true))) ==
+      """{"outer":{"inner":true}}""")
+  }
+
+  test("event() attaches erased properties") {
+    val e = PropertyErasure.event("b".getBytes, 0L,
+      Map("n" -> 7, "tags" -> Seq("x", "y")))
+    assert(e.properties == Map("n" -> "7", "tags" -> """["x","y"]"""))
+  }
+}
