@@ -293,6 +293,29 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      Dedup.clusters(pairs).orderBy(col("doc_id"))
+    }),
+
+    "q_stream_dedup" -> ((s, dir) => {
+      val out = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format(GraftEventLog.Format)
+        .option("path", mid(dir)).option("partitions", "4")
+        .load()
+        .select(col("properties")("event_type").as("event_type"),
+          col("body").cast("string").as("props"),
+          col("enqueuedTime"))
+        .withWatermark("enqueuedTime", "90 days")
+        .dropDuplicates("event_type", "props")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_distinct"))
+        .writeStream.format("memory").queryName(out).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(out).orderBy(col("event_type"))
+    }),
+
     "q_dedup_winnow" -> ((s, dir) => {
       Dedup.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
           ngram = 24, window = 8, minShared = 5)
@@ -460,6 +483,37 @@ object SparkEntry {
            | round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
            |FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.5
            |ORDER BY 1, 2""".stripMargin,
+
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE pairs AS (
+           |  WITH d AS (
+           |    SELECT doc_id,
+           |     list_distinct(${TextFunctions.sqlWordShingles("text", 3)
+                   .replace("string_split(text, ' ')", "w")}) AS sh
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  ), e AS (
+           |    SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0
+           |  ), p AS (
+           |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+           |     count(*) AS shared
+           |    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2, 3, 4)
+           |  SELECT doc_a, doc_b FROM p
+           |  WHERE shared * 1.0 / (na + nb - shared) >= 0.5
+           |), edges AS (
+           |  SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs
+           |), reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+           |)
+           |SELECT u AS doc_id, least(u, min(v)) AS cluster
+           |FROM reach GROUP BY u ORDER BY 1""".stripMargin,
+
+      "q_stream_dedup" ->
+        """SELECT event_type, count(DISTINCT props) AS n_distinct
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_ann_bruteforce" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

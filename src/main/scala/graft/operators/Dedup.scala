@@ -154,6 +154,61 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-dup pairs: every document in a duplicate
+   * cluster is labeled with the minimum doc_id reachable from it, so
+   * "keep one per cluster" = keep rows where doc_id == cluster.
+   *
+   * Iterative label propagation (large-star/small-star style): each round
+   * joins current labels across edges and takes the min; converges in
+   * O(cluster diameter) rounds — each round is two hash joins + an
+   * aggregation, all shuffle-key operations. Near-dup clusters in corpus
+   * dedup are shallow (dups of dups), so rounds stay single-digit at any
+   * corpus size; `maxIterations` bounds the worst case.
+   */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIterations: Int = 20): DataFrame = {
+    // materialize the edge list once — every propagation round joins against
+    // it, and without the checkpoint each round would recompute the upstream
+    // pair pipeline (e.g. the whole shingle index join) from scratch
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      // each node adopts the min label among itself and its neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
+        .select(col("u").as("doc_id"), col("cluster"))
+      val next = labels.select(col("doc_id"), col("cluster"))
+        .union(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(eager = true) // cut lineage each round
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: exact ngram-Jaccard pairs -> connected
+    * components -> surviving doc per cluster. */
+  def dedupByNearDup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, threshold)
+    val cl = clusters(pairs)
+    docs.join(cl, docs(idCol) === cl("doc_id"), "left")
+      .withColumn("__cluster", coalesce(cl("cluster"), docs(idCol)))
+      .filter(docs(idCol) === col("__cluster"))
+      .drop(cl("doc_id")).drop(cl("cluster")).drop(col("__cluster"))
+  }
+
+  /**
    * Winnowing-fingerprint near-copy pairs: rolling-hash fingerprints
    * (Schleimer et al.) as the inverted-index key; pairs sharing at least
    * `minShared` fingerprints are reported with their overlap count. The

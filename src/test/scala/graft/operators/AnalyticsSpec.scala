@@ -197,6 +197,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
   }
 
+  test("clusters: connected components label every member with the min id") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L), got.toString)
+    // chain needing multiple propagation rounds
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got2 = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
+    assert(got2.values.toSet == Set(1L), got2.toString)
+  }
+
+  test("dedupByNearDup keeps one representative per near-dup cluster") {
+    val out = Dedup.dedupByNearDup(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    // docs 0,1,3 form one cluster (keep 0); 2 and 4 are singletons
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(0L, 2L, 4L))
+  }
+
   test("embedding cosine pairs: banded LSH finds high-cosine pairs") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f, 0.1f)),
