@@ -198,6 +198,31 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ---- composed relational operators Spark lacks natively ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      operators.Relational.asofJoin(clicks, views, "user_id", "ts",
+          Map("value" -> "view_value"))
+        .select(col("event_id"), col("user_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      operators.Relational.rangeJoinMicros(clicks, errors, "ts_us", "ts_us",
+          300L * 1000000L)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("l_event_id")).as("n_clicks_matched"))
+    }),
+
     // ---- dedup operators ----
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), Seq(col("text")), col("doc_id"))
@@ -461,6 +486,22 @@ object SparkEntry {
         """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
           | count(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_asof_join" ->
+        """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+          | views AS (SELECT user_id, ts, max(value) AS v FROM events
+          |           WHERE event_type = 'view' GROUP BY 1, 2)
+          |SELECT c.event_id, c.user_id, v.v AS view_value
+          |FROM clicks c ASOF LEFT JOIN views v
+          |  ON c.user_id = v.user_id AND c.ts >= v.ts
+          |ORDER BY 1""".stripMargin,
+
+      "q_range_join" ->
+        """WITH clicks AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
+          | errors AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+          |SELECT count(*) AS n_pairs, count(DISTINCT c.event_id) AS n_clicks_matched
+          |FROM clicks c JOIN errors e
+          |  ON abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_dups

@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("asofJoin attaches the latest right row at or before each left time, per key") {
+    val trades = Seq(
+      (1L, "A", ts(10)), (2L, "A", ts(25)), (3L, "B", ts(15)), (4L, "B", ts(5)))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(8), 100.0), ("A", ts(10), 101.0), ("A", ts(20), 102.0),
+      ("B", ts(12), 50.0))
+      .toDF("sym", "ts", "px")
+    val got = Relational.asofJoin(trades, quotes, "sym", "ts", Map("px" -> "px"))
+      .select($"trade_id", $"px").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(101.0)) // quote at exactly t=10 counts (<=)
+    assert(got(2L).contains(102.0)) // latest prior quote
+    assert(got(3L).contains(50.0))
+    assert(got(4L).isEmpty)         // no quote before t=5
+  }
+
+  test("asofJoin deduplicates right side ties deterministically (max)") {
+    val l = Seq((1L, "K", ts(10))).toDF("id", "k", "ts")
+    val r = Seq(("K", ts(10), 1.0), ("K", ts(10), 9.0)).toDF("k", "ts", "v")
+    val got = Relational.asofJoin(l, r, "k", "ts", Map("v" -> "v"))
+      .select($"v").as[Double].head()
+    assert(got == 9.0)
+  }
+
+  test("rangeJoinMicros finds exactly the pairs within tolerance (vs brute force)") {
+    val l = Seq((1L, 0L), (2L, 1000L), (3L, 5000L)).toDF("id", "t")
+    val r = Seq((10L, 900L), (11L, 2500L), (12L, 99999L)).toDF("id", "t")
+    val got = Relational.rangeJoinMicros(l, r, "t", "t", 1000L)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    // brute force: |l-r| <= 1000
+    val expected = (for {
+      (li, lt) <- Seq((1L, 0L), (2L, 1000L), (3L, 5000L))
+      (ri, rt) <- Seq((10L, 900L), (11L, 2500L), (12L, 99999L))
+      if math.abs(lt - rt) <= 1000
+    } yield (li, ri)).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("rangeJoinMicros matches a brute-force inequality join on real data") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, SparkTestSession.sf0001)
+    val a = ev.filter($"event_type" === "click")
+      .select($"event_id", unix_micros($"ts").as("t"))
+    val b = ev.filter($"event_type" === "error")
+      .select($"event_id", unix_micros($"ts").as("t"))
+    val tol = 300L * 1000000L
+    val banded = Relational.rangeJoinMicros(a, b, "t", "t", tol).count()
+    val brute = a.as("a").join(b.as("b"),
+      abs(col("a.t") - col("b.t")) <= tol).count()
+    assert(banded == brute, s"banded $banded != brute $brute")
+  }
+}
