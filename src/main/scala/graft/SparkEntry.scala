@@ -89,17 +89,24 @@ object SparkEntry {
     }),
 
     "q_setops" -> ((s, dir) => {
-      import s.implicits._
+      // single-pass set operations: one aggregation computes membership
+      // flags, a second counts the three set cardinalities (vs three
+      // separate intersect/except/union jobs)
       val o = Tables.orders(s, dir)
-      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_custkey")).distinct()
-      val open = o.filter(col("o_orderstatus") === "O")
-        .select(col("o_custkey")).distinct()
-      val inter = urgent.intersect(open).count()
-      val exc = urgent.except(open).count()
-      val uni = urgent.union(open).distinct().count()
-      Seq(("except", exc), ("intersect", inter), ("union", uni))
-        .toDF("op", "n").orderBy(col("op"))
+      val flags = o.groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("in_urgent"),
+          max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("in_open"))
+      flags.agg(
+          sum(when(col("in_urgent") === 1 && col("in_open") === 0, 1).otherwise(0)).as("except_n"),
+          sum(when(col("in_urgent") === 1 && col("in_open") === 1, 1).otherwise(0)).as("intersect_n"),
+          sum(when(col("in_urgent") === 1 || col("in_open") === 1, 1).otherwise(0)).as("union_n"))
+        .select(explode(array(
+          struct(lit("except").as("op"), col("except_n").as("n")),
+          struct(lit("intersect").as("op"), col("intersect_n").as("n")),
+          struct(lit("union").as("op"), col("union_n").as("n")))).as("r"))
+        .select(col("r.op"), col("r.n"))
+        .orderBy(col("op"))
     }),
 
     "q_distinct_groups" -> ((s, dir) => {

@@ -46,11 +46,14 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // lazily checkpoint the exploded index: both sides of the self-join read
+    // it, and without materialization the shingle computation runs twice
     val sh = docs.select(
       col(idCol).as("doc_id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), k)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .localCheckpoint(eager = false)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
