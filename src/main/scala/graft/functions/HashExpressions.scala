@@ -61,7 +61,10 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+    // sentinel must be the unsigned maximum (-1L = 0xFFFF...), NOT
+    // Long.MaxValue which is only the signed max — otherwise slots whose
+    // hashed values all have the top bit set would keep the sentinel
+    val sig = Array.fill(numHashes)(-1L)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {

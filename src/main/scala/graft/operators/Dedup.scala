@@ -129,22 +129,33 @@ object Dedup {
 
   /**
    * SimHash near-dup pairs: 64-bit simhash over word shingles, banded into
-   * four 16-bit chunks (any pair within Hamming distance <= 3*16 shares at
-   * least one chunk by pigeonhole when distance < 4 chunks differ; in
-   * practice chunk-collision + exact Hamming filter). Returns pairs with
-   * hammingDistance <= maxHamming.
+   * `maxHamming + 1` chunks covering all 64 bits — by pigeonhole, any pair
+   * within Hamming distance <= maxHamming leaves at least one chunk
+   * untouched, so the chunk equi-join is a COMPLETE candidate generator for
+   * the advertised distance (then the exact popcount filter applies).
    */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
     val withSim = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.wordShingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("simhash", simhash64(col("sh")))
       .select(col("doc_id"), col("simhash"))
-    val chunks = (0 until 4).map(b =>
-      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
+    // partition the 64 bits into maxHamming+1 chunks (first `rem` chunks one
+    // bit wider) so the pigeonhole guarantee matches the contract
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val offsets = (0 until nChunks).scanLeft(0)((acc, i) =>
+      acc + base + (if (i < rem) 1 else 0))
+    val chunks = (0 until nChunks).map { b =>
+      val width = base + (if (b < rem) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftright(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
+    }
     val banded = withSim.select(col("doc_id"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     bucketedPairs(banded, "chunk", maxBucketSize)

@@ -31,6 +31,7 @@ object Relational {
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
       rightCols: Map[String, String]): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin needs at least one right column to carry")
     val aggs = rightCols.map { case (src, dst) => max(col(src)).as(s"__r_$dst") }.toSeq
     val rightDedup = right.groupBy(col(keyCol), col(timeCol))
       .agg(aggs.head, aggs.tail: _*)

@@ -97,7 +97,9 @@ final class InMemoryEventLog(val name: String, val numPartitions: Int) {
   def read(pid: PartitionId, from: SequenceNumber, count: Long): Iterator[(SequenceNumber, Event)] =
     synchronized {
       val log = partitionLogs(pid)
-      val until = math.min(log.length.toLong, from + count)
+      // saturating add: from + count can overflow for "read everything" calls
+      val until = if (count > log.length.toLong - from) log.length.toLong
+        else from + count
       if (from >= until) Iterator.empty
       // materialize the slice under the lock; ranges are micro-batch sized
       else (from until until).map(i => i -> log(i.toInt)).toVector.iterator

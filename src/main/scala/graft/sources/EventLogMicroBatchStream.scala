@@ -64,8 +64,12 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
   private def defaultBudget: Long =
     conf.maxEventsPerTrigger.getOrElse(client.partitionCount(name) * DefaultMaxEventsPerTrigger)
 
+  // the documented default cap is partitionCount * 1000 (ref
+  // EventHubsSource.scala:91-96) — NOT unbounded; allAvailable would read
+  // the whole backlog in one micro-batch
   override def getDefaultReadLimit: ReadLimit =
-    conf.maxEventsPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+    ReadLimit.maxRows(conf.maxEventsPerTrigger.getOrElse(
+      client.partitionCount(name) * DefaultMaxEventsPerTrigger))
 
   override def initialOffset(): Offset = {
     val seqNos = client.boundedSeqNos(name).map { case (pid, _) =>

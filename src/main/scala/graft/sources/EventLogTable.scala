@@ -267,25 +267,35 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
       new GenericArrayData(m.valuesIterator.map(UTF8String.fromString).toArray[Any]))
   }
 
+  // column extractors resolved ONCE per reader from the pruned schema —
+  // the row loop is the connector's hottest path and must not re-match
+  // field names per row
+  private val extractors: Array[(SequenceNumber, Event) => Any] =
+    schema.fields.map[(SequenceNumber, Event) => Any] { f =>
+      f.name match {
+        case "body"             => (_, e) => e.body
+        case "partition"        => (_, _) => partitionStr
+        case "offset"           => (s, _) => UTF8String.fromString(s.toString)
+        case "sequenceNumber"   => (s, _) => s
+        case "enqueuedTime"     => (_, e) => e.enqueuedTimeMicros
+        case "publisher"        =>
+          (_, e) => if (e.publisher == null) null else UTF8String.fromString(e.publisher)
+        case "partitionKey"     =>
+          (_, e) => if (e.partitionKey == null) null else UTF8String.fromString(e.partitionKey)
+        case "properties"       => (_, e) => mapData(e.properties)
+        case "systemProperties" => (_, e) => mapData(e.systemProperties)
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+    }
+
   override def next(): Boolean = {
     if (!iter.hasNext) return false
     rowsRead += 1
     val (seqNo, e) = iter.next()
-    val values = schema.fields.map { f =>
-      f.name match {
-        case "body"             => e.body
-        case "partition"        => partitionStr
-        case "offset"           => UTF8String.fromString(seqNo.toString)
-        case "sequenceNumber"   => seqNo
-        case "enqueuedTime"     => e.enqueuedTimeMicros
-        case "publisher"        => if (e.publisher == null) null else UTF8String.fromString(e.publisher)
-        case "partitionKey"     => if (e.partitionKey == null) null else UTF8String.fromString(e.partitionKey)
-        case "properties"       => mapData(e.properties)
-        case "systemProperties" => mapData(e.systemProperties)
-        case other => throw new IllegalStateException(s"unknown column $other")
-      }
-    }
-    current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { values(i) = extractors(i)(seqNo, e); i += 1 }
+    current = new GenericInternalRow(values)
     true
   }
 

@@ -27,7 +27,7 @@ object PropertyErasure {
     case s: Short            => s.toString
     case i: Int              => i.toString
     case l: Long             => l.toString
-    case f: Float            => renderDouble(f.toDouble)
+    case f: Float            => renderFloat(f)
     case d: Double           => renderDouble(d)
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal       => d.bigDecimal.toPlainString
@@ -41,6 +41,12 @@ object PropertyErasure {
     if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
+  /** Render via the float's own literal (1.1f -> "1.1", never the double
+    * extension 1.100000023841858). */
+  private def renderFloat(f: Float): String =
+    if (f == math.floor(f) && !f.isInfinite && math.abs(f) < 1e15f) f.toLong.toString
+    else f.toString
+
   private def renderJson(m: Map[_, _]): String =
     m.toSeq.map { case (k, v) => (k.toString, v) }.sortBy(_._1)
       .map { case (k, v) => s""""${MiniJson.escape(k)}":${jsonValue(v)}""" }
@@ -53,7 +59,11 @@ object PropertyErasure {
     case null => "null"
     case s: String => s""""${MiniJson.escape(s)}""""
     case b: Boolean => b.toString
-    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => n.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    // route floating point through the same renderers as top-level values so
+    // a number erases identically at any nesting depth
+    case f: Float  => renderFloat(f)
+    case d: Double => renderDouble(d)
     case m: Map[_, _] => renderJson(m)
     case i: Iterable[_] => renderJsonArray(i)
     case other => s""""${MiniJson.escape(other.toString)}""""

@@ -34,29 +34,49 @@ object StreamOps {
   final case class SessionUpdate(key: String, nEvents: Long, startMs: Long, endMs: Long)
 
   /**
-   * Session windows via flatMapGroupsWithState: a session closes after
-   * `gapMs` of event-time silence (processing-time timeout locally). The
-   * custom-state shape the reference has no helper for (SURVEY §2.7) —
-   * state per key is O(1), emitted on close.
+   * Session windows via flatMapGroupsWithState with EVENT-TIME timeouts: a
+   * session closes when a later event of the same key arrives more than
+   * `gapMs` after it, or when the watermark passes sessionEnd + gapMs (the
+   * timeout flushes the open session — without a timeout, the last session
+   * of a quiesced key would sit in state forever and never be emitted).
+   * Event-time (not processing-time) timeouts keep the operator
+   * deterministic and replay-safe, and `processAllAvailable` terminates
+   * (processing-time timeouts schedule wall-clock batches that starve it).
+   * State per key is O(1).
    */
   def sessionize(
-      ds: Dataset[(String, Timestamp)], gapMs: Long): Dataset[SessionUpdate] = {
+      ds: Dataset[(String, Timestamp)], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionUpdate] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_._1)
+    ds.toDF("key", "ts").withWatermark("ts", watermarkDelay)
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state: GroupState[(Long, Long, Long)]) =>
-          var (n, start, end) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-          rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
-            if (n > 0 && t - end > gapMs) {
-              closed += SessionUpdate(key, n, start, end)
-              n = 0; start = Long.MaxValue; end = Long.MinValue
+          if (state.hasTimedOut) {
+            // watermark passed sessionEnd + gap: close and emit
+            val out = state.getOption.map { case (n, start, end) =>
+              SessionUpdate(key, n, start, end)
             }
-            n += 1; start = math.min(start, t); end = math.max(end, t)
+            state.remove()
+            out.iterator
+          } else {
+            var (n, start, end) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              if (n > 0 && t - end > gapMs) {
+                closed += SessionUpdate(key, n, start, end)
+                n = 0; start = Long.MaxValue; end = Long.MinValue
+              }
+              n += 1; start = math.min(start, t); end = math.max(end, t)
+            }
+            if (n > 0) {
+              state.update((n, start, end))
+              state.setTimeoutTimestamp(end + gapMs)
+            } else state.remove()
+            closed.iterator
           }
-          if (n > 0) state.update((n, start, end)) else state.remove()
-          closed.iterator
       }
   }
 
@@ -91,7 +111,16 @@ object StreamOps {
         }
         val pid = r.schema.fieldNames.indexOf("partition") match {
           case -1 => None
-          case i => Option(r.getString(i)).map(_.toInt)
+          case i => Option(r.getString(i)).map { s =>
+            val p = try s.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(s"invalid partition id '$s'")
+            }
+            if (p < 0 || p >= log.numPartitions)
+              throw new IllegalArgumentException(
+                s"partition id $p out of range [0, ${log.numPartitions})")
+            p
+          }
         }
         val e = Event(body, System.currentTimeMillis() * 1000L)
         log.append(log.route(e, pid, None), e)

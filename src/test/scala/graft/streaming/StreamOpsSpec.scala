@@ -48,12 +48,14 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.table("so2_out").count() == 3)
   }
 
-  test("sessionize closes sessions after the gap") {
+  test("sessionize closes sessions on gap events and flushes idle keys via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
     def ts(s: Long) = new Timestamp(s * 1000)
-    // user a: events at 0s,10s then 1000s (gap closes first session of 2)
-    input.addData(("a", ts(0)), ("a", ts(10)), ("b", ts(5)))
+    // user a: events at 1s,10s then 1000s (gap closes first session of 2).
+    // NB: an event at t=0 would be dropped by the initial watermark boundary
+    // (eventTime <= watermark(0)), so timestamps start at 1s.
+    input.addData(("a", ts(1)), ("a", ts(10)), ("b", ts(5)))
     val q = StreamOps.sessionize(input.toDS(), gapMs = 60000)
       .writeStream.format("memory").queryName("so3_out").outputMode("append").start()
     q.processAllAvailable()
@@ -61,13 +63,17 @@ class StreamOpsSpec extends AnyFunSuite {
     q.processAllAvailable()
     input.addData(("a", ts(5000)))
     q.processAllAvailable()
+    // advance the watermark far past every open session so event-time
+    // timeouts flush them (b's only session, a's 1000s and 5000s sessions)
+    input.addData(("z", ts(100000)))
+    q.processAllAvailable()
+    q.processAllAvailable()
     q.stop()
     val sessions = spark.table("so3_out")
-      .as[StreamOps.SessionUpdate].collect().sortBy(_.startMs)
-    // a's first session (0s-10s, 2 events) closed by the 1000s event;
-    // a's second (1000s) closed by the 5000s event
+      .as[StreamOps.SessionUpdate].collect()
+      .filter(_.key != "z").sortBy(s => (s.startMs, s.key))
     assert(sessions.map(s => (s.key, s.nEvents)).toSeq ==
-      Seq(("a", 2L), ("a", 1L)), sessions.mkString(","))
+      Seq(("a", 2L), ("b", 1L), ("a", 1L), ("a", 1L)), sessions.mkString(","))
   }
 
   test("foreachWriter round-robins into a named log (ref S11)") {
