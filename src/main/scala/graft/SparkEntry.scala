@@ -335,6 +335,10 @@ object SparkEntry {
       val out = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = s.readStream.format(GraftEventLog.Format)
         .option("path", mid(dir)).option("partitions", "4")
+        // stateful dedup wants few large batches: every micro-batch commits
+        // all state partitions, so the default 4k/trigger cap would pay 25
+        // state-store commit rounds at sf0.1
+        .option("maxEventsPerTrigger", "100000")
         .load()
         .select(col("properties")("event_type").as("event_type"),
           col("body").cast("string").as("props"),
