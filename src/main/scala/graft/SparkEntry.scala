@@ -335,10 +335,12 @@ object SparkEntry {
       val out = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = s.readStream.format(GraftEventLog.Format)
         .option("path", mid(dir)).option("partitions", "4")
-        // stateful dedup wants few large batches: every micro-batch commits
-        // all state partitions, so the default 4k/trigger cap would pay 25
-        // state-store commit rounds at sf0.1
-        .option("maxEventsPerTrigger", "100000")
+        // stateful dedup wants ONE large batch: every micro-batch commits
+        // all state partitions, so the default 4k/trigger cap pays a
+        // state-commit round per batch. AvailableNow already snapshots the
+        // end offsets, so an unbounded budget means exactly one batch at any
+        // scale factor.
+        .option("maxEventsPerTrigger", Long.MaxValue.toString)
         .load()
         .select(col("properties")("event_type").as("event_type"),
           col("body").cast("string").as("props"),
