@@ -254,6 +254,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("lshTopK with a 1-bit signature and multi-probe degenerates to exact brute force") {
+    // 1 sign bit + probing its flip covers every bucket => full scan => the
+    // approximate path must reproduce the exact top-k bit-for-bit
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv, 10, Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    val full = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,
+      numBits = 1, multiProbe = 1, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+  }
+
+  test("ivfTopK probing every cell degenerates to exact brute force") {
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val idx = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv, 10, Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    val full = Similarity.ivfTopK(idx, embs, "vec_id", "embedding", qv, 10,
+      nCells = 8, nProbe = 8, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+  }
+
   test("ivfTopK probes nearest cells and ranks by exact cosine") {
     val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
     val idx = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 16)
