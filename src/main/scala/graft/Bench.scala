@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // streaming state housekeeping: retain the minimum checkpoint history
+      // (2 batches) — the default 100 keeps every delta file of the bench
+      // run alive and pays file-system maintenance per batch
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
