@@ -284,6 +284,15 @@ object SparkEntry {
         nCells = 16, nProbe = 4, excludeId = Some(0L))
     }),
 
+    "q_sketch_distinct" -> ((s, dir) => {
+      // HLL sketches (DataSketches family): mergeable approximate distinct
+      // counts; estimates are library-specific => rows-only check
+      operators.Sketches.distinctSketch(
+          Tables.lineitem(s, dir), Seq(col("l_returnflag")), col("l_partkey"))
+        .select(col("l_returnflag"), col("n_approx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- text analysis ----
     "q_text_stats" -> ((s, dir) => {
       Tables.documents(s, dir)

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sketch-based approximate aggregates for corpus-scale profiling, where the
+ * sketch (not the raw values) is the mergeable shuffle payload:
+ *
+ *  - HLL distinct counts: `hll_sketch_agg` partials merge associatively, so
+ *    a 100 TB distinct-count is one map-side-combined aggregation with
+ *    KB-sized partial state per group, and sketches persisted per shard can
+ *    be re-merged later (`mergeDistinctSketches`) without touching the data.
+ *  - approx quantiles via `percentile_approx` for numeric profiling.
+ *
+ * Spark 4 ships the Apache DataSketches HLL family as native functions —
+ * used directly (codegen'd + mergeable) rather than re-implementing.
+ */
+object Sketches {
+
+  /** Per-group approximate distinct count of `of` with persistable sketches:
+    * returns (groupCols..., n_approx, sketch BINARY). */
+  def distinctSketch(df: DataFrame, groupCols: Seq[Column], of: Column,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(hll_sketch_agg(of, lit(lgConfigK)).as("sketch"))
+      .withColumn("n_approx", hll_sketch_estimate(col("sketch")).cast("long"))
+
+  /** Merge previously computed group sketches into one global estimate —
+    * the re-aggregation path that never rescans the data. */
+  def mergeDistinctSketches(sketches: DataFrame, sketchCol: String = "sketch"): Long =
+    sketches.agg(
+        hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))).cast("long"))
+      .head().getLong(0)
+
+  /** Numeric profile per group: approximate quantiles + exact min/max/avg. */
+  def numericProfile(df: DataFrame, groupCols: Seq[Column], value: Column,
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(value), 4).as("avg"),
+        min(value).as("min"),
+        max(value).as("max"),
+        percentile_approx(value, array(quantiles.map(lit): _*), lit(10000))
+          .as("quantiles"))
+}

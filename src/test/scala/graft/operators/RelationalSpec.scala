@@ -64,3 +64,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(banded == brute, s"banded $banded != brute $brute")
   }
 }
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("HLL distinct sketch estimates within 5% of exact and merges losslessly") {
+    val li = graft.Tables.lineitem(spark, SparkTestSession.sf001)
+    val sk = Sketches.distinctSketch(li, Seq($"l_returnflag"), $"l_partkey")
+    val exact = li.groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = sk.select($"l_returnflag", $"n_approx").as[(String, Long)].collect().toMap
+    for ((k, e) <- exact) {
+      val a = est(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: est $a vs exact $e")
+    }
+    // merged global estimate ~ global distinct
+    val global = Sketches.mergeDistinctSketches(sk)
+    val globalExact = li.select(countDistinct($"l_partkey")).as[Long].head()
+    assert(math.abs(global - globalExact).toDouble / globalExact < 0.05,
+      s"merged $global vs exact $globalExact")
+  }
+
+  test("numericProfile returns ordered quantiles within range") {
+    val ev = graft.Tables.events(spark, SparkTestSession.sf0001)
+    val p = Sketches.numericProfile(ev, Seq($"event_type"), $"value")
+      .as[(String, Long, Double, Double, Double, Seq[Double])].collect()
+    assert(p.nonEmpty)
+    p.foreach { case (_, n, avg, mn, mx, qs) =>
+      assert(n > 0 && avg >= mn && avg <= mx)
+      assert(qs.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)), qs.toString)
+      assert(qs.forall(q => q >= mn && q <= mx))
+    }
+  }
+}
