@@ -405,8 +405,9 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — identical semantics, identical column names.
   // Omitted keys (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
-  // q_ann_lsh, q_ann_ivf, q_multimodal_decode) are LSH/stub-based and not
-  // exactly SQL-expressible → driver's weaker rows-only check.
+  // q_dedup_winnow, q_ann_lsh, q_ann_ivf, q_sketch_distinct,
+  // q_multimodal_decode) are LSH/sketch/stub-based and not exactly
+  // SQL-expressible → driver's weaker rows-only check.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {
     val srcRank =
@@ -469,7 +470,7 @@ object SparkEntry {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_events_sessions" ->
-        """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+        """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
           | SELECT user_id,
           |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
           |       THEN 1 ELSE 0 END AS new_session
@@ -589,7 +590,7 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n_docs,
            | round(avg(${TextFunctions.sqlTokenCount.format("text")}), 4) AS avg_tokens,
            | round(avg(n_chars), 4) AS avg_chars,
-           | sum(${TextFunctions.sqlPunctCount.format("text")}) AS total_punct
+           | CAST(sum(${TextFunctions.sqlPunctCount.format("text")}) AS BIGINT) AS total_punct
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_text_langid" ->
@@ -604,8 +605,8 @@ object SparkEntry {
            |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_text_tokens" ->
-        s"""SELECT lang, sum(${TextFunctions.sqlTokenCount.format("text")}) AS total_ws_tokens,
-           | sum(${TextFunctions.sqlBpeTokenCount.format("text")}) AS total_bpe_tokens
+        s"""SELECT lang, CAST(sum(${TextFunctions.sqlTokenCount.format("text")}) AS BIGINT) AS total_ws_tokens,
+           | CAST(sum(${TextFunctions.sqlBpeTokenCount.format("text")}) AS BIGINT) AS total_bpe_tokens
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_text_fingerprint" ->
@@ -617,7 +618,7 @@ object SparkEntry {
         """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
           |            WHEN doc_id % 3 = 1 THEN 'audio'
           |            ELSE 'video' END AS format,
-          | count(*) AS n, sum(octet_length(CAST(text AS BLOB))) AS total_bytes,
+          | count(*) AS n, CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
           | count(DISTINCT md5(text)) AS n_distinct
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     )

@@ -34,8 +34,11 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: scan only vectors sharing the query's
-    * hyperplane bucket (and, with `multiProbe` > 0, buckets at Hamming
-    * distance 1 from it). */
+    * hyperplane bucket plus the `multiProbe` most-likely alternative buckets
+    * — the Hamming-distance-1 flips of the bits whose hyperplane margin
+    * |dot(q, plane_j)| is smallest (standard multi-probe LSH: a near-zero
+    * margin means near-neighbors plausibly landed on the other side of that
+    * hyperplane). `multiProbe = numBits` probes every distance-1 bucket. */
   def lshTopK(
       embs: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int = 10, numBits: Int = 8, seed: Long = 42L,
@@ -43,12 +46,21 @@ object Similarity {
     val qLit = array(queryVec.map(lit): _*)
     val bucketed = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed))
-    val qBucket = bucketed.sparkSession.range(1)
-      .select(hyperplane_lsh_bucket(qLit, numBits, seed).as("qb"))
-      .head().getLong(0)
-    val probes: Seq[Long] = if (multiProbe > 0)
-      qBucket +: (0 until numBits).map(b => qBucket ^ (1L << b))
-    else Seq(qBucket)
+    // query bucket + per-bit margins, driver-side with the same
+    // seed-deterministic planes as HyperplaneLshBucket (no Spark job)
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(numBits)(Array.fill(queryVec.length)(rnd.nextGaussian()))
+    val margins = planes.map { p =>
+      var dot = 0.0; var i = 0
+      while (i < queryVec.length) { dot += queryVec(i) * p(i); i += 1 }
+      dot
+    }
+    val qBucket = margins.zipWithIndex.foldLeft(0L) {
+      case (b, (dot, j)) => if (dot >= 0) b | (1L << j) else b
+    }
+    val flipBits = margins.zipWithIndex.sortBy { case (dot, _) => math.abs(dot) }
+      .take(math.min(math.max(multiProbe, 0), numBits)).map(_._2)
+    val probes: Seq[Long] = qBucket +: flipBits.toSeq.map(b => qBucket ^ (1L << b))
     val inProbes = bucketed.filter(col("bucket").isin(probes: _*))
     val scored = inProbes.select(col("vec_id"),
       round(cosine_similarity(col("v"), qLit), 6).as("cosine"))

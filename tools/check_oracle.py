@@ -44,6 +44,12 @@ for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
     elif len(a) != len(b):
         status.append(f"ROWS spark={len(a)} duck={len(b)}")
     else:
+        # the driver hashes rendered values, so int64 vs float64 (e.g. a
+        # DuckDB HUGEINT sum) is a mismatch even when numerically equal
+        for c in a.columns:
+            ka, kb = a[c].dtype.kind, b[c].dtype.kind
+            if {ka, kb} == {"i", "f"}:
+                status.append(f"DTYPE {c}: spark={a[c].dtype} duck={b[c].dtype}")
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         except AssertionError as e:
