@@ -189,17 +189,24 @@ object SparkEntry {
 
     "q_stream_window" -> ((s, dir) => {
       val out = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = s.readStream.format(GraftEventLog.Format)
-        .option("path", mid(dir)).option("partitions", "4")
-        .option("maxEventsPerTrigger", "20000")
-        .load()
-        .withWatermark("enqueuedTime", "1 hour")
-        .groupBy(window(col("enqueuedTime"), "6 hours").as("w"),
-          col("properties")("event_type").as("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(out).outputMode("complete")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // stateful streaming sizing: state partitions matched to the
+      // 4-partition source (not the batch-side shuffle width), and one
+      // large batch — every extra micro-batch is a full state-commit round
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.format(GraftEventLog.Format)
+          .option("path", mid(dir)).option("partitions", "4")
+          .option("maxEventsPerTrigger", Long.MaxValue.toString)
+          .load()
+          .withWatermark("enqueuedTime", "1 hour")
+          .groupBy(window(col("enqueuedTime"), "6 hours").as("w"),
+            col("properties")("event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(out).outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(out)
         .select(col("w.start").as("window_start"), col("event_type"), col("n"))
         .orderBy(col("window_start"), col("event_type"))
@@ -342,24 +349,28 @@ object SparkEntry {
 
     "q_stream_dedup" -> ((s, dir) => {
       val out = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = s.readStream.format(GraftEventLog.Format)
-        .option("path", mid(dir)).option("partitions", "4")
-        // stateful dedup wants ONE large batch: every micro-batch commits
-        // all state partitions, so the default 4k/trigger cap pays a
-        // state-commit round per batch. AvailableNow already snapshots the
-        // end offsets, so an unbounded budget means exactly one batch at any
-        // scale factor.
-        .option("maxEventsPerTrigger", Long.MaxValue.toString)
-        .load()
-        .select(col("properties")("event_type").as("event_type"),
-          col("body").cast("string").as("props"),
-          col("enqueuedTime"))
-        .withWatermark("enqueuedTime", "90 days")
-        .dropDuplicates("event_type", "props")
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n_distinct"))
-        .writeStream.format("memory").queryName(out).outputMode("complete")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      // stateful dedup wants ONE large batch: every micro-batch commits
+      // all state partitions, so the default 4k/trigger cap pays a
+      // state-commit round per batch. AvailableNow already snapshots the
+      // end offsets, so an unbounded budget means exactly one batch at any
+      // scale factor. State partitions sized to the 4-partition source.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.format(GraftEventLog.Format)
+          .option("path", mid(dir)).option("partitions", "4")
+          .option("maxEventsPerTrigger", Long.MaxValue.toString)
+          .load()
+          .select(col("properties")("event_type").as("event_type"),
+            col("body").cast("string").as("props"),
+            col("enqueuedTime"))
+          .withWatermark("enqueuedTime", "90 days")
+          .dropDuplicates("event_type", "props")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_distinct"))
+          .writeStream.format("memory").queryName(out).outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(out).orderBy(col("event_type"))
     }),
 

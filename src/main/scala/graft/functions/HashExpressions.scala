@@ -247,6 +247,65 @@ case class HyperplaneLshBucket(child: Expression, numBits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/**
+ * Single-pass heuristic language id: split on single spaces, count marker
+ * words per language, return the first language (in declared order) whose
+ * count is positive and maximal, else "und". Semantics are exactly the
+ * composed-builtin form `foldRight(when(count(lang) > 0 && count(lang) ===
+ * greatest(counts), lang)...)` and the DuckDB rendering in
+ * `TextFunctions.sqlLangIdGuess` — but one tight pass instead of one
+ * interpreted `filter` HOF per language.
+ */
+case class LangIdGuess(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lang_id_guess"
+
+  @transient private lazy val langNames = markers.map(_._1).toArray
+  @transient private lazy val markerSets: Array[java.util.HashSet[String]] =
+    markers.map { case (_, ms) =>
+      val s = new java.util.HashSet[String]()
+      ms.foreach(s.add)
+      s
+    }.toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+  @transient private lazy val langUtf8 = langNames.map(UTF8String.fromString)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](markerSets.length)
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        val w = text.substring(start, i)
+        var l = 0
+        while (l < markerSets.length) {
+          if (markerSets(l).contains(w)) counts(l) += 1
+          l += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 0
+    while (l < counts.length) { if (counts(l) > best) best = counts(l); l += 1 }
+    if (best == 0) und
+    else {
+      var k = 0
+      while (k < counts.length && counts(k) != best) k += 1
+      langUtf8(k)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdGuess =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object hashFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -263,6 +322,8 @@ object hashFunctions {
       expression(b.cast("array<double>"))))
   def hyperplane_lsh_bucket(c: Column, numBits: Int = 16, seed: Long = 42L): Column =
     column(HyperplaneLshBucket(expression(c.cast("array<double>")), numBits, seed))
+  def lang_id_guess(c: Column, markers: Seq[(String, Seq[String])]): Column =
+    column(LangIdGuess(expression(c), markers))
 }
 
 /**

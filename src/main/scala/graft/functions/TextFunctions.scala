@@ -39,16 +39,9 @@ object TextFunctions {
 
   /** Heuristic language id: arg-max of marker-word hits with fixed priority
     * order; "und" (undetermined) when no marker hits. */
-  def langIdGuess(text: Column): Column = {
-    val w = words(text)
-    val counts = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(w, t => t.isin(ms.map(m => lit(m)): _*)))
-    }
-    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
-    counts.foldRight(lit("und")) { case ((lang, c), acc) =>
-      when(c > 0 && c === best, lit(lang)).otherwise(acc)
-    }
-  }
+  def langIdGuess(text: Column): Column =
+    // null text renders as "und" (matches the SQL twin's CASE fall-through)
+    coalesce(hashFunctions.lang_id_guess(text, langMarkers), lit("und"))
   def sqlLangIdGuess(col: String): String = {
     def cnt(ms: Seq[String]) =
       s"len(list_filter(string_split($col, ' '), t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"

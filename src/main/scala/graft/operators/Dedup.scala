@@ -193,18 +193,25 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself, its neighbors' labels,
+      // and its label's label (pointer doubling: halves the rounds needed on
+      // chain-shaped components — O(log diameter) instead of O(diameter))
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("cluster"))
+      val viaLabel = labels.as("l1")
+        .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("cluster"))
+      // one checkpointed plan carries both the new label and the old one, so
+      // the per-round convergence check is a count on the checkpointed
+      // result instead of a second join job
       val next = labels.select(col("doc_id"), col("cluster"))
-        .union(viaNeighbors)
+        .union(viaNeighbors).union(viaLabel)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .localCheckpoint(eager = true) // cut lineage each round
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
     labels

@@ -113,7 +113,12 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       val feats = embs.select(
         array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      // random init + few Lloyd rounds: IVF cell quality only needs rough
+      // centroids (recall comes from nProbe, and full-probe == brute force
+      // regardless of centroid placement); k-means|| init alone costs more
+      // passes over the corpus than these 4 iterations
+      val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(4)
+        .setInitMode("random")
         .fit(feats)
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     })
