@@ -138,6 +138,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q_events_session_window" -> ((s, dir) => {
+      // native session windows (stock Spark session_window; the batch face
+      // of the streaming sessionization the reference's users hand-roll)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "q_numeric_profile" -> ((s, dir) => {
+      operators.Sketches.numericProfileExact(
+          Tables.events(s, dir), Seq(col("event_type")), col("value"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_events_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
       Tables.events(s, dir)
@@ -279,8 +296,10 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val qv = Similarity.vectorOf(e, "vec_id", "embedding", 0L)
-      Similarity.lshTopK(e, "vec_id", "embedding", qv, k = 10, numBits = 8,
-        multiProbe = 1, excludeId = Some(0L))
+      // 6-bit buckets + 3 margin-ranked probes: ~6% of the corpus scanned
+      // per query at sf0.1 while keeping enough candidates for a full top-10
+      Similarity.lshTopK(e, "vec_id", "embedding", qv, k = 10, numBits = 6,
+        multiProbe = 3, excludeId = Some(0L))
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
@@ -372,6 +391,76 @@ object SparkEntry {
         q.awaitTermination(300000)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(out).orderBy(col("event_type"))
+    }),
+
+    "q_stream_enrich" -> ((s, dir) => {
+      // stream-static join: the event stream enriched against a static
+      // dimension via broadcast (no shuffle of the stream side, no state)
+      val dim = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 4).as("type_avg_value"))
+      val out = "se_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.format(GraftEventLog.Format)
+          .option("path", mid(dir)).option("partitions", "4")
+          .option("maxEventsPerTrigger", Long.MaxValue.toString)
+          .load()
+          .select(col("properties")("event_type").as("event_type"))
+          .join(broadcast(dim), "event_type")
+          .groupBy(col("event_type"), col("type_avg_value"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("memory").queryName(out).outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(out)
+        .select(col("event_type"), col("n_events"), col("type_avg_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      // arbitrary-stateful sessionization (flatMapGroupsWithState) over a
+      // file-source stream keyed by user; emits closed sessions only —
+      // in-batch gap splits plus event-time-timeout flushes, so the result
+      // is a pure function of the data and the final watermark
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(mid(dir)).schema
+      val out = "ssz_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        // file-source streams need a directory basePath; the glob keeps the
+        // listing to the events table inside the shared sf directory
+        val src = s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+        val normalized = rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => src
+        }
+        val keyed = normalized
+          .select(col("user_id").cast("string"), col("ts"))
+          .as[(String, java.sql.Timestamp)]
+        val q = graft.streaming.StreamOps.sessionize(keyed, 1800000L)
+          .toDF()
+          .writeStream.format("memory").queryName(out).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(out)
+        .select(col("key").as("user_id"), col("nEvents").as("n_events"),
+          col("startMs").as("session_start"), col("endMs").as("session_end"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "q_text_vocab" -> ((s, dir) => {
+      // corpus vocabulary head: token frequency with a total tiebreak order
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
     }),
 
     "q_dedup_winnow" -> ((s, dir) => {
@@ -489,6 +578,63 @@ object SparkEntry {
           |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
           |       FROM events))
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_events_session_window" ->
+        """WITH s AS (
+          |  SELECT user_id, ts,
+          |   CASE WHEN lag(ts) OVER w IS NULL
+          |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+          |   THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), g AS (
+          |  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          |  FROM s)
+          |SELECT user_id, min(ts) AS session_start,
+          | max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
+          |FROM g GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+
+      "q_numeric_profile" ->
+        """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg,
+          | round(stddev_samp(value), 4) AS sd,
+          | round(quantile_cont(value, 0.25), 4) AS p25,
+          | round(quantile_cont(value, 0.50), 4) AS p50,
+          | round(quantile_cont(value, 0.75), 4) AS p75,
+          | round(min(value), 4) AS min, round(max(value), 4) AS max
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_stream_enrich" ->
+        """SELECT event_type, count(*) AS n_events,
+          | round(avg(value), 4) AS type_avg_value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_stream_sessionize" ->
+        """WITH s AS (
+          |  SELECT user_id, ts,
+          |   CASE WHEN lag(ts) OVER w IS NULL
+          |     OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+          |   THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), g AS (
+          |  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          |  FROM s
+          |), sess AS (
+          |  SELECT user_id, sid, count(*) AS n_events,
+          |   min(ts) AS smin, max(ts) AS smax
+          |  FROM g GROUP BY 1, 2
+          |), lastq AS (
+          |  SELECT user_id, max(smax) AS last_end FROM sess GROUP BY 1
+          |), m AS (SELECT max(ts) AS mx FROM events)
+          |SELECT CAST(sess.user_id AS VARCHAR) AS user_id, n_events,
+          | epoch_ms(smin) AS session_start, epoch_ms(smax) AS session_end
+          |FROM sess JOIN lastq ON sess.user_id = lastq.user_id, m
+          |WHERE sess.smax < lastq.last_end
+          |   OR epoch_ms(sess.smax) + 1800000 < epoch_ms(m.mx)
+          |ORDER BY 1, 3""".stripMargin,
+
+      "q_text_vocab" ->
+        """SELECT token, count(*) AS n
+          |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
       "q_events_rank" ->
         """SELECT event_type, rk, round(max(value), 2) AS value, count(*) AS n_at_rank

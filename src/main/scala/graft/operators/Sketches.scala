@@ -44,4 +44,21 @@ object Sketches {
         max(value).as("max"),
         percentile_approx(value, array(quantiles.map(lit): _*), lit(10000))
           .as("quantiles"))
+
+  /** Exact numeric profile per group: count/avg/stddev plus exact
+    * linear-interpolated percentiles (`percentile`, the sort-based exact
+    * aggregate — the small-group / verification counterpart of
+    * `numericProfile`; identical semantics to DuckDB `quantile_cont`). */
+  def numericProfileExact(df: DataFrame, groupCols: Seq[Column], value: Column,
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val qCols = quantiles.map(q =>
+      round(percentile(value, lit(q)), 4).as(s"p${(q * 100).round}"))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      round(avg(value), 4).as("avg"),
+      round(stddev_samp(value), 4).as("sd")) ++ qCols ++ Seq(
+      round(min(value), 4).as("min"),
+      round(max(value), 4).as("max"))
+    df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
 }
