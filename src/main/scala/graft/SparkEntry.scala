@@ -419,6 +419,38 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_stream_join" -> ((s, dir) => {
+      // stream-stream interval join: clicks x errors on the same log
+      // partition within +-5 minutes. Keyed on partition (the shuffle key at
+      // scale) with symmetric watermarks bounding the join state; the inner
+      // join emits deterministically, so the batch-side rollup below is a
+      // pure function of the data.
+      val out = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def side(t: String) = s.readStream.format(GraftEventLog.Format)
+          .option("path", mid(dir)).option("partitions", "4")
+          .option("maxEventsPerTrigger", Long.MaxValue.toString)
+          .load()
+          .filter(col("properties")("event_type") === t)
+          .withWatermark("enqueuedTime", "1 hour")
+        val clicks = side("click").select(col("partition").as("c_pid"),
+          col("sequenceNumber").as("c_seq"), col("enqueuedTime").as("c_time"))
+        val errors = side("error").select(col("partition").as("e_pid"),
+          col("enqueuedTime").as("e_time"))
+        val q = clicks.join(errors,
+            col("c_pid") === col("e_pid") &&
+            col("e_time") >= col("c_time") - expr("INTERVAL 5 MINUTES") &&
+            col("e_time") <= col("c_time") + expr("INTERVAL 5 MINUTES"))
+          .writeStream.format("memory").queryName(out).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(out).agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_pid"), col("c_seq")).as("n_clicks_matched"))
+    }),
+
     "q_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       // arbitrary-stateful sessionization (flatMapGroupsWithState) over a
@@ -606,6 +638,19 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n_events,
           | round(avg(value), 4) AS type_avg_value
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_stream_join" ->
+        """WITH src AS (
+          |  SELECT event_id % 4 AS pid,
+          |   row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS rk,
+          |   ts, event_type
+          |  FROM events
+          |), c AS (SELECT pid, rk, ts FROM src WHERE event_type = 'click'),
+          | er AS (SELECT pid, ts FROM src WHERE event_type = 'error')
+          |SELECT count(*) AS n_pairs,
+          | count(DISTINCT (c.pid, c.rk)) AS n_clicks_matched
+          |FROM c JOIN er ON c.pid = er.pid
+          | AND abs(epoch_us(c.ts) - epoch_us(er.ts)) <= 300000000""".stripMargin,
 
       "q_stream_sessionize" ->
         """WITH s AS (

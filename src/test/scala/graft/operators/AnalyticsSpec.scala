@@ -32,6 +32,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Seq("en", "fr", "de", "es", "und"))
   }
 
+  test("langIdGuess tie-break follows declared language order and null is und") {
+    // 'und' marks both de and en... 'the' (en) vs 'und'+'die' (de): de wins;
+    // an exact tie resolves to the earlier language in langMarkers order
+    val df = Seq(
+      ("t1", "the und die"),          // en=1, de=2 -> de
+      ("t2", "the le"),               // en=1, fr=1 tie -> en (declared first)
+      ("t3", null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.orderBy($"id")
+      .select(TextFunctions.langIdGuess($"t")).as[String].collect().toSeq
+    assert(got == Seq("de", "en", "und"))
+  }
+
   test("qualityScore in [0,1] and monotone in stopword presence") {
     val df = Seq("the a is of and the a is of and", "zz qq ww").toDF("t")
     val got = df.select(TextFunctions.qualityScore($"t")).as[Double].collect()
@@ -263,6 +275,34 @@ class SimilaritySpec extends AnyFunSuite {
     val full = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,
       numBits = 1, multiProbe = 1, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
     assert(full == exact)
+  }
+
+  test("lshTopK multiProbe count widens the candidate set monotonically") {
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    def ids(probe: Int) = Similarity.lshTopK(embs, "vec_id", "embedding", qv,
+      k = 1000, numBits = 6, multiProbe = probe, excludeId = Some(0L))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val p0 = ids(0); val p2 = ids(2); val all = ids(6)
+    assert(p0.subsetOf(p2) && p2.subsetOf(all),
+      "each extra probe must only add candidates")
+    assert(p0.size < all.size, "probing all distance-1 buckets must widen the scan")
+  }
+
+  test("numericProfileExact matches hand-computed profile") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("g", "v")
+    val got = Sketches.numericProfileExact(df, Seq(col("g")), col("v"))
+      .orderBy($"g").collect()
+    // group a: n=4, avg=2.5, sd=sqrt(5/3)=1.291, p25=1.75, p50=2.5, p75=3.25
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4L && a.getDouble(2) == 2.5)
+    assert(a.getDouble(3) == 1.291 && a.getDouble(4) == 1.75 &&
+      a.getDouble(5) == 2.5 && a.getDouble(6) == 3.25 &&
+      a.getDouble(7) == 1.0 && a.getDouble(8) == 4.0)
+    // singleton group: percentiles collapse to the value, sd is null (n=1)
+    val b = got(1)
+    assert(b.getLong(1) == 1L && b.isNullAt(3) &&
+      b.getDouble(4) == 10.0 && b.getDouble(5) == 10.0 && b.getDouble(6) == 10.0)
   }
 
   test("ivfTopK probing every cell degenerates to exact brute force") {
