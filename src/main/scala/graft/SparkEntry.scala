@@ -421,11 +421,15 @@ object SparkEntry {
 
     "q_stream_join" -> ((s, dir) => {
       // stream-stream interval join: clicks x errors on the same log
-      // partition within +-5 minutes. Keyed on partition (the shuffle key at
-      // scale) with symmetric watermarks bounding the join state; the inner
-      // join emits deterministically, so the batch-side rollup below is a
-      // pure function of the data.
+      // partition within +-5 minutes. The equality key is (partition,
+      // 10-minute time bucket) — the click side explodes to bucket±1 and an
+      // exact range predicate refines, so the state join hashes on a
+      // fine-grained key instead of nested-looping each partition's rows
+      // (the interval is < bucket width, so each true pair matches on
+      // exactly one bucket — no dedup needed). The range condition on the
+      // watermarked columns is what lets Spark expire join state.
       val out = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val bucketUs = 600L * 1000000L
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -435,12 +439,17 @@ object SparkEntry {
           .load()
           .filter(col("properties")("event_type") === t)
           .withWatermark("enqueuedTime", "1 hour")
-        val clicks = side("click").select(col("partition").as("c_pid"),
-          col("sequenceNumber").as("c_seq"), col("enqueuedTime").as("c_time"))
+        val clicks = side("click")
+          .select(col("partition").as("c_pid"),
+            col("sequenceNumber").as("c_seq"), col("enqueuedTime").as("c_time"),
+            floor(unix_micros(col("enqueuedTime")) / bucketUs).as("b"))
+          .withColumn("c_bkt", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+          .drop("b")
         val errors = side("error").select(col("partition").as("e_pid"),
-          col("enqueuedTime").as("e_time"))
+          col("enqueuedTime").as("e_time"),
+          floor(unix_micros(col("enqueuedTime")) / bucketUs).as("e_bkt"))
         val q = clicks.join(errors,
-            col("c_pid") === col("e_pid") &&
+            col("c_pid") === col("e_pid") && col("c_bkt") === col("e_bkt") &&
             col("e_time") >= col("c_time") - expr("INTERVAL 5 MINUTES") &&
             col("e_time") <= col("c_time") + expr("INTERVAL 5 MINUTES"))
           .writeStream.format("memory").queryName(out).outputMode("append")
