@@ -460,6 +460,49 @@ object SparkEntry {
         countDistinct(col("c_pid"), col("c_seq")).as("n_clicks_matched"))
     }),
 
+    "q_stream_join_outer" -> ((s, dir) => {
+      // left-outer stream-stream join: unmatched clicks emit null-extended
+      // rows once the watermark passes their join window (deterministic
+      // under AvailableNow: final watermark = max event time). Banding as in
+      // q_stream_join; the exploded copies collapse in the batch rollup.
+      val out = "sjo_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val bucketUs = 600L * 1000000L
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        def side(t: String) = s.readStream.format(GraftEventLog.Format)
+          .option("path", mid(dir)).option("partitions", "4")
+          .option("maxEventsPerTrigger", Long.MaxValue.toString)
+          .load()
+          .filter(col("properties")("event_type") === t)
+          .withWatermark("enqueuedTime", "0 seconds")
+        val clicks = side("click")
+          .select(col("partition").as("c_pid"),
+            col("sequenceNumber").as("c_seq"), col("enqueuedTime").as("c_time"),
+            floor(unix_micros(col("enqueuedTime")) / bucketUs).as("b"))
+          .withColumn("c_bkt", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+          .drop("b")
+        val errors = side("error").select(col("partition").as("e_pid"),
+          col("enqueuedTime").as("e_time"),
+          floor(unix_micros(col("enqueuedTime")) / bucketUs).as("e_bkt"))
+        val q = clicks.join(errors,
+            col("c_pid") === col("e_pid") && col("c_bkt") === col("e_bkt") &&
+            col("e_time") >= col("c_time") - expr("INTERVAL 5 MINUTES") &&
+            col("e_time") <= col("c_time") + expr("INTERVAL 5 MINUTES"),
+            "left_outer")
+          .writeStream.format("memory").queryName(out).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(out)
+        .groupBy(col("c_pid"), col("c_seq"))
+        .agg(max(when(col("e_time").isNotNull, 1).otherwise(0)).as("m"),
+          count(col("e_time")).as("pairs"))
+        .agg(sum(col("pairs")).as("n_pairs"),
+          sum(col("m")).as("n_matched_clicks"),
+          sum(lit(1) - col("m")).as("n_null_only_clicks"))
+    }),
+
     "q_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       // arbitrary-stateful sessionization (flatMapGroupsWithState) over a
@@ -660,6 +703,30 @@ object SparkEntry {
           | count(DISTINCT (c.pid, c.rk)) AS n_clicks_matched
           |FROM c JOIN er ON c.pid = er.pid
           | AND abs(epoch_us(c.ts) - epoch_us(er.ts)) <= 300000000""".stripMargin,
+
+      "q_stream_join_outer" ->
+        """WITH src AS (
+          |  SELECT event_id % 4 AS pid,
+          |   row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS rk,
+          |   ts, event_type
+          |  FROM events
+          |), c AS (SELECT pid, rk, ts FROM src WHERE event_type = 'click'),
+          | er AS (SELECT pid, ts FROM src WHERE event_type = 'error'),
+          | pm AS (
+          |  SELECT c.pid, c.rk, c.ts, count(er.ts) AS pairs
+          |  FROM c LEFT JOIN er ON c.pid = er.pid
+          |   AND abs(epoch_us(c.ts) - epoch_us(er.ts)) <= 300000000
+          |  GROUP BY 1, 2, 3
+          |), m AS (
+          |  -- the query watermark is the MIN across both input streams'
+          |  -- max event times, not the global max
+          |  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM er)) AS mx)
+          |SELECT CAST(sum(pairs) AS BIGINT) AS n_pairs,
+          | CAST(sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_clicks,
+          | CAST(sum(CASE WHEN pairs = 0
+          |   AND epoch_us(pm.ts) + 300000000 < epoch_us(m.mx)
+          |  THEN 1 ELSE 0 END) AS BIGINT) AS n_null_only_clicks
+          |FROM pm, m""".stripMargin,
 
       "q_stream_sessionize" ->
         """WITH s AS (
