@@ -28,6 +28,8 @@ object SparkEntry {
 
   private def mid(dir: String) = s"$dir/events.parquet"
 
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
     //      exercised to prove parity on the engine we build on) ----
@@ -69,6 +71,37 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("n_name"))
+    }),
+
+    "q_join_salted" -> ((s, dir) => {
+      // explicit skew-mitigation operator: results must equal the plain join
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      operators.Relational.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+          col("l_linenumber"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_agg_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    "q_sample_split" -> ((s, dir) => {
+      // deterministic content-hash train/val/test assignment: exactly
+      // reproducible across engines, runs, and partitionings
+      operators.Sampling.hashSplit(Tables.documents(s, dir), col("text"), SplitWeights)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
     }),
 
     "q_window_rank" -> ((s, dir) => {
@@ -620,6 +653,24 @@ object SparkEntry {
           | JOIN nation ON c_nationkey = n_nationkey
           | JOIN region ON n_regionkey = r_regionkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_join_salted" ->
+        """SELECT o_orderpriority, count(*) AS n_rows,
+          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_agg_cube" ->
+        """SELECT coalesce(o_orderstatus, '(all)') AS status,
+          | coalesce(o_orderpriority, '(all)') AS priority,
+          | count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_sample_split" ->
+        s"""SELECT ${operators.Sampling.sqlHashSplit("text", SplitWeights)} AS split,
+           | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_window_rank" ->
         """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,5 +86,24 @@ object Relational {
     lb.join(rb, "__bucket")
       .filter(abs(col(s"l_$leftTimeUs") - col(s"r_$rightTimeUs")) <= toleranceUs)
       .drop("__bucket")
+  }
+
+  /**
+   * Skew-resistant equi-join: the (large, possibly skewed) left side salts
+   * its shuffle key with a deterministic hash of `saltBy`, and the right
+   * side replicates each row across all `salts` sub-keys — so one hot join
+   * key spreads over `salts` reducers instead of melting one. Results are
+   * exactly those of `left.join(right, leftKey === rightKey)`.
+   * (AQE's skew-join split handles sort-merge cases adaptively; this is the
+   * explicit operator form that also works under bucketed/pre-shuffled
+   * layouts where AQE cannot re-plan.)
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, saltBy: Column, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = left.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val r = right.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+      .drop("__salt")
   }
 }

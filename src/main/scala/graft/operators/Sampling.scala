@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic content-hash sampling and split assignment.
+ *
+ * A row's fate is a pure function of `md5(key)` — no RNG state, no
+ * partitioning dependence — so samples and train/val/test splits are exactly
+ * reproducible across runs, engines, and cluster layouts, and re-running a
+ * 100 TB pipeline reassigns nothing. The first 13 hex digits of the md5
+ * (52 bits, compared lexicographically == numerically for equal-length
+ * lowercase hex) address the sample space.
+ */
+object Sampling {
+
+  private val HexSpace = math.pow(16, 13)
+
+  /** Threshold prefix such that `hex13 < threshold` keeps ~`rate` of rows. */
+  def hexThreshold(rate: Double): String =
+    f"${math.min(HexSpace, math.max(0.0, rate * HexSpace)).toLong}%013x"
+
+  private def hex13(key: Column): Column =
+    substring(md5(key.cast("binary")), 1, 13)
+
+  /** Keep ~`rate` of rows, chosen by content hash of `key`. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(hex13(key) < lit(hexThreshold(rate)))
+
+  /** Assign each row a split label by cumulative hash ranges; `weights`
+    * (label, fraction) should sum to ~1 — the last split takes the
+    * remainder. Adds a `split` column. */
+  def hashSplit(df: DataFrame, key: Column, weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "at least one split")
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val h = hex13(key)
+    val expr = weights.init.zip(cum.init).foldRight(lit(weights.last._1)) {
+      case (((label, _), upper), acc) =>
+        when(h < lit(hexThreshold(upper)), lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** DuckDB rendering of the same split expression (oracle twin). */
+  def sqlHashSplit(col: String, weights: Seq[(String, Double)]): String = {
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val h = s"substr(md5($col), 1, 13)"
+    weights.init.zip(cum.init).foldRight(s"'${weights.last._1}'") {
+      case (((label, _), upper), acc) =>
+        s"CASE WHEN $h < '${hexThreshold(upper)}' THEN '$label' ELSE $acc END"
+    }
+  }
+}

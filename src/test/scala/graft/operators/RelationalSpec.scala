@@ -98,4 +98,37 @@ class SketchesSpec extends AnyFunSuite {
       assert(qs.forall(q => q >= mn && q <= mx))
     }
   }
+
+  test("saltedJoin returns exactly the plain equi-join rows") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, graft.SparkTestSession.sf0001)
+    val o = graft.Tables.orders(spark, graft.SparkTestSession.sf0001)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val salted = key(Relational.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+      col("l_linenumber"), salts = 4))
+    val plain = key(li.join(o, li("l_orderkey") === o("o_orderkey")))
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("hashSample/hashSplit are deterministic, size-proportional, and total") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf001)
+    val n = docs.count().toDouble
+    val s1 = Sampling.hashSample(docs, col("text"), 0.3)
+    assert(s1.count() == Sampling.hashSample(docs, col("text"), 0.3).count())
+    assert(math.abs(s1.count() / n - 0.3) < 0.1, s"sample rate ${s1.count() / n}")
+    val split = Sampling.hashSplit(docs, col("text"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byLabel = split.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum == n.toLong, "every row gets exactly one split")
+    assert(math.abs(byLabel("train") / n - 0.8) < 0.1)
+    // assignment is content-determined: a subset keeps its labels
+    val sub = Sampling.hashSplit(docs.limit(50), col("text"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val full = split.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, lbl) => full(id) == lbl })
+  }
 }
