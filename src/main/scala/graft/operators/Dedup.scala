@@ -187,8 +187,10 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint(eager = true)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    // fold the first propagation round into initialization: every node
+    // starts at min(itself, its neighbors) rather than itself
+    var labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(least(min(col("v")), col("u")).as("cluster"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var iter = 0
