@@ -237,6 +237,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_sink_foreach" -> ((s, dir) => {
+      // ForeachWriter sink (ref S11): stream the log through the row-typed
+      // foreach writer into a fresh hub, routed by explicit partition id so
+      // per-partition counts are deterministic, then read it back
+      val hub = "fe-" + java.util.UUID.randomUUID().toString
+      GraftEventLog.create(hub, 4)
+      val q = s.readStream.format(GraftEventLog.Format)
+        .option("path", mid(dir)).option("partitions", "4")
+        .option("maxEventsPerTrigger", Long.MaxValue.toString)
+        .load()
+        .select(col("body").cast("string").as("body"), col("partition"))
+        .writeStream.foreach(graft.streaming.StreamOps.foreachRowWriter(hub))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      GraftEventLog.read(s, hub)
+        .groupBy(col("partition")).agg(count(lit(1)).as("n"))
+        .orderBy(col("partition"))
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       val out = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // stateful streaming sizing: state partitions matched to the
@@ -833,6 +852,10 @@ object SparkEntry {
 
       "q_sink_roundtrip" ->
         """SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+
+      "q_sink_foreach" ->
+        """SELECT CAST(event_id % 4 AS VARCHAR) AS "partition", count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_stream_window" ->
         """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
