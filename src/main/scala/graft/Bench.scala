@@ -47,6 +47,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clean the (possibly tmpfs-resident) checkpoint tree even when a
+    // stream or query throws
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    }
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -79,14 +84,12 @@ object Bench {
             .agg(count(lit(1)).as("n"))
             .writeStream.format("memory").queryName(out)
             .outputMode("append")
-        else {
+        else
           // BASELINE.md workload (a) is a passthrough COUNT: pull every
           // event through the source and count it per micro-batch
-          val counted = new java.util.concurrent.atomic.AtomicLong()
           src.writeStream.queryName(out)
             .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
-              { counted.addAndGet(df.count()); () })
-        })
+              { df.count(); () }))
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination(600000)
         ()

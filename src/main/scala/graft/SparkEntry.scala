@@ -30,6 +30,48 @@ object SparkEntry {
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Shared body of the stream-stream interval join gates: clicks x errors
+    * on the same log partition within +-5 minutes. The equality key is
+    * (partition, 10-minute time bucket) — the click side explodes to
+    * bucket±1 and an exact range predicate refines, so the state join
+    * hashes on a fine-grained key instead of nested-looping each
+    * partition's rows (the interval is < bucket width, so each true pair
+    * matches on exactly one bucket — no dedup needed). The range condition
+    * on the watermarked columns is what lets Spark expire join state.
+    * Runs to completion under AvailableNow; results land in memory table
+    * `out` for the caller's batch-side rollup. */
+  private def runStreamIntervalJoin(s: SparkSession, dir: String, out: String,
+      watermarkDelay: String, joinType: String): Unit = {
+    val bucketUs = 600L * 1000000L
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      def side(t: String) = s.readStream.format(GraftEventLog.Format)
+        .option("path", mid(dir)).option("partitions", "4")
+        .option("maxEventsPerTrigger", Long.MaxValue.toString)
+        .load()
+        .filter(col("properties")("event_type") === t)
+        .withWatermark("enqueuedTime", watermarkDelay)
+      val clicks = side("click")
+        .select(col("partition").as("c_pid"),
+          col("sequenceNumber").as("c_seq"), col("enqueuedTime").as("c_time"),
+          floor(unix_micros(col("enqueuedTime")) / bucketUs).as("b"))
+        .withColumn("c_bkt", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+        .drop("b")
+      val errors = side("error").select(col("partition").as("e_pid"),
+        col("enqueuedTime").as("e_time"),
+        floor(unix_micros(col("enqueuedTime")) / bucketUs).as("e_bkt"))
+      val q = clicks.join(errors,
+          col("c_pid") === col("e_pid") && col("c_bkt") === col("e_bkt") &&
+          col("e_time") >= col("c_time") - expr("INTERVAL 5 MINUTES") &&
+          col("e_time") <= col("c_time") + expr("INTERVAL 5 MINUTES"),
+          joinType)
+        .writeStream.format("memory").queryName(out).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
     //      exercised to prove parity on the engine we build on) ----
@@ -472,80 +514,20 @@ object SparkEntry {
     }),
 
     "q_stream_join" -> ((s, dir) => {
-      // stream-stream interval join: clicks x errors on the same log
-      // partition within +-5 minutes. The equality key is (partition,
-      // 10-minute time bucket) — the click side explodes to bucket±1 and an
-      // exact range predicate refines, so the state join hashes on a
-      // fine-grained key instead of nested-looping each partition's rows
-      // (the interval is < bucket width, so each true pair matches on
-      // exactly one bucket — no dedup needed). The range condition on the
-      // watermarked columns is what lets Spark expire join state.
       val out = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val bucketUs = 600L * 1000000L
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        def side(t: String) = s.readStream.format(GraftEventLog.Format)
-          .option("path", mid(dir)).option("partitions", "4")
-          .option("maxEventsPerTrigger", Long.MaxValue.toString)
-          .load()
-          .filter(col("properties")("event_type") === t)
-          .withWatermark("enqueuedTime", "1 hour")
-        val clicks = side("click")
-          .select(col("partition").as("c_pid"),
-            col("sequenceNumber").as("c_seq"), col("enqueuedTime").as("c_time"),
-            floor(unix_micros(col("enqueuedTime")) / bucketUs).as("b"))
-          .withColumn("c_bkt", explode(array(col("b") - 1, col("b"), col("b") + 1)))
-          .drop("b")
-        val errors = side("error").select(col("partition").as("e_pid"),
-          col("enqueuedTime").as("e_time"),
-          floor(unix_micros(col("enqueuedTime")) / bucketUs).as("e_bkt"))
-        val q = clicks.join(errors,
-            col("c_pid") === col("e_pid") && col("c_bkt") === col("e_bkt") &&
-            col("e_time") >= col("c_time") - expr("INTERVAL 5 MINUTES") &&
-            col("e_time") <= col("c_time") + expr("INTERVAL 5 MINUTES"))
-          .writeStream.format("memory").queryName(out).outputMode("append")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      runStreamIntervalJoin(s, dir, out, watermarkDelay = "1 hour", joinType = "inner")
       s.table(out).agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("c_pid"), col("c_seq")).as("n_clicks_matched"))
     }),
 
     "q_stream_join_outer" -> ((s, dir) => {
-      // left-outer stream-stream join: unmatched clicks emit null-extended
-      // rows once the watermark passes their join window (deterministic
-      // under AvailableNow: final watermark = max event time). Banding as in
-      // q_stream_join; the exploded copies collapse in the batch rollup.
+      // left-outer variant: unmatched clicks emit null-extended rows once
+      // the watermark passes their join window (deterministic under
+      // AvailableNow: final watermark = min across both streams' max event
+      // times). The exploded banding copies collapse in the batch rollup.
       val out = "sjo_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val bucketUs = 600L * 1000000L
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        def side(t: String) = s.readStream.format(GraftEventLog.Format)
-          .option("path", mid(dir)).option("partitions", "4")
-          .option("maxEventsPerTrigger", Long.MaxValue.toString)
-          .load()
-          .filter(col("properties")("event_type") === t)
-          .withWatermark("enqueuedTime", "0 seconds")
-        val clicks = side("click")
-          .select(col("partition").as("c_pid"),
-            col("sequenceNumber").as("c_seq"), col("enqueuedTime").as("c_time"),
-            floor(unix_micros(col("enqueuedTime")) / bucketUs).as("b"))
-          .withColumn("c_bkt", explode(array(col("b") - 1, col("b"), col("b") + 1)))
-          .drop("b")
-        val errors = side("error").select(col("partition").as("e_pid"),
-          col("enqueuedTime").as("e_time"),
-          floor(unix_micros(col("enqueuedTime")) / bucketUs).as("e_bkt"))
-        val q = clicks.join(errors,
-            col("c_pid") === col("e_pid") && col("c_bkt") === col("e_bkt") &&
-            col("e_time") >= col("c_time") - expr("INTERVAL 5 MINUTES") &&
-            col("e_time") <= col("c_time") + expr("INTERVAL 5 MINUTES"),
-            "left_outer")
-          .writeStream.format("memory").queryName(out).outputMode("append")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      runStreamIntervalJoin(s, dir, out, watermarkDelay = "0 seconds",
+        joinType = "left_outer")
       s.table(out)
         .groupBy(col("c_pid"), col("c_seq"))
         .agg(max(when(col("e_time").isNotNull, 1).otherwise(0)).as("m"),

@@ -37,6 +37,15 @@ object HashUtil {
     val b = Array.fill(numHashes)(rnd.nextLong())
     (a, b)
   }
+
+  /** Seed-deterministic Gaussian hyperplanes — the single source of truth
+    * shared by the executor-side `HyperplaneLshBucket` expression and the
+    * driver-side query bucketing in `Similarity.lshTopK` (which must agree
+    * bit-for-bit or multi-probe targets the wrong buckets). */
+  def hyperplanes(numBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
 }
 
 /**
@@ -218,8 +227,7 @@ case class HyperplaneLshBucket(child: Expression, numBits: Int, seed: Long)
 
   private def planesFor(dim: Int): Array[Array[Double]] = {
     if (planes == null || planeDim != dim) {
-      val rnd = new java.util.Random(seed)
-      planes = Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
+      planes = HashUtil.hyperplanes(numBits, dim, seed)
       planeDim = dim
     }
     planes

@@ -17,9 +17,13 @@ object Sampling {
 
   private val HexSpace = math.pow(16, 13)
 
-  /** Threshold prefix such that `hex13 < threshold` keeps ~`rate` of rows. */
+  /** Threshold prefix such that `hex13 < threshold` keeps ~`rate` of rows.
+    * rate >= 1 returns "g", which every 13-char hex string sorts below (a
+    * 14-char numeric rendering would sort BELOW most hashes and silently
+    * invert the clamp). */
   def hexThreshold(rate: Double): String =
-    f"${math.min(HexSpace, math.max(0.0, rate * HexSpace)).toLong}%013x"
+    if (rate >= 1.0) "g"
+    else f"${math.max(0.0, rate * HexSpace).toLong}%013x"
 
   private def hex13(key: Column): Column =
     substring(md5(key.cast("binary")), 1, 13)

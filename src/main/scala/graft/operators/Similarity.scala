@@ -48,8 +48,7 @@ object Similarity {
       .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed))
     // query bucket + per-bit margins, driver-side with the same
     // seed-deterministic planes as HyperplaneLshBucket (no Spark job)
-    val rnd = new java.util.Random(seed)
-    val planes = Array.fill(numBits)(Array.fill(queryVec.length)(rnd.nextGaussian()))
+    val planes = graft.functions.HashUtil.hyperplanes(numBits, queryVec.length, seed)
     val margins = planes.map { p =>
       var dot = 0.0; var i = 0
       while (i < queryVec.length) { dot += queryVec(i) * p(i); i += 1 }

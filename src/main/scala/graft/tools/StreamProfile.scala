@@ -22,6 +22,10 @@ object StreamProfile {
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftEventLog.readParquetLog(spark, s"$sfDir/events.parquet", 4).count()
 
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File("/dev/shm/graft_sp_ckpt"))
+    }
     // warmup
     runOnce(spark, "/root/testdata/sf0.001", agg = true, verbose = false)
     // timed + profiled

@@ -119,6 +119,8 @@ class SketchesSpec extends AnyFunSuite {
     val s1 = Sampling.hashSample(docs, col("text"), 0.3)
     assert(s1.count() == Sampling.hashSample(docs, col("text"), 0.3).count())
     assert(math.abs(s1.count() / n - 0.3) < 0.1, s"sample rate ${s1.count() / n}")
+    // rate >= 1 keeps everything (the threshold must sort above every hash)
+    assert(Sampling.hashSample(docs, col("text"), 1.0).count() == n.toLong)
     val split = Sampling.hashSplit(docs, col("text"),
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     val byLabel = split.groupBy($"split").count().as[(String, Long)].collect().toMap
