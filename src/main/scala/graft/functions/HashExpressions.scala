@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -49,6 +48,39 @@ object HashUtil {
 }
 
 /**
+ * doGenCode that keeps the containing plan inside whole-stage codegen by
+ * invoking this expression's interpreted kernel through a bound reference.
+ * `CodegenFallback` would instead make `CollapseCodegenStages` exclude the
+ * entire stage from WSCG — so every scan/filter/project around a sketch
+ * expression would drop to interpreted volcano iteration. The per-row cost
+ * here is one virtual call + boxing, which is noise next to the kernels'
+ * own work (hashing, shingling, plane dot products).
+ */
+trait RefEvalCodegen { self: UnaryExpression =>
+  /** Public bridge so generated Java (another package) can reach the
+    * protected nullSafeEval. */
+  def refEval(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[RefEvalCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      val javaT = CodeGenerator.javaType(dataType)
+      val boxedT = CodeGenerator.boxedType(dataType)
+      s"""
+         |Object $r = $ref.refEval($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ($javaT)(($boxedT) $r); }
+       """.stripMargin
+    })
+  }
+}
+
+/**
  * MinHash signature of a set of string shingles: `numHashes` 64-bit values,
  * h_i = min over shingles of (a_i * fnv1a(shingle) + b_i), unsigned order.
  * One base hash per shingle + k affine permutations — O(n + n*k) cheap ops
@@ -58,7 +90,7 @@ object HashUtil {
  * Returns null for null/empty input arrays.
  */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -101,7 +133,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
  * have small Hamming distance between SimHashes.
  */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -214,7 +246,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
  * hash-partitioned groupBy — no all-pairs join at scale.
  */
 case class HyperplaneLshBucket(child: Expression, numBits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   require(numBits > 0 && numBits <= 63, s"numBits must be in [1,63], got $numBits")
 
   override def dataType: DataType = LongType
@@ -265,7 +297,7 @@ case class HyperplaneLshBucket(child: Expression, numBits: Int, seed: Long)
  * interpreted `filter` HOF per language.
  */
 case class LangIdGuess(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -343,7 +375,7 @@ object hashFunctions {
  * which dominates dedup scans at corpus scale.
  */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -386,7 +418,7 @@ case class WordShingles(child: Expression, k: Int)
  * ngram + window - 1 bytes is guaranteed to share a fingerprint.
  */
 case class RollingFingerprints(child: Expression, ngram: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   require(ngram >= 2 && window >= 1, s"bad winnowing params ($ngram, $window)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
