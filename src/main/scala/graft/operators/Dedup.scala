@@ -179,6 +179,9 @@ object Dedup {
    * dedup are shallow (dups of dups), so rounds stay single-digit at any
    * corpus size; `maxIterations` bounds the worst case.
    */
+  /** Cost note (ClustersProfile at sf0.1): the upstream pair pipeline is
+    * ~90% of q_dedup_clusters' wall time; with the neighbor-min init below,
+    * label propagation converges in 1 round on the near-dup components. */
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIterations: Int = 20): DataFrame = {
     // materialize the edge list once — every propagation round joins against
