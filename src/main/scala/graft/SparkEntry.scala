@@ -356,6 +356,14 @@ object SparkEntry {
         .orderBy(col("text_md5"))
     }),
 
+    "q_dedup_exact_rows" -> ((s, dir) => {
+      // surviving-rows variant of exact dedup: the full row of each
+      // deterministic keeper (min doc_id per distinct text)
+      Dedup.exactRows(Tables.documents(s, dir), Seq(col("text")), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           k = 3, threshold = 0.5)
@@ -863,6 +871,13 @@ object SparkEntry {
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_dups
           |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+
+      "q_dedup_exact_rows" ->
+        """SELECT doc_id, lang, source, n_chars FROM (
+          | SELECT doc_id, lang, source, n_chars,
+          |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          | FROM documents)
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       "q_dedup_ngram" ->
         s"""WITH d AS (
