@@ -1,13 +1,8 @@
 package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicBoolean
 
 import scala.collection.mutable.ArrayBuffer
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import types._
 
@@ -118,15 +113,10 @@ final class InMemoryEventLog(val name: String, val numPartitions: Int) {
 }
 
 /**
- * JVM-wide registry of named in-memory logs + the default EventLogClient.
- * Parquet-seeded logs are created lazily and exactly once per (path,
- * partitions): the `events` table is mapped deterministically
- *   partition        = event_id mod partitions
- *   sequenceNumber   = rank of event_id within its partition (0-based)
- *   enqueuedTime     = ts
- *   body             = UTF-8 bytes of props
- *   properties       = {"event_type": event_type}
- * so results are reproducible and expressible as oracle SQL.
+ * JVM-wide registry of named in-memory logs + the EventLogClient for them.
+ * Named logs back sinks, roundtrips, and tests; parquet-`path` logs are NOT
+ * held here — they are read executor-side by ParquetEventLog (no driver-held
+ * copy of the data; see EventLogClients.forConf).
  */
 object EventLogRegistry extends EventLogClient {
   private val logs = new ConcurrentHashMap[String, InMemoryEventLog]()
@@ -157,61 +147,14 @@ object EventLogRegistry extends EventLogClient {
     bigger
   }
 
-  /** Ensure a log exists for `conf`, seeding from parquet when `path` is set.
-    * Runs a (driver-side) Spark job on first use of a given path; the loaded
-    * log is cached JVM-wide, so repeated queries and micro-batches reuse it —
-    * the local analog of the reference's executor-cached receivers (C3). */
+  /** Ensure a NAMED log exists for `conf` (sinks auto-create their target,
+    * like the reference's hub-must-exist-at-send contract relaxed for local
+    * use). Parquet-`path` confs never come through here — they are read-only
+    * and served by ParquetEventLog. */
   def ensure(conf: EventLogConf): InMemoryEventLog = {
-    val n = conf.name
-    val existing = logs.get(n)
-    if (existing != null) existing
-    else conf.path match {
-      case Some(p) => seedFromParquet(p, conf.partitions)
-      case None    => create(n, conf.partitions)
-    }
-  }
-
-  /** Like ensure, but reading an unknown named log is an error rather than a
-    * silent empty result (a missing hub on the read path means a typo'd name). */
-  def ensureForRead(conf: EventLogConf): InMemoryEventLog = {
-    if (conf.path.isEmpty && !exists(conf.name))
-      throw new IllegalArgumentException(
-        s"unknown event log '${conf.name}' — create it first or pass a 'path' to seed from")
-    ensure(conf)
-  }
-
-  private def seedFromParquet(path: String, partitions: Int): InMemoryEventLog = {
-    val name = EventLogConf.parquetLogName(path, partitions)
-    logs.computeIfAbsent(name, _ => {
-      val spark = SparkSession.active
-      val log = new InMemoryEventLog(name, partitions)
-      // the driver testdata writes TIMESTAMP(NANOS), which Spark only reads
-      // as a long when this legacy flag is on
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path)
-      val tsMicros = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000") // nanos -> micros
-        case _                                   => unix_micros(col("ts"))
-      }
-      // Deterministic layout; sort by event_id then append in partition order.
-      val rows = raw
-        .select(
-          pmod(col("event_id"), lit(partitions)).cast("int").as("pid"),
-          col("event_id"),
-          tsMicros.as("ts_us"),
-          col("props"),
-          col("event_type"))
-        .orderBy("pid", "event_id")
-        .collect()
-      rows.foreach { r =>
-        val e = Event(
-          body = r.getAs[String]("props").getBytes("UTF-8"),
-          enqueuedTimeMicros = r.getAs[Long]("ts_us"),
-          properties = Map("event_type" -> r.getAs[String]("event_type")))
-        log.append(r.getAs[Int]("pid"), e)
-      }
-      log
-    })
+    require(conf.path.isEmpty,
+      s"parquet-backed event log '${conf.name}' has no registry entry (read-only)")
+    create(conf.name, conf.partitions)
   }
 
   // ---- EventLogClient over the registry ----

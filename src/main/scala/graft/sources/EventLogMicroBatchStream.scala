@@ -47,8 +47,8 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with Logging {
 
-  private val client: EventLogClient = EventLogRegistry
-  EventLogRegistry.ensureForRead(conf)
+  private val client: EventLogClient = EventLogClients.forConf(conf)
+  EventLogClients.validateForRead(conf)
   private val name = conf.name
 
   // Trigger.AvailableNow: snapshot the end offsets once; rate-limited

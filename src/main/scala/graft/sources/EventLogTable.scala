@@ -176,8 +176,8 @@ class EventLogScan(
   /** Batch ranges: translate start/end positions, clamp to retained bounds,
     * then narrow by pushed predicates and per-partition limit. */
   private[sources] def planRanges(): Array[OffsetRange] = {
-    EventLogRegistry.ensureForRead(conf)
-    val client: EventLogClient = EventLogRegistry
+    EventLogClients.validateForRead(conf)
+    val client: EventLogClient = EventLogClients.forConf(conf)
     val name = conf.name
     val bounds = client.boundedSeqNos(name)
     bounds.toArray.sortBy(_._1).map { case (pid, (earliest, latest)) =>
@@ -240,8 +240,10 @@ class EventLogReaderFactory(schema: StructType) extends PartitionReaderFactory {
 
 /**
  * Row production: Event -> InternalRow projection for the (pruned) schema
- * (ref P1: EventHubsSourceProvider.scala:167-231). The executor-side log
- * lookup goes through EventLogRegistry.ensure, the local analog of the
+ * (ref P1: EventHubsSourceProvider.scala:167-231). The executor-side read
+ * goes through EventLogClients.forConf: parquet-backed logs are read directly
+ * from the files on the executor (ParquetEventLog — no driver state), named
+ * logs through the in-JVM registry; both are the local analog of the
  * reference's executor-cached receivers (C3: CachedEventHubsReceiver.scala).
  */
 class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: StructType)
@@ -253,10 +255,9 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
 
   private val startedNanos = System.nanoTime()
   private var rowsRead = 0L
-  private val iter: Iterator[(SequenceNumber, Event)] = {
-    EventLogRegistry.ensure(conf)
-    EventLogRegistry.receive(range.name, range.partitionId, range.fromSeqNo, range.count)
-  }
+  private val iter: Iterator[(SequenceNumber, Event)] =
+    EventLogClients.forConf(conf)
+      .receive(range.name, range.partitionId, range.fromSeqNo, range.count)
   private var current: InternalRow = _
   private val partitionStr = UTF8String.fromString(range.partitionId.toString)
 

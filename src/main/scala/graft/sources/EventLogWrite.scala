@@ -81,6 +81,9 @@ object EventLogWriteSupport {
 class EventLogWriteBuilder(conf: EventLogConf, schema: StructType, queryId: String)
     extends WriteBuilder {
   override def build(): Write = {
+    if (conf.path.isDefined)
+      throw new IllegalArgumentException(
+        "parquet-backed event logs are read-only; write to a named log instead")
     val plan = EventLogWriteSupport.plan(schema) // validate eagerly at planning
     new EventLogWrite(conf, schema, plan, queryId)
   }

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/**
+ * The executor-side file-backed read path (ParquetEventLog): no driver-held
+ * copy of the data, footer-arithmetic bounds, range reads, sequential
+ * cursors, and the read-only contract.
+ */
+class ParquetLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val path = s"$dir/events.parquet"
+  private def logName(partitions: Int) = EventLogConf.parquetLogName(path, partitions)
+
+  /** Ground truth from a plain Spark read of the same file. */
+  private def truth(partitions: Int) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+      .select(
+        pmod($"event_id", lit(partitions)).cast("int").as("pid"),
+        $"event_id", expr("ts div 1000").as("ts_us"), $"props", $"event_type")
+  }
+
+  test("connector read with NO driver-held log (registry stays empty)") {
+    val name = logName(4)
+    EventLogRegistry.drop(name)
+    val df = graft.GraftEventLog.readParquetLog(spark, path, 4)
+    assert(df.count() == 1000)
+    assert(!EventLogRegistry.exists(name),
+      "parquet-backed reads must not materialize a registry log")
+  }
+
+  test("bounds are pure footer arithmetic and match the data") {
+    for (p <- Seq(3, 4, 7)) {
+      val expected = truth(p).groupBy("pid").count().as[(Int, Long)].collect().toMap
+      val bounds = ParquetEventLog.boundedSeqNos(logName(p))
+      assert(bounds.keySet == (0 until p).toSet)
+      bounds.foreach { case (pid, (earliest, latest)) =>
+        assert(earliest == 0L)
+        assert(latest == expected.getOrElse(pid, 0L), s"pid $pid at partitions=$p")
+      }
+    }
+  }
+
+  test("receive returns the exact seqNo range with the right payloads") {
+    val name = logName(4)
+    val expected = truth(4).filter($"pid" === 1)
+      .orderBy("event_id")
+      .select($"props", $"event_type", $"ts_us")
+      .as[(String, String, Long)].collect()
+    val got = ParquetEventLog.receive(name, 1, 10, 5).toVector
+    assert(got.map(_._1) == (10L to 14L).toVector)
+    got.zipWithIndex.foreach { case ((seq, e), i) =>
+      val (props, etype, ts) = expected(10 + i)
+      assert(new String(e.body, "UTF-8") == props, s"seq $seq")
+      assert(e.properties("event_type") == etype)
+      assert(e.enqueuedTimeMicros == ts)
+    }
+    // out-of-range and clamped reads
+    assert(ParquetEventLog.receive(name, 1, 10000, 5).isEmpty)
+    val latest = ParquetEventLog.boundedSeqNos(name)(1)._2
+    assert(ParquetEventLog.receive(name, 1, latest - 2, 100).size == 2)
+  }
+
+  test("sequential receives equal one big receive (cursor path)") {
+    val name = logName(4)
+    ParquetEventLog.invalidate(path)
+    val whole = ParquetEventLog.receive(name, 2, 0, 250).toVector
+    ParquetEventLog.invalidate(path)
+    // chunked tail: the second call should install and then reuse a cursor
+    val chunks = Seq((0L, 50L), (50L, 50L), (100L, 100L), (200L, 50L))
+      .flatMap { case (from, n) => ParquetEventLog.receive(name, 2, from, n).toVector }
+    assert(chunks.map(_._1) == whole.map(_._1))
+    assert(chunks.map(_._2.enqueuedTimeMicros) == whole.map(_._2.enqueuedTimeMicros))
+    assert(chunks.map(c => new String(c._2.body, "UTF-8")) ==
+      whole.map(c => new String(c._2.body, "UTF-8")))
+    // a jump back repositions correctly
+    val again = ParquetEventLog.receive(name, 2, 10, 5).toVector
+    assert(again.map(_._1) == (10L to 14L).toVector)
+  }
+
+  test("seekEnqueuedTime = min seqNo with ts >= t, latest when past the end") {
+    val name = logName(4)
+    val cutoff = truth(4).agg(expr("percentile_approx(ts_us, 0.5)")).as[Long].head()
+    val expected = truth(4).filter($"ts_us" >= cutoff)
+      .groupBy("pid").agg(min(expr("event_id div 4")).as("s"))
+      .as[(Int, Long)].collect().toMap
+    for (p <- 0 until 4)
+      assert(ParquetEventLog.seekEnqueuedTime(name, p, cutoff) == expected(p), s"pid $p")
+    val bounds = ParquetEventLog.boundedSeqNos(name)
+    for (p <- 0 until 4)
+      assert(ParquetEventLog.seekEnqueuedTime(name, p, Long.MaxValue / 2) == bounds(p)._2)
+  }
+
+  test("parquet-backed logs are read-only") {
+    intercept[UnsupportedOperationException] {
+      ParquetEventLog.send(logName(4), Event("x".getBytes, 0L), None, None)
+    }
+    val e = intercept[Exception] {
+      Seq(("x")).toDF("body").write.format("graft-eventlog")
+        .option("path", path).mode("append").save()
+    }
+    assert(e.getMessage.contains("read-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("read-only")))
+  }
+
+  test("missing path fails planning loudly") {
+    val err = intercept[Exception] {
+      graft.GraftEventLog.readParquetLog(spark, "/no/such/file.parquet", 4).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("not found")))
+  }
+}
