@@ -266,6 +266,19 @@ object SparkEntry {
         .orderBy(col("partition"))
     }),
 
+    "q_source_partition_seek" -> ((s, dir) => {
+      // per-partition starting positions with precedence over the global
+      // default (ref EventHubsConf.scala:244-315): seqNo seek on p0, time
+      // seek on p1, end-of-stream (empty) on p2, global start on p3
+      GraftEventLog.readParquetLog(s, mid(dir), 4,
+          Map("startingPositions" ->
+            """{"0":{"seqNo":100},"1":{"enqueuedTime":"2024-01-15T00:00:00Z"},"2":"end-of-stream"}"""))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"), min(col("sequenceNumber")).as("min_seq"),
+          max(col("sequenceNumber")).as("max_seq"))
+        .orderBy(col("partition"))
+    }),
+
     "q_sink_roundtrip" -> ((s, dir) => {
       val hub = "rt-" + java.util.UUID.randomUUID().toString
       GraftEventLog.create(hub, 4)
@@ -838,6 +851,19 @@ object SparkEntry {
       "q_source_time_seek" ->
         """SELECT CAST(event_id % 4 AS VARCHAR) AS "partition", count(*) AS n
           |FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // per-partition seek: ts is monotone in event_id per partition, so the
+      // time-seek on p1 is exactly the ts >= predicate
+      "q_source_partition_seek" ->
+        """SELECT CAST(pid AS VARCHAR) AS "partition", count(*) AS n,
+          | min(rk) AS min_seq, max(rk) AS max_seq
+          |FROM (SELECT event_id % 4 AS pid, ts,
+          |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS rk
+          |      FROM events)
+          |WHERE (pid = 0 AND rk >= 100)
+          |   OR (pid = 1 AND ts >= TIMESTAMP '2024-01-15 00:00:00')
+          |   OR pid = 3
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_sink_roundtrip" ->

@@ -19,8 +19,17 @@ import types._
  *   startingPosition     "start-of-stream" | "end-of-stream" | {"seqNo":N} |
  *                        {"enqueuedTime":"ISO"} — default start for reads
  *   endingPosition       same forms; batch reads only (default end-of-stream)
+ *   startingPositions    per-partition start map with precedence over the
+ *                        global default (ref EventHubsConf.scala:244-315):
+ *                        {"0":{"seqNo":5},"3":{"enqueuedTime":"ISO"},"2":"end-of-stream"}
+ *   endingPositions      per-partition end map, same forms; batch reads only
  *   maxEventsPerTrigger  admission-control cap per micro-batch (default
  *                        partitionCount*1000, ref EventHubsSource.scala:91-96)
+ *   maxRatesPerPartition per-partition per-trigger event caps with precedence
+ *                        over the prorated share (ref EventHubsConf.scala:331-369):
+ *                        {"0":500,"3":100}
+ *   consumerGroup        named cursor namespace; independent readers keep
+ *                        independent throttling state (ref EventHubsConf.scala:205)
  *   failOnDataLoss       true => error when requested seqNos have aged out;
  *                        false => clamp to earliest and log (ref R4)
  *   placementStrategy    "none" | "hash" | "balanced-hash" (ref package.scala:84-87)
@@ -41,7 +50,47 @@ final case class EventLogConf(options: Map[String, String]) {
   def endingPosition: EventPosition =
     get("endingposition").map(EventPosition.parse).getOrElse(EventPosition.FromEndOfStream)
 
+  def startingPositions: Map[PartitionId, EventPosition] = positionMap("startingpositions")
+  def endingPositions: Map[PartitionId, EventPosition] = positionMap("endingpositions")
+
+  /** Per-partition position with precedence over the global default
+    * (ref: EventHubsConf.startingPositions, EventHubsConf.scala:244-315). */
+  def startingPositionFor(pid: PartitionId): EventPosition =
+    startingPositions.getOrElse(pid, startingPosition)
+  def endingPositionFor(pid: PartitionId): EventPosition =
+    endingPositions.getOrElse(pid, endingPosition)
+
+  private def positionMap(k: String): Map[PartitionId, EventPosition] =
+    get(k).map { s =>
+      MiniJson.parseMixed(s).map {
+        case (pid, v: String) => pid.toInt -> EventPosition.parse(v)
+        case (pid, m: Map[String @unchecked, String @unchecked]) =>
+          pid.toInt -> EventPosition.fromFields(m)
+        case (pid, other) =>
+          throw new IllegalArgumentException(s"bad position for partition $pid: $other")
+      }
+    }.getOrElse(Map.empty)
+
   def maxEventsPerTrigger: Option[Long] = get("maxeventspertrigger").map(_.toLong)
+
+  /** Per-partition per-trigger caps (ref: EventHubsConf.setMaxRatePerPartition
+    * / setMaxRatesPerPartition, EventHubsConf.scala:331-369). */
+  def maxRatesPerPartition: Map[PartitionId, Long] =
+    get("maxratesperpartition").map { s =>
+      MiniJson.parseObject(s).map { case (pid, v) =>
+        val cap = v.toLong
+        require(cap > 0, s"maxRatesPerPartition[$pid] must be positive, got $cap")
+        pid.toInt -> cap
+      }
+    }.getOrElse(Map.empty)
+
+  /** Named cursor namespace (ref EventHubsConf.scala:205). Each group keeps
+    * its own adaptive-throttling state; checkpoints already isolate offsets. */
+  def consumerGroup: String = get("consumergroup").getOrElse("$Default")
+
+  /** Adaptive-throttling state is per (log, consumer group) so independent
+    * readers never skew each other's rate feedback. */
+  def throttlerKey: String = s"$name::$consumerGroup"
   def failOnDataLoss: Boolean = get("failondataloss").forall(_.toBoolean)
   def placementStrategy: String = get("placementstrategy").getOrElse("none")
 
@@ -71,21 +120,27 @@ object EventLogConf {
  * — same floor/ceil semantics, reimplemented).
  *
  * Given per-partition (from, latest) bounds and a total budget, returns the
- * per-partition until-seqNo for the next batch.
+ * per-partition until-seqNo for the next batch. `maxRates` caps individual
+ * partitions' advance regardless of their prorated share — including in the
+ * whole-backlog-fits fast path (ref per-partition max rate clamp,
+ * EventHubsConf.scala:331-369).
  */
 object RateLimiter {
   def prorate(
       bounds: Map[PartitionId, (SequenceNumber, SequenceNumber)],
       budget: Long,
-      throttleFactor: PartitionId => Double = _ => 1.0): Map[PartitionId, SequenceNumber] = {
+      throttleFactor: PartitionId => Double = _ => 1.0,
+      maxRates: Map[PartitionId, Long] = Map.empty): Map[PartitionId, SequenceNumber] = {
     require(budget > 0, s"budget must be positive, got $budget")
+    def capped(p: PartitionId, from: SequenceNumber, until: SequenceNumber): SequenceNumber =
+      maxRates.get(p).fold(until)(cap => math.min(until, from + cap))
     val backlog: Map[PartitionId, Long] =
       bounds.map { case (p, (from, latest)) => p -> math.max(0L, latest - from) }
     val total = backlog.values.sum
     if (total == 0) {
       bounds.map { case (p, (from, _)) => p -> from }
     } else if (total <= budget) {
-      bounds.map { case (p, (_, latest)) => p -> latest }
+      bounds.map { case (p, (from, latest)) => p -> capped(p, from, latest) }
     } else {
       bounds.map { case (p, (from, latest)) =>
         val share = budget.toDouble * backlog(p) / total * throttleFactor(p)
@@ -93,7 +148,7 @@ object RateLimiter {
         // trigger (starvation guard, ref EventHubsSource.scala:308-315); clamp
         // to the service-reported latest.
         val until = from + math.ceil(share).toLong
-        p -> math.min(latest, math.max(from, until))
+        p -> capped(p, from, math.min(latest, math.max(from, until)))
       }
     }
   }

@@ -73,7 +73,7 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
 
   override def initialOffset(): Offset = {
     val seqNos = client.boundedSeqNos(name).map { case (pid, _) =>
-      pid -> client.translate(name, pid, conf.startingPosition)
+      pid -> client.translate(name, pid, conf.startingPositionFor(pid))
     }
     EventLogSourceOffset(name, seqNos)
   }
@@ -110,15 +110,18 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
     // Adaptive throttling: shrink slow partitions' share (ref R3).
     val factor: PartitionId => Double =
       if (conf.slowPartitionAdjustment) {
-        val f = PartitionThrottler.forLog(name).factors
+        val f = PartitionThrottler.forLog(conf.throttlerKey).factors
         conf.throttlingStatusPlugin.foreach(p =>
           p.onPartitionsStatusUpdate(merged.keys.map(k => k -> f(k)).toMap))
         f
       } else _ => 1.0
+    val maxRates = conf.maxRatesPerPartition
     val untils: Map[PartitionId, SequenceNumber] = limit match {
+      // allAvailable (Trigger.Once) must drain in one batch, so per-partition
+      // caps are ignored there — same convention as Kafka's maxOffsetsPerTrigger
       case _: ReadAllAvailable => merged.map { case (p, (_, latest)) => p -> latest }
-      case r: ReadMaxRows      => RateLimiter.prorate(merged, r.maxRows(), factor)
-      case _                   => RateLimiter.prorate(merged, defaultBudget, factor)
+      case r: ReadMaxRows      => RateLimiter.prorate(merged, r.maxRows(), factor, maxRates)
+      case _                   => RateLimiter.prorate(merged, defaultBudget, factor, maxRates)
     }
     conf.throttlingStatusPlugin.foreach(_.onBatchCreation(-1L, untils))
     EventLogSourceOffset(name, untils)
@@ -148,13 +151,8 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
 
   /** Sorted executor list for stable placement (ref:
     * EventHubsSource.getSortedExecutorList, EventHubsSource.scala:468-484). */
-  private def sortedExecutors(): IndexedSeq[String] = {
-    try {
-      val env = org.apache.spark.SparkEnv.get
-      if (env == null || env.executorId == "driver") IndexedSeq.empty
-      else IndexedSeq.empty // local mode: no remote executors to pin
-    } catch { case _: Throwable => IndexedSeq.empty }
-  }
+  private def sortedExecutors(): IndexedSeq[String] =
+    org.apache.spark.graft.ExecutorDiscovery.sortedExecutors()
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(schema)

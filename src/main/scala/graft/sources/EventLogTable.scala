@@ -180,9 +180,12 @@ class EventLogScan(
     val client: EventLogClient = EventLogClients.forConf(conf)
     val name = conf.name
     val bounds = client.boundedSeqNos(name)
+    // stable executor placement for batch scans too (ref S6) — keeps the
+    // executor-side cursor/receiver caches warm across repeated queries
+    val executors = org.apache.spark.graft.ExecutorDiscovery.sortedExecutors()
     bounds.toArray.sortBy(_._1).map { case (pid, (earliest, latest)) =>
-      var from = client.translate(name, pid, conf.startingPosition)
-      var until = client.translate(name, pid, conf.endingPosition)
+      var from = client.translate(name, pid, conf.startingPositionFor(pid))
+      var until = client.translate(name, pid, conf.endingPositionFor(pid))
       minTimeUs.foreach(us => from = math.max(from, client.seekEnqueuedTime(name, pid, us)))
       minSeqNo.foreach(v => from = math.max(from, v))
       maxSeqNoEx.foreach(v => until = math.min(until, v))
@@ -194,7 +197,9 @@ class EventLogScan(
       }
       until = math.min(math.max(until, from), latest)
       limit.foreach(l => until = math.min(until, from + l))
-      OffsetRange(NameAndPartition(name, pid), from, math.max(from, until), None)
+      val np = NameAndPartition(name, pid)
+      val loc = PlacementStrategy.locate(conf.placementStrategy, np, executors)
+      OffsetRange(np, from, math.max(from, until), loc)
     }
   }
 
@@ -308,7 +313,7 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
   override def close(): Unit = {
     val elapsed = System.nanoTime() - startedNanos
     if (conf.slowPartitionAdjustment) {
-      PartitionThrottler.forLog(range.name)
+      PartitionThrottler.forLog(conf.throttlerKey)
         .record(range.fromSeqNo, range.partitionId, rowsRead, elapsed)
     }
     conf.metricPlugin.foreach(

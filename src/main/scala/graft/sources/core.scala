@@ -51,17 +51,19 @@ object EventPosition {
   def fromSequenceNumber(seqNo: SequenceNumber): EventPosition = FromSequenceNumber(seqNo)
   def fromEnqueuedTime(t: Instant): EventPosition = FromEnqueuedTime(t)
 
+  /** Build from the parsed-object form {"seqNo":N} / {"enqueuedTime":"ISO"}. */
+  def fromFields(m: Map[String, String]): EventPosition =
+    m.get("seqNo")
+      .map(v => FromSequenceNumber(v.toLong))
+      .orElse(m.get("enqueuedTime").map(v => FromEnqueuedTime(Instant.parse(v))))
+      .getOrElse(throw new IllegalArgumentException(s"bad position: $m"))
+
   /** Parse the option-string form: "start-of-stream" | "end-of-stream" |
     * {"seqNo":N} | {"enqueuedTime":"ISO-8601"} */
   def parse(s: String): EventPosition = s.trim match {
     case "start-of-stream" | "earliest" => FromStartOfStream
     case "end-of-stream" | "latest"     => FromEndOfStream
-    case j if j.startsWith("{") =>
-      val m = MiniJson.parseObject(j)
-      m.get("seqNo")
-        .map(v => FromSequenceNumber(v.toLong))
-        .orElse(m.get("enqueuedTime").map(v => FromEnqueuedTime(Instant.parse(v))))
-        .getOrElse(throw new IllegalArgumentException(s"bad position: $s"))
+    case j if j.startsWith("{") => fromFields(MiniJson.parseObject(j))
     case other =>
       // bare long = sequence number
       try FromSequenceNumber(other.toLong)
@@ -120,6 +122,15 @@ object MiniJson {
     val p = new Parser(s)
     p.skipWs()
     p.parseObj(flatten = false).asInstanceOf[Map[String, Map[String, String]]]
+  }
+
+  /** Parse one level whose values are either scalars (-> String) or flat
+    * objects (-> Map[String, String]) — the per-partition position form
+    * {"0":{"seqNo":5},"3":"end-of-stream"}. */
+  def parseMixed(s: String): Map[String, Any] = {
+    val p = new Parser(s)
+    p.skipWs()
+    p.parseObj(flatten = false)
   }
 
   def renderPartitionSeqNos(name: String, seqNos: Map[PartitionId, SequenceNumber]): String = {

@@ -51,13 +51,13 @@ class PartitionThrottlerSpec extends AnyFunSuite {
     val log = EventLogRegistry.create("th1", 4)
     for (p <- 0 until 4; i <- 0 until 5000)
       log.append(p, Event(Array[Byte](1), i.toLong))
-    PartitionThrottler.drop("th1")
+    val conf = EventLogConf(Map("name" -> "th1", "slowpartitionadjustment" -> "true"))
+    PartitionThrottler.drop(conf.throttlerKey)
     // inject metrics as the reference's SimulatedPartitionStatusTracker does
-    val t = PartitionThrottler.forLog("th1")
+    val t = PartitionThrottler.forLog(conf.throttlerKey)
     for (p <- 0 until 3) t.record(0L, p, 1000, (1000 * 0.2e6).toLong)
     t.record(0L, 3, 1000, (1000 * 2e6).toLong)
 
-    val conf = EventLogConf(Map("name" -> "th1", "slowpartitionadjustment" -> "true"))
     val stream = new EventLogMicroBatchStream(conf, EventLogTable.schema)
     val start = stream.initialOffset().asInstanceOf[EventLogSourceOffset]
     val end = stream.latestOffset(start, ReadLimit.maxRows(4000))
@@ -133,6 +133,24 @@ class RateLimiterPropertySpec extends AnyFunSuite {
       // ceil-based starvation guard can overshoot by < 1 event per partition
       assert(taken <= math.min(budget + bounds.size, backlog))
       if (backlog <= budget) assert(taken == backlog, "under budget must drain fully")
+    }
+  }
+
+  test("per-partition max rates cap the advance in every branch (ref EventHubsConf:331-369)") {
+    val capsGen = Gen.mapOf(Gen.zip(Gen.choose(0, 63), Gen.choose(1L, 500L)))
+    forSamples(Gen.zip(boundsGen, Gen.choose(1L, 100000L), capsGen)) {
+      case (bounds, budget, caps) =>
+        val r = RateLimiter.prorate(bounds, budget, maxRates = caps)
+        for ((p, until) <- r) {
+          val (from, latest) = bounds(p)
+          assert(until >= from && until <= latest)
+          caps.get(p).foreach(cap => assert(until - from <= cap, s"cap violated for $p"))
+        }
+        // capped partitions still progress when they have backlog
+        if (bounds.values.map { case (f, l) => l - f }.sum > budget) {
+          for ((p, (from, latest)) <- bounds if latest > from)
+            assert(r(p) > from, s"partition $p starved under caps")
+        }
     }
   }
 
