@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,8 +17,31 @@ import graft.functions.hashFunctions._
  * never an all-pairs cross join, so each one scales to 100 TB by adding
  * shuffle partitions. Verification of candidates is exact and happens only
  * within buckets.
+ *
+ * No silent caps: every skew guard (hot LSH buckets, hot shingles) counts
+ * what it dropped, records it under the operator's tag (`lastDropStats`),
+ * and warns in the log — a recall collapse at a hostile distribution is
+ * visible instead of looking like success.
  */
-object Dedup {
+object Dedup extends Logging {
+
+  /** What a skew guard removed on the most recent build of an operator's
+    * candidate pipeline: `buckets` = distinct hot keys, `rows` = index rows. */
+  final case class DropStats(buckets: Long, rows: Long)
+
+  private val dropStats = new ConcurrentHashMap[String, DropStats]()
+
+  /** Drop counts recorded by the last invocation of the tagged operator in
+    * this JVM (None = operator not yet run). */
+  def lastDropStats(tag: String): Option[DropStats] = Option(dropStats.get(tag))
+
+  private def recordDrops(tag: String, buckets: Long, rows: Long, cap: Int): Unit = {
+    dropStats.put(tag, DropStats(buckets, rows))
+    if (buckets > 0) logWarning(
+      s"[$tag] dropped $buckets hot buckets ($rows index rows) over cap=$cap — " +
+        "pairs within those buckets are NOT reported; raise the cap or widen " +
+        "bands if recall there matters")
+  }
 
   /**
    * Exact dedup: keep one deterministic representative (min of `keepBy`)
@@ -39,13 +65,18 @@ object Dedup {
    * NOT a cross join), count shared shingles per pair, then
    * J = shared / (|A| + |B| - shared) >= threshold.
    *
-   * Exact but quadratic in per-shingle document frequency — the scale path
-   * for very hot shingles is `minHashLsh` below; this operator is the
-   * ground-truth it is verified against.
+   * The self-join is quadratic in per-shingle document frequency, so shingles
+   * hotter than `maxShingleDf` are dropped from the index (mirroring
+   * `fingerprintPairs`' guard): one stop-phrase shingle at corpus scale would
+   * otherwise melt a single reducer. Dropped-shingle counts are recorded
+   * under tag "ngramJaccardPairs" and logged — when the counter is zero the
+   * result is exact ground truth (the property `minHashLsh` is verified
+   * against); a non-zero counter means scores for pairs sharing only hot
+   * shingles are lowered or missing.
    */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
     // lazily checkpoint the exploded index: both sides of the self-join read
     // it, and without materialization the shingle computation runs twice
     val sh = docs.select(
@@ -54,7 +85,18 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
       .localCheckpoint(eager = false)
-    val a = sh.as("a"); val b = sh.as("b")
+    // hot-shingle guard: the df table is one narrow row per distinct shingle,
+    // and counting the hot ones is a metadata-scale job on the checkpointed
+    // index (also forces the checkpoint the self-join reuses)
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf)
+      .localCheckpoint(eager = true)
+    val Seq(nHot, rowsHot) = hot
+      .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
+      .collect().head.toSeq.map(v => v.asInstanceOf[Long])
+    recordDrops("ngramJaccardPairs", nHot, rowsHot, maxShingleDf)
+    val sized = sh.join(hot.select(col("s")), Seq("s"), "left_anti")
+    val a = sized.as("a"); val b = sized.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
@@ -94,7 +136,7 @@ object Dedup {
     val bandBuckets = (0 until bands).map(b => hash(slice(col("sig"), b * rows + 1, rows)))
     val banded = sigs.select(col("doc_id"), posexplode(array(bandBuckets: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val candidates = bucketedPairs(banded, "bucket", maxBucketSize)
+    val candidates = bucketedPairs(banded, "bucket", maxBucketSize, "minHashLshPairs")
     val payload = base.select(col("doc_id"), col("sh"))
     candidates
       .join(payload.as("pa"), col("doc_a") === col("pa.doc_id"))
@@ -111,14 +153,28 @@ object Dedup {
    * with ultra-hot buckets dropped: a bucket shared by thousands of
    * documents carries ~zero discriminative signal but quadratic join cost —
    * capping it is the standard LSH skew guard (the recall loss is confined
-   * to buckets whose collision probability was near-uniform anyway).
+   * to buckets whose collision probability was near-uniform anyway). What
+   * was dropped is counted per `tag` (see `lastDropStats`) and logged, never
+   * silent: at a hostile distribution (e.g. millions of near-identical
+   * docs) the cap can otherwise swallow ALL pairs while the operator
+   * appears to succeed.
    */
-  private def bucketedPairs(banded: DataFrame, bucketCol: String, maxBucketSize: Int)
+  private def bucketedPairs(
+      banded0: DataFrame, bucketCol: String, maxBucketSize: Int, tag: String)
       : DataFrame = {
-    val sized = banded.withColumn("__bsz",
-      count(lit(1)).over(Window.partitionBy(col("band"), col(bucketCol))))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    val banded = banded0.localCheckpoint(eager = false)
+    // one narrow row per distinct (band, bucket): metadata-scale relative to
+    // the index, and computing it forces the checkpoint the join reuses
+    val hot = banded.groupBy(col("band"), col(bucketCol))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .localCheckpoint(eager = true)
+    val Seq(nHot, rowsHot) = hot
+      .agg(count(lit(1)), coalesce(sum(col("__bsz")), lit(0L)))
+      .collect().head.toSeq.map(v => v.asInstanceOf[Long])
+    recordDrops(tag, nHot, rowsHot, maxBucketSize)
+    val sized = banded.join(
+      hot.select(col("band"), col(bucketCol)), Seq("band", bucketCol), "left_anti")
     val a = sized.as("a"); val b = sized.as("b")
     a.join(b, col(s"a.band") === col(s"b.band") &&
         col(s"a.$bucketCol") === col(s"b.$bucketCol") &&
@@ -133,10 +189,19 @@ object Dedup {
    * within Hamming distance <= maxHamming leaves at least one chunk
    * untouched, so the chunk equi-join is a COMPLETE candidate generator for
    * the advertised distance (then the exact popcount filter applies).
+   *
+   * Chunk width is 64/(maxHamming+1) bits, and width IS the selectivity: the
+   * default maxHamming=3 gives 4 chunks of 16 bits (65536 bucket values per
+   * band), which stays discriminative at corpus scale. High maxHamming
+   * values (e.g. 8 -> 9 chunks of ~7 bits = 128 buckets/band) collapse into
+   * few giant buckets on any large corpus, where the `maxBucketSize` guard
+   * then drops them — visibly, via the "simHashPairs" drop counter — so the
+   * effective recall target is no longer met. Prefer widening to
+   * `minHashLshPairs` over raising maxHamming past ~5.
    */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+      k: Int = 3, maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
     val withSim = docs.select(
       col(idCol).as("doc_id"),
@@ -158,7 +223,7 @@ object Dedup {
     }
     val banded = withSim.select(col("doc_id"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    bucketedPairs(banded, "chunk", maxBucketSize)
+    bucketedPairs(banded, "chunk", maxBucketSize, "simHashPairs")
       .join(withSim.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(withSim.as("pb"), col("doc_b") === col("pb.doc_id"))
       .withColumn("hamming",
@@ -280,7 +345,7 @@ object Dedup {
       shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)))
     val banded = withSig.select(col("doc_id"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    bucketedPairs(banded, "chunk", maxBucketSize)
+    bucketedPairs(banded, "chunk", maxBucketSize, "embeddingCosinePairs")
       .join(base.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(base.as("pb"), col("doc_b") === col("pb.doc_id"))
       .withColumn("cosine", cosine_similarity(col("pa.v"), col("pb.v")))

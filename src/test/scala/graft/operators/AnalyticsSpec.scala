@@ -209,6 +209,51 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
   }
 
+  test("simhash default banding (hamming<=3) still separates dups from noise") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical => hamming 0
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("hostile distribution: hot-bucket drops are counted, never silent") {
+    // hundreds of near-identical docs: every simhash chunk collides into one
+    // giant bucket per band, which the cap drops — the operator must make
+    // that visible through the drop counter instead of returning ~nothing
+    // with a clean face
+    val nearDups = (0L until 200L)
+      .map(i => (i, s"the quick brown fox jumps over the lazy dog number $i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(nearDups, "doc_id", "text", 3, maxBucketSize = 50)
+    val n = pairs.count()
+    val drops = Dedup.lastDropStats("simHashPairs").get
+    assert(drops.buckets > 0, "hot buckets were dropped but not counted")
+    assert(drops.rows > 150L, s"drop row count implausibly low: $drops")
+    // with the guard doing its job almost all true pairs are gone — that is
+    // the documented tradeoff; the counter is what makes it honest
+    assert(n < 200L * 199L / 2)
+    // healthy distribution: counter records zero
+    Dedup.simHashPairs(docs, "doc_id", "text", 3).count()
+    assert(Dedup.lastDropStats("simHashPairs").get == Dedup.DropStats(0L, 0L))
+  }
+
+  test("ngram df cap drops stop-phrase shingles with a counter, exact when cold") {
+    val common = "alpha beta gamma delta"
+    val corpus = (0L until 6L)
+      .map(i => (i, s"$common unique$i tail$i words$i here$i"))
+      .toDF("doc_id", "text")
+    // cap below the corpus-wide shingle: the two purely-common shingles are
+    // dropped; remaining shared shingles ("gamma delta uniqueN" etc.) are
+    // per-doc unique, so no pair survives the threshold
+    Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.5,
+      maxShingleDf = 5).count()
+    val drops = Dedup.lastDropStats("ngramJaccardPairs").get
+    assert(drops.buckets == 2L && drops.rows == 12L, drops.toString)
+    // default cap: nothing dropped on the small corpus -> exact ground truth
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5).count()
+    assert(Dedup.lastDropStats("ngramJaccardPairs").get == Dedup.DropStats(0L, 0L))
+  }
+
   test("clusters: connected components label every member with the min id") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
     val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
