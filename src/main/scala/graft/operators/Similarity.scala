@@ -125,11 +125,14 @@ object Similarity {
 
   private def bestCell(v: org.apache.spark.sql.Column, centArr: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    // arg-max over the centroid array of cosine(v, centroid)
+    // arg-max over the centroid array of cosine(v, centroid): a single
+    // aggregate fold (O(cells), ties -> lowest cell id) instead of sorting a
+    // scored copy of the array per row
     val scored = transform(centArr,
       (c, i) => struct(cosine_similarity(v, c).as("s"), i.as("i")))
-    element_at(array_sort(scored,
-      (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1).otherwise(0)), 1)("i")
+    aggregate(scored,
+      struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
+      (acc, x) => when(x("s") > acc("s"), x).otherwise(acc))("i")
   }
 
   private def cosineOf(a: Array[Double], b: Array[Double]): Double = {
