@@ -110,6 +110,46 @@ final class InMemoryEventLog(val name: String, val numPartitions: Int) {
   def ageOut(pid: PartitionId, newEarliest: SequenceNumber): Unit = synchronized {
     earliest(pid) = math.max(earliest(pid), newEarliest)
   }
+
+  // ---- staged (transactional) writes ----
+  // Write tasks stage their events here EXECUTOR-SIDE under a per-task key;
+  // the sink's driver commit then atomically publishes the keys of the tasks
+  // Spark reports successful and discards stale attempts. The commit message
+  // carries only the key — never the data — so nothing is materialized on
+  // the driver. A remote backend would implement the same two calls as a
+  // transactional produce (or degrade to at-least-once task sends, which is
+  // the reference's contract: EventHubsWriter.scala:41-70).
+
+  private val staging =
+    scala.collection.mutable.HashMap[String, ArrayBuffer[(Option[PartitionId], Option[String], Event)]]()
+
+  def stageAll(key: String, events: Iterable[(Option[PartitionId], Option[String], Event)])
+      : Unit = synchronized {
+    staging.getOrElseUpdate(key, ArrayBuffer.empty) ++= events
+  }
+
+  def discardStaged(key: String): Unit = synchronized { staging.remove(key); () }
+
+  /** Atomically append the staged buffers under `keys` (caller passes them in
+    * deterministic task order), then drop every other staged attempt of the
+    * same epoch (`prefix`) — failed/speculative duplicates. Returns rows
+    * published. */
+  def publishStaged(prefix: String, keys: Seq[String]): Long = synchronized {
+    var n = 0L
+    keys.foreach { k =>
+      staging.remove(k).foreach { buf =>
+        buf.foreach { case (pid, pkey, e) => append(route(e, pid, pkey), e) }
+        n += buf.length
+      }
+    }
+    staging.keys.filter(_.startsWith(prefix)).toList.foreach(staging.remove)
+    n
+  }
+
+  /** Staged-but-unpublished row count (tests/diagnostics). */
+  def stagedCount(prefix: String = ""): Long = synchronized {
+    staging.collect { case (k, v) if k.startsWith(prefix) => v.length.toLong }.sum
+  }
 }
 
 /**

@@ -21,12 +21,16 @@ import types._
  *   properties      MAP<STRING,STRING> optional, no null keys/values
  * Extra columns are ignored (attributes are resolved by name).
  *
- * Delivery: tasks buffer events into their commit message and the driver
- * appends on commit — for the local in-memory log this upgrades the
- * reference's at-least-once contract to idempotent-per-batch (streaming
- * epochs are skipped when already committed, ref EventHubsSink.scala:35-42).
- * A remote backend behind EventLogClient would instead send from tasks
- * (at-least-once), exactly like the reference.
+ * Delivery: tasks STAGE their rows into the log executor-side under a
+ * per-(query, epoch, partition, task) key; the commit message carries only
+ * that key and a count (O(1) — the written data never moves to the driver).
+ * Driver commit atomically publishes exactly the keys of the tasks Spark
+ * reports successful and discards stale/speculative attempts of the same
+ * epoch, which upgrades the reference's at-least-once contract to
+ * idempotent-per-batch (streaming epochs are additionally skipped when
+ * already committed, ref EventHubsSink.scala:35-42). A remote backend
+ * implements stage/publish as a transactional produce or degrades to
+ * at-least-once task sends, exactly like the reference.
  */
 object EventLogWriteSupport {
   /** last committed streaming epoch per (log, queryId) for idempotent restart */
@@ -89,9 +93,11 @@ class EventLogWriteBuilder(conf: EventLogConf, schema: StructType, queryId: Stri
   }
 }
 
-/** A routed event ready to append: (explicit partition, partition key, event). */
-final case class RoutedEvent(pid: Option[Int], key: Option[String], event: Event)
-final case class BufferedEventsMessage(events: Array[RoutedEvent]) extends WriterCommitMessage
+/** O(1) commit message: where a successful task staged its rows, never the
+  * rows themselves. */
+final case class StagedEventsMessage(
+    stagingKey: String, partitionId: Int, taskId: Long, count: Long)
+    extends WriterCommitMessage
 
 class EventLogWrite(
     conf: EventLogConf,
@@ -99,56 +105,87 @@ class EventLogWrite(
     plan: EventLogWriteSupport.ColumnPlan,
     queryId: String) extends Write {
 
-  private def appendAll(messages: Array[WriterCommitMessage]): Unit = {
+  private def epochPrefix(epochId: Long) = s"$queryId/$epochId/"
+
+  /** Publish the successful tasks' staged buffers in deterministic
+    * (partition, task) order; everything else staged for this epoch is a
+    * failed/speculative attempt and is dropped. */
+  private def publish(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val log = EventLogRegistry.ensure(conf)
-    messages.foreach {
-      case BufferedEventsMessage(events) =>
-        events.foreach(r => log.append(log.route(r.event, r.pid, r.key), r.event))
-      case null => ()
-      case other => throw new IllegalStateException(s"unexpected commit message $other")
-    }
+    val keys = messages.collect { case m: StagedEventsMessage => m }
+      .sortBy(m => (m.partitionId, m.taskId))
+      .map(_.stagingKey)
+    log.publishStaged(epochPrefix(epochId), keys.toSeq)
+  }
+
+  private def discard(epochId: Long): Unit = {
+    val log = EventLogRegistry.ensure(conf)
+    log.publishStaged(epochPrefix(epochId), Nil) // publish nothing, GC the epoch
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new EventLogWriterFactory(schema, plan, EventLogRegistry.ensure(conf).numPartitions)
-    override def commit(messages: Array[WriterCommitMessage]): Unit = appendAll(messages)
-    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      new EventLogWriterFactory(conf.name, schema, plan,
+        EventLogRegistry.ensure(conf).numPartitions, queryId)
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      publish(EventLogWrite.BatchEpochIdValue, messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      discard(EventLogWrite.BatchEpochIdValue)
   }
 
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new EventLogWriterFactory(schema, plan, EventLogRegistry.ensure(conf).numPartitions)
+      new EventLogWriterFactory(conf.name, schema, plan,
+        EventLogRegistry.ensure(conf).numPartitions, queryId)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val name = conf.name
       if (!EventLogWriteSupport.alreadyCommitted(name, queryId, epochId)) {
-        appendAll(messages)
+        publish(epochId, messages)
         EventLogWriteSupport.markCommitted(name, queryId, epochId)
-      }
+      } else discard(epochId) // replayed epoch: drop the re-staged duplicates
     }
-    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      discard(epochId)
   }
 }
 
+object EventLogWrite {
+  /** Epoch tag for one-shot batch writes (each batch write has a fresh
+    * queryId, so the constant cannot collide across jobs). */
+  val BatchEpochIdValue: Long = -1L
+}
+
 class EventLogWriterFactory(
+    logName: String,
     schema: StructType,
     plan: EventLogWriteSupport.ColumnPlan,
-    numPartitions: Int)
+    numPartitions: Int,
+    queryId: String)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new EventLogDataWriter(schema, plan, numPartitions)
+    new EventLogDataWriter(logName, schema, plan, numPartitions,
+      queryId, EventLogWrite.BatchEpochIdValue, partitionId, taskId)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new EventLogDataWriter(schema, plan, numPartitions)
+    new EventLogDataWriter(logName, schema, plan, numPartitions,
+      queryId, epochId, partitionId, taskId)
 }
 
-/** Per-task row writer (ref S9: EventHubsWriteTask.scala:59-67,136-154). */
+/** Per-task row writer (ref S9: EventHubsWriteTask.scala:59-67,136-154):
+  * buffers rows task-locally, stages them into the log on task commit. */
 class EventLogDataWriter(
+    logName: String,
     schema: StructType,
     plan: EventLogWriteSupport.ColumnPlan,
-    numPartitions: Int) extends DataWriter[InternalRow] {
+    numPartitions: Int,
+    queryId: String,
+    epochId: Long,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
 
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[RoutedEvent]
+  private val stagingKey = s"$queryId/$epochId/$partitionId/$taskId"
+  private val buf =
+    scala.collection.mutable.ArrayBuffer.empty[(Option[Int], Option[String], Event)]
 
   override def write(row: InternalRow): Unit = {
     val body: Array[Byte] =
@@ -188,12 +225,19 @@ class EventLogDataWriter(
         }.toMap
       }
 
-    buf += RoutedEvent(pid, key,
+    buf += ((pid, key,
       Event(body, enqueuedTimeMicros = System.currentTimeMillis() * 1000L,
-        partitionKey = key.orNull, properties = props))
+        partitionKey = key.orNull, properties = props)))
   }
 
-  override def commit(): WriterCommitMessage = BufferedEventsMessage(buf.toArray)
-  override def abort(): Unit = buf.clear()
+  override def commit(): WriterCommitMessage = {
+    // stage executor-side; only the key travels in the commit message
+    EventLogRegistry.get(logName).stageAll(stagingKey, buf)
+    StagedEventsMessage(stagingKey, partitionId, taskId, buf.length.toLong)
+  }
+  override def abort(): Unit = {
+    buf.clear()
+    EventLogRegistry.get(logName).discardStaged(stagingKey)
+  }
   override def close(): Unit = ()
 }

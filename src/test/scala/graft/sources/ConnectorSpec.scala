@@ -254,6 +254,45 @@ class ConnectorSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("task-side staged writes: O(1) messages, speculative/replayed/aborted attempts dropped") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    EventLogRegistry.drop("stg1"); EventLogRegistry.create("stg1", 2)
+    val conf = EventLogConf(Map("name" -> "stg1", "partitions" -> "2"))
+    val schema = StructType(Seq(StructField("body", StringType)))
+    val write = new EventLogWrite(conf, schema, EventLogWriteSupport.plan(schema), "q-stg1")
+    val sw = write.toStreaming
+    val factory = sw.createStreamingWriterFactory(null)
+    def runTask(pid: Int, tid: Long, epoch: Long, n: Int) = {
+      val w = factory.createWriter(pid, tid, epoch)
+      (0 until n).foreach(i => w.write(InternalRow(UTF8String.fromString(s"e$pid-$tid-$i"))))
+      w.commit()
+    }
+    val log = EventLogRegistry.get("stg1")
+    val m1 = runTask(0, 1L, 0L, 3)
+    val m2 = runTask(1, 2L, 0L, 2)
+    runTask(0, 99L, 0L, 3) // speculative duplicate Spark will NOT report
+    assert(m1.isInstanceOf[StagedEventsMessage], "commit message must be key-only")
+    assert(log.stagedCount() == 8, "rows staged in the log, not the driver")
+    sw.commit(0L, Array(m1, m2))
+    assert(graft.GraftEventLog.count("stg1") == 5, "only reported tasks published")
+    assert(log.stagedCount() == 0, "speculative attempt garbage-collected")
+    // replayed epoch after recovery: re-staged rows dropped, no duplicates
+    val m3 = runTask(0, 3L, 0L, 3)
+    sw.commit(0L, Array(m3))
+    assert(graft.GraftEventLog.count("stg1") == 5 && log.stagedCount() == 0)
+    // epoch abort discards its staging
+    val m4 = runTask(0, 4L, 1L, 4)
+    sw.abort(1L, Array(m4))
+    assert(graft.GraftEventLog.count("stg1") == 5 && log.stagedCount() == 0)
+    // task abort discards its own key
+    val w = factory.createWriter(0, 5L, 2L)
+    w.write(InternalRow(UTF8String.fromString("doomed")))
+    w.commit(); w.abort()
+    assert(log.stagedCount() == 0)
+  }
+
   test("streaming write: source->sink roundtrip preserves events") {
     EventLogRegistry.drop("w5src"); EventLogRegistry.drop("w5dst")
     val src = EventLogRegistry.create("w5src", 2)
