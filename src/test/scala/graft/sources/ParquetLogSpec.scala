@@ -110,6 +110,60 @@ class ParquetLogSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("read-only")))
   }
 
+  test("multi-file directory logs: footer bounds, range reads, cross-file order") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dir = java.nio.file.Files.createTempDirectory("pq-multi").toString
+    spark.range(0, 300)
+      .select(col("id").as("event_id"),
+        timestamp_micros(col("id") * 1000000L).as("ts"),
+        concat(lit("p"), col("id")).as("props"), lit("t").as("event_type"))
+      .repartitionByRange(3, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(dir)
+    val df = graft.GraftEventLog.readParquetLog(spark, dir, 4)
+    assert(df.count() == 300)
+    val viaLog = df.select($"partition".cast("int").as("pid"),
+      col("body").cast("string").as("props"), $"sequenceNumber")
+    val expected = spark.range(0, 300).select(
+      pmod($"id", lit(4)).cast("int").as("pid"),
+      concat(lit("p"), $"id").as("props"),
+      ($"id" / 4).cast("long").as("sequenceNumber"))
+    assert(viaLog.except(expected).isEmpty && expected.except(viaLog).isEmpty)
+    // a mid-stream range read that spans file boundaries (file of 100 rows
+    // covers 25 seqNos per partition)
+    val name = EventLogConf.parquetLogName(dir, 4)
+    val got = ParquetEventLog.receive(name, 1, 20, 10).toVector
+    assert(got.map(_._1) == (20L to 29L).toVector)
+    assert(got.map(c => new String(c._2.body, "UTF-8")) ==
+      (20L to 29L).map(s => s"p${1 + s * 4}").toVector)
+    // MICROS timestamp unit decoded correctly (Spark wrote micros, not nanos)
+    assert(got.head._2.enqueuedTimeMicros == (1 + 20 * 4) * 1000000L)
+  }
+
+  test("non-dense event_ids fall back to a full index with identical layout semantics") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dir = java.nio.file.Files.createTempDirectory("pq-gaps").toString
+    // only even ids: mod-4 partitions 1 and 3 are empty, ranks still dense
+    spark.range(0, 100)
+      .select(($"id" * 2).as("event_id"),
+        timestamp_micros(($"id" * 2) * 1000000L).as("ts"),
+        concat(lit("g"), $"id" * 2).as("props"), lit("t").as("event_type"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val name = EventLogConf.parquetLogName(dir, 4)
+    val bounds = ParquetEventLog.boundedSeqNos(name)
+    assert(bounds(0) == ((0L, 50L)) && bounds(2) == ((0L, 50L)))
+    assert(bounds(1) == ((0L, 0L)) && bounds(3) == ((0L, 0L)))
+    val got = ParquetEventLog.receive(name, 2, 10, 3).toVector
+    // partition 2 holds ids 2,6,10,...; seq 10 -> id 42
+    assert(got.map(_._1) == Vector(10L, 11L, 12L))
+    assert(got.map(c => new String(c._2.body, "UTF-8")) == Vector("g42", "g46", "g50"))
+    // seek semantics on the indexed path
+    assert(ParquetEventLog.seekEnqueuedTime(name, 2, 42L * 1000000L) == 10L)
+    assert(ParquetEventLog.seekEnqueuedTime(name, 2, Long.MaxValue / 2) == 50L)
+    // end-to-end through the connector
+    assert(graft.GraftEventLog.readParquetLog(spark, dir, 4).count() == 100)
+  }
+
   test("missing path fails planning loudly") {
     val err = intercept[Exception] {
       graft.GraftEventLog.readParquetLog(spark, "/no/such/file.parquet", 4).count()
