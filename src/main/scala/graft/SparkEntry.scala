@@ -158,6 +158,33 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "q_corpus_cap" -> ((s, dir) => {
+      // domain balancing: deterministic per-source cap on the training mix
+      operators.Sampling.capPerGroup(Tables.documents(s, dir),
+          Seq(col("source")), col("text"), col("doc_id"), cap = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
+    "q_corpus_decontaminate" -> ((s, dir) => {
+      // benchmark leakage: corpus docs sharing >= 2 trigram shingles with
+      // any doc of the held-out "benchmark" source
+      val docs = Tables.documents(s, dir)
+      operators.CorpusOps.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", k = 3, minShared = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_repetition" -> ((s, dir) => {
+      // Gopher/MassiveText-style repetition signals, most-repetitive first
+      operators.CorpusOps.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("dup_word_frac").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
@@ -702,6 +729,45 @@ object SparkEntry {
         s"""SELECT ${operators.Sampling.sqlHashSplit("text", SplitWeights)} AS split,
            | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_corpus_cap" ->
+        """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM (SELECT source, n_chars,
+          |        row_number() OVER (PARTITION BY source
+          |                           ORDER BY substr(md5(text), 1, 13), doc_id) AS rn
+          |      FROM documents)
+          |WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_corpus_decontaminate" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, source,
+           |   list_distinct(${TextFunctions.sqlWordShingles("text", 3)
+                 .replace("string_split(text, ' ')", "w")}) AS sh
+           |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+           |),
+           |cs AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE source <> 'src0'),
+           |bs AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE source = 'src0'),
+           |j AS (SELECT cs.doc_id, bs.bench_id, count(*) AS shared
+           |      FROM cs JOIN bs USING (s) GROUP BY 1, 2)
+           |SELECT doc_id, count(*) AS n_bench_matched, max(shared) AS top_shared
+           |FROM j WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      "q_text_repetition" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+           |         unnest(${TextFunctions.sqlWordShingles("text", 2)
+                 .replace("string_split(text, ' ')", "w")}) AS bigram
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) >= 2
+           |),
+           |bg AS (SELECT doc_id, n_words, n_distinct, bigram, count(*) AS bg_n
+           |       FROM base GROUP BY 1, 2, 3, 4),
+           |top AS (SELECT doc_id, n_words, n_distinct, max(bg_n) AS top_bg
+           |        FROM bg GROUP BY 1, 2, 3)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |       round(1 - n_distinct * 1.0 / n_words, 4) AS dup_word_frac,
+           |       round(top_bg * 1.0 / (n_words - 1), 4) AS top_bigram_frac
+           |FROM top ORDER BY dup_word_frac DESC, doc_id LIMIT 20""".stripMargin,
 
       "q_window_rank" ->
         """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (

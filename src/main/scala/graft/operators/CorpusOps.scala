@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Corpus-hygiene operators a large-scale training-data pipeline needs beyond
+ * dedup: benchmark decontamination and intra-document repetition profiling
+ * (the MassiveText/Gopher-style quality signals). Same scale discipline as
+ * Dedup: candidate generation is always a shuffle-key equi-join or a
+ * per-document aggregation — never an all-pairs comparison, never a
+ * driver-side loop.
+ */
+object CorpusOps {
+
+  /**
+   * Benchmark decontamination: find corpus documents that share at least
+   * `minShared` distinct word `k`-gram shingles with ANY benchmark document
+   * (test-set leakage detection). Inverted shingle index on both sides,
+   * equi-joined on the shingle — corpus x benchmark pairs materialize only
+   * for documents that actually overlap. Shingles hotter than `maxShingleDf`
+   * IN THE BENCHMARK are dropped (counted under tag "decontaminate", see
+   * [[Dedup.lastDropStats]]): a stop-phrase shared by every benchmark doc
+   * identifies nothing and would fan every corpus row out `|bench|` ways.
+   *
+   * Returns one row per contaminated document:
+   * (doc_id, n_bench_matched, top_shared).
+   */
+  def decontaminate(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame = {
+    def index(df: DataFrame, outId: String) = df.select(
+      col(idCol).as(outId),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
+    val benchIdx = index(bench, "bench_id").localCheckpoint(eager = false)
+    val hot = benchIdx.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf)
+      .localCheckpoint(eager = true)
+    val Seq(nHot, rowsHot) = hot
+      .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
+      .collect().head.toSeq.map(v => v.asInstanceOf[Long])
+    Dedup.recordDropsFor("decontaminate", nHot, rowsHot, maxShingleDf)
+    val benchCold = benchIdx.join(hot.select(col("s")), Seq("s"), "left_anti")
+    index(corpus, "doc_id")
+      .join(benchCold, "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matched"), max(col("shared")).as("top_shared"))
+  }
+
+  /**
+   * Intra-document repetition profile (the Gopher/MassiveText repetition
+   * rules): per document, the duplicate-word fraction and the fraction of
+   * word bigrams taken by the single most frequent bigram. High values mark
+   * boilerplate/spam that dedup between documents cannot see. Pure
+   * per-document aggregation — explode + two hash aggregations keyed by
+   * doc_id, so the plan partitions by document at any corpus size.
+   *
+   * Returns (doc_id, n_words, dup_word_frac, top_bigram_frac) for documents
+   * with at least 2 words, fractions rounded to 4 digits.
+   */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"),
+      TextFunctions.wordShingles(col(textCol), 2).as("bg"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        explode(col("bg")).as("bigram"))
+    base
+      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"), col("bigram"))
+      .agg(count(lit(1)).as("bg_n"))
+      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"))
+      .agg(max(col("bg_n")).as("top_bg"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"), 4)
+          .as("dup_word_frac"),
+        round(col("top_bg").cast("double") / (col("n_words") - 1).cast("double"), 4)
+          .as("top_bigram_frac"))
+  }
+}

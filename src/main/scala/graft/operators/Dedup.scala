@@ -35,6 +35,10 @@ object Dedup extends Logging {
     * this JVM (None = operator not yet run). */
   def lastDropStats(tag: String): Option[DropStats] = Option(dropStats.get(tag))
 
+  /** Shared drop-accounting entry point for sibling operators (CorpusOps). */
+  private[operators] def recordDropsFor(tag: String, buckets: Long, rows: Long, cap: Int): Unit =
+    recordDrops(tag, buckets, rows, cap)
+
   private def recordDrops(tag: String, buckets: Long, rows: Long, cap: Int): Unit = {
     dropStats.put(tag, DropStats(buckets, rows))
     if (buckets > 0) logWarning(

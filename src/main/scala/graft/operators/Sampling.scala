@@ -46,6 +46,21 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Per-group cap ("domain balancing"): keep at most `cap` rows per group,
+    * chosen deterministically by content hash with an id tiebreak — the
+    * standard way to stop one giant domain from dominating a training mix
+    * while keeping the selection reproducible across runs and partitionings.
+    * One window shuffle on the group key; a group's rows never leave their
+    * partition after it. */
+  def capPerGroup(
+      df: DataFrame, groupCols: Seq[Column], hashKey: Column, tieBreak: Column,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*).orderBy(hex13(hashKey).asc, tieBreak.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= cap).drop("__rn")
+  }
+
   /** DuckDB rendering of the same split expression (oracle twin). */
   def sqlHashSplit(col: String, weights: Seq[(String, Double)]): String = {
     val cum = weights.scanLeft(0.0)(_ + _._2).tail

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("capPerGroup keeps exactly cap rows per group, deterministically") {
+    val df = (0 until 30).map(i => (i.toLong, s"group${i % 3}", s"text body $i"))
+      .toDF("id", "grp", "text")
+    val capped = Sampling.capPerGroup(df, Seq($"grp"), $"text", $"id", cap = 4)
+    val byGroup = capped.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("group0" -> 4L, "group1" -> 4L, "group2" -> 4L))
+    // deterministic: same selection on re-run and after reshuffling the input
+    val again = Sampling.capPerGroup(df.repartition(7), Seq($"grp"), $"text", $"id", cap = 4)
+    assert(capped.select($"id").as[Long].collect().toSet ==
+      again.select($"id").as[Long].collect().toSet)
+    // a group smaller than the cap survives whole
+    val small = Sampling.capPerGroup(df.filter($"id" < 2), Seq($"grp"), $"text", $"id", 4)
+    assert(small.count() == 2)
+  }
+
+  test("decontaminate flags docs overlapping the benchmark, counts matches") {
+    val bench = Seq(
+      (100L, "the capital of france is paris and always has been"),
+      (101L, "two plus two equals four in base ten arithmetic")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "everyone knows the capital of france is paris indeed"), // leaks 100
+      (1L, "two plus two equals four in base ten arithmetic obviously"), // leaks 101
+      (2L, "completely unrelated text about gardening and tomatoes plants"),
+      (3L, "the capital of france is paris and two plus two equals four")) // leaks both
+      .toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", k = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 3L), got.mkString(","))
+    val byDoc = got.map(r => r._1 -> r._2).toMap
+    assert(byDoc(0L) == 1L && byDoc(1L) == 1L && byDoc(3L) == 2L)
+    // doc 3 shares 5 shingles with bench 100 ("the capital of", "capital of
+    // france", "of france is", "france is paris", "is paris and")
+    assert(got.find(_._1 == 3L).get._3 == 5L)
+    // hot-shingle guard: a benchmark where every doc shares one phrase
+    val hotBench = (10L until 14L).map(i => (i, s"common shared phrase here x$i"))
+      .toDF("doc_id", "text")
+    CorpusOps.decontaminate(corpus, hotBench, "doc_id", "text",
+      k = 3, minShared = 1, maxShingleDf = 3).count()
+    assert(Dedup.lastDropStats("decontaminate").get.buckets > 0)
+  }
+
+  test("repetitionProfile computes dup-word and top-bigram fractions") {
+    val docs = Seq(
+      (0L, "spam spam spam spam"),              // 4 words, 1 distinct, bg "spam spam" x3
+      (1L, "all words here are unique tokens"), // no repetition
+      (2L, "a b a b a b")).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionProfile(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val m = got.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(0L) == ((4L, 0.75, 1.0)))          // 1 - 1/4; 3/3 bigrams identical
+    assert(m(1L) == ((6L, 0.0, 0.2)))           // all distinct; top bigram 1/5
+    assert(m(2L) == ((6L, 0.6667, 0.6)))        // 1 - 2/6 rounded; "a b" 3 of 5
+  }
+}
