@@ -37,6 +37,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("decontaminate broadcasts the benchmark index — the exploded corpus never shuffles to join") {
+    val q = SparkEntry.queries("q_corpus_decontaminate")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("capPerGroup gets rank-limit pushdown (WindowGroupLimit below the shuffle)") {
+    val q = SparkEntry.queries("q_corpus_cap")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("connector scan: narrowed range appears in scan description; whole-stage codegen above") {
     val df = GraftEventLog.readParquetLog(spark, s"$dir/events.parquet", 4,
         Map("startingPosition" -> """{"seqNo":10}"""))
