@@ -24,9 +24,11 @@ object ThrottleDemo {
       log.append(p, Event(s"$p-$i".getBytes, i * 1000000L))
 
     // simulate a slow partition (the reference tests do exactly this through
-    // their SimulatedPartitionStatusTracker)
-    PartitionThrottler.drop("throttled")
-    val t = PartitionThrottler.forLog("throttled")
+    // their SimulatedPartitionStatusTracker); throttling state is keyed by
+    // (log, consumer group), so use the conf's key
+    val key = graft.sources.EventLogConf(Map("name" -> "throttled")).throttlerKey
+    PartitionThrottler.drop(key)
+    val t = PartitionThrottler.forLog(key)
     for (p <- 0 until 3) t.record(0L, p, 1000, (1000 * 0.2e6).toLong)
     t.record(0L, 3, 1000, (1000 * 2e6).toLong)
 
