@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions._
+
+/**
+ * SQL surface for the engine's custom Catalyst expressions: with
+ * `spark.sql.extensions=graft.GraftExtensions` (or
+ * `GraftExtensions.install(spark)` on a live session) every sketch/similarity
+ * primitive is callable from plain SQL —
+ *
+ *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+ *   SELECT graft_simhash64(graft_word_shingles(text, 3)) FROM documents
+ *
+ * — which is the idiomatic Spark mechanism for shipping engine extensions
+ * (SparkSessionExtensions.injectFunction), and what lets pure-SQL users of
+ * the library run the dedup/ANN building blocks without Scala.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intArg(args: Seq[Expression], i: Int, default: Int, fn: String): Int =
+    if (args.length <= i) default
+    else args(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def longArg(args: Seq[Expression], i: Int, default: Long, fn: String): Long =
+    if (args.length <= i) default
+    else args(i) match {
+      case Literal(v: Long, _) => v
+      case Literal(v: Int, _)  => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def arity(args: Seq[Expression], fn: String, min: Int, max: Int): Unit =
+    if (args.length < min || args.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects between $min and $max arguments, got ${args.length}")
+
+  private def dArr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, null, name, usage, ""),
+      builder)
+
+  /** (identifier, info, builder) triples — the SparkSessionExtensions
+    * FunctionDescription shape. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("graft_word_shingles",
+      "graft_word_shingles(text, k) - ordered k-word shingles of a space-separated string") {
+      args => arity(args, "graft_word_shingles", 2, 2)
+        WordShingles(args.head, intArg(args, 1, 3, "graft_word_shingles"))
+    },
+    fn("graft_minhash",
+      "graft_minhash(shingles[, numHashes[, seed]]) - MinHash signature of a string array") {
+      args => arity(args, "graft_minhash", 1, 3)
+        MinHashSignature(args.head,
+          intArg(args, 1, 64, "graft_minhash"), longArg(args, 2, 42L, "graft_minhash"))
+    },
+    fn("graft_simhash64",
+      "graft_simhash64(shingles) - 64-bit SimHash of a string array") {
+      args => arity(args, "graft_simhash64", 1, 1)
+        SimHash64(args.head)
+    },
+    fn("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two numeric arrays (double precision)") {
+      args => arity(args, "graft_cosine", 2, 2)
+        CosineSimilarity(dArr(args.head), dArr(args(1)))
+    },
+    fn("graft_hyperplane_bucket",
+      "graft_hyperplane_bucket(vec[, numBits[, seed]]) - hyperplane LSH sign-bucket of a vector") {
+      args => arity(args, "graft_hyperplane_bucket", 1, 3)
+        HyperplaneLshBucket(dArr(args.head),
+          intArg(args, 1, 16, "graft_hyperplane_bucket"),
+          longArg(args, 2, 42L, "graft_hyperplane_bucket"))
+    },
+    fn("graft_fingerprints",
+      "graft_fingerprints(text[, ngram[, window]]) - winnowing rolling-hash fingerprints") {
+      args => arity(args, "graft_fingerprints", 1, 3)
+        RollingFingerprints(args.head,
+          intArg(args, 1, 8, "graft_fingerprints"), intArg(args, 2, 4, "graft_fingerprints"))
+    },
+    fn("graft_langid",
+      "graft_langid(text) - marker-word language guess ('und' when undetermined)") {
+      args => arity(args, "graft_langid", 1, 1)
+        Coalesce(Seq(LangIdGuess(args.head, TextFunctions.langMarkers), Literal("und")))
+    })
+
+  /** Register on a live session (tests, notebooks). */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, id, info, builder)
+    }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{hashFunctions, TextFunctions}
+
+/** The SparkSessionExtensions SQL surface must agree exactly with the
+  * Column-level API (same expressions underneath). */
+class SqlFunctionsSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    GraftExtensions.install(s)
+    s
+  }
+
+  test("SQL functions match the Column API results") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    df.createOrReplaceTempView("sqldocs")
+
+    val shSql = spark.sql("SELECT graft_word_shingles(text, 3) FROM sqldocs")
+      .as[Seq[String]].head()
+    val shCol = df.select(TextFunctions.wordShingles($"text", 3)).as[Seq[String]].head()
+    assert(shSql == shCol)
+
+    val simSql = spark.sql(
+      "SELECT graft_simhash64(graft_word_shingles(text, 3)) FROM sqldocs").as[Long].head()
+    val simCol = df.select(hashFunctions.simhash64(TextFunctions.wordShingles($"text", 3)))
+      .as[Long].head()
+    assert(simSql == simCol)
+
+    val mhSql = spark.sql(
+      "SELECT graft_minhash(graft_word_shingles(text, 3), 16, 7) FROM sqldocs")
+      .as[Seq[Long]].head()
+    val mhCol = df.select(
+      hashFunctions.minhash_signature(TextFunctions.wordShingles($"text", 3), 16, 7L))
+      .as[Seq[Long]].head()
+    assert(mhSql == mhCol)
+
+    val fpSql = spark.sql("SELECT graft_fingerprints(text, 8, 4) FROM sqldocs")
+      .as[Seq[Long]].head()
+    val fpCol = df.select(hashFunctions.rolling_fingerprints($"text", 8, 4))
+      .as[Seq[Long]].head()
+    assert(fpSql == fpCol)
+  }
+
+  test("vector functions cast their inputs like the Column wrappers do") {
+    import spark.implicits._
+    assert(spark.sql("SELECT graft_cosine(array(1.0, 0.0), array(1.0, 0.0))")
+      .as[Double].head() == 1.0)
+    // float arrays (the embeddings table's type) are accepted via the cast
+    val vecs = Seq((1L, Seq(1.0f, 0.5f))).toDF("id", "v")
+    vecs.createOrReplaceTempView("sqlvecs")
+    val bSql = spark.sql("SELECT graft_hyperplane_bucket(v) FROM sqlvecs").as[Long].head()
+    val bCol = vecs.select(hashFunctions.hyperplane_lsh_bucket($"v")).as[Long].head()
+    assert(bSql == bCol)
+    val cSql = spark.sql(
+      "SELECT graft_cosine(v, CAST(array(1.0, 0.5) AS ARRAY<DOUBLE>)) FROM sqlvecs")
+      .as[Double].head()
+    assert(math.abs(cSql - 1.0) < 1e-9)
+  }
+
+  test("langid falls through to 'und' and literal-arg validation fires") {
+    import spark.implicits._
+    assert(spark.sql("SELECT graft_langid('the cat is on the mat')").as[String].head() == "en")
+    assert(spark.sql("SELECT graft_langid('zzz qqq')").as[String].head() == "und")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), id) FROM range(1)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("integer literal")))
+  }
+}
