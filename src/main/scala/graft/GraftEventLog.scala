@@ -30,9 +30,13 @@ object GraftEventLog {
     options.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
 
   /** Metadata-only count from offset-range arithmetic — no scan
-    * (ref S5: EventHubsRDD.count, core/.../EventHubsRDD.scala:59-89). */
-  def count(name: String): Long =
-    EventLogRegistry.boundedSeqNos(name).values.map { case (e, l) => l - e }.sum
+    * (ref S5: EventHubsRDD.count, core/.../EventHubsRDD.scala:59-89).
+    * Works for named logs and parquet-backed names (footer arithmetic). */
+  def count(name: String): Long = {
+    val client: EventLogClient =
+      if (name.startsWith("parquet:")) ParquetEventLog else EventLogRegistry
+    client.boundedSeqNos(name).values.map { case (e, l) => l - e }.sum
+  }
 
   /** Metadata-only emptiness check (ref S5). */
   def isEmpty(name: String): Boolean = count(name) == 0L

@@ -159,10 +159,10 @@ object ParquetEventLog extends EventLogClient with Logging {
 
   // ---- dense-id arithmetic ----
 
-  private def firstId(meta: LogMeta, pid: Int, partitions: Int): Long =
+  private[sources] def firstId(meta: LogMeta, pid: Int, partitions: Int): Long =
     meta.minId + math.floorMod(pid.toLong - math.floorMod(meta.minId, partitions.toLong), partitions.toLong)
 
-  private def countFor(meta: LogMeta, pid: Int, partitions: Int): Long = {
+  private[sources] def countFor(meta: LogMeta, pid: Int, partitions: Int): Long = {
     val f = firstId(meta, pid, partitions)
     if (meta.rows == 0 || f > meta.maxId) 0L else (meta.maxId - f) / partitions + 1
   }

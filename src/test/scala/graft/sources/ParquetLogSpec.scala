@@ -164,6 +164,36 @@ class ParquetLogSpec extends AnyFunSuite {
     assert(graft.GraftEventLog.readParquetLog(spark, dir, 4).count() == 100)
   }
 
+  test("dense-id arithmetic invariants hold for arbitrary id ranges (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      minId <- Gen.choose(-100000L, 100000L)
+      rows <- Gen.choose(0L, 50000L)
+      p <- Gen.choose(1, 64)
+    } yield (minId, rows, p)
+    (0 until 500).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (minId, rows, p) =>
+        val meta = ParquetEventLog.LogMeta(
+          "x", Nil, minId, minId + rows - 1, rows, dense = true, "", null)
+        val counts = (0 until p).map(pid => ParquetEventLog.countFor(meta, pid, p))
+        // partition counts tile the id range exactly
+        assert(counts.sum == rows, s"minId=$minId rows=$rows p=$p counts=$counts")
+        assert(counts.max - counts.min <= 1, "counts must be balanced within 1")
+        (0 until p).foreach { pid =>
+          val f = ParquetEventLog.firstId(meta, pid, p)
+          assert(math.floorMod(f, p.toLong) == pid.toLong, s"firstId residue pid=$pid")
+          if (rows > 0) assert(f >= minId && f < minId + p,
+            s"firstId $f outside first stride for pid=$pid minId=$minId p=$p")
+        }
+      }
+    }
+  }
+
+  test("metadata-only count works for parquet log names") {
+    assert(graft.GraftEventLog.count(logName(4)) == 1000L)
+  }
+
   test("missing path fails planning loudly") {
     val err = intercept[Exception] {
       graft.GraftEventLog.readParquetLog(spark, "/no/such/file.parquet", 4).count()
