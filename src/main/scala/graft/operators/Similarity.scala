@@ -85,8 +85,15 @@ object Similarity {
   def ivfTopK(
       index: DataFrame, embs: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame =
+    ivfTopKWith(index, centroids(embs, idCol, vecCol, nCells), queryVec, k, nProbe, excludeId)
+
+  /** Query an IVF index against explicit centroids (built here or loaded
+    * from a persisted index). */
+  def ivfTopKWith(
+      index: DataFrame, cents: Array[(Int, Array[Double])],
+      queryVec: Array[Double], k: Int = 10, nProbe: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
-    val cents = centroids(embs, idCol, vecCol, nCells)
     val qCells = cents.map { case (cid, c) => (cid, cosineOf(queryVec, c)) }
       .sortBy(-_._2).take(nProbe).map(_._1)
     val qLit = array(queryVec.map(lit): _*)
@@ -97,11 +104,43 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Persist an IVF index so the (k-means + assignment) build cost is paid
+   * once: `assignments/` holds the per-vector cell table partitioned BY CELL
+   * — a query then prunes to its nProbe cells at the file-listing level —
+   * and `centroids/` the tiny centroid table.
+   */
+  def saveIvfIndex(
+      index: DataFrame, cents: Array[(Int, Array[Double])], path: String): Unit = {
+    index.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+    val spark = index.sparkSession
+    import spark.implicits._
+    cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index: (assignments, centroids). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Array[(Int, Array[Double])]) = {
+    val index = spark.read.parquet(s"$path/assignments")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (index, cents)
+  }
+
   /** Seeded k-means centroids (Spark MLlib; deterministic for a fixed seed
     * and input). Cached per (plan-agnostic) table identity via a small keyed
     * memo so index build and query use identical centroids. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
+
+  /** The (memoized) centroids a given index build used — what you pass to
+    * `saveIvfIndex` so the persisted index is self-consistent. */
+  def centroidsOf(embs: DataFrame, idCol: String, vecCol: String, nCells: Int)
+      : Array[(Int, Array[Double])] = centroids(embs, idCol, vecCol, nCells)
 
   private def centroids(embs: DataFrame, idCol: String, vecCol: String, nCells: Int)
       : Array[(Int, Array[Double])] = {

@@ -368,6 +368,25 @@ class SimilaritySpec extends AnyFunSuite {
       nCells = 16, nProbe = 4, excludeId = Some(0L)).as[(Long, Double)].collect()
     assert(top.nonEmpty && top.length <= 10)
   }
+
+  test("persisted IVF index answers identically after reload (cell-pruned files)") {
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val idx = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
+    val live = Similarity.ivfTopK(idx, embs, "vec_id", "embedding", qv, 10,
+      nCells = 8, nProbe = 3, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    // persist with the same centroids the live query used
+    val centsArr = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    Similarity.saveIvfIndex(idx, centsArr, path)
+    val (loadedIdx, loadedCents) = Similarity.loadIvfIndex(spark, path)
+    assert(loadedCents.map(_._1).toSeq == (0 until 8))
+    val reloaded = Similarity.ivfTopKWith(loadedIdx, loadedCents, qv, 10,
+      nProbe = 3, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    assert(reloaded == live)
+    // assignments are partitioned by cell -> probe prunes at file level
+    assert(new java.io.File(s"$path/assignments").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
