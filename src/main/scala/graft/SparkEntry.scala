@@ -32,13 +32,18 @@ object SparkEntry {
     * q_dedup_clusters; computing the shingle-index join once per (session,
     * dir) and checkpointing halves the most expensive pipeline in the sweep
     * (clusters would otherwise recompute it from scratch). */
+  // weak identity keying: no hash-collision cross-session reuse, and a
+  // collected session releases its checkpointed pipeline automatically
   private val ngramPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private def ngramPairsShared(s: SparkSession, dir: String): DataFrame =
-    ngramPairsMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 3, threshold = 0.5)
-        .localCheckpoint(eager = false))
+    ngramPairsMemo.synchronized {
+      ngramPairsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir,
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+              k = 3, threshold = 0.5)
+            .localCheckpoint(eager = false))
+    }
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 

@@ -166,9 +166,11 @@ object Similarity {
       : org.apache.spark.sql.Column = {
     // arg-max over the centroid array of cosine(v, centroid): a single
     // aggregate fold (O(cells), ties -> lowest cell id) instead of sorting a
-    // scored copy of the array per row
+    // scored copy of the array per row. A null cosine (zero vector) coalesces
+    // to a sub-minimum sentinel so such rows still land in cell 0 instead of
+    // an unprobeable -1.
     val scored = transform(centArr,
-      (c, i) => struct(cosine_similarity(v, c).as("s"), i.as("i")))
+      (c, i) => struct(coalesce(cosine_similarity(v, c), lit(-1.0e300)).as("s"), i.as("i")))
     aggregate(scored,
       struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
       (acc, x) => when(x("s") > acc("s"), x).otherwise(acc))("i")

@@ -311,6 +311,12 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
     * driver; here the batch surrogate id is the range start, unique per
     * micro-batch for a progressing stream). */
   override def close(): Unit = {
+    // release the underlying file reader when Spark abandons the scan early
+    // (e.g. an un-pushed limit stops pulling mid-range)
+    iter match {
+      case c: AutoCloseable => c.close()
+      case _                => ()
+    }
     val elapsed = System.nanoTime() - startedNanos
     if (conf.slowPartitionAdjustment) {
       PartitionThrottler.forLog(conf.throttlerKey)

@@ -112,10 +112,16 @@ class EventLogWrite(
     * failed/speculative attempt and is dropped. */
   private def publish(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val log = EventLogRegistry.ensure(conf)
-    val keys = messages.collect { case m: StagedEventsMessage => m }
+    val staged = messages.collect { case m: StagedEventsMessage => m }
       .sortBy(m => (m.partitionId, m.taskId))
-      .map(_.stagingKey)
-    log.publishStaged(epochPrefix(epochId), keys.toSeq)
+    val published = log.publishStaged(epochPrefix(epochId), staged.map(_.stagingKey).toSeq)
+    val reported = staged.map(_.count).sum
+    // reconcile: a staging buffer that vanished between task commit and
+    // driver commit (log replaced, foreign JVM) must fail the batch loudly,
+    // never report success over lost rows
+    if (published != reported) throw new IllegalStateException(
+      s"staged-write commit for '${conf.name}' epoch $epochId published $published " +
+        s"of $reported reported rows — staging was lost before commit")
   }
 
   private def discard(epochId: Long): Unit = {

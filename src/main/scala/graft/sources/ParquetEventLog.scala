@@ -80,12 +80,14 @@ object ParquetEventLog extends EventLogClient with Logging {
   /** Drop cached metadata/cursors (tests; a changed path between runs). */
   def invalidate(path: String): Unit = {
     metaCache.remove(path)
-    seekCache.keySet.removeIf(_._1 == path)
+    // seek cache is keyed by log NAME ("parquet:<path>#<partitions>")
+    seekCache.keySet.removeIf(k => parseName(k._1)._1 == path)
     val it = cursors.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 == path) { e.getValue.close(); it.remove() }
     }
+    cursorUnsafe.remove(path)
     fullIndex.keySet.removeIf(_._1 == path)
   }
 
@@ -142,8 +144,10 @@ object ParquetEventLog extends EventLogClient with Logging {
     val minId = fms.map(_.minId).min
     val maxId = fms.map(_.maxId).max
     // Dense ⟺ ids exactly fill [minId, maxId]; requires non-overlapping files
-    // so per-file stats can prune receives (overlap would also break the
-    // fill-count argument when duplicates hide gaps).
+    // so per-file stats can prune receives. Footer stats cannot rule out a
+    // duplicate id hiding a gap WITHIN one file ({0,1,1,3} passes the fill
+    // count) — the read paths therefore verify the ids they actually see and
+    // fail loudly on a mismatch rather than serving silently-wrong rows.
     val sorted = fms.sortBy(_.minId)
     val overlapping = sorted.sliding(2).exists {
       case Seq(a, b) => b.minId <= a.maxId
@@ -154,7 +158,8 @@ object ParquetEventLog extends EventLogClient with Logging {
       s"parquet log $path: event_id not provably dense from footer stats; " +
         "falling back to a full partition index (memory-bound — fine for tests, " +
         "not the 100TB path)")
-    LogMeta(path, fms, minId, maxId, rows, dense, schemaStr, tsUnit)
+    // files kept in id order: every sequential read walks them minId-ascending
+    LogMeta(path, sorted, minId, maxId, rows, dense, schemaStr, tsUnit)
   }
 
   // ---- dense-id arithmetic ----
@@ -204,7 +209,15 @@ object ParquetEventLog extends EventLogClient with Logging {
   private def project(meta: LogMeta, fields: Seq[String]): MessageType = {
     val full = MessageTypeParser.parseMessageType(meta.schemaStr)
     val group: org.apache.parquet.schema.GroupType = full
-    new MessageType(full.getName, fields.map(f => group.getType(f)): _*)
+    // event_id/ts are the layout contract; props/event_type are optional and
+    // the Decoder tolerates their absence
+    val present = fields.filter { f =>
+      val has = group.containsField(f)
+      require(has || (f != "event_id" && f != "ts"),
+        s"parquet log ${meta.path}: required column '$f' missing from schema")
+      has
+    }
+    new MessageType(full.getName, present.map(f => group.getType(f)): _*)
   }
 
   private val EventFields = Seq("event_id", "ts", "props", "event_type")
@@ -299,13 +312,27 @@ object ParquetEventLog extends EventLogClient with Logging {
     val until = math.min(latest, saturatingAdd(from, count))
     if (from >= until) return Iterator.empty
     val key = (path, partitions, pid)
-    val cur = cursors.get(key)
+    // the cursor materializes its result, so it only serves micro-batch-sized
+    // tails; anything larger streams lazily through oneShot
+    val cursorable = until - from <= MaxCursorBatchRows && !cursorUnsafe.contains(path)
+    val cur = if (cursorable) cursors.get(key) else null
     if (cur != null && cur.tryAcquireAt(from)) {
       // sequential tail: continue the open cursor (streaming micro-batches)
-      try cur.take(until - from).iterator
-      finally cur.release()
+      val got = try cur.take(until - from) finally cur.release()
+      got match {
+        case Some(events) => events.iterator
+        case None =>
+          // ids did not arrive in the arithmetic order (unsorted rows or a
+          // duplicate id) — cursors are unsafe for this path; the lazy path
+          // verifies completeness itself
+          logWarning(s"parquet log $path: rows not in event_id order; " +
+            "disabling sequential cursors for this path")
+          cursorUnsafe.add(path)
+          Option(cursors.remove(key)).foreach(_.close())
+          oneShot(meta, partitions, pid, from, until)
+      }
     } else {
-      if (cur == null && from > 0) {
+      if (cursorable && cur == null && from > 0) {
         // second-access heuristic: a non-zero start suggests a progressing
         // stream; install a cursor so the NEXT batch tails sequentially
         cursors.computeIfAbsent(key, _ => new Cursor(meta, partitions, pid))
@@ -314,45 +341,68 @@ object ParquetEventLog extends EventLogClient with Logging {
     }
   }
 
+  /** Above this many rows a receive always streams lazily (the cursor buffers
+    * its result; admission-controlled micro-batches sit far below this). */
+  private val MaxCursorBatchRows: Long = 1L << 20
+
+  private val cursorUnsafe =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def saturatingAdd(a: Long, b: Long): Long = {
     val s = a + b
     if (s < a) Long.MaxValue else s
   }
 
-  /** One bounded filtered read: lazy over row-group-pruned files. */
+  /**
+   * One bounded filtered read: a single lazy iterator over the (id-sorted,
+   * row-group-pruned) files. Closeable — the partition reader closes it when
+   * Spark abandons the scan early — and self-verifying: on natural
+   * exhaustion the emitted row count must equal the requested range, which
+   * catches duplicate ids hiding gaps that footer stats cannot see.
+   */
   private def oneShot(
       meta: LogMeta, partitions: Int, pid: Int, from: Long, until: Long)
       : Iterator[(SequenceNumber, Event)] = {
     val f0 = firstId(meta, pid, partitions)
     val idLo = f0 + from * partitions
     val idHi = f0 + (until - 1) * partitions
-    val files = meta.files.filter(fm => fm.maxId >= idLo && fm.minId <= idHi).sortBy(_.minId)
+    val files = meta.files.filter(fm => fm.maxId >= idLo && fm.minId <= idHi)
     val dec = new Decoder(project(meta, EventFields), meta.tsUnit)
     val pred = idRangeFilter(idLo, idHi)
-    files.iterator.flatMap { fm =>
-      new Iterator[(SequenceNumber, Event)] {
-        private var r: ParquetReader[Group] = _
-        private var nextItem: (SequenceNumber, Event) = _
-        private def advance(): Unit = {
-          if (r == null) r = openReader(meta, fm.file, EventFields, Some(pred))
-          nextItem = null
-          var g = r.read()
-          while (g != null && nextItem == null) {
+    new Iterator[(SequenceNumber, Event)] with AutoCloseable {
+      private var fileIdx = 0
+      private var r: ParquetReader[Group] = _
+      private var emitted = 0L
+      private var nextItem: (SequenceNumber, Event) = _
+      private def advance(): Unit = {
+        nextItem = null
+        while (nextItem == null && (r != null || fileIdx < files.length)) {
+          if (r == null) {
+            r = openReader(meta, files(fileIdx).file, EventFields, Some(pred))
+            fileIdx += 1
+          }
+          val g = r.read()
+          if (g == null) { r.close(); r = null }
+          else {
             val id = dec.id(g)
             if (id >= idLo && id <= idHi && math.floorMod(id, partitions.toLong) == pid.toLong)
               nextItem = ((id - f0) / partitions, dec.event(g))
-            else g = r.read()
           }
-          if (nextItem == null) { r.close(); r = null }
         }
-        advance()
-        override def hasNext: Boolean = nextItem != null
-        override def next(): (SequenceNumber, Event) = {
-          val out = nextItem
-          advance()
-          out
-        }
+        if (nextItem == null && emitted != until - from) throw new IllegalStateException(
+          s"parquet log ${meta.path}: partition $pid range [$from,$until) yielded " +
+            s"$emitted rows — event_ids are not densely unique (a duplicate id is " +
+            "hiding a gap); repair the data or break footer density (e.g. split files)")
       }
+      advance()
+      override def hasNext: Boolean = nextItem != null
+      override def next(): (SequenceNumber, Event) = {
+        val out = nextItem
+        emitted += 1
+        advance()
+        out
+      }
+      override def close(): Unit = if (r != null) { r.close(); r = null }
     }
   }
 
@@ -394,8 +444,12 @@ object ParquetEventLog extends EventLogClient with Logging {
       fileIdx = 0
     }
 
-    /** Read up to n events of this partition from nextSeq forward. */
-    def take(n: Long): ArrayBuffer[(SequenceNumber, Event)] = {
+    /** Read up to n events of this partition from nextSeq forward. Every
+      * delivered row must carry EXACTLY the arithmetic id f0 + seq*P — dense
+      * layout makes the expectation exact, so unsorted rows or duplicate ids
+      * are detected on first contact (returns None; caller falls back to the
+      * self-verifying lazy path). */
+    def take(n: Long): Option[ArrayBuffer[(SequenceNumber, Event)]] = {
       val out = new ArrayBuffer[(SequenceNumber, Event)](math.min(n, 1 << 20).toInt)
       val idLo = f0 + nextSeq * partitions
       if (reader == null) {
@@ -413,12 +467,13 @@ object ParquetEventLog extends EventLogClient with Logging {
         } else {
           val id = dec.id(g)
           if (id >= idLo && math.floorMod(id, partitions.toLong) == pid.toLong) {
-            out += (((id - f0) / partitions, dec.event(g)))
+            if (id != f0 + nextSeq * partitions) return None // out of order / duplicate
+            out += ((nextSeq, dec.event(g)))
             nextSeq += 1
           }
         }
       }
-      out
+      Some(out)
     }
 
     private def openCurrent(idLo: Long): Unit = {

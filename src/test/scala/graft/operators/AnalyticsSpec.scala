@@ -369,6 +369,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.nonEmpty && top.length <= 10)
   }
 
+  test("zero vectors land in a probeable IVF cell, never -1") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(cells(2L) >= 0, s"zero vector assigned unprobeable cell ${cells(2L)}")
+  }
+
   test("persisted IVF index answers identically after reload (cell-pruned files)") {
     val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
     val idx = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)

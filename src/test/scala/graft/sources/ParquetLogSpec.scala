@@ -194,6 +194,44 @@ class ParquetLogSpec extends AnyFunSuite {
     assert(graft.GraftEventLog.count(logName(4)) == 1000L)
   }
 
+  test("rows not in event_id order: cursor bails out, results stay correct") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dir = java.nio.file.Files.createTempDirectory("pq-unsorted").toString
+    // one file, rows deliberately NOT ordered by event_id
+    spark.range(0, 200)
+      .select($"id".as("event_id"), timestamp_micros($"id" * 1000000L).as("ts"),
+        concat(lit("u"), $"id").as("props"), lit("t").as("event_type"))
+      .orderBy(md5($"event_id".cast("string")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val name = EventLogConf.parquetLogName(dir, 4)
+    // chunked tail: second call installs a cursor, third hits it and must
+    // detect the disorder and fall back rather than mis-map seqNos. Each
+    // chunk must deliver exactly its requested range (order follows file
+    // layout; every row carries its true sequenceNumber)
+    Seq((0L, 20L), (20L, 10L), (30L, 20L)).foreach { case (f, n) =>
+      val chunk = ParquetEventLog.receive(name, 1, f, n).toVector
+      assert(chunk.map(_._1).toSet == (f until f + n).toSet, s"chunk [$f,${f + n})")
+      chunk.foreach { case (seq, e) =>
+        assert(new String(e.body, "UTF-8") == s"u${1 + seq * 4}", s"seq $seq payload")
+      }
+    }
+  }
+
+  test("duplicate ids that fake density fail loudly instead of serving wrong rows") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dir = java.nio.file.Files.createTempDirectory("pq-dup").toString
+    Seq(0L, 1L, 1L, 3L).toDF("event_id")
+      .select($"event_id", timestamp_micros($"event_id" * 1000000L).as("ts"),
+        lit("d").as("props"), lit("t").as("event_type"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val name = EventLogConf.parquetLogName(dir, 4)
+    // footer stats say dense (rows=4, span 0..3); the data is not
+    val e = intercept[IllegalStateException] {
+      ParquetEventLog.receive(name, 2, 0, 10).toVector // id 2 is the hidden gap
+    }
+    assert(e.getMessage.contains("densely unique"), e.getMessage)
+  }
+
   test("missing path fails planning loudly") {
     val err = intercept[Exception] {
       graft.GraftEventLog.readParquetLog(spark, "/no/such/file.parquet", 4).count()
