@@ -172,6 +172,10 @@ object EventLogRegistry extends EventLogClient {
   }
 
   def exists(name: String): Boolean = logs.containsKey(name)
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    logs.keySet().asScala.toSeq.sorted
+  }
   def drop(name: String): Unit = logs.remove(name)
   def reset(): Unit = logs.clear()
 

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * DSv2 TableCatalog over the event-log registry: with
+ * `spark.sql.catalog.graft=graft.sources.EventLogCatalog`, logs are plain
+ * SQL tables —
+ *
+ *   CREATE TABLE graft.hub TBLPROPERTIES ('partitions'='4')
+ *   INSERT INTO graft.hub SELECT body, partitionKey FROM staged
+ *   SELECT partition, count(*) FROM graft.hub GROUP BY 1
+ *
+ * The reference exposes logs only through the DataFrame reader options;
+ * a catalog is the idiomatic Spark 4 surface for the same capability and
+ * costs nothing extra — the Table returned is the same EventLogTable the
+ * format("graft-eventlog") path plans through.
+ */
+class EventLogCatalog extends TableCatalog {
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def logName(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty, "graft catalog has a single flat namespace")
+    EventLogRegistry.names.map(n => Identifier.of(Array.empty, n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val n = logName(ident)
+    if (!EventLogRegistry.exists(n)) throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    new EventLogTable(EventLogConf(Map("name" -> n)))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val n = logName(ident)
+    if (EventLogRegistry.exists(n))
+      throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    // the row schema is the connector's fixed 9-column contract; a declared
+    // schema is ignored (ACCEPT_ANY_SCHEMA governs writes)
+    val p = Option(properties.get("partitions")).map(_.toInt)
+      .getOrElse(types.DefaultPartitionCount)
+    EventLogRegistry.create(n, p)
+    new EventLogTable(EventLogConf(Map("name" -> n, "partitions" -> p.toString)))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("event logs have a fixed schema")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val n = logName(ident)
+    val existed = EventLogRegistry.exists(n)
+    EventLogRegistry.drop(n)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("event logs cannot be renamed")
+
+  override def tableExists(ident: Identifier): Boolean =
+    EventLogRegistry.exists(logName(ident))
+}

@@ -70,11 +70,16 @@ class EventLogTable(conf: EventLogConf) extends Table
       TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
 
+  // per-scan/write options override the table's own (catalog-loaded tables
+  // arrive with empty options; format() reads carry everything here)
+  private def merged(options: CaseInsensitiveStringMap): EventLogConf =
+    EventLogConf(conf.options ++ EventLogConf(options).options)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EventLogScanBuilder(EventLogConf(options))
+    new EventLogScanBuilder(merged(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new EventLogWriteBuilder(EventLogConf(info.options()), info.schema(), info.queryId())
+    new EventLogWriteBuilder(merged(info.options()), info.schema(), info.queryId())
 }
 
 /**

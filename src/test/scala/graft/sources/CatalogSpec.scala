@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SQL-addressable event logs through the DSv2 TableCatalog. */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[EventLogCatalog].getName)
+    s
+  }
+  import spark.implicits._
+
+  test("CREATE / INSERT / SELECT / DROP an event log as a SQL table") {
+    EventLogRegistry.drop("cat1")
+    spark.sql("CREATE TABLE graft.cat1 TBLPROPERTIES ('partitions'='2')")
+    assert(EventLogRegistry.exists("cat1"))
+    assert(EventLogRegistry.get("cat1").numPartitions == 2)
+
+    Seq("a", "b", "c", "d").toDF("body").createOrReplaceTempView("cat1_staged")
+    spark.sql("INSERT INTO graft.cat1 SELECT body FROM cat1_staged")
+    val got = spark.sql(
+      "SELECT CAST(body AS STRING) AS s FROM graft.cat1 ORDER BY s")
+      .as[String].collect().toSeq
+    assert(got == Seq("a", "b", "c", "d"))
+    assert(spark.sql("SELECT count(*) FROM graft.cat1").as[Long].head() == 4L)
+
+    spark.sql("DROP TABLE graft.cat1")
+    assert(!EventLogRegistry.exists("cat1"))
+  }
+
+  test("existing registry logs are visible; missing tables fail analysis") {
+    EventLogRegistry.drop("cat2")
+    val log = EventLogRegistry.create("cat2", 2)
+    for (p <- 0 until 2; i <- 0 until 5)
+      log.append(p, Event(s"$p-$i".getBytes("UTF-8"), (i + 1) * 1000000L))
+    val counts = spark.sql(
+      "SELECT partition, count(*) AS n FROM graft.cat2 GROUP BY 1 ORDER BY 1")
+      .as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("0", 5L), ("1", 5L)))
+    assert(spark.sql("SHOW TABLES IN graft").as[(String, String, Boolean)]
+      .collect().exists(_._2 == "cat2"))
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft.no_such_log").collect())
+    assert(e.getMessage.toLowerCase.contains("table") ||
+      e.getMessage.contains("no_such_log"))
+  }
+
+  test("pushdown flows through the catalog path identically") {
+    EventLogRegistry.drop("cat3")
+    val log = EventLogRegistry.create("cat3", 1)
+    for (i <- 0 until 100) log.append(0, Event(s"e$i".getBytes, (i + 1) * 1000000L))
+    val df = spark.sql("SELECT sequenceNumber FROM graft.cat3 WHERE sequenceNumber >= 90")
+    assert(df.count() == 10)
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves().head.schema
+    assert(scanSchema.fieldNames.toSet == Set("sequenceNumber"))
+  }
+}
