@@ -232,6 +232,40 @@ class ParquetLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("densely unique"), e.getMessage)
   }
 
+  test("interleaved readers at different positions never corrupt each other") {
+    val name = logName(4)
+    ParquetEventLog.invalidate(path)
+    val expected = ParquetEventLog.receive(name, 3, 0, 250).toVector.toMap
+    ParquetEventLog.invalidate(path)
+    // two logical readers tailing the same partition from different offsets,
+    // interleaved — cursor repositioning/fallback must keep both correct
+    val a = Seq((0L, 30L), (30L, 30L), (60L, 30L))
+    val b = Seq((100L, 40L), (140L, 40L), (180L, 40L))
+    val interleaved = a.zip(b).flatMap { case (ra, rb) => Seq(ra, rb) }
+    interleaved.foreach { case (from, n) =>
+      val got = ParquetEventLog.receive(name, 3, from, n).toVector
+      assert(got.map(_._1) == (from until from + n).toVector, s"range [$from,${from + n})")
+      got.foreach { case (seq, e) =>
+        assert(java.util.Arrays.equals(e.body, expected(seq).body), s"payload at $seq")
+      }
+    }
+    // and truly concurrent: 8 threads x alternating ranges
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 5).foreach { i =>
+            val from = (t * 13 + i * 37) % 200
+            val got = ParquetEventLog.receive(name, 3, from.toLong, 17L).toVector
+            assert(got.map(_._1) == (from.toLong until math.min(250L, from + 17L)).toVector)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"concurrent reads failed: ${errs.peek()}")
+  }
+
   test("missing path fails planning loudly") {
     val err = intercept[Exception] {
       graft.GraftEventLog.readParquetLog(spark, "/no/such/file.parquet", 4).count()
