@@ -35,14 +35,7 @@ object CorpusOps {
       col(idCol).as(outId),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
     val benchIdx = index(bench, "bench_id").localCheckpoint(eager = false)
-    val hot = benchIdx.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDf)
-      .localCheckpoint(eager = true)
-    val Seq(nHot, rowsHot) = hot
-      .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
-      .collect().head.toSeq.map(v => v.asInstanceOf[Long])
-    Dedup.recordDropsFor("decontaminate", nHot, rowsHot, maxShingleDf)
-    val benchCold = benchIdx.join(hot.select(col("s")), Seq("s"), "left_anti")
+    val benchCold = Dedup.dropHotKeys(benchIdx, Seq("s"), maxShingleDf, "decontaminate")
     index(corpus, "doc_id")
       .join(benchCold, "s")
       .groupBy(col("doc_id"), col("bench_id"))

@@ -35,9 +35,24 @@ object Dedup extends Logging {
     * this JVM (None = operator not yet run). */
   def lastDropStats(tag: String): Option[DropStats] = Option(dropStats.get(tag))
 
-  /** Shared drop-accounting entry point for sibling operators (CorpusOps). */
-  private[operators] def recordDropsFor(tag: String, buckets: Long, rows: Long, cap: Int): Unit =
-    recordDrops(tag, buckets, rows, cap)
+  /**
+   * The shared skew guard: drop index rows whose key (shingle, fingerprint,
+   * LSH bucket) occurs in more than `cap` rows, recording and logging what
+   * was dropped under `tag`. The hot-key table is one narrow row per
+   * distinct key — metadata-scale — and computing it eagerly also forces
+   * the index's checkpoint, which the caller's self-join then reuses.
+   */
+  private[operators] def dropHotKeys(
+      index: DataFrame, keyCols: Seq[String], cap: Int, tag: String): DataFrame = {
+    val hot = index.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cap)
+      .localCheckpoint(eager = true)
+    val Seq(nHot, rowsHot) = hot
+      .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
+      .collect().head.toSeq.map(v => v.asInstanceOf[Long])
+    recordDrops(tag, nHot, rowsHot, cap)
+    index.join(hot.select(keyCols.map(col): _*), keyCols, "left_anti")
+  }
 
   private def recordDrops(tag: String, buckets: Long, rows: Long, cap: Int): Unit = {
     dropStats.put(tag, DropStats(buckets, rows))
@@ -89,17 +104,7 @@ object Dedup extends Logging {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
       .localCheckpoint(eager = false)
-    // hot-shingle guard: the df table is one narrow row per distinct shingle,
-    // and counting the hot ones is a metadata-scale job on the checkpointed
-    // index (also forces the checkpoint the self-join reuses)
-    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDf)
-      .localCheckpoint(eager = true)
-    val Seq(nHot, rowsHot) = hot
-      .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
-      .collect().head.toSeq.map(v => v.asInstanceOf[Long])
-    recordDrops("ngramJaccardPairs", nHot, rowsHot, maxShingleDf)
-    val sized = sh.join(hot.select(col("s")), Seq("s"), "left_anti")
+    val sized = dropHotKeys(sh, Seq("s"), maxShingleDf, "ngramJaccardPairs")
     val a = sized.as("a"); val b = sized.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -167,18 +172,7 @@ object Dedup extends Logging {
       banded0: DataFrame, bucketCol: String, maxBucketSize: Int, tag: String)
       : DataFrame = {
     val banded = banded0.localCheckpoint(eager = false)
-    // one narrow row per distinct (band, bucket): metadata-scale relative to
-    // the index, and computing it forces the checkpoint the join reuses
-    val hot = banded.groupBy(col("band"), col(bucketCol))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucketSize)
-      .localCheckpoint(eager = true)
-    val Seq(nHot, rowsHot) = hot
-      .agg(count(lit(1)), coalesce(sum(col("__bsz")), lit(0L)))
-      .collect().head.toSeq.map(v => v.asInstanceOf[Long])
-    recordDrops(tag, nHot, rowsHot, maxBucketSize)
-    val sized = banded.join(
-      hot.select(col("band"), col(bucketCol)), Seq("band", bucketCol), "left_anti")
+    val sized = dropHotKeys(banded, Seq("band", bucketCol), maxBucketSize, tag)
     val a = sized.as("a"); val b = sized.as("b")
     a.join(b, col(s"a.band") === col(s"b.band") &&
         col(s"a.$bucketCol") === col(s"b.$bucketCol") &&
@@ -316,9 +310,9 @@ object Dedup extends Logging {
       maxFingerprintDf: Int = 1000): DataFrame = {
     val fp = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(rolling_fingerprints(col(textCol), ngram, window))).as("f"))
+      .localCheckpoint(eager = false)
     // df-cap: a fingerprint present in thousands of docs is a stop-phrase
-    val sized = fp.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("f"))))
-      .filter(col("__df") <= maxFingerprintDf).drop("__df")
+    val sized = dropHotKeys(fp, Seq("f"), maxFingerprintDf, "fingerprintPairs")
     val a = sized.as("a"); val b = sized.as("b")
     a.join(b, col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

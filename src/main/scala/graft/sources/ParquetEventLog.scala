@@ -89,6 +89,7 @@ object ParquetEventLog extends EventLogClient with Logging {
     }
     cursorUnsafe.remove(path)
     fullIndex.keySet.removeIf(_._1 == path)
+    projCache.keySet.removeIf(_._1 == path)
   }
 
   private[sources] def metaFor(path: String): LogMeta =
@@ -206,19 +207,24 @@ object ParquetEventLog extends EventLogClient with Logging {
     }
   }
 
-  private def project(meta: LogMeta, fields: Seq[String]): MessageType = {
-    val full = MessageTypeParser.parseMessageType(meta.schemaStr)
-    val group: org.apache.parquet.schema.GroupType = full
-    // event_id/ts are the layout contract; props/event_type are optional and
-    // the Decoder tolerates their absence
-    val present = fields.filter { f =>
-      val has = group.containsField(f)
-      require(has || (f != "event_id" && f != "ts"),
-        s"parquet log ${meta.path}: required column '$f' missing from schema")
-      has
-    }
-    new MessageType(full.getName, present.map(f => group.getType(f)): _*)
-  }
+  // memoized per (path, fields): reader opens happen per micro-batch chunk
+  // and re-parsing the schema string each time is pure waste
+  private val projCache = new ConcurrentHashMap[(String, Seq[String]), MessageType]()
+
+  private def project(meta: LogMeta, fields: Seq[String]): MessageType =
+    projCache.computeIfAbsent((meta.path, fields), _ => {
+      val full = MessageTypeParser.parseMessageType(meta.schemaStr)
+      val group: org.apache.parquet.schema.GroupType = full
+      // event_id/ts are the layout contract; props/event_type are optional and
+      // the Decoder tolerates their absence
+      val present = fields.filter { f =>
+        val has = group.containsField(f)
+        require(has || (f != "event_id" && f != "ts"),
+          s"parquet log ${meta.path}: required column '$f' missing from schema")
+        has
+      }
+      new MessageType(full.getName, present.map(f => group.getType(f)): _*)
+    })
 
   private val EventFields = Seq("event_id", "ts", "props", "event_type")
   private val SeekFields = Seq("event_id", "ts")
@@ -276,10 +282,10 @@ object ParquetEventLog extends EventLogClient with Logging {
     }
     val filter = FilterApi.gtEq(FilterApi.longColumn("ts"), java.lang.Long.valueOf(bound))
     val best = Array.fill(partitions)(Long.MaxValue) // min matching event_id per pid
+    val dec = new Decoder(project(meta, SeekFields), meta.tsUnit)
     meta.files.foreach { fm =>
       val r = openReader(meta, fm.file, SeekFields, Some(filter))
       try {
-        val dec = new Decoder(project(meta, SeekFields), meta.tsUnit)
         var g = r.read()
         while (g != null) {
           if (dec.tsMicros(g) >= micros) {
