@@ -336,6 +336,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_catalog_roundtrip" -> ((s, dir) => {
+      // the pure-SQL lifecycle: CREATE a log as a catalog table, INSERT the
+      // events table into it with explicit partition routing, aggregate it
+      // back — planning through the same DSv2 Table as the format() path
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.EventLogCatalog")
+      val hub = "catrt" + java.util.UUID.randomUUID().toString.replace("-", "")
+      s.sql(s"CREATE TABLE graft.$hub TBLPROPERTIES ('partitions'='4')")
+      Tables.events(s, dir).createOrReplaceTempView(s"${hub}_src")
+      s.sql(s"""INSERT INTO graft.$hub
+                SELECT props AS body, CAST(event_id % 4 AS STRING) AS partition
+                FROM ${hub}_src""")
+      s.sql(s"""SELECT partition, count(*) AS n FROM graft.$hub
+                GROUP BY partition ORDER BY partition""")
+    }),
+
     "q_sink_foreach" -> ((s, dir) => {
       // ForeachWriter sink (ref S11): stream the log through the row-typed
       // foreach writer into a fresh hub, routed by explicit partition id so
@@ -916,6 +931,10 @@ object SparkEntry {
           |       dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk
           |      FROM events)
           |WHERE rk <= 3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_catalog_roundtrip" ->
+        """SELECT CAST(event_id % 4 AS VARCHAR) AS "partition", count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_source_scan" ->
         s"""SELECT CAST(pid AS VARCHAR) AS "partition", rk AS sequenceNumber,

@@ -48,6 +48,18 @@ class CatalogSpec extends AnyFunSuite {
       e.getMessage.contains("no_such_log"))
   }
 
+  test("streaming reads work through the catalog (readStream.table)") {
+    EventLogRegistry.drop("cat4")
+    val log = EventLogRegistry.create("cat4", 2)
+    for (p <- 0 until 2; i <- 0 until 30)
+      log.append(p, Event(s"$p-$i".getBytes, (i + 1) * 1000000L))
+    val q = spark.readStream.table("graft.cat4")
+      .writeStream.format("memory").queryName("cat4_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("cat4_out").count() == 60)
+  }
+
   test("pushdown flows through the catalog path identically") {
     EventLogRegistry.drop("cat3")
     val log = EventLogRegistry.create("cat3", 1)
