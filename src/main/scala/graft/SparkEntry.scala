@@ -336,6 +336,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_sketch_terms" -> ((s, dir) => {
+      // mergeable Count-Min term frequencies; point estimates read from the
+      // KB-sized sketch, never from the data (rows-only gate: CMS internals
+      // are library-specific; the one-sided error bound is unit-tested)
+      import s.implicits._
+      val cms = operators.Sketches.termFrequencySketch(Tables.documents(s, dir), "text")
+        .head().getAs[Array[Byte]]("cms")
+      val terms = Seq("data", "key", "spark", "table", "value")
+      operators.Sketches.estimateTermCounts(cms, terms).toSeq
+        .toDF("term", "est_count").orderBy(col("term"))
+    }),
+
     "q_catalog_roundtrip" -> ((s, dir) => {
       // the pure-SQL lifecycle: CREATE a log as a catalog table, INSERT the
       // events table into it with explicit partition routing, aggregate it
@@ -701,8 +713,8 @@ object SparkEntry {
   // DuckDB oracle SQL — identical semantics, identical column names.
   // Omitted keys (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
   // q_dedup_winnow, q_ann_lsh, q_ann_ivf, q_sketch_distinct,
-  // q_multimodal_decode) are LSH/sketch/stub-based and not exactly
-  // SQL-expressible → driver's weaker rows-only check.
+  // q_sketch_terms, q_multimodal_decode) are LSH/sketch/stub-based and not
+  // exactly SQL-expressible → driver's weaker rows-only check.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {
     val srcRank =

@@ -45,6 +45,31 @@ object Sketches {
         percentile_approx(value, array(quantiles.map(lit): _*), lit(10000))
           .as("quantiles"))
 
+  /**
+   * Mergeable approximate term-frequency sketch (Count-Min): one pass over
+   * the exploded words builds a KB-sized CMS per group; estimates are read
+   * driver-side without rescanning. The CMS guarantee is one-sided —
+   * estimate >= true count, overshoot bounded by eps * totalTerms with
+   * probability `confidence` — which is exactly what stop-word thresholds
+   * and df-cap tuning need at corpus scale. Spark's native `count_min_sketch`
+   * aggregate supplies mergeable partials (map-side combine, same shape as
+   * the HLL path above).
+   */
+  def termFrequencySketch(
+      docs: DataFrame, textCol: String,
+      eps: Double = 0.0001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .agg(count_min_sketch(col("term"), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+
+  /** Driver-side point queries against a serialized CMS. */
+  def estimateTermCounts(cmsBytes: Array[Byte], terms: Seq[String]): Map[String, Long] = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cmsBytes))
+    terms.map(t => t -> cms.estimateCount(t)).toMap
+  }
+
   /** Exact numeric profile per group: count/avg/stddev plus exact
     * linear-interpolated percentiles (`percentile`, the sort-based exact
     * aggregate — the small-group / verification counterpart of

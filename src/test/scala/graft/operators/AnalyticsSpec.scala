@@ -369,6 +369,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.nonEmpty && top.length <= 10)
   }
 
+  test("count-min term sketch: one-sided error within the eps bound") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+    val cms = Sketches.termFrequencySketch(docs, "text", eps = 0.001)
+      .head().getAs[Array[Byte]]("cms")
+    val exact = docs.select(explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count()
+      .as[(String, Long)].collect().toMap
+    val totalTerms = exact.values.sum
+    val probe = Seq("data", "key", "spark", "value", "zzz_absent_zzz")
+    val est = Sketches.estimateTermCounts(cms, probe)
+    probe.foreach { t =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est(t) >= truth, s"CMS must never undercount ($t)")
+      assert(est(t) <= truth + (0.001 * totalTerms * 3).toLong + 1,
+        s"overshoot for $t: est ${est(t)} vs $truth")
+    }
+  }
+
   test("zero vectors land in a probeable IVF cell, never -1") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.0f, 0.0f)))
