@@ -42,8 +42,15 @@ class EventLogCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val n = logName(ident)
-    if (!EventLogRegistry.exists(n)) throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    new EventLogTable(EventLogConf(Map("name" -> n)))
+    if (n.startsWith("parquet:")) {
+      // file-backed logs are addressable too:
+      //   SELECT * FROM graft.`parquet:/data/events.parquet#4`
+      val (path, partitions) = ParquetEventLog.parseName(n)
+      new EventLogTable(EventLogConf(
+        Map("path" -> path, "partitions" -> partitions.toString)))
+    } else if (EventLogRegistry.exists(n)) {
+      new EventLogTable(EventLogConf(Map("name" -> n)))
+    } else throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
   }
 
   override def createTable(
@@ -75,6 +82,11 @@ class EventLogCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("event logs cannot be renamed")
 
-  override def tableExists(ident: Identifier): Boolean =
-    EventLogRegistry.exists(logName(ident))
+  override def tableExists(ident: Identifier): Boolean = {
+    val n = logName(ident)
+    if (n.startsWith("parquet:"))
+      try { ParquetEventLog.validate(ParquetEventLog.parseName(n)._1); true }
+      catch { case _: Exception => false }
+    else EventLogRegistry.exists(n)
+  }
 }

@@ -60,6 +60,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("cat4_out").count() == 60)
   }
 
+  test("parquet-backed logs are SQL-addressable and read-only via the catalog") {
+    val path = s"${SparkTestSession.sf0001}/events.parquet"
+    val n = spark.sql(s"SELECT count(*) FROM graft.`parquet:$path#4`").as[Long].head()
+    assert(n == 1000L)
+    val perPart = spark.sql(
+      s"SELECT partition, count(*) AS c FROM graft.`parquet:$path#4` GROUP BY 1 ORDER BY 1")
+      .as[(String, Long)].collect()
+    assert(perPart.map(_._2).sum == 1000L && perPart.length == 4)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`parquet:$path#4` SELECT 'x' AS body")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("read-only")))
+  }
+
   test("pushdown flows through the catalog path identically") {
     EventLogRegistry.drop("cat3")
     val log = EventLogRegistry.create("cat3", 1)
