@@ -38,10 +38,12 @@ import types._
  * arithmetic id sequence firstId(p), firstId(p)+P, ... so per-partition
  * bounds are O(1) arithmetic and `receive(pid, from, count)` maps to a
  * contiguous event_id range, read on the EXECUTOR with parquet row-group +
- * record filtering. Sequential micro-batch tails additionally reuse a
- * per-(log, partition) open cursor — the file-backed analog of the
- * reference's cached receiver (C3: CachedEventHubsReceiver.scala:48-89),
- * which is exactly what preferred-location placement (S6) keeps warm.
+ * record filtering. Micro-batch reads share ONE striped cursor per
+ * (log, partitions): a single decode pass routes each row to its partition's
+ * buffer, so P concurrent partition tasks cost one pass instead of P mod-P
+ * re-decodes — the file-backed analog of the reference's cached receiver
+ * (C3: CachedEventHubsReceiver.scala:48-89), which is exactly what
+ * preferred-location placement (S6) keeps warm.
  *
  * The reference's scan contract this re-expresses: one task reads one
  * partition's offset range directly from the service
@@ -59,7 +61,11 @@ object ParquetEventLog extends EventLogClient with Logging {
   // ---- footer metadata (cached per path; immutable inputs) ----
 
   private[sources] final case class FileMeta(
-      file: String, rows: Long, minId: Long, maxId: Long)
+      file: String, rows: Long, minId: Long, maxId: Long,
+      // enqueuedTime bounds in DECODED micros (exact: floorDiv conversion is
+      // monotone, matching Decoder.tsMicros); tsStatsOk=false => unknown
+      tsMinMicros: Long = Long.MinValue, tsMaxMicros: Long = Long.MaxValue,
+      tsStatsOk: Boolean = false)
 
   private[sources] final case class LogMeta(
       path: String,
@@ -70,6 +76,11 @@ object ParquetEventLog extends EventLogClient with Logging {
       dense: Boolean,
       schemaStr: String,
       tsUnit: LogicalTypeAnnotation.TimeUnit)
+
+  /** Parquet records decoded in this JVM (all paths). The striped cursor's
+    * whole point is keeping this at ~1× the rows actually served; tests and
+    * source metrics read it. */
+  val decodedRecords = new java.util.concurrent.atomic.LongAdder()
 
   private val metaCache = new ConcurrentHashMap[String, LogMeta]()
   private val seekCache = new ConcurrentHashMap[(String, Long), Map[PartitionId, SequenceNumber]]()
@@ -82,12 +93,11 @@ object ParquetEventLog extends EventLogClient with Logging {
     metaCache.remove(path)
     // seek cache is keyed by log NAME ("parquet:<path>#<partitions>")
     seekCache.keySet.removeIf(k => parseName(k._1)._1 == path)
-    val it = cursors.entrySet().iterator()
+    val it = stripes.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 == path) { e.getValue.close(); it.remove() }
     }
-    cursorUnsafe.remove(path)
     fullIndex.keySet.removeIf(_._1 == path)
     projCache.keySet.removeIf(_._1 == path)
   }
@@ -128,6 +138,7 @@ object ParquetEventLog extends EventLogClient with Logging {
           }
         }
         var minId = Long.MaxValue; var maxId = Long.MinValue; var rows = 0L
+        var tsMin = Long.MaxValue; var tsMax = Long.MinValue; var tsOk = true
         footer.getBlocks.asScala.foreach { b =>
           rows += b.getRowCount
           b.getColumns.asScala.find(_.getPath.toDotString == "event_id") match {
@@ -137,8 +148,26 @@ object ParquetEventLog extends EventLogClient with Logging {
               maxId = math.max(maxId, c.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
             case _ => statsOk = false
           }
+          b.getColumns.asScala.find(_.getPath.toDotString == "ts") match {
+            case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue &&
+                c.getStatistics.getNumNulls == 0 =>
+              tsMin = math.min(tsMin, c.getStatistics.genericGetMin.asInstanceOf[Number].longValue)
+              tsMax = math.max(tsMax, c.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
+            case _ => tsOk = false
+          }
         }
-        FileMeta(f.toString, rows, minId, maxId)
+        // convert raw ts stats to decoded micros; floorDiv is monotone so the
+        // converted bounds are exact bounds of the decoded values
+        def toMicros(raw: Long): Long = tsUnit match {
+          case LogicalTypeAnnotation.TimeUnit.NANOS  => Math.floorDiv(raw, 1000L)
+          case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            if (raw > Long.MaxValue / 1000L) Long.MaxValue else raw * 1000L
+        }
+        FileMeta(f.toString, rows, minId, maxId,
+          if (tsOk) toMicros(tsMin) else Long.MinValue,
+          if (tsOk) toMicros(tsMax) else Long.MaxValue,
+          tsOk)
       } finally r.close()
     }
     val rows = fms.map(_.rows).sum
@@ -268,8 +297,15 @@ object ParquetEventLog extends EventLogClient with Logging {
 
   /** min seqNo with enqueuedTime >= micros, per partition (latest if none) —
     * identical to InMemoryEventLog.seek's first-index semantics because seqNo
-    * increases with event_id. One tail scan for all partitions, row groups
-    * below the time bound skipped via stats. */
+    * increases with event_id.
+    *
+    * Scale contract: this runs DRIVER-side during planning, so it must not
+    * scan the corpus. Footer ts stats classify each file: entirely below the
+    * bound => skipped; entirely at-or-above => the min matching id per
+    * partition is pure arithmetic on the file's id range; only files that
+    * STRADDLE the bound are record-scanned (for a time-ordered log that is
+    * at most one file), and a straddler that cannot beat the ids already
+    * found is skipped too. */
   private def seekAll(path: String, partitions: Int, micros: Long): Map[PartitionId, SequenceNumber] = {
     val meta = metaFor(path)
     if (!meta.dense) return seekAllIndexed(path, partitions, micros)
@@ -280,22 +316,41 @@ object ParquetEventLog extends EventLogClient with Logging {
       case LogicalTypeAnnotation.TimeUnit.MICROS => micros
       case LogicalTypeAnnotation.TimeUnit.MILLIS => Math.floorDiv(micros, 1000L)
     }
-    val filter = FilterApi.gtEq(FilterApi.longColumn("ts"), java.lang.Long.valueOf(bound))
     val best = Array.fill(partitions)(Long.MaxValue) // min matching event_id per pid
-    val dec = new Decoder(project(meta, SeekFields), meta.tsUnit)
+    def improve(id: Long): Unit = {
+      val p = math.floorMod(id, partitions.toLong).toInt
+      if (id < best(p)) best(p) = id
+    }
+    val straddlers = scala.collection.mutable.ArrayBuffer.empty[FileMeta]
     meta.files.foreach { fm =>
-      val r = openReader(meta, fm.file, SeekFields, Some(filter))
-      try {
-        var g = r.read()
-        while (g != null) {
-          if (dec.tsMicros(g) >= micros) {
-            val id = dec.id(g)
-            val p = math.floorMod(id, partitions.toLong).toInt
-            if (id < best(p)) best(p) = id
-          }
-          g = r.read()
+      if (fm.tsStatsOk && fm.tsMaxMicros < micros) () // no row can match
+      else if (fm.tsStatsOk && fm.tsMinMicros >= micros) {
+        // every row matches: first id of each residue class in [minId, maxId]
+        var p = 0
+        while (p < partitions) {
+          val first =
+            fm.minId + math.floorMod(p.toLong - math.floorMod(fm.minId, partitions.toLong),
+              partitions.toLong)
+          if (first <= fm.maxId) improve(first)
+          p += 1
         }
-      } finally r.close()
+      } else straddlers += fm
+    }
+    val filter = FilterApi.gtEq(FilterApi.longColumn("ts"), java.lang.Long.valueOf(bound))
+    val dec = new Decoder(project(meta, SeekFields), meta.tsUnit)
+    straddlers.sortBy(_.minId).foreach { fm =>
+      // a straddler whose ids all sit above the current answers cannot improve
+      val canImprove = (0 until partitions).exists(p => best(p) > fm.minId)
+      if (canImprove) {
+        val r = openReader(meta, fm.file, SeekFields, Some(filter))
+        try {
+          var g = r.read()
+          while (g != null) {
+            if (dec.tsMicros(g) >= micros) improve(dec.id(g))
+            g = r.read()
+          }
+        } finally r.close()
+      }
     }
     (0 until partitions).map { p =>
       p -> (if (best(p) == Long.MaxValue) countFor(meta, p, partitions)
@@ -317,42 +372,26 @@ object ParquetEventLog extends EventLogClient with Logging {
     val latest = countFor(meta, pid, partitions)
     val until = math.min(latest, saturatingAdd(from, count))
     if (from >= until) return Iterator.empty
-    val key = (path, partitions, pid)
-    // the cursor materializes its result, so it only serves micro-batch-sized
-    // tails; anything larger streams lazily through oneShot
-    val cursorable = until - from <= MaxCursorBatchRows && !cursorUnsafe.contains(path)
-    val cur = if (cursorable) cursors.get(key) else null
-    if (cur != null && cur.tryAcquireAt(from)) {
-      // sequential tail: continue the open cursor (streaming micro-batches)
-      val got = try cur.take(until - from) finally cur.release()
-      got match {
+    // the striped cursor materializes its result, so it only serves
+    // micro-batch-sized reads; anything larger streams lazily through oneShot
+    if (until - from <= MaxCursorBatchRows) {
+      val cur = stripes.computeIfAbsent((path, partitions),
+        _ => new StripedCursor(meta, partitions))
+      cur.take(pid, from, until) match {
         case Some(events) => events.iterator
         case None =>
-          // ids did not arrive in the arithmetic order (unsorted rows or a
-          // duplicate id) — cursors are unsafe for this path; the lazy path
-          // verifies completeness itself
-          logWarning(s"parquet log $path: rows not in event_id order; " +
-            "disabling sequential cursors for this path")
-          cursorUnsafe.add(path)
-          Option(cursors.remove(key)).foreach(_.close())
+          // unsorted/duplicate ids, a replayed range, or a short file — the
+          // lazy path verifies completeness itself and fails loudly when the
+          // footer-promised range cannot be served
           oneShot(meta, partitions, pid, from, until)
       }
-    } else {
-      if (cursorable && cur == null && from > 0) {
-        // second-access heuristic: a non-zero start suggests a progressing
-        // stream; install a cursor so the NEXT batch tails sequentially
-        cursors.computeIfAbsent(key, _ => new Cursor(meta, partitions, pid))
-      }
-      oneShot(meta, partitions, pid, from, until)
-    }
+    } else oneShot(meta, partitions, pid, from, until)
   }
 
-  /** Above this many rows a receive always streams lazily (the cursor buffers
-    * its result; admission-controlled micro-batches sit far below this). */
+  /** Above this many rows a receive always streams lazily (the striped cursor
+    * buffers its result; admission-controlled micro-batches sit far below
+    * this). */
   private val MaxCursorBatchRows: Long = 1L << 20
-
-  private val cursorUnsafe =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def saturatingAdd(a: Long, b: Long): Long = {
     val s = a + b
@@ -390,6 +429,7 @@ object ParquetEventLog extends EventLogClient with Logging {
           val g = r.read()
           if (g == null) { r.close(); r = null }
           else {
+            decodedRecords.increment()
             val id = dec.id(g)
             if (id >= idLo && id <= idHi && math.floorMod(id, partitions.toLong) == pid.toLong)
               nextItem = ((id - f0) / partitions, dec.event(g))
@@ -412,86 +452,159 @@ object ParquetEventLog extends EventLogClient with Logging {
     }
   }
 
-  // ---- sequential cursor (the cached-receiver analog) ----
+  // ---- striped shared scan (the cached-receiver analog, one pass serves
+  //      every partition) ----
 
   /**
-   * An open, forward-only record stream over one partition's ids. Used when a
-   * receive starts exactly where the previous one ended — the micro-batch
-   * tailing pattern — so each batch decodes only its own rows instead of
-   * re-filtering from the top of the file.
+   * ONE shared forward reader per (path, partitions): every decoded row is
+   * routed to its partition's buffer, so P concurrent partition tasks cost a
+   * single decode pass over the file instead of P re-decodes each keeping
+   * 1/P of the rows — the P× read amplification of the mod-P interleaved
+   * layout. In local mode all partition tasks share this JVM; on a cluster
+   * each executor shares the pass across the partitions placed on it
+   * (placement S6 keeps that assignment stable), and a real log backend
+   * stores per-partition data and never needs this at all.
+   *
+   * Correctness containment: the stripe relies on the same dense-id contract
+   * as the arithmetic bounds. The first out-of-order or duplicate id marks
+   * the cursor broken (every take afterwards returns None) and reads fall
+   * back to the self-verifying oneShot iterator; a short file (ids exhaust
+   * before the footer-promised range is served) also returns None, so the
+   * caller ends on oneShot's loud IllegalStateException rather than a
+   * silent short result.
+   *
+   * Memory containment: buffered rows are capped at [[MaxBufferedRows]];
+   * beyond the cap newly decoded rows for OTHER partitions are dropped (the
+   * owning partition repositions when it next reads). Repositioning reopens
+   * the reader row-group-pruned at the stride-aligned target id and drops
+   * buffered rows the reopened reader will deliver again.
    */
-  private final class Cursor(meta: LogMeta, partitions: Int, pid: Int) {
-    private val f0 = firstId(meta, pid, partitions)
+  private final class StripedCursor(meta: LogMeta, partitions: Int) {
     private val dec = new Decoder(project(meta, EventFields), meta.tsUnit)
     private val lock = new java.util.concurrent.locks.ReentrantLock()
-    private var fileIdx = 0
+    private val bufs: Array[java.util.ArrayDeque[(Long, Event)]] =
+      Array.fill(partitions)(new java.util.ArrayDeque[(Long, Event)]())
+    private var buffered = 0L
     private var reader: ParquetReader[Group] = _
-    /** seqNo this cursor will deliver next; -1 = not yet opened */
-    private var nextSeq: Long = -1L
+    private var fileIdx = 0
+    /** next event_id the shared reader will deliver; MinValue = unopened */
+    private var nextId = Long.MinValue
+    @volatile private var broken = false
+    private var warnedCap = false
 
-    def tryAcquireAt(from: Long): Boolean = {
-      if (!lock.tryLock()) return false
-      if (nextSeq == from) true
-      else {
-        // reposition: forward-only streams reopen with a filter; cheap because
-        // row groups below idLo are stats-skipped
-        closeReaders()
-        nextSeq = from
-        true
-      }
+    private def f0(pid: Int): Long = firstId(meta, pid, partitions)
+    private def idOf(pid: Int, seq: Long): Long = f0(pid) + seq * partitions
+
+    def take(pid: Int, from: Long, until: Long): Option[ArrayBuffer[(SequenceNumber, Event)]] = {
+      if (broken) return None
+      lock.lock()
+      try takeLocked(pid, from, until)
+      finally lock.unlock()
     }
 
-    def release(): Unit = lock.unlock()
-
-    def close(): Unit = { closeReaders(); nextSeq = -1L }
-
-    private def closeReaders(): Unit = {
-      if (reader != null) { reader.close(); reader = null }
-      fileIdx = 0
+    def close(): Unit = {
+      lock.lock()
+      try {
+        if (reader != null) { reader.close(); reader = null }
+        bufs.foreach(_.clear()); buffered = 0; nextId = Long.MinValue; fileIdx = 0
+      } finally lock.unlock()
     }
 
-    /** Read up to n events of this partition from nextSeq forward. Every
-      * delivered row must carry EXACTLY the arithmetic id f0 + seq*P — dense
-      * layout makes the expectation exact, so unsorted rows or duplicate ids
-      * are detected on first contact (returns None; caller falls back to the
-      * self-verifying lazy path). */
-    def take(n: Long): Option[ArrayBuffer[(SequenceNumber, Event)]] = {
-      val out = new ArrayBuffer[(SequenceNumber, Event)](math.min(n, 1 << 20).toInt)
-      val idLo = f0 + nextSeq * partitions
-      if (reader == null) {
-        // open at the first file that can contain idLo, filtered to id >= idLo
-        fileIdx = meta.files.indexWhere(_.maxId >= idLo)
-        if (fileIdx < 0) fileIdx = meta.files.length
-        openCurrent(idLo)
+    private def takeLocked(pid: Int, from: Long, until: Long)
+        : Option[ArrayBuffer[(SequenceNumber, Event)]] = {
+      val buf = bufs(pid)
+      // stale rows below the requested start (leftovers of an earlier reader
+      // of this log at a lower offset)
+      while (!buf.isEmpty && buf.peekFirst()._1 < from) { buf.pollFirst(); buffered -= 1 }
+      val out = new ArrayBuffer[(SequenceNumber, Event)](
+        math.min(until - from, MaxCursorBatchRows).toInt)
+      var seq = from
+      while (!buf.isEmpty && seq < until && buf.peekFirst()._1 == seq) {
+        out += buf.pollFirst(); buffered -= 1; seq += 1
       }
-      while (out.length < n && reader != null) {
-        val g = reader.read()
-        if (g == null) {
-          reader.close(); reader = null
-          fileIdx += 1
-          openCurrent(f0 + nextSeq * partitions)
-        } else {
-          val id = dec.id(g)
-          if (id >= idLo && math.floorMod(id, partitions.toLong) == pid.toLong) {
-            if (id != f0 + nextSeq * partitions) return None // out of order / duplicate
-            out += ((nextSeq, dec.event(g)))
-            nextSeq += 1
-          }
+      // the rest comes from the file
+      while (seq < until) {
+        val needId = idOf(pid, seq)
+        if (nextId == Long.MinValue || needId < nextId ||
+            needId - nextId > MaxForwardReadAhead) reposition(needId)
+        val g = readRecord()
+        if (g == null) return None // short file: caller verifies via oneShot
+        val id = dec.id(g)
+        if (id != nextId) { markBroken(id); return None }
+        nextId += 1
+        val p2 = math.floorMod(id, partitions.toLong).toInt
+        val s2 = (id - f0(p2)) / partitions
+        if (p2 == pid) {
+          if (s2 == seq) { out += ((s2, dec.event(g))); seq += 1 }
+          // s2 < seq: a row below the requested start (stride alignment) — skip
+        } else if (buffered < MaxBufferedRows) {
+          bufs(p2).addLast((s2, dec.event(g))); buffered += 1
+        } else if (!warnedCap) {
+          warnedCap = true
+          logWarning(s"parquet log ${meta.path}: striped read-ahead exceeded " +
+            s"$MaxBufferedRows buffered rows (partitions are not consuming in " +
+            "lockstep); dropping read-ahead for idle partitions — they will " +
+            "reposition when they next read")
         }
+        ()
       }
       Some(out)
     }
 
-    private def openCurrent(idLo: Long): Unit = {
-      while (fileIdx < meta.files.length && meta.files(fileIdx).maxId < idLo) fileIdx += 1
-      reader =
-        if (fileIdx >= meta.files.length) null
-        else openReader(meta, meta.files(fileIdx).file, EventFields,
-          Some(FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(idLo))))
+    /** Reopen the shared reader at the stride-aligned id covering `needId`
+      * (so every partition's row of that stride is delivered, keeping the
+      * buffers aligned), dropping buffered rows the reader will re-deliver. */
+    private def reposition(needId: Long): Unit = {
+      val base = meta.minId + (needId - meta.minId) / partitions * partitions
+      var p = 0
+      while (p < partitions) {
+        val b = bufs(p)
+        while (!b.isEmpty && idOf(p, b.peekLast()._1) >= base) { b.pollLast(); buffered -= 1 }
+        p += 1
+      }
+      if (reader != null) { reader.close(); reader = null }
+      fileIdx = meta.files.indexWhere(_.maxId >= base)
+      if (fileIdx < 0) fileIdx = meta.files.length
+      nextId = base
+    }
+
+    /** Next record at or above nextId, walking files forward; null at EOF. */
+    private def readRecord(): Group = {
+      while (true) {
+        if (reader == null) {
+          while (fileIdx < meta.files.length && meta.files(fileIdx).maxId < nextId)
+            fileIdx += 1
+          if (fileIdx >= meta.files.length) return null
+          reader = openReader(meta, meta.files(fileIdx).file, EventFields,
+            Some(FilterApi.gtEq(FilterApi.longColumn("event_id"),
+              java.lang.Long.valueOf(nextId))))
+        } else {
+          val g = reader.read()
+          if (g == null) { reader.close(); reader = null; fileIdx += 1 }
+          else { decodedRecords.increment(); return g }
+        }
+      }
+      null // unreachable
+    }
+
+    private def markBroken(id: Long): Unit = {
+      broken = true
+      logWarning(s"parquet log ${meta.path}: expected event_id $nextId but read " +
+        s"$id — rows are not in dense event_id order; disabling the striped " +
+        "cursor for this log (reads fall back to the self-verifying range scan)")
+      if (reader != null) { reader.close(); reader = null }
+      bufs.foreach(_.clear()); buffered = 0
     }
   }
 
-  private val cursors = new ConcurrentHashMap[(String, Int, Int), Cursor]()
+  /** Forward gap beyond which a take repositions (row-group-pruned reopen)
+    * instead of decoding and buffering everything in between. */
+  private val MaxForwardReadAhead: Long = 1L << 16
+
+  /** Cap on rows buffered for not-currently-reading partitions. */
+  private val MaxBufferedRows: Long = 1L << 20
+
+  private val stripes = new ConcurrentHashMap[(String, Int), StripedCursor]()
 
   // ---- non-dense fallback: full per-partition index (memory-bound) ----
 

@@ -266,6 +266,26 @@ class ParquetLogSpec extends AnyFunSuite {
     assert(errs.isEmpty, s"concurrent reads failed: ${errs.peek()}")
   }
 
+  test("striped cursor: serving all partitions costs ~ONE decode pass, not P") {
+    val name = logName(4)
+    ParquetEventLog.invalidate(path)
+    ParquetEventLog.decodedRecords.reset()
+    // micro-batch lockstep: every partition tails its range in chunks, the
+    // pattern the streaming source produces (4 partitions x 250 seqNos)
+    val chunk = 50L
+    var served = 0L
+    (0L until 250L by chunk).foreach { from =>
+      (0 until 4).foreach { pid =>
+        served += ParquetEventLog.receive(name, pid, from, chunk).size
+      }
+    }
+    assert(served == 1000L)
+    val decoded = ParquetEventLog.decodedRecords.sum()
+    // pre-striping this was ~4000 (each partition decoded every row); the
+    // shared pass should decode each row once (small slack for alignment)
+    assert(decoded <= 1200L, s"decoded $decoded records for 1000 served — striping lost")
+  }
+
   test("missing path fails planning loudly") {
     val err = intercept[Exception] {
       graft.GraftEventLog.readParquetLog(spark, "/no/such/file.parquet", 4).count()
