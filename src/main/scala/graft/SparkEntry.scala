@@ -32,17 +32,34 @@ object SparkEntry {
     * q_dedup_clusters; computing the shingle-index join once per (session,
     * dir) and checkpointing halves the most expensive pipeline in the sweep
     * (clusters would otherwise recompute it from scratch). */
-  // weak identity keying: no hash-collision cross-session reuse, and a
-  // collected session releases its checkpointed pipeline automatically
-  private val ngramPairsMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  // Keyed by the session's identity hash — a value the memoized DataFrames
+  // do NOT retain (a DataFrame strongly references its session, so a
+  // session-keyed WeakHashMap's values would pin their own keys and never
+  // collect). The weak ref is identity-checked on access (a rare hash reuse
+  // just replaces the cache entry) and entries whose session was collected
+  // or stopped are evicted on every access.
+  private val ngramPairsMemo = new java.util.HashMap[Integer,
+    (java.lang.ref.WeakReference[SparkSession], scala.collection.mutable.Map[String, DataFrame])]()
   private def ngramPairsShared(s: SparkSession, dir: String): DataFrame =
     ngramPairsMemo.synchronized {
-      ngramPairsMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir,
-          Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-              k = 3, threshold = 0.5)
-            .localCheckpoint(eager = false))
+      ngramPairsMemo.entrySet().removeIf { e =>
+        val sess = e.getValue._1.get()
+        sess == null || sess.sparkContext.isStopped
+      }
+      val k = Integer.valueOf(System.identityHashCode(s))
+      val cur = ngramPairsMemo.get(k)
+      val entry =
+        if (cur != null && (cur._1.get() eq s)) cur
+        else {
+          val fresh = (new java.lang.ref.WeakReference(s),
+            scala.collection.mutable.Map.empty[String, DataFrame])
+          ngramPairsMemo.put(k, fresh)
+          fresh
+        }
+      entry._2.getOrElseUpdate(dir,
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 3, threshold = 0.5)
+          .localCheckpoint(eager = false))
     }
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -29,37 +29,49 @@ object Dedup extends Logging {
     * candidate pipeline: `buckets` = distinct hot keys, `rows` = index rows. */
   final case class DropStats(buckets: Long, rows: Long)
 
-  private val dropStats = new ConcurrentHashMap[String, DropStats]()
+  /** One dropHotKeys invocation's counts, computed (and warn-logged) on first
+    * request against that invocation's OWN hot-key table. Laziness keeps
+    * operator construction free of Spark jobs; the per-invocation handle
+    * means concurrent queries sharing an operator tag cannot clobber each
+    * other's counts — `lastDropStats` reports whichever invocation was
+    * registered last, with numbers that belong to it. */
+  private final class DropHandle(tag: String, cap: Int, hot: DataFrame) {
+    lazy val stats: DropStats = {
+      val Seq(nHot, rowsHot) = hot
+        .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
+        .collect().head.toSeq.map(v => v.asInstanceOf[Long])
+      if (nHot > 0) logWarning(
+        s"[$tag] dropped $nHot hot buckets ($rowsHot index rows) over cap=$cap — " +
+          "pairs within those buckets are NOT reported; raise the cap or widen " +
+          "bands if recall there matters")
+      DropStats(nHot, rowsHot)
+    }
+  }
+
+  private val dropStats = new ConcurrentHashMap[String, DropHandle]()
 
   /** Drop counts recorded by the last invocation of the tagged operator in
-    * this JVM (None = operator not yet run). */
-  def lastDropStats(tag: String): Option[DropStats] = Option(dropStats.get(tag))
+    * this JVM (None = operator not yet built). Computed on demand: after the
+    * operator's query has run this is a KB-scale aggregation over the
+    * already-checkpointed hot-key table; before it, the index pipeline runs
+    * to produce them. */
+  def lastDropStats(tag: String): Option[DropStats] = Option(dropStats.get(tag)).map(_.stats)
 
   /**
    * The shared skew guard: drop index rows whose key (shingle, fingerprint,
-   * LSH bucket) occurs in more than `cap` rows, recording and logging what
-   * was dropped under `tag`. The hot-key table is one narrow row per
-   * distinct key — metadata-scale — and computing it eagerly also forces
-   * the index's checkpoint, which the caller's self-join then reuses.
+   * LSH bucket) occurs in more than `cap` rows, recording what was dropped
+   * under `tag`. The hot-key table is one narrow row per distinct key —
+   * metadata-scale — and lazily checkpointed so the caller's plan and the
+   * stats handle share one materialization; nothing executes until the
+   * caller's own action (operators stay lazy DataFrame transformations).
    */
   private[operators] def dropHotKeys(
       index: DataFrame, keyCols: Seq[String], cap: Int, tag: String): DataFrame = {
     val hot = index.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > cap)
-      .localCheckpoint(eager = true)
-    val Seq(nHot, rowsHot) = hot
-      .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
-      .collect().head.toSeq.map(v => v.asInstanceOf[Long])
-    recordDrops(tag, nHot, rowsHot, cap)
+      .localCheckpoint(eager = false)
+    dropStats.put(tag, new DropHandle(tag, cap, hot))
     index.join(hot.select(keyCols.map(col): _*), keyCols, "left_anti")
-  }
-
-  private def recordDrops(tag: String, buckets: Long, rows: Long, cap: Int): Unit = {
-    dropStats.put(tag, DropStats(buckets, rows))
-    if (buckets > 0) logWarning(
-      s"[$tag] dropped $buckets hot buckets ($rows index rows) over cap=$cap — " +
-        "pairs within those buckets are NOT reported; raise the cap or widen " +
-        "bands if recall there matters")
   }
 
   /**

@@ -123,9 +123,27 @@ final class InMemoryEventLog(val name: String, val numPartitions: Int) {
   private val staging =
     scala.collection.mutable.HashMap[String, ArrayBuffer[(Option[PartitionId], Option[String], Event)]]()
 
+  // Epochs whose commit/abort already ran: a zombie or speculative task whose
+  // stage lands AFTER the driver published its epoch must be dropped here,
+  // or its buffer would sit under a prefix nobody sweeps again (unbounded
+  // growth in long-running streams with speculation). LRU-capped — an epoch
+  // old enough to be evicted cannot have in-flight tasks left.
+  private val closedEpochs = new java.util.LinkedHashMap[String, java.lang.Boolean](16, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+      size > 4096
+  }
+
+  /** "queryId/epochId/" of a "queryId/epochId/partitionId/taskId" staging key. */
+  private def epochPrefixOf(key: String): String = {
+    val i = key.indexOf('/')
+    val j = if (i < 0) -1 else key.indexOf('/', i + 1)
+    if (j < 0) key else key.substring(0, j + 1)
+  }
+
   def stageAll(key: String, events: Iterable[(Option[PartitionId], Option[String], Event)])
       : Unit = synchronized {
-    staging.getOrElseUpdate(key, ArrayBuffer.empty) ++= events
+    if (!closedEpochs.containsKey(epochPrefixOf(key)))
+      staging.getOrElseUpdate(key, ArrayBuffer.empty) ++= events
   }
 
   def discardStaged(key: String): Unit = synchronized { staging.remove(key); () }
@@ -143,6 +161,7 @@ final class InMemoryEventLog(val name: String, val numPartitions: Int) {
       }
     }
     staging.keys.filter(_.startsWith(prefix)).toList.foreach(staging.remove)
+    closedEpochs.put(prefix, java.lang.Boolean.TRUE)
     n
   }
 

@@ -291,6 +291,12 @@ class ConnectorSinkSpec extends AnyFunSuite {
     w.write(InternalRow(UTF8String.fromString("doomed")))
     w.commit(); w.abort()
     assert(log.stagedCount() == 0)
+    // zombie/speculative task whose stage lands AFTER its epoch was
+    // published: dropped at staging time, not parked under a prefix that is
+    // never swept again
+    runTask(1, 6L, 0L, 2)
+    assert(log.stagedCount() == 0, "post-publish zombie staging must be dropped")
+    assert(graft.GraftEventLog.count("stg1") == 5, "zombie rows never published")
   }
 
   test("streaming write: source->sink roundtrip preserves events") {
