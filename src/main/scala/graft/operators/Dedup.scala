@@ -44,11 +44,25 @@ object Dedup extends Logging {
         s"[$tag] dropped $nHot hot buckets ($rowsHot index rows) over cap=$cap — " +
           "pairs within those buckets are NOT reported; raise the cap or widen " +
           "bands if recall there matters")
-      DropStats(nHot, rowsHot)
+      val s = DropStats(nHot, rowsHot)
+      dropListeners.forEach(_.onDrops(tag, s))
+      s
     }
   }
 
   private val dropStats = new ConcurrentHashMap[String, DropHandle]()
+
+  /** Push-based metrics SPI: fires whenever an invocation's drop counts are
+    * computed (via [[lastDropStats]] or [[publishDropStats]]) — the batch
+    * analog of the connector's MetricPlugin listener, so a pipeline harness
+    * can collect recall-loss counters without polling each operator tag.
+    * (An in-plan `observe()` cannot carry these: every candidate pipeline
+    * self-joins its index, which would duplicate the observation node.) */
+  trait DropStatsListener { def onDrops(tag: String, stats: DropStats): Unit }
+  private val dropListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[DropStatsListener]()
+  def addDropStatsListener(l: DropStatsListener): Unit = { dropListeners.add(l); () }
+  def removeDropStatsListener(l: DropStatsListener): Unit = { dropListeners.remove(l); () }
 
   /** Drop counts recorded by the last invocation of the tagged operator in
     * this JVM (None = operator not yet built). Computed on demand: after the
@@ -56,6 +70,13 @@ object Dedup extends Logging {
     * already-checkpointed hot-key table; before it, the index pipeline runs
     * to produce them. */
   def lastDropStats(tag: String): Option[DropStats] = Option(dropStats.get(tag)).map(_.stats)
+
+  /** Compute-and-publish every registered invocation's drop counts (end-of-
+    * job hook for pipelines that want all recall-loss counters at once). */
+  def publishDropStats(): Map[String, DropStats] = {
+    import scala.jdk.CollectionConverters._
+    dropStats.asScala.map { case (tag, h) => tag -> h.stats }.toMap
+  }
 
   /**
    * The shared skew guard: drop index rows whose key (shingle, fingerprint,

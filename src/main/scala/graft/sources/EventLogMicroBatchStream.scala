@@ -45,7 +45,7 @@ object EventLogSourceOffset {
  */
 class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow with Logging {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics with Logging {
 
   private val client: EventLogClient = EventLogClients.forConf(conf)
   EventLogClients.validateForRead(conf)
@@ -156,6 +156,47 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(schema)
+
+  /**
+   * Per-source observability in `StreamingQueryProgress.sources[].metrics`
+   * (ref: the reference's input-metrics behavior,
+   * EventHubsSourceSuite.scala:657-693, and its throttle state exposed via
+   * plugins): events-behind-latest min/avg/max (the Kafka-source metric
+   * shape, derivable driver-side from offsets — no executor round-trip) and,
+   * when adaptive throttling is on, the per-partition throttle factors.
+   * Metrics must never fail a healthy query, so errors degrade to empty.
+   */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val out = new java.util.HashMap[String, String]()
+    try {
+      if (latestConsumedOffset.isPresent) {
+        val consumed = latestConsumedOffset.get() match {
+          case o: EventLogSourceOffset => o.seqNos
+          case o                       => EventLogSourceOffset.parse(o.json()).seqNos
+        }
+        val bounds = client.boundedSeqNos(name)
+        val behind = bounds.toSeq.map { case (pid, (_, latest)) =>
+          math.max(0L, latest - consumed.getOrElse(pid, latest))
+        }
+        if (behind.nonEmpty) {
+          out.put("minEventsBehindLatest", behind.min.toString)
+          out.put("maxEventsBehindLatest", behind.max.toString)
+          out.put("avgEventsBehindLatest", (behind.sum.toDouble / behind.size).toString)
+        }
+      }
+      if (conf.slowPartitionAdjustment) {
+        val f = PartitionThrottler.forLog(conf.throttlerKey).factors
+        val rendered = (0 until client.partitionCount(name))
+          .map(p => s""""$p":${f(p)}""").mkString("{", ",", "}")
+        out.put("throttleFactors", rendered)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"source metrics for $name unavailable: $e")
+    }
+    out
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -58,9 +58,39 @@ object EventLogTable {
   val EstBytesPerEvent: Long = 96L
 }
 
+/** DSv2 custom metrics (SQL-UI visible; task values are summed). */
+final class EventsServedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "eventsServed"
+  override def description(): String = "events served by event-log partition readers"
+}
+final class StagedRowsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "stagedRows"
+  override def description(): String = "rows staged executor-side awaiting epoch publish"
+}
+final class LongTaskMetric(n: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = n
+  override def value(): Long = v
+}
+
 class EventLogTable(conf: EventLogConf) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
   override def name(): String = s"graft-eventlog(${conf.name})"
+
+  /** Sink-side `StreamingQueryProgress.sink.metrics`: rows still staged for
+    * this log (0 after a healthy epoch publish) and the log's appended total.
+    * Parquet-backed logs are read-only — no sink state to report. */
+  override def metrics(): java.util.Map[String, String] = {
+    val out = new java.util.HashMap[String, String]()
+    if (conf.path.isEmpty && EventLogRegistry.exists(conf.name)) {
+      val log = EventLogRegistry.get(conf.name)
+      out.put("stagedRows", log.stagedCount().toString)
+      out.put("appendedEvents",
+        log.bounds.values.map { case (earliest, latest) => latest - earliest }.sum.toString)
+    }
+    out
+  }
   override def schema(): StructType = EventLogTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
@@ -213,6 +243,10 @@ class EventLogScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new EventLogMicroBatchStream(conf, prunedSchema)
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new EventsServedMetric)
+
   override def estimateStatistics(): Statistics = {
     val ranges = planRanges()
     val rows = ranges.map(_.count).sum
@@ -311,6 +345,10 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new LongTaskMetric("eventsServed", rowsRead))
 
   /** Report receive metrics for adaptive throttling (ref R3: executor ->
     * driver; here the batch surrogate id is the range start, unique per

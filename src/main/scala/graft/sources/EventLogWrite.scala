@@ -107,6 +107,10 @@ class EventLogWrite(
 
   private def epochPrefix(epochId: Long) = s"$queryId/$epochId/"
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new StagedRowsMetric)
+
   /** Publish the successful tasks' staged buffers in deterministic
     * (partition, task) order; everything else staged for this epoch is a
     * failed/speculative attempt and is dropped. */
@@ -235,6 +239,10 @@ class EventLogDataWriter(
       Event(body, enqueuedTimeMicros = System.currentTimeMillis() * 1000L,
         partitionKey = key.orNull, properties = props)))
   }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new LongTaskMetric("stagedRows", buf.length.toLong))
 
   override def commit(): WriterCommitMessage = {
     // stage executor-side; only the key travels in the commit message

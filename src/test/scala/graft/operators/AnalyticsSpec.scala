@@ -237,6 +237,25 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.lastDropStats("simHashPairs").get == Dedup.DropStats(0L, 0L))
   }
 
+  test("drop counters surface through the listener SPI, not just the pull API") {
+    val heard = scala.collection.mutable.Map.empty[String, Dedup.DropStats]
+    val l = new Dedup.DropStatsListener {
+      override def onDrops(tag: String, stats: Dedup.DropStats): Unit =
+        heard.synchronized { heard(tag) = stats }
+    }
+    Dedup.addDropStatsListener(l)
+    try {
+      val nearDups = (0L until 120L)
+        .map(i => (i, s"one single repeated sentence shared by all docs $i"))
+        .toDF("doc_id", "text")
+      Dedup.simHashPairs(nearDups, "doc_id", "text", 3, maxBucketSize = 40).count()
+      val published = Dedup.publishDropStats()
+      assert(published.contains("simHashPairs"))
+      assert(heard.synchronized(heard.get("simHashPairs")) == published.get("simHashPairs"))
+      assert(published("simHashPairs").buckets > 0)
+    } finally Dedup.removeDropStatsListener(l)
+  }
+
   test("ngram df cap drops stop-phrase shingles with a counter, exact when cold") {
     val common = "alpha beta gamma delta"
     val corpus = (0L until 6L)

@@ -201,6 +201,50 @@ class ConnectorStreamSpec extends AnyFunSuite {
   }
 }
 
+class ConnectorMetricsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("progress carries source metrics (events behind latest, throttle) and sink metrics") {
+    EventLogRegistry.drop("met-src"); EventLogRegistry.drop("met-dst")
+    val src = EventLogRegistry.create("met-src", 2)
+    for (p <- 0 until 2; i <- 0 until 50)
+      src.append(p, Event(s"$p-$i".getBytes, (i + 1) * 1000000L))
+    EventLogRegistry.create("met-dst", 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-met-ckpt").toString
+    val q = spark.readStream.format("graft-eventlog")
+      .option("name", "met-src")
+      .option("maxEventsPerTrigger", "20")
+      .option("slowPartitionAdjustment", "true")
+      .load()
+      .selectExpr("body", "partition")
+      .writeStream.format("graft-eventlog")
+      .option("name", "met-dst").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val progs = q.recentProgress
+    // ReportsSourceMetrics: events-behind-latest appears once a committed
+    // offset exists, and mid-stream batches see a non-zero backlog
+    val sourceMetrics = progs.flatMap(_.sources).map(_.metrics)
+      .filter(_.containsKey("maxEventsBehindLatest"))
+    assert(sourceMetrics.nonEmpty, "no source metrics in StreamingQueryProgress.sources")
+    assert(sourceMetrics.exists(_.get("maxEventsBehindLatest").toLong > 0),
+      "backlog metric never non-zero mid-stream")
+    assert(sourceMetrics.last.get("maxEventsBehindLatest") == "0",
+      "drained stream must report zero backlog")
+    // adaptive throttling state is observable per partition
+    assert(sourceMetrics.exists(m => Option(m.get("throttleFactors"))
+      .exists(s => s.contains("\"0\":") && s.contains("\"1\":"))),
+      "throttleFactors missing from source metrics")
+    // ReportsSinkMetrics: staged rows return to zero after each publish and
+    // the appended total reaches the full stream
+    val sinkMetrics = progs.map(_.sink.metrics).filter(_.containsKey("stagedRows"))
+    assert(sinkMetrics.nonEmpty, "no sink metrics in StreamingQueryProgress.sink")
+    assert(sinkMetrics.last.get("stagedRows") == "0")
+    assert(sinkMetrics.last.get("appendedEvents") == "100")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+}
+
 class ConnectorSinkSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
