@@ -346,6 +346,62 @@ case class LangIdGuess(child: Expression, markers: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/**
+ * IVF cell assignment: arg-max over a fixed centroid matrix of
+ * cosine(v, centroid_i), ties resolving to the lowest cell id. The matrix
+ * rides along in the serialized expression (KB-sized — nCells × dim
+ * doubles), so executors evaluate one tight O(cells × dim) kernel per row
+ * inside whole-stage codegen via `RefEvalCodegen`, replacing an interpreted
+ * `transform`/`aggregate` HOF fold that evaluated lambda trees per
+ * centroid per row. Vectors whose cosine is undefined against every
+ * centroid (zero/empty/length-mismatched) land in cell 0 — probeable,
+ * never -1.
+ */
+case class BestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with RefEvalCodegen {
+  require(centroids.nonEmpty, "centroid matrix must be non-empty")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "best_centroid"
+
+  @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val cNorms: Array[Double] = cents.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val arr = new Array[Double](n)
+    var nv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); arr(i) = x; nv += x * x; i += 1 }
+    val vNorm = math.sqrt(nv)
+    var best = 0
+    var bestScore = 0.0
+    var found = false
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length == n && n > 0 && vNorm > 0.0 && cNorms(c) > 0.0) {
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += arr(i) * cent(i); i += 1 }
+        val s = dot / (vNorm * cNorms(c))
+        if (!found || s > bestScore) { best = c; bestScore = s; found = true }
+      }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCentroid =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object hashFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
@@ -364,6 +420,9 @@ object hashFunctions {
     column(HyperplaneLshBucket(expression(c.cast("array<double>")), numBits, seed))
   def lang_id_guess(c: Column, markers: Seq[(String, Seq[String])]): Column =
     column(LangIdGuess(expression(c), markers))
+  def best_centroid(c: Column, cents: Array[Array[Double]]): Column =
+    column(BestCentroid(expression(c.cast("array<double>")),
+      cents.map(_.toSeq).toSeq))
 }
 
 /**

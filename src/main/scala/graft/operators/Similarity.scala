@@ -75,18 +75,20 @@ object Similarity {
    * against the (tiny) centroid table — no shuffle of the corpus.
    */
   def ivfIndex(
-      embs: DataFrame, idCol: String, vecCol: String, nCells: Int = 16): DataFrame = {
-    val cents = centroids(embs, idCol, vecCol, nCells)
-    val centArr = typedLit(cents.map(_._2.toSeq))
+      embs: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
+      maxFitPerCell: Int = DefaultMaxFitPerCell): DataFrame = {
+    val cents = centroids(embs, idCol, vecCol, nCells, maxFitPerCell)
     embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("cell", bestCell(col("v"), centArr))
+      .withColumn("cell", best_centroid(col("v"), cents.map(_._2)))
   }
 
   def ivfTopK(
       index: DataFrame, embs: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
-      excludeId: Option[Long] = None): DataFrame =
-    ivfTopKWith(index, centroids(embs, idCol, vecCol, nCells), queryVec, k, nProbe, excludeId)
+      excludeId: Option[Long] = None,
+      maxFitPerCell: Int = DefaultMaxFitPerCell): DataFrame =
+    ivfTopKWith(index, centroids(embs, idCol, vecCol, nCells, maxFitPerCell),
+      queryVec, k, nProbe, excludeId)
 
   /** Query an IVF index against explicit centroids (built here or loaded
     * from a persisted index). */
@@ -137,43 +139,49 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
 
+  /** Default cap on k-means fit input: nCells × this many vectors. Rough
+    * centroids are all IVF needs (recall comes from nProbe), so fitting on
+    * more than ~10k sampled vectors per cell buys nothing while the full
+    * corpus at the 100 TB target would make the index build 4 extra
+    * complete passes. */
+  val DefaultMaxFitPerCell = 10000
+
   /** The (memoized) centroids a given index build used — what you pass to
     * `saveIvfIndex` so the persisted index is self-consistent. */
-  def centroidsOf(embs: DataFrame, idCol: String, vecCol: String, nCells: Int)
-      : Array[(Int, Array[Double])] = centroids(embs, idCol, vecCol, nCells)
+  def centroidsOf(embs: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      maxFitPerCell: Int = DefaultMaxFitPerCell): Array[(Int, Array[Double])] =
+    centroids(embs, idCol, vecCol, nCells, maxFitPerCell)
 
-  private def centroids(embs: DataFrame, idCol: String, vecCol: String, nCells: Int)
-      : Array[(Int, Array[Double])] = {
+  private def centroids(embs: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      maxFitPerCell: Int): Array[(Int, Array[Double])] = {
     val key = s"${embs.schema.map(_.name).mkString(",")}|$idCol|$vecCol|$nCells|" +
-      embs.queryExecution.analyzed.semanticHash()
+      s"$maxFitPerCell|" + embs.queryExecution.analyzed.semanticHash()
     centroidCache.computeIfAbsent(key, _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val feats = embs.select(
+      // cap the fit input with a deterministic, partitioning-independent
+      // hash sample: keep ids whose 63-bit hash falls under the sample
+      // fraction. The count is a column-pruned metadata pass; the k-means
+      // rounds then touch only the bounded sample instead of the corpus.
+      val budget = nCells.toLong * maxFitPerCell
+      val total = embs.count()
+      val fitSrc =
+        if (total <= budget) embs
+        else {
+          val bound = (budget.toDouble / total * Long.MaxValue).toLong
+          embs.where(shiftrightunsigned(xxhash64(col(idCol)), 1) < lit(bound))
+        }
+      val feats = fitSrc.select(
         array_to_vector(col(vecCol).cast("array<double>")).as("features"))
       // random init + few Lloyd rounds: IVF cell quality only needs rough
       // centroids (recall comes from nProbe, and full-probe == brute force
       // regardless of centroid placement); k-means|| init alone costs more
-      // passes over the corpus than these 4 iterations
+      // passes over the sample than these 4 iterations
       val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(4)
         .setInitMode("random")
         .fit(feats)
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     })
-  }
-
-  private def bestCell(v: org.apache.spark.sql.Column, centArr: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    // arg-max over the centroid array of cosine(v, centroid): a single
-    // aggregate fold (O(cells), ties -> lowest cell id) instead of sorting a
-    // scored copy of the array per row. A null cosine (zero vector) coalesces
-    // to a sub-minimum sentinel so such rows still land in cell 0 instead of
-    // an unprobeable -1.
-    val scored = transform(centArr,
-      (c, i) => struct(coalesce(cosine_similarity(v, c), lit(-1.0e300)).as("s"), i.as("i")))
-    aggregate(scored,
-      struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
-      (acc, x) => when(x("s") > acc("s"), x).otherwise(acc))("i")
   }
 
   private def cosineOf(a: Array[Double], b: Array[Double]): Double = {

@@ -415,6 +415,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells(2L) >= 0, s"zero vector assigned unprobeable cell ${cells(2L)}")
   }
 
+  test("best_centroid matches the interpreted HOF arg-max on every vector") {
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    val centArr = typedLit(cents.map(_._2.toSeq))
+    // the pre-codegen formulation: score every centroid, fold for the max
+    val hofCell = {
+      val scored = transform(centArr, (c, i) => struct(
+        coalesce(cosine_similarity($"embedding", c), lit(-1.0e300)).as("s"), i.as("i")))
+      aggregate(scored,
+        struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
+        (acc, x) => when(x("s") > acc("s"), x).otherwise(acc))("i")
+    }
+    val diff = embs.select(
+        best_centroid($"embedding", cents.map(_._2)).as("fast"), hofCell.as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(diff == 0L)
+  }
+
+  test("IVF assignment plan carries no interpreted HOF fold") {
+    val idx = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
+    val plan = idx.queryExecution.optimizedPlan.toString
+    assert(plan.contains("best_centroid"), plan.take(500))
+    assert(!plan.contains("aggregate(") && !plan.contains("transform("),
+      s"interpreted HOF survived in IVF plan:\n${plan.take(500)}")
+  }
+
+  test("centroids fit on a capped deterministic sample keep full-probe exact") {
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 3L)
+    // budget 8*20=160 << corpus size, so the sample path is exercised
+    val idx = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8,
+      maxFitPerCell = 20)
+    assert(idx.select($"cell").distinct().count() <= 8)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv, 10, Some(3L))
+      .as[(Long, Double)].collect().toSeq
+    val full = Similarity.ivfTopK(idx, embs, "vec_id", "embedding", qv, 10,
+      nCells = 8, nProbe = 8, excludeId = Some(3L), maxFitPerCell = 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+    // determinism: a rebuild sees the memoized centroids -> identical cells
+    val again = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8,
+      maxFitPerCell = 20)
+    assert(idx.except(again).count() == 0 && again.except(idx).count() == 0)
+  }
+
   test("persisted IVF index answers identically after reload (cell-pruned files)") {
     val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
     val idx = Similarity.ivfIndex(embs, "vec_id", "embedding", nCells = 8)
