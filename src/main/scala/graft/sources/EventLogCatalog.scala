@@ -49,7 +49,10 @@ class EventLogCatalog extends TableCatalog {
       new EventLogTable(EventLogConf(
         Map("path" -> path, "partitions" -> partitions.toString)))
     } else if (EventLogRegistry.exists(n)) {
-      new EventLogTable(EventLogConf(Map("name" -> n)))
+      // stored TBLPROPERTIES (startingPosition, maxEventsPerTrigger, ...)
+      // flow back into the table conf so pure-SQL users control admission
+      new EventLogTable(EventLogConf(
+        EventLogCatalog.propsOf(n) + ("name" -> n)))
     } else throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
   }
 
@@ -65,8 +68,14 @@ class EventLogCatalog extends TableCatalog {
     // schema is ignored (ACCEPT_ANY_SCHEMA governs writes)
     val p = Option(properties.get("partitions")).map(_.toInt)
       .getOrElse(types.DefaultPartitionCount)
+    // every non-reserved property becomes a connector option — validated NOW
+    // so a typo'd CREATE TABLE fails instead of silently dropping the knob
+    val opts = properties.asScala.toMap
+      .map { case (k, v) => k.toLowerCase -> v } -- EventLogCatalog.ReservedProps
+    val conf = EventLogConf(opts + ("name" -> n, "partitions" -> p.toString)).validated()
     EventLogRegistry.create(n, p)
-    new EventLogTable(EventLogConf(Map("name" -> n, "partitions" -> p.toString)))
+    EventLogCatalog.storeProps(n, opts + ("partitions" -> p.toString))
+    new EventLogTable(conf)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -76,6 +85,7 @@ class EventLogCatalog extends TableCatalog {
     val n = logName(ident)
     val existed = EventLogRegistry.exists(n)
     EventLogRegistry.drop(n)
+    EventLogCatalog.dropProps(n)
     existed
   }
 
@@ -89,4 +99,21 @@ class EventLogCatalog extends TableCatalog {
       catch { case _: Exception => false }
     else EventLogRegistry.exists(n)
   }
+}
+
+object EventLogCatalog {
+  /** Spark-managed table metadata keys — not connector options. */
+  private[sources] val ReservedProps: Set[String] =
+    Set("provider", "location", "comment", "owner", "external")
+
+  // TBLPROPERTIES live beside the registry's logs (same JVM-wide lifetime),
+  // so a table created in one session keeps its conf in every session.
+  private val props =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private[sources] def storeProps(name: String, p: Map[String, String]): Unit =
+    props.put(name, p)
+  private[sources] def propsOf(name: String): Map[String, String] =
+    Option(props.get(name)).getOrElse(Map.empty)
+  private[sources] def dropProps(name: String): Unit = props.remove(name)
 }

@@ -104,6 +104,53 @@ final case class EventLogConf(options: Map[String, String]) {
   def throttlingStatusPlugin: Option[ThrottlingStatusPlugin] =
     get("throttlingstatusplugin").map(cls => Class.forName(cls)
       .getDeclaredConstructor().newInstance().asInstanceOf[ThrottlingStatusPlugin])
+
+  // ---- resilience / tuning knobs (ref package.scala:39-57 defaults) ----
+
+  /** Bounded retries for transient backend faults; 0 disables the retry
+    * wrapper entirely (ref RetryCount=10, package.scala:57). */
+  def maxRetries: Int = get("maxretries").map(_.toInt).getOrElse(10)
+  def retryDelayMs: Long = get("retrydelayms").map { s =>
+    val v = s.toLong; require(v >= 0, s"retryDelayMs must be >= 0, got $v"); v
+  }.getOrElse(10L)
+  /** Bound on ONE receive attempt (ref DefaultReceiverTimeout 60 s). */
+  def receiverTimeoutMs: Long = durationMs("receivertimeout", 60000L)
+  /** Bound on one whole client operation including retries
+    * (ref DefaultOperationTimeout 300 s). */
+  def operationTimeoutMs: Long = durationMs("operationtimeout", 300000L)
+  def retryPolicy: RetryPolicy =
+    RetryPolicy(maxRetries, retryDelayMs, receiverTimeoutMs, operationTimeoutMs)
+
+  /** Per-partition read-ahead rows for the parquet striped cursor (ref
+    * prefetchCount, package.scala:44-47; the reference's AMQP receiver
+    * prefetches this many events ahead of the consumer). None = default. */
+  def prefetchCount: Option[Long] = get("prefetchcount").map { s =>
+    val v = s.toLong
+    require(v >= 1, s"prefetchCount must be >= 1, got $v")
+    v
+  }
+
+  /** Durations accept plain milliseconds or ISO-8601 ("PT60S"). */
+  private def durationMs(k: String, dflt: Long): Long = get(k).map { s =>
+    val v = if (s.nonEmpty && (s.charAt(0) == 'P' || s.charAt(0) == 'p'))
+      java.time.Duration.parse(s).toMillis
+    else s.toLong
+    require(v > 0, s"$k must be positive, got $v")
+    v
+  }.getOrElse(dflt)
+
+  /** Fail on any option the connector does not understand — a typo'd conf
+    * silently doing nothing is the worst failure mode of a settings bag
+    * (the reference validates through typed EventHubsConf setters; a
+    * string-option surface needs an explicit whitelist instead). */
+  def validated(): EventLogConf = {
+    val unknown =
+      options.keySet -- EventLogConf.KnownOptions -- EventLogConf.PassthroughKeys
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"unknown graft-eventlog option(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"known options: ${EventLogConf.KnownOptions.toSeq.sorted.mkString(", ")}")
+    this
+  }
 }
 
 object EventLogConf {
@@ -111,6 +158,22 @@ object EventLogConf {
     EventLogConf(opts.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
 
   def parquetLogName(path: String, partitions: Int): String = s"parquet:$path#$partitions"
+
+  /** Every option the connector understands (lowercase). */
+  val KnownOptions: Set[String] = Set(
+    "name", "path", "partitions",
+    "startingposition", "endingposition", "startingpositions", "endingpositions",
+    "maxeventspertrigger", "maxratesperpartition", "consumergroup",
+    "failondataloss", "placementstrategy", "slowpartitionadjustment",
+    "metricplugin", "throttlingstatusplugin",
+    "maxretries", "retrydelayms", "receivertimeout", "operationtimeout",
+    "prefetchcount")
+
+  /** Keys Spark itself or the catalog layer injects into option maps —
+    * present-but-not-ours, never rejected. */
+  private[sources] val PassthroughKeys: Set[String] = Set(
+    "checkpointlocation", "queryname", "provider", "owner", "location",
+    "comment", "external")
 }
 
 /**

@@ -76,6 +76,8 @@ final class LongTaskMetric(n: String, v: Long)
 class EventLogTable(conf: EventLogConf) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
+  conf.validated() // reject typo'd options loudly, at table resolution time
+
   override def name(): String = s"graft-eventlog(${conf.name})"
 
   /** Sink-side `StreamingQueryProgress.sink.metrics`: rows still staged for
@@ -103,7 +105,7 @@ class EventLogTable(conf: EventLogConf) extends Table
   // per-scan/write options override the table's own (catalog-loaded tables
   // arrive with empty options; format() reads carry everything here)
   private def merged(options: CaseInsensitiveStringMap): EventLogConf =
-    EventLogConf(conf.options ++ EventLogConf(options).options)
+    EventLogConf(conf.options ++ EventLogConf(options).options).validated()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventLogScanBuilder(merged(options))

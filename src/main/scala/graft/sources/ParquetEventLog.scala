@@ -100,6 +100,7 @@ object ParquetEventLog extends EventLogClient with Logging {
     }
     fullIndex.keySet.removeIf(_._1 == path)
     projCache.keySet.removeIf(_._1 == path)
+    prefetchTuning.keySet.removeIf(_._1 == path)
   }
 
   private[sources] def metaFor(path: String): LogMeta =
@@ -375,8 +376,11 @@ object ParquetEventLog extends EventLogClient with Logging {
     // the striped cursor materializes its result, so it only serves
     // micro-batch-sized reads; anything larger streams lazily through oneShot
     if (until - from <= MaxCursorBatchRows) {
-      val cur = stripes.computeIfAbsent((path, partitions),
-        _ => new StripedCursor(meta, partitions))
+      val cur = stripes.computeIfAbsent((path, partitions), key => {
+        val cap = Option(prefetchTuning.get(key))
+          .map(_ * partitions).getOrElse(MaxBufferedRows)
+        new StripedCursor(meta, partitions, cap)
+      })
       cur.take(pid, from, until) match {
         case Some(events) => events.iterator
         case None =>
@@ -479,7 +483,7 @@ object ParquetEventLog extends EventLogClient with Logging {
    * the reader row-group-pruned at the stride-aligned target id and drops
    * buffered rows the reopened reader will deliver again.
    */
-  private final class StripedCursor(meta: LogMeta, partitions: Int) {
+  private final class StripedCursor(meta: LogMeta, partitions: Int, maxBuffered: Long) {
     private val dec = new Decoder(project(meta, EventFields), meta.tsUnit)
     private val lock = new java.util.concurrent.locks.ReentrantLock()
     private val bufs: Array[java.util.ArrayDeque[(Long, Event)]] =
@@ -537,12 +541,12 @@ object ParquetEventLog extends EventLogClient with Logging {
         if (p2 == pid) {
           if (s2 == seq) { out += ((s2, dec.event(g))); seq += 1 }
           // s2 < seq: a row below the requested start (stride alignment) — skip
-        } else if (buffered < MaxBufferedRows) {
+        } else if (buffered < maxBuffered) {
           bufs(p2).addLast((s2, dec.event(g))); buffered += 1
         } else if (!warnedCap) {
           warnedCap = true
           logWarning(s"parquet log ${meta.path}: striped read-ahead exceeded " +
-            s"$MaxBufferedRows buffered rows (partitions are not consuming in " +
+            s"$maxBuffered buffered rows (partitions are not consuming in " +
             "lockstep); dropping read-ahead for idle partitions — they will " +
             "reposition when they next read")
         }
@@ -601,10 +605,20 @@ object ParquetEventLog extends EventLogClient with Logging {
     * instead of decoding and buffering everything in between. */
   private val MaxForwardReadAhead: Long = 1L << 16
 
-  /** Cap on rows buffered for not-currently-reading partitions. */
+  /** Default cap on rows buffered for not-currently-reading partitions;
+    * `prefetchCount` (per partition) overrides it via [[tunePrefetch]]. */
   private val MaxBufferedRows: Long = 1L << 20
 
   private val stripes = new ConcurrentHashMap[(String, Int), StripedCursor]()
+
+  /** Per-partition striped read-ahead rows, keyed like `stripes`. Applied
+    * when a log's cursor is CREATED (the conf's prefetchCount reaches here
+    * through EventLogClients.forConf at planning time, before any receive);
+    * an already-open cursor keeps its cap. */
+  private val prefetchTuning = new ConcurrentHashMap[(String, Int), Long]()
+
+  private[sources] def tunePrefetch(path: String, partitions: Int, rowsPerPartition: Long): Unit =
+    prefetchTuning.put((path, partitions), rowsPerPartition)
 
   // ---- non-dense fallback: full per-partition index (memory-bound) ----
 
@@ -646,10 +660,29 @@ object ParquetEventLog extends EventLogClient with Logging {
 }
 
 /** Client selection: parquet-backed for `path` confs, the in-JVM registry for
-  * named logs (sinks, tests, roundtrips). */
+  * named logs (sinks, tests, roundtrips). Every resolved client is wrapped
+  * in the conf's bounded-retry policy (maxRetries=0 opts out), so driver
+  * planning and executor partition readers share one fault-handling layer. */
 object EventLogClients {
-  def forConf(conf: EventLogConf): EventLogClient =
-    if (conf.path.isDefined) ParquetEventLog else EventLogRegistry
+  /** Test seam: per-log-name client decorators (fault injection). Applied
+    * UNDER the retry wrapper, so injected faults exercise the real policy.
+    * Local-mode only by construction — a multi-JVM deployment implements
+    * fault semantics in its own EventLogClient. */
+  private val wrappers =
+    new ConcurrentHashMap[String, EventLogClient => EventLogClient]()
+
+  def installWrapper(logName: String, w: EventLogClient => EventLogClient): Unit =
+    wrappers.put(logName, w)
+  def clearWrapper(logName: String): Unit = wrappers.remove(logName)
+
+  def forConf(conf: EventLogConf): EventLogClient = {
+    val base: EventLogClient =
+      if (conf.path.isDefined) ParquetEventLog else EventLogRegistry
+    conf.path.foreach(p =>
+      conf.prefetchCount.foreach(n => ParquetEventLog.tunePrefetch(p, conf.partitions, n)))
+    val faulted = Option(wrappers.get(conf.name)).map(_(base)).getOrElse(base)
+    if (conf.maxRetries > 0) new RetryingClient(faulted, conf.retryPolicy) else faulted
+  }
 
   /** Reading an unknown/missing log is an error, not a silent empty result. */
   def validateForRead(conf: EventLogConf): Unit = conf.path match {

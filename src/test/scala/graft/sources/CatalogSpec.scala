@@ -76,6 +76,30 @@ class CatalogSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("read-only")))
   }
 
+  test("TBLPROPERTIES flow into the table conf (admission control from pure SQL)") {
+    EventLogRegistry.drop("cat5")
+    spark.sql("""CREATE TABLE graft.cat5 TBLPROPERTIES (
+      'partitions'='2', 'maxEventsPerTrigger'='6',
+      'startingPosition'='{"seqNo":2}', 'consumerGroup'='sqlgrp')""")
+    val log = EventLogRegistry.get("cat5")
+    for (p <- 0 until 2; i <- 0 until 10)
+      log.append(p, Event(s"$p-$i".getBytes, (i + 1) * 1000000L))
+    val q = spark.readStream.table("graft.cat5")
+      .writeStream.format("memory").queryName("cat5_out").start()
+    try {
+      q.processAllAvailable()
+      // startingPosition seqNo 2 skips 2 rows per partition
+      assert(spark.table("cat5_out").count() == 16L)
+      // maxEventsPerTrigger=6 paces admission: the 16 rows need >= 3 batches
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3 && batches.forall(_.numInputRows <= 6),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+    // a fresh loadTable sees the same stored properties
+    spark.sql("DROP TABLE graft.cat5")
+    assert(!EventLogRegistry.exists("cat5"))
+  }
+
   test("pushdown flows through the catalog path identically") {
     EventLogRegistry.drop("cat3")
     val log = EventLogRegistry.create("cat3", 1)
