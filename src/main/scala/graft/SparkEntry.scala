@@ -64,6 +64,22 @@ object SparkEntry {
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Shared by q_corpus_decontaminate and q_stream_decontaminate: the
+    * streaming form is per-batch stateless, so one batch oracle gates both. */
+  private lazy val deconOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |   list_distinct(${TextFunctions.sqlWordShingles("text", 3)
+             .replace("string_split(text, ' ')", "w")}) AS sh
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+       |),
+       |cs AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE source <> 'src0'),
+       |bs AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE source = 'src0'),
+       |j AS (SELECT cs.doc_id, bs.bench_id, count(*) AS shared
+       |      FROM cs JOIN bs USING (s) GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS n_bench_matched, max(shared) AS top_shared
+       |FROM j WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Shared body of the stream-stream interval join gates: clicks x errors
     * on the same log partition within +-5 minutes. The equality key is
     * (partition, 10-minute time bucket) — the click side explodes to
@@ -619,6 +635,42 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_stream_decontaminate" -> ((s, dir) => {
+      // streaming decontamination: corpus documents flow through the graft
+      // SINK into a log, stream back out in admission-controlled
+      // micro-batches, and every batch joins the static benchmark shingle
+      // index. Per-batch stateless, so the union over any trigger slicing
+      // equals the batch operator (q_corpus_decontaminate's oracle gates it)
+      val docs = Tables.documents(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "sdc_" + tag
+      docs.filter(col("source") =!= "src0")
+        .select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", "256") // several batches per sweep
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      val outDir = java.nio.file.Files.createTempDirectory(s"sdc_out_$tag").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = operators.CorpusOps.decontaminateStream(
+            stream, docs.filter(col("source") === "src0"),
+            "doc_id", "text", k = 3, minShared = 2) { (report, _) =>
+          report.write.mode("append").parquet(outDir)
+        }.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("n_bench_matched"), col("top_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_stream_join" -> ((s, dir) => {
       val out = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
       runStreamIntervalJoin(s, dir, out, watermarkDelay = "1 hour", joinType = "inner")
@@ -787,19 +839,7 @@ object SparkEntry {
           |      FROM documents)
           |WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
 
-      "q_corpus_decontaminate" ->
-        s"""WITH d AS (
-           |  SELECT doc_id, source,
-           |   list_distinct(${TextFunctions.sqlWordShingles("text", 3)
-                 .replace("string_split(text, ' ')", "w")}) AS sh
-           |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
-           |),
-           |cs AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE source <> 'src0'),
-           |bs AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE source = 'src0'),
-           |j AS (SELECT cs.doc_id, bs.bench_id, count(*) AS shared
-           |      FROM cs JOIN bs USING (s) GROUP BY 1, 2)
-           |SELECT doc_id, count(*) AS n_bench_matched, max(shared) AS top_shared
-           |FROM j WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      "q_corpus_decontaminate" -> deconOracleSql,
 
       "q_text_repetition" ->
         s"""WITH base AS (
@@ -887,6 +927,10 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n_events,
           | round(avg(value), 4) AS type_avg_value
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // per-batch stateless streaming => the batch decontamination oracle
+      // gates the streamed result unchanged
+      "q_stream_decontaminate" -> deconOracleSql,
 
       "q_stream_join" ->
         """WITH src AS (

@@ -30,19 +30,64 @@ object CorpusOps {
    */
   def decontaminate(
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame = {
-    def index(df: DataFrame, outId: String) = df.select(
-      col(idCol).as(outId),
+      k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame =
+    decontaminateAgainstIndex(
+      corpus, benchIndex(bench, idCol, textCol, k, maxShingleDf), idCol, textCol, k, minShared)
+
+  /** The static half of decontamination: hot-dropped inverted shingle index
+    * (bench_id, s) of the benchmark, checkpointed so batch reuse (and every
+    * micro-batch of [[decontaminateStream]]) reads the materialized index
+    * instead of re-shingling the benchmark. */
+  def benchIndex(
+      bench: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxShingleDf: Int = 1000): DataFrame = {
+    val idx = bench.select(
+      col(idCol).as("bench_id"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
-    val benchIdx = index(bench, "bench_id").localCheckpoint(eager = false)
-    val benchCold = Dedup.dropHotKeys(benchIdx, Seq("s"), maxShingleDf, "decontaminate")
-    index(corpus, "doc_id")
+      .localCheckpoint(eager = false)
+    Dedup.dropHotKeys(idx, Seq("s"), maxShingleDf, "decontaminate")
+  }
+
+  /** Corpus side of [[decontaminate]] against a prebuilt [[benchIndex]]. */
+  def decontaminateAgainstIndex(
+      corpus: DataFrame, benchCold: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minShared: Int = 2): DataFrame =
+    corpus.select(
+        col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
       .join(benchCold, "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_matched"), max(col("shared")).as("top_shared"))
+
+  /**
+   * Streaming benchmark decontamination: every micro-batch of arriving
+   * documents is checked against the STATIC benchmark index (stream-static
+   * join, the q_stream_enrich shape). A document's contamination depends
+   * only on itself and the fixed benchmark — per-document stateless — so
+   * the correct streaming form is per-batch application of the batch
+   * operator: no cross-batch state, memory bounded by the trigger's
+   * admission cap, and the union of batch outputs equals the batch run
+   * under ANY trigger slicing (each document arrives exactly once). A
+   * complete-mode chained streaming aggregation would instead accumulate
+   * every (doc, bench) pair in the state store for the stream's lifetime.
+   *
+   * Returns the configured writer; the caller picks trigger/sink and
+   * starts it. `writeBatch` receives each batch's decontamination report
+   * (same schema as [[decontaminate]]).
+   */
+  def decontaminateStream(
+      docsStream: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000)
+      (writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val idx = benchIndex(bench, idCol, textCol, k, maxShingleDf)
+    docsStream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      writeBatch(
+        decontaminateAgainstIndex(batch, idx, idCol, textCol, k, minShared), epochId)
+    }
   }
 
   /**

@@ -50,6 +50,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Dedup.lastDropStats("decontaminate").get.buckets > 0)
   }
 
+  test("decontaminateStream over micro-batches equals the batch operator") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val expected = CorpusOps.decontaminate(corpus, bench, "doc_id", "text",
+      k = 3, minShared = 2).as[(Long, Long, Long)].collect().toSet
+
+    // stream the corpus through a log in small admission-controlled batches
+    val name = "decon_stream_test"
+    graft.sources.EventLogRegistry.drop(name)
+    corpus.select($"text".cast("binary").as("body"),
+        map(lit("doc_id"), $"doc_id".cast("string")).as("properties"))
+      .write.format("graft-eventlog")
+      .option("name", name).option("partitions", "2").mode("append").save()
+    val stream = spark.readStream.format("graft-eventlog")
+      .option("name", name).option("maxEventsPerTrigger", "64").load()
+      .select($"properties"("doc_id").cast("long").as("doc_id"),
+        $"body".cast("string").as("text"))
+    val outDir = java.nio.file.Files.createTempDirectory("decon-stream").toString
+    val q = CorpusOps.decontaminateStream(stream, bench, "doc_id", "text",
+        k = 3, minShared = 2) { (report, _) =>
+      report.write.mode("append").parquet(outDir)
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // genuinely multi-batch, and batch slicing is invisible in the union
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 2, s"expected several micro-batches, got ${progress.length}")
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    graft.sources.EventLogRegistry.drop(name)
+  }
+
   test("repetitionProfile computes dup-word and top-bigram fractions") {
     val docs = Seq(
       (0L, "spam spam spam spam"),              // 4 words, 1 distinct, bg "spam spam" x3
