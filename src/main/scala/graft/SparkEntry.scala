@@ -649,9 +649,14 @@ object SparkEntry {
           map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
         .write.format(GraftEventLog.Format)
         .option("name", logName).option("partitions", "4").mode("append").save()
+      // several micro-batches at ANY scale factor: the per-batch fixed cost
+      // (trigger planning + one join job) must not dominate at large sf, so
+      // the admission cap scales with the corpus instead of being absolute
+      val nCorpus = docs.filter(col("source") =!= "src0").count()
+      val perTrigger = math.max(256L, (nCorpus + 7) / 8)
       val stream = s.readStream.format(GraftEventLog.Format)
         .option("name", logName)
-        .option("maxEventsPerTrigger", "256") // several batches per sweep
+        .option("maxEventsPerTrigger", perTrigger.toString)
         .load()
         .select(col("properties")("doc_id").cast("long").as("doc_id"),
           col("body").cast("string").as("text"))

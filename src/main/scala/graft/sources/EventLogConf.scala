@@ -207,9 +207,13 @@ object RateLimiter {
     } else {
       bounds.map { case (p, (from, latest)) =>
         val share = budget.toDouble * backlog(p) / total * throttleFactor(p)
-        // ceil so that tiny-backlog partitions receive at least one event per
-        // trigger (starvation guard, ref EventHubsSource.scala:308-315); clamp
-        // to the service-reported latest.
+        // DELIBERATE DIVERGENCE from the reference: it floors prorated
+        // shares >= 1 (EventHubsSource.scala:308-315), which can starve a
+        // tiny-backlog partition whose share rounds to 0 for many triggers;
+        // we ceil, so every nonempty partition advances every trigger at the
+        // cost of overshooting the budget by at most P-1 events/trigger
+        // (bounded, property-tested in RateLimiterPropertySpec). Clamp to
+        // the service-reported latest.
         val until = from + math.ceil(share).toLong
         p -> capped(p, from, math.min(latest, math.max(from, until)))
       }
