@@ -32,27 +32,24 @@ object SparkEntry {
     * q_dedup_clusters; computing the shingle-index join once per (session,
     * dir) and checkpointing halves the most expensive pipeline in the sweep
     * (clusters would otherwise recompute it from scratch). */
-  // Keyed by the session's identity hash — a value the memoized DataFrames
-  // do NOT retain (a DataFrame strongly references its session, so a
-  // session-keyed WeakHashMap's values would pin their own keys and never
-  // collect). The weak ref is identity-checked on access (a rare hash reuse
-  // just replaces the cache entry) and entries whose session was collected
-  // or stopped are evicted on every access.
+  // The memoized DataFrames strongly reference their session, so ANY map
+  // holding them pins that session — a WeakReference around the key could
+  // never clear and would only pretend otherwise. The honest lifecycle:
+  // hold strong refs, evict entries for STOPPED sessions on every access
+  // (their checkpoint blocks are already released by the stop). An
+  // abandoned-but-unstopped session stays memoized — stopping the session
+  // is the API contract for releasing its resources.
   private val ngramPairsMemo = new java.util.HashMap[Integer,
-    (java.lang.ref.WeakReference[SparkSession], scala.collection.mutable.Map[String, DataFrame])]()
+    (SparkSession, scala.collection.mutable.Map[String, DataFrame])]()
   private def ngramPairsShared(s: SparkSession, dir: String): DataFrame =
     ngramPairsMemo.synchronized {
-      ngramPairsMemo.entrySet().removeIf { e =>
-        val sess = e.getValue._1.get()
-        sess == null || sess.sparkContext.isStopped
-      }
+      ngramPairsMemo.entrySet().removeIf(_.getValue._1.sparkContext.isStopped)
       val k = Integer.valueOf(System.identityHashCode(s))
       val cur = ngramPairsMemo.get(k)
       val entry =
-        if (cur != null && (cur._1.get() eq s)) cur
+        if (cur != null && (cur._1 eq s)) cur
         else {
-          val fresh = (new java.lang.ref.WeakReference(s),
-            scala.collection.mutable.Map.empty[String, DataFrame])
+          val fresh = (s, scala.collection.mutable.Map.empty[String, DataFrame])
           ngramPairsMemo.put(k, fresh)
           fresh
         }
@@ -63,6 +60,18 @@ object SparkEntry {
     }
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Run a gate stream to completion or fail loudly: a timed-out
+    * AvailableNow query must never let the caller read partial sink
+    * contents as the query's answer (and the still-running stream must not
+    * keep writing under restored session confs). */
+  private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+      ms: Long = 300000): Unit =
+    if (!q.awaitTermination(ms)) {
+      try q.stop()
+      finally throw new IllegalStateException(
+        s"gate stream did not complete within ${ms / 1000}s")
+    }
 
   /** Shared by q_corpus_decontaminate and q_stream_decontaminate: the
     * streaming form is per-batch stateless, so one batch oracle gates both. */
@@ -118,7 +127,7 @@ object SparkEntry {
           joinType)
         .writeStream.format("memory").queryName(out).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      awaitOrFail(q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -409,7 +418,7 @@ object SparkEntry {
         .select(col("body").cast("string").as("body"), col("partition"))
         .writeStream.foreach(graft.streaming.StreamOps.foreachRowWriter(hub))
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      awaitOrFail(q)
       GraftEventLog.read(s, hub)
         .groupBy(col("partition")).agg(count(lit(1)).as("n"))
         .orderBy(col("partition"))
@@ -433,7 +442,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .writeStream.format("memory").queryName(out).outputMode("complete")
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
+        awaitOrFail(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(out)
         .select(col("w.start").as("window_start"), col("event_type"), col("n"))
@@ -604,7 +613,7 @@ object SparkEntry {
           .groupBy(col("event_type")).agg(count(lit(1)).as("n_distinct"))
           .writeStream.format("memory").queryName(out).outputMode("complete")
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
+        awaitOrFail(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(out).orderBy(col("event_type"))
     }),
@@ -628,7 +637,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_events"))
           .writeStream.format("memory").queryName(out).outputMode("complete")
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
+        awaitOrFail(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(out)
         .select(col("event_type"), col("n_events"), col("type_avg_value"))
@@ -669,8 +678,11 @@ object SparkEntry {
             "doc_id", "text", k = 3, minShared = 2) { (report, _) =>
           report.write.mode("append").parquet(outDir)
         }.trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        awaitOrFail(q)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        sources.EventLogRegistry.drop(logName) // corpus copy no longer needed
+      }
       s.read.parquet(outDir)
         .select(col("doc_id"), col("n_bench_matched"), col("top_shared"))
         .orderBy(col("doc_id"))
@@ -727,7 +739,7 @@ object SparkEntry {
           .toDF()
           .writeStream.format("memory").queryName(out).outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
+        awaitOrFail(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(out)
         .select(col("key").as("user_id"), col("nEvents").as("n_events"),

@@ -36,6 +36,10 @@ object Dedup extends Logging {
     * other's counts — `lastDropStats` reports whichever invocation was
     * registered last, with numbers that belong to it. */
   private final class DropHandle(tag: String, cap: Int, hot: DataFrame) {
+    /** The invocation's session is gone — stats can never be computed. */
+    def dead: Boolean =
+      hot.sparkSession.sparkContext.isStopped
+
     lazy val stats: DropStats = {
       val Seq(nHot, rowsHot) = hot
         .agg(count(lit(1)), coalesce(sum(col("__df")), lit(0L)))
@@ -48,9 +52,37 @@ object Dedup extends Logging {
       dropListeners.forEach(_.onDrops(tag, s))
       s
     }
+
+    def tryStats: Option[DropStats] =
+      if (dead) None else scala.util.Try(stats).toOption
   }
 
   private val dropStats = new ConcurrentHashMap[String, DropHandle]()
+
+  /** Executor-side alarm baked into the hot-key plan itself: fires when the
+    * caller's OWN action materializes the table, so a pipeline that drops
+    * recall warns in its logs even if nobody ever polls `lastDropStats`.
+    * (Serializable holder — executors log through their own logger.) */
+  private object HotKeyAlarm extends Serializable {
+    @transient private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+    private val WarnRowsPerPartition = 3
+    def wrap(tag: String, cap: Int, rows: Iterator[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] = new Iterator[org.apache.spark.sql.Row] {
+      private var warned = 0
+      override def hasNext: Boolean = rows.hasNext
+      override def next(): org.apache.spark.sql.Row = {
+        val r = rows.next()
+        if (warned < WarnRowsPerPartition) {
+          warned += 1
+          log.warn(s"[$tag] dropping hot key ${r.toSeq.dropRight(1).mkString("/")} " +
+            s"(df=${r.getLong(r.length - 1)} > cap=$cap) — pairs within it are NOT " +
+            "reported" + (if (warned == WarnRowsPerPartition) " (further drops in " +
+            "this partition unlogged; totals via Dedup.lastDropStats)" else ""))
+        }
+        r
+      }
+    }
+  }
 
   /** Push-based metrics SPI: fires whenever an invocation's drop counts are
     * computed (via [[lastDropStats]] or [[publishDropStats]]) — the batch
@@ -69,13 +101,20 @@ object Dedup extends Logging {
     * operator's query has run this is a KB-scale aggregation over the
     * already-checkpointed hot-key table; before it, the index pipeline runs
     * to produce them. */
-  def lastDropStats(tag: String): Option[DropStats] = Option(dropStats.get(tag)).map(_.stats)
+  def lastDropStats(tag: String): Option[DropStats] =
+    Option(dropStats.get(tag)).flatMap(_.tryStats)
 
   /** Compute-and-publish every registered invocation's drop counts (end-of-
-    * job hook for pipelines that want all recall-loss counters at once). */
+    * job hook for pipelines that want all recall-loss counters at once).
+    * Handles whose session has stopped are skipped and evicted — one stale
+    * pipeline must not fail every other pipeline's counters. */
   def publishDropStats(): Map[String, DropStats] = {
     import scala.jdk.CollectionConverters._
-    dropStats.asScala.map { case (tag, h) => tag -> h.stats }.toMap
+    dropStats.asScala.flatMap { case (tag, h) =>
+      val s = h.tryStats
+      if (s.isEmpty && h.dead) dropStats.remove(tag)
+      s.map(tag -> _)
+    }.toMap
   }
 
   /**
@@ -88,8 +127,13 @@ object Dedup extends Logging {
    */
   private[operators] def dropHotKeys(
       index: DataFrame, keyCols: Seq[String], cap: Int, tag: String): DataFrame = {
-    val hot = index.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
+    val hot0 = index.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > cap)
+    // route the (metadata-scale) hot-key table through the executor-side
+    // alarm so the drop is loud when the CALLER's action runs it — not only
+    // when someone polls the stats afterwards
+    val hot = hot0.mapPartitions(rows => HotKeyAlarm.wrap(tag, cap, rows))(
+        org.apache.spark.sql.Encoders.row(hot0.schema))
       .localCheckpoint(eager = false)
     dropStats.put(tag, new DropHandle(tag, cap, hot))
     index.join(hot.select(keyCols.map(col): _*), keyCols, "left_anti")

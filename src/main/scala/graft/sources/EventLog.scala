@@ -148,6 +148,18 @@ final class InMemoryEventLog(val name: String, val numPartitions: Int) {
 
   def discardStaged(key: String): Unit = synchronized { staging.remove(key); () }
 
+  /** Discard every staged attempt of an epoch WITHOUT closing it — the
+    * ABORT path. An aborted epoch legitimately re-runs after a restart
+    * under the SAME (queryId, epochId), so marking it closed here would
+    * make stageAll silently drop the retry's rows and wedge the query
+    * permanently on "staging was lost before commit". A zombie stage
+    * landing after this sweep parks until the epoch's retry publishes
+    * (publishStaged sweeps the prefix) — bounded by one attempt's rows if
+    * the query never returns. Only publishStaged closes an epoch. */
+  def sweepStaged(prefix: String): Unit = synchronized {
+    staging.keys.filter(_.startsWith(prefix)).toList.foreach(staging.remove)
+  }
+
   /** Atomically append the staged buffers under `keys` (caller passes them in
     * deterministic task order), then drop every other staged attempt of the
     * same epoch (`prefix`) — failed/speculative duplicates. Returns rows

@@ -66,12 +66,14 @@ class EventLogCatalog extends TableCatalog {
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     // the row schema is the connector's fixed 9-column contract; a declared
     // schema is ignored (ACCEPT_ANY_SCHEMA governs writes)
-    val p = Option(properties.get("partitions")).map(_.toInt)
-      .getOrElse(types.DefaultPartitionCount)
     // every non-reserved property becomes a connector option — validated NOW
     // so a typo'd CREATE TABLE fails instead of silently dropping the knob
     val opts = properties.asScala.toMap
       .map { case (k, v) => k.toLowerCase -> v } -- EventLogCatalog.ReservedProps
+    // read partitions from the LOWERCASED map: TBLPROPERTIES keys arrive in
+    // user case, and a case-sensitive miss would silently use the default
+    val p = opts.get("partitions").map(_.toInt)
+      .getOrElse(types.DefaultPartitionCount)
     val conf = EventLogConf(opts + ("name" -> n, "partitions" -> p.toString)).validated()
     EventLogRegistry.create(n, p)
     EventLogCatalog.storeProps(n, opts + ("partitions" -> p.toString))

@@ -176,8 +176,11 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
           case o                       => EventLogSourceOffset.parse(o.json()).seqNos
         }
         val bounds = client.boundedSeqNos(name)
-        val behind = bounds.toSeq.map { case (pid, (_, latest)) =>
-          math.max(0L, latest - consumed.getOrElse(pid, latest))
+        val behind = bounds.toSeq.map { case (pid, (earliest, latest)) =>
+          // a partition absent from the consumed offset (discovered AFTER
+          // that offset was committed) is entirely unread: its lag is the
+          // full retained backlog, not zero
+          math.max(0L, latest - consumed.getOrElse(pid, earliest))
         }
         if (behind.nonEmpty) {
           out.put("minEventsBehindLatest", behind.min.toString)

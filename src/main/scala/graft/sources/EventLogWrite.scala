@@ -128,9 +128,21 @@ class EventLogWrite(
         s"of $reported reported rows — staging was lost before commit")
   }
 
+  /** Abort: sweep staged attempts but leave the epoch OPEN — it may re-run
+    * after a restart under the same (queryId, epochId), and closing it here
+    * would silently drop the retry's staging (permanent wedge). */
   private def discard(epochId: Long): Unit = {
     val log = EventLogRegistry.ensure(conf)
-    log.publishStaged(epochPrefix(epochId), Nil) // publish nothing, GC the epoch
+    log.sweepStaged(epochPrefix(epochId))
+  }
+
+  /** Replay of an already-committed epoch: drop duplicates AND close the
+    * epoch (it completed; nothing will ever legitimately stage to it again,
+    * so late zombies must not park in staging forever). */
+  private def discardReplayed(epochId: Long): Unit = {
+    val log = EventLogRegistry.ensure(conf)
+    log.publishStaged(epochPrefix(epochId), Nil)
+    ()
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -152,7 +164,7 @@ class EventLogWrite(
       if (!EventLogWriteSupport.alreadyCommitted(name, queryId, epochId)) {
         publish(epochId, messages)
         EventLogWriteSupport.markCommitted(name, queryId, epochId)
-      } else discard(epochId) // replayed epoch: drop the re-staged duplicates
+      } else discardReplayed(epochId) // replayed epoch: drop re-staged duplicates
     }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       discard(epochId)

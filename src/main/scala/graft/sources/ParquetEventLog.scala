@@ -392,10 +392,14 @@ object ParquetEventLog extends EventLogClient with Logging {
     } else oneShot(meta, partitions, pid, from, until)
   }
 
-  /** Above this many rows a receive always streams lazily (the striped cursor
-    * buffers its result; admission-controlled micro-batches sit far below
-    * this). */
-  private val MaxCursorBatchRows: Long = 1L << 20
+  /** Above this many rows per call a receive always streams lazily through
+    * the parallel self-verifying range scan. The striped cursor MATERIALIZES
+    * each take and serializes takers on one lock — the right trade for
+    * admission-controlled micro-batch tails (small lockstep ranges, one
+    * decode pass total), and the wrong one for large one-shot batch scans,
+    * which want per-task lazy decoding, O(row) memory, and early-abandon.
+    * Default admission is partitions×1000/trigger, far below this bound. */
+  private val MaxCursorBatchRows: Long = 1L << 16
 
   private def saturatingAdd(a: Long, b: Long): Long = {
     val s = a + b

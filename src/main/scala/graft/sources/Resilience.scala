@@ -17,10 +17,13 @@ import types._
  * in-process), so the same policy is a plain bounded loop: retry only
  * failures marked [[TransientLogFailure]] (directly or as a cause), sleep
  * `retryDelayMs` between attempts, give up when `maxRetries` attempts or
- * the `operationTimeout` budget are exhausted. A single receive attempt
- * that takes longer than `receiverTimeout` is treated as a transient fault
- * (the synchronous analog of a receiver that timed out waiting on the
- * wire) and retried within the same budgets.
+ * the `operationTimeout` budget are exhausted. `receiverTimeout` bounds a
+ * single receive ATTEMPT: an attempt that fails after exceeding it is not
+ * retried further (the backend is timing out, not blipping), while an
+ * attempt that SUCCEEDS over the bound returns its data with a warning —
+ * a synchronous call cannot be interrupted, and discarding successfully
+ * fetched rows only to re-fetch them would turn a slow-but-healthy backend
+ * into a failing one.
  *
  * Iterator consumption AFTER a successful receive call is deliberately not
  * retried here: mid-scan failures belong to Spark's own task-retry layer,
@@ -49,29 +52,36 @@ final case class RetryPolicy(
  * same fault handling.
  */
 final class RetryingClient(underlying: EventLogClient, policy: RetryPolicy)
-    extends EventLogClient {
+    extends EventLogClient with org.apache.spark.internal.Logging {
 
   private def isTransient(t: Throwable): Boolean = t match {
     case _: TransientLogFailure => true
     case _ => t.getCause != null && t.getCause.isInstanceOf[TransientLogFailure]
   }
 
-  /** Run `fn` under the retry policy. `timed` additionally converts a slow
-    * successful attempt into a transient receiver-timeout fault. */
+  /** Run `fn` under the retry policy. `timed` marks receive-shaped calls:
+    * a FAILED attempt that also overran receiverTimeout stops retrying (a
+    * timing-out backend won't be saved by hammering it), and a successful
+    * attempt over the bound is returned with a warning, never discarded. */
   private def retry[T](op: String, timed: Boolean = false)(fn: => T): T = {
     val deadline = System.nanoTime() + policy.operationTimeoutMs * 1000000L
     var attempt = 0
     while (true) {
       val t0 = System.nanoTime()
+      def tookMs: Long = (System.nanoTime() - t0) / 1000000L
       try {
         val out = fn
-        val tookMs = (System.nanoTime() - t0) / 1000000L
         if (timed && tookMs > policy.receiverTimeoutMs)
-          throw new TransientLogException(
-            s"$op took $tookMs ms, over receiverTimeout ${policy.receiverTimeoutMs} ms")
+          logWarning(s"$op took $tookMs ms, over receiverTimeout " +
+            s"${policy.receiverTimeoutMs} ms (returning the fetched data; " +
+            "raise receiverTimeout or reduce the trigger budget)")
         return out
       } catch {
         case t: Throwable if isTransient(t) =>
+          if (timed && tookMs > policy.receiverTimeoutMs)
+            throw new java.util.concurrent.TimeoutException(
+              s"$op failed after exceeding receiverTimeout " +
+                s"${policy.receiverTimeoutMs} ms (${t.getMessage})")
           attempt += 1
           if (attempt > policy.maxRetries)
             throw new java.io.IOException(

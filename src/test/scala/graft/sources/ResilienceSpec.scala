@@ -134,19 +134,55 @@ class ResilienceSpec extends AnyFunSuite {
     }
   }
 
-  test("receiverTimeout converts a hung receive into bounded retries") {
+  test("a slow but SUCCESSFUL receive is returned, never discarded and re-fetched") {
     freshLog("res4")
     withFaults("res4") { faults =>
       faults.receiveDelayMs = 60L
-      val err = intercept[Exception] {
-        spark.read.format("graft-eventlog").option("name", "res4")
-          .option("receiverTimeout", "10")
-          .option("maxRetries", "1").option("retryDelayMs", "1").load().count()
-      }
-      assert(messages(err).exists(m =>
-        m.contains("receiverTimeout") || m.contains("failed after 1 retries")),
-        s"got: ${messages(err)}")
+      val before = faults.receiveCalls.get()
+      val n = spark.read.format("graft-eventlog").option("name", "res4")
+        .option("receiverTimeout", "10")
+        .option("maxRetries", "5").option("retryDelayMs", "1").load().count()
+      assert(n == 40L)
+      // one receive per partition — the overrun produced a warning, not a retry
+      assert(faults.receiveCalls.get() - before <= 2,
+        s"slow successful receives were re-fetched ${faults.receiveCalls.get() - before}x")
     }
+  }
+
+  test("a receive FAILING past receiverTimeout stops retrying immediately") {
+    freshLog("res4b")
+    withFaults("res4b") { faults =>
+      faults.receiveDelayMs = 60L
+      faults.transientReceiveFaults.set(1000)
+      val before = faults.receiveCalls.get()
+      val err = intercept[Exception] {
+        spark.read.format("graft-eventlog").option("name", "res4b")
+          .option("receiverTimeout", "10")
+          .option("maxRetries", "50").option("retryDelayMs", "1").load().count()
+      }
+      assert(messages(err).exists(_.contains("receiverTimeout")),
+        s"got: ${messages(err)}")
+      // the timing-out backend was not hammered with the full retry budget
+      assert(faults.receiveCalls.get() - before <= 4,
+        s"timing-out receive was retried ${faults.receiveCalls.get() - before}x")
+    }
+  }
+
+  test("an aborted epoch can re-run: abort sweeps staging without closing it") {
+    EventLogRegistry.drop("res8")
+    val log = EventLogRegistry.create("res8", 1)
+    val key = "q1/7/0/0"
+    def stage(): Unit =
+      log.stageAll(key, Seq((Some(0), None, Event("row".getBytes, 1000000L))))
+    stage()
+    log.sweepStaged("q1/7/") // abort path: discard the attempt, epoch stays open
+    assert(log.stagedCount("q1/7/") == 0L)
+    stage() // the restarted epoch re-stages under the same (query, epoch)
+    assert(log.publishStaged("q1/7/", Seq(key)) == 1L,
+      "retry after abort must publish, not be silently dropped")
+    // ...whereas after a successful publish the epoch IS closed to zombies
+    log.stageAll(key, Seq((Some(0), None, Event("zombie".getBytes, 2000000L))))
+    assert(log.stagedCount("q1/7/") == 0L, "zombie stage after publish must be dropped")
   }
 
   test("operationTimeout bounds the whole retry loop even with retries left") {
