@@ -214,6 +214,27 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_corpus_pack" -> ((s, dir) => {
+      // concat-and-chunk sequence packing: metadata-only layout of each
+      // source's token stream into 512-token training sequences (one window
+      // cumsum per source; documents cross chunk boundaries as in standard
+      // LLM pretraining layout)
+      operators.Sampling.packSequences(Tables.documents(s, dir),
+          Seq(col("source")), col("doc_id"),
+          TextFunctions.tokenCount(col("text")), maxSeqLen = 512)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("token_start"), col("seq_first"), col("seq_last"), col("seq_offset"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    "q_corpus_filter" -> ((s, dir) => {
+      // reason-labeled quality gate: first-failing-rule labels, no shuffle
+      operators.CorpusOps.qualityFilter(Tables.documents(s, dir), "doc_id", "text",
+          minTokens = 20, maxTokens = 80, lang = "en", minQuality = 0.5,
+          maxDupWordFrac = 0.75)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_decontaminate" -> ((s, dir) => {
       // benchmark leakage: corpus docs sharing >= 2 trigram shingles with
       // any doc of the held-out "benchmark" source
@@ -855,6 +876,32 @@ object SparkEntry {
           |                           ORDER BY substr(md5(text), 1, 13), doc_id) AS rn
           |      FROM documents)
           |WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_corpus_pack" ->
+        """WITH t AS (
+          |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+          |  FROM documents)
+          |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          | CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start,
+          | CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512) AS BIGINT) AS seq_first,
+          | CAST(floor((sum(n_tokens) OVER w - 1) / 512) AS BIGINT) AS seq_last,
+          | CAST((sum(n_tokens) OVER w - n_tokens) % 512 AS BIGINT) AS seq_offset
+          |FROM t WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+          |ORDER BY source, doc_id""".stripMargin,
+
+      "q_corpus_filter" -> {
+        val reason = operators.CorpusOps.sqlQualityFilterReason(
+          "text", 20, 80, "en", 0.5, 0.75)
+        s"""SELECT doc_id,
+           | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           | (${TextFunctions.sqlLangIdGuess("text")}) AS lang,
+           | round(${TextFunctions.sqlQualityScore("text")}, 4) AS quality,
+           | round(1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
+           |   / len(string_split(text, ' ')), 4) AS dup_word_frac,
+           | (($reason) = 'keep') AS keep,
+           | ($reason) AS reason
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
 
       "q_corpus_decontaminate" -> deconOracleSql,
 

@@ -91,6 +91,58 @@ object CorpusOps {
   }
 
   /**
+   * Reason-labeled quality gate: the standard corpus pre-filter composite
+   * (length bounds, language, quality score, intra-document repetition)
+   * applied in one pass, labeling every document keep/reject with the
+   * FIRST failing rule in a fixed order — so filter tuning sees exactly
+   * which rule fires, and changing a threshold never reshuffles the labels
+   * of documents other rules rejected. All signals are per-row expressions
+   * (the duplicate-word fraction uses `array_distinct`, not the bigram
+   * aggregation of [[repetitionProfile]]): NO shuffle at all — at 100 TB
+   * this is a pure scan stage that pipelines into whatever follows.
+   *
+   * Returns (doc_id, n_tokens, lang, quality, dup_word_frac, keep, reason).
+   */
+  def qualityFilter(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      lang: String = "en", minQuality: Double = 0.3,
+      maxDupWordFrac: Double = 0.9): DataFrame = {
+    val t = col(textCol)
+    val nTok = TextFunctions.tokenCount(t)
+    val dup = round(lit(1.0) -
+      size(array_distinct(TextFunctions.words(t))).cast("double") /
+        nTok.cast("double"), 4)
+    val quality = round(TextFunctions.qualityScore(t), 4)
+    val langId = TextFunctions.langIdGuess(t)
+    val reason = when(nTok < minTokens, "too_short")
+      .when(nTok > maxTokens, "too_long")
+      .when(langId =!= lang, "wrong_lang")
+      .when(quality < minQuality, "low_quality")
+      .when(dup > maxDupWordFrac, "repetitive")
+      .otherwise("keep")
+    docs.select(col(idCol).as("doc_id"), nTok.cast("long").as("n_tokens"),
+      langId.as("lang"), quality.as("quality"), dup.as("dup_word_frac"),
+      (reason === "keep").as("keep"), reason.as("reason"))
+  }
+
+  /** DuckDB rendering of [[qualityFilter]]'s reason expression (oracle
+    * twin; thresholds must match the Scala call). */
+  def sqlQualityFilterReason(
+      col: String, minTokens: Int, maxTokens: Int, lang: String,
+      minQuality: Double, maxDupWordFrac: Double): String = {
+    val nTok = s"len(string_split($col, ' '))"
+    val dup = s"round(1.0 - len(list_distinct(string_split($col, ' '))) * 1.0 / $nTok, 4)"
+    val q = s"round(${TextFunctions.sqlQualityScore(col)}, 4)"
+    s"""CASE WHEN $nTok < $minTokens THEN 'too_short'
+       | WHEN $nTok > $maxTokens THEN 'too_long'
+       | WHEN (${TextFunctions.sqlLangIdGuess(col)}) <> '$lang' THEN 'wrong_lang'
+       | WHEN $q < $minQuality THEN 'low_quality'
+       | WHEN $dup > $maxDupWordFrac THEN 'repetitive'
+       | ELSE 'keep' END""".stripMargin
+  }
+
+  /**
    * Intra-document repetition profile (the Gopher/MassiveText repetition
    * rules): per document, the duplicate-word fraction and the fraction of
    * word bigrams taken by the single most frequent bigram. High values mark

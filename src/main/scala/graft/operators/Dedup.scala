@@ -136,7 +136,12 @@ object Dedup extends Logging {
         org.apache.spark.sql.Encoders.row(hot0.schema))
       .localCheckpoint(eager = false)
     dropStats.put(tag, new DropHandle(tag, cap, hot))
-    index.join(hot.select(keyCols.map(col): _*), keyCols, "left_anti")
+    // explicit broadcast: the alarm's object boundary hides the hot table's
+    // size from Catalyst (default estimate = huge), which would silently
+    // flip this anti-join to a full shuffle of the INDEX. The hot set is
+    // metadata-scale by construction (distinct keys with df > cap — the
+    // stop-phrase tail), so broadcasting it is the designed plan shape.
+    index.join(broadcast(hot.select(keyCols.map(col): _*)), keyCols, "left_anti")
   }
 
   /**

@@ -61,6 +61,39 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /**
+   * Training-sequence packing ("concatenate and chunk", the layout step of
+   * every LLM pretraining pipeline): lay each group's token stream out in
+   * deterministic `orderCol` order and cut it into fixed `maxSeqLen`-token
+   * training sequences. Each document reports its absolute token offset,
+   * the sequence range it spans (`seq_first`..`seq_last` — documents cross
+   * chunk boundaries, as in standard concat-and-chunk), and its offset
+   * inside the first sequence.
+   *
+   * The result is pure metadata — one window cumsum per group (the same
+   * single-shuffle shape as [[capPerGroup]]), no token materialization —
+   * so packing a 100 TB corpus costs one shuffle of its doc STATS; the
+   * training loader then fetches a sequence's documents by
+   * (group, seq range) lookup.
+   *
+   * A zero-token document gets `seq_last < seq_first`: it occupies no
+   * sequence (nothing to emit), but keeps its `token_start` bookkeeping.
+   */
+  def packSequences(
+      df: DataFrame, groupCols: Seq[Column], orderCol: Column,
+      tokenCount: Column, maxSeqLen: Int): DataFrame = {
+    require(maxSeqLen > 0, s"maxSeqLen must be positive, got $maxSeqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*).orderBy(orderCol.asc)
+    df.withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("__cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("token_start", col("__cum_end") - col("n_tokens"))
+      .withColumn("seq_first", floor(col("token_start") / maxSeqLen))
+      .withColumn("seq_last", floor((col("__cum_end") - 1) / maxSeqLen))
+      .withColumn("seq_offset", col("token_start") % maxSeqLen)
+      .drop("__cum_end")
+  }
+
   /** DuckDB rendering of the same split expression (oracle twin). */
   def sqlHashSplit(col: String, weights: Seq[(String, Double)]): String = {
     val cum = weights.scanLeft(0.0)(_ + _._2).tail

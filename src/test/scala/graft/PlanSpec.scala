@@ -44,6 +44,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("skew-guard anti-join broadcasts the hot-key table, never shuffles the index") {
+    // the hot-key alarm's object boundary hides size stats from Catalyst;
+    // without the explicit broadcast hint this anti-join silently became a
+    // full sort-merge shuffle of the candidate index (3x on q_dedup_embedding)
+    val q = SparkEntry.queries("q_dedup_embedding")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin LeftAnti"), p)
+  }
+
   test("capPerGroup gets rank-limit pushdown (WindowGroupLimit below the shuffle)") {
     val q = SparkEntry.queries("q_corpus_cap")(spark, dir)
     val p = plan(q)

@@ -84,6 +84,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.sources.EventLogRegistry.drop(name)
   }
 
+  test("packSequences lays out the token stream and chunks it deterministically") {
+    val docs = Seq(
+      (0L, "a", ("w " * 300).trim),  // 300 tokens -> [0, 300)
+      (1L, "a", ("w " * 300).trim),  // 300 tokens -> [300, 600): crosses seq 0/1
+      (2L, "a", ("w " * 100).trim),  // 100 tokens -> [600, 700)
+      (3L, "b", ("w " * 10).trim))   // separate group restarts at 0
+      .toDF("doc_id", "source", "text")
+    val packed = Sampling.packSequences(docs, Seq($"source"), $"doc_id",
+        graft.functions.TextFunctions.tokenCount($"text"), maxSeqLen = 512)
+      .select($"doc_id", $"n_tokens", $"token_start", $"seq_first", $"seq_last", $"seq_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed(0) == ((0L, 300L, 0L, 0L, 0L, 0L)))
+    assert(packed(1) == ((1L, 300L, 300L, 0L, 1L, 300L)), packed(1).toString)
+    assert(packed(2) == ((2L, 100L, 600L, 1L, 1L, 88L)))
+    assert(packed(3) == ((3L, 10L, 0L, 0L, 0L, 0L)))
+    // reshuffled input packs identically (window order is the contract)
+    val again = Sampling.packSequences(docs.repartition(5), Seq($"source"), $"doc_id",
+        graft.functions.TextFunctions.tokenCount($"text"), maxSeqLen = 512)
+      .select($"doc_id", $"token_start").as[(Long, Long)].collect().toSet
+    assert(again == packed.map(p => (p._1, p._3)).toSet)
+  }
+
+  test("qualityFilter labels each doc with the first failing rule") {
+    val docs = Seq(
+      (0L, "tiny doc"),                                        // too_short
+      (1L, ("the of and is a " * 8).trim),                     // en, repetitive (5 distinct / 40)
+      (2L, "le la les et une " + (1 to 20).map(i => s"mot$i").mkString(" ")), // wrong_lang (fr)
+      (3L, "the quick brown fox jumps over a lazy dog and " +
+        (1 to 15).map(i => s"word$i").mkString(" ")))           // keep
+      .toDF("doc_id", "text")
+    val got = CorpusOps.qualityFilter(docs, "doc_id", "text",
+        minTokens = 10, maxTokens = 100, lang = "en", minQuality = 0.2,
+        maxDupWordFrac = 0.5)
+      .select($"doc_id", $"reason", $"keep").as[(Long, String, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((0L, "too_short", false)))
+    assert(got(1) == ((1L, "repetitive", false)), got(1).toString)
+    assert(got(2) == ((2L, "wrong_lang", false)))
+    assert(got(3) == ((3L, "keep", true)), got(3).toString)
+  }
+
   test("repetitionProfile computes dup-word and top-bigram fractions") {
     val docs = Seq(
       (0L, "spam spam spam spam"),              // 4 words, 1 distinct, bg "spam spam" x3
