@@ -51,6 +51,13 @@ object GraftExtensions {
 
   private def dArr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
+  // bridge for functions whose canonical definition is a Column composition
+  // (TextFunctions) rather than a single custom Expression: SQL and Column
+  // callers share the one definition, so they cannot drift.
+  private def asCol(e: Expression) = org.apache.spark.sql.graft.ColumnBridge.column(e)
+  private def asExpr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
@@ -98,6 +105,26 @@ object GraftExtensions {
       "graft_langid(text) - marker-word language guess ('und' when undetermined)") {
       args => arity(args, "graft_langid", 1, 1)
         Coalesce(Seq(LangIdGuess(args.head, TextFunctions.langMarkers), Literal("und")))
+    },
+    fn("graft_token_count",
+      "graft_token_count(text) - whitespace-token count") {
+      args => arity(args, "graft_token_count", 1, 1)
+        asExpr(TextFunctions.tokenCount(asCol(args.head)))
+    },
+    fn("graft_bpe_token_count",
+      "graft_bpe_token_count(text) - BPE-approximate subword token count") {
+      args => arity(args, "graft_bpe_token_count", 1, 1)
+        asExpr(TextFunctions.bpeTokenCount(asCol(args.head)))
+    },
+    fn("graft_quality_score",
+      "graft_quality_score(text) - [0,1] corpus pre-filter quality blend") {
+      args => arity(args, "graft_quality_score", 1, 1)
+        asExpr(TextFunctions.qualityScore(asCol(args.head)))
+    },
+    fn("graft_doc_fingerprint",
+      "graft_doc_fingerprint(text) - md5 content fingerprint of normalized text") {
+      args => arity(args, "graft_doc_fingerprint", 1, 1)
+        asExpr(TextFunctions.fingerprint(asCol(args.head)))
     })
 
   /** Register on a live session (tests, notebooks). */

@@ -94,6 +94,34 @@ object Sampling {
       .drop("__cum_end")
   }
 
+  /**
+   * Stratified (per-group) sampling — the "mixture re-weighting" step of a
+   * training-data recipe: keep ~`rates(group)` of each group's rows
+   * (`defaultRate` for groups not in the map), chosen by content hash of
+   * `key` like [[hashSample]]. A pure per-row filter — NO shuffle, no
+   * group-size pre-pass — so re-weighting a 100 TB mixture is a scan that
+   * pipelines into the next stage, and the same row is kept or dropped
+   * regardless of partitioning, engine, or run.
+   */
+  def stratifiedSample(
+      df: DataFrame, groupCol: Column, rates: Map[String, Double], key: Column,
+      defaultRate: Double = 1.0): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit(hexThreshold(defaultRate))) {
+      case ((g, r), acc) => when(groupCol === lit(g), lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.filter(hex13(key) < threshold)
+  }
+
+  /** DuckDB rendering of [[stratifiedSample]]'s keep-predicate (oracle twin). */
+  def sqlStratifiedKeep(
+      groupCol: String, rates: Map[String, Double], keyCol: String,
+      defaultRate: Double = 1.0): String = {
+    val cases = rates.toSeq.sortBy(_._1).map { case (g, r) =>
+      s"WHEN $groupCol = '$g' THEN '${hexThreshold(r)}'"
+    }.mkString(" ")
+    s"substr(md5($keyCol), 1, 13) < (CASE $cases ELSE '${hexThreshold(defaultRate)}' END)"
+  }
+
   /** DuckDB rendering of the same split expression (oracle twin). */
   def sqlHashSplit(col: String, weights: Seq[(String, Double)]): String = {
     val cum = weights.scanLeft(0.0)(_ + _._2).tail

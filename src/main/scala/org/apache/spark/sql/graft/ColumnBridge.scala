@@ -12,7 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
  */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def expression(c: Column): Expression =
+    // eagerly convert the ColumnNode tree: ExpressionUtils.expression wraps
+    // it in a lazy ColumnNodeExpression, which is Unevaluable if it ever
+    // reaches execution unconverted (e.g. when returned from a SQL
+    // FunctionRegistry builder); the converter yields the plain
+    // UnresolvedFunction/Expression tree the analyzer resolves normally
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Register a SQL function on a LIVE session (sessionState is
     * private[sql]; builder-time registration goes through the public

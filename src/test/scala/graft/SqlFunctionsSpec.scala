@@ -61,6 +61,22 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(math.abs(cSql - 1.0) < 1e-9)
   }
 
+  test("corpus-filter primitives are SQL-callable and match the Column API") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox, jumps over the lazy dog!")).toDF("id", "text")
+    df.createOrReplaceTempView("sqldocs2")
+    val got = spark.sql(
+      """SELECT graft_token_count(text), graft_bpe_token_count(text),
+        |       graft_quality_score(text), graft_doc_fingerprint(text)
+        |FROM sqldocs2""".stripMargin).as[(Int, Int, Double, String)].head()
+    val want = df.select(
+        TextFunctions.tokenCount($"text"), TextFunctions.bpeTokenCount($"text"),
+        TextFunctions.qualityScore($"text"), TextFunctions.fingerprint($"text"))
+      .as[(Int, Int, Double, String)].head()
+    assert(got == want)
+    assert(got._1 == 9 && got._2 > got._1) // bpe splits punctuation off
+  }
+
   test("langid falls through to 'und' and literal-arg validation fires") {
     import spark.implicits._
     assert(spark.sql("SELECT graft_langid('the cat is on the mat')").as[String].head() == "en")
