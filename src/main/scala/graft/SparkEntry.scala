@@ -61,6 +61,11 @@ object SparkEntry {
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Per-source keep-rates for the q_corpus_mix stratified-sampling gate
+    * (shared by the Spark query and its DuckDB oracle twin). */
+  private val MixRates = Map("src0" -> 0.25, "src1" -> 0.75)
+  private val MixDefaultRate = 0.5
+
   /** Run a gate stream to completion or fail loudly: a timed-out
     * AvailableNow query must never let the caller read partial sink
     * contents as the query's answer (and the still-running stream must not
@@ -209,6 +214,17 @@ object SparkEntry {
       // domain balancing: deterministic per-source cap on the training mix
       operators.Sampling.capPerGroup(Tables.documents(s, dir),
           Seq(col("source")), col("text"), col("doc_id"), cap = 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
+    "q_corpus_mix" -> ((s, dir) => {
+      // mixture re-weighting: stratified per-source keep-rates by content
+      // hash — a pure per-row filter (no shuffle, no group-size pre-pass),
+      // so re-weighting a 100 TB mix is a scan stage
+      operators.Sampling.stratifiedSample(Tables.documents(s, dir),
+          col("source"), MixRates, col("text"), defaultRate = MixDefaultRate)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source"))
@@ -694,10 +710,14 @@ object SparkEntry {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
+        // foreachBatch is at-least-once: a retried epoch must not duplicate
+        // report rows, so each epoch writes to its own overwritten subdir —
+        // the retry replaces its previous (possibly partial) output instead
+        // of appending alongside it
         val q = operators.CorpusOps.decontaminateStream(
             stream, docs.filter(col("source") === "src0"),
-            "doc_id", "text", k = 3, minShared = 2) { (report, _) =>
-          report.write.mode("append").parquet(outDir)
+            "doc_id", "text", k = 3, minShared = 2) { (report, epochId) =>
+          report.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
         }.trigger(Trigger.AvailableNow()).start()
         awaitOrFail(q)
       } finally {
@@ -869,6 +889,12 @@ object SparkEntry {
            | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "q_corpus_mix" ->
+        s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents
+           |WHERE ${operators.Sampling.sqlStratifiedKeep("source", MixRates, "text", MixDefaultRate)}
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q_corpus_cap" ->
         """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
           |FROM (SELECT source, n_chars,
@@ -884,7 +910,9 @@ object SparkEntry {
           |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
           | CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start,
           | CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512) AS BIGINT) AS seq_first,
-          | CAST(floor((sum(n_tokens) OVER w - 1) / 512) AS BIGINT) AS seq_last,
+          | CAST(CASE WHEN n_tokens = 0
+          |       THEN floor((sum(n_tokens) OVER w - n_tokens) / 512) - 1
+          |       ELSE floor((sum(n_tokens) OVER w - 1) / 512) END AS BIGINT) AS seq_last,
           | CAST((sum(n_tokens) OVER w - n_tokens) % 512 AS BIGINT) AS seq_offset
           |FROM t WINDOW w AS (PARTITION BY source ORDER BY doc_id)
           |ORDER BY source, doc_id""".stripMargin,

@@ -378,7 +378,15 @@ case class BestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     val arr = new Array[Double](n)
     var nv = 0.0
     var i = 0
-    while (i < n) { val x = v.getDouble(i); arr(i) = x; nv += x * x; i += 1 }
+    var hasNull = false
+    while (i < n && !hasNull) {
+      if (v.isNullAt(i)) hasNull = true
+      else { val x = v.getDouble(i); arr(i) = x; nv += x * x; i += 1 }
+    }
+    // a vector containing null elements is invalid: cosine is undefined, so
+    // it lands in cell 0 like the zero/empty/mismatched cases (matching the
+    // HOF fold this kernel replaced, where a null cosine coalesced to cell 0)
+    if (hasNull) return java.lang.Integer.valueOf(0)
     val vNorm = math.sqrt(nv)
     var best = 0
     var bestScore = 0.0

@@ -76,7 +76,13 @@ object CorpusOps {
    *
    * Returns the configured writer; the caller picks trigger/sink and
    * starts it. `writeBatch` receives each batch's decontamination report
-   * (same schema as [[decontaminate]]).
+   * (same schema as [[decontaminate]]) plus the epoch id.
+   *
+   * Exactly-once REQUIRES an idempotent `writeBatch`: foreachBatch is
+   * at-least-once, so a retried epoch re-delivers its batch. Key the write
+   * on the epoch id (e.g. overwrite an epochId-named partition directory,
+   * or MERGE on (epochId, doc_id)) — a blind append duplicates report rows
+   * on retry and the union-equals-batch contract above no longer holds.
    */
   def decontaminateStream(
       docsStream: DataFrame, bench: DataFrame, idCol: String, textCol: String,

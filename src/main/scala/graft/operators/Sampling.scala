@@ -76,8 +76,10 @@ object Sampling {
    * training loader then fetches a sequence's documents by
    * (group, seq range) lookup.
    *
-   * A zero-token document gets `seq_last < seq_first`: it occupies no
-   * sequence (nothing to emit), but keeps its `token_start` bookkeeping.
+   * A zero-token document gets `seq_last = seq_first - 1` (explicitly, at
+   * ANY token offset — not only at chunk boundaries): it occupies no
+   * sequence (a loader emitting docs per (group, seq) range emits nothing),
+   * but keeps its `token_start` bookkeeping.
    */
   def packSequences(
       df: DataFrame, groupCols: Seq[Column], orderCol: Column,
@@ -89,7 +91,9 @@ object Sampling {
       .withColumn("__cum_end", sum(col("n_tokens")).over(w))
       .withColumn("token_start", col("__cum_end") - col("n_tokens"))
       .withColumn("seq_first", floor(col("token_start") / maxSeqLen))
-      .withColumn("seq_last", floor((col("__cum_end") - 1) / maxSeqLen))
+      .withColumn("seq_last",
+        when(col("n_tokens") === 0L, col("seq_first") - 1L)
+          .otherwise(floor((col("__cum_end") - 1) / maxSeqLen)))
       .withColumn("seq_offset", col("token_start") % maxSeqLen)
       .drop("__cum_end")
   }

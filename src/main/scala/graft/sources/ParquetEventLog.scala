@@ -157,13 +157,16 @@ object ParquetEventLog extends EventLogClient with Logging {
             case _ => tsOk = false
           }
         }
-        // convert raw ts stats to decoded micros; floorDiv is monotone so the
-        // converted bounds are exact bounds of the decoded values
+        // convert raw ts stats to decoded micros; floorDiv is monotone and
+        // millisToMicros saturates BOTH directions (a large-magnitude
+        // negative raw must not wrap positive), so the converted bounds are
+        // exact bounds of the decoded values — Decoder.tsMicros applies the
+        // identical saturating conversion, keeping footer bounds and decoded
+        // values in agreement even in the clamp region
         def toMicros(raw: Long): Long = tsUnit match {
           case LogicalTypeAnnotation.TimeUnit.NANOS  => Math.floorDiv(raw, 1000L)
           case LogicalTypeAnnotation.TimeUnit.MICROS => raw
-          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-            if (raw > Long.MaxValue / 1000L) Long.MaxValue else raw * 1000L
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => millisToMicrosSaturating(raw)
         }
         FileMeta(f.toString, rows, minId, maxId,
           if (tsOk) toMicros(tsMin) else Long.MinValue,
@@ -203,6 +206,14 @@ object ParquetEventLog extends EventLogClient with Logging {
     if (meta.rows == 0 || f > meta.maxId) 0L else (meta.maxId - f) / partitions + 1
   }
 
+  /** MILLIS→micros that saturates in both directions instead of wrapping;
+    * monotone, shared by footer-stats conversion and record decode so the
+    * two can never disagree. */
+  private def millisToMicrosSaturating(raw: Long): Long =
+    if (raw > Long.MaxValue / 1000L) Long.MaxValue
+    else if (raw < Long.MinValue / 1000L) Long.MinValue
+    else raw * 1000L
+
   // ---- record decoding ----
 
   private final class Decoder(projected: MessageType, tsUnit: LogicalTypeAnnotation.TimeUnit) {
@@ -219,7 +230,7 @@ object ParquetEventLog extends EventLogClient with Logging {
       tsUnit match {
         case LogicalTypeAnnotation.TimeUnit.NANOS  => Math.floorDiv(raw, 1000L)
         case LogicalTypeAnnotation.TimeUnit.MICROS => raw
-        case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+        case LogicalTypeAnnotation.TimeUnit.MILLIS => millisToMicrosSaturating(raw)
       }
     }
 
@@ -486,6 +497,15 @@ object ParquetEventLog extends EventLogClient with Logging {
    * owning partition repositions when it next reads). Repositioning reopens
    * the reader row-group-pruned at the stride-aligned target id and drops
    * buffered rows the reopened reader will deliver again.
+   *
+   * Multi-executor containment: on a cluster each JVM hosts only SOME
+   * partitions of a log, but the shared decode pass produces rows for all
+   * of them. A partition that accumulates more than a grace allowance
+   * without ever taking from THIS cursor is treated as placed elsewhere:
+   * its buffer is evicted and further buffering for it stops, so remote
+   * partitions cannot pin the cap's worth of event bodies for the cursor's
+   * lifetime. If such a partition later does read here (placement change),
+   * its first take repositions — correctness is unaffected.
    */
   private final class StripedCursor(meta: LogMeta, partitions: Int, maxBuffered: Long) {
     private val dec = new Decoder(project(meta, EventFields), meta.tsUnit)
@@ -499,6 +519,16 @@ object ParquetEventLog extends EventLogClient with Logging {
     private var nextId = Long.MinValue
     @volatile private var broken = false
     private var warnedCap = false
+    /** pid has taken from this cursor at least once (guarded by `lock`) */
+    private val localReader = new Array[Boolean](partitions)
+    /** never-taken pid whose buffer hit the grace allowance: evicted, no
+      * longer buffered for (cleared if it ever takes locally) */
+    private val mutedRemote = new Array[Boolean](partitions)
+    /** rows a never-taken partition may accumulate before we conclude it is
+      * reading on another executor: generous enough that a same-batch local
+      * task scheduled moments later never trips it */
+    private val graceRows: Long =
+      math.max(MaxCursorBatchRows, maxBuffered / math.max(1, partitions))
 
     private def f0(pid: Int): Long = firstId(meta, pid, partitions)
     private def idOf(pid: Int, seq: Long): Long = f0(pid) + seq * partitions
@@ -520,6 +550,8 @@ object ParquetEventLog extends EventLogClient with Logging {
 
     private def takeLocked(pid: Int, from: Long, until: Long)
         : Option[ArrayBuffer[(SequenceNumber, Event)]] = {
+      localReader(pid) = true
+      mutedRemote(pid) = false
       val buf = bufs(pid)
       // stale rows below the requested start (leftovers of an earlier reader
       // of this log at a lower offset)
@@ -545,6 +577,17 @@ object ParquetEventLog extends EventLogClient with Logging {
         if (p2 == pid) {
           if (s2 == seq) { out += ((s2, dec.event(g))); seq += 1 }
           // s2 < seq: a row below the requested start (stride alignment) — skip
+        } else if (mutedRemote(p2)) {
+          () // reads on another executor: don't buffer (repositions if local)
+        } else if (!localReader(p2) && bufs(p2).size >= graceRows) {
+          // exceeded the grace allowance without ever taking here: conclude
+          // it is placed on another executor, release its buffered bodies
+          buffered -= bufs(p2).size
+          bufs(p2).clear()
+          mutedRemote(p2) = true
+          logInfo(s"parquet log ${meta.path}: partition $p2 buffered " +
+            s"$graceRows rows without reading from this cursor — treating it " +
+            "as remote and dropping its striped read-ahead")
         } else if (buffered < maxBuffered) {
           bufs(p2).addLast((s2, dec.event(g))); buffered += 1
         } else if (!warnedCap) {
