@@ -60,12 +60,20 @@ object ParquetEventLog extends EventLogClient with Logging {
 
   // ---- footer metadata (cached per path; immutable inputs) ----
 
+  /** One parquet row group's footer stats (pure metadata, no record reads).
+    * Bounds in DECODED micros / raw ids; *Ok=false => stats absent for that
+    * column in this group. */
+  private[sources] final case class RowGroupMeta(
+      rows: Long, minId: Long, maxId: Long, idStatsOk: Boolean,
+      tsMinMicros: Long, tsMaxMicros: Long, tsStatsOk: Boolean)
+
   private[sources] final case class FileMeta(
       file: String, rows: Long, minId: Long, maxId: Long,
       // enqueuedTime bounds in DECODED micros (exact: floorDiv conversion is
       // monotone, matching Decoder.tsMicros); tsStatsOk=false => unknown
       tsMinMicros: Long = Long.MinValue, tsMaxMicros: Long = Long.MaxValue,
-      tsStatsOk: Boolean = false)
+      tsStatsOk: Boolean = false,
+      groups: Seq[RowGroupMeta] = Nil)
 
   private[sources] final case class LogMeta(
       path: String,
@@ -140,23 +148,6 @@ object ParquetEventLog extends EventLogClient with Logging {
         }
         var minId = Long.MaxValue; var maxId = Long.MinValue; var rows = 0L
         var tsMin = Long.MaxValue; var tsMax = Long.MinValue; var tsOk = true
-        footer.getBlocks.asScala.foreach { b =>
-          rows += b.getRowCount
-          b.getColumns.asScala.find(_.getPath.toDotString == "event_id") match {
-            case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue &&
-                c.getStatistics.getNumNulls == 0 =>
-              minId = math.min(minId, c.getStatistics.genericGetMin.asInstanceOf[Number].longValue)
-              maxId = math.max(maxId, c.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
-            case _ => statsOk = false
-          }
-          b.getColumns.asScala.find(_.getPath.toDotString == "ts") match {
-            case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue &&
-                c.getStatistics.getNumNulls == 0 =>
-              tsMin = math.min(tsMin, c.getStatistics.genericGetMin.asInstanceOf[Number].longValue)
-              tsMax = math.max(tsMax, c.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
-            case _ => tsOk = false
-          }
-        }
         // convert raw ts stats to decoded micros; floorDiv is monotone and
         // millisToMicros saturates BOTH directions (a large-magnitude
         // negative raw must not wrap positive), so the converted bounds are
@@ -168,10 +159,36 @@ object ParquetEventLog extends EventLogClient with Logging {
           case LogicalTypeAnnotation.TimeUnit.MICROS => raw
           case LogicalTypeAnnotation.TimeUnit.MILLIS => millisToMicrosSaturating(raw)
         }
+        val groups = footer.getBlocks.asScala.map { b =>
+          rows += b.getRowCount
+          var gIdOk = false; var gMinId = Long.MinValue; var gMaxId = Long.MaxValue
+          b.getColumns.asScala.find(_.getPath.toDotString == "event_id") match {
+            case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue &&
+                c.getStatistics.getNumNulls == 0 =>
+              gMinId = c.getStatistics.genericGetMin.asInstanceOf[Number].longValue
+              gMaxId = c.getStatistics.genericGetMax.asInstanceOf[Number].longValue
+              gIdOk = true
+              minId = math.min(minId, gMinId)
+              maxId = math.max(maxId, gMaxId)
+            case _ => statsOk = false
+          }
+          var gTsOk = false; var gTsMin = Long.MinValue; var gTsMax = Long.MaxValue
+          b.getColumns.asScala.find(_.getPath.toDotString == "ts") match {
+            case Some(c) if c.getStatistics != null && c.getStatistics.hasNonNullValue &&
+                c.getStatistics.getNumNulls == 0 =>
+              val rawMin = c.getStatistics.genericGetMin.asInstanceOf[Number].longValue
+              val rawMax = c.getStatistics.genericGetMax.asInstanceOf[Number].longValue
+              gTsMin = toMicros(rawMin); gTsMax = toMicros(rawMax); gTsOk = true
+              tsMin = math.min(tsMin, rawMin)
+              tsMax = math.max(tsMax, rawMax)
+            case _ => tsOk = false
+          }
+          RowGroupMeta(b.getRowCount, gMinId, gMaxId, gIdOk, gTsMin, gTsMax, gTsOk)
+        }.toSeq
         FileMeta(f.toString, rows, minId, maxId,
           if (tsOk) toMicros(tsMin) else Long.MinValue,
           if (tsOk) toMicros(tsMax) else Long.MaxValue,
-          tsOk)
+          tsOk, groups)
       } finally r.close()
     }
     val rows = fms.map(_.rows).sum
@@ -307,17 +324,29 @@ object ParquetEventLog extends EventLogClient with Logging {
     seekCache.computeIfAbsent((name, micros), _ => seekAll(path, partitions, micros))(pid)
   }
 
+  /** Records decoded by driver-side enqueuedTime seeks — a separate counter
+    * from [[decodedRecords]] so scan-amplification tests stay exact. The
+    * scale contract under test: seeking a shuffled-ts log decodes at most
+    * ~one ROW GROUP, never the corpus. */
+  val seekDecodedRecords = new java.util.concurrent.atomic.LongAdder()
+
   /** min seqNo with enqueuedTime >= micros, per partition (latest if none) —
     * identical to InMemoryEventLog.seek's first-index semantics because seqNo
     * increases with event_id.
     *
     * Scale contract: this runs DRIVER-side during planning, so it must not
-    * scan the corpus. Footer ts stats classify each file: entirely below the
-    * bound => skipped; entirely at-or-above => the min matching id per
-    * partition is pure arithmetic on the file's id range; only files that
-    * STRADDLE the bound are record-scanned (for a time-ordered log that is
-    * at most one file), and a straddler that cannot beat the ids already
-    * found is skipped too. */
+    * scan the corpus. Footer ROW-GROUP ts stats (pure metadata) classify
+    * each group, walked in ascending-id order: entirely below the bound =>
+    * skipped; entirely at-or-above => the min matching id per partition is
+    * arithmetic on the group's id range; only groups that STRADDLE the bound
+    * are record-scanned (id-range-filtered so parquet prunes the read to
+    * that one group). The walk STOPS as soon as no later group can lower any
+    * partition's answer — for a time-clustered log that is after the one
+    * straddling group; for a fully shuffled-ts log the first group already
+    * contains a match for every partition (rows-per-group >> partitions), so
+    * the driver decodes <= 1 row group either way. This is the position-
+    * translation contract of the reference (EventHubsClient.scala:264-353
+    * translates EventPosition -> seqNo without scanning the stream). */
   private def seekAll(path: String, partitions: Int, micros: Long): Map[PartitionId, SequenceNumber] = {
     val meta = metaFor(path)
     if (!meta.dense) return seekAllIndexed(path, partitions, micros)
@@ -333,33 +362,50 @@ object ParquetEventLog extends EventLogClient with Logging {
       val p = math.floorMod(id, partitions.toLong).toInt
       if (id < best(p)) best(p) = id
     }
-    val straddlers = scala.collection.mutable.ArrayBuffer.empty[FileMeta]
-    meta.files.foreach { fm =>
-      if (fm.tsStatsOk && fm.tsMaxMicros < micros) () // no row can match
-      else if (fm.tsStatsOk && fm.tsMinMicros >= micros) {
+    // a group (or anything after it, in id order) can lower some answer only
+    // if a partition's current best sits above the group's id floor
+    def canImprove(minId: Long): Boolean = {
+      var p = 0
+      while (p < partitions) { if (best(p) > minId) return true; p += 1 }
+      false
+    }
+    val filter = FilterApi.gtEq(FilterApi.longColumn("ts"), java.lang.Long.valueOf(bound))
+    val dec = new Decoder(project(meta, SeekFields), meta.tsUnit)
+    // dense => files are id-disjoint and sorted; groups within a file are
+    // footer-ordered (writers emit them in row order, ids ascend in dense
+    // logs), so this walk is globally id-ascending and may stop early
+    val groups: Iterator[(FileMeta, RowGroupMeta)] = meta.files.iterator.flatMap { fm =>
+      val gs = if (fm.groups.forall(_.idStatsOk)) fm.groups.sortBy(_.minId)
+               else Seq(RowGroupMeta(fm.rows, fm.minId, fm.maxId, idStatsOk = true,
+                 fm.tsMinMicros, fm.tsMaxMicros, fm.tsStatsOk))
+      gs.iterator.map(g => (fm, g))
+    }
+    var done = false
+    while (!done && groups.hasNext) {
+      val (fm, g) = groups.next()
+      if (!canImprove(g.minId)) done = true // id-ascending: nothing later helps
+      else if (g.tsStatsOk && g.tsMaxMicros < micros) () // no row can match
+      else if (g.tsStatsOk && g.tsMinMicros >= micros) {
         // every row matches: first id of each residue class in [minId, maxId]
         var p = 0
         while (p < partitions) {
           val first =
-            fm.minId + math.floorMod(p.toLong - math.floorMod(fm.minId, partitions.toLong),
+            g.minId + math.floorMod(p.toLong - math.floorMod(g.minId, partitions.toLong),
               partitions.toLong)
-          if (first <= fm.maxId) improve(first)
+          if (first <= g.maxId) improve(first)
           p += 1
         }
-      } else straddlers += fm
-    }
-    val filter = FilterApi.gtEq(FilterApi.longColumn("ts"), java.lang.Long.valueOf(bound))
-    val dec = new Decoder(project(meta, SeekFields), meta.tsUnit)
-    straddlers.sortBy(_.minId).foreach { fm =>
-      // a straddler whose ids all sit above the current answers cannot improve
-      val canImprove = (0 until partitions).exists(p => best(p) > fm.minId)
-      if (canImprove) {
-        val r = openReader(meta, fm.file, SeekFields, Some(filter))
+      } else {
+        // straddler: scan ONLY this group — the id-range predicate prunes
+        // the file read to row groups intersecting [g.minId, g.maxId]
+        val pred = FilterApi.and(filter, idRangeFilter(g.minId, g.maxId))
+        val r = openReader(meta, fm.file, SeekFields, Some(pred))
         try {
-          var g = r.read()
-          while (g != null) {
-            if (dec.tsMicros(g) >= micros) improve(dec.id(g))
-            g = r.read()
+          var rec = r.read()
+          while (rec != null) {
+            seekDecodedRecords.increment()
+            if (dec.tsMicros(rec) >= micros) improve(dec.id(rec))
+            rec = r.read()
           }
         } finally r.close()
       }

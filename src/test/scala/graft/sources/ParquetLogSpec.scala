@@ -286,6 +286,47 @@ class ParquetLogSpec extends AnyFunSuite {
     assert(decoded <= 1200L, s"decoded $decoded records for 1000 served — striping lost")
   }
 
+  test("shuffled-ts log: time seek is footer-metadata + at most ~one row group") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dir = java.nio.file.Files.createTempDirectory("pq-shuffled-ts").toString
+    val n = 40000L
+    // ts = permutation of [0, n) seconds (7919 coprime with n): every row
+    // group's ts range straddles any mid cutoff — the worst case for
+    // file/group classification, where the old file-level seek degenerated
+    // to a driver-side scan of the whole log
+    spark.range(0, n)
+      .select($"id".as("event_id"),
+        timestamp_micros(($"id" * 7919 % n) * 1000000L).as("ts"),
+        concat(lit("s"), $"id").as("props"), lit("t").as("event_type"))
+      .orderBy("event_id")
+      .coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(dir)
+    ParquetEventLog.invalidate(dir)
+    val meta = ParquetEventLog.metaFor(dir)
+    val groups = meta.files.flatMap(_.groups)
+    assert(groups.size >= 4, s"need several row groups to prove pruning, got ${groups.size}")
+    assert(groups.forall(g => g.tsStatsOk && g.idStatsOk))
+    val name = EventLogConf.parquetLogName(dir, 4)
+    val cutoff = (n / 2) * 1000000L
+    // ground truth from a plain Spark read
+    val expected = spark.read.parquet(dir)
+      .select(pmod($"event_id", lit(4)).cast("int").as("pid"),
+        expr("event_id div 4").as("seq"), (unix_micros($"ts")).as("ts_us"))
+      .filter($"ts_us" >= cutoff)
+      .groupBy("pid").agg(min($"seq")).as[(Int, Long)].collect().toMap
+    ParquetEventLog.seekDecodedRecords.reset()
+    for (p <- 0 until 4)
+      assert(ParquetEventLog.seekEnqueuedTime(name, p, cutoff) == expected(p), s"pid $p")
+    val decoded = ParquetEventLog.seekDecodedRecords.sum()
+    val maxGroupRows = groups.map(_.rows).max
+    // shuffled ts => the FIRST group already answers every partition; the
+    // id-ascending walk must stop there instead of scanning all ~n rows
+    assert(decoded <= maxGroupRows,
+      s"seek decoded $decoded records (> one row group of $maxGroupRows) — " +
+        "driver-side seek is scanning the log")
+  }
+
   test("missing path fails planning loudly") {
     val err = intercept[Exception] {
       graft.GraftEventLog.readParquetLog(spark, "/no/such/file.parquet", 4).count()
