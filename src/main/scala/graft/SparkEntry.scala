@@ -136,6 +136,11 @@ object SparkEntry {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Persisted LSH index per corpus dir — built on first q_ann_lsh call so
+    * repeated gate/bench runs probe the index instead of rebuilding it. */
+  private val lshIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
     //      exercised to prove parity on the engine we build on) ----
@@ -561,8 +566,18 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val qv = Similarity.vectorOf(e, "vec_id", "embedding", 0L)
       // 6-bit buckets + 3 margin-ranked probes: ~6% of the corpus scanned
-      // per query at sf0.1 while keeping enough candidates for a full top-10
-      Similarity.lshTopK(e, "vec_id", "embedding", qv, k = 10, numBits = 6,
+      // per query at sf0.1 while keeping enough candidates for a full top-10.
+      // Runs through the PERSISTED index (built once per corpus, partitioned
+      // by bucket) so each probe prunes unread buckets at file-listing level.
+      val idxPath = lshIndexPaths.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+        Similarity.saveLshIndex(
+          Similarity.lshIndex(e, "vec_id", "embedding", numBits = 6, seed = 42L),
+          numBits = 6, seed = 42L, p)
+        p
+      })
+      val (idx, bits, seed) = Similarity.loadLshIndex(s, idxPath)
+      Similarity.lshTopKWith(idx, bits, seed, qv, k = 10,
         multiProbe = 3, excludeId = Some(0L))
     }),
 

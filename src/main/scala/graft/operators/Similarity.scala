@@ -33,21 +33,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** The hyperplane-bucketed vector table `(vec_id, v, bucket)` — the live
+    * form of the LSH index, and what [[saveLshIndex]] persists. */
+  def lshIndex(
+      embs: DataFrame, idCol: String, vecCol: String,
+      numBits: Int = 8, seed: Long = 42L): DataFrame =
+    embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed))
+
   /** LSH-bucketed approximate top-k: scan only vectors sharing the query's
     * hyperplane bucket plus the `multiProbe` most-likely alternative buckets
     * — the Hamming-distance-1 flips of the bits whose hyperplane margin
     * |dot(q, plane_j)| is smallest (standard multi-probe LSH: a near-zero
     * margin means near-neighbors plausibly landed on the other side of that
-    * hyperplane). `multiProbe = numBits` probes every distance-1 bucket. */
+    * hyperplane). `multiProbe = numBits` probes every distance-1 bucket.
+    *
+    * This form re-buckets the corpus per query; for repeated queries persist
+    * the index once with [[saveLshIndex]] and probe it with [[lshTopKWith]],
+    * which prunes unread buckets at the file-listing level. */
   def lshTopK(
       embs: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int = 10, numBits: Int = 8, seed: Long = 42L,
-      multiProbe: Int = 0, excludeId: Option[Long] = None): DataFrame = {
-    val qLit = array(queryVec.map(lit): _*)
-    val bucketed = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed))
-    // query bucket + per-bit margins, driver-side with the same
-    // seed-deterministic planes as HyperplaneLshBucket (no Spark job)
+      multiProbe: Int = 0, excludeId: Option[Long] = None): DataFrame =
+    lshTopKWith(lshIndex(embs, idCol, vecCol, numBits, seed), numBits, seed,
+      queryVec, k, multiProbe, excludeId)
+
+  /** The query's probe set: its own bucket first, then the `multiProbe`
+    * distance-1 flips of the smallest-|margin| hyperplanes. Driver-side with
+    * the same seed-deterministic planes as HyperplaneLshBucket (no Spark
+    * job), so index-side and query-side bucketing agree bit-for-bit. */
+  private[graft] def probeBuckets(
+      queryVec: Array[Double], numBits: Int, seed: Long, multiProbe: Int): Seq[Long] = {
     val planes = graft.functions.HashUtil.hyperplanes(numBits, queryVec.length, seed)
     val margins = planes.map { p =>
       var dot = 0.0; var i = 0
@@ -59,13 +75,53 @@ object Similarity {
     }
     val flipBits = margins.zipWithIndex.sortBy { case (dot, _) => math.abs(dot) }
       .take(math.min(math.max(multiProbe, 0), numBits)).map(_._2)
-    val probes: Seq[Long] = qBucket +: flipBits.toSeq.map(b => qBucket ^ (1L << b))
-    val inProbes = bucketed.filter(col("bucket").isin(probes: _*))
-    val scored = inProbes.select(col("vec_id"),
-      round(cosine_similarity(col("v"), qLit), 6).as("cosine"))
+    qBucket +: flipBits.toSeq.map(b => qBucket ^ (1L << b))
+  }
+
+  /** Top-k against an existing LSH index (built here or loaded from a
+    * persisted one). The probe filter compares in the index's own bucket
+    * type, so on a [[loadLshIndex]] table (bucket = a partition directory
+    * column) it stays a pure partition-pruning predicate: only the probed
+    * buckets' FILES are listed and read — the "index once, seek many" shape
+    * of the reference's offset-indexed scan unit (OffsetRange.scala:53-83). */
+  def lshTopKWith(
+      index: DataFrame, numBits: Int, seed: Long,
+      queryVec: Array[Double], k: Int = 10, multiProbe: Int = 0,
+      excludeId: Option[Long] = None): DataFrame = {
+    val probes = probeBuckets(queryVec, numBits, seed, multiProbe)
+    // match the bucket column's type exactly (partition discovery infers INT
+    // for small buckets): a cast around the column would defeat pruning
+    val probeVals: Seq[Any] = index.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probes.map(_.toInt)
+      case _ => probes
+    }
+    val qLit = array(queryVec.map(lit): _*)
+    val scored = index.filter(col("bucket").isin(probeVals: _*))
+      .select(col("vec_id"), round(cosine_similarity(col("v"), qLit), 6).as("cosine"))
     excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /**
+   * Persist an LSH index so repeated queries stop paying a full corpus scan:
+   * `buckets/` holds the bucketed vector table partitioned BY BUCKET — a
+   * query then reads only its probe buckets' files — and `params/` the
+   * (numBits, seed) pair so load-side probing uses the identical planes.
+   */
+  def saveLshIndex(index: DataFrame, numBits: Int, seed: Long, path: String): Unit = {
+    index.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
+    val spark = index.sparkSession
+    import spark.implicits._
+    Seq((numBits, seed)).toDF("num_bits", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a persisted LSH index: (buckets, numBits, seed). */
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Int, Long) = {
+    val p = spark.read.parquet(s"$path/params").select(col("num_bits"), col("seed")).head()
+    (spark.read.parquet(s"$path/buckets"), p.getInt(0), p.getLong(1))
   }
 
   /**

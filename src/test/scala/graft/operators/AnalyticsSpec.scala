@@ -476,6 +476,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(new java.io.File(s"$path/assignments").listFiles()
       .exists(_.getName.startsWith("cell=")))
   }
+
+  test("persisted LSH index: reload answers identically, reads ONLY probe buckets' files") {
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val live = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,
+      numBits = 6, multiProbe = 2, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("lsh-idx").toString
+    Similarity.saveLshIndex(
+      Similarity.lshIndex(embs, "vec_id", "embedding", numBits = 6, seed = 42L),
+      numBits = 6, seed = 42L, path)
+    val (idx, bits, seedv) = Similarity.loadLshIndex(spark, path)
+    assert(bits == 6 && seedv == 42L)
+    val q = Similarity.lshTopKWith(idx, bits, seedv, qv, 10,
+      multiProbe = 2, excludeId = Some(0L))
+    assert(q.as[(Long, Double)].collect().toSeq == live)
+    // file-count assertion: the scan's selected partitions are exactly the
+    // probe buckets that exist on disk — everything else is pruned at the
+    // file-listing level, never read
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scansOf)
+    }
+    val scans = scansOf(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a parquet file scan in the probe plan")
+    val readBuckets = scans.flatMap { s =>
+      val dt = s.relation.partitionSchema.fields(0).dataType
+      s.selectedPartitions.filePartitionIterator
+        .map(_.values.get(0, dt).toString.toLong).toSeq
+    }.toSet
+    val probes = Similarity.probeBuckets(qv, 6, 42L, 2).toSet
+    val onDisk = new java.io.File(s"$path/buckets").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName.stripPrefix("bucket=").toLong).toSet
+    assert(readBuckets == (probes intersect onDisk),
+      s"scan read buckets $readBuckets, probes were $probes (on disk: ${onDisk.size})")
+    assert(readBuckets.size < onDisk.size, "pruning must skip non-probe buckets")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
