@@ -148,17 +148,49 @@ object Dedup extends Logging {
    * Exact dedup: keep one deterministic representative (min of `keepBy`)
    * per distinct value of `keyCols`. A single hash-partitioned aggregation —
    * the minimal-shuffle shape (vs dropDuplicates, whose survivor is
-   * partitioning-dependent and thus not reproducible).
+   * partitioning-dependent and thus not reproducible) — whose SHUFFLE KEY is
+   * a 128-bit content hash (two independent xxhash64 words) rather than the
+   * key values themselves: at corpus scale the key is the full document
+   * text, and hashing keeps exchange keys at 16 bytes instead of moving the
+   * corpus through the shuffle as key bytes. The key columns are still in
+   * the output, carried as per-group representatives (min) — equal to the
+   * original values up to a 128-bit collision, odds far below hardware
+   * error rates at any achievable corpus size.
    */
-  def exact(df: DataFrame, keyCols: Seq[Column], keepBy: Column): DataFrame =
-    df.groupBy(keyCols: _*).agg(min(keepBy).as("keeper"), count(lit(1)).as("n_dups"))
+  def exact(df: DataFrame, keyCols: Seq[Column], keepBy: Column): DataFrame = {
+    val aggs = keyCols.map(c => min(c).as(nameOf(c))) ++
+      Seq(min(keepBy).as("keeper"), count(lit(1)).as("n_dups"))
+    df.groupBy(contentHash(keyCols, 0).as("__h0"), contentHash(keyCols, 1).as("__h1"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__h0", "__h1")
+  }
 
   /** Exact dedup returning the surviving rows themselves (row_number window
-    * over the content key, deterministic tie-break). */
+    * partitioned by the content hash of `keyCols`, deterministic tie-break;
+    * same 16-byte shuffle-key rationale as [[exact]]). */
   def exactRows(df: DataFrame, keyCols: Seq[Column], keepBy: Column): DataFrame = {
-    val w = Window.partitionBy(keyCols: _*).orderBy(keepBy.asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val w = Window.partitionBy(col("__h0"), col("__h1")).orderBy(keepBy.asc)
+    df.withColumn("__h0", contentHash(keyCols, 0))
+      .withColumn("__h1", contentHash(keyCols, 1))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h0", "__h1", "__rn")
   }
+
+  /** Two independent 64-bit content hashes: word 1 prepends a salt literal,
+    * which reseeds the xxhash64 stream, so a simultaneous collision in both
+    * words is required to merge distinct keys. */
+  private def contentHash(keyCols: Seq[Column], word: Int): Column =
+    if (word == 0) xxhash64(keyCols: _*)
+    else xxhash64((lit(word.toLong) +: keyCols): _*)
+
+  /** Output name a column would get as a grouping key (so hashed group-bys
+    * can keep the ungrouped output schema). */
+  private def nameOf(c: Column): String =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c) match {
+      case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => ne.name
+      case _ => c.toString
+    }
 
   /**
    * Exact n-gram Jaccard near-duplicate pairs via an inverted shingle index:
@@ -344,19 +376,30 @@ object Dedup extends Logging {
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
       // each node adopts the min label among itself, its neighbors' labels,
-      // and its label's label (pointer doubling: halves the rounds needed on
-      // chain-shaped components — O(log diameter) instead of O(diameter))
+      // and (from round 2) its label's label — pointer doubling halves the
+      // rounds needed on chain-shaped components, O(log diameter) instead of
+      // O(diameter). Round 1 skips the doubling self-join: after the
+      // neighbor-min init every label is the node itself or one of its
+      // neighbors, so its label's label is already among the candidates
+      // viaNeighbors contributes — round-1 doubling provably cannot change
+      // any label and was pure overhead (the one bench regression of round
+      // 5). From round 2 labels escape the 1-hop neighborhood and doubling
+      // starts paying.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("cluster"))
-      val viaLabel = labels.as("l1")
-        .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
-        .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("cluster"))
+      val sources = labels.select(col("doc_id"), col("cluster")) +: (
+        if (iter == 0) Seq(viaNeighbors)
+        else {
+          val viaLabel = labels.as("l1")
+            .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
+            .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("cluster"))
+          Seq(viaNeighbors, viaLabel)
+        })
       // one checkpointed plan carries both the new label and the old one, so
       // the per-round convergence check is a count on the checkpointed
       // result instead of a second join job
-      val next = labels.select(col("doc_id"), col("cluster"))
-        .union(viaNeighbors).union(viaLabel)
+      val next = sources.reduce(_ union _)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
         .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .localCheckpoint(eager = true) // cut lineage each round

@@ -89,6 +89,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("exact dedup shuffles 16-byte content-hash keys, never the document text") {
+    // both exact forms group/partition on (__h0, __h1) = two xxhash64 words;
+    // the text column must appear in the exchange only inside the hash
+    // computation, never as a partitioning attribute itself
+    val docs = Tables.documents(spark, dir)
+    val exchanges = Seq(
+      SparkEntry.queries("q_dedup_exact")(spark, dir),
+      SparkEntry.queries("q_dedup_exact_rows")(spark, dir))
+      .map(plan)
+      .flatMap(_.linesIterator.filter(_.contains("Exchange hashpartitioning")))
+    assert(exchanges.nonEmpty, "expected hash exchanges in the dedup plans")
+    exchanges.foreach { l =>
+      // the partition keys must be LONG attributes (the hash words — shown
+      // as __h0/_groupingexpression aliases or the inline xxhash64 call)...
+      assert(l.matches(
+        """.*hashpartitioning\((?:__h0|_groupingexpression|xxhash64\()#?\w*\d+L?.*"""), l)
+      // ...and never the string text column itself
+      assert(!l.matches(""".*hashpartitioning\(text#\d+.*"""), l)
+    }
+    // and the operator output still carries the original key column names
+    assert(operators.Dedup.exact(docs, Seq(col("text")), col("doc_id"))
+      .columns.toSeq == Seq("text", "keeper", "n_dups"))
+  }
+
   test("driver smoke: entry() works on a fresh plain session config") {
     // the driver calls entry() without our nanosAsLong session conf; the
     // seeded-log loader must set it on the fly
