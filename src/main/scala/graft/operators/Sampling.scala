@@ -121,18 +121,22 @@ object Sampling {
       groupCol: String, rates: Map[String, Double], keyCol: String,
       defaultRate: Double = 1.0): String = {
     val cases = rates.toSeq.sortBy(_._1).map { case (g, r) =>
-      s"WHEN $groupCol = '$g' THEN '${hexThreshold(r)}'"
+      s"WHEN $groupCol = '${sqlEscape(g)}' THEN '${hexThreshold(r)}'"
     }.mkString(" ")
     s"substr(md5($keyCol), 1, 13) < (CASE $cases ELSE '${hexThreshold(defaultRate)}' END)"
   }
+
+  /** Group keys are data, not SQL — escape the one metacharacter a string
+    * literal can smuggle in. */
+  private def sqlEscape(s: String): String = s.replace("'", "''")
 
   /** DuckDB rendering of the same split expression (oracle twin). */
   def sqlHashSplit(col: String, weights: Seq[(String, Double)]): String = {
     val cum = weights.scanLeft(0.0)(_ + _._2).tail
     val h = s"substr(md5($col), 1, 13)"
-    weights.init.zip(cum.init).foldRight(s"'${weights.last._1}'") {
+    weights.init.zip(cum.init).foldRight(s"'${sqlEscape(weights.last._1)}'") {
       case (((label, _), upper), acc) =>
-        s"CASE WHEN $h < '${hexThreshold(upper)}' THEN '$label' ELSE $acc END"
+        s"CASE WHEN $h < '${hexThreshold(upper)}' THEN '${sqlEscape(label)}' ELSE $acc END"
     }
   }
 }

@@ -571,10 +571,12 @@ object ParquetEventLog extends EventLogClient with Logging {
       * longer buffered for (cleared if it ever takes locally) */
     private val mutedRemote = new Array[Boolean](partitions)
     /** rows a never-taken partition may accumulate before we conclude it is
-      * reading on another executor: generous enough that a same-batch local
-      * task scheduled moments later never trips it */
+      * reading on another executor: several full cursor batches, so a local
+      * task delayed past a few sibling takes is very unlikely to trip it
+      * (if one ever does, its first take repositions — correctness holds,
+      * it just re-decodes its range) */
     private val graceRows: Long =
-      math.max(MaxCursorBatchRows, maxBuffered / math.max(1, partitions))
+      math.max(3 * MaxCursorBatchRows, maxBuffered / math.max(1, partitions))
 
     private def f0(pid: Int): Long = firstId(meta, pid, partitions)
     private def idOf(pid: Int, seq: Long): Long = f0(pid) + seq * partitions
@@ -628,12 +630,13 @@ object ParquetEventLog extends EventLogClient with Logging {
         } else if (!localReader(p2) && bufs(p2).size >= graceRows) {
           // exceeded the grace allowance without ever taking here: conclude
           // it is placed on another executor, release its buffered bodies
-          buffered -= bufs(p2).size
+          val evicted = bufs(p2).size
+          buffered -= evicted
           bufs(p2).clear()
           mutedRemote(p2) = true
           logInfo(s"parquet log ${meta.path}: partition $p2 buffered " +
-            s"$graceRows rows without reading from this cursor — treating it " +
-            "as remote and dropping its striped read-ahead")
+            s"$evicted rows (grace $graceRows) without reading from this " +
+            "cursor — treating it as remote and dropping its striped read-ahead")
         } else if (buffered < maxBuffered) {
           bufs(p2).addLast((s2, dec.event(g))); buffered += 1
         } else if (!warnedCap) {

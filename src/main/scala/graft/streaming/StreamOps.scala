@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.sources.{Event, EventLogRegistry}
+import graft.sources.{Event, EventLogRegistry, InMemoryEventLog}
 
 /**
  * Streaming operators over the event-log source. Watermarks, windows and
@@ -86,9 +86,12 @@ object StreamOps {
    */
   def foreachWriter(logName: String): ForeachWriter[String] =
     new ForeachWriter[String] {
-      override def open(partitionId: Long, epochId: Long): Boolean = true
+      // resolved once per partition-epoch in open(), not per row
+      @transient private var log: InMemoryEventLog = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        log = EventLogRegistry.get(logName); true
+      }
       override def process(value: String): Unit = {
-        val log = EventLogRegistry.get(logName)
         val e = Event(value.getBytes("UTF-8"), System.currentTimeMillis() * 1000L)
         log.append(log.route(e, None, None), e)
       }
@@ -98,9 +101,11 @@ object StreamOps {
   /** Row-typed variant honoring the sink schema columns (body / partition). */
   def foreachRowWriter(logName: String): ForeachWriter[Row] =
     new ForeachWriter[Row] {
-      override def open(partitionId: Long, epochId: Long): Boolean = true
+      @transient private var log: InMemoryEventLog = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        log = EventLogRegistry.get(logName); true
+      }
       override def process(r: Row): Unit = {
-        val log = EventLogRegistry.get(logName)
         val body = r.schema.fieldNames.indexOf("body") match {
           case -1 => throw new IllegalArgumentException("row needs a 'body' column")
           case i => r.get(i) match {
