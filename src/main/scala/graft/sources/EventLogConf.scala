@@ -98,6 +98,13 @@ final case class EventLogConf(options: Map[String, String]) {
     * reference's `slowPartitionAdjustment`. */
   def slowPartitionAdjustment: Boolean =
     get("slowpartitionadjustment").exists(_.toBoolean)
+
+  /** Qualification gate for slow-partition adjustment: a partition is only
+    * throttleable when its batch receive time exceeds this (ref
+    * maxAcceptableBatchReceiveTime, EventHubsConf.scala:530-546; default
+    * 30 s, package.scala:43). Plain millis or ISO-8601 duration. */
+  def maxAcceptableBatchReceiveTimeMs: Long =
+    durationMs("maxacceptablebatchreceivetime", 30000L)
   def metricPlugin: Option[MetricPlugin] =
     get("metricplugin").map(cls => Class.forName(cls)
       .getDeclaredConstructor().newInstance().asInstanceOf[MetricPlugin])
@@ -165,6 +172,7 @@ object EventLogConf {
     "startingposition", "endingposition", "startingpositions", "endingpositions",
     "maxeventspertrigger", "maxratesperpartition", "consumergroup",
     "failondataloss", "placementstrategy", "slowpartitionadjustment",
+    "maxacceptablebatchreceivetime",
     "metricplugin", "throttlingstatusplugin",
     "maxretries", "retrydelayms", "receivertimeout", "operationtimeout",
     "prefetchcount")

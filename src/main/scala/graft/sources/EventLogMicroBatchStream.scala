@@ -110,7 +110,7 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
     // Adaptive throttling: shrink slow partitions' share (ref R3).
     val factor: PartitionId => Double =
       if (conf.slowPartitionAdjustment) {
-        val f = PartitionThrottler.forLog(conf.throttlerKey).factors
+        val f = PartitionThrottler.forLog(conf.throttlerKey, conf.maxAcceptableBatchReceiveTimeMs).factors
         conf.throttlingStatusPlugin.foreach(p =>
           p.onPartitionsStatusUpdate(merged.keys.map(k => k -> f(k)).toMap))
         f
@@ -189,7 +189,7 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
         }
       }
       if (conf.slowPartitionAdjustment) {
-        val f = PartitionThrottler.forLog(conf.throttlerKey).factors
+        val f = PartitionThrottler.forLog(conf.throttlerKey, conf.maxAcceptableBatchReceiveTimeMs).factors
         val rendered = (0 until client.partitionCount(name))
           .map(p => s""""$p":${f(p)}""").mkString("{", ",", "}")
         out.put("throttleFactors", rendered)

@@ -364,7 +364,7 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
     }
     val elapsed = System.nanoTime() - startedNanos
     if (conf.slowPartitionAdjustment) {
-      PartitionThrottler.forLog(conf.throttlerKey)
+      PartitionThrottler.forLog(conf.throttlerKey, conf.maxAcceptableBatchReceiveTimeMs)
         .record(range.fromSeqNo, range.partitionId, rowsRead, elapsed)
     }
     conf.metricPlugin.foreach(

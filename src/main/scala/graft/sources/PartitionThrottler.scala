@@ -18,7 +18,11 @@ import types._
  * factor in [0,1]:
  *   - time-per-event t_p = elapsed / events for each partition
  *   - a partition is SLOW iff t_p > mean + stddevMultiplier * stddev
- *     (ref rule: PartitionsStatusTracker.scala:399-406)
+ *     (ref rule: PartitionsStatusTracker.scala:399-406) AND its batch
+ *     receive time exceeds `maxAcceptableBatchMs` (ref qualification gate:
+ *     maxAcceptableBatchReceiveTime, EventHubsConf.scala:530-546, default
+ *     30 s at package.scala:43 — partitions finishing their share quickly
+ *     are never throttled no matter how the distribution leans)
  *   - factor = mean / t_p for slow partitions, 1.0 otherwise
  * The factor multiplies the partition's prorated share in the next batch's
  * admission control (RateLimiter.prorate(throttleFactor)).
@@ -32,7 +36,8 @@ import types._
 final class PartitionThrottler(
     val windowSize: Int = 3,
     val stddevMultiplier: Double = 1.0,
-    val minEventsForMeasure: Long = 10L) {
+    val minEventsForMeasure: Long = 10L,
+    val maxAcceptableBatchMs: Long = 30000L) {
 
   private case class Sample(batchId: Long, events: Long, elapsedNanos: Long)
   private val samples = new ConcurrentHashMap[PartitionId, List[Sample]]()
@@ -69,8 +74,17 @@ final class PartitionThrottler(
       val variance = t.values.map(v => (v - mean) * (v - mean)).sum / t.size
       val stddev = math.sqrt(variance)
       val cutoff = mean + stddevMultiplier * stddev
+      // acceptance gate: avg batch receive time within the window must
+      // exceed maxAcceptableBatchMs before a partition qualifies as slow
+      val acceptableNanos = maxAcceptableBatchMs * 1000000.0
+      val avgElapsed: Map[PartitionId, Double] = samples.asScala.toMap.collect {
+        case (pid, ss) if ss.nonEmpty =>
+          pid -> ss.map(_.elapsedNanos.toDouble).sum / ss.size
+      }
       val f = t.map { case (pid, v) =>
-        pid -> (if (v > cutoff && v > 0) math.max(0.0, math.min(1.0, mean / v)) else 1.0)
+        val overGate = avgElapsed.getOrElse(pid, 0.0) > acceptableNanos
+        pid -> (if (v > cutoff && v > 0 && overGate)
+          math.max(0.0, math.min(1.0, mean / v)) else 1.0)
       }
       pid => f.getOrElse(pid, 1.0)
     }
@@ -82,8 +96,12 @@ final class PartitionThrottler(
 /** JVM-wide registry of throttlers keyed by log name (driver-side state). */
 object PartitionThrottler {
   private val trackers = new ConcurrentHashMap[String, PartitionThrottler]()
-  def forLog(name: String): PartitionThrottler =
-    trackers.computeIfAbsent(name, _ => new PartitionThrottler())
+  /** First resolution of a key decides its tuning (driver planning runs
+    * before any executor record() in a micro-batch, so the conf-supplied
+    * threshold wins for conf-driven streams). */
+  def forLog(name: String, maxAcceptableBatchMs: Long = 30000L): PartitionThrottler =
+    trackers.computeIfAbsent(name,
+      _ => new PartitionThrottler(maxAcceptableBatchMs = maxAcceptableBatchMs))
   def drop(name: String): Unit = trackers.remove(name)
 }
 

@@ -76,8 +76,8 @@ class PerPartitionSpec extends AnyFunSuite {
     assert(a.throttlerKey != b.throttlerKey && a.throttlerKey != default.throttlerKey)
     PartitionThrottler.drop(a.throttlerKey); PartitionThrottler.drop(b.throttlerKey)
     val ta = PartitionThrottler.forLog(a.throttlerKey)
-    for (p <- 0 until 3) ta.record(0L, p, 1000, (1000 * 0.2e6).toLong)
-    ta.record(0L, 3, 1000, (1000 * 2e6).toLong)
+    for (p <- 0 until 3) ta.record(0L, p, 1000, (1000 * 20e6).toLong)
+    ta.record(0L, 3, 1000, (1000 * 200e6).toLong)
     assert(ta.factors(3) < 1.0, "group A sees its slow partition")
     assert(PartitionThrottler.forLog(b.throttlerKey).factors(3) == 1.0,
       "group B must not inherit group A's feedback")

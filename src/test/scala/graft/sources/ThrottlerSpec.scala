@@ -10,15 +10,42 @@ import graft.SparkTestSession
 class PartitionThrottlerSpec extends AnyFunSuite {
 
   test("reference worked example: one 10x-slow partition is throttled (doc :34-60)") {
-    // 10 partitions, 9 at 0.2 ms/event, one at 2 ms/event
+    // 10 partitions, 9 at 20 ms/event, one at 200 ms/event: the slow one's
+    // 200 s batch clears the 30 s acceptance gate (ref default)
     val t = new PartitionThrottler()
-    for (p <- 0 until 9) t.record(0L, p, 1000, (1000 * 0.2e6).toLong)
-    t.record(0L, 9, 1000, (1000 * 2e6).toLong)
+    for (p <- 0 until 9) t.record(0L, p, 1000, (1000 * 20e6).toLong)
+    t.record(0L, 9, 1000, (1000 * 200e6).toLong)
     val f = t.factors
     for (p <- 0 until 9) assert(f(p) == 1.0, s"healthy partition $p throttled")
     val slow = f(9)
-    // mean = 0.38ms => factor = 0.38/2 = 0.19
+    // mean = 38ms => factor = 38/200 = 0.19
     assert(math.abs(slow - 0.19) < 0.01, s"slow factor $slow")
+  }
+
+  test("acceptance gate: statistically slow but fast-finishing partitions stay unthrottled") {
+    // identical 10x spread, but every batch completes in << 30 s — the ref
+    // maxAcceptableBatchReceiveTime gate must keep factors at 1.0
+    val t = new PartitionThrottler()
+    for (p <- 0 until 9) t.record(0L, p, 1000, (1000 * 0.2e6).toLong)
+    t.record(0L, 9, 1000, (1000 * 2e6).toLong) // 2 s batch < 30 s gate
+    assert(t.factors(9) == 1.0, "sub-gate partition was throttled")
+    // a tightened gate re-enables the statistical rule
+    val tight = new PartitionThrottler(maxAcceptableBatchMs = 1000L)
+    for (p <- 0 until 9) tight.record(0L, p, 1000, (1000 * 0.2e6).toLong)
+    tight.record(0L, 9, 1000, (1000 * 2e6).toLong)
+    assert(math.abs(tight.factors(9) - 0.19) < 0.01)
+  }
+
+  test("maxAcceptableBatchReceiveTime conf round-trips (millis and ISO-8601)") {
+    assert(EventLogConf(Map("name" -> "x")).maxAcceptableBatchReceiveTimeMs == 30000L)
+    assert(EventLogConf(Map("name" -> "x", "maxacceptablebatchreceivetime" -> "5000"))
+      .maxAcceptableBatchReceiveTimeMs == 5000L)
+    assert(EventLogConf(Map("name" -> "x", "maxacceptablebatchreceivetime" -> "PT10S"))
+      .validated().maxAcceptableBatchReceiveTimeMs == 10000L)
+    intercept[IllegalArgumentException] {
+      EventLogConf(Map("name" -> "x", "maxacceptablebatchreceivetime" -> "-5"))
+        .maxAcceptableBatchReceiveTimeMs
+    }
   }
 
   test("slow iff timePerEvent > mean + stddev (ref PartitionsStatusTracker:399-406)") {
@@ -55,8 +82,8 @@ class PartitionThrottlerSpec extends AnyFunSuite {
     PartitionThrottler.drop(conf.throttlerKey)
     // inject metrics as the reference's SimulatedPartitionStatusTracker does
     val t = PartitionThrottler.forLog(conf.throttlerKey)
-    for (p <- 0 until 3) t.record(0L, p, 1000, (1000 * 0.2e6).toLong)
-    t.record(0L, 3, 1000, (1000 * 2e6).toLong)
+    for (p <- 0 until 3) t.record(0L, p, 1000, (1000 * 20e6).toLong)
+    t.record(0L, 3, 1000, (1000 * 200e6).toLong)
 
     val stream = new EventLogMicroBatchStream(conf, EventLogTable.schema)
     val start = stream.initialOffset().asInstanceOf[EventLogSourceOffset]
