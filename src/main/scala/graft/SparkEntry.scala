@@ -712,8 +712,10 @@ object SparkEntry {
         .option("name", logName).option("partitions", "4").mode("append").save()
       // several micro-batches at ANY scale factor: the per-batch fixed cost
       // (trigger planning + one join job) must not dominate at large sf, so
-      // the admission cap scales with the corpus instead of being absolute
-      val nCorpus = docs.filter(col("source") =!= "src0").count()
+      // the admission cap scales with the corpus instead of being absolute.
+      // Sized from the log's own bounds — pure metadata (per-partition
+      // seqNo sums), NOT a Spark job over the corpus
+      val nCorpus = GraftEventLog.count(logName)
       val perTrigger = math.max(256L, (nCorpus + 7) / 8)
       val stream = s.readStream.format(GraftEventLog.Format)
         .option("name", logName)
