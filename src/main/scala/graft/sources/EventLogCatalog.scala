@@ -19,6 +19,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *   INSERT INTO graft.hub SELECT body, partitionKey FROM staged
  *   SELECT partition, count(*) FROM graft.hub GROUP BY 1
  *
+ * A one-level namespace names a CONSUMER GROUP over an existing log (ref
+ * EventHubsConf.scala:205 — the reference's consumerGroup option, here as
+ * the idiomatic SQL addressing form):
+ *
+ *   SELECT * FROM graft.analytics.hub    -- log 'hub', consumer group
+ *                                        -- 'analytics': its own isolated
+ *                                        -- adaptive-throttling state (and
+ *                                        -- checkpoints isolate offsets)
+ *
+ * Group namespaces address existing logs only — CREATE/DROP go through the
+ * flat name, so a group can never create or destroy the shared log.
+ *
  * The reference exposes logs only through the DataFrame reader options;
  * a catalog is the idiomatic Spark 4 surface for the same capability and
  * costs nothing extra — the Table returned is the same EventLogTable the
@@ -32,27 +44,37 @@ class EventLogCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def logName(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(".")
+  /** (log name, consumer group): `graft.hub` -> (hub, None);
+    * `graft.g.hub` -> (hub, Some(g)). Deeper nesting is not a table. */
+  private def split(ident: Identifier): (String, Option[String]) =
+    ident.namespace() match {
+      case Array()      => (ident.name(), None)
+      case Array(group) => (ident.name(), Some(group))
+      case ns => throw new NoSuchTableException((ns :+ ident.name()).toSeq)
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    require(namespace.isEmpty, "graft catalog has a single flat namespace")
-    EventLogRegistry.names.map(n => Identifier.of(Array.empty, n)).toArray
+    // every log is addressable under every consumer-group namespace
+    require(namespace.length <= 1,
+      "graft namespaces are single-level consumer groups: graft.<group>.<log>")
+    EventLogRegistry.names.map(n => Identifier.of(namespace, n)).toArray
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val n = logName(ident)
+    val (n, group) = split(ident)
+    val groupOpt = group.map(g => "consumergroup" -> g).toMap
     if (n.startsWith("parquet:")) {
       // file-backed logs are addressable too:
       //   SELECT * FROM graft.`parquet:/data/events.parquet#4`
       val (path, partitions) = ParquetEventLog.parseName(n)
       new EventLogTable(EventLogConf(
-        Map("path" -> path, "partitions" -> partitions.toString)))
+        Map("path" -> path, "partitions" -> partitions.toString) ++ groupOpt))
     } else if (EventLogRegistry.exists(n)) {
       // stored TBLPROPERTIES (startingPosition, maxEventsPerTrigger, ...)
-      // flow back into the table conf so pure-SQL users control admission
+      // flow back into the table conf so pure-SQL users control admission;
+      // the namespace's consumer group overrides any stored default
       new EventLogTable(EventLogConf(
-        EventLogCatalog.propsOf(n) + ("name" -> n)))
+        EventLogCatalog.propsOf(n) + ("name" -> n) ++ groupOpt))
     } else throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
   }
 
@@ -61,7 +83,10 @@ class EventLogCatalog extends TableCatalog {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val n = logName(ident)
+    val (n, group) = split(ident)
+    group.foreach(g => throw new UnsupportedOperationException(
+      s"consumer-group namespaces address existing logs; create the log as " +
+        s"$catalogName.$n, then read it as $catalogName.$g.$n"))
     if (EventLogRegistry.exists(n))
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     // the row schema is the connector's fixed 9-column contract; a declared
@@ -84,7 +109,9 @@ class EventLogCatalog extends TableCatalog {
     throw new UnsupportedOperationException("event logs have a fixed schema")
 
   override def dropTable(ident: Identifier): Boolean = {
-    val n = logName(ident)
+    val (n, group) = split(ident)
+    group.foreach(g => throw new UnsupportedOperationException(
+      s"a consumer group cannot drop the shared log; drop it as $catalogName.$n"))
     val existed = EventLogRegistry.exists(n)
     EventLogRegistry.drop(n)
     EventLogCatalog.dropProps(n)
@@ -95,7 +122,8 @@ class EventLogCatalog extends TableCatalog {
     throw new UnsupportedOperationException("event logs cannot be renamed")
 
   override def tableExists(ident: Identifier): Boolean = {
-    val n = logName(ident)
+    if (ident.namespace().length > 1) return false
+    val (n, _) = split(ident)
     if (n.startsWith("parquet:"))
       try { ParquetEventLog.validate(ParquetEventLog.parseName(n)._1); true }
       catch { case _: Exception => false }

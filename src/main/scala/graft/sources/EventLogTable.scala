@@ -73,7 +73,7 @@ final class LongTaskMetric(n: String, v: Long)
   override def value(): Long = v
 }
 
-class EventLogTable(conf: EventLogConf) extends Table
+class EventLogTable(val conf: EventLogConf) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
   conf.validated() // reject typo'd options loudly, at table resolution time

@@ -100,6 +100,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(!EventLogRegistry.exists("cat5"))
   }
 
+  test("consumer-group namespaces: same log, isolated throttling, no create/drop") {
+    EventLogRegistry.drop("cat6")
+    spark.sql("CREATE TABLE graft.cat6 TBLPROPERTIES ('partitions'='2')")
+    Seq("a", "b", "c", "d").toDF("body").createOrReplaceTempView("cat6_staged")
+    spark.sql("INSERT INTO graft.cat6 SELECT body FROM cat6_staged")
+    // graft.<group>.<log> reads the SAME log...
+    val viaGroup = spark.sql(
+      "SELECT CAST(body AS STRING) AS s FROM graft.grpA.cat6 ORDER BY s")
+      .as[String].collect().toSeq
+    assert(viaGroup == Seq("a", "b", "c", "d"))
+    // ...with the group wired into the conf => its own throttler key
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = new EventLogCatalog
+    cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    val flat = cat.loadTable(Identifier.of(Array.empty, "cat6"))
+      .asInstanceOf[EventLogTable].conf
+    val grouped = cat.loadTable(Identifier.of(Array("grpA"), "cat6"))
+      .asInstanceOf[EventLogTable].conf
+    assert(grouped.consumerGroup == "grpA" && flat.consumerGroup == "$Default")
+    assert(grouped.throttlerKey != flat.throttlerKey && grouped.name == flat.name)
+    assert(cat.tableExists(Identifier.of(Array("anyGroup"), "cat6")))
+    assert(!cat.tableExists(Identifier.of(Array("a", "b"), "cat6")))
+    // groups address existing logs; they cannot create or drop the shared log
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft.grpB.nope TBLPROPERTIES ('partitions'='2')"))
+    intercept[Exception](spark.sql("DROP TABLE graft.grpA.cat6"))
+    assert(EventLogRegistry.exists("cat6"), "group DROP must not destroy the log")
+    spark.sql("DROP TABLE graft.cat6")
+    assert(!EventLogRegistry.exists("cat6"))
+  }
+
   test("pushdown flows through the catalog path identically") {
     EventLogRegistry.drop("cat3")
     val log = EventLogRegistry.create("cat3", 1)
