@@ -850,14 +850,53 @@ object SparkEntry {
         }
         .toDF("format", "n", "total_frames", "total_bytes")
         .orderBy(col("format"))
+    }),
+
+    // frame-extraction gate: per-video sampled-frame counts and byte totals
+    // (rows-only — frame boundaries come from the stub codec)
+    "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(s, s"$dir/documents.parquet")
+      Multimodal.sampleFrames(media, stride = 10)
+        .groupByKey(_.media_id)
+        .mapGroups { (id, fs) =>
+          var n = 0L; var bytes = 0L; var maxFrame = 0
+          fs.foreach { f => n += 1; bytes += f.payload.length; maxFrame = math.max(maxFrame, f.frame_no) }
+          (id, n, bytes, maxFrame)
+        }
+        .toDF("media_id", "n_sampled", "sampled_bytes", "max_frame")
+        .orderBy(col("media_id"))
+    }),
+
+    // decode-error containment gate: a deterministic faulty codec (rejects
+    // media_id % 5 == 0) must yield per-row errors, never task failures
+    // (rows-only — the error split is codec-defined)
+    "q_multimodal_errors" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, s"$dir/documents.parquet")
+      Multimodal.decodeSafe(media, new RejectEveryFifth())
+        .groupBy(col("format"), col("error").isNotNull.as("failed"))
+        .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("total_bytes"))
+        .orderBy(col("format"), col("failed"))
     })
   )
+
+  /** Deterministic fault-injecting codec for q_multimodal_errors: payloads of
+    * media_id % 5 == 0 are "malformed". Exercises the per-row error path of
+    * [[graft.operators.Multimodal.decodeSafe]] end-to-end. */
+  private final class RejectEveryFifth extends Multimodal.MediaCodec {
+    def decode(mediaId: Long, content: Array[Byte], format: String): Multimodal.DecodedMedia = {
+      if (mediaId % 5 == 0)
+        throw new IllegalArgumentException(s"malformed payload for media $mediaId")
+      Multimodal.StubCodec.decode(mediaId, content, format)
+    }
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — identical semantics, identical column names.
   // Omitted keys (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
   // q_dedup_winnow, q_ann_lsh, q_ann_ivf, q_sketch_distinct,
-  // q_sketch_terms, q_multimodal_decode) are LSH/sketch/stub-based and not
+  // q_sketch_terms, q_multimodal_decode, q_multimodal_frames,
+  // q_multimodal_errors) are LSH/sketch/stub-based and not
   // exactly SQL-expressible → driver's weaker rows-only check.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {

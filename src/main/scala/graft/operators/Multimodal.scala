@@ -1,7 +1,10 @@
 package graft.operators
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import scala.util.control.NonFatal
 
 /**
  * Multimodal column handling: media content is an opaque `binary` column plus
@@ -10,10 +13,12 @@ import org.apache.spark.sql.functions._
  * Spark-idiomatic shape for per-row native-library calls at scale — no
  * driver-side materialization, no per-row decoder setup).
  *
- * The byte-level decoders are STUBBED with deterministic fakes (this
- * container has no image/audio codecs); the Spark-side plumbing — schema,
- * batch shape, partitioning, typed pipeline — is real and tested, and a real
- * codec drops into `StubCodec` without touching any query.
+ * The byte-level decoder is pluggable behind [[Multimodal.MediaCodec]]; this
+ * container has no image/audio codecs, so the default [[Multimodal.StubCodec]]
+ * is a deterministic fake, but the Spark-side plumbing — schema, batch shape,
+ * partitioning, typed pipeline, per-partition `open()`/`close()` lifecycle,
+ * per-row error surfacing — is real and tested (a fault-injecting codec
+ * exercises the seam in MultimodalSpec).
  */
 object Multimodal {
 
@@ -30,13 +35,41 @@ object Multimodal {
       n_frames: Int,
       features: Array[Double])
 
+  /** One decode attempt: the decoded columns on success, or zeroed columns
+    * plus a non-null `error` when the codec rejected the payload. A corrupt
+    * row never fails the task — at 100 TB a one-in-a-billion malformed file
+    * must surface as a row, not a job abort. */
+  case class DecodeAttempt(
+      media_id: Long,
+      format: String,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Double],
+      error: String)
+
+  /**
+   * The codec contract. Implementations are shipped to executors by closure
+   * serialization; `open()` runs once per partition-task before the first
+   * row (native-library handles, model weights), `close()` runs at task
+   * completion (success OR failure — registered as a TaskContext listener).
+   * `decode` may throw for a malformed payload; [[decodeSafe]] turns that
+   * into a per-row error while [[decode]] propagates it (fail-fast).
+   */
+  trait MediaCodec extends Serializable {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def decode(mediaId: Long, content: Array[Byte], format: String): DecodedMedia
+  }
+
   /**
    * Deterministic fake decoder: derives plausible dimensions and an 8-bin
    * byte-histogram "feature vector" from the payload alone, so every test
    * and query is reproducible. A real implementation replaces `decode` with
    * a codec call; the signature is the contract.
    */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     def decode(media_id: Long, content: Array[Byte], format: String): DecodedMedia = {
       val len = content.length
       val h = {
@@ -56,28 +89,72 @@ object Multimodal {
     }
   }
 
-  /** Decode a media table: one decoder per partition, streamed rows. */
-  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+  /** Run `codec.open()` once for this partition and register `close()` on
+    * task completion (fires on success, failure, and cancellation alike). */
+  private def openForPartition(codec: MediaCodec): Unit = {
+    codec.open()
+    val tc = TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => codec.close())
+    else codec.close() // driver-local evaluation (tests): nothing outlives the call
+  }
+
+  /** Decode a media table, fail-fast: a codec exception fails the task.
+    * Use [[decodeSafe]] when corrupt payloads must become rows instead. */
+  def decode(media: Dataset[MediaRow], codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here (native lib handle, etc.)
-      rows.map(r => StubCodec.decode(r.media_id, r.content, r.format))
+      openForPartition(codec)
+      rows.map(r => codec.decode(r.media_id, r.content, r.format))
+    }
+  }
+
+  /** Decode with per-row error containment: a payload the codec rejects
+    * yields a row with zeroed decode columns and the exception in `error`;
+    * every other row decodes normally. Downstream splits on
+    * `error IS NULL`. */
+  def decodeSafe(media: Dataset[MediaRow], codec: MediaCodec = StubCodec)
+      : Dataset[DecodeAttempt] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      openForPartition(codec)
+      rows.map { r =>
+        try {
+          val d = codec.decode(r.media_id, r.content, r.format)
+          DecodeAttempt(d.media_id, d.format, d.byte_len, d.width, d.height,
+            d.n_frames, d.features, null)
+        } catch {
+          case NonFatal(e) =>
+            DecodeAttempt(r.media_id, r.format,
+              if (r.content == null) 0 else r.content.length,
+              0, 0, 0, Array.empty[Double],
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
     }
   }
 
   /** Sample every `stride`-th frame of video media as (media_id, frame_no,
-    * frame payload slice) — the frame extraction shape for vision pipelines. */
+    * frame payload slice) — the frame extraction shape for vision pipelines.
+    * A payload the codec rejects contributes no frames (skip, don't abort):
+    * frame extraction is a best-effort fan-out, and the decode-stage gate
+    * ([[decodeSafe]]) is where per-row errors are accounted. */
   case class Frame(media_id: Long, frame_no: Int, payload: Array[Byte])
-  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
+  def sampleFrames(media: Dataset[MediaRow], stride: Int,
+      codec: MediaCodec = StubCodec): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.format == "video").mapPartitions { rows =>
+      openForPartition(codec)
       rows.flatMap { r =>
-        val d = StubCodec.decode(r.media_id, r.content, r.format)
-        val chunk = math.max(1, r.content.length / math.max(1, d.n_frames))
-        (0 until d.n_frames by stride).map { f =>
-          val from = f * chunk
-          val until = math.min(r.content.length, from + chunk)
-          Frame(r.media_id, f, r.content.slice(from, math.max(from, until)))
+        val decoded =
+          try Some(codec.decode(r.media_id, r.content, r.format))
+          catch { case NonFatal(_) => None }
+        decoded.toSeq.flatMap { d =>
+          val chunk = math.max(1, r.content.length / math.max(1, d.n_frames))
+          (0 until d.n_frames by stride).map { f =>
+            val from = f * chunk
+            val until = math.min(r.content.length, from + chunk)
+            Frame(r.media_id, f, r.content.slice(from, math.max(from, until)))
+          }
         }
       }
     }

@@ -543,4 +543,66 @@ class MultimodalSpec extends AnyFunSuite {
     val videoIds = media.filter(_.format == "video").collect().map(_.media_id).toSet
     assert(ids.subsetOf(videoIds))
   }
+
+  test("codec seam: per-partition open/close lifecycle, once per task") {
+    FaultyCodec.reset()
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet").repartition(4)
+    Multimodal.decodeSafe(media, new FaultyCodec(rejectMod = -1)).count()
+    assert(FaultyCodec.opens.get() == 4,
+      s"open() must run once per partition-task, saw ${FaultyCodec.opens.get()}")
+    assert(FaultyCodec.closes.get() == 4,
+      s"close() must run once per partition-task, saw ${FaultyCodec.closes.get()}")
+  }
+
+  test("codec seam: malformed payloads become error rows, not task failures") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet")
+    val attempts = Multimodal.decodeSafe(media, new FaultyCodec(rejectMod = 5)).collect()
+    assert(attempts.length == media.count(), "every input row must yield an attempt row")
+    val (bad, good) = attempts.partition(_.error != null)
+    assert(bad.nonEmpty && good.nonEmpty)
+    assert(bad.forall(_.media_id % 5 == 0))
+    assert(bad.forall(a => a.error.contains("malformed payload") && a.width == 0))
+    // surviving rows decode exactly as the stub would
+    val expect = Multimodal.decode(media).collect().map(d => d.media_id -> d.width).toMap
+    assert(good.forall(a => expect(a.media_id) == a.width))
+  }
+
+  test("codec seam: close() still fires when a strict decode fails the task") {
+    FaultyCodec.reset()
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet").repartition(2)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(media, new FaultyCodec(rejectMod = 5)).count()
+    }
+    assert(FaultyCodec.closes.get() >= 1,
+      "task-completion listener must close the codec even on failure")
+  }
+
+  test("frame sampling skips payloads the codec rejects") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet")
+    val frames = Multimodal.sampleFrames(media, stride = 10, new FaultyCodec(rejectMod = 5))
+    assert(frames.collect().forall(_.media_id % 5 != 0))
+  }
+}
+
+/** Fault-injecting codec behind the [[Multimodal.MediaCodec]] seam: rejects
+  * media_id % rejectMod == 0 payloads (rejectMod < 0 = accept all), counts
+  * open/close in JVM-wide counters (local-mode test: executor == driver JVM). */
+class FaultyCodec(rejectMod: Int) extends Multimodal.MediaCodec {
+  override def open(): Unit = FaultyCodec.opens.incrementAndGet()
+  override def close(): Unit = FaultyCodec.closes.incrementAndGet()
+  def decode(mediaId: Long, content: Array[Byte], format: String): Multimodal.DecodedMedia = {
+    if (rejectMod > 0 && mediaId % rejectMod == 0)
+      throw new IllegalArgumentException(s"malformed payload for media $mediaId")
+    Multimodal.StubCodec.decode(mediaId, content, format)
+  }
+}
+
+object FaultyCodec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger
+  val closes = new java.util.concurrent.atomic.AtomicInteger
+  def reset(): Unit = { opens.set(0); closes.set(0) }
 }
