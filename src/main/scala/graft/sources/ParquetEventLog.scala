@@ -552,23 +552,38 @@ object ParquetEventLog extends EventLogClient with Logging {
    * partitions cannot pin the cap's worth of event bodies for the cursor's
    * lifetime. If such a partition later does read here (placement change),
    * its first take repositions — correctness is unaffected.
+   *
+   * Concurrency: two-tier locking. Each partition's buffer is guarded by
+   * its own monitor; the shared reader (and every cross-partition refill /
+   * eviction / reposition) by the single `lock`. A take served entirely
+   * from read-ahead touches only its own buffer monitor, so it never waits
+   * behind a sibling partition's decode — with P lockstep readers, one
+   * taker decodes the stride region while the other P−1 drain concurrently,
+   * and round N's drains overlap round N+1's decode. Lock order is always
+   * `lock` → one buffer monitor (never two monitors at once, never `lock`
+   * while holding a monitor), so the scheme is deadlock-free.
    */
   private final class StripedCursor(meta: LogMeta, partitions: Int, maxBuffered: Long) {
     private val dec = new Decoder(project(meta, EventFields), meta.tsUnit)
+    /** guards the shared reader (reader/fileIdx/nextId/warnedCap) and all
+      * cross-partition buffer writes; buffer drains take only the buffer's
+      * own monitor */
     private val lock = new java.util.concurrent.locks.ReentrantLock()
     private val bufs: Array[java.util.ArrayDeque[(Long, Event)]] =
       Array.fill(partitions)(new java.util.ArrayDeque[(Long, Event)]())
-    private var buffered = 0L
+    private val buffered = new java.util.concurrent.atomic.AtomicLong()
     private var reader: ParquetReader[Group] = _
     private var fileIdx = 0
     /** next event_id the shared reader will deliver; MinValue = unopened */
     private var nextId = Long.MinValue
     @volatile private var broken = false
     private var warnedCap = false
-    /** pid has taken from this cursor at least once (guarded by `lock`) */
+    /** pid has taken from this cursor at least once (guarded by bufs(pid)'s
+      * monitor, which also orders it against the refill path's reads) */
     private val localReader = new Array[Boolean](partitions)
     /** never-taken pid whose buffer hit the grace allowance: evicted, no
-      * longer buffered for (cleared if it ever takes locally) */
+      * longer buffered for (cleared if it ever takes locally; guarded like
+      * [[localReader]]) */
     private val mutedRemote = new Array[Boolean](partitions)
     /** rows a never-taken partition may accumulate before we conclude it is
       * reading on another executor: several full cursor batches, so a local
@@ -583,34 +598,61 @@ object ParquetEventLog extends EventLogClient with Logging {
 
     def take(pid: Int, from: Long, until: Long): Option[ArrayBuffer[(SequenceNumber, Event)]] = {
       if (broken) return None
+      val out = new ArrayBuffer[(SequenceNumber, Event)](
+        math.min(until - from, MaxCursorBatchRows).toInt)
+      // fast path: serve from this partition's read-ahead without the
+      // reader lock (a sibling may be decoding the next region concurrently)
+      var seq = drain(pid, from, from, until, out)
+      if (seq == until) { cursorFastPathTakes.increment(); return Some(out) }
       lock.lock()
-      try takeLocked(pid, from, until)
-      finally lock.unlock()
+      try {
+        if (broken) return None
+        // rows may have landed while we waited for the reader lock
+        seq = drain(pid, from, seq, until, out)
+        takeLocked(pid, seq, until, out)
+      } finally lock.unlock()
+    }
+
+    /** Drop buffered rows below `from` (leftovers of an earlier reader of
+      * this log at a lower offset), then move contiguous rows starting at
+      * `seq0` into `out`; returns the next still-needed seq. Holds only the
+      * owning partition's buffer monitor. */
+    private def drain(pid: Int, from: Long, seq0: Long, until: Long,
+        out: ArrayBuffer[(SequenceNumber, Event)]): Long = {
+      val buf = bufs(pid)
+      buf.synchronized {
+        localReader(pid) = true
+        mutedRemote(pid) = false
+        while (!buf.isEmpty && buf.peekFirst()._1 < from) {
+          buf.pollFirst(); buffered.decrementAndGet()
+        }
+        var seq = seq0
+        while (!buf.isEmpty && seq < until && buf.peekFirst()._1 == seq) {
+          out += buf.pollFirst(); buffered.decrementAndGet(); seq += 1
+        }
+        seq
+      }
     }
 
     def close(): Unit = {
       lock.lock()
       try {
         if (reader != null) { reader.close(); reader = null }
-        bufs.foreach(_.clear()); buffered = 0; nextId = Long.MinValue; fileIdx = 0
+        var p = 0
+        while (p < partitions) {
+          bufs(p).synchronized { buffered.addAndGet(-bufs(p).size.toLong); bufs(p).clear() }
+          p += 1
+        }
+        nextId = Long.MinValue; fileIdx = 0
       } finally lock.unlock()
     }
 
-    private def takeLocked(pid: Int, from: Long, until: Long)
+    /** The decode tail of a take: everything not already in read-ahead comes
+      * from the shared file reader. Caller holds `lock`. */
+    private def takeLocked(pid: Int, seq0: Long, until: Long,
+        out: ArrayBuffer[(SequenceNumber, Event)])
         : Option[ArrayBuffer[(SequenceNumber, Event)]] = {
-      localReader(pid) = true
-      mutedRemote(pid) = false
-      val buf = bufs(pid)
-      // stale rows below the requested start (leftovers of an earlier reader
-      // of this log at a lower offset)
-      while (!buf.isEmpty && buf.peekFirst()._1 < from) { buf.pollFirst(); buffered -= 1 }
-      val out = new ArrayBuffer[(SequenceNumber, Event)](
-        math.min(until - from, MaxCursorBatchRows).toInt)
-      var seq = from
-      while (!buf.isEmpty && seq < until && buf.peekFirst()._1 == seq) {
-        out += buf.pollFirst(); buffered -= 1; seq += 1
-      }
-      // the rest comes from the file
+      var seq = seq0
       while (seq < until) {
         val needId = idOf(pid, seq)
         if (nextId == Long.MinValue || needId < nextId ||
@@ -625,30 +667,36 @@ object ParquetEventLog extends EventLogClient with Logging {
         if (p2 == pid) {
           if (s2 == seq) { out += ((s2, dec.event(g))); seq += 1 }
           // s2 < seq: a row below the requested start (stride alignment) — skip
-        } else if (mutedRemote(p2)) {
-          () // reads on another executor: don't buffer (repositions if local)
-        } else if (!localReader(p2) && bufs(p2).size >= graceRows) {
-          // exceeded the grace allowance without ever taking here: conclude
-          // it is placed on another executor, release its buffered bodies
-          val evicted = bufs(p2).size
-          buffered -= evicted
-          bufs(p2).clear()
-          mutedRemote(p2) = true
-          logInfo(s"parquet log ${meta.path}: partition $p2 buffered " +
-            s"$evicted rows (grace $graceRows) without reading from this " +
-            "cursor — treating it as remote and dropping its striped read-ahead")
-        } else if (buffered < maxBuffered) {
-          bufs(p2).addLast((s2, dec.event(g))); buffered += 1
-        } else if (!warnedCap) {
-          warnedCap = true
-          logWarning(s"parquet log ${meta.path}: striped read-ahead exceeded " +
-            s"$maxBuffered buffered rows (partitions are not consuming in " +
-            "lockstep); dropping read-ahead for idle partitions — they will " +
-            "reposition when they next read")
-        }
-        ()
+        } else refill(p2, s2, g)
       }
       Some(out)
+    }
+
+    /** Buffer a decoded row for a partition other than the taker. Caller
+      * holds `lock`; takes p2's buffer monitor because its owner may be
+      * draining concurrently on the fast path. */
+    private def refill(p2: Int, s2: Long, g: Group): Unit = bufs(p2).synchronized {
+      if (mutedRemote(p2)) {
+        () // reads on another executor: don't buffer (repositions if local)
+      } else if (!localReader(p2) && bufs(p2).size >= graceRows) {
+        // exceeded the grace allowance without ever taking here: conclude
+        // it is placed on another executor, release its buffered bodies
+        val evicted = bufs(p2).size
+        buffered.addAndGet(-evicted.toLong)
+        bufs(p2).clear()
+        mutedRemote(p2) = true
+        logInfo(s"parquet log ${meta.path}: partition $p2 buffered " +
+          s"$evicted rows (grace $graceRows) without reading from this " +
+          "cursor — treating it as remote and dropping its striped read-ahead")
+      } else if (buffered.get() < maxBuffered) {
+        bufs(p2).addLast((s2, dec.event(g))); buffered.incrementAndGet()
+      } else if (!warnedCap) {
+        warnedCap = true
+        logWarning(s"parquet log ${meta.path}: striped read-ahead exceeded " +
+          s"$maxBuffered buffered rows (partitions are not consuming in " +
+          "lockstep); dropping read-ahead for idle partitions — they will " +
+          "reposition when they next read")
+      }
     }
 
     /** Reopen the shared reader at the stride-aligned id covering `needId`
@@ -659,7 +707,11 @@ object ParquetEventLog extends EventLogClient with Logging {
       var p = 0
       while (p < partitions) {
         val b = bufs(p)
-        while (!b.isEmpty && idOf(p, b.peekLast()._1) >= base) { b.pollLast(); buffered -= 1 }
+        b.synchronized {
+          while (!b.isEmpty && idOf(p, b.peekLast()._1) >= base) {
+            b.pollLast(); buffered.decrementAndGet()
+          }
+        }
         p += 1
       }
       if (reader != null) { reader.close(); reader = null }
@@ -693,7 +745,11 @@ object ParquetEventLog extends EventLogClient with Logging {
         s"$id — rows are not in dense event_id order; disabling the striped " +
         "cursor for this log (reads fall back to the self-verifying range scan)")
       if (reader != null) { reader.close(); reader = null }
-      bufs.foreach(_.clear()); buffered = 0
+      var p = 0
+      while (p < partitions) {
+        bufs(p).synchronized { buffered.addAndGet(-bufs(p).size.toLong); bufs(p).clear() }
+        p += 1
+      }
     }
   }
 
@@ -706,6 +762,16 @@ object ParquetEventLog extends EventLogClient with Logging {
   private val MaxBufferedRows: Long = 1L << 20
 
   private val stripes = new ConcurrentHashMap[(String, Int), StripedCursor]()
+
+  /** Takes served entirely from striped read-ahead without touching the
+    * shared reader lock — the concurrency-headroom signal (test-asserted:
+    * buffer-served takes must not serialize behind a sibling's decode). */
+  private[sources] val cursorFastPathTakes = new java.util.concurrent.atomic.LongAdder()
+
+  /** Test hook: discard the shared cursor of (path, partitions) so a
+    * measurement starts from a cold reader instead of warm read-ahead. */
+  private[sources] def dropCursor(path: String, partitions: Int): Unit =
+    Option(stripes.remove((path, partitions))).foreach(_.close())
 
   /** Per-partition striped read-ahead rows, keyed like `stripes`. Applied
     * when a log's cursor is CREATED (the conf's prefetchCount reaches here
