@@ -137,9 +137,12 @@ object SparkEntry {
   }
 
   /** Persisted LSH index per corpus dir — built on first q_ann_lsh call so
-    * repeated gate/bench runs probe the index instead of rebuilding it. */
-  private val lshIndexPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * repeated gate/bench runs probe the index instead of rebuilding it.
+    * Caches (path, numBits, seed); the params roundtrip is read back from
+    * disk once (and unit-tested), after which repeat queries go straight to
+    * the bucket files instead of paying a params-collect job per probe. */
+  private val lshIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Long)]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
@@ -569,16 +572,16 @@ object SparkEntry {
       // per query at sf0.1 while keeping enough candidates for a full top-10.
       // Runs through the PERSISTED index (built once per corpus, partitioned
       // by bucket) so each probe prunes unread buckets at file-listing level.
-      val idxPath = lshIndexPaths.computeIfAbsent(dir, _ => {
+      val (idxPath, bits, seed) = lshIndexes.computeIfAbsent(dir, _ => {
         val p = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
         Similarity.saveLshIndex(
           Similarity.lshIndex(e, "vec_id", "embedding", numBits = 6, seed = 42L),
           numBits = 6, seed = 42L, p)
-        p
+        val (_, b, sd) = Similarity.loadLshIndex(s, p) // params roundtrip, once
+        (p, b, sd)
       })
-      val (idx, bits, seed) = Similarity.loadLshIndex(s, idxPath)
-      Similarity.lshTopKWith(idx, bits, seed, qv, k = 10,
-        multiProbe = 3, excludeId = Some(0L))
+      Similarity.lshTopKWith(s.read.parquet(s"$idxPath/buckets"), bits, seed,
+        qv, k = 10, multiProbe = 3, excludeId = Some(0L))
     }),
 
     "q_ann_ivf" -> ((s, dir) => {

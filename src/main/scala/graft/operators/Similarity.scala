@@ -110,7 +110,11 @@ object Similarity {
    * (numBits, seed) pair so load-side probing uses the identical planes.
    */
   def saveLshIndex(index: DataFrame, numBits: Int, seed: Long, path: String): Unit = {
-    index.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
+    // cluster each bucket into one task before partitionBy: otherwise every
+    // input partition emits a file per bucket it touches (N x 2^bits small
+    // files), and probe-time file listing/opens dominate the scan it saved
+    index.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
     val spark = index.sparkSession
     import spark.implicits._
     Seq((numBits, seed)).toDF("num_bits", "seed")
