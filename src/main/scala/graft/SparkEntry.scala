@@ -817,6 +817,25 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q_text_tfidf" -> ((s, dir) => {
+      // per-document distinctive terms: tf x raw idf, top 3 per doc
+      operators.CorpusOps.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    "q_text_lm_score" -> ((s, dir) => {
+      // CCNet-style unigram-LM quality: per-doc avg negative log-likelihood
+      operators.CorpusOps.lmQualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_corpus_shuffle" -> ((s, dir) => {
+      // deterministic training-order shuffle; gate checks the order head
+      operators.Sampling.deterministicShuffle(Tables.documents(s, dir), col("doc_id"), "epoch0")
+        .select(col("doc_id"), col("shuffle_key"))
+        .limit(50)
+    }),
+
     "q_dedup_winnow" -> ((s, dir) => {
       Dedup.fingerprintPairs(Tables.documents(s, dir), "doc_id", "text",
           ngram = 24, window = 8, minShared = 5)
@@ -1148,6 +1167,34 @@ object SparkEntry {
         """SELECT token, count(*) AS n
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
           |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+      "q_text_tfidf" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          | tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          | dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+          | n AS (SELECT count(*) AS n_docs FROM documents),
+          | s AS (SELECT doc_id, term, tf, df,
+          |        tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) AS score,
+          |        row_number() OVER (PARTITION BY doc_id
+          |          ORDER BY tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) DESC, term ASC) AS rk
+          |       FROM tfc JOIN dfc USING (term), n)
+          |SELECT doc_id, term, tf, df, round(score, 4) AS score
+          |FROM s WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
+
+      "q_text_lm_score" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          | cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+          | tot AS (SELECT count(*) AS t FROM tok),
+          | voc AS (SELECT count(*) AS v FROM cnt)
+          |SELECT doc_id, count(*) AS n_tokens,
+          | round(sum(round(-ln((c + 1)::DOUBLE / (t + v)::DOUBLE), 6)::DECIMAL(18,6))::DOUBLE
+          |       / count(*), 4) AS avg_nll
+          |FROM tok JOIN cnt USING (term), tot, voc
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_corpus_shuffle" ->
+        """SELECT doc_id, md5('epoch0-' || doc_id) AS shuffle_key
+          |FROM documents ORDER BY shuffle_key, doc_id LIMIT 50""".stripMargin,
 
       "q_events_rank" ->
         """SELECT event_type, rk, round(max(value), 2) AS value, count(*) AS n_at_rank

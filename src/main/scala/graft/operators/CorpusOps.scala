@@ -179,4 +179,80 @@ object CorpusOps {
         round(col("top_bg").cast("double") / (col("n_words") - 1).cast("double"), 4)
           .as("top_bigram_frac"))
   }
+
+  /**
+   * TF-IDF distinctive terms per document: the `k` highest tf·idf terms,
+   * idf being the RAW inverse document frequency N/df rather than the
+   * log-damped ln(N/df). Raw idf is chosen deliberately: tf·(N/df) is one
+   * IEEE multiply and one divide, both correctly rounded, so the ranking is
+   * bit-identical across engines (the oracle gate hashes it); ln is only
+   * faithfully rounded and may disagree in the last ulp between libms,
+   * which would make top-k membership engine-dependent on near-ties.
+   *
+   * Scale shape: explode → (doc, term) hash agg with map-side combine (the
+   * hot-stopword skew lives in the combiner, not the shuffle), a vocab-sized
+   * document-frequency table broadcast back onto term frequencies, and ONE
+   * window shuffle on doc_id for the per-document top-k. No all-pairs, no
+   * driver-side vocabulary.
+   *
+   * Returns (doc_id, term, tf, df, score), score rounded to 4 digits, `k`
+   * rows per document ordered by score desc with a term-asc tiebreak.
+   */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(score.desc, col("term").asc)
+    tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(score, 4).as("score"))
+  }
+
+  /**
+   * Unigram language-model quality score (the CCNet-style signal): fit a
+   * corpus-wide add-one-smoothed unigram LM, then score every document by
+   * its average negative log-likelihood under it — boilerplate and
+   * gibberish score high, fluent in-distribution text low. `vocabCap`
+   * truncates the LM to the top terms by count (rank then count-desc,
+   * term-asc tiebreak); out-of-vocabulary tokens take the unseen add-one
+   * probability 1/(T+V), so a capped LM stays a proper bound at 100 TB
+   * vocabulary sizes while the uncapped form is exactly DuckDB-checkable.
+   *
+   * Determinism: each token's NLL is rounded then summed as DECIMAL(18,6),
+   * so the per-document sum is exact and independent of row order — a
+   * float sum would hash differently run to run as shuffle arrival order
+   * changes. Scale shape: vocab-sized LM broadcast onto the token stream,
+   * one hash agg by doc_id; two scalar subqueries (T, V) broadcast as
+   * 1-row literals.
+   *
+   * Returns (doc_id, n_tokens, avg_nll rounded to 4).
+   */
+  def lmQualityScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabCap: Int = Int.MaxValue): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("term"))
+    val counts = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val lm = if (vocabCap == Int.MaxValue) counts
+      else counts.orderBy(col("cnt").desc, col("term").asc).limit(vocabCap)
+    val total = tokens.agg(count(lit(1)).as("total"))
+    val vocab = lm.agg(count(lit(1)).as("vocab"))
+    val p = (coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
+      (col("total") + col("vocab")).cast("double")
+    val nll = round(-log(p), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    tokens.join(broadcast(lm), Seq("term"), "left")
+      .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
+      .select(col("doc_id"), nll.as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("sum_nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_nll").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("avg_nll"))
+  }
 }

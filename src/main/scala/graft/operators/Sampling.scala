@@ -46,6 +46,18 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic training-order shuffle: global sort by the salted
+    * content hash of `key` (identical order every run and on any cluster
+    * size — epoch `seed` changes reshuffle the corpus). A Spark range-
+    * partitioned sort: sampled split points, no single-task bottleneck, no
+    * driver materialization; with a `.limit(n)` on top Catalyst collapses
+    * it to a distributed top-k instead of a full sort. The hash column is
+    * kept as `shuffle_key` so downstream stages (and the oracle) can verify
+    * the order without re-deriving it. */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: String): DataFrame =
+    df.withColumn("shuffle_key", md5(concat_ws("-", lit(seed), key).cast("binary")))
+      .orderBy(col("shuffle_key"), key)
+
   /** Per-group cap ("domain balancing"): keep at most `cap` rows per group,
     * chosen deterministically by content hash with an id tiebreak — the
     * standard way to stop one giant domain from dominating a training mix

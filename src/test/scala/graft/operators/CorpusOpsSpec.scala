@@ -137,4 +137,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(m(1L) == ((6L, 0.0, 0.2)))           // all distinct; top bigram 1/5
     assert(m(2L) == ((6L, 0.6667, 0.6)))        // 1 - 2/6 rounded; "a b" 3 of 5
   }
+
+  test("tfIdfTopTerms ranks tf x (N/df) with a term tiebreak") {
+    // N=4 docs; "rare" df=1, "dup" df=2, "common" df=4
+    val docs = Seq(
+      (0L, "common rare rare"),          // rare: 2*4=8  > common: 1*1=1
+      (1L, "common dup"),                // dup: 2, common: 1
+      (2L, "common dup dup dup"),        // dup: 3*2=6, common: 1
+      (3L, "common common common"))      // only common
+      .toDF("doc_id", "text")
+    val got = CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, "rare", 2L, 1L, 8.0)))
+    assert(got(1) == ((1L, "dup", 1L, 2L, 2.0)))
+    assert(got(2) == ((2L, "dup", 3L, 2L, 6.0)))
+    assert(got(3) == ((3L, "common", 3L, 4L, 3.0)))
+    // k=2 returns both terms of doc 0, and exact score ties break term-asc
+    val two = CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter($"doc_id" === 0L).as[(Long, String, Long, Long, Double)].collect()
+    assert(two.map(_._2).toSet == Set("rare", "common"))
+  }
+
+  test("lmQualityScore: exact add-one NLL, OOV under a capped vocab") {
+    // corpus tokens: a a a b  => T=4; vocab {a:3, b:1} => V=2
+    val docs = Seq((0L, "a a a"), (1L, "b")).toDF("doc_id", "text")
+    def nll(c: Long, t: Long, v: Long): Double =
+      BigDecimal(-math.log((c + 1).toDouble / (t + v).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.lmQualityScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val pA = nll(3, 4, 2) // -ln(4/6)
+    val pB = nll(1, 4, 2) // -ln(2/6)
+    assert(got(0) == ((0L, 3L, BigDecimal(pA * 3 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(1) == ((1L, 1L, BigDecimal(pB).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // cap the vocab to 1 term: b falls out and scores as OOV 1/(T+V)
+    val capped = CorpusOps.lmQualityScore(docs, "doc_id", "text", vocabCap = 1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val pOov = nll(0, 4, 1) // -ln(1/5)
+    assert(capped(1)._3 == BigDecimal(pOov).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(capped(1)._3 > got(1)._3, "OOV must score worse than in-vocab")
+  }
+
+  test("deterministicShuffle: reproducible order, epoch reshuffles") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val e0a = Sampling.deterministicShuffle(docs, $"doc_id", "epoch0")
+      .select($"doc_id").as[Long].collect().toSeq
+    val e0b = Sampling.deterministicShuffle(docs.repartition(7), $"doc_id", "epoch0")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(e0a == e0b, "same seed must give the same order on any partitioning")
+    assert(e0a.sorted != e0a, "shuffle must not be id order")
+    val e1 = Sampling.deterministicShuffle(docs, $"doc_id", "epoch1")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(e1 != e0a, "a new epoch seed must reshuffle")
+    assert(e1.toSet == e0a.toSet, "shuffle is a permutation")
+  }
 }
