@@ -251,6 +251,36 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // the full pretraining-data pipeline composed in ONE plan — the
+      // "switch your pipeline to this library" demonstration: quality
+      // filter -> exact dedup -> benchmark decontamination -> mixture
+      // sampling -> sequence packing. Every stage is the same operator its
+      // individual gate verifies; the composed oracle replays all five in
+      // SQL, so stage interop (schemas, nullability, determinism) is gated
+      // too, not just each stage alone.
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("source") =!= "src0")
+      val bench = docs.filter(col("source") === "src0")
+      val keepIds = operators.CorpusOps.qualityFilter(corpus, "doc_id", "text",
+          minTokens = 20, maxTokens = 80, lang = "en", minQuality = 0.5,
+          maxDupWordFrac = 0.75)
+        .filter(col("keep")).select(col("doc_id"))
+      val filtered = corpus.join(keepIds, "doc_id")
+      val deduped = Dedup.exactRows(filtered, Seq(col("text")), col("doc_id"))
+      val flagged = operators.CorpusOps.decontaminate(deduped, bench,
+          "doc_id", "text", k = 3, minShared = 2)
+        .select(col("doc_id"))
+      val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+      val mixed = operators.Sampling.stratifiedSample(clean, col("source"),
+        MixRates, col("text"), defaultRate = MixDefaultRate)
+      operators.Sampling.packSequences(mixed, Seq(col("source")), col("doc_id"),
+          TextFunctions.tokenCount(col("text")), maxSeqLen = 512)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("token_start"),
+          col("seq_first"), col("seq_last"), col("seq_offset"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     "q_corpus_filter" -> ((s, dir) => {
       // reason-labeled quality gate: first-failing-rule labels, no shuffle
       operators.CorpusOps.qualityFilter(Tables.documents(s, dir), "doc_id", "text",
@@ -1010,6 +1040,42 @@ object SparkEntry {
       },
 
       "q_corpus_decontaminate" -> deconOracleSql,
+
+      "q_pipeline_e2e" -> {
+        val reason = operators.CorpusOps.sqlQualityFilterReason(
+          "text", 20, 80, "en", 0.5, 0.75)
+        val sh = TextFunctions.sqlWordShingles("text", 3)
+          .replace("string_split(text, ' ')", "w")
+        val mix = operators.Sampling.sqlStratifiedKeep(
+          "source", MixRates, "text", MixDefaultRate)
+        s"""WITH corpus AS (SELECT doc_id, source, text FROM documents WHERE source <> 'src0'),
+           |k1 AS (SELECT * FROM corpus WHERE ($reason) = 'keep'),
+           |d1 AS (SELECT doc_id, source, text FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |        FROM k1)
+           |       WHERE rn = 1),
+           |shc AS (SELECT doc_id, unnest(list_distinct($sh)) AS s
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d1)),
+           |shb AS (SELECT doc_id AS bench_id, unnest(list_distinct($sh)) AS s
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |              WHERE source = 'src0')),
+           |flag AS (SELECT DISTINCT doc_id FROM (
+           |          SELECT shc.doc_id, shb.bench_id, count(*) AS shared
+           |          FROM shc JOIN shb USING (s) GROUP BY 1, 2)
+           |         WHERE shared >= 2),
+           |m AS (SELECT * FROM d1
+           |      WHERE doc_id NOT IN (SELECT doc_id FROM flag) AND ($mix)),
+           |t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM m)
+           |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           | CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_start,
+           | CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512) AS BIGINT) AS seq_first,
+           | CAST(CASE WHEN n_tokens = 0
+           |       THEN floor((sum(n_tokens) OVER w - n_tokens) / 512) - 1
+           |       ELSE floor((sum(n_tokens) OVER w - 1) / 512) END AS BIGINT) AS seq_last,
+           | CAST((sum(n_tokens) OVER w - n_tokens) % 512 AS BIGINT) AS seq_offset
+           |FROM t WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+           |ORDER BY source, doc_id""".stripMargin
+      },
 
       "q_text_repetition" ->
         s"""WITH base AS (

@@ -169,7 +169,12 @@ object CorpusOps {
         size(array_distinct(col("w"))).as("n_distinct"),
         explode(col("bg")).as("bigram"))
     base
-      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"), col("bigram"))
+      // group on the bigram's 64-bit hash, not the string: the count shuffle
+      // then moves 8-byte keys instead of corpus text (an intra-document
+      // collision — the only kind that could alter a max count — needs two
+      // of a doc's ~1e2 distinct bigrams on one 64-bit value, p ~ 1e-16)
+      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"),
+        xxhash64(col("bigram")).as("bg_h"))
       .agg(count(lit(1)).as("bg_n"))
       .groupBy(col("doc_id"), col("n_words"), col("n_distinct"))
       .agg(max(col("bg_n")).as("top_bg"))
