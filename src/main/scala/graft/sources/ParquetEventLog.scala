@@ -787,9 +787,23 @@ object ParquetEventLog extends EventLogClient with Logging {
   private val fullIndex =
     new ConcurrentHashMap[(String, Int), Array[Vector[(SequenceNumber, Event)]]]()
 
+  /** Hard bound on the non-dense fallback: it materializes the WHOLE log in
+    * this JVM (per reading executor), which is fine for the small/legacy
+    * logs the fallback exists for and a silent OOM for anything else. Above
+    * the cap we fail loudly at first read with the fix (densify ids) rather
+    * than letting an executor die mid-query. Test seam: settable. */
+  @volatile private[sources] var maxFullIndexRows: Long = 1L << 22
+
   private def fullIndexFor(path: String, partitions: Int): Array[Vector[(SequenceNumber, Event)]] =
     fullIndex.computeIfAbsent((path, partitions), _ => {
       val meta = metaFor(path)
+      if (meta.rows > maxFullIndexRows) throw new IllegalStateException(
+        s"parquet log $path: event_ids are not dense, and the log has " +
+          s"${meta.rows} rows — the non-dense fallback builds a full " +
+          s"in-memory index and is capped at $maxFullIndexRows rows per JVM. " +
+          "Rewrite the log with dense event_ids (0..N-1, no gaps or " +
+          "duplicates) to get the footer-arithmetic read path, or split it " +
+          "into smaller logs.")
       val dec = new Decoder(project(meta, EventFields), meta.tsUnit)
       val byPid = Array.fill(partitions)(new ArrayBuffer[(Long, Event)]())
       meta.files.foreach { fm =>

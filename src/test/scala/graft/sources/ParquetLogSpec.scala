@@ -164,6 +164,28 @@ class ParquetLogSpec extends AnyFunSuite {
     assert(graft.GraftEventLog.readParquetLog(spark, dir, 4).count() == 100)
   }
 
+  test("non-dense logs above the full-index cap fail loudly, not OOM") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dir = java.nio.file.Files.createTempDirectory("pq-gaps-big").toString
+    spark.range(0, 100)
+      .select(($"id" * 2).as("event_id"),
+        timestamp_micros(($"id" * 2) * 1000000L).as("ts"),
+        concat(lit("g"), $"id" * 2).as("props"), lit("t").as("event_type"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val name = EventLogConf.parquetLogName(dir, 4)
+    val prev = ParquetEventLog.maxFullIndexRows
+    ParquetEventLog.maxFullIndexRows = 50
+    try {
+      val e = intercept[IllegalStateException] {
+        ParquetEventLog.receive(name, 0, 0, 1).toVector
+      }
+      assert(e.getMessage.contains("not dense"))
+      assert(e.getMessage.contains("Rewrite the log with dense event_ids"))
+    } finally ParquetEventLog.maxFullIndexRows = prev
+    // with the cap restored the same log reads fine
+    assert(ParquetEventLog.receive(name, 0, 0, 1).nonEmpty)
+  }
+
   test("dense-id arithmetic invariants hold for arbitrary id ranges (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
