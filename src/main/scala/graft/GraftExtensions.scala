@@ -21,8 +21,10 @@ import graft.functions._
  * the library run the dedup/ANN building blocks without Scala.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -127,9 +129,86 @@ object GraftExtensions {
         asExpr(TextFunctions.fingerprint(asCol(args.head)))
     })
 
+  // ---- table-valued functions: whole corpus operators from pure SQL ----
+  //   SELECT * FROM graft_tfidf('documents', 'doc_id', 'text', 3)
+  // The first argument names any resolvable table/view; the builder runs at
+  // analysis time on the active session, hands that relation to the SAME
+  // Column-API operator the Scala surface uses, and returns its (unresolved)
+  // logical plan for the analyzer to resolve in place — one definition, two
+  // front ends, no drift.
+
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String): String =
+    args(i) match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+
+  private def activeTable(name: String): org.apache.spark.sql.DataFrame =
+    SparkSession.getActiveSession.getOrElse(throw new IllegalStateException(
+      "graft table functions need an active SparkSession")).table(name)
+
+  private def logical(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  private def tvf(name: String, usage: String)(builder: Seq[Expression] => LogicalPlan)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, null, name, usage, ""),
+      builder)
+
+  /** TVF (identifier, info, builder) triples — the
+    * SparkSessionExtensions.injectTableFunction shape. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    Seq(
+      tvf("graft_tfidf",
+        "graft_tfidf(table, idCol, textCol[, k]) - top-k tf*idf distinctive terms per document") {
+        args => arity(args, "graft_tfidf", 3, 4)
+          logical(operators.CorpusOps.tfIdfTopTerms(
+            activeTable(strArg(args, 0, "graft_tfidf")),
+            strArg(args, 1, "graft_tfidf"), strArg(args, 2, "graft_tfidf"),
+            intArg(args, 3, 3, "graft_tfidf")))
+      },
+      tvf("graft_lm_score",
+        "graft_lm_score(table, idCol, textCol[, vocabCap]) - per-document unigram-LM avg NLL") {
+        args => arity(args, "graft_lm_score", 3, 4)
+          logical(operators.CorpusOps.lmQualityScore(
+            activeTable(strArg(args, 0, "graft_lm_score")),
+            strArg(args, 1, "graft_lm_score"), strArg(args, 2, "graft_lm_score"),
+            intArg(args, 3, Int.MaxValue, "graft_lm_score")))
+      },
+      tvf("graft_quality_filter",
+        "graft_quality_filter(table, idCol, textCol) - reason-labeled corpus quality gate") {
+        args => arity(args, "graft_quality_filter", 3, 3)
+          logical(operators.CorpusOps.qualityFilter(
+            activeTable(strArg(args, 0, "graft_quality_filter")),
+            strArg(args, 1, "graft_quality_filter"), strArg(args, 2, "graft_quality_filter")))
+      },
+      tvf("graft_repetition",
+        "graft_repetition(table, idCol, textCol) - per-document repetition profile") {
+        args => arity(args, "graft_repetition", 3, 3)
+          logical(operators.CorpusOps.repetitionProfile(
+            activeTable(strArg(args, 0, "graft_repetition")),
+            strArg(args, 1, "graft_repetition"), strArg(args, 2, "graft_repetition")))
+      },
+      tvf("graft_shuffle",
+        "graft_shuffle(table, keyCol, seed) - deterministic salted-hash training order") {
+        args => arity(args, "graft_shuffle", 3, 3)
+          logical(operators.Sampling.deterministicShuffle(
+            activeTable(strArg(args, 0, "graft_shuffle")),
+            org.apache.spark.sql.functions.col(strArg(args, 1, "graft_shuffle")),
+            strArg(args, 2, "graft_shuffle")))
+      })
+
   /** Register on a live session (tests, notebooks). */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, id, info, builder)
     }
+    tableFunctions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(spark, id, info, builder)
+    }
+  }
 }

@@ -30,4 +30,26 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** What the session builder does with `spark.sql.extensions` set: apply
+    * registered injections onto the given registries. Exposed (the methods
+    * are private[sql]) so the config-path wiring is testable in a JVM whose
+    * one SparkContext is already bound to another session. */
+  def applyExtensions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      fr: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
+      tfr: org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry): Unit = {
+    ext.registerFunctions(fr)
+    ext.registerTableFunctions(tfr)
+  }
+
+  /** Same live-session seam for TABLE functions (`SELECT * FROM graft_x(...)`);
+    * builder-time registration uses SparkSessionExtensions.injectTableFunction. */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(name, info, builder)
 }

@@ -88,4 +88,71 @@ class SqlFunctionsSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("integer literal")))
   }
+
+  test("table functions run whole corpus operators from SQL, matching the API") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    docs.createOrReplaceTempView("tvfdocs")
+
+    val tfidfSql = spark.sql(
+      "SELECT * FROM graft_tfidf('tvfdocs', 'doc_id', 'text', 2) ORDER BY doc_id, term")
+    val tfidfApi = operators.CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .orderBy(col("doc_id"), col("term"))
+    assert(tfidfSql.collect().toSeq == tfidfApi.collect().toSeq)
+
+    val lmSql = spark.sql(
+      "SELECT * FROM graft_lm_score('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
+    val lmApi = operators.CorpusOps.lmQualityScore(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+    assert(lmSql.collect().toSeq == lmApi.collect().toSeq)
+
+    val qf = spark.sql(
+      "SELECT count(*) FROM graft_quality_filter('tvfdocs', 'doc_id', 'text') WHERE keep")
+      .collect()(0).getLong(0)
+    assert(qf > 0 && qf <= docs.count())
+
+    val rep = spark.sql(
+      "SELECT * FROM graft_repetition('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
+    assert(rep.collect().toSeq ==
+      operators.CorpusOps.repetitionProfile(docs, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
+    val sh = spark.sql(
+      "SELECT doc_id FROM graft_shuffle('tvfdocs', 'doc_id', 'epoch0') LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq
+    val shApi = operators.Sampling.deterministicShuffle(docs, col("doc_id"), "epoch0")
+      .select(col("doc_id")).limit(5).collect().map(_.getLong(0)).toSeq
+    assert(sh == shApi)
+
+    // TVFs compose with plain SQL on top
+    val top = spark.sql(
+      """SELECT term, count(*) AS n FROM graft_tfidf('tvfdocs', 'doc_id', 'text', 1)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 3""".stripMargin).collect()
+    assert(top.nonEmpty)
+
+    // argument validation is pointed
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_tfidf('tvfdocs', 'doc_id')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("between 3 and 4") || m.contains("graft_tfidf")))
+  }
+
+  test("spark.sql.extensions wiring registers scalar AND table functions") {
+    // exactly what the session builder does with spark.sql.extensions set:
+    // apply the extension class, then register into the session registries
+    // (a second SparkContext isn't constructible in the shared test JVM, so
+    // the wiring is exercised against fresh registries directly)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val fr = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    val tfr = new org.apache.spark.sql.catalyst.analysis.SimpleTableFunctionRegistry
+    org.apache.spark.sql.graft.ColumnBridge.applyExtensions(ext, fr, tfr)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    for (f <- GraftExtensions.functions.map(_._1))
+      assert(fr.functionExists(f), s"scalar $f missing from config-path registry")
+    for (f <- GraftExtensions.tableFunctions.map(_._1))
+      assert(tfr.functionExists(f), s"table fn $f missing from config-path registry")
+    assert(tfr.functionExists(FunctionIdentifier("graft_tfidf")))
+  }
 }
