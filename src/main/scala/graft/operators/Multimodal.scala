@@ -90,12 +90,14 @@ object Multimodal {
   }
 
   /** Run `codec.open()` once for this partition and register `close()` on
-    * task completion (fires on success, failure, and cancellation alike). */
+    * task completion (fires on success, failure, and cancellation alike).
+    * Outside a task (driver-local evaluation) there is no completion hook;
+    * the codec stays open — a leak in that exotic path beats handing the
+    * mapper a closed codec. */
   private def openForPartition(codec: MediaCodec): Unit = {
     codec.open()
     val tc = TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ => codec.close())
-    else codec.close() // driver-local evaluation (tests): nothing outlives the call
   }
 
   /** Decode a media table, fail-fast: a codec exception fails the task.
