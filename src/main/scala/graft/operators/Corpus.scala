@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fluent facade over the corpus-pipeline operators: the stage order of a
+ * standard pretraining data pipeline as chained calls, each delegating to
+ * the exact operator its individual oracle gate verifies (no logic of its
+ * own — the facade cannot drift from the operators).
+ *
+ *   Corpus(docs)                        // (doc_id, text) by default
+ *     .qualityFilter(minTokens = 20)    // reason-labeled gate, keep-only
+ *     .dedupExact()                     // first doc per content hash
+ *     .decontaminate(benchDf)           // drop benchmark-overlapping docs
+ *     .sample(Map("web" -> 0.5))        // per-source mixture re-weighting
+ *     .shuffle("epoch0")                // deterministic training order
+ *     .pack(maxSeqLen = 2048)           // concat-and-chunk layout
+ *
+ * Every stage returns a new [[Corpus]] over a lazily-composed DataFrame —
+ * one Catalyst plan end to end, so the optimizer sees the whole pipeline
+ * (the composed plan is what q_pipeline_e2e gates against DuckDB).
+ */
+final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String = "text") {
+
+  private def id: Column = col(idCol)
+
+  /** Keep only documents passing the reason-labeled quality gate. */
+  def qualityFilter(
+      minTokens: Int = 10, maxTokens: Int = 100000, lang: String = "en",
+      minQuality: Double = 0.3, maxDupWordFrac: Double = 0.9): Corpus = {
+    val keep = CorpusOps.qualityFilter(df, idCol, textCol,
+        minTokens, maxTokens, lang, minQuality, maxDupWordFrac)
+      .filter(col("keep")).select(col("doc_id").as(idCol))
+    copy(df = df.join(keep, idCol))
+  }
+
+  /** Keep the first document (by id) of every exact-content group. */
+  def dedupExact(): Corpus =
+    copy(df = Dedup.exactRows(df, Seq(col(textCol)), id))
+
+  /** Keep one representative per near-duplicate cluster (n-gram Jaccard). */
+  def dedupNearDup(ngram: Int = 3, threshold: Double = 0.5): Corpus =
+    copy(df = Dedup.dedupByNearDup(df, idCol, textCol, ngram, threshold))
+
+  /** Drop documents sharing at least `minShared` `k`-gram shingles with any
+    * benchmark document. */
+  def decontaminate(bench: DataFrame, k: Int = 3, minShared: Int = 2): Corpus = {
+    val flagged = CorpusOps.decontaminate(df, bench, idCol, textCol, k, minShared)
+      .select(col("doc_id").as(idCol))
+    copy(df = df.join(flagged, Seq(idCol), "left_anti"))
+  }
+
+  /** Mixture re-weighting: keep ~rate of each group, content-hash chosen. */
+  def sample(rates: Map[String, Double], groupCol: String = "source",
+      defaultRate: Double = 1.0): Corpus =
+    copy(df = Sampling.stratifiedSample(df, col(groupCol), rates, col(textCol), defaultRate))
+
+  /** Cap each group's row count (domain balancing). */
+  def capPerGroup(cap: Int, groupCol: String = "source"): Corpus =
+    copy(df = Sampling.capPerGroup(df, Seq(col(groupCol)), col(textCol), id, cap))
+
+  /** Deterministic training order (adds `shuffle_key`, globally sorted). */
+  def shuffle(seed: String): Corpus =
+    copy(df = Sampling.deterministicShuffle(df, id, seed))
+
+  /** Terminal: concat-and-chunk sequence layout per group. */
+  def pack(maxSeqLen: Int, groupCols: Seq[Column] = Seq(col("source"))): DataFrame =
+    Sampling.packSequences(df, groupCols, id,
+      graft.functions.TextFunctions.tokenCount(col(textCol)), maxSeqLen)
+
+  // ---- reports (terminal, don't transform the corpus) ----
+
+  def tfIdfTopTerms(k: Int = 3): DataFrame = CorpusOps.tfIdfTopTerms(df, idCol, textCol, k)
+  def lmQualityScore(vocabCap: Int = Int.MaxValue): DataFrame =
+    CorpusOps.lmQualityScore(df, idCol, textCol, vocabCap)
+  def repetitionProfile(): DataFrame = CorpusOps.repetitionProfile(df, idCol, textCol)
+  def contaminationReport(bench: DataFrame, k: Int = 3, minShared: Int = 2): DataFrame =
+    CorpusOps.decontaminate(df, bench, idCol, textCol, k, minShared)
+}

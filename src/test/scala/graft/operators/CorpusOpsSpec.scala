@@ -178,6 +178,74 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(capped(1)._3 > got(1)._3, "OOV must score worse than in-vocab")
   }
 
+  test("tfIdf/lmScore invariants on randomized corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val doc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
+    (0 until 8).foreach { i =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val n = texts.length.toLong
+      val top = CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", 2)
+        .as[(Long, String, Long, Long, Double)].collect()
+      assert(top.groupBy(_._1).forall(_._2.length <= 2), "at most k terms per doc")
+      top.foreach { case (id, term, tf, df, score) =>
+        assert(texts(id.toInt).split(" ").contains(term), "term must come from its doc")
+        assert(tf >= 1 && df >= 1 && df <= n)
+        assert(math.abs(score - BigDecimal(tf.toDouble * (n.toDouble / df.toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+      val lm = CorpusOps.lmQualityScore(docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect()
+      assert(lm.length == texts.length)
+      lm.foreach { case (id, nTok, nll) =>
+        assert(nTok == texts(id.toInt).split(" ").length)
+        assert(nll > 0.0, "add-one NLL of a finite corpus is strictly positive")
+      }
+      // partitioning-invariant (DECIMAL-summed NLL, hash-keyed tfidf)
+      val lm2 = CorpusOps.lmQualityScore(docs.repartition(5), "doc_id", "text")
+        .as[(Long, Long, Double)].collect()
+      assert(lm.sortBy(_._1).toSeq == lm2.sortBy(_._1).toSeq)
+    }
+  }
+
+  test("Corpus facade composes to exactly the gated pipeline plan's rows") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val rates = Map("src0" -> 0.25, "src1" -> 0.75)
+    val viaFacade = Corpus(corpus)
+      .qualityFilter(minTokens = 20, maxTokens = 80, lang = "en",
+        minQuality = 0.5, maxDupWordFrac = 0.75)
+      .dedupExact()
+      .decontaminate(bench, k = 3, minShared = 2)
+      .sample(rates, defaultRate = 0.5)
+      .pack(maxSeqLen = 512)
+      .select($"source", $"doc_id", $"n_tokens", $"token_start",
+        $"seq_first", $"seq_last", $"seq_offset")
+      .orderBy($"source", $"doc_id")
+    val viaGate = graft.SparkEntry.queries("q_pipeline_e2e")(spark, SparkTestSession.sf001)
+    assert(viaFacade.collect().toSeq == viaGate.collect().toSeq)
+    assert(viaFacade.count() > 0)
+  }
+
+  test("Corpus facade reports and shuffle delegate to the gated operators") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val c = Corpus(docs)
+    assert(c.tfIdfTopTerms(2).collect().toSet ==
+      CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", 2).collect().toSet)
+    assert(c.lmQualityScore().collect().toSet ==
+      CorpusOps.lmQualityScore(docs, "doc_id", "text").collect().toSet)
+    val shuffled = c.shuffle("e1").df.select($"doc_id").as[Long].collect().toSeq
+    assert(shuffled == Sampling.deterministicShuffle(docs, $"doc_id", "e1")
+      .select($"doc_id").as[Long].collect().toSeq)
+    val capped = c.capPerGroup(3).df.groupBy($"source").count()
+      .as[(String, Long)].collect()
+    assert(capped.forall(_._2 <= 3))
+  }
+
   test("deterministicShuffle: reproducible order, epoch reshuffles") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
     val e0a = Sampling.deterministicShuffle(docs, $"doc_id", "epoch0")
