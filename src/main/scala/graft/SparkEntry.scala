@@ -655,9 +655,9 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("source"), TextFunctions.qualityScore(col("text")).as("q"))
         .groupBy(col("source"))
-        .agg(round(avg(col("q")), 6).as("avg_quality"),
-          round(min(col("q")), 6).as("min_quality"),
-          round(max(col("q")), 6).as("max_quality"))
+        .agg(TextFunctions.stableRound(avg(col("q")), 6).as("avg_quality"),
+          TextFunctions.stableRound(min(col("q")), 6).as("min_quality"),
+          TextFunctions.stableRound(max(col("q")), 6).as("max_quality"))
         .orderBy(col("source"))
     }),
 
@@ -1031,9 +1031,11 @@ object SparkEntry {
         s"""SELECT doc_id,
            | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            | (${TextFunctions.sqlLangIdGuess("text")}) AS lang,
-           | round(${TextFunctions.sqlQualityScore("text")}, 4) AS quality,
-           | round(1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
-           |   / len(string_split(text, ' ')), 4) AS dup_word_frac,
+           | ${TextFunctions.sqlStableRound(TextFunctions.sqlQualityScore("text"), 4)}
+           |   AS quality,
+           | ${TextFunctions.sqlStableRound(
+               "1.0 - len(list_distinct(string_split(text, ' '))) * 1.0" +
+                 " / len(string_split(text, ' '))", 4)} AS dup_word_frac,
            | (($reason) = 'keep') AS keep,
            | ($reason) AS reason
            |FROM documents ORDER BY doc_id""".stripMargin
@@ -1090,8 +1092,10 @@ object SparkEntry {
            |top AS (SELECT doc_id, n_words, n_distinct, max(bg_n) AS top_bg
            |        FROM bg GROUP BY 1, 2, 3)
            |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-           |       round(1 - n_distinct * 1.0 / n_words, 4) AS dup_word_frac,
-           |       round(top_bg * 1.0 / (n_words - 1), 4) AS top_bigram_frac
+           |       ${TextFunctions.sqlStableRound("1 - n_distinct * 1.0 / n_words", 4)}
+           |         AS dup_word_frac,
+           |       ${TextFunctions.sqlStableRound("top_bg * 1.0 / (n_words - 1)", 4)}
+           |         AS top_bigram_frac
            |FROM top ORDER BY dup_word_frac DESC, doc_id LIMIT 20""".stripMargin,
 
       "q_window_rank" ->
@@ -1244,7 +1248,8 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY doc_id
           |          ORDER BY tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) DESC, term ASC) AS rk
           |       FROM tfc JOIN dfc USING (term), n)
-          |SELECT doc_id, term, tf, df, round(score, 4) AS score
+          |SELECT doc_id, term, tf, df,
+          |  (round(score * 10000.0) / 10000.0) AS score
           |FROM s WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
 
       "q_text_lm_score" ->
@@ -1253,8 +1258,9 @@ object SparkEntry {
           | tot AS (SELECT count(*) AS t FROM tok),
           | voc AS (SELECT count(*) AS v FROM cnt)
           |SELECT doc_id, count(*) AS n_tokens,
-          | round(sum(round(-ln((c + 1)::DOUBLE / (t + v)::DOUBLE), 6)::DECIMAL(18,6))::DOUBLE
-          |       / count(*), 4) AS avg_nll
+          | (round((sum((round(-ln((c + 1)::DOUBLE / (t + v)::DOUBLE) * 1000000.0)
+          |     / 1000000.0)::DECIMAL(18,6))::DOUBLE / count(*)) * 10000.0)
+          |   / 10000.0) AS avg_nll
           |FROM tok JOIN cnt USING (term), tot, voc
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -1409,8 +1415,10 @@ object SparkEntry {
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_text_quality" ->
-        s"""SELECT source, round(avg(q), 6) AS avg_quality,
-           | round(min(q), 6) AS min_quality, round(max(q), 6) AS max_quality
+        s"""SELECT source,
+           | ${TextFunctions.sqlStableRound("avg(q)", 6)} AS avg_quality,
+           | ${TextFunctions.sqlStableRound("min(q)", 6)} AS min_quality,
+           | ${TextFunctions.sqlStableRound("max(q)", 6)} AS max_quality
            |FROM (SELECT source, ${TextFunctions.sqlQualityScore("text")} AS q
            |      FROM documents)
            |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -66,6 +66,25 @@ object TextFunctions {
   val sqlBpeTokenCount = s"len(regexp_extract_all(lower(%s), '$bpeTokenPattern'))"
 
   /**
+   * Boundary-stable decimal rounding reproducible across engines: round the
+   * IEEE product x·10^d at INTEGER scale, then divide. The product is the
+   * same double in every engine (IEEE multiply is correctly rounded) and
+   * integer-scale half-away rounding of a double is exact everywhere —
+   * whereas `round(x, d)` internally rescales differently per engine
+   * (Spark: exact-BigDecimal HALF_UP; DuckDB: float multiply) and the two
+   * disagree when x sits within an ulp of a 5·10^-(d+1) boundary. Found
+   * live: 8 of 5000 sf0.1 quality scores straddled .00005 boundaries.
+   */
+  def stableRound(c: Column, digits: Int): Column = {
+    val scale = math.pow(10.0, digits)
+    round(c * lit(scale)) / lit(scale)
+  }
+  def sqlStableRound(e: String, digits: Int): String = {
+    val scale = "1" + "0" * digits
+    s"(round(($e) * $scale.0) / $scale.0)"
+  }
+
+  /**
    * Quality score in [0,1]: equal-weight blend of length saturation,
    * punctuation cleanliness, marker-stopword presence and mean word length —
    * the standard cheap pre-filter shape for pretraining corpora. Pure

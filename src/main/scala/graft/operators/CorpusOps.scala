@@ -116,10 +116,10 @@ object CorpusOps {
       maxDupWordFrac: Double = 0.9): DataFrame = {
     val t = col(textCol)
     val nTok = TextFunctions.tokenCount(t)
-    val dup = round(lit(1.0) -
+    val dup = TextFunctions.stableRound(lit(1.0) -
       size(array_distinct(TextFunctions.words(t))).cast("double") /
         nTok.cast("double"), 4)
-    val quality = round(TextFunctions.qualityScore(t), 4)
+    val quality = TextFunctions.stableRound(TextFunctions.qualityScore(t), 4)
     val langId = TextFunctions.langIdGuess(t)
     val reason = when(nTok < minTokens, "too_short")
       .when(nTok > maxTokens, "too_long")
@@ -138,8 +138,9 @@ object CorpusOps {
       col: String, minTokens: Int, maxTokens: Int, lang: String,
       minQuality: Double, maxDupWordFrac: Double): String = {
     val nTok = s"len(string_split($col, ' '))"
-    val dup = s"round(1.0 - len(list_distinct(string_split($col, ' '))) * 1.0 / $nTok, 4)"
-    val q = s"round(${TextFunctions.sqlQualityScore(col)}, 4)"
+    val dup = TextFunctions.sqlStableRound(
+      s"1.0 - len(list_distinct(string_split($col, ' '))) * 1.0 / $nTok", 4)
+    val q = TextFunctions.sqlStableRound(TextFunctions.sqlQualityScore(col), 4)
     s"""CASE WHEN $nTok < $minTokens THEN 'too_short'
        | WHEN $nTok > $maxTokens THEN 'too_long'
        | WHEN (${TextFunctions.sqlLangIdGuess(col)}) <> '$lang' THEN 'wrong_lang'
@@ -179,9 +180,11 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("n_words"), col("n_distinct"))
       .agg(max(col("bg_n")).as("top_bg"))
       .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"), 4)
+        TextFunctions.stableRound(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_words").cast("double"), 4)
           .as("dup_word_frac"),
-        round(col("top_bg").cast("double") / (col("n_words") - 1).cast("double"), 4)
+        TextFunctions.stableRound(
+            col("top_bg").cast("double") / (col("n_words") - 1).cast("double"), 4)
           .as("top_bigram_frac"))
   }
 
@@ -216,7 +219,7 @@ object CorpusOps {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(score, 4).as("score"))
+        TextFunctions.stableRound(score, 4).as("score"))
   }
 
   /**
@@ -250,14 +253,16 @@ object CorpusOps {
     val vocab = lm.agg(count(lit(1)).as("vocab"))
     val p = (coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
       (col("total") + col("vocab")).cast("double")
-    val nll = round(-log(p), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val nll = TextFunctions.stableRound(-log(p), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     tokens.join(broadcast(lm), Seq("term"), "left")
       .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
       .select(col("doc_id"), nll.as("nll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("sum_nll"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_nll").cast("double") / col("n_tokens").cast("double"), 4)
+        TextFunctions.stableRound(
+            col("sum_nll").cast("double") / col("n_tokens").cast("double"), 4)
           .as("avg_nll"))
   }
 }
