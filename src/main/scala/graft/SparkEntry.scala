@@ -153,7 +153,13 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          // revenue sums as DECIMAL: a float sum is shuffle-order dependent
+          // (1e-9 jitter at this magnitude) and can straddle a .005 rounding
+          // boundary; the per-row product is >5e-7 from any 6-decimal
+          // boundary, so the decimal cast and exact sum are engine-identical
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+            .cast("double").as("revenue"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -959,7 +965,8 @@ object SparkEntry {
       "q_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
           | count(*) AS n_items,
-          | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          | round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+          |   AS revenue,
           | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
