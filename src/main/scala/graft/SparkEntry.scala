@@ -644,8 +644,8 @@ object SparkEntry {
           col("n_chars"), TextFunctions.punctCount(col("text")).as("n_punct"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("n_tok")), 4).as("avg_tokens"),
-          round(avg(col("n_chars")), 4).as("avg_chars"),
+          TextFunctions.stableRound(avg(col("n_tok")), 4).as("avg_tokens"),
+          TextFunctions.stableRound(avg(col("n_chars")), 4).as("avg_chars"),
           sum(col("n_punct")).as("total_punct"))
         .orderBy(col("lang"))
     }),
@@ -658,12 +658,18 @@ object SparkEntry {
     }),
 
     "q_text_quality" -> ((s, dir) => {
+      // per-row scores are rounded then summed as DECIMAL: the float avg's
+      // partial-aggregation order varies run to run, and stableRound only
+      // fixes cross-engine rounding of the SAME double
       Tables.documents(s, dir)
-        .select(col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+        .select(col("source"),
+          TextFunctions.stableRound(TextFunctions.qualityScore(col("text")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("q"))
         .groupBy(col("source"))
-        .agg(TextFunctions.stableRound(avg(col("q")), 6).as("avg_quality"),
-          TextFunctions.stableRound(min(col("q")), 6).as("min_quality"),
-          TextFunctions.stableRound(max(col("q")), 6).as("max_quality"))
+        .agg(TextFunctions.stableRound(
+            sum(col("q")).cast("double") / count(lit(1)), 6).as("avg_quality"),
+          min(col("q")).cast("double").as("min_quality"),
+          max(col("q")).cast("double").as("max_quality"))
         .orderBy(col("source"))
     }),
 
@@ -1406,14 +1412,16 @@ object SparkEntry {
       "q_ann_bruteforce" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           | q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-          |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+          |SELECT e.vec_id,
+          |  (round(list_cosine_similarity(e.v, q.qv) * 1000000.0) / 1000000.0) AS cosine
           |FROM e, q WHERE e.vec_id != 0
           |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
       "q_text_stats" ->
         s"""SELECT lang, count(*) AS n_docs,
-           | round(avg(${TextFunctions.sqlTokenCount.format("text")}), 4) AS avg_tokens,
-           | round(avg(n_chars), 4) AS avg_chars,
+           | ${TextFunctions.sqlStableRound(
+               "avg(" + TextFunctions.sqlTokenCount.format("text") + ")", 4)} AS avg_tokens,
+           | ${TextFunctions.sqlStableRound("avg(n_chars)", 4)} AS avg_chars,
            | CAST(sum(${TextFunctions.sqlPunctCount.format("text")}) AS BIGINT) AS total_punct
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1423,10 +1431,11 @@ object SparkEntry {
 
       "q_text_quality" ->
         s"""SELECT source,
-           | ${TextFunctions.sqlStableRound("avg(q)", 6)} AS avg_quality,
-           | ${TextFunctions.sqlStableRound("min(q)", 6)} AS min_quality,
-           | ${TextFunctions.sqlStableRound("max(q)", 6)} AS max_quality
-           |FROM (SELECT source, ${TextFunctions.sqlQualityScore("text")} AS q
+           | ${TextFunctions.sqlStableRound("sum(q)::DOUBLE / count(*)", 6)} AS avg_quality,
+           | min(q)::DOUBLE AS min_quality, max(q)::DOUBLE AS max_quality
+           |FROM (SELECT source,
+           |        (${TextFunctions.sqlStableRound(
+                      TextFunctions.sqlQualityScore("text"), 6)})::DECIMAL(18,6) AS q
            |      FROM documents)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
 

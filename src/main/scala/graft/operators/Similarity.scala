@@ -27,7 +27,8 @@ object Similarity {
       queryVec: Array[Double], k: Int = 10, excludeId: Option[Long] = None): DataFrame = {
     val qLit = array(queryVec.map(lit): _*)
     val scored = embs.select(col(idCol).as("vec_id"),
-      round(cosine_similarity(col(vecCol), qLit), 6).as("cosine"))
+      graft.functions.TextFunctions.stableRound(
+        cosine_similarity(col(vecCol), qLit), 6).as("cosine"))
     excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
