@@ -129,6 +129,50 @@ object Similarity {
     (spark.read.parquet(s"$path/buckets"), p.getInt(0), p.getLong(1))
   }
 
+  /** Order-independent corpus fingerprint: (count, xor of id hashes). One
+    * narrow column scan — cheap enough to run before every query batch. */
+  private def corpusFingerprint(df: DataFrame, idCol: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col(idCol))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /**
+   * Fail loudly when a persisted LSH index no longer matches the corpus it
+   * claims to index — a drifted index silently returns stale neighbors,
+   * the worst kind of ANN bug. Compares row count and an order-independent
+   * id-hash fingerprint (one narrow scan of each side, no join).
+   */
+  def validateLshIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String): Unit = {
+    val (idx, _, _) = loadLshIndex(spark, path)
+    val (ic, ih) = corpusFingerprint(idx, "vec_id")
+    val (cc, ch) = corpusFingerprint(corpus, idCol)
+    if (ic != cc || ih != ch) throw new IllegalStateException(
+      s"LSH index at $path is stale: it covers $ic vectors " +
+        s"(id-fingerprint $ih) but the corpus has $cc (fingerprint $ch). " +
+        "Rebuild with saveLshIndex, or append the delta with appendToLshIndex.")
+  }
+
+  /**
+   * Incremental index maintenance: bucket `newVecs` with the PERSISTED
+   * params (identical hyperplanes, so old and new vectors land in
+   * compatible buckets) and append them — no rebuild of the existing
+   * bucket files. Probes see old + new vectors transparently; at 100 TB
+   * this turns daily corpus growth into a delta-sized write instead of a
+   * full re-index. Compact occasionally with a fresh saveLshIndex if
+   * appends accumulate many small files per bucket.
+   */
+  def appendToLshIndex(
+      newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val p = spark.read.parquet(s"$path/params").select(col("num_bits"), col("seed")).head()
+    lshIndex(newVecs, idCol, vecCol, p.getInt(0), p.getLong(1))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
+  }
+
   /**
    * IVF-style index: assign every vector to its nearest of `nCells`
    * deterministic sample centroids; a query scans the `nProbe` nearest

@@ -514,6 +514,47 @@ class SimilaritySpec extends AnyFunSuite {
       s"scan read buckets $readBuckets, probes were $probes (on disk: ${onDisk.size})")
     assert(readBuckets.size < onDisk.size, "pruning must skip non-probe buckets")
   }
+
+  test("appendToLshIndex: incremental delta equals a full rebuild for probes") {
+    val half1 = embs.filter($"vec_id" % 2 === 0)
+    val half2 = embs.filter($"vec_id" % 2 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("lsh-inc").toString
+    Similarity.saveLshIndex(
+      Similarity.lshIndex(half1, "vec_id", "embedding", numBits = 6, seed = 42L),
+      numBits = 6, seed = 42L, path)
+    Similarity.appendToLshIndex(half2, "vec_id", "embedding", path)
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val (idx, bits, seedv) = Similarity.loadLshIndex(spark, path)
+    val incremental = Similarity.lshTopKWith(idx, bits, seedv, qv, 10,
+      multiProbe = 2, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    val full = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,
+      numBits = 6, multiProbe = 2, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    assert(incremental == full,
+      "append with persisted params must answer exactly like a full rebuild")
+    // the appended index also passes staleness validation against the corpus
+    Similarity.validateLshIndex(spark, path, embs, "vec_id")
+  }
+
+  test("validateLshIndex: a drifted corpus fails loudly, not silently stale") {
+    val path = java.nio.file.Files.createTempDirectory("lsh-stale").toString
+    Similarity.saveLshIndex(
+      Similarity.lshIndex(embs, "vec_id", "embedding", numBits = 6, seed = 42L),
+      numBits = 6, seed = 42L, path)
+    Similarity.validateLshIndex(spark, path, embs, "vec_id") // fresh: passes
+    val grown = embs.unionByName(embs.limit(1)
+      .withColumn("vec_id", $"vec_id" + 1000000L))
+    val e = intercept[IllegalStateException] {
+      Similarity.validateLshIndex(spark, path, grown, "vec_id")
+    }
+    assert(e.getMessage.contains("stale"))
+    assert(e.getMessage.contains("appendToLshIndex"))
+    // same count but different ids is also drift (fingerprint catches it)
+    val swapped = embs.withColumn("vec_id",
+      when($"vec_id" === 1L, lit(999999L)).otherwise($"vec_id"))
+    intercept[IllegalStateException] {
+      Similarity.validateLshIndex(spark, path, swapped, "vec_id")
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -9,9 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
  * P partition tasks of one log share a single decode pass, and a take that
  * is fully served from read-ahead must not serialize behind the shared
  * reader lock. The fast-path assertions are deterministic (sequential
- * takes over a pre-filled stripe, and a paced run where per-take work
- * exceeds a round's decode time); the 16-thread tight-loop run asserts
- * correctness under maximum contention and prints the 4-vs-16 timings.
+ * takes over a pre-filled stripe, and a barrier-paced concurrent run where
+ * the decoder of each round is pinned); the 16-thread tight-loop run
+ * asserts correctness under maximum contention and prints 4-vs-16 timings.
  */
 class CursorConcurrencySpec extends AnyFunSuite {
 
@@ -36,12 +36,10 @@ class CursorConcurrencySpec extends AnyFunSuite {
     ParquetEventLog.dropCursor(path, p)
   }
 
-  /** Full lockstep scan: one thread per partition, `chunk` rows per take,
-    * `workNanos` of spin between takes (0 = tight loop). Returns
-    * (elapsedNanos, fastPathTakes). Each thread verifies its rows are the
-    * exact dense seqNo range. */
-  private def concurrentScan(partitions: Int, chunk: Int, workNanos: Long = 0)
-      : (Long, Long) = {
+  /** Full tight-loop lockstep scan: one thread per partition, `chunk` rows
+    * per take. Returns (elapsedNanos, fastPathTakes). Each thread verifies
+    * its rows are the exact dense seqNo range. */
+  private def concurrentScan(partitions: Int, chunk: Int): (Long, Long) = {
     ParquetEventLog.dropCursor(path, partitions)
     val name = logName(partitions)
     val bounds = ParquetEventLog.boundedSeqNos(name)
@@ -59,10 +57,6 @@ class CursorConcurrencySpec extends AnyFunSuite {
             assert(got.map(_._1) == (seq until seq + n).toVector,
               s"pid $pid window [$seq, ${seq + n}) returned the wrong seqNos")
             seq += n
-            if (workNanos > 0) {
-              val until = System.nanoTime() + workNanos
-              while (System.nanoTime() < until) {} // simulate task work
-            }
           }
         } catch { case e: Throwable => firstFailure.compareAndSet(null, e) }
       })
@@ -90,17 +84,48 @@ class CursorConcurrencySpec extends AnyFunSuite {
       f"throughput cliff: 16-partition scan ${t16 / 1e6}%.1f ms vs 4-partition ${t4 / 1e6}%.1f ms")
   }
 
-  test("with task work between takes, siblings ride the decode-ahead fast path") {
-    // per-take work (20ms) >> one round's decode (~16x100 rows), so by the
-    // time a sibling issues its next take the round is already buffered —
-    // takes after the first round mostly never touch the reader lock
-    val (_, fast) = concurrentScan(16, 100, workNanos = 20L * 1000 * 1000)
-    info(s"fast takes with 20ms/take work: $fast")
-    // exact count is scheduler-dependent (spinners get descheduled on a
-    // loaded box); the property is that decode-ahead produces lock-free
-    // whole takes at all — the deterministic test above pins the mechanism
-    assert(fast >= 4,
-      s"decode-ahead must serve whole takes without the reader lock, got only $fast")
+  test("decode-ahead serves concurrent sibling takes lock-free (barrier-paced)") {
+    // deterministic pacing: each round, the HIGHEST pid decodes first (its
+    // last id is past every sibling's), then all 15 siblings take
+    // CONCURRENTLY — each must be served whole from read-ahead without the
+    // reader lock, so the fast-take count is exact, not scheduler-dependent
+    val p = 16
+    ParquetEventLog.dropCursor(path, p)
+    val name = logName(p)
+    val bounds = ParquetEventLog.boundedSeqNos(name)
+    val latest = bounds(0)._2 // 10000/16: identical for every pid
+    val chunk = 125L
+    val rounds = (latest / chunk).toInt
+    val barrier = new java.util.concurrent.CyclicBarrier(p)
+    val fastBefore = ParquetEventLog.cursorFastPathTakes.sum()
+    val firstFailure = new AtomicReference[Throwable]()
+    def await(): Unit = barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    val threads = (0 until p).map { pid =>
+      val t = new Thread(() => {
+        try {
+          var seq = 0L
+          for (_ <- 0 until rounds) {
+            await()
+            if (pid == p - 1)
+              assert(ParquetEventLog.receive(name, pid, seq, chunk).size == chunk)
+            await()
+            if (pid != p - 1)
+              assert(ParquetEventLog.receive(name, pid, seq, chunk).size == chunk)
+            seq += chunk
+          }
+        } catch { case e: Throwable =>
+          firstFailure.compareAndSet(null, e); barrier.reset()
+        }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (firstFailure.get() != null) throw firstFailure.get()
+    val fast = ParquetEventLog.cursorFastPathTakes.sum() - fastBefore
+    assert(fast == (p - 1).toLong * rounds,
+      s"every sibling take of every round must be buffer-served without the " +
+        s"reader lock: expected ${(p - 1) * rounds}, got $fast")
+    ParquetEventLog.dropCursor(path, p)
   }
 
   test("interleaved fast drains and decodes keep every partition exact") {
