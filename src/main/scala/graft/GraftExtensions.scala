@@ -193,6 +193,17 @@ object GraftExtensions {
             activeTable(strArg(args, 0, "graft_repetition")),
             strArg(args, 1, "graft_repetition"), strArg(args, 2, "graft_repetition")))
       },
+      tvf("graft_decontaminate",
+        "graft_decontaminate(corpusTable, benchTable, idCol, textCol[, k[, minShared]]) - " +
+          "docs sharing >= minShared k-gram shingles with any benchmark doc") {
+        args => arity(args, "graft_decontaminate", 4, 6)
+          logical(operators.CorpusOps.decontaminate(
+            activeTable(strArg(args, 0, "graft_decontaminate")),
+            activeTable(strArg(args, 1, "graft_decontaminate")),
+            strArg(args, 2, "graft_decontaminate"), strArg(args, 3, "graft_decontaminate"),
+            intArg(args, 4, 3, "graft_decontaminate"),
+            intArg(args, 5, 2, "graft_decontaminate")))
+      },
       tvf("graft_shuffle",
         "graft_shuffle(table, keyCol, seed) - deterministic salted-hash training order") {
         args => arity(args, "graft_shuffle", 3, 3)

@@ -123,6 +123,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .select(col("doc_id")).limit(5).collect().map(_.getLong(0)).toSeq
     assert(sh == shApi)
 
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    corpus.createOrReplaceTempView("tvfcorpus")
+    bench.createOrReplaceTempView("tvfbench")
+    val dec = spark.sql(
+      "SELECT * FROM graft_decontaminate('tvfcorpus', 'tvfbench', 'doc_id', 'text') ORDER BY doc_id")
+    assert(dec.collect().toSeq ==
+      operators.CorpusOps.decontaminate(corpus, bench, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
     // TVFs compose with plain SQL on top
     val top = spark.sql(
       """SELECT term, count(*) AS n FROM graft_tfidf('tvfdocs', 'doc_id', 'text', 1)
