@@ -181,11 +181,17 @@ object Similarity {
    */
   def ivfIndex(
       embs: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
-      maxFitPerCell: Int = DefaultMaxFitPerCell): DataFrame = {
-    val cents = centroids(embs, idCol, vecCol, nCells, maxFitPerCell)
+      maxFitPerCell: Int = DefaultMaxFitPerCell): DataFrame =
+    ivfIndexWith(embs, idCol, vecCol,
+      centroids(embs, idCol, vecCol, nCells, maxFitPerCell))
+
+  /** Assignment against externally supplied centroids — the persisted-index
+    * and incremental-append path (cells must match the saved geometry). */
+  def ivfIndexWith(
+      embs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame =
     embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("cell", best_centroid(col("v"), cents.map(_._2)))
-  }
 
   def ivfTopK(
       index: DataFrame, embs: DataFrame, idCol: String, vecCol: String,
@@ -219,7 +225,10 @@ object Similarity {
    */
   def saveIvfIndex(
       index: DataFrame, cents: Array[(Int, Array[Double])], path: String): Unit = {
-    index.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+    // one file per cell (see saveLshIndex): probe-time listing cost stays
+    // proportional to probed cells, not input partitioning
+    index.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
     val spark = index.sparkSession
     import spark.implicits._
     cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "centroid")
@@ -236,6 +245,39 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     (index, cents)
+  }
+
+  /** IVF twin of [[validateLshIndex]]: count + order-independent id-hash
+    * fingerprint; a drifted index fails loudly, never silently stale. */
+  def validateIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String): Unit = {
+    val (idx, _) = loadIvfIndex(spark, path)
+    val (ic, ih) = corpusFingerprint(idx, "vec_id")
+    val (cc, ch) = corpusFingerprint(corpus, idCol)
+    if (ic != cc || ih != ch) throw new IllegalStateException(
+      s"IVF index at $path is stale: it covers $ic vectors " +
+        s"(id-fingerprint $ih) but the corpus has $cc (fingerprint $ch). " +
+        "Rebuild with saveIvfIndex, or append the delta with appendToIvfIndex.")
+  }
+
+  /** IVF twin of [[appendToLshIndex]]: assign `newVecs` to the PERSISTED
+    * centroids (cells stay stable — centroids are never refit on append, so
+    * probes remain consistent) and append delta-sized files per cell.
+    * Refit with a fresh saveIvfIndex when the corpus distribution drifts
+    * enough that fixed centroids hurt recall. */
+  def appendToIvfIndex(
+      newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell", best_centroid(col("v"), cents.map(_._2)))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }
 
   /** Seeded k-means centroids (Spark MLlib; deterministic for a fixed seed

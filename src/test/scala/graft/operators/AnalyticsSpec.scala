@@ -477,6 +477,32 @@ class SimilaritySpec extends AnyFunSuite {
       .exists(_.getName.startsWith("cell=")))
   }
 
+  test("IVF lifecycle: incremental append equals full build, drift fails loudly") {
+    val half1 = embs.filter($"vec_id" % 2 === 0)
+    val half2 = embs.filter($"vec_id" % 2 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    // centroids fit on the FULL corpus so both paths share cell geometry
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndexWith(half1, "vec_id", "embedding", cents), cents, path)
+    Similarity.appendToIvfIndex(half2, "vec_id", "embedding", path)
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val (idx, loadedCents) = Similarity.loadIvfIndex(spark, path)
+    val incremental = Similarity.ivfTopKWith(idx, loadedCents, qv, 10,
+      nProbe = 3, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    val full = Similarity.ivfTopKWith(
+      Similarity.ivfIndexWith(embs, "vec_id", "embedding", cents), cents, qv, 10,
+      nProbe = 3, excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    assert(incremental == full,
+      "append with persisted centroids must answer exactly like a full build")
+    Similarity.validateIvfIndex(spark, path, embs, "vec_id")
+    val shrunk = embs.filter($"vec_id" =!= 5L)
+    val e = intercept[IllegalStateException] {
+      Similarity.validateIvfIndex(spark, path, shrunk, "vec_id")
+    }
+    assert(e.getMessage.contains("stale") && e.getMessage.contains("appendToIvfIndex"))
+  }
+
   test("persisted LSH index: reload answers identically, reads ONLY probe buckets' files") {
     val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
     val live = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,
