@@ -198,15 +198,27 @@ object CorpusOps {
    * which would make top-k membership engine-dependent on near-ties.
    *
    * Scale shape: explode → (doc, term) hash agg with map-side combine (the
-   * hot-stopword skew lives in the combiner, not the shuffle), a vocab-sized
-   * document-frequency table broadcast back onto term frequencies, and ONE
+   * hot-stopword skew lives in the combiner, not the shuffle), the
+   * document-frequency table joined back onto term frequencies, and ONE
    * window shuffle on doc_id for the per-document top-k. No all-pairs, no
-   * driver-side vocabulary.
+   * driver-side vocabulary. The corpus is deliberately exploded twice (tf
+   * and df branches): Spark cannot share one branch's shuffle output with
+   * the other without materializing it, and at corpus scale a second scan
+   * is cheaper than persisting the (corpus-sized) tf table — callers who
+   * disagree can `.persist` `docs`. A windowed `count(term) over term`
+   * would scan once but gathers every occurrence of a hot stopword into
+   * one window partition (no combiner) — a skew cliff, not an option.
+   *
+   * `broadcastDf`: the df table is vocab-sized — broadcastable for
+   * anything up to ~10M terms; at web-corpus vocabularies pass false and
+   * the join runs as a shuffle join where AQE's skew handling splits the
+   * hot-term partitions.
    *
    * Returns (doc_id, term, tf, df, score), score rounded to 4 digits, `k`
    * rows per document ordered by score desc with a term-asc tiebreak.
    */
-  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      broadcastDf: Boolean = true): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -215,7 +227,7 @@ object CorpusOps {
     val score = col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(score.desc, col("term").asc)
-    tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
+    tf.join(if (broadcastDf) broadcast(df) else df, "term").crossJoin(broadcast(nDocs))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -243,7 +255,7 @@ object CorpusOps {
    */
   def lmQualityScore(
       docs: DataFrame, idCol: String, textCol: String,
-      vocabCap: Int = Int.MaxValue): DataFrame = {
+      vocabCap: Int = Int.MaxValue, broadcastLm: Boolean = true): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("term"))
     val counts = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
@@ -255,7 +267,10 @@ object CorpusOps {
       (col("total") + col("vocab")).cast("double")
     val nll = TextFunctions.stableRound(-log(p), 6)
       .cast(org.apache.spark.sql.types.DecimalType(18, 6))
-    tokens.join(broadcast(lm), Seq("term"), "left")
+    // the LM is vocab-sized: broadcast by default; at web-corpus
+    // vocabularies pass broadcastLm=false (shuffle join + AQE skew split),
+    // or bound it with vocabCap — the OOV fallback keeps scoring proper
+    tokens.join(if (broadcastLm) broadcast(lm) else lm, Seq("term"), "left")
       .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
       .select(col("doc_id"), nll.as("nll"))
       .groupBy(col("doc_id"))
