@@ -431,6 +431,19 @@ object hashFunctions {
   def best_centroid(c: Column, cents: Array[Array[Double]]): Column =
     column(BestCentroid(expression(c.cast("array<double>")),
       cents.map(_.toSeq).toSeq))
+
+  /** Membership probe against a serialized `util.sketch.BloomFilter` built
+    * over `xxhash64(value)` longs — Spark's own runtime-row-filter
+    * expression (BloomFilterMightContain), so the probe stays inside
+    * whole-stage codegen and deserializes the filter once per task. The
+    * probe hash is XxHash64 seed 42, matching the `xxhash64()` function the
+    * build side uses — both sides MUST hash identically. */
+  def bloom_might_contain(bloomBytes: Array[Byte], value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(expression(value)), 42L)))
 }
 
 /**

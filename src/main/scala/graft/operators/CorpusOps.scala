@@ -30,9 +30,11 @@ object CorpusOps {
    */
   def decontaminate(
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame =
+      k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame = {
+    val idx = benchIndex(bench, idCol, textCol, k, maxShingleDf)
     decontaminateAgainstIndex(
-      corpus, benchIndex(bench, idCol, textCol, k, maxShingleDf), idCol, textCol, k, minShared)
+      corpus, idx, idCol, textCol, k, minShared, benchBloom(idx))
+  }
 
   /** The static half of decontamination: hot-dropped inverted shingle index
     * (bench_id, s) of the benchmark, checkpointed so batch reuse (and every
@@ -48,19 +50,59 @@ object CorpusOps {
     Dedup.dropHotKeys(idx, Seq("s"), maxShingleDf, "decontaminate")
   }
 
-  /** Corpus side of [[decontaminate]] against a prebuilt [[benchIndex]]. */
+  /** Bloom filter over the benchmark index's shingle hashes — the corpus
+    * side's pre-shuffle pruning set. At 100 TB the corpus explodes to
+    * trillions of shingle rows, of which only the vanishing fraction that
+    * might overlap the benchmark matters: probing this filter BEFORE the
+    * join's shuffle drops the rest at the scan stage (false positives are
+    * fine — the exact join verifies survivors, so results are identical).
+    * Built distributed (per-partition filters OR-merged), ~1.2 MB per
+    * million shingles at 1% fpp; None above [[MaxBloomShingles]] — a
+    * benchmark that large should be split, not bloomed. */
+  def benchBloom(benchCold: DataFrame, fpp: Double = 0.01): Option[Array[Byte]] = {
+    val spark = benchCold.sparkSession
+    import spark.implicits._
+    val hashes = benchCold.select(xxhash64(col("s")).as("h")).as[Long]
+    val n = hashes.count() // the small static side: one cheap pass
+    if (n == 0 || n > MaxBloomShingles) return None
+    Some(hashes.mapPartitions { it =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+      while (it.hasNext) bf.putLong(it.next())
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Iterator(bos.toByteArray)
+    }.reduce { (a, b) =>
+      val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(a)
+      fa.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(b))
+      val bos = new java.io.ByteArrayOutputStream()
+      fa.writeTo(bos)
+      bos.toByteArray
+    })
+  }
+
+  /** Above this many benchmark shingles the bloom itself stops being a
+    * broadcast-sized object (~20 MB at the cap); skip pruning rather than
+    * ship a filter as big as the index. */
+  val MaxBloomShingles: Long = 1L << 24
+
+  /** Corpus side of [[decontaminate]] against a prebuilt [[benchIndex]].
+    * `bloom` (from [[benchBloom]]) prunes corpus shingles BEFORE the join
+    * shuffle; identical results either way. */
   def decontaminateAgainstIndex(
       corpus: DataFrame, benchCold: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minShared: Int = 2): DataFrame =
-    corpus.select(
-        col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
+      k: Int = 3, minShared: Int = 2, bloom: Option[Array[Byte]] = None): DataFrame = {
+    val shingles = corpus.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
+    bloom.fold(shingles)(b =>
+        shingles.filter(graft.functions.hashFunctions.bloom_might_contain(b, col("s"))))
       .join(benchCold, "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_matched"), max(col("shared")).as("top_shared"))
+  }
 
   /**
    * Streaming benchmark decontamination: every micro-batch of arriving
@@ -90,9 +132,12 @@ object CorpusOps {
       (writeBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val idx = benchIndex(bench, idCol, textCol, k, maxShingleDf)
+    // bloom built ONCE against the static index; every micro-batch prunes
+    // its shingles through it before the stream-static join
+    val bloom = benchBloom(idx)
     docsStream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       writeBatch(
-        decontaminateAgainstIndex(batch, idx, idCol, textCol, k, minShared), epochId)
+        decontaminateAgainstIndex(batch, idx, idCol, textCol, k, minShared, bloom), epochId)
     }
   }
 

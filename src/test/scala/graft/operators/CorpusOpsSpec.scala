@@ -185,6 +185,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(capped(1)._3 > got(1)._3, "OOV must score worse than in-vocab")
   }
 
+  test("bloom pre-filter: identical decontamination results, real pruning") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val idx = CorpusOps.benchIndex(bench, "doc_id", "text", k = 3)
+    val bloom = CorpusOps.benchBloom(idx)
+    assert(bloom.nonEmpty)
+    val withBloom = CorpusOps.decontaminateAgainstIndex(
+        corpus, idx, "doc_id", "text", k = 3, minShared = 2, bloom = bloom)
+      .orderBy($"doc_id").collect().toSeq
+    val without = CorpusOps.decontaminateAgainstIndex(
+        corpus, idx, "doc_id", "text", k = 3, minShared = 2, bloom = None)
+      .orderBy($"doc_id").collect().toSeq
+    assert(withBloom == without, "bloom is a pre-filter, never a result change")
+    // the filter genuinely prunes: most corpus shingles are not in the bench
+    val shingles = corpus.select(
+      explode(array_distinct(graft.functions.TextFunctions.wordShingles($"text", 3))).as("s"))
+    val total = shingles.count()
+    val surviving = shingles.filter(
+      graft.functions.hashFunctions.bloom_might_contain(bloom.get, $"s")).count()
+    assert(surviving < total / 2,
+      s"expected the bloom to prune most shingles, kept $surviving of $total")
+    // empty index -> no bloom, caller falls back to the plain join
+    assert(CorpusOps.benchBloom(idx.limit(0)).isEmpty)
+  }
+
   test("tfIdf/lmScore invariants on randomized corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
