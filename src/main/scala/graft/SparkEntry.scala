@@ -620,6 +620,22 @@ object SparkEntry {
         qv, k = 10, multiProbe = 3, excludeId = Some(0L))
     }),
 
+    "q_knn_join" -> ((s, dir) => {
+      // exact k-NN JOIN: 8 query vectors x whole corpus, top-5 each
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnJoin(e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "q_knn_join_lsh" -> ((s, dir) => {
+      // bucketed k-NN join (rows-only; recall vs exact pinned in tests)
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnJoinLsh(e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, numBits = 6)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val qv = Similarity.vectorOf(e, "vec_id", "embedding", 0L)
@@ -960,7 +976,7 @@ object SparkEntry {
   // Omitted keys (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
   // q_dedup_winnow, q_ann_lsh, q_ann_ivf, q_sketch_distinct,
   // q_sketch_terms, q_multimodal_decode, q_multimodal_frames,
-  // q_multimodal_errors) are LSH/sketch/stub-based and not
+  // q_multimodal_errors, q_knn_join_lsh) are LSH/sketch/stub-based and not
   // exactly SQL-expressible → driver's weaker rows-only check.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {
@@ -1416,6 +1432,17 @@ object SparkEntry {
           |  (round(list_cosine_similarity(e.v, q.qv) * 1000000.0) / 1000000.0) AS cosine
           |FROM e, q WHERE e.vec_id != 0
           |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+      "q_knn_join" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+          | s AS (SELECT query_id, e.vec_id,
+          |        (round(list_cosine_similarity(e.v, qv) * 1000000.0) / 1000000.0) AS cosine
+          |       FROM q, e WHERE e.vec_id != query_id),
+          | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |                 ORDER BY cosine DESC, vec_id ASC) AS rk FROM s)
+          |SELECT query_id, vec_id, cosine, rk FROM r WHERE rk <= 5
+          |ORDER BY query_id, rk""".stripMargin,
 
       "q_text_stats" ->
         s"""SELECT lang, count(*) AS n_docs,

@@ -34,6 +34,75 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Exact k-NN JOIN: every query vector's top-k corpus neighbors in one
+   * plan — the batch shape of similarity search (a stream of queries, not
+   * one). The QUERY side is broadcast (it is the small side by contract:
+   * this is exact search, |q|·|corpus| similarity computations are
+   * inherent), so the corpus never shuffles for scoring; the per-query
+   * top-k window then ships at most k rows per (query, input partition) —
+   * Spark's WindowGroupLimit prunes rank > k BEFORE the exchange. Ranks
+   * order by the stable-rounded cosine (cross-engine identical) with a
+   * vec_id tiebreak, so the result is engine-deterministic.
+   *
+   * Returns (query_id, vec_id, cosine, rk), rk = 1..k per query.
+   */
+  def knnJoin(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv")))
+    val scored = corpus.select(col(cIdCol).as("vec_id"), col(cVecCol).as("v"))
+      .crossJoin(q)
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.TextFunctions.stableRound(
+          cosine_similarity(col("v"), col("qv")), 6).as("cosine"))
+    val base = if (excludeSelf) scored.filter(col("query_id") =!= col("vec_id")) else scored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    base.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /**
+   * LSH-bucketed k-NN join: each query probes its own hyperplane bucket
+   * plus EVERY Hamming-distance-1 flip (numBits+1 probe rows per query —
+   * margin-ranked probe selection needs a per-query driver pass, which a
+   * join must not do), equi-joined against the bucketed corpus. The probe
+   * side stays broadcast-sized, so the join is a broadcast hash join on
+   * `bucket`: the corpus is scored only where buckets collide and never
+   * shuffles. Candidates then rank exactly like [[knnJoin]]; per-query
+   * results may have fewer than k rows when the probed buckets are thin
+   * (the approximate contract).
+   */
+  def knnJoinLsh(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int = 10, numBits: Int = 8, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
+    val bucketed = corpus.select(col(cIdCol).as("vec_id"), col(cVecCol).as("v"))
+      .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed))
+    val qBase = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+      .withColumn("__b0", hyperplane_lsh_bucket(col("qv"), numBits, seed))
+    val flips = array((0 until numBits).map(i => lit(1L << i)) :+ lit(0L): _*)
+    // distinct flips give distinct probe buckets and a corpus vector lives
+    // in exactly one bucket, so no (query, vec) pair can join twice — no
+    // dedup (and no dedup shuffle) needed
+    val probes = qBase
+      .select(col("query_id"), col("qv"), col("__b0"), explode(flips).as("__flip"))
+      .select(col("query_id"), col("qv"),
+        col("__b0").bitwiseXOR(col("__flip")).as("bucket"))
+    val scored = bucketed.join(broadcast(probes), "bucket")
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.TextFunctions.stableRound(
+          cosine_similarity(col("v"), col("qv")), 6).as("cosine"))
+    val base = if (excludeSelf) scored.filter(col("query_id") =!= col("vec_id")) else scored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    base.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** The hyperplane-bucketed vector table `(vec_id, v, bucket)` — the live
     * form of the LSH index, and what [[saveLshIndex]] persists. */
   def lshIndex(

@@ -477,6 +477,49 @@ class SimilaritySpec extends AnyFunSuite {
       .exists(_.getName.startsWith("cell=")))
   }
 
+  test("knnJoin: exact per-query top-k equals per-query bruteForceTopK") {
+    val queries = embs.filter($"vec_id" < 4)
+    val joined = Similarity.knnJoin(queries, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for (qid <- 0L until 4L) {
+      val qv = Similarity.vectorOf(embs, "vec_id", "embedding", qid)
+      val solo = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv,
+        k = 5, excludeId = Some(qid)).as[(Long, Double)].collect().toSeq
+      assert(joined(qid) == solo, s"query $qid: join != per-query top-k")
+    }
+  }
+
+  test("knnJoinLsh: bucketed candidates rank like the exact join where probed") {
+    val queries = embs.filter($"vec_id" < 4)
+    val lsh = Similarity.knnJoinLsh(queries, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = 5, numBits = 6)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.groupBy(_._1).forall(_._2.length <= 5))
+    // every reported cosine matches the exact score for that pair
+    val exact = Similarity.knnJoin(queries, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = Int.MaxValue)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(lsh.forall(r => exact((r._1, r._2)) == r._3))
+    // recall against the true top-5 is deterministic (fixed data + seed);
+    // print it at several widths and assert the 3-bit sweep (probing 4 of 8
+    // buckets ~ half the corpus) recovers most of it
+    val trueTop = exact.toSeq.groupBy(_._1._1).view.mapValues(
+      _.sortBy(p => (-p._2, p._1._2)).take(5).map(_._1._2).toSet).toMap
+    for (bits <- Seq(3, 4, 6)) {
+      val got = Similarity.knnJoinLsh(queries, "vec_id", "embedding",
+          embs, "vec_id", "embedding", k = 5, numBits = bits)
+        .as[(Long, Long, Double, Int)].collect()
+      val hit = got.count(r => trueTop(r._1).contains(r._2))
+      info(s"numBits=$bits: recall $hit/20")
+      if (bits == 3) assert(hit >= 10,
+        s"3-bit all-probe sweep must recover half the true top-5, got $hit/20")
+    }
+  }
+
   test("IVF lifecycle: incremental append equals full build, drift fails loudly") {
     val half1 = embs.filter($"vec_id" % 2 === 0)
     val half2 = embs.filter($"vec_id" % 2 =!= 0)
