@@ -284,10 +284,14 @@ object CorpusOps {
    * corpus-wide add-one-smoothed unigram LM, then score every document by
    * its average negative log-likelihood under it — boilerplate and
    * gibberish score high, fluent in-distribution text low. `vocabCap`
-   * truncates the LM to the top terms by count (rank then count-desc,
-   * term-asc tiebreak); out-of-vocabulary tokens take the unseen add-one
+   * truncates the LM to the top terms by count (count-desc, term-asc
+   * tiebreak — see [[cappedVocab]] for how that ranking is computed without
+   * a global sort-limit); out-of-vocabulary tokens take the unseen add-one
    * probability 1/(T+V), so a capped LM stays a proper bound at 100 TB
    * vocabulary sizes while the uncapped form is exactly DuckDB-checkable.
+   * The capped path runs two small driver-visible jobs at CONSTRUCTION time
+   * (the count histogram, and the tie trim when the cap lands mid-tie); the
+   * uncapped default stays fully lazy.
    *
    * Determinism: each token's NLL is rounded then summed as DECIMAL(18,6),
    * so the per-document sum is exact and independent of row order — a
@@ -304,8 +308,7 @@ object CorpusOps {
     val tokens = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("term"))
     val counts = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val lm = if (vocabCap == Int.MaxValue) counts
-      else counts.orderBy(col("cnt").desc, col("term").asc).limit(vocabCap)
+    val lm = if (vocabCap == Int.MaxValue) counts else cappedVocab(counts, vocabCap)
     val total = tokens.agg(count(lit(1)).as("total"))
     val vocab = lm.agg(count(lit(1)).as("vocab"))
     val p = (coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
@@ -324,5 +327,51 @@ object CorpusOps {
         TextFunctions.stableRound(
             col("sum_nll").cast("double") / col("n_tokens").cast("double"), 4)
           .as("avg_nll"))
+  }
+
+  /**
+   * The top-`cap` terms of a `(term, cnt)` table by (cnt desc, term asc),
+   * WITHOUT a global sort-limit: `orderBy(...).limit(cap)` plans as a
+   * single-partition GlobalLimit that funnels the whole vocabulary through
+   * one reducer — at exactly the web-vocabulary scale the cap targets.
+   *
+   * Instead the cap is resolved by COUNT THRESHOLD in three bounded steps:
+   *  1. Histogram the counts (`groupBy(cnt)`): a corpus with T tokens has at
+   *     most ~sqrt(2T) distinct count values (counts are positive integers
+   *     summing to T), so the histogram collects KB-scale at any corpus size.
+   *  2. Walk it count-descending on the driver to find the threshold count
+   *     c* where the cumulative term count crosses `cap`. Every term with
+   *     cnt > c* is in; when the boundary lands exactly between histogram
+   *     rows no trim is needed at all (the common case for skewed vocab).
+   *  3. Only when the cap lands MID-TIE, trim the tie set (terms with
+   *     cnt == c*) to its lexicographically-first `slots` terms via a
+   *     DISTRIBUTED range sort + zipWithIndex — exact global ranks from
+   *     per-partition offsets, never a single-partition exchange.
+   *
+   * `counts` is lazily localCheckpoint'ed first so the histogram pass and
+   * the returned plan share one materialization of the vocabulary instead
+   * of re-exploding the corpus per branch.
+   */
+  private[operators] def cappedVocab(counts: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, s"vocabCap must be positive, got $cap")
+    val spark = counts.sparkSession
+    val vocab = counts.localCheckpoint(eager = false)
+    val hist = vocab.groupBy(col("cnt")).agg(count(lit(1)).as("n_terms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    if (hist.map(_._2).sum <= cap) return vocab
+    var cum = 0L
+    var i = 0
+    while (cum + hist(i)._2 < cap) { cum += hist(i)._2; i += 1 }
+    val threshold = hist(i)._1
+    val slots = cap - cum // threshold-count terms that still fit under the cap
+    val above = vocab.filter(col("cnt") > threshold).select(col("term"), col("cnt"))
+    if (slots == hist(i)._2)
+      above.unionAll(vocab.filter(col("cnt") === threshold).select(col("term"), col("cnt")))
+    else {
+      val ties = vocab.filter(col("cnt") === threshold).select(col("term"), col("cnt"))
+      val trimmed = ties.orderBy(col("term").asc).rdd.zipWithIndex()
+        .filter(_._2 < slots).map(_._1)
+      above.unionAll(spark.createDataFrame(trimmed, ties.schema))
+    }
   }
 }

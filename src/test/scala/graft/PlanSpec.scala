@@ -113,6 +113,18 @@ class PlanSpec extends AnyFunSuite {
       .columns.toSeq == Seq("text", "keeper", "n_dups"))
   }
 
+  test("capped-vocab LM plan has no single-partition global sort-limit") {
+    // vocabCap targets web-scale vocabularies — exactly where a global
+    // orderBy().limit(cap) (one reducer holding the whole vocab) breaks.
+    // The threshold-selection plan must contain no global limit at all.
+    val docs = Tables.documents(spark, dir)
+    val q = operators.CorpusOps.lmQualityScore(docs, "doc_id", "text", vocabCap = 50)
+    val p = plan(q)
+    assert(!p.contains("GlobalLimit"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(q.count() > 0)
+  }
+
   test("driver smoke: entry() works on a fresh plain session config") {
     // the driver calls entry() without our nanosAsLong session conf; the
     // seeded-log loader must set it on the fly

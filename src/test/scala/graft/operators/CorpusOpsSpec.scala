@@ -185,6 +185,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(capped(1)._3 > got(1)._3, "OOV must score worse than in-vocab")
   }
 
+  test("cappedVocab: threshold selection equals the global top-cap ranking") {
+    def countsOf(text: String) =
+      Seq((0L, text)).toDF("doc_id", "text")
+        .select(explode(split($"text", " ")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+    // vocab a:3 b:2 c:2 d:2 e:1; cap=3 lands MID-TIE at cnt=2 → term-asc trim
+    val counts = countsOf("a a a b b c c d d e")
+    def capAt(n: Int) = CorpusOps.cappedVocab(counts, n)
+      .as[(String, Long)].collect().toSet
+    assert(capAt(3) == Set(("a", 3L), ("b", 2L), ("c", 2L)))
+    // cap at an exact histogram boundary: no trim branch
+    assert(capAt(4) == Set(("a", 3L), ("b", 2L), ("c", 2L), ("d", 2L)))
+    // cap >= vocab: identity
+    assert(capAt(99) == Set(("a", 3L), ("b", 2L), ("c", 2L), ("d", 2L), ("e", 1L)))
+    // randomized cross-check against the naive global sort-limit
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val text = Gen.choose(5, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    (0 until 6).foreach { i =>
+      val t = text(Gen.Parameters.default, Seed(100 + i.toLong)).get
+      val c = countsOf(t)
+      val cap = 1 + i
+      val naive = c.orderBy($"cnt".desc, $"term".asc).limit(cap)
+        .as[(String, Long)].collect().toSet
+      assert(CorpusOps.cappedVocab(c, cap).as[(String, Long)].collect().toSet == naive,
+        s"seed=$i cap=$cap text=$t")
+    }
+  }
+
   test("bloom pre-filter: identical decontamination results, real pruning") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
     val corpus = docs.filter($"source" =!= "src0")
