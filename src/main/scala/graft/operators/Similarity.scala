@@ -73,13 +73,42 @@ object Similarity {
    * `bucket`: the corpus is scored only where buckets collide and never
    * shuffles. Candidates then rank exactly like [[knnJoin]]; per-query
    * results may have fewer than k rows when the probed buckets are thin
-   * (the approximate contract).
+   * (the approximate contract). For a query set too large to broadcast use
+   * [[knnJoinLshShuffled]] — same semantics through a shuffle equi-join.
    */
   def knnJoinLsh(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       k: Int = 10, numBits: Int = 8, seed: Long = 42L,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true): DataFrame =
+    knnJoinLshImpl(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
+      k, numBits, seed, excludeSelf, broadcastProbes = true)
+
+  /**
+   * Corpus-scale variant of [[knnJoinLsh]] for query sets too large to
+   * broadcast (e.g. "nearest benchmark doc for EVERY training doc", where
+   * the query side IS a corpus): identical semantics — every query's top-k
+   * among its Hamming-≤1 probe buckets — but the probe rows join as a plain
+   * shuffle equi-join on `bucket`. Both sides exchange on the bucket key
+   * (numBits+1 narrow probe rows per query, one row per corpus vector), so
+   * the plan is a standard partitioned hash/sort-merge join at any |queries|;
+   * AQE's skew-join handling splits hot buckets at runtime. Use the
+   * broadcast form when the query set is dimension-table-sized — it keeps
+   * the corpus un-shuffled, which this form cannot.
+   */
+  def knnJoinLshShuffled(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int = 10, numBits: Int = 8, seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame =
+    knnJoinLshImpl(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
+      k, numBits, seed, excludeSelf, broadcastProbes = false)
+
+  private def knnJoinLshImpl(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, numBits: Int, seed: Long,
+      excludeSelf: Boolean, broadcastProbes: Boolean): DataFrame = {
     val bucketed = corpus.select(col(cIdCol).as("vec_id"), col(cVecCol).as("v"))
       .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed))
     val qBase = queries.select(col(qIdCol).as("query_id"),
@@ -93,7 +122,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("__b0"), explode(flips).as("__flip"))
       .select(col("query_id"), col("qv"),
         col("__b0").bitwiseXOR(col("__flip")).as("bucket"))
-    val scored = bucketed.join(broadcast(probes), "bucket")
+    val scored = bucketed.join(if (broadcastProbes) broadcast(probes) else probes, "bucket")
       .select(col("query_id"), col("vec_id"),
         graft.functions.TextFunctions.stableRound(
           cosine_similarity(col("v"), col("qv")), 6).as("cosine"))
@@ -230,8 +259,8 @@ object Similarity {
    * compatible buckets) and append them — no rebuild of the existing
    * bucket files. Probes see old + new vectors transparently; at 100 TB
    * this turns daily corpus growth into a delta-sized write instead of a
-   * full re-index. Compact occasionally with a fresh saveLshIndex if
-   * appends accumulate many small files per bucket.
+   * full re-index. When appends accumulate many small files per bucket,
+   * [[compactLshIndex]] rewrites just the multi-file buckets.
    */
   def appendToLshIndex(
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
@@ -332,9 +361,10 @@ object Similarity {
 
   /** IVF twin of [[appendToLshIndex]]: assign `newVecs` to the PERSISTED
     * centroids (cells stay stable — centroids are never refit on append, so
-    * probes remain consistent) and append delta-sized files per cell.
-    * Refit with a fresh saveIvfIndex when the corpus distribution drifts
-    * enough that fixed centroids hurt recall. */
+    * probes remain consistent) and append delta-sized files per cell;
+    * [[compactIvfIndex]] merges the accumulated per-cell files. Refit with
+    * a fresh saveIvfIndex when the corpus distribution drifts enough that
+    * fixed centroids hurt recall. */
   def appendToIvfIndex(
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVecs.sparkSession
@@ -347,6 +377,77 @@ object Similarity {
       .withColumn("cell", best_centroid(col("v"), cents.map(_._2)))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
+  /**
+   * Compact an appended LSH index: each [[appendToLshIndex]] adds one file
+   * per touched bucket, so after N daily appends a probe opens N files per
+   * bucket and the file-pruning win erodes linearly. Compaction rewrites
+   * ONLY the buckets whose file count exceeds `maxFilesPerBucket` (found by
+   * a pure metadata listing — no data read for single-file buckets) back to
+   * one file each; `params/` is untouched, so probes before and after
+   * answer identically. Returns the number of buckets rewritten.
+   *
+   * Not crash-atomic: new files land in the bucket before the old ones are
+   * deleted, so a failure mid-swap leaves duplicate vectors in that bucket —
+   * re-run compaction (idempotent: the bucket is simply over-threshold
+   * again... but with duplicated rows) or rebuild with [[saveLshIndex]]
+   * after a crash. At 100 TB the alternative — a transactional table format
+   * — is a storage-layer concern, not an index-layer one.
+   */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerBucket: Int = 1): Int =
+    compactPartitionedTable(spark, s"$path/buckets", "bucket", maxFilesPerBucket)
+
+  /** IVF twin of [[compactLshIndex]]: rewrites only over-threshold cells of
+    * `assignments/`; `centroids/` (the cell geometry) is untouched. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerCell: Int = 1): Int =
+    compactPartitionedTable(spark, s"$path/assignments", "cell", maxFilesPerCell)
+
+  /** Rewrite the partitions of a `partCol=value`-laid-out parquet table that
+    * hold more than `maxFiles` data files, one output file per partition.
+    * Listing is metadata-only; the single rewrite job reads just the
+    * over-threshold partitions (partition-pruned scan), writes them under a
+    * sibling tmp dir, then swaps files per partition (move new in, delete
+    * old) and drops the tmp dir. */
+  private def compactPartitionedTable(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      partCol: String, maxFiles: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path) = fs.listStatus(dir).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val over = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .filter(st => dataFiles(st.getPath).length > maxFiles)
+    if (over.isEmpty) return 0
+    val vals = over.map(_.getPath.getName.stripPrefix(s"$partCol=")).toSeq
+    val df = spark.read.parquet(table)
+    // probe values in the partition column's own inferred type (see
+    // lshTopKWith): a cast would defeat partition pruning and scan everything
+    val typedVals: Seq[Any] = df.schema(partCol).dataType match {
+      case org.apache.spark.sql.types.IntegerType => vals.map(_.toInt)
+      case org.apache.spark.sql.types.LongType => vals.map(_.toLong)
+      case _ => vals
+    }
+    val tmp = new Path(root.getParent, root.getName + ".compact-tmp")
+    fs.delete(tmp, true)
+    df.filter(col(partCol).isin(typedVals: _*))
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    over.foreach { st =>
+      val oldFiles = dataFiles(st.getPath)
+      val newDir = new Path(tmp, st.getPath.getName)
+      // additive first, delete after: a crash mid-swap duplicates, never loses
+      dataFiles(newDir).foreach(f =>
+        fs.rename(f.getPath, new Path(st.getPath, f.getPath.getName)))
+      oldFiles.foreach(f => fs.delete(f.getPath, false))
+    }
+    fs.delete(tmp, true)
+    over.length
   }
 
   /** Seeded k-means centroids (Spark MLlib; deterministic for a fixed seed

@@ -520,6 +520,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoinLshShuffled: identical rows to the broadcast form, through a shuffle join") {
+    val queries = embs.filter($"vec_id" < 4)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val bc = sorted(Similarity.knnJoinLsh(queries, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5, numBits = 6))
+    // parity under the default planner
+    assert(sorted(Similarity.knnJoinLshShuffled(queries, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5, numBits = 6)) == bc)
+    // corpus-sized query sets cannot broadcast: with auto-broadcast disabled
+    // the plan must be a partitioned join, and the answers must not change
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = Similarity.knnJoinLshShuffled(queries, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = 5, numBits = 6)
+      assert(sorted(forced) == bc)
+      val p = forced.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF lifecycle: incremental append equals full build, drift fails loudly") {
     val half1 = embs.filter($"vec_id" % 2 === 0)
     val half2 = embs.filter($"vec_id" % 2 =!= 0)
@@ -602,6 +625,51 @@ class SimilaritySpec extends AnyFunSuite {
       "append with persisted params must answer exactly like a full rebuild")
     // the appended index also passes staleness validation against the corpus
     Similarity.validateLshIndex(spark, path, embs, "vec_id")
+  }
+
+  test("compaction: appended multi-file buckets collapse to one file, probes unchanged") {
+    def bucketFiles(dir: String, prefix: String): Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith(prefix))
+        .map(d => d.getName -> d.listFiles().count(f =>
+          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))).toMap
+    // --- LSH: three slices = up to 3 files per bucket ---
+    val path = java.nio.file.Files.createTempDirectory("lsh-compact").toString
+    Similarity.saveLshIndex(
+      Similarity.lshIndex(embs.filter($"vec_id" % 3 === 0), "vec_id", "embedding",
+        numBits = 4, seed = 42L), numBits = 4, seed = 42L, path)
+    Similarity.appendToLshIndex(embs.filter($"vec_id" % 3 === 1), "vec_id", "embedding", path)
+    Similarity.appendToLshIndex(embs.filter($"vec_id" % 3 === 2), "vec_id", "embedding", path)
+    assert(bucketFiles(s"$path/buckets", "bucket=").values.max > 1,
+      "appends must have produced multi-file buckets for this test to bite")
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    def probe() = {
+      val (idx, bits, seedv) = Similarity.loadLshIndex(spark, path)
+      Similarity.lshTopKWith(idx, bits, seedv, qv, 10, multiProbe = 2,
+        excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    }
+    val before = probe()
+    assert(Similarity.compactLshIndex(spark, path) > 0)
+    assert(bucketFiles(s"$path/buckets", "bucket=").values.forall(_ == 1),
+      "every bucket must hold exactly one data file after compaction")
+    assert(probe() == before, "compaction must not change probe answers")
+    Similarity.validateLshIndex(spark, path, embs, "vec_id")
+    assert(Similarity.compactLshIndex(spark, path) == 0, "second compact is a no-op")
+    // --- IVF twin ---
+    val ipath = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    Similarity.saveIvfIndex(Similarity.ivfIndexWith(
+      embs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", cents), cents, ipath)
+    Similarity.appendToIvfIndex(embs.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding", ipath)
+    def iprobe() = {
+      val (idx, c) = Similarity.loadIvfIndex(spark, ipath)
+      Similarity.ivfTopKWith(idx, c, qv, 10, nProbe = 3, excludeId = Some(0L))
+        .as[(Long, Double)].collect().toSeq
+    }
+    val ibefore = iprobe()
+    assert(Similarity.compactIvfIndex(spark, ipath) > 0)
+    assert(bucketFiles(s"$ipath/assignments", "cell=").values.forall(_ == 1))
+    assert(iprobe() == ibefore)
+    Similarity.validateIvfIndex(spark, ipath, embs, "vec_id")
   }
 
   test("validateLshIndex: a drifted corpus fails loudly, not silently stale") {
