@@ -195,7 +195,9 @@ object GraftExtensions {
       },
       tvf("graft_decontaminate",
         "graft_decontaminate(corpusTable, benchTable, idCol, textCol[, k[, minShared]]) - " +
-          "docs sharing >= minShared k-gram shingles with any benchmark doc") {
+          "docs sharing >= minShared k-gram shingles with any benchmark doc " +
+          "(runs eager bloom-build jobs AT ANALYSIS TIME, even for EXPLAIN, " +
+          "when the corpus is >=16x the benchmark by plan stats)") {
         args => arity(args, "graft_decontaminate", 4, 6)
           logical(operators.CorpusOps.decontaminate(
             activeTable(strArg(args, 0, "graft_decontaminate")),

@@ -136,13 +136,16 @@ object SparkEntry {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Persisted LSH index per corpus dir — built on first q_ann_lsh call so
-    * repeated gate/bench runs probe the index instead of rebuilding it.
-    * Caches (path, numBits, seed); the params roundtrip is read back from
-    * disk once (and unit-tested), after which repeat queries go straight to
-    * the bucket files instead of paying a params-collect job per probe. */
+  /** Persisted LSH index per (session, corpus dir) — built on first
+    * q_ann_lsh call so repeated gate/bench runs probe the index instead of
+    * rebuilding it. Caches the loaded BUCKETS DataFrame alongside the
+    * params: re-creating it per probe via `spark.read.parquet` pays file
+    * listing + schema/partition discovery each call (~0.2-0.4 s of fixed
+    * I/O at sf0.1), while the cached frame keeps its InMemoryFileIndex and
+    * each probe goes straight to partition pruning. Keyed by session so a
+    * stale frame from a stopped session is never served. */
   private val lshIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Int, Long)]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
@@ -608,15 +611,15 @@ object SparkEntry {
       // per query at sf0.1 while keeping enough candidates for a full top-10.
       // Runs through the PERSISTED index (built once per corpus, partitioned
       // by bucket) so each probe prunes unread buckets at file-listing level.
-      val (idxPath, bits, seed) = lshIndexes.computeIfAbsent(dir, _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
-        Similarity.saveLshIndex(
-          Similarity.lshIndex(e, "vec_id", "embedding", numBits = 6, seed = 42L),
-          numBits = 6, seed = 42L, p)
-        val (_, b, sd) = Similarity.loadLshIndex(s, p) // params roundtrip, once
-        (p, b, sd)
-      })
-      Similarity.lshTopKWith(s.read.parquet(s"$idxPath/buckets"), bits, seed,
+      val (buckets, bits, seed) = lshIndexes.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val p = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+          Similarity.saveLshIndex(
+            Similarity.lshIndex(e, "vec_id", "embedding", numBits = 6, seed = 42L),
+            numBits = 6, seed = 42L, p)
+          Similarity.loadLshIndex(s, p) // params roundtrip, once
+        })
+      Similarity.lshTopKWith(buckets, bits, seed,
         qv, k = 10, multiProbe = 3, excludeId = Some(0L))
     }),
 

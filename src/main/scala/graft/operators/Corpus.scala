@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
  *
  * Every stage returns a new [[Corpus]] over a lazily-composed DataFrame —
  * one Catalyst plan end to end, so the optimizer sees the whole pipeline
- * (the composed plan is what q_pipeline_e2e gates against DuckDB).
+ * (the composed plan is what q_pipeline_e2e gates against DuckDB). One
+ * exception: [[decontaminate]] runs eager benchmark-index jobs at
+ * CONSTRUCTION time when its bloom gate opens (corpus ≥16× the benchmark
+ * by plan stats — see [[CorpusOps.decontaminate]]); every other stage, and
+ * decontaminate below that ratio, builds the plan without running anything.
  */
 final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String = "text") {
 

@@ -27,14 +27,39 @@ object CorpusOps {
    *
    * Returns one row per contaminated document:
    * (doc_id, n_bench_matched, top_shared).
+   *
+   * The [[benchBloom]] pre-filter is built only when the corpus side dwarfs
+   * the benchmark (see [[bloomWorthwhile]]): the build is a fixed cost (one
+   * pass over the bench index + a filter merge, run EAGERLY at construction
+   * time) that pays off exactly when there are vastly more corpus shingles
+   * to prune than bench shingles to index. When the gate skips it, this
+   * operator is a fully lazy one-plan transformation; either way the
+   * results are identical (the exact join verifies bloom survivors). To
+   * force the choice, call [[decontaminateAgainstIndex]] with an explicit
+   * `bloom`.
    */
   def decontaminate(
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame = {
     val idx = benchIndex(bench, idCol, textCol, k, maxShingleDf)
-    decontaminateAgainstIndex(
-      corpus, idx, idCol, textCol, k, minShared, benchBloom(idx))
+    val bloom = if (bloomWorthwhile(corpus, bench)) benchBloom(idx) else None
+    decontaminateAgainstIndex(corpus, idx, idCol, textCol, k, minShared, bloom)
   }
+
+  /** Should [[decontaminate]] pay the bloom build? Decided from Catalyst
+    * plan-size statistics (pure metadata — no job): build when the corpus
+    * side is at least [[BloomGateRatio]]× the benchmark's bytes. At toy
+    * scale the fixed build cost exceeds the shuffle it avoids; at the
+    * 100 TB target the ratio is astronomical and the gate is always open. */
+  private[operators] def bloomWorthwhile(corpus: DataFrame, bench: DataFrame): Boolean = {
+    val c = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val b = bench.queryExecution.optimizedPlan.stats.sizeInBytes
+    b > 0 && c >= b * BloomGateRatio
+  }
+
+  /** Corpus:benchmark plan-size ratio above which the decontamination bloom
+    * pre-filter is worth its fixed build cost. */
+  val BloomGateRatio: Int = 16
 
   /** The static half of decontamination: hot-dropped inverted shingle index
     * (bench_id, s) of the benchmark, checkpointed so batch reuse (and every
@@ -56,9 +81,12 @@ object CorpusOps {
     * might overlap the benchmark matters: probing this filter BEFORE the
     * join's shuffle drops the rest at the scan stage (false positives are
     * fine — the exact join verifies survivors, so results are identical).
-    * Built distributed (per-partition filters OR-merged), ~1.2 MB per
-    * million shingles at 1% fpp; None above [[MaxBloomShingles]] — a
-    * benchmark that large should be split, not bloomed. */
+    * Built distributed: per-partition filters (empty partitions contribute
+    * nothing) OR-merged with `treeReduce`, so executors fold partial
+    * filters pairwise and the driver receives O(log P) merges instead of
+    * every partition's ~filter-sized payload. ~1.2 MB per million shingles
+    * at 1% fpp; None above [[MaxBloomShingles]] — a benchmark that large
+    * should be split, not bloomed. */
   def benchBloom(benchCold: DataFrame, fpp: Double = 0.01): Option[Array[Byte]] = {
     val spark = benchCold.sparkSession
     import spark.implicits._
@@ -66,18 +94,21 @@ object CorpusOps {
     val n = hashes.count() // the small static side: one cheap pass
     if (n == 0 || n > MaxBloomShingles) return None
     Some(hashes.mapPartitions { it =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
-      while (it.hasNext) bf.putLong(it.next())
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      Iterator(bos.toByteArray)
-    }.reduce { (a, b) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+        while (it.hasNext) bf.putLong(it.next())
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Iterator(bos.toByteArray)
+      }
+    }.rdd.treeReduce({ (a, b) =>
       val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(a)
       fa.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(b))
       val bos = new java.io.ByteArrayOutputStream()
       fa.writeTo(bos)
       bos.toByteArray
-    })
+    }, depth = 2))
   }
 
   /** Above this many benchmark shingles the bloom itself stops being a
@@ -133,7 +164,10 @@ object CorpusOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val idx = benchIndex(bench, idCol, textCol, k, maxShingleDf)
     // bloom built ONCE against the static index; every micro-batch prunes
-    // its shingles through it before the stream-static join
+    // its shingles through it before the stream-static join. No size gate
+    // here: a stream's lifetime volume is unbounded, so the one-time build
+    // amortizes to zero (the batch gate compares corpus vs bench bytes,
+    // which a streaming plan cannot report)
     val bloom = benchBloom(idx)
     docsStream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       writeBatch(

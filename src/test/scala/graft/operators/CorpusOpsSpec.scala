@@ -215,6 +215,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom gate: builds only when the corpus dwarfs the benchmark") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    // comparable plan sizes (filters of one table): not worth the build
+    assert(!CorpusOps.bloomWorthwhile(
+      docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0")))
+    // corpus many times the benchmark's bytes: gate opens
+    assert(CorpusOps.bloomWorthwhile(docs, docs.limit(2)))
+  }
+
   test("bloom pre-filter: identical decontamination results, real pruning") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
     val corpus = docs.filter($"source" =!= "src0")
