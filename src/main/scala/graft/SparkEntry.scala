@@ -978,9 +978,9 @@ object SparkEntry {
   // DuckDB oracle SQL — identical semantics, identical column names.
   // Omitted keys (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
   // q_dedup_winnow, q_ann_lsh, q_ann_ivf, q_sketch_distinct,
-  // q_sketch_terms, q_multimodal_decode, q_multimodal_frames,
-  // q_multimodal_errors, q_knn_join_lsh) are LSH/sketch/stub-based and not
-  // exactly SQL-expressible → driver's weaker rows-only check.
+  // q_sketch_terms, q_multimodal_frames, q_multimodal_errors,
+  // q_knn_join_lsh) are LSH/sketch/stub-based and not exactly
+  // SQL-expressible → driver's weaker rows-only check.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {
     val srcRank =
@@ -1485,7 +1485,35 @@ object SparkEntry {
           |            ELSE 'video' END AS format,
           | count(*) AS n, CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
           | count(DISTINCT md5(text)) AS n_distinct
-          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // StubCodec is pure arithmetic (Multimodal.scala:72-90): n_frames for
+      // video derives from an FNV-1a 64-bit hash of the payload bytes, which
+      // DuckDB can fold over the (all-ASCII) text's codepoints with HUGEINT
+      // mod-2^64 arithmetic. h >>> 16 of the unsigned value is integer
+      // division by 65536; floorMod(·, 120) of that non-negative value is a
+      // plain %. Image/audio are always 1 frame.
+      "q_multimodal_decode" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id,
+          |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |         ELSE 'video' END AS format,
+          |    octet_length(CAST(text AS BLOB)) AS byte_len,
+          |    CASE WHEN doc_id % 3 = 2 THEN
+          |      1 + (((list_reduce(
+          |              list_prepend(14695981039346656037::HUGEINT,
+          |                list_transform(range(1, length(text) + 1),
+          |                               i -> unicode(text[i])::HUGEINT)),
+          |              (acc, b) -> ((xor(acc::UBIGINT, b::UBIGINT)::HUGEINT)
+          |                           * 1099511628211)
+          |                          % 18446744073709551616::HUGEINT)
+          |            // 65536) % 120)::BIGINT)
+          |    ELSE 1 END AS n_frames
+          |  FROM documents)
+          |SELECT format, count(*) AS n,
+          | CAST(sum(n_frames) AS BIGINT) AS total_frames,
+          | CAST(sum(byte_len) AS BIGINT) AS total_bytes
+          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }
