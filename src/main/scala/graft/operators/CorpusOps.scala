@@ -172,6 +172,12 @@ object CorpusOps {
     docsStream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       writeBatch(
         decontaminateAgainstIndex(batch, idx, idCol, textCol, k, minShared, bloom), epochId)
+      // force the skew guard's drop counters onto the published-metrics map
+      // so the NEXT progress event's source metrics carry them (the hot-key
+      // table is static across batches, so only the first call runs the
+      // KB-scale aggregation; later batches reuse the cached DropStats)
+      Dedup.lastDropStats("decontaminate")
+      ()
     }
   }
 

@@ -49,6 +49,7 @@ object Dedup extends Logging {
           "pairs within those buckets are NOT reported; raise the cap or widen " +
           "bands if recall there matters")
       val s = DropStats(nHot, rowsHot)
+      published.put(tag, s)
       dropListeners.forEach(_.onDrops(tag, s))
       s
     }
@@ -58,6 +59,19 @@ object Dedup extends Logging {
   }
 
   private val dropStats = new ConcurrentHashMap[String, DropHandle]()
+
+  /** Every tag whose drop counts HAVE been computed in this JVM, with the
+    * most recent numbers. Unlike [[lastDropStats]] this never runs a job —
+    * it is the read side the streaming source's `metrics()` polls each
+    * progress event, so recall-loss counters ride along in
+    * `StreamingQueryProgress.sources[].metrics` (see
+    * EventLogMicroBatchStream) without the metrics path ever blocking on an
+    * aggregation. */
+  private val published = new ConcurrentHashMap[String, DropStats]()
+  def publishedDropStats: Map[String, DropStats] = {
+    import scala.jdk.CollectionConverters._
+    published.asScala.toMap
+  }
 
   /** Executor-side alarm baked into the hot-key plan itself: fires when the
     * caller's OWN action materializes the table, so a pipeline that drops

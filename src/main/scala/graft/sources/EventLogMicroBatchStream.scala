@@ -194,6 +194,14 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
           .map(p => s""""$p":${f(p)}""").mkString("{", ",", "}")
         out.put("throttleFactors", rendered)
       }
+      // recall-loss counters from the operator layer's skew guards (already
+      // computed and cached — no job here): a streaming pipeline's hot-key
+      // drops surface in the SQL UI next to the source's own metrics instead
+      // of only in executor logs / the pull API
+      graft.operators.Dedup.publishedDropStats.foreach { case (tag, s) =>
+        out.put(s"drops.$tag.buckets", s.buckets.toString)
+        out.put(s"drops.$tag.rows", s.rows.toString)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         logWarning(s"source metrics for $name unavailable: $e")

@@ -601,7 +601,15 @@ object ParquetEventLog extends EventLogClient with Logging {
       val out = new ArrayBuffer[(SequenceNumber, Event)](
         math.min(until - from, MaxCursorBatchRows).toInt)
       // fast path: serve from this partition's read-ahead without the
-      // reader lock (a sibling may be decoding the next region concurrently)
+      // reader lock (a sibling may be decoding the next region concurrently).
+      // `broken` is deliberately NOT re-checked inside drain(): markBroken()
+      // may clear the buffers concurrently with this drain, but every
+      // buffered row was decoded BEFORE the anomaly (the decode loop verifies
+      // ids in order and breaks at the first mismatch), so serving a
+      // pre-anomaly prefix here matches exactly what the self-verifying
+      // fallback scan would return for the same range — the race is benign.
+      // Re-checking under the buffer monitor would buy nothing: the fallback
+      // path re-reads any rows this take missed.
       var seq = drain(pid, from, from, until, out)
       if (seq == until) { cursorFastPathTakes.increment(); return Some(out) }
       lock.lock()

@@ -204,6 +204,39 @@ class ConnectorStreamSpec extends AnyFunSuite {
 class ConnectorMetricsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("operator drop counters ride along in source metrics") {
+    import spark.implicits._
+    EventLogRegistry.drop("met-docs")
+    val log = EventLogRegistry.create("met-docs", 2)
+    for (p <- 0 until 2; i <- 0 until 10)
+      log.append(p, Event(
+        s"alpha beta gamma delta doc $p $i unique tail $i".getBytes("UTF-8"),
+        (i + 1) * 1000000L))
+    // every benchmark doc shares a 3-gram prefix: with maxShingleDf=2 the
+    // shared shingles are hot and MUST be dropped (counted under tag
+    // "decontaminate")
+    val bench = (0 until 8).map(i => (i.toLong, s"alpha beta gamma shared prefix $i"))
+      .toDF("doc_id", "text")
+    val docsStream = spark.readStream.format("graft-eventlog")
+      .option("name", "met-docs").load()
+      .select(col("sequenceNumber").as("doc_id"), col("body").cast("string").as("text"))
+    val q = graft.operators.CorpusOps.decontaminateStream(
+        docsStream, bench, "doc_id", "text", k = 3, minShared = 2, maxShingleDf = 2) {
+        (report, _) => { report.count(); () }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // the skew guard's recall-loss counters appear in the SOURCE metrics of
+    // StreamingQueryProgress — pipeline drops are observable next to
+    // backlog/throttle state, not only in executor logs
+    val m = q.recentProgress.flatMap(_.sources).map(_.metrics)
+      .filter(_.containsKey("drops.decontaminate.buckets"))
+    assert(m.nonEmpty, "drop counters missing from StreamingQueryProgress source metrics")
+    assert(m.last.get("drops.decontaminate.buckets").toLong > 0,
+      "hot benchmark shingles must surface as dropped buckets")
+    assert(m.last.get("drops.decontaminate.rows").toLong > 0)
+  }
+
   test("progress carries source metrics (events behind latest, throttle) and sink metrics") {
     EventLogRegistry.drop("met-src"); EventLogRegistry.drop("met-dst")
     val src = EventLogRegistry.create("met-src", 2)
