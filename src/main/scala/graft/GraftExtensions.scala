@@ -127,6 +127,16 @@ object GraftExtensions {
       "graft_doc_fingerprint(text) - md5 content fingerprint of normalized text") {
       args => arity(args, "graft_doc_fingerprint", 1, 1)
         asExpr(TextFunctions.fingerprint(asCol(args.head)))
+    },
+    fn("graft_redact_pii",
+      "graft_redact_pii(text) - mask emails/phones/IPv4s with <EMAIL>/<PHONE>/<IP>") {
+      args => arity(args, "graft_redact_pii", 1, 1)
+        asExpr(TextFunctions.redactPii(asCol(args.head)))
+    },
+    fn("graft_pii_count",
+      "graft_pii_count(text) - number of email/phone/IPv4 matches graft_redact_pii would mask") {
+      args => arity(args, "graft_pii_count", 1, 1)
+        asExpr(TextFunctions.piiCount(asCol(args.head)))
     })
 
   // ---- table-valued functions: whole corpus operators from pure SQL ----

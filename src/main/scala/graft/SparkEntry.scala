@@ -924,6 +924,28 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_text_redact" -> ((s, dir) => {
+      // PII scrubbing gate: the synthetic docs carry no PII, so the gate
+      // PLANTS a deterministic email + phone + IPv4 per document and then
+      // verifies the masking chain removes all three identically in both
+      // engines (counts, byte deltas, and the full redacted text's hash)
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+      Tables.documents(s, dir)
+        .select(col("source"), planted.as("t"))
+        .select(col("source"), col("t"),
+          TextFunctions.redactPii(col("t")).as("r"),
+          TextFunctions.piiCount(col("t")).as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_pii"),
+          sum(length(col("t")) - length(col("r"))).as("chars_removed"),
+          countDistinct(md5(col("r").cast("binary"))).as("n_distinct_redacted"))
+        .orderBy(col("source"))
+    }),
+
     // ---- multimodal ----
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(s, s"$dir/documents.parquet")
@@ -1491,6 +1513,20 @@ object SparkEntry {
         s"""SELECT source, count(DISTINCT ${TextFunctions.sqlFingerprint.format("text")}) AS n_distinct,
            | count(*) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_text_redact" ->
+        s"""WITH t AS (
+           |  SELECT source,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+           |      ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |      ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+           |  FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           | CAST(sum(${TextFunctions.sqlPiiCount("t")}) AS BIGINT) AS n_pii,
+           | CAST(sum(length(t) - length(${TextFunctions.sqlRedactPii("t")})) AS BIGINT)
+           |   AS chars_removed,
+           | count(DISTINCT md5(${TextFunctions.sqlRedactPii("t")})) AS n_distinct_redacted
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_multimodal_meta" ->
         """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -126,4 +126,50 @@ object TextFunctions {
     size(array_intersect(ca, cb)).cast("double") /
       size(array_union(ca, cb)).cast("double")
   }
+
+  /**
+   * PII patterns a pretraining pipeline scrubs before packing (the
+   * C4/Dolma-style masking pass): email addresses, NANP-shaped phone
+   * numbers, IPv4 addresses. Deliberately restricted to regex syntax that
+   * Java's engine and RE2 (DuckDB) interpret identically — no lookarounds,
+   * no backreferences — so the oracle twin is exact. Order matters: each
+   * pattern runs over the PREVIOUS pattern's output (identically in both
+   * engines), and the mask tokens contain no digits, so masks never
+   * re-match. A heuristic scrubber by design: a version string like
+   * "10.0.55.7" masks as an IP — over-masking beats leaking.
+   */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "<EMAIL>" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "<PHONE>" -> "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b|\\b[0-9]{3}[-. ][0-9]{4}\\b",
+    "<IP>" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** Mask every [[PiiPatterns]] match with its category token — a pure
+    * per-row expression chain (three codegen'd regexp_replace calls), so
+    * scrubbing 100 TB is a zero-shuffle scan stage. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (tok, pat)) =>
+      regexp_replace(acc, pat, tok)
+    }
+
+  /** Total [[PiiPatterns]] matches in `text` (counted against the same
+    * progressively-masked text the replacement chain sees). */
+  def piiCount(text: Column): Column =
+    PiiPatterns.foldLeft((text, lit(0))) { case ((t, n), (tok, pat)) =>
+      (regexp_replace(t, pat, tok), n + regexp_count(t, lit(pat)))
+    }._2
+
+  // DuckDB standard string literals pass backslashes through verbatim, so
+  // the Scala pattern (single backslashes after unescaping) is emitted raw
+  def sqlRedactPii(col: String): String =
+    PiiPatterns.foldLeft(col) { case (acc, (tok, pat)) =>
+      s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
+  def sqlPiiCount(col: String): String = {
+    val (_, terms) = PiiPatterns.foldLeft((col, Seq.empty[String])) {
+      case ((t, ts), (tok, pat)) =>
+        (s"regexp_replace($t, '$pat', '$tok', 'g')",
+          ts :+ s"len(regexp_extract_all($t, '$pat'))")
+    }
+    terms.mkString("(", " + ", ")")
+  }
 }

@@ -43,6 +43,12 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def dedupExact(): Corpus =
     copy(df = Dedup.exactRows(df, Seq(col(textCol)), id))
 
+  /** Mask emails / phone numbers / IPs in the text column (the C4/Dolma
+    * scrub stage) — a pure per-row expression, zero shuffle. */
+  def redactPii(): Corpus =
+    copy(df = df.withColumn(textCol,
+      graft.functions.TextFunctions.redactPii(col(textCol))))
+
   /** Keep one representative per near-duplicate cluster (n-gram Jaccard). */
   def dedupNearDup(ngram: Int = 3, threshold: Double = 0.5): Corpus =
     copy(df = Dedup.dedupByNearDup(df, idCol, textCol, ngram, threshold))

@@ -77,6 +77,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(got._1 == 9 && got._2 > got._1) // bpe splits punctuation off
   }
 
+  test("PII scrub is SQL-callable and matches the Column API") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a.b@c.io or call 555-0199 from 10.1.2.3")).toDF("id", "text")
+    df.createOrReplaceTempView("sqldocs3")
+    val got = spark.sql(
+      "SELECT graft_redact_pii(text), graft_pii_count(text) FROM sqldocs3")
+      .as[(String, Int)].head()
+    val want = df.select(TextFunctions.redactPii($"text"), TextFunctions.piiCount($"text"))
+      .as[(String, Int)].head()
+    assert(got == want)
+    assert(got == (("mail <EMAIL> or call <PHONE> from <IP>", 3)))
+  }
+
   test("langid falls through to 'und' and literal-arg validation fires") {
     import spark.implicits._
     assert(spark.sql("SELECT graft_langid('the cat is on the mat')").as[String].head() == "en")

@@ -24,6 +24,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(0).getInt(2) == 3)
   }
 
+  test("redactPii masks emails, phones, IPs and counts each match") {
+    val df = Seq(
+      (1L, "mail jo.doe+x@sub.mail.co or call 555-123-4567 from 10.0.0.1 ok"),
+      (2L, "short form 555-0199 works too"),
+      (3L, "no pii here at all")).toDF("id", "t")
+    val got = df.orderBy($"id")
+      .select(TextFunctions.redactPii($"t"), TextFunctions.piiCount($"t"))
+      .as[(String, Int)].collect().toSeq
+    assert(got == Seq(
+      ("mail <EMAIL> or call <PHONE> from <IP> ok", 3),
+      ("short form <PHONE> works too", 1),
+      ("no pii here at all", 0)))
+    // the facade's scrub stage delegates to the same expression
+    val viaFacade = Corpus(df, idCol = "id", textCol = "t").redactPii()
+      .df.orderBy($"id").select($"t").as[String].collect().toSeq
+    assert(viaFacade == got.map(_._1))
+  }
+
   test("langIdGuess picks marker-dominant language, und for none") {
     val df = Seq(
       "the cat is on the mat", "le chat et la souris", "der hund und die katze",
