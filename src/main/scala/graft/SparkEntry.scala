@@ -1013,9 +1013,9 @@ object SparkEntry {
   // DuckDB oracle SQL — identical semantics, identical column names.
   // Omitted keys (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
   // q_dedup_winnow, q_ann_lsh, q_ann_ivf, q_sketch_distinct,
-  // q_sketch_terms, q_multimodal_frames, q_multimodal_errors,
-  // q_knn_join_lsh) are LSH/sketch/stub-based and not exactly
-  // SQL-expressible → driver's weaker rows-only check.
+  // q_sketch_terms, q_knn_join_lsh) are LSH/sketch-based and not exactly
+  // SQL-expressible → driver's weaker rows-only check (each cross-verified
+  // against exact ground truth in unit tests instead).
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {
     val srcRank =
@@ -1539,30 +1539,67 @@ object SparkEntry {
       // StubCodec is pure arithmetic (Multimodal.scala:72-90): n_frames for
       // video derives from an FNV-1a 64-bit hash of the payload bytes, which
       // DuckDB can fold over the (all-ASCII) text's codepoints with HUGEINT
-      // mod-2^64 arithmetic. h >>> 16 of the unsigned value is integer
-      // division by 65536; floorMod(·, 120) of that non-negative value is a
-      // plain %. Image/audio are always 1 frame.
+      // mod-2^64 arithmetic (fnvSql). h >>> 16 of the unsigned value is
+      // integer division by 65536; floorMod(·, 120) of that non-negative
+      // value is a plain %. Image/audio are always 1 frame.
       "q_multimodal_decode" ->
-        """WITH m AS (
-          |  SELECT doc_id AS media_id,
-          |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-          |         ELSE 'video' END AS format,
-          |    octet_length(CAST(text AS BLOB)) AS byte_len,
-          |    CASE WHEN doc_id % 3 = 2 THEN
-          |      1 + (((list_reduce(
-          |              list_prepend(14695981039346656037::HUGEINT,
-          |                list_transform(range(1, length(text) + 1),
-          |                               i -> unicode(text[i])::HUGEINT)),
-          |              (acc, b) -> ((xor(acc::UBIGINT, b::UBIGINT)::HUGEINT)
-          |                           * 1099511628211)
-          |                          % 18446744073709551616::HUGEINT)
-          |            // 65536) % 120)::BIGINT)
-          |    ELSE 1 END AS n_frames
-          |  FROM documents)
-          |SELECT format, count(*) AS n,
-          | CAST(sum(n_frames) AS BIGINT) AS total_frames,
-          | CAST(sum(byte_len) AS BIGINT) AS total_bytes
-          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+        s"""WITH m AS (
+           |  SELECT doc_id AS media_id,
+           |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           |         ELSE 'video' END AS format,
+           |    octet_length(CAST(text AS BLOB)) AS byte_len,
+           |    CASE WHEN doc_id % 3 = 2 THEN
+           |      1 + ((($fnvSql // 65536) % 120)::BIGINT)
+           |    ELSE 1 END AS n_frames
+           |  FROM documents)
+           |SELECT format, count(*) AS n,
+           | CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           | CAST(sum(byte_len) AS BIGINT) AS total_bytes
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Frame sampling is slice arithmetic over the same FNV frame count:
+      // chunk = max(1, len/f), each sampled frame's slice is
+      // max(0, min(len, from+chunk) - from), the max sampled index is the
+      // largest stride multiple below f. All exactly integer — so the
+      // sampled-frame gate hashes against DuckDB too.
+      "q_multimodal_frames" ->
+        s"""WITH v AS (
+           |  SELECT doc_id AS media_id,
+           |    octet_length(CAST(text AS BLOB))::BIGINT AS len,
+           |    (1 + (($fnvSql // 65536) % 120))::BIGINT AS f
+           |  FROM documents WHERE doc_id % 3 = 2),
+           |s AS (SELECT media_id, (f + 9) // 10 AS n_sampled,
+           |        greatest(1, len // f) AS chunk, f, len FROM v)
+           |SELECT media_id, CAST(n_sampled AS BIGINT) AS n_sampled,
+           | CAST(list_sum(list_transform(range(0, f, 10),
+           |      fi -> greatest(0, least(len, fi * chunk + chunk) - fi * chunk)))
+           |   AS BIGINT) AS sampled_bytes,
+           | CAST(((f - 1) // 10) * 10 AS INT) AS max_frame
+           |FROM s ORDER BY media_id""".stripMargin,
+
+      // The fault-injecting codec rejects exactly media_id % 5 == 0 and the
+      // per-row containment keeps every rejected row as an error row with
+      // the raw byte length — a deterministic partition of the corpus, so
+      // the error-containment gate is exactly SQL-expressible.
+      "q_multimodal_errors" ->
+        """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |            ELSE 'video' END AS format,
+          | (doc_id % 5 = 0) AS failed, count(*) AS n,
+          | CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
+
+  /** DuckDB rendering of [[graft.operators.Multimodal.StubCodec]]'s FNV-1a
+    * 64-bit hash: fold the (all-ASCII) text's codepoints with HUGEINT
+    * mod-2^64 arithmetic. The fold seed rides as a prepended list element;
+    * xor runs in UBIGINT, the multiply widens to HUGEINT before the mod. */
+  private lazy val fnvSql: String =
+    """(list_reduce(
+      |  list_prepend(14695981039346656037::HUGEINT,
+      |    list_transform(range(1, length(text) + 1),
+      |                   i -> unicode(text[i])::HUGEINT)),
+      |  (acc, b) -> ((xor(acc::UBIGINT, b::UBIGINT)::HUGEINT)
+      |               * 1099511628211)
+      |              % 18446744073709551616::HUGEINT))""".stripMargin
 }
