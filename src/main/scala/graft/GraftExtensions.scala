@@ -216,6 +216,16 @@ object GraftExtensions {
             intArg(args, 4, 3, "graft_decontaminate"),
             intArg(args, 5, 2, "graft_decontaminate")))
       },
+      tvf("graft_dup_spans",
+        "graft_dup_spans(table, idCol, textCol[, k[, minDf]]) - per-document " +
+          "cross-doc duplicate-span profile (shared-boilerplate fraction)") {
+        args => arity(args, "graft_dup_spans", 3, 5)
+          logical(operators.CorpusOps.duplicateSpanProfile(
+            activeTable(strArg(args, 0, "graft_dup_spans")),
+            strArg(args, 1, "graft_dup_spans"), strArg(args, 2, "graft_dup_spans"),
+            intArg(args, 3, 3, "graft_dup_spans"),
+            intArg(args, 4, 2, "graft_dup_spans")))
+      },
       tvf("graft_shuffle",
         "graft_shuffle(table, keyCol, seed) - deterministic salted-hash training order") {
         args => arity(args, "graft_shuffle", 3, 3)

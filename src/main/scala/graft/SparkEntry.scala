@@ -329,6 +329,14 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q_corpus_dup_spans" -> ((s, dir) => {
+      // cross-document boilerplate: per doc, the fraction of its word
+      // trigram spans shared with at least one other document
+      operators.CorpusOps.duplicateSpanProfile(
+          Tables.documents(s, dir), "doc_id", "text", k = 3, minDf = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
@@ -1164,6 +1172,21 @@ object SparkEntry {
            |       ${TextFunctions.sqlStableRound("top_bg * 1.0 / (n_words - 1)", 4)}
            |         AS top_bigram_frac
            |FROM top ORDER BY dup_word_frac DESC, doc_id LIMIT 20""".stripMargin,
+
+      "q_corpus_dup_spans" ->
+        s"""WITH sp AS (
+           |  SELECT doc_id, unnest(${TextFunctions.sqlWordShingles("text", 3)
+                 .replace("string_split(text, ' ')", "w")}) AS s
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+           |dup AS (SELECT s, count(DISTINCT doc_id) AS span_df
+           |        FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+           |j AS (SELECT sp.doc_id, dup.span_df FROM sp LEFT JOIN dup USING (s))
+           |SELECT doc_id, count(*) AS n_spans,
+           | count(span_df) AS n_dup_spans,
+           | ${TextFunctions.sqlStableRound(
+                "count(span_df)::DOUBLE / count(*)::DOUBLE", 4)} AS dup_span_frac,
+           | coalesce(max(span_df), 0) AS max_span_df
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_window_rank" ->
         """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (

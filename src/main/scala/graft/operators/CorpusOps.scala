@@ -274,6 +274,48 @@ object CorpusOps {
   }
 
   /**
+   * Cross-document duplicate-span profile — the word-k-gram form of exact
+   * substring dedup (Lee et al., "Deduplicating Training Data Makes
+   * Language Models Better"): for every document, how much of it is covered
+   * by k-word spans that ALSO appear in at least `minDf - 1` other
+   * documents. High fractions mark shared boilerplate (headers, licenses,
+   * templates) that document-level dedup cannot see because the documents
+   * differ elsewhere.
+   *
+   * Scale shape: span explode → occurrence table keyed by
+   * the span's 64-bit hash (8-byte shuffle keys, never span text — same
+   * rationale as [[Dedup.exact]]); the duplicated-span set (distinct hashes
+   * with cross-doc df ≥ minDf) comes from one hash aggregation and joins
+   * back as a plain equi-join on the hash (AQE splits hot spans); one final
+   * per-document aggregation. No all-pairs, no driver-side state. Documents
+   * shorter than `k` words have no spans and are absent from the output.
+   *
+   * Returns (doc_id, n_spans, n_dup_spans, dup_span_frac rounded to 4,
+   * max_span_df).
+   */
+  def duplicateSpanProfile(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minDf: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("span_df"))
+      .filter(col("span_df") >= minDf)
+    spans.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("span_df")).as("n_dup_spans"),
+        coalesce(max(col("span_df")), lit(0L)).as("max_span_df"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        TextFunctions.stableRound(
+            col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 4)
+          .as("dup_span_frac"),
+        col("max_span_df"))
+  }
+
+  /**
    * TF-IDF distinctive terms per document: the `k` highest tf·idf terms,
    * idf being the RAW inverse document frequency N/df rather than the
    * log-damped ln(N/df). Raw idf is chosen deliberately: tf·(N/df) is one

@@ -129,6 +129,12 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.repetitionProfile(docs, "doc_id", "text")
         .orderBy(col("doc_id")).collect().toSeq)
 
+    val ds = spark.sql(
+      "SELECT * FROM graft_dup_spans('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
+    assert(ds.collect().toSeq ==
+      operators.CorpusOps.duplicateSpanProfile(docs, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
     val sh = spark.sql(
       "SELECT doc_id FROM graft_shuffle('tvfdocs', 'doc_id', 'epoch0') LIMIT 5")
       .collect().map(_.getLong(0)).toSeq

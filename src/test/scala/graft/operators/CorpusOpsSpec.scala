@@ -185,6 +185,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(capped(1)._3 > got(1)._3, "OOV must score worse than in-vocab")
   }
 
+  test("duplicateSpanProfile finds cross-doc spans, not intra-doc repeats") {
+    val docs = Seq(
+      (0L, "shared span here plus own words"),   // "shared span here" also in doc 1
+      (1L, "prefix shared span here suffix"),
+      (2L, "totally different text entirely ok"),
+      (3L, "loop loop loop loop"),               // intra-doc repeat only: NOT cross-doc
+      (4L, "a b")                                // < k words: no spans, absent
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.duplicateSpanProfile(docs, "doc_id", "text", k = 3, minDf = 2)
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 0: 4 spans, 1 duplicated ("shared span here", df=2)
+    assert(byId(0L) == ((0L, 4L, 1L, 0.25, 2L)))
+    assert(byId(1L) == ((1L, 3L, 1L, BigDecimal(1.0 / 3).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 2L)))
+    assert(byId(2L) == ((2L, 3L, 0L, 0.0, 0L)))
+    // doc 3 repeats "loop loop loop" twice WITHIN itself: df counts docs, so 1
+    assert(byId(3L) == ((3L, 2L, 0L, 0.0, 0L)))
+  }
+
   test("cappedVocab: threshold selection equals the global top-cap ranking") {
     def countsOf(text: String) =
       Seq((0L, text)).toDF("doc_id", "text")
