@@ -444,6 +444,59 @@ object hashFunctions {
         .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
       new org.apache.spark.sql.catalyst.expressions.XxHash64(
         Seq(expression(value)), 42L)))
+
+  /** [[bloom_might_contain]] with the filter shipped as a BROADCAST instead
+    * of a plan literal: at the decontamination cap the serialized filter is
+    * ~20 MB, and a literal that size rides in every task binary and explain
+    * dump, while a broadcast ships once per executor through the block
+    * manager (the broadcast-join path). Same probe semantics bit-for-bit.
+    * The broadcast is memoized per filter-bytes IDENTITY (weak keys), so a
+    * streaming caller re-planning the probe every micro-batch with the same
+    * filter object reuses one broadcast for the stream's lifetime instead
+    * of leaking one per batch. */
+  def bloom_might_contain_bc(
+      spark: org.apache.spark.sql.SparkSession,
+      bloomBytes: Array[Byte], value: Column): Column = {
+    val appId = spark.sparkContext.applicationId
+    val bc = bloomBcCache.synchronized {
+      val cached = bloomBcCache.get(bloomBytes)
+      if (cached != null && cached._1 == appId) cached._2
+      else {
+        val fresh = spark.sparkContext.broadcast(bloomBytes)
+        bloomBcCache.put(bloomBytes, (appId, fresh))
+        fresh
+      }
+    }
+    column(BloomMightContainBroadcast(bc,
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(expression(value)), 42L)))
+  }
+
+  private val bloomBcCache = new java.util.WeakHashMap[
+    Array[Byte], (String, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+}
+
+/** Bloom membership probe over a broadcast filter (see
+  * [[hashFunctions.bloom_might_contain_bc]]). The child is the pre-hashed
+  * 64-bit value (XxHash64, matching what the filter's builder inserted);
+  * the filter deserializes once per executor on first use. */
+case class BloomMightContainBroadcast(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bcast.value))
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBroadcast =
+    copy(child = newChild)
 }
 
 /**

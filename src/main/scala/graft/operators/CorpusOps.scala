@@ -132,8 +132,11 @@ object CorpusOps {
     val shingles = corpus.select(
       col(idCol).as("doc_id"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
+    // the filter rides a broadcast, not a plan literal: at the shingle cap
+    // it serializes to ~20 MB, which would otherwise bloat every task binary
     bloom.fold(shingles)(b =>
-        shingles.filter(graft.functions.hashFunctions.bloom_might_contain(b, col("s"))))
+        shingles.filter(graft.functions.hashFunctions.bloom_might_contain_bc(
+          corpus.sparkSession, b, col("s"))))
       .join(benchCold, "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared"))

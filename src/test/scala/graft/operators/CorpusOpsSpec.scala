@@ -267,6 +267,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       graft.functions.hashFunctions.bloom_might_contain(bloom.get, $"s")).count()
     assert(surviving < total / 2,
       s"expected the bloom to prune most shingles, kept $surviving of $total")
+    // the broadcast-shipped probe (what decontaminateAgainstIndex plans —
+    // no 20 MB plan literal) answers bit-for-bit like the literal form
+    val survivingBc = shingles.filter(
+      graft.functions.hashFunctions.bloom_might_contain_bc(
+        spark, bloom.get, $"s")).count()
+    assert(survivingBc == surviving)
     // empty index -> no bloom, caller falls back to the plain join
     assert(CorpusOps.benchBloom(idx.limit(0)).isEmpty)
   }
