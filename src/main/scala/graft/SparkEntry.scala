@@ -660,6 +660,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    "q_embed_quantize" -> ((s, dir) => {
+      // int8 embedding compression: integer-exact per-vector checksums
+      // (sum, position-weighted sum, max code) + the stably-rounded scale —
+      // the quantization arithmetic verified bit-for-bit against DuckDB;
+      // ranking quality under dequantization is pinned in SimilaritySpec
+      val e = Tables.embeddings(s, dir)
+      e.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("q"),
+          Similarity.int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
+              (qi, i) => qi.cast("long") * i.cast("long")),
+            lit(0L), (a, x) => a + x).as("q_wsum"),
+          array_max(col("q")).cast("int").as("q_max"),
+          TextFunctions.stableRound(col("scale"), 6).as("scale_r"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val qv = Similarity.vectorOf(e, "vec_id", "embedding", 0L)
@@ -1172,6 +1191,25 @@ object SparkEntry {
            |       ${TextFunctions.sqlStableRound("top_bg * 1.0 / (n_words - 1)", 4)}
            |         AS top_bigram_frac
            |FROM top ORDER BY dup_word_frac DESC, doc_id LIMIT 20""".stripMargin,
+
+      "q_embed_quantize" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v,
+           |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           |      AS scale
+           |  FROM embeddings),
+           |qt AS (
+           |  SELECT vec_id, scale,
+           |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+           |      ELSE floor(x / scale + 0.5)::BIGINT END) AS q
+           |  FROM b)
+           |SELECT vec_id,
+           | CAST(list_sum(q) AS BIGINT) AS q_sum,
+           | CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * i))
+           |   AS BIGINT) AS q_wsum,
+           | CAST(list_max(q) AS INT) AS q_max,
+           | ${TextFunctions.sqlStableRound("scale", 6)} AS scale_r
+           |FROM qt ORDER BY vec_id""".stripMargin,
 
       "q_corpus_dup_spans" ->
         s"""WITH sp AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.hashFunctions._
@@ -507,6 +507,34 @@ object Similarity {
     while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /**
+   * Symmetric per-vector int8 quantization of an embedding column — the
+   * storage form for 100 TB vector corpora: 8× smaller than float64 (4× vs
+   * float32), with cosine ranking degraded only by the bounded per-element
+   * reconstruction error (≤ scale/2). scale = maxabs/127 per vector;
+   * q_i = floor(v_i/scale + 0.5) ∈ [-127, 127] — half-up via floor(x+0.5),
+   * an explicit formula engines evaluate identically, unlike native round().
+   * A zero vector quantizes to all zeros with scale 0. Pure per-row
+   * expressions: quantizing a corpus is a zero-shuffle scan stage, and the
+   * codes column stores/ships as `array<tinyint>`.
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val scale = int8Scale(vec)
+    transform(v, x =>
+      when(scale === 0.0, lit(0)).otherwise(floor(x / scale + lit(0.5))).cast("tinyint"))
+  }
+
+  /** The per-vector quantization scale (maxabs / 127) — persist it next to
+    * the codes; [[dequantizeInt8]] needs it to reconstruct. */
+  def int8Scale(vec: Column): Column =
+    aggregate(vec.cast("array<double>"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / lit(127.0)
+
+  /** Reconstruct an approximate double vector from int8 codes + scale. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, x => x.cast("double") * scale)
 
   /** Fetch one vector by id as a double array (driver-side, for query use). */
   def vectorOf(embs: DataFrame, idCol: String, vecCol: String, id: Long): Array[Double] =

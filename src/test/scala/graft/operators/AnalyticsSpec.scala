@@ -538,6 +538,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: bounded error, ranking preserved, zero-vector safe") {
+    val rows = embs.select($"vec_id",
+        $"embedding".cast("array<double>").as("v"),
+        Similarity.quantizeInt8($"embedding").as("q"),
+        Similarity.int8Scale($"embedding").as("scale"))
+      .select($"vec_id", $"v", $"q", $"scale",
+        Similarity.dequantizeInt8($"q", $"scale").as("deq"))
+      .as[(Long, Seq[Double], Seq[Byte], Double, Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v, q, scale, deq) =>
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
+      // reconstruction error is bounded by half a quantization step
+      v.zip(deq).foreach { case (x, d) =>
+        assert(math.abs(x - d) <= scale / 2 + 1e-12, s"vec $id err ${math.abs(x - d)}")
+      }
+    }
+    // zero vector: all-zero codes, zero scale, reconstructs to zeros
+    val z = Seq((99L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8($"embedding").as("q"),
+        Similarity.int8Scale($"embedding").as("scale"))
+      .as[(Seq[Byte], Double)].head()
+    assert(z == ((Seq[Byte](0, 0, 0, 0), 0.0)))
+    // cosine top-10 on DEQUANTIZED vectors recovers the exact top-10 almost
+    // entirely (64-dim, int8): ranking is what quantized storage must keep
+    val deqTable = embs.select($"vec_id",
+      Similarity.dequantizeInt8(
+        Similarity.quantizeInt8($"embedding"),
+        Similarity.int8Scale($"embedding")).as("embedding"))
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val exact = Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv,
+      k = 10, excludeId = Some(0L)).as[(Long, Double)].collect().map(_._1).toSet
+    val approx = Similarity.bruteForceTopK(deqTable, "vec_id", "embedding", qv,
+      k = 10, excludeId = Some(0L)).as[(Long, Double)].collect().map(_._1).toSet
+    assert((exact intersect approx).size >= 8,
+      s"int8 roundtrip lost ranking: ${(exact intersect approx).size}/10")
+  }
+
   test("knnJoinLshShuffled: identical rows to the broadcast form, through a shuffle join") {
     val queries = embs.filter($"vec_id" < 4)
     def sorted(df: org.apache.spark.sql.DataFrame) =
