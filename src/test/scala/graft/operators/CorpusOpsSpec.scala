@@ -206,6 +206,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(3L) == ((3L, 2L, 0L, 0.0, 0L)))
   }
 
+  test("duplicateSpanProfile matches a plain-Scala reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, doc))
+    (0 until 6).foreach { i =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(7 + i.toLong)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val k = 3
+      def spansOf(t: String): Seq[String] =
+        t.split(" ").sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      val docSets = texts.zipWithIndex.map { case (t, j) => j.toLong -> spansOf(t) }
+      val dfBySpan = docSets.flatMap { case (id, sp) => sp.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+      val expected = docSets.filter(_._2.nonEmpty).map { case (id, sp) =>
+        val dup = sp.filter(s => dfBySpan(s) >= 2)
+        (id, sp.size.toLong, dup.size.toLong,
+          BigDecimal(dup.size.toDouble / sp.size.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          if (dup.isEmpty) 0L else dup.map(dfBySpan).max)
+      }.sortBy(_._1)
+      val got = CorpusOps.duplicateSpanProfile(docs, "doc_id", "text", k = k)
+        .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(got == expected, s"seed=$i corpus=$texts")
+    }
+  }
+
   test("cappedVocab: threshold selection equals the global top-cap ranking") {
     def countsOf(text: String) =
       Seq((0L, text)).toDF("doc_id", "text")
