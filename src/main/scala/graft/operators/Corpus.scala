@@ -61,6 +61,17 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = df.join(flagged, Seq(idCol), "left_anti"))
   }
 
+  /** Drop documents whose cross-document duplicate-span fraction exceeds
+    * the threshold — shared-boilerplate removal (the detection half is
+    * [[CorpusOps.duplicateSpanProfile]]; documents shorter than `k` words
+    * carry no spans and are always kept). */
+  def dropBoilerplate(maxDupSpanFrac: Double = 0.5, k: Int = 3): Corpus = {
+    val flagged = CorpusOps.duplicateSpanProfile(df, idCol, textCol, k)
+      .filter(col("dup_span_frac") > maxDupSpanFrac)
+      .select(col("doc_id").as(idCol))
+    copy(df = df.join(flagged, Seq(idCol), "left_anti"))
+  }
+
   /** Mixture re-weighting: keep ~rate of each group, content-hash chosen. */
   def sample(rates: Map[String, Double], groupCol: String = "source",
       defaultRate: Double = 1.0): Corpus =
@@ -85,6 +96,8 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def lmQualityScore(vocabCap: Int = Int.MaxValue): DataFrame =
     CorpusOps.lmQualityScore(df, idCol, textCol, vocabCap)
   def repetitionProfile(): DataFrame = CorpusOps.repetitionProfile(df, idCol, textCol)
+  def dupSpanProfile(k: Int = 3, minDf: Int = 2): DataFrame =
+    CorpusOps.duplicateSpanProfile(df, idCol, textCol, k, minDf)
   def contaminationReport(bench: DataFrame, k: Int = 3, minShared: Int = 2): DataFrame =
     CorpusOps.decontaminate(df, bench, idCol, textCol, k, minShared)
 }

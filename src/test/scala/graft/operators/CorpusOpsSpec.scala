@@ -371,6 +371,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     val capped = c.capPerGroup(3).df.groupBy($"source").count()
       .as[(String, Long)].collect()
     assert(capped.forall(_._2 <= 3))
+    assert(c.dupSpanProfile().collect().toSet ==
+      CorpusOps.duplicateSpanProfile(docs, "doc_id", "text").collect().toSet)
+    // dropBoilerplate keeps exactly the docs at or below the threshold
+    // (plus spanless short docs)
+    val thr = 0.99
+    val flagged = CorpusOps.duplicateSpanProfile(docs, "doc_id", "text")
+      .filter($"dup_span_frac" > thr).select($"doc_id").as[Long].collect().toSet
+    val kept = c.dropBoilerplate(maxDupSpanFrac = thr).df
+      .select($"doc_id").as[Long].collect().toSet
+    val all = docs.select($"doc_id").as[Long].collect().toSet
+    assert(kept == (all diff flagged))
+    assert(flagged.nonEmpty, "word-soup corpus should have some all-dup docs at 0.99")
   }
 
   test("deterministicShuffle: reproducible order, epoch reshuffles") {
