@@ -21,14 +21,27 @@ import graft.functions.hashFunctions._
  */
 object Similarity {
 
+  /** Executor-side guard: fail the job with a pointed error when a stored
+    * vector's dimension differs from the query's — `cosine_similarity`
+    * yields null on mismatch, which would otherwise SILENTLY rank the
+    * mismatched rows last and return a plausible-looking (wrong) top-k.
+    * `assert_true` throws on the first bad row and evaluates to null
+    * otherwise, so the filter keeps every valid row and costs one codegen'd
+    * comparison. */
+  private def requireDim(df: DataFrame, vecCol: Column, dim: Int): DataFrame =
+    df.filter(assert_true(size(vecCol) === dim,
+      concat(lit("embedding dimension "), size(vecCol).cast("string"),
+        lit(s" != query dimension $dim — wrong index/corpus for this query?"))).isNull)
+
   /** Exact cosine top-k neighbors of `queryVec` (excluding `excludeId`). */
   def bruteForceTopK(
       embs: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int = 10, excludeId: Option[Long] = None): DataFrame = {
     val qLit = array(queryVec.map(lit): _*)
-    val scored = embs.select(col(idCol).as("vec_id"),
-      graft.functions.TextFunctions.stableRound(
-        cosine_similarity(col(vecCol), qLit), 6).as("cosine"))
+    val scored = requireDim(embs, col(vecCol), queryVec.length)
+      .select(col(idCol).as("vec_id"),
+        graft.functions.TextFunctions.stableRound(
+          cosine_similarity(col(vecCol), qLit), 6).as("cosine"))
     excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
@@ -55,6 +68,8 @@ object Similarity {
       col(qVecCol).cast("array<double>").as("qv")))
     val scored = corpus.select(col(cIdCol).as("vec_id"), col(cVecCol).as("v"))
       .crossJoin(q)
+      .filter(assert_true(size(col("v")) === size(col("qv")),
+        lit("query/corpus embedding dimensions differ")).isNull)
       .select(col("query_id"), col("vec_id"),
         graft.functions.TextFunctions.stableRound(
           cosine_similarity(col("v"), col("qv")), 6).as("cosine"))
@@ -123,6 +138,8 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         col("__b0").bitwiseXOR(col("__flip")).as("bucket"))
     val scored = bucketed.join(if (broadcastProbes) broadcast(probes) else probes, "bucket")
+      .filter(assert_true(size(col("v")) === size(col("qv")),
+        lit("query/corpus embedding dimensions differ")).isNull)
       .select(col("query_id"), col("vec_id"),
         graft.functions.TextFunctions.stableRound(
           cosine_similarity(col("v"), col("qv")), 6).as("cosine"))
@@ -195,7 +212,8 @@ object Similarity {
       case _ => probes
     }
     val qLit = array(queryVec.map(lit): _*)
-    val scored = index.filter(col("bucket").isin(probeVals: _*))
+    val scored = requireDim(
+        index.filter(col("bucket").isin(probeVals: _*)), col("v"), queryVec.length)
       .select(col("vec_id"), round(cosine_similarity(col("v"), qLit), 6).as("cosine"))
     excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -308,7 +326,8 @@ object Similarity {
     val qCells = cents.map { case (cid, c) => (cid, cosineOf(queryVec, c)) }
       .sortBy(-_._2).take(nProbe).map(_._1)
     val qLit = array(queryVec.map(lit): _*)
-    val scored = index.filter(col("cell").isin(qCells: _*))
+    val scored = requireDim(
+        index.filter(col("cell").isin(qCells: _*)), col("v"), queryVec.length)
       .select(col("vec_id"), round(cosine_similarity(col("v"), qLit), 6).as("cosine"))
     excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
       .orderBy(col("cosine").desc, col("vec_id").asc)

@@ -538,6 +538,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dimension mismatch fails loudly, never ranks null similarities") {
+    // cosine_similarity is null on mismatched lengths; without the guard a
+    // 32-dim query against the 64-dim corpus would return a plausible-
+    // looking (wrong) result instead of an error
+    val shortQ = Array.fill(32)(0.1)
+    def failsPointedly(f: => Unit): Unit = {
+      val e = intercept[Exception](f)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("dimension")), e.getMessage)
+    }
+    failsPointedly(Similarity.bruteForceTopK(
+      embs, "vec_id", "embedding", shortQ, k = 5).collect())
+    failsPointedly(Similarity.lshTopK(
+      embs, "vec_id", "embedding", shortQ, k = 5, numBits = 4).collect())
+    val queries = embs.limit(2).select($"vec_id",
+      expr("slice(cast(embedding as array<double>), 1, 32)").as("embedding"))
+    failsPointedly(Similarity.knnJoin(
+      queries, "vec_id", "embedding", embs, "vec_id", "embedding", k = 3).collect())
+    failsPointedly(Similarity.knnJoinLsh(
+      queries, "vec_id", "embedding", embs, "vec_id", "embedding",
+      k = 3, numBits = 4).collect())
+  }
+
   test("int8 quantization: bounded error, ranking preserved, zero-vector safe") {
     val rows = embs.select($"vec_id",
         $"embedding".cast("array<double>").as("v"),
