@@ -408,11 +408,12 @@ object Similarity {
    * answer identically. Returns the number of buckets rewritten.
    *
    * Not crash-atomic: new files land in the bucket before the old ones are
-   * deleted, so a failure mid-swap leaves duplicate vectors in that bucket —
-   * re-run compaction (idempotent: the bucket is simply over-threshold
-   * again... but with duplicated rows) or rebuild with [[saveLshIndex]]
-   * after a crash. At 100 TB the alternative — a transactional table format
-   * — is a storage-layer concern, not an index-layer one.
+   * deleted, so a failure mid-swap leaves duplicate vectors in that bucket.
+   * [[validateLshIndex]] catches that state loudly (the count fingerprint
+   * no longer matches the corpus) — run it after a failed compaction and
+   * rebuild the index with [[saveLshIndex]] if it fires. At 100 TB the
+   * atomic alternative — a transactional table format — is a storage-layer
+   * concern, not an index-layer one.
    */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerBucket: Int = 1): Int =

@@ -113,6 +113,16 @@ class PlanSpec extends AnyFunSuite {
       .columns.toSeq == Seq("text", "keeper", "n_dups"))
   }
 
+  test("duplicate-span plan shuffles 8-byte span hashes, never span text") {
+    val q = SparkEntry.queries("q_corpus_dup_spans")(spark, dir)
+    val exchanges = plan(q).linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected hash exchanges in the span plan")
+    exchanges.foreach { l =>
+      assert(!l.matches(""".*hashpartitioning\(s#\d+.*"""), l)
+    }
+  }
+
   test("capped-vocab LM plan has no single-partition global sort-limit") {
     // vocabCap targets web-scale vocabularies — exactly where a global
     // orderBy().limit(cap) (one reducer holding the whole vocab) breaks.
