@@ -224,25 +224,46 @@ object Similarity {
    * Persist an LSH index so repeated queries stop paying a full corpus scan:
    * `buckets/` holds the bucketed vector table partitioned BY BUCKET — a
    * query then reads only its probe buckets' files — and `params/` the
-   * (numBits, seed) pair so load-side probing uses the identical planes.
+   * (numBits, seed, int8) triple so load-side probing uses the identical
+   * planes and appends keep the storage form.
+   *
+   * `int8 = true` stores [[quantizeInt8]] codes + per-vector scale instead
+   * of the raw doubles — at 100 TB the index bytes ARE the probe-time scan
+   * cost, and int8 cuts them ~8× against float64 for a bounded score
+   * perturbation (≤ scale/2 per element before the cosine). [[loadLshIndex]]
+   * reconstructs a `v` column transparently, so probes and validation are
+   * storage-form agnostic; ranks can differ from the float index only where
+   * true cosines are within quantization error of each other.
    */
-  def saveLshIndex(index: DataFrame, numBits: Int, seed: Long, path: String): Unit = {
+  def saveLshIndex(index: DataFrame, numBits: Int, seed: Long, path: String,
+      int8: Boolean = false): Unit = {
     // cluster each bucket into one task before partitionBy: otherwise every
     // input partition emits a file per bucket it touches (N x 2^bits small
     // files), and probe-time file listing/opens dominate the scan it saved
-    index.repartition(col("bucket"))
+    storageForm(index, int8).repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
     val spark = index.sparkSession
     import spark.implicits._
-    Seq((numBits, seed)).toDF("num_bits", "seed")
+    Seq((numBits, seed, int8)).toDF("num_bits", "seed", "int8")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Load a persisted LSH index: (buckets, numBits, seed). */
+  private def storageForm(index: DataFrame, int8: Boolean): DataFrame =
+    if (!int8) index
+    else index.select(col("vec_id"), quantizeInt8(col("v")).as("q"),
+      int8Scale(col("v")).as("scale"), col("bucket"))
+
+  /** Load a persisted LSH index: (buckets, numBits, seed). An int8-stored
+    * index comes back with its `v` column reconstructed from codes+scale,
+    * so every probe/validation path works unchanged. */
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, Int, Long) = {
     val p = spark.read.parquet(s"$path/params").select(col("num_bits"), col("seed")).head()
-    (spark.read.parquet(s"$path/buckets"), p.getInt(0), p.getLong(1))
+    val raw = spark.read.parquet(s"$path/buckets")
+    val df = if (raw.columns.contains("q"))
+      raw.select(col("vec_id"), dequantizeInt8(col("q"), col("scale")).as("v"), col("bucket"))
+    else raw
+    (df, p.getInt(0), p.getLong(1))
   }
 
   /** Order-independent corpus fingerprint: (count, xor of id hashes). One
@@ -283,8 +304,13 @@ object Similarity {
   def appendToLshIndex(
       newVecs: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = newVecs.sparkSession
-    val p = spark.read.parquet(s"$path/params").select(col("num_bits"), col("seed")).head()
-    lshIndex(newVecs, idCol, vecCol, p.getInt(0), p.getLong(1))
+    val params = spark.read.parquet(s"$path/params")
+    val p = params.select(col("num_bits"), col("seed")).head()
+    // deltas must keep the index's storage form: appending raw doubles to an
+    // int8 index would mix schemas inside the bucket files
+    val int8 = params.columns.contains("int8") &&
+      params.select(col("int8")).head().getBoolean(0)
+    storageForm(lshIndex(newVecs, idCol, vecCol, p.getInt(0), p.getLong(1)), int8)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
   }

@@ -706,6 +706,40 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.validateLshIndex(spark, path, embs, "vec_id")
   }
 
+  test("int8 LSH index: much smaller on disk, probes keep recall, appends stay int8") {
+    def dirBytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(d))
+    }
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val idx = Similarity.lshIndex(embs, "vec_id", "embedding", numBits = 4, seed = 42L)
+    val pFloat = java.nio.file.Files.createTempDirectory("lsh-f64").toString
+    val pInt8 = java.nio.file.Files.createTempDirectory("lsh-i8").toString
+    Similarity.saveLshIndex(idx, 4, 42L, pFloat)
+    Similarity.saveLshIndex(idx, 4, 42L, pInt8, int8 = true)
+    assert(dirBytes(s"$pInt8/buckets") < (dirBytes(s"$pFloat/buckets") * 0.6).toLong,
+      s"int8 index should be far smaller: ${dirBytes(s"$pInt8/buckets")} vs " +
+        s"${dirBytes(s"$pFloat/buckets")}")
+    // probing through the reconstructed vectors keeps ranking quality
+    val (qi, bits, seedv) = Similarity.loadLshIndex(spark, pInt8)
+    val approx = Similarity.lshTopKWith(qi, bits, seedv, qv, 10,
+      multiProbe = 2, excludeId = Some(0L)).as[(Long, Double)].collect().map(_._1).toSet
+    val exact = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,
+      numBits = 4, seed = 42L, multiProbe = 2, excludeId = Some(0L))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert((approx intersect exact).size >= 8,
+      s"int8 probe lost recall: ${(approx intersect exact).size}/10")
+    // validation sees the reconstructed index; appends keep the int8 form
+    Similarity.validateLshIndex(spark, pInt8, embs, "vec_id")
+    val extra = embs.limit(1).withColumn("vec_id", $"vec_id" + 5000L)
+    Similarity.appendToLshIndex(extra, "vec_id", "embedding", pInt8)
+    val (qi2, _, _) = Similarity.loadLshIndex(spark, pInt8)
+    assert(qi2.count() == embs.count() + 1)
+    assert(qi2.filter($"v".isNull).count() == 0,
+      "append must have written int8 codes the loader reconstructs")
+  }
+
   test("compaction: appended multi-file buckets collapse to one file, probes unchanged") {
     def bucketFiles(dir: String, prefix: String): Map[String, Int] =
       new java.io.File(dir).listFiles().filter(_.getName.startsWith(prefix))
