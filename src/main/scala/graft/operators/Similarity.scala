@@ -364,13 +364,15 @@ object Similarity {
    * Persist an IVF index so the (k-means + assignment) build cost is paid
    * once: `assignments/` holds the per-vector cell table partitioned BY CELL
    * — a query then prunes to its nProbe cells at the file-listing level —
-   * and `centroids/` the tiny centroid table.
+   * and `centroids/` the tiny centroid table. `int8` stores quantized
+   * codes + scale like [[saveLshIndex]]; probes are storage-form agnostic.
    */
   def saveIvfIndex(
-      index: DataFrame, cents: Array[(Int, Array[Double])], path: String): Unit = {
+      index: DataFrame, cents: Array[(Int, Array[Double])], path: String,
+      int8: Boolean = false): Unit = {
     // one file per cell (see saveLshIndex): probe-time listing cost stays
     // proportional to probed cells, not input partitioning
-    index.repartition(col("cell"))
+    ivfStorageForm(index, int8).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
     val spark = index.sparkSession
     import spark.implicits._
@@ -378,10 +380,19 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Load a persisted IVF index: (assignments, centroids). */
+  private def ivfStorageForm(index: DataFrame, int8: Boolean): DataFrame =
+    if (!int8) index
+    else index.select(col("vec_id"), quantizeInt8(col("v")).as("q"),
+      int8Scale(col("v")).as("scale"), col("cell"))
+
+  /** Load a persisted IVF index: (assignments, centroids). An int8-stored
+    * index (detected by schema) comes back with `v` reconstructed. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, Array[(Int, Array[Double])]) = {
-    val index = spark.read.parquet(s"$path/assignments")
+    val raw = spark.read.parquet(s"$path/assignments")
+    val index = if (raw.columns.contains("q"))
+      raw.select(col("vec_id"), dequantizeInt8(col("q"), col("scale")).as("v"), col("cell"))
+    else raw
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("centroid"))
       .collect()
@@ -418,8 +429,11 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("cell", best_centroid(col("v"), cents.map(_._2)))
+    // schema-detect the persisted storage form so deltas match it
+    val int8 = spark.read.parquet(s"$path/assignments").columns.contains("q")
+    ivfStorageForm(
+        newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+          .withColumn("cell", best_centroid(col("v"), cents.map(_._2))), int8)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
   }

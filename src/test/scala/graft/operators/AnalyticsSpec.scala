@@ -738,6 +738,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qi2.count() == embs.count() + 1)
     assert(qi2.filter($"v".isNull).count() == 0,
       "append must have written int8 codes the loader reconstructs")
+    // --- IVF twin: int8 assignments, schema-detected appends ---
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    val ivfP = java.nio.file.Files.createTempDirectory("ivf-i8").toString
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndexWith(embs, "vec_id", "embedding", cents), cents, ivfP, int8 = true)
+    val (iv, loadedCents) = Similarity.loadIvfIndex(spark, ivfP)
+    val iApprox = Similarity.ivfTopKWith(iv, loadedCents, qv, 10, nProbe = 8,
+      excludeId = Some(0L)).as[(Long, Double)].collect().map(_._1).toSet
+    val iExact = Similarity.ivfTopKWith(
+      Similarity.ivfIndexWith(embs, "vec_id", "embedding", cents), cents, qv, 10,
+      nProbe = 8, excludeId = Some(0L)).as[(Long, Double)].collect().map(_._1).toSet
+    assert((iApprox intersect iExact).size >= 8,
+      s"int8 IVF probe lost recall: ${(iApprox intersect iExact).size}/10")
+    Similarity.appendToIvfIndex(extra, "vec_id", "embedding", ivfP)
+    val (iv2, _) = Similarity.loadIvfIndex(spark, ivfP)
+    assert(iv2.count() == embs.count() + 1)
+    assert(iv2.filter($"v".isNull).count() == 0)
   }
 
   test("compaction: appended multi-file buckets collapse to one file, probes unchanged") {
