@@ -155,10 +155,28 @@ object SparkEntry {
     * params: re-creating it per probe via `spark.read.parquet` pays file
     * listing + schema/partition discovery each call (~0.2-0.4 s of fixed
     * I/O at sf0.1), while the cached frame keeps its InMemoryFileIndex and
-    * each probe goes straight to partition pruning. Keyed by session so a
-    * stale frame from a stopped session is never served. */
-  private val lshIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Int, Long)]()
+    * each probe goes straight to partition pruning. Same lifecycle as
+    * [[ngramPairsMemo]]: entries for stopped sessions are evicted on every
+    * access, and the `eq` check guards against identityHashCode reuse by a
+    * later session. */
+  private val lshIndexes = new java.util.HashMap[Integer,
+    (SparkSession, scala.collection.mutable.Map[String, (DataFrame, Int, Long)])]()
+  private def lshIndexShared(s: SparkSession, dir: String,
+      build: () => (DataFrame, Int, Long)): (DataFrame, Int, Long) =
+    lshIndexes.synchronized {
+      lshIndexes.entrySet().removeIf(_.getValue._1.sparkContext.isStopped)
+      val k = Integer.valueOf(System.identityHashCode(s))
+      val cur = lshIndexes.get(k)
+      val entry =
+        if (cur != null && (cur._1 eq s)) cur
+        else {
+          val fresh = (s,
+            scala.collection.mutable.Map.empty[String, (DataFrame, Int, Long)])
+          lshIndexes.put(k, fresh)
+          fresh
+        }
+      entry._2.getOrElseUpdate(dir, build())
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
@@ -535,7 +553,7 @@ object SparkEntry {
       // 4-partition source (not the batch-side shuffle width), and one
       // large batch — every extra micro-batch is a full state-commit round
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = s.readStream.format(GraftEventLog.Format)
           .option("path", mid(dir)).option("partitions", "4")
@@ -632,14 +650,13 @@ object SparkEntry {
       // per query at sf0.1 while keeping enough candidates for a full top-10.
       // Runs through the PERSISTED index (built once per corpus, partitioned
       // by bucket) so each probe prunes unread buckets at file-listing level.
-      val (buckets, bits, seed) = lshIndexes.computeIfAbsent(
-        s"${System.identityHashCode(s)}|$dir", _ => {
-          val p = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
-          Similarity.saveLshIndex(
-            Similarity.lshIndex(e, "vec_id", "embedding", numBits = 6, seed = 42L),
-            numBits = 6, seed = 42L, p)
-          Similarity.loadLshIndex(s, p) // params roundtrip, once
-        })
+      val (buckets, bits, seed) = lshIndexShared(s, dir, () => {
+        val p = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+        Similarity.saveLshIndex(
+          Similarity.lshIndex(e, "vec_id", "embedding", numBits = 6, seed = 42L),
+          numBits = 6, seed = 42L, p)
+        Similarity.loadLshIndex(s, p) // params roundtrip, once
+      })
       Similarity.lshTopKWith(buckets, bits, seed,
         qv, k = 10, multiProbe = 3, excludeId = Some(0L))
     }),
@@ -755,7 +772,7 @@ object SparkEntry {
       // end offsets, so an unbounded budget means exactly one batch at any
       // scale factor. State partitions sized to the 4-partition source.
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = s.readStream.format(GraftEventLog.Format)
           .option("path", mid(dir)).option("partitions", "4")
@@ -781,7 +798,7 @@ object SparkEntry {
         .agg(round(avg(col("value")), 4).as("type_avg_value"))
       val out = "se_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = s.readStream.format(GraftEventLog.Format)
           .option("path", mid(dir)).option("partitions", "4")
@@ -829,7 +846,7 @@ object SparkEntry {
           col("body").cast("string").as("text"))
       val outDir = java.nio.file.Files.createTempDirectory(s"sdc_out_$tag").toString
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         // foreachBatch is at-least-once: a retried epoch must not duplicate
         // report rows, so each epoch writes to its own overwritten subdir —
@@ -884,7 +901,7 @@ object SparkEntry {
       val rawSchema = s.read.parquet(mid(dir)).schema
       val out = "ssz_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         // file-source streams need a directory basePath; the glob keeps the
         // listing to the events table inside the shared sf directory

@@ -450,36 +450,55 @@ object hashFunctions {
     * ~20 MB, and a literal that size rides in every task binary and explain
     * dump, while a broadcast ships once per executor through the block
     * manager (the broadcast-join path). Same probe semantics bit-for-bit.
-    * The broadcast is memoized per filter-bytes IDENTITY (weak keys), so a
-    * streaming caller re-planning the probe every micro-batch with the same
-    * filter object reuses one broadcast for the stream's lifetime instead
-    * of leaking one per batch. */
+    * The broadcast is memoized by filter CONTENT in a small LRU
+    * ([[BloomBcCache]]): rebuilding the same benchmark's filter serializes
+    * identically (the partial-filter OR-merge is order-independent), so
+    * repeated batch decontaminations and every micro-batch of a stream
+    * reuse ONE broadcast; evicted entries drop their strong reference and
+    * Spark's ContextCleaner reclaims the executor blocks. */
   def bloom_might_contain_bc(
       spark: org.apache.spark.sql.SparkSession,
-      bloomBytes: Array[Byte], value: Column): Column = {
-    val appId = spark.sparkContext.applicationId
-    val bc = bloomBcCache.synchronized {
-      val cached = bloomBcCache.get(bloomBytes)
-      if (cached != null && cached._1 == appId) cached._2
-      else {
-        val fresh = spark.sparkContext.broadcast(bloomBytes)
-        bloomBcCache.put(bloomBytes, (appId, fresh))
-        fresh
-      }
-    }
-    column(BloomMightContainBroadcast(bc,
+      bloomBytes: Array[Byte], value: Column): Column =
+    column(BloomMightContainBroadcast(
+      BloomBcCache.getOrCreate(spark, bloomBytes),
       new org.apache.spark.sql.catalyst.expressions.XxHash64(
         Seq(expression(value)), 42L)))
-  }
+}
 
-  private val bloomBcCache = new java.util.WeakHashMap[
-    Array[Byte], (String, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+/** Content-keyed LRU of bloom-filter broadcasts (see
+  * [[hashFunctions.bloom_might_contain_bc]]). Bounded so distinct filters
+  * cannot accumulate broadcasts for the driver's lifetime: beyond
+  * [[BloomBcCache.MaxEntries]] the eldest entry is dropped, making its
+  * broadcast ContextCleaner-collectable once no running plan references it. */
+private[functions] object BloomBcCache {
+  private val MaxEntries = 4
+  private type Key = (String, scala.collection.immutable.ArraySeq[Byte])
+  private val cache = new java.util.LinkedHashMap[
+      Key, org.apache.spark.broadcast.Broadcast[Array[Byte]]](8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Key, org.apache.spark.broadcast.Broadcast[Array[Byte]]])
+        : Boolean = size() > MaxEntries
+  }
+  def getOrCreate(spark: org.apache.spark.sql.SparkSession, bytes: Array[Byte])
+      : org.apache.spark.broadcast.Broadcast[Array[Byte]] = cache.synchronized {
+    val key = (spark.sparkContext.applicationId,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes))
+    val cached = cache.get(key)
+    if (cached != null) cached
+    else {
+      val fresh = spark.sparkContext.broadcast(bytes)
+      cache.put(key, fresh)
+      fresh
+    }
+  }
 }
 
 /** Bloom membership probe over a broadcast filter (see
   * [[hashFunctions.bloom_might_contain_bc]]). The child is the pre-hashed
   * 64-bit value (XxHash64, matching what the filter's builder inserted);
-  * the filter deserializes once per executor on first use. */
+  * the filter deserializes once per EXECUTOR per broadcast (companion memo)
+  * — each task deserializes its own plan copy of this expression, so an
+  * instance-local lazy val would re-read the ~20 MB bytes per task. */
 case class BloomMightContainBroadcast(
     bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
     child: Expression)
@@ -488,15 +507,29 @@ case class BloomMightContainBroadcast(
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "bloom_might_contain_bc"
 
-  @transient private lazy val filter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bcast.value))
+  @transient private lazy val filter = BloomMightContainBroadcast.filterFor(bcast)
 
   override protected def nullSafeEval(input: Any): Any =
     filter.mightContainLong(input.asInstanceOf[Long])
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainBroadcast =
     copy(child = newChild)
+}
+
+object BloomMightContainBroadcast {
+  /** Executor-side memo of deserialized filters per broadcast id. Cleared
+    * wholesale past a handful of entries — live broadcast count is already
+    * bounded by the driver-side [[BloomBcCache]] LRU. */
+  private val filters = new java.util.concurrent.ConcurrentHashMap[
+    Long, org.apache.spark.util.sketch.BloomFilter]()
+  private[functions] def filterFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      : org.apache.spark.util.sketch.BloomFilter = {
+    if (filters.size > 8) filters.clear()
+    filters.computeIfAbsent(bc.id, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value)))
+  }
 }
 
 /**

@@ -27,10 +27,13 @@ object Similarity {
     * mismatched rows last and return a plausible-looking (wrong) top-k.
     * `assert_true` throws on the first bad row and evaluates to null
     * otherwise, so the filter keeps every valid row and costs one codegen'd
-    * comparison. */
+    * comparison. A NULL vector is NOT a mismatch: it scores a null cosine
+    * and ranks last, exactly as before the guard — aborting a corpus scan
+    * over one null row would be the louder wrong behavior. */
   private def requireDim(df: DataFrame, vecCol: Column, dim: Int): DataFrame =
-    df.filter(assert_true(size(vecCol) === dim,
-      concat(lit("embedding dimension "), size(vecCol).cast("string"),
+    df.filter(assert_true(size(vecCol).isNull || size(vecCol) === dim,
+      concat(lit("embedding dimension "),
+        coalesce(size(vecCol).cast("string"), lit("?")),
         lit(s" != query dimension $dim — wrong index/corpus for this query?"))).isNull)
 
   /** Exact cosine top-k neighbors of `queryVec` (excluding `excludeId`). */
@@ -68,7 +71,9 @@ object Similarity {
       col(qVecCol).cast("array<double>").as("qv")))
     val scored = corpus.select(col(cIdCol).as("vec_id"), col(cVecCol).as("v"))
       .crossJoin(q)
-      .filter(assert_true(size(col("v")) === size(col("qv")),
+      .filter(assert_true(
+        size(col("v")).isNull || size(col("qv")).isNull ||
+          size(col("v")) === size(col("qv")),
         lit("query/corpus embedding dimensions differ")).isNull)
       .select(col("query_id"), col("vec_id"),
         graft.functions.TextFunctions.stableRound(
@@ -138,7 +143,9 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         col("__b0").bitwiseXOR(col("__flip")).as("bucket"))
     val scored = bucketed.join(if (broadcastProbes) broadcast(probes) else probes, "bucket")
-      .filter(assert_true(size(col("v")) === size(col("qv")),
+      .filter(assert_true(
+        size(col("v")).isNull || size(col("qv")).isNull ||
+          size(col("v")) === size(col("qv")),
         lit("query/corpus embedding dimensions differ")).isNull)
       .select(col("query_id"), col("vec_id"),
         graft.functions.TextFunctions.stableRound(
@@ -447,13 +454,14 @@ object Similarity {
    * one file each; `params/` is untouched, so probes before and after
    * answer identically. Returns the number of buckets rewritten.
    *
-   * Not crash-atomic: new files land in the bucket before the old ones are
-   * deleted, so a failure mid-swap leaves duplicate vectors in that bucket.
-   * [[validateLshIndex]] catches that state loudly (the count fingerprint
-   * no longer matches the corpus) — run it after a failed compaction and
-   * rebuild the index with [[saveLshIndex]] if it fires. At 100 TB the
-   * atomic alternative — a transactional table format — is a storage-layer
-   * concern, not an index-layer one.
+   * Not crash-atomic, and not isolated from concurrent probes: new files
+   * land in the bucket before the old ones are deleted, so a probe that
+   * lists files mid-swap can see a bucket's vectors TWICE (duplicates can
+   * displace genuine neighbors from its top-k), and a crash mid-swap leaves
+   * the duplicates behind — [[validateLshIndex]] catches that state loudly
+   * (count fingerprint mismatch); rebuild with [[saveLshIndex]] if it
+   * fires. Run compaction in a maintenance window, like any file-level
+   * rewrite without a transactional table format underneath.
    */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerBucket: Int = 1): Int =

@@ -560,6 +560,15 @@ class SimilaritySpec extends AnyFunSuite {
     failsPointedly(Similarity.knnJoinLsh(
       queries, "vec_id", "embedding", embs, "vec_id", "embedding",
       k = 3, numBits = 4).collect())
+    // a NULL embedding row is NOT a mismatch: it must not abort the scan —
+    // it scores a null cosine and is excluded, the pre-guard behavior
+    val withNull = embs.select($"vec_id",
+      when($"vec_id" === 1L, lit(null).cast("array<float>"))
+        .otherwise($"embedding").as("embedding"))
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    val res = Similarity.bruteForceTopK(withNull, "vec_id", "embedding", qv,
+      k = 5, excludeId = Some(0L)).as[(Long, Double)].collect()
+    assert(res.length == 5 && !res.map(_._1).contains(1L))
   }
 
   test("int8 quantization: bounded error, ranking preserved, zero-vector safe") {
