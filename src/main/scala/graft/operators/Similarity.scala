@@ -124,6 +124,55 @@ object Similarity {
     knnJoinLshImpl(queries, qIdCol, qVecCol, corpus, cIdCol, cVecCol,
       k, numBits, seed, excludeSelf, broadcastProbes = false)
 
+  /**
+   * Batch k-NN join THROUGH a persisted LSH index (from [[loadLshIndex]]):
+   * the query set's Hamming-≤1 probe rows join against the saved bucket
+   * table instead of re-bucketing the corpus live. The query side is
+   * broadcast-sized by the same contract as [[knnJoinLsh]], so its distinct
+   * probe-bucket set is collected once on the driver and pushed as a STATIC
+   * partition filter — only the probed buckets' files are listed and read
+   * (the "index once, probe many" shape, now for query batches; relying on
+   * dynamic partition pruning instead would prune only at runtime and only
+   * when the planner picks a broadcast join). Results are identical to
+   * [[knnJoinLsh]] over the indexed corpus with the same params.
+   */
+  def knnJoinLshWith(
+      index: DataFrame, numBits: Int, seed: Long,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val qBase = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+      .withColumn("__b0", hyperplane_lsh_bucket(col("qv"), numBits, seed))
+    val flips = array((0 until numBits).map(i => lit(1L << i)) :+ lit(0L): _*)
+    val probes = qBase
+      .select(col("query_id"), col("qv"), col("__b0"), explode(flips).as("__flip"))
+      .select(col("query_id"), col("qv"),
+        col("__b0").bitwiseXOR(col("__flip")).as("bucket"))
+      .localCheckpoint(eager = false)
+    val bucketDt = index.schema("bucket").dataType
+    val probeVals: Seq[Any] = {
+      val longs = probes.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      bucketDt match {
+        case org.apache.spark.sql.types.IntegerType => longs.map(_.toInt)
+        case _ => longs
+      }
+    }
+    val scored = index.filter(col("bucket").isin(probeVals: _*))
+      .join(broadcast(probes.withColumn("bucket", col("bucket").cast(bucketDt))), "bucket")
+      .filter(assert_true(
+        size(col("v")).isNull || size(col("qv")).isNull ||
+          size(col("v")) === size(col("qv")),
+        lit("query/index embedding dimensions differ")).isNull)
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.TextFunctions.stableRound(
+          cosine_similarity(col("v"), col("qv")), 6).as("cosine"))
+    val base = if (excludeSelf) scored.filter(col("query_id") =!= col("vec_id")) else scored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    base.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   private def knnJoinLshImpl(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String,

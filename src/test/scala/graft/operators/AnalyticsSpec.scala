@@ -766,6 +766,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(iv2.filter($"v".isNull).count() == 0)
   }
 
+  test("knnJoinLshWith: batch join through the persisted index, only probe buckets read") {
+    val path = java.nio.file.Files.createTempDirectory("lsh-knn-idx").toString
+    Similarity.saveLshIndex(
+      Similarity.lshIndex(embs, "vec_id", "embedding", numBits = 5, seed = 42L),
+      numBits = 5, seed = 42L, path)
+    val (idx, bits, seedv) = Similarity.loadLshIndex(spark, path)
+    val queries = embs.filter($"vec_id" < 4)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val viaIndex = Similarity.knnJoinLshWith(idx, bits, seedv,
+      queries, "vec_id", "embedding", k = 5)
+    val live = Similarity.knnJoinLsh(queries, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5, numBits = 5, seed = 42L)
+    assert(sorted(viaIndex) == sorted(live),
+      "persisted-index batch join must answer exactly like the live form")
+    // static pruning: the scan touches only the queries' probe buckets
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scansOf)
+    }
+    val scans = scansOf(viaIndex.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fields.nonEmpty)
+    assert(scans.nonEmpty, "expected a bucket-partitioned parquet scan")
+    val readBuckets = scans.flatMap { s =>
+      val dt = s.relation.partitionSchema.fields(0).dataType
+      s.selectedPartitions.filePartitionIterator
+        .map(_.values.get(0, dt).toString.toLong).toSeq
+    }.toSet
+    val probeBuckets = queries.select(
+        graft.functions.hashFunctions.hyperplane_lsh_bucket(
+          $"embedding".cast("array<double>"), 5, 42L).as("b"))
+      .collect().map(_.getLong(0)).toSet
+      .flatMap((b: Long) => (0 until 5).map(i => b ^ (1L << i)).toSet + b)
+    assert(readBuckets.subsetOf(probeBuckets),
+      s"scan read $readBuckets beyond the probe set $probeBuckets")
+    val allOnDisk = new java.io.File(s"$path/buckets").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(readBuckets.size < allOnDisk, "pruning must skip non-probe buckets")
+  }
+
   test("compaction: appended multi-file buckets collapse to one file, probes unchanged") {
     def bucketFiles(dir: String, prefix: String): Map[String, Int] =
       new java.io.File(dir).listFiles().filter(_.getName.startsWith(prefix))
