@@ -867,6 +867,61 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_stream_knn" -> ((s, dir) => {
+      // streaming vector-search enrichment: query vectors flow through the
+      // graft sink into a log (doubles serialized shortest-roundtrip, so
+      // the parse back is bit-identical), stream back in admission-
+      // controlled micro-batches, and every batch takes exact top-k
+      // neighbors from the STATIC corpus — a micro-batch is dimension-
+      // table-sized, exactly knnJoin's broadcast contract. Per-query
+      // stateless, so the union over ANY trigger slicing equals the batch
+      // k-NN join and the batch oracle gates the streaming path.
+      val e = Tables.embeddings(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "knn_" + tag
+      // the streamed QUERY set is a fixed 128-vector slice: exact k-NN cost
+      // is |queries| x |corpus| by contract, and the gate's point is the
+      // streaming protocol (sink -> admission-controlled batches -> per-
+      // batch join), not an all-pairs sweep that would grow quadratically
+      // with the scale factor
+      e.filter(col("vec_id") < 128).select(
+          concat_ws(",", transform(col("embedding").cast("array<double>"),
+            x => x.cast("string"))).cast("binary").as("body"),
+          map(lit("vec_id"), col("vec_id").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      // ~4 micro-batches at any scale factor, cap from log-bounds metadata
+      val nVecs = GraftEventLog.count(logName)
+      val perTrigger = math.max(64L, (nVecs + 3) / 4)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("vec_id").cast("long").as("vec_id"),
+          transform(split(col("body").cast("string"), ","),
+            x => x.cast("double")).as("embedding"))
+      val outDir = java.nio.file.Files.createTempDirectory(s"knn_out_$tag").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // epoch-keyed overwrite: foreachBatch is at-least-once, a retried
+          // epoch replaces its own (possibly partial) output
+          Similarity.knnJoin(batch, "vec_id", "embedding",
+              e, "vec_id", "embedding", k = 3)
+            .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+          ()
+        }.trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        sources.EventLogRegistry.drop(logName)
+      }
+      s.read.parquet(outDir)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     "q_stream_join" -> ((s, dir) => {
       val out = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
       runStreamIntervalJoin(s, dir, out, watermarkDelay = "1 hour", joinType = "inner")
@@ -1558,6 +1613,19 @@ object SparkEntry {
           | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           |                 ORDER BY cosine DESC, vec_id ASC) AS rk FROM s)
           |SELECT query_id, vec_id, cosine, rk FROM r WHERE rk <= 5
+          |ORDER BY query_id, rk""".stripMargin,
+
+      // the streaming form is per-batch stateless (each query vector's
+      // top-k depends only on itself and the static corpus), so the batch
+      // all-queries k-NN join is its exact oracle under any trigger slicing
+      "q_stream_knn" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          | s AS (SELECT q.vec_id AS query_id, e.vec_id,
+          |        (round(list_cosine_similarity(e.v, q.v) * 1000000.0) / 1000000.0) AS cosine
+          |       FROM e q, e WHERE e.vec_id != q.vec_id AND q.vec_id < 128),
+          | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |                 ORDER BY cosine DESC, vec_id ASC) AS rk FROM s)
+          |SELECT query_id, vec_id, cosine, rk FROM r WHERE rk <= 3
           |ORDER BY query_id, rk""".stripMargin,
 
       "q_text_stats" ->
