@@ -162,21 +162,29 @@ object SparkEntry {
   private val lshIndexes = new java.util.HashMap[Integer,
     (SparkSession, scala.collection.mutable.Map[String, (DataFrame, Int, Long)])]()
   private def lshIndexShared(s: SparkSession, dir: String,
-      build: () => (DataFrame, Int, Long)): (DataFrame, Int, Long) =
-    lshIndexes.synchronized {
+      build: () => (DataFrame, Int, Long)): (DataFrame, Int, Long) = {
+    def entryFor(): scala.collection.mutable.Map[String, (DataFrame, Int, Long)] = {
       lshIndexes.entrySet().removeIf(_.getValue._1.sparkContext.isStopped)
       val k = Integer.valueOf(System.identityHashCode(s))
       val cur = lshIndexes.get(k)
-      val entry =
-        if (cur != null && (cur._1 eq s)) cur
-        else {
-          val fresh = (s,
-            scala.collection.mutable.Map.empty[String, (DataFrame, Int, Long)])
-          lshIndexes.put(k, fresh)
-          fresh
-        }
-      entry._2.getOrElseUpdate(dir, build())
+      if (cur != null && (cur._1 eq s)) cur._2
+      else {
+        val fresh = (s,
+          scala.collection.mutable.Map.empty[String, (DataFrame, Int, Long)])
+        lshIndexes.put(k, fresh)
+        fresh._2
+      }
     }
+    // unlike ngramPairsMemo's builder (plan-only, no job), build() runs the
+    // index WRITE jobs — so it runs OUTSIDE the monitor and other sessions'
+    // cache hits never wait behind it. A racing duplicate build wastes one
+    // temp index, nothing more (first publication wins).
+    val cached = lshIndexes.synchronized(entryFor().get(dir))
+    cached.getOrElse {
+      val built = build()
+      lshIndexes.synchronized(entryFor().getOrElseUpdate(dir, built))
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
@@ -890,9 +898,10 @@ object SparkEntry {
           map(lit("vec_id"), col("vec_id").cast("string")).as("properties"))
         .write.format(GraftEventLog.Format)
         .option("name", logName).option("partitions", "4").mode("append").save()
-      // ~4 micro-batches at any scale factor, cap from log-bounds metadata
+      // ~4 micro-batches for the fixed 128-query slice (cap from log-bounds
+      // metadata; the floor keeps degenerate tiny logs from one-row batches)
       val nVecs = GraftEventLog.count(logName)
-      val perTrigger = math.max(64L, (nVecs + 3) / 4)
+      val perTrigger = math.max(32L, (nVecs + 3) / 4)
       val stream = s.readStream.format(GraftEventLog.Format)
         .option("name", logName)
         .option("maxEventsPerTrigger", perTrigger.toString)

@@ -468,26 +468,43 @@ object hashFunctions {
 /** Content-keyed LRU of bloom-filter broadcasts (see
   * [[hashFunctions.bloom_might_contain_bc]]). Bounded so distinct filters
   * cannot accumulate broadcasts for the driver's lifetime: beyond
-  * [[BloomBcCache.MaxEntries]] the eldest entry is dropped, making its
-  * broadcast ContextCleaner-collectable once no running plan references it. */
+  * [[BloomBcCache.MaxEntries]] the eldest entry is dropped, and entries
+  * from previous applications are evicted on every access — either way the
+  * broadcast becomes ContextCleaner-collectable once no running plan
+  * references it. */
 private[functions] object BloomBcCache {
   private val MaxEntries = 4
-  private type Key = (String, scala.collection.immutable.ArraySeq[Byte])
-  private val cache = new java.util.LinkedHashMap[
-      Key, org.apache.spark.broadcast.Broadcast[Array[Byte]]](8, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[Key, org.apache.spark.broadcast.Broadcast[Array[Byte]]])
-        : Boolean = size() > MaxEntries
+  /** Full-content digest memoized per array IDENTITY (weak keys): a
+    * streaming caller re-plans with the SAME array object every micro-batch,
+    * so the O(bytes) hash runs once per distinct filter, not per plan
+    * build. Content equality is still verified on every cache hit. */
+  private val digests = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Byte], java.lang.Integer]())
+  private def digestOf(bytes: Array[Byte]): Int = {
+    val cached = digests.get(bytes)
+    if (cached != null) cached.intValue
+    else {
+      val fresh = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+      digests.put(bytes, fresh)
+      fresh
+    }
+  }
+  private type Key = (String, Int, Int) // (appId, byte length, content digest)
+  private type Entry = (Array[Byte], org.apache.spark.broadcast.Broadcast[Array[Byte]])
+  private val cache = new java.util.LinkedHashMap[Key, Entry](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, Entry]): Boolean =
+      size() > MaxEntries
   }
   def getOrCreate(spark: org.apache.spark.sql.SparkSession, bytes: Array[Byte])
       : org.apache.spark.broadcast.Broadcast[Array[Byte]] = cache.synchronized {
-    val key = (spark.sparkContext.applicationId,
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes))
+    val appId = spark.sparkContext.applicationId
+    cache.entrySet().removeIf(_.getKey._1 != appId)
+    val key = (appId, bytes.length, digestOf(bytes))
     val cached = cache.get(key)
-    if (cached != null) cached
+    if (cached != null && java.util.Arrays.equals(cached._1, bytes)) cached._2
     else {
       val fresh = spark.sparkContext.broadcast(bytes)
-      cache.put(key, fresh)
+      cache.put(key, (bytes, fresh))
       fresh
     }
   }
@@ -517,18 +534,23 @@ case class BloomMightContainBroadcast(
 }
 
 object BloomMightContainBroadcast {
-  /** Executor-side memo of deserialized filters per broadcast id. Cleared
-    * wholesale past a handful of entries — live broadcast count is already
-    * bounded by the driver-side [[BloomBcCache]] LRU. */
+  /** Executor-side memo of deserialized filters. Keyed by (broadcast id,
+    * value-array identity), NOT the id alone: broadcast ids restart from 0
+    * with every SparkContext, so in a restarted-session JVM a new broadcast
+    * can reuse an old id — the BlockManager caches one value instance per
+    * live broadcast per executor, so the identity hash disambiguates them.
+    * Cleared wholesale past a handful of entries — live broadcast count is
+    * already bounded by the driver-side [[BloomBcCache]] LRU. */
   private val filters = new java.util.concurrent.ConcurrentHashMap[
-    Long, org.apache.spark.util.sketch.BloomFilter]()
+    (Long, Int), org.apache.spark.util.sketch.BloomFilter]()
   private[functions] def filterFor(
       bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
       : org.apache.spark.util.sketch.BloomFilter = {
     if (filters.size > 8) filters.clear()
-    filters.computeIfAbsent(bc.id, _ =>
+    val bytes = bc.value
+    filters.computeIfAbsent((bc.id, System.identityHashCode(bytes)), _ =>
       org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bc.value)))
+        new java.io.ByteArrayInputStream(bytes)))
   }
 }
 

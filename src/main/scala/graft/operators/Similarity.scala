@@ -139,59 +139,61 @@ object Similarity {
   def knnJoinLshWith(
       index: DataFrame, numBits: Int, seed: Long,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
-    val qBase = queries.select(col(qIdCol).as("query_id"),
-      col(qVecCol).cast("array<double>").as("qv"))
-      .withColumn("__b0", hyperplane_lsh_bucket(col("qv"), numBits, seed))
-    val flips = array((0 until numBits).map(i => lit(1L << i)) :+ lit(0L): _*)
-    val probes = qBase
-      .select(col("query_id"), col("qv"), col("__b0"), explode(flips).as("__flip"))
-      .select(col("query_id"), col("qv"),
-        col("__b0").bitwiseXOR(col("__flip")).as("bucket"))
-      .localCheckpoint(eager = false)
-    val bucketDt = index.schema("bucket").dataType
-    val probeVals: Seq[Any] = {
-      val longs = probes.select(col("bucket")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      bucketDt match {
-        case org.apache.spark.sql.types.IntegerType => longs.map(_.toInt)
-        case _ => longs
-      }
-    }
-    val scored = index.filter(col("bucket").isin(probeVals: _*))
-      .join(broadcast(probes.withColumn("bucket", col("bucket").cast(bucketDt))), "bucket")
-      .filter(assert_true(
-        size(col("v")).isNull || size(col("qv")).isNull ||
-          size(col("v")) === size(col("qv")),
-        lit("query/index embedding dimensions differ")).isNull)
-      .select(col("query_id"), col("vec_id"),
-        graft.functions.TextFunctions.stableRound(
-          cosine_similarity(col("v"), col("qv")), 6).as("cosine"))
-    val base = if (excludeSelf) scored.filter(col("query_id") =!= col("vec_id")) else scored
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    base.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-  }
+      k: Int = 10, excludeSelf: Boolean = true): DataFrame =
+    knnJoinLshOn(index, queries, qIdCol, qVecCol, k, numBits, seed,
+      excludeSelf, broadcastProbes = true, pruneBuckets = true)
 
   private def knnJoinLshImpl(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       k: Int, numBits: Int, seed: Long,
-      excludeSelf: Boolean, broadcastProbes: Boolean): DataFrame = {
-    val bucketed = corpus.select(col(cIdCol).as("vec_id"), col(cVecCol).as("v"))
-      .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed))
+      excludeSelf: Boolean, broadcastProbes: Boolean): DataFrame =
+    knnJoinLshOn(
+      corpus.select(col(cIdCol).as("vec_id"), col(cVecCol).as("v"))
+        .withColumn("bucket", hyperplane_lsh_bucket(col("v"), numBits, seed)),
+      queries, qIdCol, qVecCol, k, numBits, seed, excludeSelf,
+      broadcastProbes, pruneBuckets = false)
+
+  /** Shared body of every LSH k-NN join form over an already-bucketed
+    * corpus `(vec_id, v, bucket)` — live paths bucket inline, the persisted
+    * path passes the loaded index. `pruneBuckets` additionally collects the
+    * (broadcast-sized) probe set's distinct buckets and pushes them as a
+    * static isin filter, which on a bucket-partitioned table prunes at the
+    * file-listing level. */
+  private def knnJoinLshOn(
+      bucketed: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, numBits: Int, seed: Long,
+      excludeSelf: Boolean, broadcastProbes: Boolean,
+      pruneBuckets: Boolean): DataFrame = {
+    val bucketDt = bucketed.schema("bucket").dataType
     val qBase = queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).cast("array<double>").as("qv"))
       .withColumn("__b0", hyperplane_lsh_bucket(col("qv"), numBits, seed))
     val flips = array((0 until numBits).map(i => lit(1L << i)) :+ lit(0L): _*)
     // distinct flips give distinct probe buckets and a corpus vector lives
     // in exactly one bucket, so no (query, vec) pair can join twice — no
-    // dedup (and no dedup shuffle) needed
-    val probes = qBase
+    // dedup (and no dedup shuffle) needed. A null/empty query vector has a
+    // null bucket: it matches nothing (the knnJoinLsh contract — such a
+    // query is dropped, not an abort) and must not reach the driver-side
+    // bucket collect below.
+    val probes0 = qBase
       .select(col("query_id"), col("qv"), col("__b0"), explode(flips).as("__flip"))
       .select(col("query_id"), col("qv"),
-        col("__b0").bitwiseXOR(col("__flip")).as("bucket"))
-    val scored = bucketed.join(if (broadcastProbes) broadcast(probes) else probes, "bucket")
+        col("__b0").bitwiseXOR(col("__flip")).cast(bucketDt).as("bucket"))
+      .filter(col("bucket").isNotNull)
+    val pruned =
+      if (!pruneBuckets) (bucketed, probes0)
+      else {
+        // checkpoint so the driver collect and the join share one probe build
+        val probes = probes0.localCheckpoint(eager = false)
+        val vals: Seq[Any] = probes.select(col("bucket")).distinct()
+          .collect().map(_.get(0)).toSeq
+        (bucketed.filter(col("bucket").isin(vals: _*)), probes)
+      }
+    val (corpusSide, probes) = pruned
+    val scored = corpusSide
+      .join(if (broadcastProbes) broadcast(probes) else probes, "bucket")
       .filter(assert_true(
         size(col("v")).isNull || size(col("qv")).isNull ||
           size(col("v")) === size(col("qv")),

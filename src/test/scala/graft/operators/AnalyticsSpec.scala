@@ -807,6 +807,13 @@ class SimilaritySpec extends AnyFunSuite {
     val allOnDisk = new java.io.File(s"$path/buckets").listFiles()
       .count(_.getName.startsWith("bucket="))
     assert(readBuckets.size < allOnDisk, "pruning must skip non-probe buckets")
+    // a null query vector has a null bucket: dropped silently (the
+    // knnJoinLsh contract), never an NPE in the driver-side bucket collect
+    val nullQ = embs.limit(1).select(lit(999L).as("vec_id"),
+      lit(null).cast("array<float>").as("embedding"), $"label")
+    val withNull = Similarity.knnJoinLshWith(idx, bits, seedv,
+      queries.unionByName(nullQ), "vec_id", "embedding", k = 5)
+    assert(sorted(withNull) == sorted(viaIndex))
   }
 
   test("compaction: appended multi-file buckets collapse to one file, probes unchanged") {
