@@ -459,6 +459,53 @@ object Similarity {
     (index, cents)
   }
 
+  /**
+   * Batch k-NN join through an IVF index (the IVF twin of
+   * [[knnJoinLshWith]]): every query vector scores only its `nProbe`
+   * highest-cosine cells' vectors and takes exact top-k among them. Cell
+   * selection is a rank over the (tiny, broadcast) centroid table — no
+   * per-query driver pass — and the union of probed cells pushes down as a
+   * static filter, so a cell-partitioned persisted index reads only probed
+   * cells' files. Queries with null/empty vectors select no cells and are
+   * dropped (the same contract as the LSH joins). Per-query results match
+   * [[ivfTopKWith]] with the same index, centroids, and nProbe.
+   */
+  def ivfKnnJoinWith(
+      index: DataFrame, cents: Array[(Int, Array[Double])],
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 10, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "centroid"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull && size(col("qv")) > 0)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(cosine_similarity(col("centroid"), col("qv")).desc, col("cell").asc)
+    val probes = q.crossJoin(centDf)
+      .withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+      .localCheckpoint(eager = false) // driver cell-collect + join share it
+    val cellVals: Seq[Any] = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val scored = index.filter(col("cell").isin(cellVals: _*))
+      .join(broadcast(probes), "cell")
+      .filter(assert_true(
+        size(col("v")).isNull || size(col("qv")).isNull ||
+          size(col("v")) === size(col("qv")),
+        lit("query/index embedding dimensions differ")).isNull)
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.TextFunctions.stableRound(
+          cosine_similarity(col("v"), col("qv")), 6).as("cosine"))
+    val base = if (excludeSelf) scored.filter(col("query_id") =!= col("vec_id")) else scored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    base.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** IVF twin of [[validateLshIndex]]: count + order-independent id-hash
     * fingerprint; a drifted index fails loudly, never silently stale. */
   def validateIvfIndex(

@@ -816,6 +816,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sorted(withNull) == sorted(viaIndex))
   }
 
+  test("ivfKnnJoinWith: batch IVF join matches per-query probes on the persisted index") {
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf-knn").toString
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndexWith(embs, "vec_id", "embedding", cents), cents, path)
+    val (idx, loaded) = Similarity.loadIvfIndex(spark, path)
+    val queries = embs.filter($"vec_id" < 4)
+    val batch = Similarity.ivfKnnJoinWith(idx, loaded, queries, "vec_id", "embedding",
+        k = 5, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    for (qid <- 0L until 4L) {
+      val qv = Similarity.vectorOf(embs, "vec_id", "embedding", qid)
+      val solo = Similarity.ivfTopKWith(idx, loaded, qv, 5, nProbe = 3,
+        excludeId = Some(qid)).as[(Long, Double)].collect().toSeq
+      assert(batch(qid).map(_._1) == solo.map(_._1), s"query $qid neighbor ids")
+      batch(qid).map(_._2).zip(solo.map(_._2)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    }
+    // a null query vector selects no cells: dropped, never an abort
+    val nullQ = embs.limit(1).select(lit(999L).as("vec_id"),
+      lit(null).cast("array<float>").as("embedding"), $"label")
+    assert(Similarity.ivfKnnJoinWith(idx, loaded, queries.unionByName(nullQ),
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .filter($"query_id" === 999L).count() == 0)
+  }
+
   test("compaction: appended multi-file buckets collapse to one file, probes unchanged") {
     def bucketFiles(dir: String, prefix: String): Map[String, Int] =
       new java.io.File(dir).listFiles().filter(_.getName.startsWith(prefix))
