@@ -496,6 +496,24 @@ object SparkEntry {
         .orderBy(col("partition"))
     }),
 
+    "q_source_offset_seek" -> ((s, dir) => {
+      // byte-offset positions (ref EventPosition.scala:31-56, the third
+      // position kind): numeric offset on p0, "-1" (= start) on p1,
+      // "@latest" (= end, empty) on p2; p3 falls through to the global
+      // offset default. Local logs define offset == the seqNo string the
+      // source's own `offset` column emits, so feeding an offset back seeks
+      // exactly to that event.
+      GraftEventLog.readParquetLog(s, mid(dir), 4,
+          Map(
+            "startingPositions" ->
+              """{"0":{"offset":"150"},"1":{"offset":"-1"},"2":{"offset":"@latest"}}""",
+            "startingPosition" -> """{"offset":"50"}"""))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"), min(col("sequenceNumber")).as("min_seq"),
+          max(col("sequenceNumber")).as("max_seq"))
+        .orderBy(col("partition"))
+    }),
+
     "q_sink_roundtrip" -> ((s, dir) => {
       val hub = "rt-" + java.util.UUID.randomUUID().toString
       GraftEventLog.create(hub, 4)
@@ -678,7 +696,8 @@ object SparkEntry {
     }),
 
     "q_knn_join_lsh" -> ((s, dir) => {
-      // bucketed k-NN join (rows-only; recall vs exact pinned in tests)
+      // bucketed k-NN join (full oracle: sqlKnnJoinLsh renders the identical
+      // plane arithmetic; recall vs exact additionally pinned in tests)
       val e = Tables.embeddings(s, dir)
       Similarity.knnJoinLsh(e.filter(col("vec_id") < 8), "vec_id", "embedding",
           e, "vec_id", "embedding", k = 5, numBits = 6)
@@ -707,9 +726,15 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val qv = Similarity.vectorOf(e, "vec_id", "embedding", 0L)
-      val idx = Similarity.ivfIndex(e, "vec_id", "embedding", nCells = 16)
-      Similarity.ivfTopK(idx, e, "vec_id", "embedding", qv, k = 10,
-        nCells = 16, nProbe = 4, excludeId = Some(0L))
+      // the fit is memoized; stashing the centroids the gate ACTUALLY used
+      // lets oracleSql (dumped by Verify after the queries ran) render them
+      // as literals — scoring/probing/assignment then oracle exactly, with
+      // only the iterative-FP k-means fit itself unoracled
+      val cents = Similarity.centroidsOf(e, "vec_id", "embedding", 16)
+      ivfCentroidStash.set(cents)
+      val idx = Similarity.ivfIndexWith(e, "vec_id", "embedding", cents)
+      Similarity.ivfTopKWith(idx, cents, qv, k = 10, nProbe = 4,
+        excludeId = Some(0L))
     }),
 
     "q_sketch_distinct" -> ((s, dir) => {
@@ -1117,13 +1142,27 @@ object SparkEntry {
     }
   }
 
+  /** Centroids the q_ann_ivf gate actually used, captured for the oracle
+    * rendering (Verify dumps oracleSql AFTER running the queries). Absent
+    * (oracleSql evaluated standalone) → the key is omitted and the driver
+    * falls back to its rows-only check. */
+  private val ivfCentroidStash =
+    new java.util.concurrent.atomic.AtomicReference[Array[(Int, Array[Double])]]()
+
+  /** Embedding dimension of the testdata `embeddings` table (TESTDATA.md) —
+    * the vector oracles render per-index fold expressions and need it
+    * statically. */
+  private val EmbeddingDim = 64
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — identical semantics, identical column names.
-  // Omitted keys (q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
-  // q_dedup_winnow, q_ann_lsh, q_ann_ivf, q_sketch_distinct,
-  // q_sketch_terms, q_knn_join_lsh) are LSH/sketch-based and not exactly
-  // SQL-expressible → driver's weaker rows-only check (each cross-verified
-  // against exact ground truth in unit tests instead).
+  // Omitted keys (q_sketch_distinct, q_sketch_terms) are approximate BY
+  // CONSTRUCTION (HLL/CMS estimates are library-specific) → driver's weaker
+  // rows-only check, cross-verified against exact counts in unit tests.
+  // Every LSH/minhash/winnow/IVF gate renders a full oracle: seed-derived
+  // constants (permutations, hyperplanes, centroids) are computed from the
+  // same single source of truth as the executor kernels and inlined as SQL
+  // literals, with FP op order matched exactly (see Similarity.sql* docs).
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {
     val srcRank =
@@ -1517,6 +1556,15 @@ object SparkEntry {
           |   OR pid = 3
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // offset == per-partition rank in the local log model; p2 (@latest)
+      // contributes no rows, p3 uses the global {"offset":"50"} default
+      "q_source_offset_seek" ->
+        s"""SELECT CAST(pid AS VARCHAR) AS "partition", count(*) AS n,
+           | min(rk) AS min_seq, max(rk) AS max_seq
+           |FROM ($srcRank)
+           |WHERE (pid = 0 AND rk >= 150) OR pid = 1 OR (pid = 3 AND rk >= 50)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q_sink_roundtrip" ->
         """SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
 
@@ -1573,6 +1621,28 @@ object SparkEntry {
            | round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
            |FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.5
            |ORDER BY 1, 2""".stripMargin,
+
+      "q_dedup_minhash" ->
+        operators.Dedup.sqlMinHashLshPairs(
+          k = 3, numHashes = 64, bands = 16, threshold = 0.5, seed = 42L),
+
+      "q_dedup_simhash" ->
+        operators.Dedup.sqlSimHashPairs(k = 3, maxHamming = 3),
+
+      "q_dedup_winnow" ->
+        operators.Dedup.sqlFingerprintPairs(ngram = 24, window = 8, minShared = 5),
+
+      "q_dedup_embedding" ->
+        operators.Dedup.sqlEmbeddingCosinePairs(
+          dim = EmbeddingDim, threshold = 0.4, bands = 12, bitsPerBand = 5),
+
+      "q_ann_lsh" ->
+        Similarity.sqlLshTopK(dim = EmbeddingDim, numBits = 6, seed = 42L,
+          queryId = 0L, k = 10, multiProbe = 3),
+
+      "q_knn_join_lsh" ->
+        Similarity.sqlKnnJoinLsh(dim = EmbeddingDim, numBits = 6, seed = 42L,
+          queryPred = "s.vec_id < 8", k = 5),
 
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE pairs AS (
@@ -1699,7 +1769,7 @@ object SparkEntry {
       // value is a plain %. Image/audio are always 1 frame.
       "q_multimodal_decode" ->
         s"""WITH m AS (
-           |  SELECT doc_id AS media_id,
+           |  SELECT (${TextFunctions.sqlAsciiGuard("doc_id", "text")}) AS media_id,
            |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
            |         ELSE 'video' END AS format,
            |    octet_length(CAST(text AS BLOB)) AS byte_len,
@@ -1719,7 +1789,7 @@ object SparkEntry {
       // sampled-frame gate hashes against DuckDB too.
       "q_multimodal_frames" ->
         s"""WITH v AS (
-           |  SELECT doc_id AS media_id,
+           |  SELECT (${TextFunctions.sqlAsciiGuard("doc_id", "text")}) AS media_id,
            |    octet_length(CAST(text AS BLOB))::BIGINT AS len,
            |    (1 + (($fnvSql // 65536) % 120))::BIGINT AS f
            |  FROM documents WHERE doc_id % 3 = 2),
@@ -1742,19 +1812,16 @@ object SparkEntry {
           | (doc_id % 5 = 0) AS failed, count(*) AS n,
           | CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    )
+    ) ++ Option(ivfCentroidStash.get()).map(cents =>
+      "q_ann_ivf" -> Similarity.sqlIvfTopK(
+        cents, dim = EmbeddingDim, queryId = 0L, k = 10, nProbe = 4))
   }
 
   /** DuckDB rendering of [[graft.operators.Multimodal.StubCodec]]'s FNV-1a
-    * 64-bit hash: fold the (all-ASCII) text's codepoints with HUGEINT
-    * mod-2^64 arithmetic. The fold seed rides as a prepended list element;
-    * xor runs in UBIGINT, the multiply widens to HUGEINT before the mod. */
-  private lazy val fnvSql: String =
-    """(list_reduce(
-      |  list_prepend(14695981039346656037::HUGEINT,
-      |    list_transform(range(1, length(text) + 1),
-      |                   i -> unicode(text[i])::HUGEINT)),
-      |  (acc, b) -> ((xor(acc::UBIGINT, b::UBIGINT)::HUGEINT)
-      |               * 1099511628211)
-      |              % 18446744073709551616::HUGEINT))""".stripMargin
+    * 64-bit hash (shared twin: [[TextFunctions.sqlFnv1a64]]) — codepoint
+    * folding equals the kernel's UTF-8-byte stream only for ASCII text, so
+    * every oracle that uses it routes its id column through
+    * [[TextFunctions.sqlAsciiGuard]]: a future non-ASCII document fails the
+    * gate loudly instead of silently diverging. */
+  private lazy val fnvSql: String = "(" + TextFunctions.sqlFnv1a64("text") + ")"
 }

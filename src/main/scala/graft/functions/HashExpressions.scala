@@ -458,11 +458,12 @@ object hashFunctions {
     * Spark's ContextCleaner reclaims the executor blocks. */
   def bloom_might_contain_bc(
       spark: org.apache.spark.sql.SparkSession,
-      bloomBytes: Array[Byte], value: Column): Column =
-    column(BloomMightContainBroadcast(
-      BloomBcCache.getOrCreate(spark, bloomBytes),
+      bloomBytes: Array[Byte], value: Column): Column = {
+    val (bc, digest) = BloomBcCache.getOrCreate(spark, bloomBytes)
+    column(BloomMightContainBroadcast(bc, digest,
       new org.apache.spark.sql.catalyst.expressions.XxHash64(
         Seq(expression(value)), 42L)))
+  }
 }
 
 /** Content-keyed LRU of bloom-filter broadcasts (see
@@ -474,38 +475,46 @@ object hashFunctions {
   * references it. */
 private[functions] object BloomBcCache {
   private val MaxEntries = 4
-  /** Full-content digest memoized per array IDENTITY (weak keys): a
-    * streaming caller re-plans with the SAME array object every micro-batch,
-    * so the O(bytes) hash runs once per distinct filter, not per plan
-    * build. Content equality is still verified on every cache hit. */
+  /** Full-content MD5-prefix digest memoized per array IDENTITY (weak keys):
+    * a streaming caller re-plans with the SAME array object every
+    * micro-batch, so the O(bytes) hash runs once per distinct filter, not
+    * per plan build. Content equality is still verified on every cache hit.
+    * The digest also SHIPS inside [[BloomMightContainBroadcast]] as the
+    * executor-side deserialized-filter memo key — a 64-bit content digest
+    * cannot collide across restarted SparkContexts the way (broadcast id,
+    * identityHashCode) could (broadcast ids restart from 0 per context). */
   private val digests = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Array[Byte], java.lang.Integer]())
-  private def digestOf(bytes: Array[Byte]): Int = {
+    new java.util.WeakHashMap[Array[Byte], java.lang.Long]())
+  private def digestOf(bytes: Array[Byte]): Long = {
     val cached = digests.get(bytes)
-    if (cached != null) cached.intValue
+    if (cached != null) cached.longValue
     else {
-      val fresh = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
-      digests.put(bytes, fresh)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val fresh = java.nio.ByteBuffer.wrap(md).getLong
+      digests.put(bytes, java.lang.Long.valueOf(fresh))
       fresh
     }
   }
-  private type Key = (String, Int, Int) // (appId, byte length, content digest)
+  private type Key = (String, Int, Long) // (appId, byte length, content digest)
   private type Entry = (Array[Byte], org.apache.spark.broadcast.Broadcast[Array[Byte]])
   private val cache = new java.util.LinkedHashMap[Key, Entry](8, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[Key, Entry]): Boolean =
       size() > MaxEntries
   }
+  /** The (memoized) broadcast for these filter bytes plus their content
+    * digest (the executor memo key). */
   def getOrCreate(spark: org.apache.spark.sql.SparkSession, bytes: Array[Byte])
-      : org.apache.spark.broadcast.Broadcast[Array[Byte]] = cache.synchronized {
+      : (org.apache.spark.broadcast.Broadcast[Array[Byte]], Long) = cache.synchronized {
     val appId = spark.sparkContext.applicationId
     cache.entrySet().removeIf(_.getKey._1 != appId)
-    val key = (appId, bytes.length, digestOf(bytes))
+    val digest = digestOf(bytes)
+    val key = (appId, bytes.length, digest)
     val cached = cache.get(key)
-    if (cached != null && java.util.Arrays.equals(cached._1, bytes)) cached._2
+    if (cached != null && java.util.Arrays.equals(cached._1, bytes)) (cached._2, digest)
     else {
       val fresh = spark.sparkContext.broadcast(bytes)
       cache.put(key, (bytes, fresh))
-      fresh
+      (fresh, digest)
     }
   }
 }
@@ -518,13 +527,15 @@ private[functions] object BloomBcCache {
   * instance-local lazy val would re-read the ~20 MB bytes per task. */
 case class BloomMightContainBroadcast(
     bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    contentDigest: Long,
     child: Expression)
     extends UnaryExpression with RefEvalCodegen {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "bloom_might_contain_bc"
 
-  @transient private lazy val filter = BloomMightContainBroadcast.filterFor(bcast)
+  @transient private lazy val filter =
+    BloomMightContainBroadcast.filterFor(bcast, contentDigest)
 
   override protected def nullSafeEval(input: Any): Any =
     filter.mightContainLong(input.asInstanceOf[Long])
@@ -534,23 +545,25 @@ case class BloomMightContainBroadcast(
 }
 
 object BloomMightContainBroadcast {
-  /** Executor-side memo of deserialized filters. Keyed by (broadcast id,
-    * value-array identity), NOT the id alone: broadcast ids restart from 0
-    * with every SparkContext, so in a restarted-session JVM a new broadcast
-    * can reuse an old id — the BlockManager caches one value instance per
-    * live broadcast per executor, so the identity hash disambiguates them.
-    * Cleared wholesale past a handful of entries — live broadcast count is
-    * already bounded by the driver-side [[BloomBcCache]] LRU. */
+  /** Executor-side memo of deserialized filters, keyed by the filter's
+    * CONTENT digest (computed once driver-side in [[BloomBcCache]] and
+    * shipped in the expression). Content keying makes cross-SparkContext
+    * collisions practically impossible — broadcast ids restart from 0 per
+    * context and identity hashes are not unique, so an id-based key could
+    * silently probe the WRONG filter in a long-lived JVM spanning restarts
+    * (wrong decontamination pruning, no error). Equal-content broadcasts
+    * share one deserialized filter. Cleared wholesale past a handful of
+    * entries — live filter count is already bounded by the driver-side
+    * [[BloomBcCache]] LRU. */
   private val filters = new java.util.concurrent.ConcurrentHashMap[
-    (Long, Int), org.apache.spark.util.sketch.BloomFilter]()
+    Long, org.apache.spark.util.sketch.BloomFilter]()
   private[functions] def filterFor(
-      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]], digest: Long)
       : org.apache.spark.util.sketch.BloomFilter = {
     if (filters.size > 8) filters.clear()
-    val bytes = bc.value
-    filters.computeIfAbsent((bc.id, System.identityHashCode(bytes)), _ =>
+    filters.computeIfAbsent(digest, _ =>
       org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes)))
+        new java.io.ByteArrayInputStream(bc.value)))
   }
 }
 

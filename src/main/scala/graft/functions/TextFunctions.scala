@@ -20,6 +20,26 @@ object TextFunctions {
   /** Word array. */
   def words(text: Column): Column = split(text, " ")
 
+  /** DuckDB rendering of [[HashUtil.fnv1a64]] over an ASCII string expression:
+    * fold the codepoints with HUGEINT mod-2^64 arithmetic (the byte-level FNV
+    * stream and the codepoint stream coincide exactly for ASCII — guard the
+    * input with [[sqlAsciiGuard]] so a non-ASCII row fails the oracle loudly
+    * instead of silently diverging from the UTF-8-byte Spark kernel). */
+  def sqlFnv1a64(v: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |  list_transform(range(1, length($v) + 1), i -> unicode($v[i])::HUGEINT)),
+       |  (acc, c) -> ((xor(acc::UBIGINT, c::UBIGINT)::HUGEINT) * 1099511628211::HUGEINT
+       |               % 18446744073709551616::HUGEINT))""".stripMargin
+
+  /** Wrap an (id-typed BIGINT) expression so the oracle ERRORS on non-ASCII
+    * text rather than silently hashing codepoints that no longer equal the
+    * Spark side's UTF-8 bytes: `octet_length(encode(text)) == length(text)`
+    * iff every codepoint is single-byte. */
+  def sqlAsciiGuard(idExpr: String, textCol: String): String =
+    s"CASE WHEN octet_length(encode($textCol)) <> length($textCol) " +
+      s"THEN error('non-ascii $textCol: codepoint-folded hash oracle invalid') " +
+      s"ELSE $idExpr END"
+
   /** k-word shingles (ordered, with duplicates). Empty array when the
     * document has fewer than k words. */
   def wordShingles(text: Column, k: Int): Column =

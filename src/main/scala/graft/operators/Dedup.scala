@@ -286,6 +286,171 @@ object Dedup extends Logging {
   }
 
   /**
+   * DuckDB twin of [[minHashLshPairs]] — the full-oracle rendering of the
+   * pipeline (shingle → FNV-1a → 64 affine permutations → band slices →
+   * bucket-join → exact Jaccard). Two deliberate equivalences:
+   *
+   *  - the seed-derived permutation constants (`HashUtil.permParams`) are
+   *    computed HERE, from the same single source of truth the executor
+   *    kernel uses, and inlined as unsigned literals — mod-2^64 affine
+   *    arithmetic renders as HUGEINT with a 32-bit split so `a*x` never
+   *    leaves int128;
+   *  - the Spark side buckets on `hash(slice(sig,…))` (Murmur3) purely as a
+   *    shuffle-key compressor; bucket equality ⟺ slice equality up to a
+   *    32-bit hash collision, so the oracle joins on the SLICES themselves —
+   *    any collision-created extra candidate on the Spark side must still
+   *    pass the exact-Jaccard filter to reach the output, where the pair
+   *    would differ only if its true Jaccard ≥ threshold yet NO band slice
+   *    matched — vanishing odds, and a hash-mismatch here would surface it.
+   *
+   * The `maxBucketSize` skew guard is NOT rendered: at oracle scale no
+   * bucket can exceed it (the gate's data has ≤ 5k docs), and a fired guard
+   * would rightly show up as a mismatch.
+   */
+  def sqlMinHashLshPairs(
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): String = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val (pa, pb) = graft.functions.HashUtil.permParams(numHashes, seed)
+    val m64 = "18446744073709551616::HUGEINT"
+    def affine(i: Int): String = {
+      val b = java.lang.Long.toUnsignedString(pb(i))
+      val a1 = java.lang.Long.toUnsignedString(pa(i) >>> 32)
+      val a0 = java.lang.Long.toUnsignedString(pa(i) & 0xFFFFFFFFL)
+      s"list_min(list_transform(hs, x -> (($a0::HUGEINT * (x % 4294967296::HUGEINT)" +
+        s" + (($a0::HUGEINT * (x // 4294967296::HUGEINT)" +
+        s" + $a1::HUGEINT * (x % 4294967296::HUGEINT)) % 4294967296::HUGEINT)" +
+        s" * 4294967296::HUGEINT + $b::HUGEINT) % $m64)))"
+    }
+    val sigCols = (0 until numHashes).map(i => s"${affine(i)} AS s$i").mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => s"s${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, [$slice] AS chunk FROM sig"
+    }.mkString(" UNION ALL ")
+    val sh = graft.functions.TextFunctions.sqlWordShingles("text", k)
+      .replace("string_split(text, ' ')", "w")
+    val fnv = graft.functions.TextFunctions.sqlFnv1a64("t")
+    val guard = graft.functions.TextFunctions.sqlAsciiGuard("doc_id", "text")
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct($sh) AS sh
+       |  FROM (SELECT ($guard) AS doc_id, string_split(text, ' ') AS w
+       |        FROM documents)
+       |), nz AS (
+       |  SELECT doc_id, sh, list_transform(sh, t -> $fnv) AS hs
+       |  FROM d WHERE len(sh) > 0
+       |), sig AS (
+       |  SELECT doc_id, $sigCols FROM nz
+       |), banded AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(len(list_intersect(x.sh, y.sh)) * 1.0
+       |        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+       |FROM cand JOIN nz x ON doc_a = x.doc_id JOIN nz y ON doc_b = y.doc_id
+       |WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+       |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of [[simHashPairs]] (default banding): per-bit majority
+    * votes over the (non-distinct) shingle FNV hashes rendered as 64 bit
+    * counts, the simhash kept UNSIGNED (HUGEINT in [0,2^64)) since only
+    * chunk equality and xor-popcount reach the output, both invariant under
+    * the signed↔unsigned bijection. */
+  def sqlSimHashPairs(k: Int = 3, maxHamming: Int = 3): String = {
+    require(64 % (maxHamming + 1) == 0,
+      "sql twin renders only the even-chunk default banding")
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks
+    val chunkMod = 1L << width
+    val cnts = (0 until 64).map(j =>
+      s"sum(((h // ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT) % 2)::BIGINT) AS c$j")
+      .mkString(", ")
+    val simExpr = (0 until 64).map(j =>
+      s"(CASE WHEN 2 * c$j > n THEN ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT" +
+        " ELSE 0::HUGEINT END)").mkString(" + ")
+    val bandRows = (0 until nChunks).map { b =>
+      s"SELECT doc_id, $b AS band, (simhash // ${java.lang.Long.toUnsignedString(1L << (b * width))}::HUGEINT) % $chunkMod AS chunk, simhash FROM sim"
+    }.mkString(" UNION ALL ")
+    val sh = graft.functions.TextFunctions.sqlWordShingles("text", k)
+      .replace("string_split(text, ' ')", "w")
+    val fnv = graft.functions.TextFunctions.sqlFnv1a64("t")
+    val guard = graft.functions.TextFunctions.sqlAsciiGuard("doc_id", "text")
+    s"""WITH d AS (
+       |  SELECT doc_id, $sh AS sh
+       |  FROM (SELECT ($guard) AS doc_id, string_split(text, ' ') AS w
+       |        FROM documents)
+       |), h AS (
+       |  SELECT doc_id, len(sh) AS n, unnest(list_transform(sh, t -> $fnv)) AS h
+       |  FROM d WHERE len(sh) > 0
+       |), votes AS (
+       |  SELECT doc_id, any_value(n) AS n, $cnts FROM h GROUP BY doc_id
+       |), sim AS (
+       |  SELECT doc_id, ($simExpr) AS simhash FROM votes
+       |), banded AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, bit_count(xor(sa::UBIGINT, sb::UBIGINT))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sa::UBIGINT, sb::UBIGINT)) <= $maxHamming
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of [[fingerprintPairs]]: the rolling polynomial hash of
+    * every ngram-byte window rendered DIRECTLY as Σ byte·Base^(ngram-1-j)
+    * mod 2^64 (the closed form of the kernel's wraparound recurrence — Java
+    * long overflow IS mod-2^64 arithmetic), then the rightmost-minimum
+    * winnowing selection as a per-span argmin with (h ASC, j DESC) order,
+    * whose selected-index set equals the kernel's consecutive-dedup emission
+    * because rightmost-min indices are non-decreasing in the span start. */
+  def sqlFingerprintPairs(
+      ngram: Int = 24, window: Int = 8, minShared: Int = 5): String = {
+    val base = 1000003L
+    // Base^(ngram-1-j) mod 2^64, j = 0..ngram-1, computed with the same
+    // wraparound multiply as the kernel
+    val pows = Array.iterate(1L, ngram)(_ * base).reverse
+    val hterms = (0 until ngram).map(j =>
+      s"cs[i+$j]::HUGEINT * ${java.lang.Long.toUnsignedString(pows(j))}::HUGEINT")
+      .mkString(" + ")
+    val guard = graft.functions.TextFunctions.sqlAsciiGuard("doc_id", "text")
+    s"""WITH raw AS (
+       |  SELECT ($guard) AS doc_id,
+       |    list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS cs,
+       |    length(text) - $ngram + 1 AS n
+       |  FROM documents WHERE length(text) >= $ngram
+       |), hs AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(1, n),
+       |      i -> ($hterms) % 18446744073709551616::HUGEINT) AS hs
+       |  FROM raw
+       |), pos AS (
+       |  SELECT doc_id, w, w + dj AS j, hs[w + dj] AS h
+       |  FROM hs, unnest(generate_series(1, greatest(1, n - $window + 1))) AS t1(w),
+       |       unnest(generate_series(0, $window - 1)) AS t2(dj)
+       |  WHERE w + dj <= n
+       |), sel AS (
+       |  SELECT doc_id, w, first(j ORDER BY h ASC, j DESC) AS min_idx
+       |  FROM pos GROUP BY doc_id, w
+       |), fp AS (
+       |  SELECT DISTINCT s.doc_id, h1.hs[s.min_idx] AS f
+       |  FROM (SELECT DISTINCT doc_id, min_idx FROM sel) s
+       |  JOIN hs h1 ON s.doc_id = h1.doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fingerprints
+       |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /**
    * Same-bucket candidate pairs from a (doc_id, band, <bucketCol>) table,
    * with ultra-hot buckets dropped: a bucket shared by thousands of
    * documents carries ~zero discriminative signal but quadratic join cost —
@@ -488,6 +653,37 @@ object Dedup extends Logging {
       .withColumn("cosine", cosine_similarity(col("pa.v"), col("pb.v")))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
-        round(col("cosine"), 4).as("cosine"))
+        TextFunctions.stableRound(col("cosine"), 4).as("cosine"))
+  }
+
+  /** DuckDB twin of [[embeddingCosinePairs]]: hyperplane sign signature from
+    * the seed-derived plane literals (bit-exact — see the op-order note on
+    * `Similarity.sqlPlanesLit`), band chunks by bit arithmetic, exact cosine
+    * on candidates with the threshold applied to the UNROUNDED value, as the
+    * operator does. */
+  def sqlEmbeddingCosinePairs(
+      dim: Int, threshold: Double, bands: Int, bitsPerBand: Int,
+      seed: Long = 42L): String = {
+    val sigBits = bands * bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, (sig >> ${b * bitsPerBand}) & $mask AS chunk FROM sig")
+      .mkString(" UNION ALL ")
+    val cos = Similarity.sqlCosineOf("x.v", "y.v", dim)
+    s"""WITH pl_t AS (SELECT ${Similarity.sqlPlanesLit(sigBits, dim, seed)} AS pl),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vec_id, ${Similarity.sqlLshBucketOf("v", sigBits, dim)} AS sig
+       |        FROM e, pl_t),
+       |banded AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+       |), sc AS (
+       |  SELECT id_a, id_b, $cos AS cosine
+       |  FROM cand JOIN e x ON id_a = x.vec_id JOIN e y ON id_b = y.vec_id
+       |)
+       |SELECT id_a, id_b, (round(cosine * 10000.0) / 10000.0) AS cosine
+       |FROM sc WHERE cosine >= $threshold ORDER BY 1, 2""".stripMargin
   }
 }

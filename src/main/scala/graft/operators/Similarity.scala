@@ -19,7 +19,7 @@ import graft.functions.hashFunctions._
  *   sample, each vector assigned to its nearest centroid at index-build
  *   time; queries scan `nProbe` nearest cells only.
  */
-object Similarity {
+object Similarity extends org.apache.spark.internal.Logging {
 
   /** Executor-side guard: fail the job with a pointed error when a stored
     * vector's dimension differs from the query's — `cosine_similarity`
@@ -35,6 +35,34 @@ object Similarity {
       concat(lit("embedding dimension "),
         coalesce(size(vecCol).cast("string"), lit("?")),
         lit(s" != query dimension $dim — wrong index/corpus for this query?"))).isNull)
+
+  /**
+   * Broadcast-contract guard for the k-NN join family: those operators ship
+   * the whole query side to every executor (and the persisted-index forms
+   * additionally collect its distinct probe buckets on the driver), which is
+   * THE design for dimension-table-sized query sets — and a driver OOM for
+   * corpus-sized ones. Checked from Catalyst plan-size statistics (pure
+   * metadata, no job — the [[CorpusOps.bloomWorthwhile]] pattern) against a
+   * deliberately generous 8× autoBroadcastJoinThreshold so only genuinely
+   * corpus-shaped inputs trip it; the error names the shuffle-join
+   * alternative instead of letting the collect run out of memory. Stats are
+   * ESTIMATES: a tiny query set filtered out of a huge corpus can carry its
+   * parent's size — persist()/localCheckpoint() it so the planner sees the
+   * real size, or use the named alternative.
+   */
+  private def requireBroadcastSizedQueries(queries: DataFrame, op: String): Unit = {
+    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sqlConf = queries.sparkSession.sessionState.conf
+    val cap = BigInt(math.max(sqlConf.autoBroadcastJoinThreshold, 10L << 20)) * 8
+    require(est <= cap,
+      s"$op broadcasts the query side by contract, but its plan-size estimate " +
+        s"($est bytes) exceeds the broadcast guard ($cap bytes = 8x " +
+        "autoBroadcastJoinThreshold): a corpus-sized query set would OOM the " +
+        "driver. Use knnJoinLshShuffled (same per-query top-k semantics " +
+        "through a shuffle equi-join, at any query-set size), or — if the " +
+        "query set only LOOKS big because the estimate carries a filtered " +
+        "parent's size — persist()/localCheckpoint() it first.")
+  }
 
   /** Exact cosine top-k neighbors of `queryVec` (excluding `excludeId`). */
   def bruteForceTopK(
@@ -67,6 +95,7 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String,
       k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    requireBroadcastSizedQueries(queries, "knnJoin")
     val q = broadcast(queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).cast("array<double>").as("qv")))
     val scored = corpus.select(col(cIdCol).as("vec_id"), col(cVecCol).as("v"))
@@ -166,6 +195,8 @@ object Similarity {
       k: Int, numBits: Int, seed: Long,
       excludeSelf: Boolean, broadcastProbes: Boolean,
       pruneBuckets: Boolean): DataFrame = {
+    if (broadcastProbes) requireBroadcastSizedQueries(queries,
+      if (pruneBuckets) "knnJoinLshWith" else "knnJoinLsh")
     val bucketDt = bucketed.schema("bucket").dataType
     val qBase = queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).cast("array<double>").as("qv"))
@@ -272,7 +303,9 @@ object Similarity {
     val qLit = array(queryVec.map(lit): _*)
     val scored = requireDim(
         index.filter(col("bucket").isin(probeVals: _*)), col("v"), queryVec.length)
-      .select(col("vec_id"), round(cosine_similarity(col("v"), qLit), 6).as("cosine"))
+      .select(col("vec_id"),
+        graft.functions.TextFunctions.stableRound(
+          cosine_similarity(col("v"), qLit), 6).as("cosine"))
     excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
@@ -412,7 +445,9 @@ object Similarity {
     val qLit = array(queryVec.map(lit): _*)
     val scored = requireDim(
         index.filter(col("cell").isin(qCells: _*)), col("v"), queryVec.length)
-      .select(col("vec_id"), round(cosine_similarity(col("v"), qLit), 6).as("cosine"))
+      .select(col("vec_id"),
+        graft.functions.TextFunctions.stableRound(
+          cosine_similarity(col("v"), qLit), 6).as("cosine"))
     excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
@@ -474,6 +509,7 @@ object Similarity {
       index: DataFrame, cents: Array[(Int, Array[Double])],
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int = 10, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    requireBroadcastSizedQueries(queries, "ivfKnnJoinWith")
     val spark = index.sparkSession
     import spark.implicits._
     val centDf = broadcast(
@@ -586,19 +622,34 @@ object Similarity {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(dir: Path) = fs.listStatus(dir).filter(st => st.isFile &&
       !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    val over = fs.listStatus(root)
+    val overAll = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .filter(st => dataFiles(st.getPath).length > maxFiles)
-    if (over.isEmpty) return 0
-    val vals = over.map(_.getPath.getName.stripPrefix(s"$partCol=")).toSeq
+    if (overAll.isEmpty) return 0
     val df = spark.read.parquet(table)
     // probe values in the partition column's own inferred type (see
-    // lshTopKWith): a cast would defeat partition pruning and scan everything
-    val typedVals: Seq[Any] = df.schema(partCol).dataType match {
-      case org.apache.spark.sql.types.IntegerType => vals.map(_.toInt)
-      case org.apache.spark.sql.types.LongType => vals.map(_.toLong)
-      case _ => vals
+    // lshTopKWith): a cast would defeat partition pruning and scan everything.
+    // A dir whose value does NOT parse in that type — above all the Hive
+    // null-partition sentinel holding null-vector rows (a null bucket/cell is
+    // legal index content that no probe ever reads) — is SKIPPED, not fatal:
+    // an `isin` over typed values could never select its rows for rewrite
+    // anyway, and aborting all compaction over an uncompactable dir would be
+    // the worse failure.
+    val parse: String => Option[Any] = df.schema(partCol).dataType match {
+      case org.apache.spark.sql.types.IntegerType => v => v.toIntOption
+      case org.apache.spark.sql.types.LongType => v => v.toLongOption
+      case _ => v =>
+        if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)
     }
+    val (over, skipped) = overAll.partition(st =>
+      parse(st.getPath.getName.stripPrefix(s"$partCol=")).isDefined)
+    skipped.foreach(st => logWarning(
+      s"compaction skipping ${st.getPath.getName}: partition value outside " +
+        s"the $partCol column's type (null-vector rows land here; probes " +
+        "never read them, so the extra files cost nothing at query time)"))
+    if (over.isEmpty) return 0
+    val typedVals: Seq[Any] = over.toSeq.flatMap(st =>
+      parse(st.getPath.getName.stripPrefix(s"$partCol=")))
     val tmp = new Path(root.getParent, root.getName + ".compact-tmp")
     fs.delete(tmp, true)
     df.filter(col(partCol).isin(typedVals: _*))
@@ -706,4 +757,134 @@ object Similarity {
   def vectorOf(embs: DataFrame, idCol: String, vecCol: String, id: Long): Array[Double] =
     embs.filter(col(idCol) === id).select(col(vecCol).cast("array<double>"))
       .head().getSeq[Double](0).toArray
+
+  // ---------------------------------------------------------------------
+  // DuckDB SQL twins — full-oracle renderings of the LSH/IVF search paths.
+  //
+  // Everything FP-bearing is rendered so both engines execute the IDENTICAL
+  // sequence of IEEE double operations: dot products as an ordered
+  // left-to-right fold over per-element products (the kernels accumulate
+  // ascending — CosineSimilarity/HyperplaneLshBucket/BestCentroid all loop
+  // i = 0..n), hyperplane coefficients inlined via Double.toString (shortest
+  // round-trip decimal, parsed back to the same bits), and ranking on the
+  // stable-rounded cosine. Bit-equal inputs + identical op order = bit-equal
+  // buckets, margins, and scores — no tolerance needed.
+  // ---------------------------------------------------------------------
+
+  private def dLit(x: Double): String = java.lang.Double.toString(x)
+
+  /** The seed-derived hyperplane matrix as a DuckDB DOUBLE[][] literal —
+    * same single source of truth ([[graft.functions.HashUtil.hyperplanes]])
+    * as the executor kernel. */
+  private[operators] def sqlPlanesLit(numBits: Int, dim: Int, seed: Long): String = {
+    val ps = graft.functions.HashUtil.hyperplanes(numBits, dim, seed)
+    ps.map(p => p.map(dLit).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]") + "::DOUBLE[][]"
+  }
+
+  /** Ordered left-to-right sum of `prod` (an expression over index `i`) for
+    * i = 1..dim — the SQL rendering of the kernels' ascending accumulation. */
+  private[operators] def sqlFold(prod: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $prod), (a, b) -> a + b)"
+
+  /** Exact cosine between two vector expressions, same op order as
+    * [[graft.functions.CosineSimilarity]]. */
+  private[operators] def sqlCosineOf(a: String, b: String, dim: Int): String =
+    s"(${sqlFold(s"$a[i] * $b[i]", dim)} / " +
+      s"(sqrt(${sqlFold(s"$a[i] * $a[i]", dim)}) * sqrt(${sqlFold(s"$b[i] * $b[i]", dim)})))"
+
+  /** The `numBits`-bit hyperplane sign signature of vector expression `v`
+    * against planes bound as `pl` — twin of HyperplaneLshBucket. */
+  private[operators] def sqlLshBucketOf(v: String, numBits: Int, dim: Int): String =
+    "list_reduce(list_transform(range(1, " + (numBits + 1) + "), j -> " +
+      s"CASE WHEN ${sqlFold(s"$v[i] * pl[j][i]", dim)} >= 0 " +
+      "THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END), (a, b) -> a + b)"
+
+  /** DuckDB twin of [[lshTopKWith]] over the live/persisted 6-bit index the
+    * gate builds: query bucket + the `multiProbe` smallest-|margin| flips
+    * (the Scala `sortBy(abs(dot))` is a stable sort, rendered as
+    * ORDER BY abs(dot), j), then exact stable-rounded cosine top-k over the
+    * probed buckets. */
+  def sqlLshTopK(dim: Int, numBits: Int, seed: Long, queryId: Long,
+      k: Int, multiProbe: Int): String = {
+    val cos = sqlCosineOf("v", "qv", dim)
+    s"""WITH pl_t AS (SELECT ${sqlPlanesLit(numBits, dim, seed)} AS pl),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId),
+       |m AS (SELECT j, ${sqlFold("qv[i] * pl[j][i]", dim)} AS dot
+       |      FROM q, pl_t, unnest(generate_series(1, $numBits)) AS t(j)),
+       |qb AS (SELECT sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (j - 1))
+       |                  ELSE 0::BIGINT END)::BIGINT AS b0 FROM m),
+       |fl AS (SELECT j FROM m ORDER BY abs(dot) ASC, j ASC LIMIT $multiProbe),
+       |probes AS (SELECT b0 AS bucket FROM qb
+       |           UNION ALL
+       |           SELECT xor(b0::UBIGINT, (1::UBIGINT << (j - 1)))::BIGINT
+       |           FROM qb, fl),
+       |sig AS (SELECT vec_id, v, ${sqlLshBucketOf("v", numBits, dim)} AS bucket
+       |        FROM e, pl_t),
+       |sc AS (SELECT vec_id, (round($cos * 1000000.0) / 1000000.0) AS cosine
+       |       FROM sig, q
+       |       WHERE bucket IN (SELECT bucket FROM probes) AND vec_id <> $queryId)
+       |SELECT vec_id, cosine FROM sc
+       |ORDER BY cosine DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB twin of [[knnJoinLsh]]: per-query probe rows = own bucket plus
+    * every Hamming-1 flip, equi-joined on bucket, exact stable-rounded
+    * cosine rank per query. */
+  def sqlKnnJoinLsh(dim: Int, numBits: Int, seed: Long, queryPred: String,
+      k: Int): String = {
+    val flips = ((0 until numBits).map(1L << _) :+ 0L).mkString("[", ", ", "]")
+    val cos = sqlCosineOf("cv", "qv", dim)
+    s"""WITH pl_t AS (SELECT ${sqlPlanesLit(numBits, dim, seed)} AS pl),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v, ${sqlLshBucketOf("v", numBits, dim)} AS bucket
+       |        FROM e, pl_t),
+       |probes AS (SELECT s.vec_id AS query_id, s.v AS qv,
+       |             xor(s.bucket::UBIGINT, f::UBIGINT)::BIGINT AS bucket
+       |           FROM sig s, unnest($flips) AS t(f) WHERE $queryPred),
+       |sc AS (SELECT query_id, c.vec_id, c.v AS cv, qv FROM probes
+       |       JOIN sig c USING (bucket) WHERE c.vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id,
+       |        (round($cos * 1000000.0) / 1000000.0) AS cosine FROM sc),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, vec_id ASC) AS rk FROM r)
+       |SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** DuckDB twin of [[ivfTopKWith]] GIVEN the centroids the gate's index
+    * build actually produced (rendered as literals by the caller — the
+    * k-means fit itself is iterative FP and stays unoracled; scoring,
+    * cell assignment (BestCentroid: strict-> argmax, first index wins), probe
+    * selection, and ranking are all exact). */
+  def sqlIvfTopK(cents: Array[(Int, Array[Double])], dim: Int, queryId: Long,
+      k: Int, nProbe: Int): String = {
+    val centRows = cents.map { case (cid, c) =>
+      // cNorm precomputed with the kernel's own loop (ascending sum of
+      // squares, then sqrt) — bit-identical to BestCentroid's cNorms
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s"($cid, ${c.map(dLit).mkString("[", ", ", "]")}::DOUBLE[], ${dLit(math.sqrt(s))})"
+    }.mkString(",\n  ")
+    val qcCos = sqlCosineOf("qv", "c", dim)
+    val assignScore = s"(${sqlFold("v[i] * c[i]", dim)} / " +
+      s"(sqrt(${sqlFold("v[i] * v[i]", dim)}) * cnorm))"
+    val cos = sqlCosineOf("v", "qv", dim)
+    s"""WITH ce AS (SELECT * FROM (VALUES
+       |  $centRows) AS t(cell, c, cnorm)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId),
+       |qc AS (SELECT cell, $qcCos AS s FROM ce, q),
+       |pc AS (SELECT cell FROM qc ORDER BY s DESC, cell ASC LIMIT $nProbe),
+       |sc0 AS (SELECT vec_id, ce.cell, $assignScore AS s FROM e, ce),
+       |assign AS (SELECT vec_id, first(cell ORDER BY s DESC, cell ASC) AS cell
+       |           FROM sc0 GROUP BY vec_id),
+       |hits AS (SELECT e.vec_id, e.v FROM e JOIN assign USING (vec_id)
+       |         WHERE assign.cell IN (SELECT cell FROM pc)
+       |           AND e.vec_id <> $queryId)
+       |SELECT vec_id, (round($cos * 1000000.0) / 1000000.0) AS cosine
+       |FROM hits, q
+       |ORDER BY cosine DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
 }

@@ -44,8 +44,29 @@ trait EventLogClient {
       case EventPosition.FromSequenceNumber(n, incl)  => if (incl) n else n + 1
       case EventPosition.FromEnqueuedTime(t)          =>
         seekEnqueuedTime(name, pid, t.toEpochMilli * 1000L + t.getNano / 1000 % 1000)
+      case EventPosition.FromOffset(types.StartOfStreamOffset, _) => earliest
+      case EventPosition.FromOffset(types.EndOfStreamOffset, _)   => latest
+      case EventPosition.FromOffset(o, incl) =>
+        val s = seekOffset(name, pid, o)
+        if (incl) s else s + 1
     }
   }
+
+  /** Seek a non-sentinel byte-offset token to its sequence number (the
+    * reference's third position kind, EventPosition.scala:31-56). The local
+    * backends DEFINE an event's offset as its seqNo rendered as a string —
+    * exactly what the source's `offset` column emits — so translation is a
+    * parse; a remote backend with genuinely opaque offsets overrides this
+    * with its metadata lookup. Fails loudly on a token this log never
+    * issued rather than guessing a position. */
+  def seekOffset(name: String, pid: PartitionId, offset: String): SequenceNumber =
+    try offset.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"offset '$offset' is not a position this event log issued " +
+          s"(local offsets are numeric; sentinels: '${types.StartOfStreamOffset}' " +
+          s"= start, '${types.EndOfStreamOffset}' = end)")
+    }
 
   /** First seqNo whose enqueuedTime >= the given UTC micros (latest if none). */
   def seekEnqueuedTime(name: String, pid: PartitionId, micros: Long): SequenceNumber

@@ -22,6 +22,12 @@ object types {
   val StartOfStreamSeqNo: SequenceNumber = -1L
   val EndOfStreamSeqNo: SequenceNumber = -2L
 
+  /** Sentinel OFFSET strings (ref: core/.../package.scala:34-35 — the
+    * reference's byte-offset position kind reserves "-1" for start-of-stream
+    * and "@latest" for end-of-stream). */
+  val StartOfStreamOffset: String = "-1"
+  val EndOfStreamOffset: String = "@latest"
+
   val DefaultPartitionCount: Int = 4
   val DefaultMaxEventsPerTrigger: Long = 1000L
 }
@@ -36,30 +42,44 @@ final case class NameAndPartition(name: String, partitionId: PartitionId) {
 
 /**
  * A position within a partition, normalized to a sequence number at planning
- * time. One of: an absolute sequence number, an enqueued-time seek, or a
- * start/end-of-stream sentinel. (ref: core/.../EventPosition.scala:31-106;
- * translation at EventHubsClient.scala:264-353.)
+ * time. One of: a byte-offset string, an absolute sequence number, an
+ * enqueued-time seek, or a start/end-of-stream sentinel. (ref:
+ * core/.../EventPosition.scala:31-106 — the reference's threefold
+ * offset/seqNo/enqueuedTime model; translation at
+ * EventHubsClient.scala:264-353.)
  */
 sealed trait EventPosition extends Serializable
 object EventPosition {
+  /** Byte-offset position (ref: EventPosition.scala:42-56). The offset is a
+    * backend-defined STRING: the same opaque token the source emits in its
+    * `offset` column, fed back to seek — with the reserved sentinels
+    * [[types.StartOfStreamOffset]] ("-1") and [[types.EndOfStreamOffset]]
+    * ("@latest"). Translation to a seqNo is the backend's job
+    * (EventLogClient.seekOffset). */
+  final case class FromOffset(offset: String, isInclusive: Boolean = true)
+      extends EventPosition
   final case class FromSequenceNumber(seqNo: SequenceNumber, isInclusive: Boolean = true)
       extends EventPosition
   final case class FromEnqueuedTime(time: Instant) extends EventPosition
   case object FromStartOfStream extends EventPosition
   case object FromEndOfStream extends EventPosition
 
+  def fromOffset(offset: String): EventPosition = FromOffset(offset)
   def fromSequenceNumber(seqNo: SequenceNumber): EventPosition = FromSequenceNumber(seqNo)
   def fromEnqueuedTime(t: Instant): EventPosition = FromEnqueuedTime(t)
 
-  /** Build from the parsed-object form {"seqNo":N} / {"enqueuedTime":"ISO"}. */
+  /** Build from the parsed-object form {"offset":"…"} / {"seqNo":N} /
+    * {"enqueuedTime":"ISO"} — offset wins when several are present, matching
+    * the reference's convert precedence (EventPosition.scala:37-47). */
   def fromFields(m: Map[String, String]): EventPosition =
-    m.get("seqNo")
-      .map(v => FromSequenceNumber(v.toLong))
+    m.get("offset")
+      .map(v => FromOffset(v))
+      .orElse(m.get("seqNo").map(v => FromSequenceNumber(v.toLong)))
       .orElse(m.get("enqueuedTime").map(v => FromEnqueuedTime(Instant.parse(v))))
       .getOrElse(throw new IllegalArgumentException(s"bad position: $m"))
 
   /** Parse the option-string form: "start-of-stream" | "end-of-stream" |
-    * {"seqNo":N} | {"enqueuedTime":"ISO-8601"} */
+    * {"offset":"…"} | {"seqNo":N} | {"enqueuedTime":"ISO-8601"} */
   def parse(s: String): EventPosition = s.trim match {
     case "start-of-stream" | "earliest" => FromStartOfStream
     case "end-of-stream" | "latest"     => FromEndOfStream
@@ -76,6 +96,7 @@ object EventPosition {
   def render(p: EventPosition): String = p match {
     case FromStartOfStream           => "start-of-stream"
     case FromEndOfStream             => "end-of-stream"
+    case FromOffset(o, _)            => s"""{"offset":"${MiniJson.escape(o)}"}"""
     case FromSequenceNumber(n, _)    => s"""{"seqNo":$n}"""
     case FromEnqueuedTime(t)         => s"""{"enqueuedTime":"$t"}"""
   }

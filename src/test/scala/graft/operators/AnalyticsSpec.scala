@@ -631,6 +631,29 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("broadcast-contract k-NN joins reject corpus-sized query sets loudly") {
+    // a query set whose plan-size estimate is ~16 GB — plan-only, no data is
+    // ever materialized: the guard must trip BEFORE any job or collect runs
+    val huge = spark.range(2000000000L)
+      .select($"id".as("vec_id"),
+        org.apache.spark.sql.functions.array_repeat($"id".cast("double"), 64)
+          .as("embedding"))
+    def trips(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("knnJoinLshShuffled"), e.getMessage)
+    }
+    trips(Similarity.knnJoin(huge, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5))
+    trips(Similarity.knnJoinLsh(huge, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5, numBits = 6))
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 4)
+    val idx = Similarity.ivfIndexWith(embs, "vec_id", "embedding", cents)
+    trips(Similarity.ivfKnnJoinWith(idx, cents, huge, "vec_id", "embedding", k = 5))
+    // the shuffle form is the documented escape hatch and must NOT guard
+    Similarity.knnJoinLshShuffled(huge.limit(0), "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5, numBits = 6) // plan-construction only
+  }
+
   test("IVF lifecycle: incremental append equals full build, drift fails loudly") {
     val half1 = embs.filter($"vec_id" % 2 === 0)
     val half2 = embs.filter($"vec_id" % 2 =!= 0)
@@ -887,6 +910,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bucketFiles(s"$ipath/assignments", "cell=").values.forall(_ == 1))
     assert(iprobe() == ibefore)
     Similarity.validateIvfIndex(spark, ipath, embs, "vec_id")
+  }
+
+  test("compaction skips the null-vector (Hive default) partition instead of aborting") {
+    // null embeddings get a null bucket and land under the Hive
+    // default-partition dir; repeated appends give it multiple files, which
+    // must not abort compaction of the legitimate buckets
+    val path = java.nio.file.Files.createTempDirectory("lsh-nullpart").toString
+    def withNull(part: Int) = embs.filter($"vec_id" % 3 === part)
+      .unionByName(embs.limit(1)
+        .select((lit(7000L) + lit(part)).as("vec_id"),
+          lit(null).cast("array<float>").as("embedding"), $"label"))
+    Similarity.saveLshIndex(
+      Similarity.lshIndex(withNull(0), "vec_id", "embedding", numBits = 4, seed = 42L),
+      numBits = 4, seed = 42L, path)
+    Similarity.appendToLshIndex(withNull(1), "vec_id", "embedding", path)
+    Similarity.appendToLshIndex(withNull(2), "vec_id", "embedding", path)
+    val nullDir = new java.io.File(s"$path/buckets/bucket=__HIVE_DEFAULT_PARTITION__")
+    assert(nullDir.isDirectory && nullDir.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith("_")) > 1,
+      "null-vector rows must have produced a multi-file default partition")
+    // pre-fix this threw NumberFormatException on '__HIVE_DEFAULT_PARTITION__'
+    assert(Similarity.compactLshIndex(spark, path) > 0)
+    // real buckets compacted; the null partition is untouched, and probes
+    // (which never select a null bucket) still answer
+    val (idx, bits, seedv) = Similarity.loadLshIndex(spark, path)
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    assert(Similarity.lshTopKWith(idx, bits, seedv, qv, 5, multiProbe = 2,
+      excludeId = Some(0L)).count() == 5)
   }
 
   test("validateLshIndex: a drifted corpus fails loudly, not silently stale") {

@@ -34,6 +34,36 @@ class PerPartitionSpec extends AnyFunSuite {
     assert(counts == Map("0" -> 5L, "1" -> 3L, "3" -> 10L))
   }
 
+  test("batch: byte-offset positions seek like the reference's third position kind") {
+    freshLog("pp-off")
+    // numeric offset on p0 (local logs define offset == the seqNo string the
+    // source's offset column emits), "-1" = start on p1, "@latest" = end on
+    // p2; p3 falls through to the global {"offset":"4"} default
+    val df = spark.read.format("graft-eventlog").option("name", "pp-off")
+      .option("startingPositions",
+        """{"0":{"offset":"5"},"1":{"offset":"-1"},"2":{"offset":"@latest"}}""")
+      .option("startingPosition", """{"offset":"4"}""")
+      .load()
+    val counts = df.groupBy($"partition").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("0" -> 5L, "1" -> 10L, "3" -> 6L))
+    // the offset column round-trips: feeding an emitted offset back as the
+    // start position begins exactly at that event
+    val emitted = df.filter($"partition" === "0").select($"offset")
+      .as[String].collect().map(_.toLong).min
+    assert(emitted == 5L)
+    // a token the log never issued fails loudly, not silently
+    val err = intercept[Exception] {
+      spark.read.format("graft-eventlog").option("name", "pp-off")
+        .option("startingPosition", """{"offset":"not-an-offset"}""")
+        .load().count()
+    }
+    assert(err.getMessage != null)
+    // position parse/render round-trip for the new kind
+    val p = EventPosition.parse("""{"offset":"123"}""")
+    assert(p == EventPosition.FromOffset("123"))
+    assert(EventPosition.parse(EventPosition.render(p)) == p)
+  }
+
   test("batch: per-partition ending positions") {
     freshLog("pp2")
     val df = spark.read.format("graft-eventlog").option("name", "pp2")
