@@ -54,7 +54,13 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = Dedup.dedupByNearDup(df, idCol, textCol, ngram, threshold))
 
   /** Drop documents sharing at least `minShared` `k`-gram shingles with any
-    * benchmark document. */
+    * benchmark document.
+    *
+    * Exception to the facade's one-lazy-plan contract: when the corpus
+    * dwarfs the benchmark by plan stats (≥16×), constructing this stage runs
+    * the bloom pre-filter build EAGERLY — Spark jobs at plan-construction
+    * time, even if the pipeline is only EXPLAINed (same warning on
+    * [[CorpusOps.decontaminate]] and the `graft_decontaminate` TVF). */
   def decontaminate(bench: DataFrame, k: Int = 3, minShared: Int = 2): Corpus = {
     val flagged = CorpusOps.decontaminate(df, bench, idCol, textCol, k, minShared)
       .select(col("doc_id").as(idCol))

@@ -747,6 +747,15 @@ object ParquetEventLog extends EventLogClient with Logging {
       null // unreachable
     }
 
+    /** Invariant (mirror of the note in [[take]]): a drain() racing this
+      * method may still serve rows from a buffer we are about to clear —
+      * that is SAFE, because every buffered row was decoded before the
+      * anomaly (the decode loop verifies ids in order and stops at the first
+      * mismatch), so a concurrent taker receives a verified pre-anomaly
+      * prefix and its NEXT take sees `broken` and falls back to the
+      * self-verifying scan, which re-reads anything missed. Only new decode
+      * work must stop, which the `broken` flag (volatile, checked at take
+      * entry and under `lock`) guarantees. Caller holds `lock`. */
     private def markBroken(id: Long): Unit = {
       broken = true
       logWarning(s"parquet log ${meta.path}: expected event_id $nextId but read " +

@@ -135,6 +135,29 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("stream-knn per-batch join broadcasts the batch side; the corpus never shuffles to join") {
+    // q_stream_knn's foreachBatch runs knnJoin(batch, corpus): each
+    // micro-batch is dimension-table-sized by contract, so the join must be
+    // a broadcast of the BATCH (query) side — the corpus scan feeds the join
+    // without an exchange. The window top-k after it may shuffle its k-row-
+    // per-(query, partition) survivors; the join itself must not.
+    val e = Tables.embeddings(spark, dir)
+    val batch = e.filter(col("vec_id") < 8) // stands in for one micro-batch
+    val q = operators.Similarity.knnJoin(batch, "vec_id", "embedding",
+      e, "vec_id", "embedding", k = 3)
+    val p = plan(q)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // no exchange may sit between the corpus parquet scan and the join:
+    // everything below the join must be scan/filter/project only
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("BroadcastHashJoin"))
+    val belowJoin = lines.drop(joinIdx + 1).filterNot(_.contains("BroadcastExchange"))
+    assert(!belowJoin.exists(_.contains("Exchange hashpartitioning")),
+      "corpus side must reach the join unshuffled:\n" + p)
+  }
+
   test("driver smoke: entry() works on a fresh plain session config") {
     // the driver calls entry() without our nanosAsLong session conf; the
     // seeded-log loader must set it on the fly

@@ -859,6 +859,38 @@ class SimilaritySpec extends AnyFunSuite {
         assert(math.abs(a - b) < 1e-9)
       }
     }
+    // static pruning, same pin as the LSH twin: the cell-partitioned scan
+    // lists only the union of the queries' probed cells' files
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scansOf)
+    }
+    val joined = Similarity.ivfKnnJoinWith(idx, loaded, queries, "vec_id",
+      "embedding", k = 5, nProbe = 3)
+    val scans = scansOf(joined.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fields.nonEmpty)
+    assert(scans.nonEmpty, "expected a cell-partitioned parquet scan")
+    val readCells = scans.flatMap { s =>
+      val dt = s.relation.partitionSchema.fields(0).dataType
+      s.selectedPartitions.filePartitionIterator
+        .map(_.values.get(0, dt).toString.toInt).toSeq
+    }.toSet
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probedCells = (0L until 4L).flatMap { qid =>
+      val qv = Similarity.vectorOf(embs, "vec_id", "embedding", qid)
+      loaded.map { case (cid, c) => (cid, cosine(qv, c)) }
+        .sortBy(-_._2).take(3).map(_._1)
+    }.toSet
+    assert(readCells.subsetOf(probedCells),
+      s"scan read cells $readCells beyond the probed set $probedCells")
+    assert(readCells.size < loaded.length, "pruning must skip unprobed cells")
     // a null query vector selects no cells: dropped, never an abort
     val nullQ = embs.limit(1).select(lit(999L).as("vec_id"),
       lit(null).cast("array<float>").as("embedding"), $"label")
