@@ -367,7 +367,10 @@ object Dedup extends Logging {
       "sql twin renders only the even-chunk default banding")
     val nChunks = maxHamming + 1
     val width = 64 / nChunks
-    val chunkMod = 1L << width
+    // width == 64 (maxHamming = 0): `1L << 64` wraps to 1 in Scala and `% 1`
+    // would collapse every doc into one bucket (an all-pairs join); the
+    // single chunk IS the simhash
+    val chunkMod = if (width == 64) BigInt(1) << 64 else BigInt(1L << width)
     val cnts = (0 until 64).map(j =>
       s"sum(((h // ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT) % 2)::BIGINT) AS c$j")
       .mkString(", ")
@@ -421,11 +424,16 @@ object Dedup extends Logging {
       s"cs[i+$j]::HUGEINT * ${java.lang.Long.toUnsignedString(pows(j))}::HUGEINT")
       .mkString(" + ")
     val guard = graft.functions.TextFunctions.sqlAsciiGuard("doc_id", "text")
+    // the length filter must be BYTE-based like the kernel's (a sub-ngram
+    // character count can still be >= ngram bytes in UTF-8): byte-short docs
+    // are dropped in both engines, and every surviving row evaluates the
+    // ASCII guard, so a non-ASCII doc errors loudly instead of silently
+    // fingerprinting different byte streams
     s"""WITH raw AS (
        |  SELECT ($guard) AS doc_id,
        |    list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS cs,
        |    length(text) - $ngram + 1 AS n
-       |  FROM documents WHERE length(text) >= $ngram
+       |  FROM documents WHERE octet_length(encode(text)) >= $ngram
        |), hs AS (
        |  SELECT doc_id, n,
        |    list_transform(generate_series(1, n),
@@ -683,7 +691,8 @@ object Dedup extends Logging {
        |  SELECT id_a, id_b, $cos AS cosine
        |  FROM cand JOIN e x ON id_a = x.vec_id JOIN e y ON id_b = y.vec_id
        |)
-       |SELECT id_a, id_b, (round(cosine * 10000.0) / 10000.0) AS cosine
+       |SELECT id_a, id_b,
+       |  ${graft.functions.TextFunctions.sqlStableRound("cosine", 4)} AS cosine
        |FROM sc WHERE cosine >= $threshold ORDER BY 1, 2""".stripMargin
   }
 }

@@ -50,18 +50,27 @@ object Similarity extends org.apache.spark.internal.Logging {
    * parent's size — persist()/localCheckpoint() it so the planner sees the
    * real size, or use the named alternative.
    */
+  /** Session override for the guard cap (bytes; "0" disables the guard —
+    * for callers whose narrow query filter over a huge table defeats
+    * size-only stats estimation and who accept the broadcast). */
+  val BroadcastGuardConfKey = "graft.knn.broadcastGuardBytes"
+
   private def requireBroadcastSizedQueries(queries: DataFrame, op: String): Unit = {
-    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     val sqlConf = queries.sparkSession.sessionState.conf
-    val cap = BigInt(math.max(sqlConf.autoBroadcastJoinThreshold, 10L << 20)) * 8
+    val cap = queries.sparkSession.conf.getOption(BroadcastGuardConfKey)
+      .map(v => BigInt(v.toLong))
+      .getOrElse(BigInt(math.max(sqlConf.autoBroadcastJoinThreshold, 10L << 20)) * 8)
+    if (cap <= 0) return
+    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
     require(est <= cap,
       s"$op broadcasts the query side by contract, but its plan-size estimate " +
-        s"($est bytes) exceeds the broadcast guard ($cap bytes = 8x " +
+        s"($est bytes) exceeds the broadcast guard ($cap bytes — default 8x " +
         "autoBroadcastJoinThreshold): a corpus-sized query set would OOM the " +
         "driver. Use knnJoinLshShuffled (same per-query top-k semantics " +
-        "through a shuffle equi-join, at any query-set size), or — if the " +
-        "query set only LOOKS big because the estimate carries a filtered " +
-        "parent's size — persist()/localCheckpoint() it first.")
+        "through a shuffle equi-join, at any query-set size); if the query " +
+        "set only LOOKS big because size-only stats carry a filtered " +
+        "parent's estimate, persist()/localCheckpoint() it first or raise/" +
+        s"disable the guard via spark.conf.set(\"$BroadcastGuardConfKey\", ...).")
   }
 
   /** Exact cosine top-k neighbors of `queryVec` (excluding `excludeId`). */
@@ -822,7 +831,8 @@ object Similarity extends org.apache.spark.internal.Logging {
        |           FROM qb, fl),
        |sig AS (SELECT vec_id, v, ${sqlLshBucketOf("v", numBits, dim)} AS bucket
        |        FROM e, pl_t),
-       |sc AS (SELECT vec_id, (round($cos * 1000000.0) / 1000000.0) AS cosine
+       |sc AS (SELECT vec_id,
+       |         ${graft.functions.TextFunctions.sqlStableRound(cos, 6)} AS cosine
        |       FROM sig, q
        |       WHERE bucket IN (SELECT bucket FROM probes) AND vec_id <> $queryId)
        |SELECT vec_id, cosine FROM sc
@@ -846,7 +856,8 @@ object Similarity extends org.apache.spark.internal.Logging {
        |sc AS (SELECT query_id, c.vec_id, c.v AS cv, qv FROM probes
        |       JOIN sig c USING (bucket) WHERE c.vec_id <> query_id),
        |r AS (SELECT query_id, vec_id,
-       |        (round($cos * 1000000.0) / 1000000.0) AS cosine FROM sc),
+       |        ${graft.functions.TextFunctions.sqlStableRound(cos, 6)} AS cosine
+       |      FROM sc),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |         ORDER BY cosine DESC, vec_id ASC) AS rk FROM r)
        |SELECT query_id, vec_id, cosine, rk FROM rk WHERE rk <= $k
@@ -883,7 +894,8 @@ object Similarity extends org.apache.spark.internal.Logging {
        |hits AS (SELECT e.vec_id, e.v FROM e JOIN assign USING (vec_id)
        |         WHERE assign.cell IN (SELECT cell FROM pc)
        |           AND e.vec_id <> $queryId)
-       |SELECT vec_id, (round($cos * 1000000.0) / 1000000.0) AS cosine
+       |SELECT vec_id,
+       |  ${graft.functions.TextFunctions.sqlStableRound(cos, 6)} AS cosine
        |FROM hits, q
        |ORDER BY cosine DESC, vec_id ASC LIMIT $k""".stripMargin
   }

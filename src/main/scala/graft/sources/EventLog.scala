@@ -59,14 +59,20 @@ trait EventLogClient {
     * parse; a remote backend with genuinely opaque offsets overrides this
     * with its metadata lookup. Fails loudly on a token this log never
     * issued rather than guessing a position. */
-  def seekOffset(name: String, pid: PartitionId, offset: String): SequenceNumber =
-    try offset.toLong
-    catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"offset '$offset' is not a position this event log issued " +
-          s"(local offsets are numeric; sentinels: '${types.StartOfStreamOffset}' " +
-          s"= start, '${types.EndOfStreamOffset}' = end)")
-    }
+  def seekOffset(name: String, pid: PartitionId, offset: String): SequenceNumber = {
+    // non-negative numerics only: a negative token other than the "-1"
+    // sentinel (handled by the caller) was never issued by any log, and
+    // letting it through as a negative seqNo would either clamp silently
+    // (failOnDataLoss=false) or surface a misleading aged-out error
+    val n = try offset.toLong
+    catch { case _: NumberFormatException => -1L }
+    if (n < 0) throw new IllegalArgumentException(
+      s"offset '$offset' is not a position this event log issued " +
+        s"(local offsets are non-negative numerics; sentinels: " +
+        s"'${types.StartOfStreamOffset}' = start, " +
+        s"'${types.EndOfStreamOffset}' = end)")
+    n
+  }
 
   /** First seqNo whose enqueuedTime >= the given UTC micros (latest if none). */
   def seekEnqueuedTime(name: String, pid: PartitionId, micros: Long): SequenceNumber

@@ -652,6 +652,12 @@ class SimilaritySpec extends AnyFunSuite {
     // the shuffle form is the documented escape hatch and must NOT guard
     Similarity.knnJoinLshShuffled(huge.limit(0), "vec_id", "embedding",
       embs, "vec_id", "embedding", k = 5, numBits = 6) // plan-construction only
+    // the conf knob is the stats-lied escape hatch: 0 disables the guard
+    // (plan construction must succeed; nothing is executed)
+    spark.conf.set(Similarity.BroadcastGuardConfKey, "0")
+    try Similarity.knnJoin(huge, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5)
+    finally spark.conf.unset(Similarity.BroadcastGuardConfKey)
   }
 
   test("IVF lifecycle: incremental append equals full build, drift fails loudly") {

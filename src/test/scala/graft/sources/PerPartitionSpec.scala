@@ -51,13 +51,17 @@ class PerPartitionSpec extends AnyFunSuite {
     val emitted = df.filter($"partition" === "0").select($"offset")
       .as[String].collect().map(_.toLong).min
     assert(emitted == 5L)
-    // a token the log never issued fails loudly, not silently
-    val err = intercept[Exception] {
-      spark.read.format("graft-eventlog").option("name", "pp-off")
-        .option("startingPosition", """{"offset":"not-an-offset"}""")
-        .load().count()
+    // a token the log never issued fails loudly, not silently — both
+    // non-numeric and negative-non-sentinel forms ("-2" is a seqNo sentinel
+    // no log ever issues as an offset; accepting it would clamp silently)
+    for (bad <- Seq("not-an-offset", "-2")) {
+      val err = intercept[Exception] {
+        spark.read.format("graft-eventlog").option("name", "pp-off")
+          .option("startingPosition", s"""{"offset":"$bad"}""")
+          .load().count()
+      }
+      assert(err.getMessage != null)
     }
-    assert(err.getMessage != null)
     // position parse/render round-trip for the new kind
     val p = EventPosition.parse("""{"offset":"123"}""")
     assert(p == EventPosition.FromOffset("123"))
