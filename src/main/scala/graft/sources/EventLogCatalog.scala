@@ -92,9 +92,11 @@ class EventLogCatalog extends TableCatalog {
     // the row schema is the connector's fixed 9-column contract; a declared
     // schema is ignored (ACCEPT_ANY_SCHEMA governs writes)
     // every non-reserved property becomes a connector option — validated NOW
-    // so a typo'd CREATE TABLE fails instead of silently dropping the knob
-    val opts = properties.asScala.toMap
-      .map { case (k, v) => k.toLowerCase -> v } -- EventLogCatalog.ReservedProps
+    // so a typo'd CREATE TABLE fails instead of silently dropping the knob.
+    // Secrets are sealed BEFORE the props are stored: catalog-persisted
+    // TBLPROPERTIES must never hold a plaintext credential
+    val opts = EventLogConf.sealSecrets(properties.asScala.toMap
+      .map { case (k, v) => k.toLowerCase -> v }) -- EventLogCatalog.ReservedProps
     // read partitions from the LOWERCASED map: TBLPROPERTIES keys arrive in
     // user case, and a case-sensitive miss would silently use the default
     val p = opts.get("partitions").map(_.toInt)

@@ -38,9 +38,49 @@ final case class EventLogConf(options: Map[String, String]) {
   private def get(k: String): Option[String] = options.get(k.toLowerCase)
 
   def name: String =
-    get("name").orElse(get("path").map(p => EventLogConf.parquetLogName(p, partitions)))
+    get("name")
+      .orElse(connectionStringEntityPath)
+      .orElse(get("path").map(p => EventLogConf.parquetLogName(p, partitions)))
       .getOrElse(throw new IllegalArgumentException(
-        "one of 'name' or 'path' is required for the graft-eventlog source"))
+        "one of 'name', 'connectionString' (with EntityPath), or 'path' is " +
+          "required for the graft-eventlog source"))
+
+  /** Decrypted connection string, if one was set (ref
+    * EventHubsConf.connectionString, EventHubsConf.scala:137-145: stored
+    * encrypted in the settings bag so renders/checkpoints never hold the
+    * plaintext; see [[Obfuscation]] for what that does and does not
+    * protect). Local backends need no credentials — the option exists as
+    * the parity seam a remote backend implements against, and its
+    * EntityPath names the log. */
+  def connectionString: Option[String] =
+    get("connectionstring").map(Obfuscation.unseal)
+
+  /** EntityPath=<hub> of the connection string (ref
+    * ConnectionStringBuilder.getEventHubName) — lets reference-style code
+    * that only sets a connection string name its log. */
+  private def connectionStringEntityPath: Option[String] =
+    connectionString.flatMap(_.split(';').iterator.map(_.trim)
+      .collectFirst { case s if s.toLowerCase.startsWith("entitypath=") =>
+        s.substring("entitypath=".length) }
+      .filter(_.nonEmpty))
+
+  /** Redacted render: secret-bearing values never reach logs, the Spark UI,
+    * or exception messages through this object (ref: the reference keeps
+    * connection strings AES-encrypted inside the conf for the same reason). */
+  override def toString: String = {
+    val shown = options.toSeq.sortBy(_._1).map { case (k, v) =>
+      if (EventLogConf.SensitiveKeys(k)) s"$k=[REDACTED]" else s"$k=$v"
+    }
+    s"EventLogConf(${shown.mkString(", ")})"
+  }
+
+  /** Executor-shipping form (ref EventHubsConf.trimmed,
+    * EventHubsConf.scala:163-191): planning-only options — positions, rate
+    * caps, placement, admission/throttling tuning — never leave the driver;
+    * readers get only what [[EventLogClients.forConf]] and the retry layer
+    * consume. Secrets stay in their sealed form. */
+  def executorTrimmed: EventLogConf =
+    EventLogConf(options.view.filterKeys(EventLogConf.ExecutorOptions).toMap)
 
   def path: Option[String] = get("path")
   def partitions: Int = get("partitions").map(_.toInt).getOrElse(DefaultPartitionCount)
@@ -162,13 +202,28 @@ final case class EventLogConf(options: Map[String, String]) {
 
 object EventLogConf {
   def apply(opts: CaseInsensitiveStringMap): EventLogConf =
-    EventLogConf(opts.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+    EventLogConf(sealSecrets(
+      opts.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }.toMap))
 
   def parquetLogName(path: String, partitions: Int): String = s"parquet:$path#$partitions"
 
+  /** Options whose values are credentials: sealed at the connector boundary,
+    * redacted in every render. */
+  val SensitiveKeys: Set[String] = Set("connectionstring")
+
+  /** Seal sensitive values (idempotent — already-sealed values are kept) so
+    * a settings bag built from user options never holds plaintext secrets.
+    * Applied at every connector boundary that accepts raw options (DSv2
+    * option maps, catalog table properties). */
+  def sealSecrets(opts: Map[String, String]): Map[String, String] =
+    opts.map { case (k, v) =>
+      if (SensitiveKeys(k.toLowerCase)) k.toLowerCase -> Obfuscation.seal(v)
+      else k -> v
+    }
+
   /** Every option the connector understands (lowercase). */
   val KnownOptions: Set[String] = Set(
-    "name", "path", "partitions",
+    "name", "path", "partitions", "connectionstring",
     "startingposition", "endingposition", "startingpositions", "endingpositions",
     "maxeventspertrigger", "maxratesperpartition", "consumergroup",
     "failondataloss", "placementstrategy", "slowpartitionadjustment",
@@ -177,11 +232,61 @@ object EventLogConf {
     "maxretries", "retrydelayms", "receivertimeout", "operationtimeout",
     "prefetchcount")
 
+  /** What executors need (ref EventHubsConf.trimmed's include list,
+    * EventHubsConf.scala:163-191): identity + credentials + receive/retry
+    * tuning + the reader-side metric plugin. Everything else is planning
+    * state. */
+  val ExecutorOptions: Set[String] = Set(
+    "name", "path", "partitions", "connectionstring", "consumergroup",
+    "failondataloss", "metricplugin",
+    "maxretries", "retrydelayms", "receivertimeout", "operationtimeout",
+    "prefetchcount")
+
   /** Keys Spark itself or the catalog layer injects into option maps —
     * present-but-not-ours, never rejected. */
   private[sources] val PassthroughKeys: Set[String] = Set(
     "checkpointlocation", "queryname", "provider", "owner", "location",
     "comment", "external")
+}
+
+/**
+ * Obfuscation for secret-bearing conf values (ref EventHubsUtils
+ * encrypt/decrypt, EventHubsUtils.scala:187-207): AES with a key derived
+ * from a fixed connector string via PBKDF2. Like the reference's, this is
+ * HYGIENE, not protection from an adversary who can run code in the same
+ * JVM — it keeps plaintext credentials out of logs, the Spark UI, explain
+ * output, checkpoint metadata, and heap dumps of serialized conf maps.
+ * Sealed values carry an `enc:` prefix so sealing is idempotent and
+ * mixed-provenance maps (user-fresh vs catalog-loaded) normalize safely.
+ */
+object Obfuscation {
+  private val Prefix = "enc:"
+  private def keySpec: javax.crypto.spec.SecretKeySpec = {
+    val version = "graft-eventlog-1"
+    val factory = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      version.toCharArray, version.getBytes("UTF-8"), 1000, 256)
+    new javax.crypto.spec.SecretKeySpec(
+      factory.generateSecret(spec).getEncoded, "AES")
+  }
+
+  def seal(value: String): String =
+    if (value.startsWith(Prefix)) value
+    else {
+      val cipher = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
+      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE, keySpec)
+      Prefix + java.util.Base64.getEncoder.encodeToString(
+        cipher.doFinal(value.getBytes("UTF-8")))
+    }
+
+  def unseal(value: String): String =
+    if (!value.startsWith(Prefix)) value
+    else {
+      val cipher = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
+      cipher.init(javax.crypto.Cipher.DECRYPT_MODE, keySpec)
+      new String(cipher.doFinal(
+        java.util.Base64.getDecoder.decode(value.substring(Prefix.length))), "UTF-8")
+    }
 }
 
 /**

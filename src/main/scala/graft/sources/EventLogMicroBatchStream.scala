@@ -143,7 +143,8 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
       val np = NameAndPartition(name, pid)
       val loc = PlacementStrategy.locate(conf.placementStrategy, np, executors)
       EventLogInputPartition(
-        conf.options,
+        // planning-only options never serialize into tasks (EventHubsConf.trimmed)
+        conf.executorTrimmed.options,
         // shrink inverted ranges to empty instead of failing (ref R4)
         OffsetRange(np, from, math.max(from, until), loc)): InputPartition
     }

@@ -263,7 +263,10 @@ class EventLogScan(
 class EventLogBatch(conf: EventLogConf, schema: StructType, ranges: () => Array[OffsetRange])
     extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    ranges().map(r => EventLogInputPartition(conf.options, r): InputPartition)
+    // executorTrimmed: planning-only options (positions, rate caps,
+    // placement) never serialize into tasks — ref EventHubsConf.trimmed
+    ranges().map(r =>
+      EventLogInputPartition(conf.executorTrimmed.options, r): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(schema)
 }
