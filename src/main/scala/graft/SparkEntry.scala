@@ -704,6 +704,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    "q_ann_recall" -> ((s, dir) => {
+      // recall@k harness: LSH-bucketed k-NN measured against the exact join
+      // — the acceptance metric for every index/probe/quantization tradeoff
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.knnJoin(q, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5)
+      val approx = Similarity.knnJoinLsh(q, "vec_id", "embedding",
+        e, "vec_id", "embedding", k = 5, numBits = 6)
+      Similarity.recallAtK(exact, approx, k = 5).orderBy(col("query_id"))
+    }),
+
     "q_embed_quantize" -> ((s, dir) => {
       // int8 embedding compression: integer-exact per-vector checksums
       // (sum, position-weighted sum, max code) + the stably-rounded scale —
@@ -1644,6 +1656,25 @@ object SparkEntry {
         Similarity.sqlKnnJoinLsh(dim = EmbeddingDim, numBits = 6, seed = 42L,
           queryPred = "s.vec_id < 8", k = 5),
 
+      // composes the two k-NN oracles above: exact top-5 vs the LSH twin,
+      // overlap per query
+      "q_ann_recall" ->
+        s"""WITH ex0 AS (${oracleSqlKnnExact(k = 5)}),
+           |ap0 AS (${Similarity.sqlKnnJoinLsh(dim = EmbeddingDim, numBits = 6,
+                seed = 42L, queryPred = "s.vec_id < 8", k = 5)}),
+           |ex AS (SELECT query_id, list_distinct(list(vec_id)) AS exact_ids
+           |       FROM ex0 GROUP BY query_id),
+           |ap AS (SELECT query_id, list_distinct(list(vec_id)) AS approx_ids
+           |       FROM ap0 GROUP BY query_id)
+           |SELECT ex.query_id,
+           |  len(exact_ids)::INT AS n_exact,
+           |  len(list_intersect(exact_ids, coalesce(approx_ids, [])))::INT AS n_hit,
+           |  ${TextFunctions.sqlStableRound(
+                "len(list_intersect(exact_ids, coalesce(approx_ids, [])))" +
+                  " * 1.0 / len(exact_ids)", 4)} AS recall
+           |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+           |ORDER BY ex.query_id""".stripMargin,
+
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE pairs AS (
            |  WITH d AS (
@@ -1683,16 +1714,7 @@ object SparkEntry {
           |FROM e, q WHERE e.vec_id != 0
           |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
-      "q_knn_join" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-          | s AS (SELECT query_id, e.vec_id,
-          |        (round(list_cosine_similarity(e.v, qv) * 1000000.0) / 1000000.0) AS cosine
-          |       FROM q, e WHERE e.vec_id != query_id),
-          | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-          |                 ORDER BY cosine DESC, vec_id ASC) AS rk FROM s)
-          |SELECT query_id, vec_id, cosine, rk FROM r WHERE rk <= 5
-          |ORDER BY query_id, rk""".stripMargin,
+      "q_knn_join" -> oracleSqlKnnExact(k = 5),
 
       // the streaming form is per-batch stateless (each query vector's
       // top-k depends only on itself and the static corpus), so the batch
@@ -1816,6 +1838,19 @@ object SparkEntry {
       "q_ann_ivf" -> Similarity.sqlIvfTopK(
         cents, dim = EmbeddingDim, queryId = 0L, k = 10, nProbe = 4))
   }
+
+  /** Exact k-NN join oracle (vec_id < 8 query set, top-`k` per query) —
+    * shared by q_knn_join and, as the ground-truth CTE, q_ann_recall. */
+  private def oracleSqlKnnExact(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       | s AS (SELECT query_id, e.vec_id,
+       |        (round(list_cosine_similarity(e.v, qv) * 1000000.0) / 1000000.0) AS cosine
+       |       FROM q, e WHERE e.vec_id != query_id),
+       | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY cosine DESC, vec_id ASC) AS rk FROM s)
+       |SELECT query_id, vec_id, cosine, rk FROM r WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
 
   /** DuckDB rendering of [[graft.operators.Multimodal.StubCodec]]'s FNV-1a
     * 64-bit hash (shared twin: [[TextFunctions.sqlFnv1a64]]) — codepoint

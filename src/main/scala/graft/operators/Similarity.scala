@@ -767,6 +767,36 @@ object Similarity extends org.apache.spark.internal.Logging {
     embs.filter(col(idCol) === id).select(col(vecCol).cast("array<double>"))
       .head().getSeq[Double](0).toArray
 
+  /**
+   * Recall@k of an approximate k-NN result against exact ground truth — THE
+   * acceptance metric for every index/probe/quantization tradeoff in this
+   * file (numBits, multiProbe, nProbe, int8): measure it on a query sample
+   * before trusting a cheaper configuration at corpus scale. Both inputs are
+   * k-NN join results `(query_id, vec_id, …, rk)` (any of [[knnJoin]],
+   * [[knnJoinLsh]], [[knnJoinLshWith]], [[ivfKnnJoinWith]]…). Returns one
+   * row per ground-truth query: `(query_id, n_exact, n_hit, recall)` with
+   * recall = |exact∩approx| / |exact| at rk ≤ k, stable-rounded; a query the
+   * approximate side missed entirely scores 0, never drops out. Two
+   * aggregations and one join, all keyed on query_id — co-partitioned after
+   * the first exchange, so evaluation scales with the QUERY sample, not the
+   * corpus.
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def ids(df: DataFrame, as: String) = df.filter(col("rk") <= k)
+      .groupBy(col("query_id")).agg(collect_set(col("vec_id")).as(as))
+    ids(exact, "exact_ids")
+      .join(ids(approx, "approx_ids"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        size(col("exact_ids")).as("n_exact"),
+        size(array_intersect(col("exact_ids"),
+          coalesce(col("approx_ids"), array()))).as("n_hit"),
+        graft.functions.TextFunctions.stableRound(
+          size(array_intersect(col("exact_ids"),
+            coalesce(col("approx_ids"), array()))).cast("double") /
+            size(col("exact_ids")).cast("double"), 4).as("recall"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB SQL twins — full-oracle renderings of the LSH/IVF search paths.
   //

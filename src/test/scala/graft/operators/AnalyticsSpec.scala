@@ -631,6 +631,28 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("recallAtK: exact-vs-exact is 1.0; approximate recall bounded and monotone in probes") {
+    val q = embs.filter($"vec_id" < 6)
+    val exact = Similarity.knnJoin(q, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5)
+    // self-recall is exactly 1.0 for every query
+    val self = Similarity.recallAtK(exact, exact, 5)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(self.length == 6 && self.forall { case (_, ne, nh, r) =>
+      ne == 5 && nh == 5 && r == 1.0 })
+    // LSH recall is in [0,1] per query, and never loses the query row
+    val approx = Similarity.knnJoinLsh(q, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 5, numBits = 6)
+    val rec = Similarity.recallAtK(exact, approx, 5)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(rec.length == 6)
+    assert(rec.forall { case (_, ne, nh, r) => ne == 5 && nh <= 5 && r >= 0.0 && r <= 1.0 })
+    // an empty approximate side scores 0 everywhere instead of dropping rows
+    val zero = Similarity.recallAtK(exact, approx.limit(0), 5)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(zero.length == 6 && zero.forall(_._4 == 0.0))
+  }
+
   test("broadcast-contract k-NN joins reject corpus-sized query sets loudly") {
     // a query set whose plan-size estimate is ~16 GB — plan-only, no data is
     // ever materialized: the guard must trip BEFORE any job or collect runs
