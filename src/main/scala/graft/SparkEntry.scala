@@ -529,14 +529,29 @@ object SparkEntry {
 
     "q_sketch_terms" -> ((s, dir) => {
       // mergeable Count-Min term frequencies; point estimates read from the
-      // KB-sized sketch, never from the data (rows-only gate: CMS internals
-      // are library-specific; the one-sided error bound is unit-tested)
+      // KB-sized sketch, never from the data. FULL-oracle form: the output
+      // is the DuckDB-verifiable property, not the library-specific
+      // estimate — exact per-term counts plus the CMS guarantee
+      // (exact <= est <= exact + eps*N at the configured confidence)
+      // rendered as a boolean that must hash-match literal true
       import s.implicits._
-      val cms = operators.Sketches.termFrequencySketch(Tables.documents(s, dir), "text")
+      val docs = Tables.documents(s, dir)
+      val cms = operators.Sketches.termFrequencySketch(docs, "text")
         .head().getAs[Array[Byte]]("cms")
       val terms = Seq("data", "key", "spark", "table", "value")
-      operators.Sketches.estimateTermCounts(cms, terms).toSeq
-        .toDF("term", "est_count").orderBy(col("term"))
+      val est = operators.Sketches.estimateTermCounts(cms, terms).toSeq
+        .toDF("term", "est_count")
+      val words = docs.select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val totalTerms = words.count()
+      val exact = words.filter(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      val epsBound = math.ceil(0.0001 * totalTerms).toLong
+      est.join(exact, Seq("term"))
+        .select(col("term"), col("n_exact"),
+          (col("est_count") >= col("n_exact") &&
+            col("est_count") <= col("n_exact") + epsBound).as("within_bounds"))
+        .orderBy(col("term"))
     }),
 
     "q_catalog_roundtrip" -> ((s, dir) => {
@@ -751,10 +766,19 @@ object SparkEntry {
 
     "q_sketch_distinct" -> ((s, dir) => {
       // HLL sketches (DataSketches family): mergeable approximate distinct
-      // counts; estimates are library-specific => rows-only check
-      operators.Sketches.distinctSketch(
-          Tables.lineitem(s, dir), Seq(col("l_returnflag")), col("l_partkey"))
-        .select(col("l_returnflag"), col("n_approx"))
+      // counts. FULL-oracle form (same technique as q_sketch_terms): output
+      // the DuckDB-verifiable property — exact distinct counts plus a
+      // within-5% boolean for the estimate (lgConfigK=12 gives ~1% relative
+      // standard error, so 5% is a hard failure signal, not flake room)
+      val li = Tables.lineitem(s, dir)
+      val approx = operators.Sketches.distinctSketch(
+        li, Seq(col("l_returnflag")), col("l_partkey"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      approx.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1168,13 +1192,14 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — identical semantics, identical column names.
-  // Omitted keys (q_sketch_distinct, q_sketch_terms) are approximate BY
-  // CONSTRUCTION (HLL/CMS estimates are library-specific) → driver's weaker
-  // rows-only check, cross-verified against exact counts in unit tests.
-  // Every LSH/minhash/winnow/IVF gate renders a full oracle: seed-derived
+  // EVERY gate renders a full oracle. LSH/minhash/winnow/IVF: seed-derived
   // constants (permutations, hyperplanes, centroids) are computed from the
   // same single source of truth as the executor kernels and inlined as SQL
   // literals, with FP op order matched exactly (see Similarity.sql* docs).
+  // The two sketch gates (HLL/CMS — estimates are library-specific and
+  // cannot be reproduced in another engine) output the PROPERTY instead:
+  // exact counts (DuckDB-verified) plus the sketch's accuracy-bound boolean,
+  // which must hash-match literal true.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {
     val srcRank =
@@ -1715,6 +1740,17 @@ object SparkEntry {
           |ORDER BY cosine DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
       "q_knn_join" -> oracleSqlKnnExact(k = 5),
+
+      "q_sketch_distinct" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+          | true AS within_5pct
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_sketch_terms" ->
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          |SELECT term, count(*) AS n_exact, true AS within_bounds
+          |FROM w WHERE term IN ('data', 'key', 'spark', 'table', 'value')
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // the streaming form is per-batch stateless (each query vector's
       // top-k depends only on itself and the static corpus), so the batch
