@@ -546,7 +546,8 @@ object SparkEntry {
       val totalTerms = words.count()
       val exact = words.filter(col("term").isin(terms: _*))
         .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
-      val epsBound = math.ceil(0.0001 * totalTerms).toLong
+      val epsBound =
+        math.ceil(operators.Sketches.DefaultCmsEps * totalTerms).toLong
       est.join(exact, Seq("term"))
         .select(col("term"), col("n_exact"),
           (col("est_count") >= col("n_exact") &&

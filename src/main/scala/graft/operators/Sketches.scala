@@ -55,9 +55,13 @@ object Sketches {
    * aggregate supplies mergeable partials (map-side combine, same shape as
    * the HLL path above).
    */
+  /** Default CMS relative-error bound — shared with the correctness gate's
+    * `exact <= est <= exact + eps*N` assertion so the two cannot drift. */
+  val DefaultCmsEps: Double = 0.0001
+
   def termFrequencySketch(
       docs: DataFrame, textCol: String,
-      eps: Double = 0.0001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+      eps: Double = DefaultCmsEps, confidence: Double = 0.99, seed: Int = 42): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
       .agg(count_min_sketch(col("term"), lit(eps), lit(confidence), lit(seed))

@@ -234,11 +234,16 @@ object EventLogConf {
 
   /** What executors need (ref EventHubsConf.trimmed's include list,
     * EventHubsConf.scala:163-191): identity + credentials + receive/retry
-    * tuning + the reader-side metric plugin. Everything else is planning
-    * state. */
+    * tuning + the reader-side metric plugin + the slow-partition feedback
+    * pair — readers RECORD receive metrics gated on
+    * `slowpartitionadjustment` (the reference ships
+    * SlowPartitionAdjustmentKey and MaxAcceptableBatchReceiveTimeKey for
+    * the same executor→driver feedback path), so stripping them would
+    * silently disable R3 throttling. Everything else is planning state. */
   val ExecutorOptions: Set[String] = Set(
     "name", "path", "partitions", "connectionstring", "consumergroup",
     "failondataloss", "metricplugin",
+    "slowpartitionadjustment", "maxacceptablebatchreceivetime",
     "maxretries", "retrydelayms", "receivertimeout", "operationtimeout",
     "prefetchcount")
 
@@ -261,7 +266,10 @@ object EventLogConf {
  */
 object Obfuscation {
   private val Prefix = "enc:"
-  private def keySpec: javax.crypto.spec.SecretKeySpec = {
+  // the 1000-iteration PBKDF2 derivation runs ONCE: the key is a fixed
+  // constant, and seal/unseal sit on per-task paths (conf.name via
+  // EntityPath resolves through unseal in every reader)
+  private lazy val keySpec: javax.crypto.spec.SecretKeySpec = {
     val version = "graft-eventlog-1"
     val factory = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
     val spec = new javax.crypto.spec.PBEKeySpec(
@@ -270,8 +278,20 @@ object Obfuscation {
       factory.generateSecret(spec).getEncoded, "AES")
   }
 
+  private def decryptBody(value: String): String = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.DECRYPT_MODE, keySpec)
+    new String(cipher.doFinal(
+      java.util.Base64.getDecoder.decode(value.substring(Prefix.length))), "UTF-8")
+  }
+
+  /** Idempotent: a value is "already sealed" only if it carries the marker
+    * AND decrypts — a plaintext credential that merely happens to start
+    * with the marker gets sealed like any other, instead of being stored
+    * verbatim and blowing up at unseal time. */
   def seal(value: String): String =
-    if (value.startsWith(Prefix)) value
+    if (value.startsWith(Prefix) &&
+        scala.util.Try(decryptBody(value)).isSuccess) value
     else {
       val cipher = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
       cipher.init(javax.crypto.Cipher.ENCRYPT_MODE, keySpec)
@@ -281,11 +301,11 @@ object Obfuscation {
 
   def unseal(value: String): String =
     if (!value.startsWith(Prefix)) value
-    else {
-      val cipher = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
-      cipher.init(javax.crypto.Cipher.DECRYPT_MODE, keySpec)
-      new String(cipher.doFinal(
-        java.util.Base64.getDecoder.decode(value.substring(Prefix.length))), "UTF-8")
+    else try decryptBody(value)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        "value carries the sealed-credential marker but does not decrypt — " +
+          "it was not sealed by this connector; re-set the credential", e)
     }
 }
 

@@ -132,6 +132,8 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
     val endMap = end.asInstanceOf[EventLogSourceOffset].seqNos
     val bounds = client.boundedSeqNos(name)
     val executors = sortedExecutors()
+    // planning-only options never serialize into tasks (EventHubsConf.trimmed)
+    val shipped = conf.executorTrimmed.options
     endMap.toArray.sortBy(_._1).map { case (pid, until) =>
       val earliest = bounds.get(pid).map(_._1).getOrElse(0L)
       var from = startMap.getOrElse(pid, earliest)
@@ -143,8 +145,7 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
       val np = NameAndPartition(name, pid)
       val loc = PlacementStrategy.locate(conf.placementStrategy, np, executors)
       EventLogInputPartition(
-        // planning-only options never serialize into tasks (EventHubsConf.trimmed)
-        conf.executorTrimmed.options,
+        shipped,
         // shrink inverted ranges to empty instead of failing (ref R4)
         OffsetRange(np, from, math.max(from, until), loc)): InputPartition
     }

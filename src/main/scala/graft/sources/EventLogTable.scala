@@ -262,11 +262,12 @@ class EventLogScan(
 
 class EventLogBatch(conf: EventLogConf, schema: StructType, ranges: () => Array[OffsetRange])
     extends Batch {
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
     // executorTrimmed: planning-only options (positions, rate caps,
     // placement) never serialize into tasks — ref EventHubsConf.trimmed
-    ranges().map(r =>
-      EventLogInputPartition(conf.executorTrimmed.options, r): InputPartition)
+    val shipped = conf.executorTrimmed.options
+    ranges().map(r => EventLogInputPartition(shipped, r): InputPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new EventLogReaderFactory(schema)
 }

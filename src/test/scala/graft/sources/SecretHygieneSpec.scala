@@ -60,6 +60,7 @@ class SecretHygieneSpec extends AnyFunSuite {
       "maxratesperpartition" -> """{"0":10}""",
       "placementstrategy" -> "hash",
       "slowpartitionadjustment" -> "true",
+      "maxacceptablebatchreceivetime" -> "5000",
       "maxretries" -> "3", "receivertimeout" -> "1000",
       "prefetchcount" -> "64", "consumergroup" -> "g1"))
     val t = conf.executorTrimmed
@@ -68,9 +69,14 @@ class SecretHygieneSpec extends AnyFunSuite {
     assert(t.connectionString.contains(connStr("h2")))
     assert(t.maxRetries == 3 && t.receiverTimeoutMs == 1000L)
     assert(t.prefetchCount.contains(64L) && t.consumerGroup == "g1")
+    // the slow-partition feedback pair must ship: readers record receive
+    // metrics gated on it (stripping it would silently disable R3 — the
+    // reference's trimmed conf keeps both keys for the same reason)
+    assert(t.slowPartitionAdjustment, "slowpartitionadjustment must ship")
+    assert(t.maxAcceptableBatchReceiveTimeMs == 5000L)
     // planning-only state does not serialize into tasks
     for (k <- Seq("startingposition", "startingpositions", "maxeventspertrigger",
-        "maxratesperpartition", "placementstrategy", "slowpartitionadjustment"))
+        "maxratesperpartition", "placementstrategy"))
       assert(!t.options.contains(k), s"$k must not ship to executors")
     // the secret stays sealed in the shipped form
     assert(t.options("connectionstring").startsWith("enc:"))
