@@ -286,11 +286,13 @@ object Obfuscation {
   }
 
   /** Idempotent: a value is "already sealed" only if it carries the marker
-    * AND decrypts — a plaintext credential that merely happens to start
-    * with the marker gets sealed like any other, instead of being stored
-    * verbatim and blowing up at unseal time. */
+    * AND a non-empty body that decrypts — a plaintext credential that
+    * merely happens to start with the marker (including the bare marker:
+    * AES decrypt of an EMPTY body "succeeds" with empty output) gets
+    * sealed like any other, instead of being stored verbatim and read back
+    * wrong at unseal time. */
   def seal(value: String): String =
-    if (value.startsWith(Prefix) &&
+    if (value.length > Prefix.length && value.startsWith(Prefix) &&
         scala.util.Try(decryptBody(value)).isSuccess) value
     else {
       val cipher = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
@@ -300,7 +302,7 @@ object Obfuscation {
     }
 
   def unseal(value: String): String =
-    if (!value.startsWith(Prefix)) value
+    if (!value.startsWith(Prefix) || value.length == Prefix.length) value
     else try decryptBody(value)
     catch {
       case e: Exception => throw new IllegalArgumentException(

@@ -82,6 +82,21 @@ class SecretHygieneSpec extends AnyFunSuite {
     assert(t.options("connectionstring").startsWith("enc:"))
   }
 
+  test("seal/unseal round-trips any plaintext, including marker-colliding values") {
+    val rnd = new scala.util.Random(42)
+    val tricky = Seq("", "enc:", "enc:not-base64!!", "enc:QUJD",
+      "enc:" + java.util.Base64.getEncoder.encodeToString(Array.fill(32)(7: Byte)))
+    val random = Seq.fill(50)(rnd.alphanumeric.take(rnd.nextInt(64)).mkString)
+    for (v <- tricky ++ random) {
+      val sealed0 = Obfuscation.seal(v)
+      assert(Obfuscation.unseal(sealed0) == v, s"roundtrip failed for '$v'")
+      // idempotent: sealing the sealed form changes nothing
+      assert(Obfuscation.seal(sealed0) == sealed0)
+      // at rest, never the plaintext (except the degenerate empty string)
+      if (v.nonEmpty) assert(sealed0 != v)
+    }
+  }
+
   test("catalog-persisted table properties never hold a plaintext credential") {
     val cat = new EventLogCatalog()
     cat.initialize("graftsec", new CaseInsensitiveStringMap(java.util.Map.of()))
