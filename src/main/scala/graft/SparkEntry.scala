@@ -678,6 +678,43 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_normalized" -> ((s, dir) => {
+      // fuzzy-exact dedup over normalizeText. The synthetic corpus has no
+      // reformatted copies, so the gate PLANTS one per document (uppercased,
+      // extra punctuation/whitespace, id offset +100000) — identically in
+      // the oracle — and groups by the md5 of the normalized text: every
+      // group must collapse to the original (min id) with its variant
+      // counted
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d0.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"))
+      d0.unionByName(planted)
+        .select(col("doc_id"),
+          md5(TextFunctions.normalizeText(col("text")).cast("binary")).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+        .orderBy(col("h"))
+    }),
+
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup (k-means cells -> within-cell cosine pruning). The
+      // synthetic vectors are near-orthogonal (max pairwise cosine ~0.6),
+      // so the gate PLANTS a near-dup per vector — the doubled copy, id
+      // +10000: cosine with the original is exactly 1 and cell assignment
+      // is scale-invariant, so every planted row must drop and every
+      // original survive. Centroids are stashed for the oracle rendering
+      // (same technique as q_ann_ivf).
+      val e0 = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e0.select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val e = e0.unionByName(planted)
+      val cents = Similarity.centroidsOf(e, "vec_id", "embedding", 16)
+      semanticCentroidStash.set(cents)
+      Similarity.semanticDedupWith(e, "vec_id", "embedding", cents,
+          tau = 0.99, maxCellSize = 10000)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // ---- similarity search ----
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1186,6 +1223,10 @@ object SparkEntry {
   private val ivfCentroidStash =
     new java.util.concurrent.atomic.AtomicReference[Array[(Int, Array[Double])]]()
 
+  /** Same capture for q_dedup_semantic's k-means cells. */
+  private val semanticCentroidStash =
+    new java.util.concurrent.atomic.AtomicReference[Array[(Int, Array[Double])]]()
+
   /** Embedding dimension of the testdata `embeddings` table (TESTDATA.md) —
     * the vector oracles render per-index fold expressions and need it
     * statically. */
@@ -1642,6 +1683,18 @@ object SparkEntry {
           | FROM documents)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+      // lowercasing agrees across engines only for ASCII, so the guard
+      // errors the gate loudly on a non-ASCII document instead of letting
+      // the oracle silently diverge
+      "q_dedup_normalized" ->
+        s"""WITH d AS (SELECT doc_id, text FROM documents
+           | UNION ALL
+           | SELECT doc_id + 100000, '  ' || upper(text) || ' !! ' FROM documents),
+           |n AS (SELECT ${TextFunctions.sqlAsciiGuard("doc_id", "text")} AS doc_id,
+           |  ${TextFunctions.sqlNormalizeText("text")} AS nt FROM d)
+           |SELECT md5(nt) AS h, min(doc_id) AS doc_id, count(*) AS n_variants
+           |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "q_dedup_ngram" ->
         s"""WITH d AS (
            |  SELECT doc_id,
@@ -1873,7 +1926,14 @@ object SparkEntry {
           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) ++ Option(ivfCentroidStash.get()).map(cents =>
       "q_ann_ivf" -> Similarity.sqlIvfTopK(
-        cents, dim = EmbeddingDim, queryId = 0L, k = 10, nProbe = 4))
+        cents, dim = EmbeddingDim, queryId = 0L, k = 10, nProbe = 4)
+    ) ++ Option(semanticCentroidStash.get()).map(cents =>
+      "q_dedup_semantic" -> Similarity.sqlSemanticDedup(
+        cents, dim = EmbeddingDim, tau = 0.99, maxCellSize = 10000,
+        sourceSql = """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          | UNION ALL SELECT vec_id + 10000,
+          |   list_transform(embedding::DOUBLE[], x -> x * 2) FROM embeddings"""
+          .stripMargin))
   }
 
   /** Exact k-NN join oracle (vec_id < 8 query set, top-`k` per query) —

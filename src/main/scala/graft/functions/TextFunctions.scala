@@ -138,6 +138,32 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(lower(trim(text)).cast("binary"))
   val sqlFingerprint = "md5(lower(trim(%s)))"
 
+  /** ASCII punctuation as explicit ranges (the POSIX `punct` set). Spelled
+    * out rather than named (`\p{Punct}` / `[[:punct:]]`) so Java's regex
+    * engine and RE2 (DuckDB) are guaranteed to see the identical class. */
+  private[graft] val AsciiPunctClass = "[!-/:-@\\[-`{-~]"
+  /** ASCII whitespace, again explicit: Java's `\s` includes `\x0B` while
+    * RE2's does not — naming the characters removes the disagreement. */
+  private[graft] val AsciiSpaceClass = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /**
+   * Canonicalization for fuzzy-exact dedup (the C4/RefinedWeb-style
+   * pre-hash pass): punctuation → space, whitespace runs collapsed to one
+   * space, trimmed, lowercased. Two trivially-reformatted copies of a
+   * document (casing, punctuation, line-wrapping) normalize to the same
+   * string and hash-collide in [[graft.operators.Dedup.exactRows]] — the
+   * cheapest near-dup win at corpus scale, a pure codegen'd per-row chain
+   * with no shuffle of its own. ASCII-exact by construction (see the class
+   * constants); lowercasing agrees across engines for ASCII only, so
+   * oracles over non-ASCII text must guard with [[sqlAsciiGuard]].
+   */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, AsciiPunctClass, " "), AsciiSpaceClass, " ")))
+  def sqlNormalizeText(col: String): String =
+    s"lower(trim(regexp_replace(regexp_replace($col, '$AsciiPunctClass', ' ', 'g'), " +
+      s"'$AsciiSpaceClass', ' ', 'g')))"
+
   /** Character-set Jaccard similarity (DuckDB `jaccard()` semantics:
     * similarity of the distinct-character sets of the two strings). */
   def charJaccard(a: Column, b: Column): Column = {

@@ -43,6 +43,14 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def dedupExact(): Corpus =
     copy(df = Dedup.exactRows(df, Seq(col(textCol)), id))
 
+  /** Keep the first document (by id) of every NORMALIZED-content group —
+    * [[graft.functions.TextFunctions.normalizeText]] canonicalizes casing,
+    * punctuation and whitespace before hashing, so trivially-reformatted
+    * copies dedup at exact-dedup cost (same single hash-shuffle plan). */
+  def dedupNormalized(): Corpus =
+    copy(df = Dedup.exactRows(df,
+      Seq(graft.functions.TextFunctions.normalizeText(col(textCol))), id))
+
   /** Mask emails / phone numbers / IPs in the text column (the C4/Dolma
     * scrub stage) — a pure per-row expression, zero shuffle. */
   def redactPii(): Corpus =

@@ -735,6 +735,54 @@ object Similarity extends org.apache.spark.internal.Logging {
   }
 
   /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+   * partition the embedding space with k-means cells, then within each cell
+   * drop every vector that has a smaller-id neighbor with cosine ≥ `tau`.
+   * Returns the SURVIVING rows of `embs`, original columns intact.
+   *
+   * Design choices, each load-bearing at corpus scale:
+   *  - The pair join is keyed on the cell id — a plain shuffle equijoin
+   *    whose per-cell work is |cell|², never an all-pairs product. Cell
+   *    count is the knob: size `nCells` ≈ n / (a few thousand) so cells
+   *    stay small; a degenerate fit (one fat cell) is caught by
+   *    `maxCellSize` — over-cap cells are excluded from pairing (their
+   *    members all survive) with the drop counted loudly under tag
+   *    `"semanticDedup"` (see [[Dedup.lastDropStats]]).
+   *  - Keep policy is smallest-id-wins, evaluated greedily against ALL
+   *    same-cell neighbors (not only surviving ones): deterministic,
+   *    partitioning-invariant, and exactly expressible in the DuckDB twin
+   *    ([[sqlSemanticDedup]]) — unlike connected-component keep-one, whose
+   *    representative depends on traversal order. SemDeDup's
+   *    keep-farthest-from-centroid policy differs only in which member of a
+   *    duplicate group survives.
+   *  - The cosine is compared through `stableRound(·, 6)` so the keep/drop
+   *    decision never sits on an engine-dependent ulp boundary.
+   */
+  def semanticDedupWith(
+      embs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], tau: Double,
+      maxCellSize: Int = 100000): DataFrame = {
+    val dim = cents.head._2.length
+    val idx = requireDim(ivfIndexWith(embs, idCol, vecCol, cents), col("v"), dim)
+    val sized = Dedup.dropHotKeys(idx, Seq("cell"), maxCellSize, "semanticDedup")
+    val a = sized.as("a"); val b = sized.as("b")
+    val drops = a.join(b,
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(graft.functions.TextFunctions.stableRound(
+        cosine_similarity(col("a.v"), col("b.v")), 6) >= tau)
+      .select(col("a.vec_id").as("__dup_id")).distinct()
+    embs.join(drops, embs(idCol) === drops("__dup_id"), "left_anti")
+  }
+
+  /** [[semanticDedupWith]] over a fresh (memoized) k-means fit. */
+  def semanticDedup(
+      embs: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
+      tau: Double = 0.95, maxFitPerCell: Int = DefaultMaxFitPerCell,
+      maxCellSize: Int = 100000): DataFrame =
+    semanticDedupWith(embs, idCol, vecCol,
+      centroids(embs, idCol, vecCol, nCells, maxFitPerCell), tau, maxCellSize)
+
+  /**
    * Symmetric per-vector int8 quantization of an embedding column — the
    * storage form for 100 TB vector corpora: 8× smaller than float64 (4× vs
    * float32), with cosine ranking degraded only by the bounded per-element
@@ -899,28 +947,38 @@ object Similarity extends org.apache.spark.internal.Logging {
     * k-means fit itself is iterative FP and stays unoracled; scoring,
     * cell assignment (BestCentroid: strict-> argmax, first index wins), probe
     * selection, and ranking are all exact). */
-  def sqlIvfTopK(cents: Array[(Int, Array[Double])], dim: Int, queryId: Long,
-      k: Int, nProbe: Int): String = {
-    val centRows = cents.map { case (cid, c) =>
-      // cNorm precomputed with the kernel's own loop (ascending sum of
-      // squares, then sqrt) — bit-identical to BestCentroid's cNorms
+  /** `cents` as a DuckDB VALUES list `(cell, c DOUBLE[], cnorm)` — cNorm
+    * precomputed with the kernel's own loop (ascending sum of squares, then
+    * sqrt), bit-identical to BestCentroid's cNorms. */
+  private def sqlCentroidRows(cents: Array[(Int, Array[Double])]): String =
+    cents.map { case (cid, c) =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s"($cid, ${c.map(dLit).mkString("[", ", ", "]")}::DOUBLE[], ${dLit(math.sqrt(s))})"
     }.mkString(",\n  ")
-    val qcCos = sqlCosineOf("qv", "c", dim)
+
+  /** The BestCentroid twin as a CTE pair over a bound `e(vec_id, v)`:
+    * per-(vector, cell) score, then strict arg-max with first-index-wins
+    * tie-break — `assign(vec_id, cell)`. */
+  private def sqlAssignCtes(dim: Int): String = {
     val assignScore = s"(${sqlFold("v[i] * c[i]", dim)} / " +
       s"(sqrt(${sqlFold("v[i] * v[i]", dim)}) * cnorm))"
+    s"""sc0 AS (SELECT vec_id, ce.cell, $assignScore AS s FROM e, ce),
+       |assign AS (SELECT vec_id, first(cell ORDER BY s DESC, cell ASC) AS cell
+       |           FROM sc0 GROUP BY vec_id)""".stripMargin
+  }
+
+  def sqlIvfTopK(cents: Array[(Int, Array[Double])], dim: Int, queryId: Long,
+      k: Int, nProbe: Int): String = {
+    val qcCos = sqlCosineOf("qv", "c", dim)
     val cos = sqlCosineOf("v", "qv", dim)
     s"""WITH ce AS (SELECT * FROM (VALUES
-       |  $centRows) AS t(cell, c, cnorm)),
+       |  ${sqlCentroidRows(cents)}) AS t(cell, c, cnorm)),
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId),
        |qc AS (SELECT cell, $qcCos AS s FROM ce, q),
        |pc AS (SELECT cell FROM qc ORDER BY s DESC, cell ASC LIMIT $nProbe),
-       |sc0 AS (SELECT vec_id, ce.cell, $assignScore AS s FROM e, ce),
-       |assign AS (SELECT vec_id, first(cell ORDER BY s DESC, cell ASC) AS cell
-       |           FROM sc0 GROUP BY vec_id),
+       |${sqlAssignCtes(dim)},
        |hits AS (SELECT e.vec_id, e.v FROM e JOIN assign USING (vec_id)
        |         WHERE assign.cell IN (SELECT cell FROM pc)
        |           AND e.vec_id <> $queryId)
@@ -928,5 +986,32 @@ object Similarity extends org.apache.spark.internal.Logging {
        |  ${graft.functions.TextFunctions.sqlStableRound(cos, 6)} AS cosine
        |FROM hits, q
        |ORDER BY cosine DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB twin of [[semanticDedupWith]] GIVEN the gate's centroids
+    * (rendered as literals by the caller — the k-means fit itself stays
+    * unoracled; assignment, over-cap cell exclusion, pair scoring and the
+    * greedy smallest-id-wins policy are all exact). `sourceSql` binds
+    * `e(vec_id, v DOUBLE[])` so the caller can plant deterministic
+    * near-dups the same way on both sides; the final SELECT returns the
+    * surviving `vec_id`s. */
+  def sqlSemanticDedup(cents: Array[(Int, Array[Double])], dim: Int,
+      tau: Double, maxCellSize: Int,
+      sourceSql: String =
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
+    val cos = sqlCosineOf("ea.v", "eb.v", dim)
+    s"""WITH ce AS (SELECT * FROM (VALUES
+       |  ${sqlCentroidRows(cents)}) AS t(cell, c, cnorm)),
+       |e AS ($sourceSql),
+       |${sqlAssignCtes(dim)},
+       |sized AS (SELECT vec_id, cell FROM assign
+       |          QUALIFY count(*) OVER (PARTITION BY cell) <= $maxCellSize),
+       |drops AS (SELECT DISTINCT a.vec_id
+       |  FROM sized a JOIN sized b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${graft.functions.TextFunctions.sqlStableRound(cos, 6)} >= ${dLit(tau)})
+       |SELECT vec_id FROM e
+       |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+       |ORDER BY vec_id""".stripMargin
   }
 }

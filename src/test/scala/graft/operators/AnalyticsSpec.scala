@@ -120,6 +120,20 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.charJaccard(lit("hello"), lit("help"))).as[Double].head()
     assert(math.abs(r - 0.6) < 1e-12)
   }
+
+  test("normalizeText canonicalizes case, punctuation and whitespace") {
+    val df = Seq(
+      (1L, "  Hello,   WORLD!! "),
+      (2L, "hello world"),
+      (3L, "HELLO\t\nworld..."),
+      (4L, "!!!"),                      // punct-only -> empty
+      (5L, ""),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = df.orderBy($"id")
+      .select(TextFunctions.normalizeText($"t")).as[String].collect().toSeq
+    assert(got == Seq("hello world", "hello world", "hello world", "", "", null))
+  }
 }
 
 class HashExpressionsSpec extends AnyFunSuite {
@@ -318,6 +332,21 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
     assert(pairs.head._3 > 0.99)
+  }
+
+  test("dedupNormalized collapses reformatted copies to the min-id original") {
+    val df = Seq(
+      (0L, "The quick brown fox."),
+      (1L, "  the QUICK   brown fox!!"),   // reformat of 0 -> drops
+      (2L, "a different document"),
+      (3L, "THE QUICK BROWN FOX"),          // reformat of 0 -> drops
+      (4L, "a  different,, document"))      // reformat of 2 -> drops
+      .toDF("doc_id", "text")
+    val kept = Corpus(df, "doc_id", "text").dedupNormalized()
+      .df.select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+    // byte-exact dedup keeps all five: the normalization is what collapses
+    assert(Dedup.exactRows(df, Seq($"text"), $"doc_id").count() == 5)
   }
 }
 
@@ -1019,6 +1048,94 @@ class SimilaritySpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Similarity.validateLshIndex(spark, path, swapped, "vec_id")
     }
+  }
+
+  /** The corpus with a planted near-dup per vector: the doubled copy at id
+    * +10000 — cosine with its original is exactly 1 and cell assignment is
+    * scale-invariant, so under any tau < 1 every copy must drop. */
+  lazy val withPlantedDups = {
+    val base = embs.select($"vec_id", $"embedding")
+    base.unionByName(base.select(($"vec_id" + 10000L).as("vec_id"),
+      transform($"embedding", x => x * lit(2.0f)).as("embedding")))
+  }
+
+  test("semanticDedup drops planted scaled copies, keeps every original") {
+    val e = withPlantedDups
+    val cents = Similarity.centroidsOf(e, "vec_id", "embedding", 16)
+    val kept = Similarity.semanticDedupWith(e, "vec_id", "embedding", cents,
+        tau = 0.99).select($"vec_id").as[Long].collect().toSet
+    val originals = embs.select($"vec_id").as[Long].collect().toSet
+    assert(kept == originals, s"kept ${kept.size}, expected ${originals.size} originals")
+  }
+
+  test("semanticDedup matches a plain-Scala reference on the raw corpus") {
+    // lower tau so REAL drops occur among the near-orthogonal vectors (the
+    // planted-copy test covers the tau~1 regime); the reference replicates
+    // BestCentroid (strict arg-max, first index wins), the kernel's
+    // ascending-loop cosine, stableRound, and greedy smallest-id-wins
+    val tau = 0.35
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    val kept = Similarity.semanticDedup(embs, "vec_id", "embedding",
+        nCells = 8, tau = tau).select($"vec_id").as[Long].collect().toSet
+
+    val vecs = embs.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    val cNorms = cents.map { case (_, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)._2
+        var dot = 0.0; var na = 0.0; var i = 0
+        while (i < v.length) { dot += v(i) * c(i); na += v(i) * v(i); i += 1 }
+        val s = dot / (math.sqrt(na) * cNorms(j))
+        if (s > bestS) { bestS = s; best = cents(j)._1 }
+        j += 1
+      }
+      best
+    }
+    def round6(x: Double): Double = Math.round(x * 1e6).toDouble / 1e6
+    val byCell = vecs.groupBy { case (_, v) => cellOf(v) }
+    val expectedDrops = byCell.values.flatMap { members =>
+      members.flatMap { case (id, v) =>
+        if (members.exists { case (oid, ov) =>
+          oid < id && round6(cosine(v, ov)) >= tau }) Some(id) else None
+      }
+    }.toSet
+    val expectedKept = vecs.map(_._1).toSet -- expectedDrops
+    assert(expectedDrops.nonEmpty, "vacuous: tau found no same-cell near-dups")
+    assert(kept == expectedKept,
+      s"diff: extra=${kept -- expectedKept} missing=${expectedKept -- kept}")
+  }
+
+  test("semanticDedup excludes over-cap cells from pairing, loudly") {
+    // maxCellSize = 1: every >=2-member cell is over cap, so no pairs form
+    // and even the planted exact copies survive — with a recorded drop count
+    val e = withPlantedDups
+    val cents = Similarity.centroidsOf(e, "vec_id", "embedding", 16)
+    val kept = Similarity.semanticDedupWith(e, "vec_id", "embedding", cents,
+      tau = 0.99, maxCellSize = 1)
+    assert(kept.count() == e.count())
+    val stats = Dedup.lastDropStats("semanticDedup")
+    assert(stats.exists(_.rows > 0), s"expected loud drops, got $stats")
+  }
+
+  test("semanticDedup pair join is cell-keyed, never a cartesian product") {
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    val plan = Similarity.semanticDedupWith(embs, "vec_id", "embedding", cents,
+      tau = 0.9).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }
 
