@@ -186,6 +186,31 @@ object SparkEntry {
     }
   }
 
+  /** Per-(session, dir) memo of the q_dedup_incremental persisted hash
+    * index's PATH (build runs write jobs, so it executes outside the
+    * monitor — same discipline as [[lshIndexShared]]). */
+  private val hashIndexPaths = new java.util.HashMap[Integer,
+    (SparkSession, scala.collection.mutable.Map[String, String])]()
+  private def hashIndexShared(s: SparkSession, dir: String,
+      build: () => String): String = {
+    def entryFor(): scala.collection.mutable.Map[String, String] = {
+      hashIndexPaths.entrySet().removeIf(_.getValue._1.sparkContext.isStopped)
+      val k = Integer.valueOf(System.identityHashCode(s))
+      val cur = hashIndexPaths.get(k)
+      if (cur != null && (cur._1 eq s)) cur._2
+      else {
+        val fresh = (s, scala.collection.mutable.Map.empty[String, String])
+        hashIndexPaths.put(k, fresh)
+        fresh._2
+      }
+    }
+    val cached = hashIndexPaths.synchronized(entryFor().get(dir))
+    cached.getOrElse {
+      val built = build()
+      hashIndexPaths.synchronized(entryFor().getOrElseUpdate(dir, built))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
     //      exercised to prove parity on the engine we build on) ----
@@ -694,6 +719,26 @@ object SparkEntry {
         .groupBy(col("h"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
         .orderBy(col("h"))
+    }),
+
+    "q_dedup_incremental" -> ((s, dir) => {
+      // cross-batch incremental dedup: the corpus is persisted once as a
+      // 16-byte/row content-hash index, then a new batch dedups against it
+      // without rescanning the corpus. The batch is planted (identically in
+      // the oracle): even ids re-send an already-admitted text (must drop),
+      // odd ids carry a genuinely new suffix (must survive)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val path = hashIndexShared(s, dir, () => {
+        val p = java.nio.file.Files.createTempDirectory("graft-hash-idx").toString
+        Dedup.saveHashIndex(docs, Seq(col("text")), p)
+        p
+      })
+      val batch = docs.select((col("doc_id") + 200000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" batch2 #"), col("doc_id")))
+          .as("text"))
+      Dedup.dedupAgainstHashIndex(batch, Seq(col("text")), path)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     "q_dedup_semantic" -> ((s, dir) => {
@@ -1694,6 +1739,18 @@ object SparkEntry {
            |  ${TextFunctions.sqlNormalizeText("text")} AS nt FROM d)
            |SELECT md5(nt) AS h, min(doc_id) AS doc_id, count(*) AS n_variants
            |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // exact-content semantics of the hash-index anti-join (equal up to a
+      // 128-bit collision, same convention as the q_dedup_exact oracles)
+      "q_dedup_incremental" ->
+        """WITH batch AS (
+          | SELECT doc_id + 200000 AS doc_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN text
+          |       ELSE text || ' batch2 #' || doc_id END AS text
+          | FROM documents)
+          |SELECT b.doc_id FROM batch b
+          |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
+          |ORDER BY doc_id""".stripMargin,
 
       "q_dedup_ngram" ->
         s"""WITH d AS (

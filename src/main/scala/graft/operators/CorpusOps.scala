@@ -94,10 +94,21 @@ object CorpusOps {
     * every partition's ~filter-sized payload. ~1.2 MB per million shingles
     * at 1% fpp; None above [[MaxBloomShingles]] — a benchmark that large
     * should be split, not bloomed. */
-  def benchBloom(benchCold: DataFrame, fpp: Double = 0.01): Option[Array[Byte]] = {
-    val spark = benchCold.sparkSession
+  def benchBloom(benchCold: DataFrame, fpp: Double = 0.01): Option[Array[Byte]] =
+    bloomOfHashes(benchCold.select(xxhash64(col("s")).as("h")), fpp)
+
+  /** Distributed bloom build over a single LONG hash column `h` (each value
+    * `putLong`'d as-is): per-partition partial filters OR-merged via
+    * `treeReduce`. Probe side must hash identically — pair with
+    * [[graft.functions.hashFunctions.bloom_might_contain_bc]] probing the
+    * PRE-hash value (its XxHash64(seed 42) matches `xxhash64(col)` here).
+    * None when empty or above [[MaxBloomShingles]] (filter would outgrow
+    * broadcast size). */
+  private[operators] def bloomOfHashes(
+      hashDf: DataFrame, fpp: Double): Option[Array[Byte]] = {
+    val spark = hashDf.sparkSession
     import spark.implicits._
-    val hashes = benchCold.select(xxhash64(col("s")).as("h")).as[Long]
+    val hashes = hashDf.as[Long]
     val n = hashes.count() // the small static side: one cheap pass
     if (n == 0 || n > MaxBloomShingles) return None
     Some(hashes.mapPartitions { it =>

@@ -695,4 +695,100 @@ object Dedup extends Logging {
        |  ${graft.functions.TextFunctions.sqlStableRound("cosine", 4)} AS cosine
        |FROM sc WHERE cosine >= $threshold ORDER BY 1, 2""".stripMargin
   }
+
+  // ---- persisted content-hash index: cross-batch incremental dedup ----
+
+  /** Bucket count of the persisted hash index — bounds the file count and
+    * parallelizes appends; 256 buckets keep per-bucket files ~1/256 of the
+    * (already tiny) hash table. */
+  val HashIndexBuckets = 256
+
+  private def hashesOf(df: DataFrame, keyCols: Seq[Column]): DataFrame =
+    df.select(contentHash(keyCols, 0).as("h0"), contentHash(keyCols, 1).as("h1"))
+
+  private def bucketed(hashes: DataFrame): DataFrame =
+    hashes.withColumn("bucket", pmod(col("h0"), lit(HashIndexBuckets)).cast("int"))
+
+  /**
+   * Persist the 128-bit content-hash set of a corpus — two longs a row, no
+   * content, so the stored index is ~16 bytes per corpus document — letting
+   * every FUTURE batch dedup against the corpus without rescanning it
+   * ([[dedupAgainstHashIndex]]). This is the cross-run corner exact dedup
+   * alone can't cover: a pipeline ingesting daily crawls must drop documents
+   * already admitted LAST month without holding last month's corpus in the
+   * job. Layout mirrors the ANN indexes: `hashes/` partitioned by `bucket`
+   * (low bits of h0), `params/` recording the key columns for drift
+   * detection. Same 128-bit collision odds as [[exact]].
+   */
+  def saveHashIndex(df: DataFrame, keyCols: Seq[Column], path: String): Unit = {
+    val spark = df.sparkSession
+    bucketed(hashesOf(df, keyCols).distinct())
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/hashes")
+    import spark.implicits._
+    Seq(keyCols.map(nameOf).mkString(",")).toDF("key_cols")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a persisted hash index: `(h0, h1, bucket)`. */
+  def loadHashIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/hashes")
+
+  private def requireKeyColsMatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCols: Seq[Column]): Unit = {
+    val stored = spark.read.parquet(s"$path/params")
+      .select(col("key_cols")).head().getString(0)
+    val asked = keyCols.map(nameOf).mkString(",")
+    if (stored != asked) throw new IllegalStateException(
+      s"hash index at $path was built over key columns [$stored] but this " +
+        s"call hashes [$asked] — matching is impossible, every row would " +
+        "look new. Rebuild with saveHashIndex or pass the original keys.")
+  }
+
+  /**
+   * Rows of `df` whose content hash is NOT in the persisted index — the
+   * incremental-dedup admission filter. The plan never shuffles the
+   * corpus-scale index: a bloom filter over the BATCH's hashes (the small
+   * side, built with the decontamination machinery) prunes the index to
+   * `seen` ≈ |batch ∩ index| + fpp·|index| during its scan, and the exact
+   * anti-join against that pruned set removes bloom false positives. A
+   * batch too large for a broadcast-sized bloom (> 2^24 distinct hashes)
+   * falls back to the plain shuffled anti-join — still only 16-byte keys
+   * on the index side. Batch-INTERNAL duplicates both survive (the index
+   * only knows past batches): compose with [[exactRows]] for within-batch
+   * dedup, then [[appendToHashIndex]] the admitted rows.
+   *
+   * NOTE: like [[CorpusOps.decontaminate]], CALLING this runs eager Spark
+   * jobs (the batch-hash count and bloom build) before the returned plan
+   * executes — even an EXPLAIN of the result triggers them.
+   */
+  def dedupAgainstHashIndex(df: DataFrame, keyCols: Seq[Column], path: String,
+      fpp: Double = 0.001): DataFrame = {
+    val spark = df.sparkSession
+    requireKeyColsMatch(spark, path, keyCols)
+    val hashed = df.withColumn("__h0", contentHash(keyCols, 0))
+      .withColumn("__h1", contentHash(keyCols, 1))
+    val idx = loadHashIndex(spark, path)
+    val bloom = CorpusOps.bloomOfHashes(
+      hashed.select(xxhash64(col("__h0")).as("h")).distinct(), fpp)
+    val seen = bloom.fold(idx)(b => idx.filter(
+      graft.functions.hashFunctions.bloom_might_contain_bc(spark, b, col("h0"))))
+    hashed.join(seen,
+        hashed("__h0") === seen("h0") && hashed("__h1") === seen("h1"),
+        "left_anti")
+      .drop("__h0", "__h1")
+  }
+
+  /** Admit a batch into the index: append its distinct content hashes.
+    * Intended flow: `dedupAgainstHashIndex` → admit survivors downstream →
+    * append THOSE rows here. Appending un-deduped rows is harmless for
+    * correctness (the anti-join doesn't care about duplicate index rows)
+    * but stores dead weight. */
+  def appendToHashIndex(df: DataFrame, keyCols: Seq[Column], path: String): Unit = {
+    requireKeyColsMatch(df.sparkSession, path, keyCols)
+    bucketed(hashesOf(df, keyCols).distinct())
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/hashes")
+  }
 }

@@ -334,6 +334,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.99)
   }
 
+  test("hash index: cross-batch incremental dedup lifecycle") {
+    val path = java.nio.file.Files.createTempDirectory("hash-idx").toString
+    Dedup.saveHashIndex(docs, Seq($"text"), path)
+    val batch = Seq(
+      // already admitted (same text as doc 0) -> drops
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "a brand new document that the corpus has never seen"),
+      // batch-internal duplicate of 11: BOTH survive (the index only knows
+      // past batches; within-batch dedup is exactRows' job)
+      (12L, "a brand new document that the corpus has never seen"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.dedupAgainstHashIndex(batch, Seq($"text"), path)
+    assert(s1.select($"doc_id").as[Long].collect().toSet == Set(11L, 12L))
+    // bloom prune is in the plan (the index is filtered in place, the
+    // corpus-scale side never shuffles un-pruned)
+    val plan = s1.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("might_contain"), plan)
+    // admit the survivors; the same text next batch now drops
+    Dedup.appendToHashIndex(s1, Seq($"text"), path)
+    val batch2 = Seq(
+      (20L, "a brand new document that the corpus has never seen"),
+      (21L, "yet another fresh one")).toDF("doc_id", "text")
+    val s2 = Dedup.dedupAgainstHashIndex(batch2, Seq($"text"), path)
+    assert(s2.select($"doc_id").as[Long].collect().toSet == Set(21L))
+    // key-column drift fails loudly, not as silently-all-new
+    val e = intercept[IllegalStateException](
+      Dedup.dedupAgainstHashIndex(batch2, Seq($"doc_id"), path))
+    assert(e.getMessage.contains("key columns"))
+  }
+
   test("dedupNormalized collapses reformatted copies to the min-id original") {
     val df = Seq(
       (0L, "The quick brown fox."),
