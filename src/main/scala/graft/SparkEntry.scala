@@ -741,6 +741,52 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_stream_dedup_incremental" -> ((s, dir) => {
+      // continuous-ingestion dedup: the corpus's hash index is built FRESH
+      // each run (the stream APPENDS admitted hashes — reusing the shared
+      // q_dedup_incremental index would leak state between runs), the
+      // planted batch streams through the connector in admission-capped
+      // micro-batches, and every epoch anti-joins + admits. No two stream
+      // rows share a text, so the survivor set is trigger-slicing invariant
+      // and the batch operator's SQL (q_dedup_incremental) gates it exactly
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-hash-sidx").toString
+      Dedup.saveHashIndex(docs, Seq(col("text")), idxPath)
+      val batch = docs.select((col("doc_id") + 200000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" batch2 #"), col("doc_id")))
+          .as("text"))
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "sdi_" + tag
+      batch.select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      val nBatch = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nBatch + 7) / 8)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      val outDir = java.nio.file.Files.createTempDirectory(s"sdi_out_$tag").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = Dedup.dedupStreamAgainstHashIndex(stream, Seq(col("text")),
+            idxPath) { (survivors, epochId) =>
+          // epoch-keyed overwrite: a retried epoch replaces its own output
+          survivors.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        }.trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        sources.EventLogRegistry.drop(logName)
+      }
+      s.read.parquet(outDir).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDeDup (k-means cells -> within-cell cosine pruning). The
       // synthetic vectors are near-orthogonal (max pairwise cosine ~0.6),
@@ -1742,15 +1788,11 @@ object SparkEntry {
 
       // exact-content semantics of the hash-index anti-join (equal up to a
       // 128-bit collision, same convention as the q_dedup_exact oracles)
-      "q_dedup_incremental" ->
-        """WITH batch AS (
-          | SELECT doc_id + 200000 AS doc_id,
-          |  CASE WHEN doc_id % 2 = 0 THEN text
-          |       ELSE text || ' batch2 #' || doc_id END AS text
-          | FROM documents)
-          |SELECT b.doc_id FROM batch b
-          |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
-          |ORDER BY doc_id""".stripMargin,
+      "q_dedup_incremental" -> incrementalDedupOracleSql,
+
+      // the streaming form admits per epoch, but no two stream rows share
+      // a text, so ANY trigger slicing unions to the batch result
+      "q_stream_dedup_incremental" -> incrementalDedupOracleSql,
 
       "q_dedup_ngram" ->
         s"""WITH d AS (
@@ -1992,6 +2034,19 @@ object SparkEntry {
           |   list_transform(embedding::DOUBLE[], x -> x * 2) FROM embeddings"""
           .stripMargin))
   }
+
+  /** Planted-batch admission oracle shared by q_dedup_incremental and its
+    * streaming twin: survivors are exactly the batch rows whose text the
+    * corpus has never admitted. */
+  private val incrementalDedupOracleSql: String =
+    """WITH batch AS (
+      | SELECT doc_id + 200000 AS doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN text
+      |       ELSE text || ' batch2 #' || doc_id END AS text
+      | FROM documents)
+      |SELECT b.doc_id FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
+      |ORDER BY doc_id""".stripMargin
 
   /** Exact k-NN join oracle (vec_id < 8 query set, top-`k` per query) —
     * shared by q_knn_join and, as the ground-truth CTE, q_ann_recall. */

@@ -791,4 +791,34 @@ object Dedup extends Logging {
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/hashes")
   }
+
+  /**
+   * Continuous-ingestion form of [[dedupAgainstHashIndex]]: every
+   * micro-batch anti-joins the persisted index, survivors go to
+   * `writeBatch`, and (when `admit`) their hashes are appended BEFORE the
+   * next batch — so a text admitted in epoch N drops in epoch N+1. The
+   * cross-batch memory is the on-disk index itself, not a Spark state
+   * store: it survives restarts, is shared with batch jobs, and its size
+   * is 16 bytes per admitted document regardless of stream lifetime.
+   *
+   * foreachBatch is at-least-once: `writeBatch` MUST be idempotent (key
+   * its writes on the epoch id). A retried epoch's re-append merely stores
+   * duplicate hash rows, which the anti-join ignores. Survivors are pinned
+   * with `persist` so `writeBatch` and the append hash the SAME rows
+   * (recomputation after the append would see the batch's own hashes and
+   * return nothing). Returns the configured writer; the caller picks
+   * trigger/checkpoint and starts it.
+   */
+  def dedupStreamAgainstHashIndex(
+      stream: DataFrame, keyCols: Seq[Column], path: String,
+      admit: Boolean = true)(
+      writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val fresh = dedupAgainstHashIndex(batch, keyCols, path).persist()
+      try {
+        writeBatch(fresh, epochId)
+        if (admit) appendToHashIndex(fresh, keyCols, path)
+      } finally { fresh.unpersist(); () }
+    }
 }

@@ -364,6 +364,34 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key columns"))
   }
 
+  test("streaming incremental dedup admits across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = java.nio.file.Files.createTempDirectory("hash-idx-stream").toString
+    Dedup.saveHashIndex(docs, Seq($"text"), path)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Dedup.dedupStreamAgainstHashIndex(
+        input.toDF().toDF("doc_id", "text"), Seq($"text"), path) { (df, _) =>
+      survivors.synchronized { survivors ++= df.select($"doc_id").as[Long].collect() }
+    }.start()
+    try {
+      // epoch 1: one already-in-corpus text (drops) + one new (admitted)
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (11L, "an entirely new document for the streaming test"))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(11L))
+      // epoch 2: the text admitted in epoch 1 must now DROP (the append
+      // happened between batches), while a fresh text is admitted
+      input.addData(
+        (20L, "an entirely new document for the streaming test"),
+        (21L, "a second wave document never seen before"))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(11L, 21L))
+    } finally q.stop()
+  }
+
   test("dedupNormalized collapses reformatted copies to the min-id original") {
     val df = Seq(
       (0L, "The quick brown fox."),
