@@ -698,16 +698,8 @@ object Dedup extends Logging {
 
   // ---- persisted content-hash index: cross-batch incremental dedup ----
 
-  /** Bucket count of the persisted hash index — bounds the file count and
-    * parallelizes appends; 256 buckets keep per-bucket files ~1/256 of the
-    * (already tiny) hash table. */
-  val HashIndexBuckets = 256
-
   private def hashesOf(df: DataFrame, keyCols: Seq[Column]): DataFrame =
     df.select(contentHash(keyCols, 0).as("h0"), contentHash(keyCols, 1).as("h1"))
-
-  private def bucketed(hashes: DataFrame): DataFrame =
-    hashes.withColumn("bucket", pmod(col("h0"), lit(HashIndexBuckets)).cast("int"))
 
   /**
    * Persist the 128-bit content-hash set of a corpus — two longs a row, no
@@ -716,29 +708,44 @@ object Dedup extends Logging {
    * ([[dedupAgainstHashIndex]]). This is the cross-run corner exact dedup
    * alone can't cover: a pipeline ingesting daily crawls must drop documents
    * already admitted LAST month without holding last month's corpus in the
-   * job. Layout mirrors the ANN indexes: `hashes/` partitioned by `bucket`
-   * (low bits of h0), `params/` recording the key columns for drift
-   * detection. Same 128-bit collision odds as [[exact]].
+   * job. Layout: `hashes/` is a FLAT parquet directory — unlike the ANN
+   * indexes there is nothing to prune by (the anti-join always probes the
+   * whole hash set, and random 64-bit hash buckets would never be
+   * selective), so partition directories would only multiply files and
+   * listing cost; AQE sizes the file count to the data on save and each
+   * append adds delta-sized files. `params/` records the key columns for
+   * drift detection. Same 128-bit collision odds as [[exact]].
    */
   def saveHashIndex(df: DataFrame, keyCols: Seq[Column], path: String): Unit = {
     val spark = df.sparkSession
-    bucketed(hashesOf(df, keyCols).distinct())
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/hashes")
+    hashesOf(df, keyCols).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
     import spark.implicits._
-    Seq(keyCols.map(nameOf).mkString(",")).toDF("key_cols")
+    val asked = keyCols.map(nameOf).mkString(",")
+    Seq(asked).toDF("key_cols")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    hashIndexParams.put(path, asked) // refresh: the path may be re-keyed
   }
 
-  /** Load a persisted hash index: `(h0, h1, bucket)`. */
+  /** Load a persisted hash index: `(h0, h1)`. */
   def loadHashIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/hashes")
+
+  /** Per-path memo of the stored key-column description: the drift check
+    * runs on EVERY admission call (each micro-batch of a stream), and
+    * re-reading the one-row params file each time costs a file listing +
+    * read job. `saveHashIndex` refreshes the entry when a path is re-keyed
+    * in-process; an external rewrite of a live path is already undefined
+    * behavior for the hash files themselves. */
+  private val hashIndexParams =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def requireKeyColsMatch(
       spark: org.apache.spark.sql.SparkSession, path: String,
       keyCols: Seq[Column]): Unit = {
-    val stored = spark.read.parquet(s"$path/params")
-      .select(col("key_cols")).head().getString(0)
+    val stored = hashIndexParams.computeIfAbsent(path, _ =>
+      spark.read.parquet(s"$path/params")
+        .select(col("key_cols")).head().getString(0))
     val asked = keyCols.map(nameOf).mkString(",")
     if (stored != asked) throw new IllegalStateException(
       s"hash index at $path was built over key columns [$stored] but this " +
@@ -763,15 +770,27 @@ object Dedup extends Logging {
    * jobs (the batch-hash count and bloom build) before the returned plan
    * executes — even an EXPLAIN of the result triggers them.
    */
+  /** Index size (plan-stats bytes) below which [[dedupAgainstHashIndex]]
+    * skips its bloom prune: a small index joins trivially, and the two
+    * bloom-build jobs are pure overhead — paid per MICRO-BATCH by streams. */
+  val BloomIndexBytesMin: Long = 64L << 20
+
   def dedupAgainstHashIndex(df: DataFrame, keyCols: Seq[Column], path: String,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 0.001,
+      bloomIndexBytesMin: Long = BloomIndexBytesMin): DataFrame = {
     val spark = df.sparkSession
     requireKeyColsMatch(spark, path, keyCols)
     val hashed = df.withColumn("__h0", contentHash(keyCols, 0))
       .withColumn("__h1", contentHash(keyCols, 1))
     val idx = loadHashIndex(spark, path)
-    val bloom = CorpusOps.bloomOfHashes(
-      hashed.select(xxhash64(col("__h0")).as("h")).distinct(), fpp)
+    // the bloom's job is to keep a CORPUS-scale index out of the anti-join
+    // shuffle; when the index is small enough to broadcast/exchange
+    // trivially (plan stats), skip the build (force it by passing
+    // bloomIndexBytesMin = 0, e.g. when stats lie)
+    val bloom =
+      if (idx.queryExecution.optimizedPlan.stats.sizeInBytes <= bloomIndexBytesMin) None
+      else CorpusOps.bloomOfHashes(
+        hashed.select(xxhash64(col("__h0")).as("h")).distinct(), fpp)
     val seen = bloom.fold(idx)(b => idx.filter(
       graft.functions.hashFunctions.bloom_might_contain_bc(spark, b, col("h0"))))
     hashed.join(seen,
@@ -787,9 +806,8 @@ object Dedup extends Logging {
     * but stores dead weight. */
   def appendToHashIndex(df: DataFrame, keyCols: Seq[Column], path: String): Unit = {
     requireKeyColsMatch(df.sparkSession, path, keyCols)
-    bucketed(hashesOf(df, keyCols).distinct())
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/hashes")
+    hashesOf(df, keyCols).distinct()
+      .write.mode("append").parquet(s"$path/hashes")
   }
 
   /**

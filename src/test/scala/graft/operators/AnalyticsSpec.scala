@@ -347,10 +347,16 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val s1 = Dedup.dedupAgainstHashIndex(batch, Seq($"text"), path)
     assert(s1.select($"doc_id").as[Long].collect().toSet == Set(11L, 12L))
-    // bloom prune is in the plan (the index is filtered in place, the
-    // corpus-scale side never shuffles un-pruned)
-    val plan = s1.queryExecution.executedPlan.toString.toLowerCase
-    assert(plan.contains("might_contain"), plan)
+    // a trivially-small index skips the bloom (its build jobs would cost
+    // more than the join); forcing the corpus-scale path (threshold 0)
+    // plants the bloom prune in the plan and returns identical rows
+    assert(!s1.queryExecution.executedPlan.toString.toLowerCase
+      .contains("might_contain"))
+    val forced = Dedup.dedupAgainstHashIndex(batch, Seq($"text"), path,
+      bloomIndexBytesMin = 0L)
+    assert(forced.queryExecution.executedPlan.toString.toLowerCase
+      .contains("might_contain"))
+    assert(forced.select($"doc_id").as[Long].collect().toSet == Set(11L, 12L))
     // admit the survivors; the same text next batch now drops
     Dedup.appendToHashIndex(s1, Seq($"text"), path)
     val batch2 = Seq(
