@@ -149,67 +149,56 @@ object SparkEntry {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Per-(session, dir) memo of a gate-built artifact (a persisted index's
+    * loaded frame, a temp path). Lifecycle: entries for stopped sessions
+    * are evicted on every access, and the `eq` check guards against
+    * identityHashCode reuse by a later session (same discipline as
+    * [[ngramPairsMemo]]). Unlike ngramPairsMemo's builder (plan-only, no
+    * job), `build()` may run index WRITE jobs — so it runs OUTSIDE the
+    * monitor and other sessions' cache hits never wait behind it; a racing
+    * duplicate build wastes one temp artifact, nothing more (first
+    * publication wins). */
+  private final class SessionDirMemo[T] {
+    private val store = new java.util.HashMap[Integer,
+      (SparkSession, scala.collection.mutable.Map[String, T])]()
+    private def entryFor(s: SparkSession): scala.collection.mutable.Map[String, T] = {
+      store.entrySet().removeIf(_.getValue._1.sparkContext.isStopped)
+      val k = Integer.valueOf(System.identityHashCode(s))
+      val cur = store.get(k)
+      if (cur != null && (cur._1 eq s)) cur._2
+      else {
+        val fresh = (s, scala.collection.mutable.Map.empty[String, T])
+        store.put(k, fresh)
+        fresh._2
+      }
+    }
+    def getOrBuild(s: SparkSession, dir: String, build: () => T): T = {
+      val cached = store.synchronized(entryFor(s).get(dir))
+      cached.getOrElse {
+        val built = build()
+        store.synchronized(entryFor(s).getOrElseUpdate(dir, built))
+      }
+    }
+  }
+
   /** Persisted LSH index per (session, corpus dir) — built on first
     * q_ann_lsh call so repeated gate/bench runs probe the index instead of
     * rebuilding it. Caches the loaded BUCKETS DataFrame alongside the
     * params: re-creating it per probe via `spark.read.parquet` pays file
     * listing + schema/partition discovery each call (~0.2-0.4 s of fixed
     * I/O at sf0.1), while the cached frame keeps its InMemoryFileIndex and
-    * each probe goes straight to partition pruning. Same lifecycle as
-    * [[ngramPairsMemo]]: entries for stopped sessions are evicted on every
-    * access, and the `eq` check guards against identityHashCode reuse by a
-    * later session. */
-  private val lshIndexes = new java.util.HashMap[Integer,
-    (SparkSession, scala.collection.mutable.Map[String, (DataFrame, Int, Long)])]()
+    * each probe goes straight to partition pruning. */
+  private val lshIndexes = new SessionDirMemo[(DataFrame, Int, Long)]
   private def lshIndexShared(s: SparkSession, dir: String,
-      build: () => (DataFrame, Int, Long)): (DataFrame, Int, Long) = {
-    def entryFor(): scala.collection.mutable.Map[String, (DataFrame, Int, Long)] = {
-      lshIndexes.entrySet().removeIf(_.getValue._1.sparkContext.isStopped)
-      val k = Integer.valueOf(System.identityHashCode(s))
-      val cur = lshIndexes.get(k)
-      if (cur != null && (cur._1 eq s)) cur._2
-      else {
-        val fresh = (s,
-          scala.collection.mutable.Map.empty[String, (DataFrame, Int, Long)])
-        lshIndexes.put(k, fresh)
-        fresh._2
-      }
-    }
-    // unlike ngramPairsMemo's builder (plan-only, no job), build() runs the
-    // index WRITE jobs — so it runs OUTSIDE the monitor and other sessions'
-    // cache hits never wait behind it. A racing duplicate build wastes one
-    // temp index, nothing more (first publication wins).
-    val cached = lshIndexes.synchronized(entryFor().get(dir))
-    cached.getOrElse {
-      val built = build()
-      lshIndexes.synchronized(entryFor().getOrElseUpdate(dir, built))
-    }
-  }
+      build: () => (DataFrame, Int, Long)): (DataFrame, Int, Long) =
+    lshIndexes.getOrBuild(s, dir, build)
 
   /** Per-(session, dir) memo of the q_dedup_incremental persisted hash
-    * index's PATH (build runs write jobs, so it executes outside the
-    * monitor — same discipline as [[lshIndexShared]]). */
-  private val hashIndexPaths = new java.util.HashMap[Integer,
-    (SparkSession, scala.collection.mutable.Map[String, String])]()
+    * index's PATH. */
+  private val hashIndexPaths = new SessionDirMemo[String]
   private def hashIndexShared(s: SparkSession, dir: String,
-      build: () => String): String = {
-    def entryFor(): scala.collection.mutable.Map[String, String] = {
-      hashIndexPaths.entrySet().removeIf(_.getValue._1.sparkContext.isStopped)
-      val k = Integer.valueOf(System.identityHashCode(s))
-      val cur = hashIndexPaths.get(k)
-      if (cur != null && (cur._1 eq s)) cur._2
-      else {
-        val fresh = (s, scala.collection.mutable.Map.empty[String, String])
-        hashIndexPaths.put(k, fresh)
-        fresh._2
-      }
-    }
-    val cached = hashIndexPaths.synchronized(entryFor().get(dir))
-    cached.getOrElse {
-      val built = build()
-      hashIndexPaths.synchronized(entryFor().getOrElseUpdate(dir, built))
-    }
-  }
+      build: () => String): String =
+    hashIndexPaths.getOrBuild(s, dir, build)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
@@ -758,22 +747,24 @@ object SparkEntry {
           .as("text"))
       val tag = java.util.UUID.randomUUID().toString.replace("-", "")
       val logName = "sdi_" + tag
+      val outDir = java.nio.file.Files.createTempDirectory(s"sdi_out_$tag").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
       batch.select(col("text").cast("binary").as("body"),
           map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
         .write.format(GraftEventLog.Format)
         .option("name", logName).option("partitions", "4").mode("append").save()
-      val nBatch = GraftEventLog.count(logName)
-      val perTrigger = math.max(256L, (nBatch + 7) / 8)
-      val stream = s.readStream.format(GraftEventLog.Format)
-        .option("name", logName)
-        .option("maxEventsPerTrigger", perTrigger.toString)
-        .load()
-        .select(col("properties")("doc_id").cast("long").as("doc_id"),
-          col("body").cast("string").as("text"))
-      val outDir = java.nio.file.Files.createTempDirectory(s"sdi_out_$tag").toString
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // everything after log creation is guarded: a failure must still drop
+      // the in-memory log and the (corpus-scale) temp hash index
       try {
+        val nBatch = GraftEventLog.count(logName)
+        val perTrigger = math.max(256L, (nBatch + 7) / 8)
+        val stream = s.readStream.format(GraftEventLog.Format)
+          .option("name", logName)
+          .option("maxEventsPerTrigger", perTrigger.toString)
+          .load()
+          .select(col("properties")("doc_id").cast("long").as("doc_id"),
+            col("body").cast("string").as("text"))
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val q = Dedup.dedupStreamAgainstHashIndex(stream, Seq(col("text")),
             idxPath) { (survivors, epochId) =>
           // epoch-keyed overwrite: a retried epoch replaces its own output
@@ -783,6 +774,10 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
         sources.EventLogRegistry.drop(logName)
+        // the index was this run's scratch state (the stream appended to
+        // it); only the parquet OUTPUT outlives the gate, as its result
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+        Dedup.forgetHashIndex(idxPath)
       }
       s.read.parquet(outDir).select(col("doc_id")).orderBy(col("doc_id"))
     }),

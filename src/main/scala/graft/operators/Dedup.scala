@@ -708,18 +708,20 @@ object Dedup extends Logging {
    * ([[dedupAgainstHashIndex]]). This is the cross-run corner exact dedup
    * alone can't cover: a pipeline ingesting daily crawls must drop documents
    * already admitted LAST month without holding last month's corpus in the
-   * job. Layout: `hashes/` is a FLAT parquet directory — unlike the ANN
-   * indexes there is nothing to prune by (the anti-join always probes the
-   * whole hash set, and random 64-bit hash buckets would never be
-   * selective), so partition directories would only multiply files and
-   * listing cost; AQE sizes the file count to the data on save and each
-   * append adds delta-sized files. `params/` records the key columns for
-   * drift detection. Same 128-bit collision odds as [[exact]].
+   * job. Layout: `hashes/epoch=<id>/` parquet — within a delta the files
+   * are flat (unlike the ANN indexes there is nothing to prune by: the
+   * anti-join always probes the whole hash set, and random 64-bit hash
+   * buckets would never be selective; AQE sizes the file count to the
+   * data), and the single `epoch` partition level exists for STREAMING
+   * admission ([[dedupStreamAgainstHashIndex]]): a replayed epoch must be
+   * able to exclude exactly its own previous (possibly partial) delta.
+   * Batch writes all land in `epoch=-1`. `params/` records the key columns
+   * for drift detection. Same 128-bit collision odds as [[exact]].
    */
   def saveHashIndex(df: DataFrame, keyCols: Seq[Column], path: String): Unit = {
     val spark = df.sparkSession
     hashesOf(df, keyCols).distinct()
-      .write.mode("overwrite").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/hashes/epoch=-1")
     import spark.implicits._
     val asked = keyCols.map(nameOf).mkString(",")
     Seq(asked).toDF("key_cols")
@@ -727,7 +729,14 @@ object Dedup extends Logging {
     hashIndexParams.put(path, asked) // refresh: the path may be re-keyed
   }
 
-  /** Load a persisted hash index: `(h0, h1)`. */
+  /** Forget a path's memoized params (for callers that delete a temp
+    * index; a leaked entry is only a few bytes but never evicts). */
+  private[graft] def forgetHashIndex(path: String): Unit = {
+    hashIndexParams.remove(path); ()
+  }
+
+  /** Load a persisted hash index: `(h0, h1, epoch)` — `epoch` is the
+    * partition-directory column (-1 for all batch-written hashes). */
   def loadHashIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/hashes")
 
@@ -753,6 +762,12 @@ object Dedup extends Logging {
         "look new. Rebuild with saveHashIndex or pass the original keys.")
   }
 
+  /** Index size (plan-stats bytes) below which [[dedupAgainstHashIndex]]
+    * skips its bloom prune: a small index joins trivially, and the two
+    * bloom-build jobs are pure overhead — paid per MICRO-BATCH by streams.
+    * Force the bloom by passing `bloomIndexBytesMin = 0` (e.g. lying stats). */
+  val BloomIndexBytesMin: Long = 64L << 20
+
   /**
    * Rows of `df` whose content hash is NOT in the persisted index — the
    * incremental-dedup admission filter. The plan never shuffles the
@@ -769,20 +784,23 @@ object Dedup extends Logging {
    * NOTE: like [[CorpusOps.decontaminate]], CALLING this runs eager Spark
    * jobs (the batch-hash count and bloom build) before the returned plan
    * executes — even an EXPLAIN of the result triggers them.
+   *
+   * `excludeEpoch` skips one epoch's delta partition from the probe —
+   * [[dedupStreamAgainstHashIndex]] passes the CURRENT epoch so a replayed
+   * micro-batch never anti-joins against its own previous (possibly
+   * partial) admission and recomputes the identical survivor set.
    */
-  /** Index size (plan-stats bytes) below which [[dedupAgainstHashIndex]]
-    * skips its bloom prune: a small index joins trivially, and the two
-    * bloom-build jobs are pure overhead — paid per MICRO-BATCH by streams. */
-  val BloomIndexBytesMin: Long = 64L << 20
-
   def dedupAgainstHashIndex(df: DataFrame, keyCols: Seq[Column], path: String,
       fpp: Double = 0.001,
-      bloomIndexBytesMin: Long = BloomIndexBytesMin): DataFrame = {
+      bloomIndexBytesMin: Long = BloomIndexBytesMin,
+      excludeEpoch: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     requireKeyColsMatch(spark, path, keyCols)
     val hashed = df.withColumn("__h0", contentHash(keyCols, 0))
       .withColumn("__h1", contentHash(keyCols, 1))
-    val idx = loadHashIndex(spark, path)
+    // partition pruning drops the excluded epoch's files at listing time
+    val idx = excludeEpoch.foldLeft(loadHashIndex(spark, path))(
+      (i, e) => i.filter(col("epoch") =!= lit(e)))
     // the bloom's job is to keep a CORPUS-scale index out of the anti-join
     // shuffle; when the index is small enough to broadcast/exchange
     // trivially (plan stats), skip the build (force it by passing
@@ -807,25 +825,36 @@ object Dedup extends Logging {
   def appendToHashIndex(df: DataFrame, keyCols: Seq[Column], path: String): Unit = {
     requireKeyColsMatch(df.sparkSession, path, keyCols)
     hashesOf(df, keyCols).distinct()
-      .write.mode("append").parquet(s"$path/hashes")
+      .write.mode("append").parquet(s"$path/hashes/epoch=-1")
   }
 
   /**
    * Continuous-ingestion form of [[dedupAgainstHashIndex]]: every
    * micro-batch anti-joins the persisted index, survivors go to
-   * `writeBatch`, and (when `admit`) their hashes are appended BEFORE the
-   * next batch — so a text admitted in epoch N drops in epoch N+1. The
-   * cross-batch memory is the on-disk index itself, not a Spark state
-   * store: it survives restarts, is shared with batch jobs, and its size
-   * is 16 bytes per admitted document regardless of stream lifetime.
+   * `writeBatch`, and (when `admit`) their hashes are written to the
+   * index's `epoch=<id>` partition BEFORE the next batch — so a text
+   * admitted in epoch N drops in epoch N+1. The cross-batch memory is the
+   * on-disk index itself, not a Spark state store: it survives restarts,
+   * is shared with batch jobs, and its size is 16 bytes per admitted
+   * document regardless of stream lifetime.
    *
-   * foreachBatch is at-least-once: `writeBatch` MUST be idempotent (key
-   * its writes on the epoch id). A retried epoch's re-append merely stores
-   * duplicate hash rows, which the anti-join ignores. Survivors are pinned
-   * with `persist` so `writeBatch` and the append hash the SAME rows
-   * (recomputation after the append would see the batch's own hashes and
-   * return nothing). Returns the configured writer; the caller picks
-   * trigger/checkpoint and starts it.
+   * Replay safety (foreachBatch is at-least-once): the anti-join EXCLUDES
+   * the current epoch's own partition, and the admission OVERWRITES it —
+   * so whether a crashed attempt admitted nothing, part, or all of its
+   * hashes, the retry probes exactly the pre-epoch index state, recomputes
+   * the identical survivor set, re-delivers it to `writeBatch`, and
+   * replaces the partial delta. `writeBatch` must still be idempotent on
+   * the epoch id (e.g. overwrite an epoch-keyed directory) because it may
+   * see the same survivors twice. Survivors are pinned with `persist` so
+   * `writeBatch` and the admission hash the SAME rows.
+   *
+   * One live stream per index: epoch ids restart per checkpoint, so two
+   * streams sharing a path would overwrite each other's epoch partitions.
+   * A long-lived stream accretes one partition directory per admitting
+   * epoch; periodically rebuilding with [[saveHashIndex]] (from the
+   * admitted corpus, e.g. between runs) compacts them into `epoch=-1`.
+   * Returns the configured writer; the caller picks trigger/checkpoint and
+   * starts it.
    */
   def dedupStreamAgainstHashIndex(
       stream: DataFrame, keyCols: Seq[Column], path: String,
@@ -833,10 +862,19 @@ object Dedup extends Logging {
       writeBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
-      val fresh = dedupAgainstHashIndex(batch, keyCols, path).persist()
+      val fresh = dedupAgainstHashIndex(batch, keyCols, path,
+        excludeEpoch = Some(epochId)).persist()
       try {
         writeBatch(fresh, epochId)
-        if (admit) appendToHashIndex(fresh, keyCols, path)
+        if (admit) admitEpoch(fresh, keyCols, path, epochId)
       } finally { fresh.unpersist(); () }
     }
+
+  /** [[dedupStreamAgainstHashIndex]]'s admission step: OVERWRITE epoch
+    * `epochId`'s delta partition with `df`'s hashes (package-visible so
+    * replay tests can simulate a crashed attempt's partial admission). */
+  private[graft] def admitEpoch(df: DataFrame, keyCols: Seq[Column],
+      path: String, epochId: Long): Unit =
+    hashesOf(df, keyCols).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes/epoch=$epochId")
 }

@@ -398,6 +398,33 @@ class DedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: an epoch replay recomputes identical survivors") {
+    // foreachBatch is at-least-once: after a crash between admission and
+    // offset commit, the epoch replays with its own hashes already in the
+    // index. The probe excludes the epoch's own delta partition, so the
+    // replay sees the pre-epoch index state and recomputes the same set —
+    // without the exclusion the replay would return nothing and the
+    // idempotent epoch-keyed overwrite would wipe the correct output
+    val path = java.nio.file.Files.createTempDirectory("hash-idx-replay").toString
+    Dedup.saveHashIndex(docs, Seq($"text"), path)
+    val batch = Seq(
+      (30L, "a replayed but genuinely new document"),
+      (31L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    def probe(exclude: Option[Long]) =
+      Dedup.dedupAgainstHashIndex(batch, Seq($"text"), path,
+        excludeEpoch = exclude).select($"doc_id").as[Long].collect().toSet
+    val attempt1 = probe(exclude = Some(7L))
+    assert(attempt1 == Set(30L))
+    // the crashed attempt admitted its survivors, then the epoch replays
+    Dedup.admitEpoch(batch.filter($"doc_id" === 30L), Seq($"text"), path, 7L)
+    assert(probe(exclude = Some(7L)) == attempt1, "replay must be deterministic")
+    // un-excluded probe shows what the exclusion prevents (self-collision)
+    assert(probe(exclude = None).isEmpty)
+    // the NEXT epoch correctly sees epoch 7's admission
+    assert(probe(exclude = Some(8L)).isEmpty)
+  }
+
   test("dedupNormalized collapses reformatted copies to the min-id original") {
     val df = Seq(
       (0L, "The quick brown fox."),
