@@ -300,6 +300,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_corpus_mix_temp" -> ((s, dir) => {
+      // temperature mixing (p_source ∝ n^alpha): rates derived from the
+      // group sizes in one count pre-pass, stashed so the oracle renders
+      // the exact thresholds the gate used (q_ann_ivf's centroid technique)
+      val d = Tables.documents(s, dir)
+      val rates = operators.Sampling.temperatureRates(d, col("source"), alpha = 0.5)
+      temperatureRatesStash.set(rates)
+      operators.Sampling.stratifiedSample(d, col("source"), rates, col("text"),
+          defaultRate = 0.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
     "q_corpus_pack" -> ((s, dir) => {
       // concat-and-chunk sequence packing: metadata-only layout of each
       // source's token stream into 512-token training sequences (one window
@@ -1313,6 +1327,10 @@ object SparkEntry {
   private val semanticCentroidStash =
     new java.util.concurrent.atomic.AtomicReference[Array[(Int, Array[Double])]]()
 
+  /** Same capture for q_corpus_mix_temp's size-derived keep-rates. */
+  private val temperatureRatesStash =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]]()
+
   /** Embedding dimension of the testdata `embeddings` table (TESTDATA.md) —
     * the vector oracles render per-index fold expressions and need it
     * statically. */
@@ -2021,6 +2039,12 @@ object SparkEntry {
     ) ++ Option(ivfCentroidStash.get()).map(cents =>
       "q_ann_ivf" -> Similarity.sqlIvfTopK(
         cents, dim = EmbeddingDim, queryId = 0L, k = 10, nProbe = 4)
+    ) ++ Option(temperatureRatesStash.get()).map(rates =>
+      "q_corpus_mix_temp" ->
+        s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents
+           |WHERE ${operators.Sampling.sqlStratifiedKeep("source", rates, "text", 0.0)}
+           |GROUP BY 1 ORDER BY 1""".stripMargin
     ) ++ Option(semanticCentroidStash.get()).map(cents =>
       "q_dedup_semantic" -> Similarity.sqlSemanticDedup(
         cents, dim = EmbeddingDim, tau = 0.99, maxCellSize = 10000,

@@ -91,6 +91,13 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
       defaultRate: Double = 1.0): Corpus =
     copy(df = Sampling.stratifiedSample(df, col(groupCol), rates, col(textCol), defaultRate))
 
+  /** Temperature mixing: keep-rates derived from group sizes so sampled
+    * proportions follow size^alpha ([[Sampling.temperatureRates]]).
+    * NOTE: the group-size pre-pass runs EAGERLY at this call. */
+  def sampleByTemperature(alpha: Double, groupCol: String = "source",
+      maxRate: Double = 1.0): Corpus =
+    copy(df = Sampling.temperatureSample(df, col(groupCol), col(textCol), alpha, maxRate))
+
   /** Cap each group's row count (domain balancing). */
   def capPerGroup(cap: Int, groupCol: String = "source"): Corpus =
     copy(df = Sampling.capPerGroup(df, Seq(col(groupCol)), col(textCol), id, cap))

@@ -128,6 +128,47 @@ object Sampling {
     df.filter(hex13(key) < threshold)
   }
 
+  /**
+   * Temperature re-weighting of a grouped mixture — the standard
+   * multi-source LLM data recipe (multilingual/domain sampling with
+   * p_group ∝ n_group^alpha): per-group keep-rates such that the sampled
+   * mixture's expected group sizes follow size^alpha, scaled so the
+   * highest-rate group keeps `maxRate` of its rows. alpha = 1 keeps
+   * proportions unchanged; alpha = 0 equalizes expected group counts
+   * (down-samples the head, leaves the tail whole); in between damps the
+   * head smoothly. One count pre-pass (rows-per-group, metadata scale)
+   * computes the rates DRIVER-side; feed them to [[stratifiedSample]]
+   * (whose per-row hash filter is the whole runtime cost) — or call
+   * [[temperatureSample]] for the one-step form. Rates are returned so
+   * reports and oracles can render the exact thresholds used.
+   */
+  def temperatureRates(df: DataFrame, groupCol: Column, alpha: Double,
+      maxRate: Double = 1.0): Map[String, Double] = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    require(maxRate > 0.0 && maxRate <= 1.0, s"maxRate must be in (0,1], got $maxRate")
+    val counts = df.groupBy(groupCol.cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("g").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // one row per GROUP on the driver: mixtures have a handful of
+    // sources/domains/languages; a high-cardinality group column is the
+    // wrong input for temperature mixing, so fail it loudly
+    require(counts.length <= 10000,
+      s"temperatureRates: ${counts.length} distinct groups — temperature " +
+        "mixing re-weights a handful of sources; for per-key sampling use " +
+        "stratifiedSample with explicit rates or hashSample")
+    val w = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha - 1.0) }
+    val wMax = w.map(_._2).max
+    w.map { case (g, ww) => g -> maxRate * ww / wMax }.toMap
+  }
+
+  /** [[temperatureRates]] + [[stratifiedSample]] in one step (groups not in
+    * the rate table — e.g. null group values — are dropped). */
+  def temperatureSample(df: DataFrame, groupCol: Column, key: Column,
+      alpha: Double, maxRate: Double = 1.0): DataFrame =
+    stratifiedSample(df, groupCol,
+      temperatureRates(df, groupCol, alpha, maxRate), key, defaultRate = 0.0)
+
   /** DuckDB rendering of [[stratifiedSample]]'s keep-predicate (oracle twin). */
   def sqlStratifiedKeep(
       groupCol: String, rates: Map[String, Double], keyCol: String,

@@ -133,4 +133,33 @@ class SketchesSpec extends AnyFunSuite {
     val full = split.select($"doc_id", $"split").as[(Long, String)].collect().toMap
     assert(sub.forall { case (id, lbl) => full(id) == lbl })
   }
+
+  test("temperatureRates follows size^alpha; sampling approximates it") {
+    import org.apache.spark.sql.functions._
+    // head group 16x the tail: alpha=0.5 should keep the head at
+    // sqrt(1/16)=1/4 the tail's rate
+    val df = spark.range(1700).select(
+      when($"id" < 1600, lit("head")).otherwise(lit("tail")).as("g"),
+      concat(lit("doc "), $"id").as("text"))
+    val r1 = Sampling.temperatureRates(df, col("g"), alpha = 1.0)
+    assert(r1 == Map("head" -> 1.0, "tail" -> 1.0), s"alpha=1 is identity: $r1")
+    val r0 = Sampling.temperatureRates(df, col("g"), alpha = 0.0)
+    assert(r0("tail") == 1.0 && math.abs(r0("head") - 100.0 / 1600.0) < 1e-12,
+      s"alpha=0 equalizes expected counts: $r0")
+    val rHalf = Sampling.temperatureRates(df, col("g"), alpha = 0.5)
+    assert(rHalf("tail") == 1.0 && math.abs(rHalf("head") - 0.25) < 1e-12, s"$rHalf")
+    // the sampled mixture approximates the rates (hash-sampling variance)
+    val kept = Sampling.temperatureSample(df, col("g"), col("text"), alpha = 0.5)
+      .groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(kept("tail") == 100L, "rate-1.0 group keeps every row")
+    assert(math.abs(kept("head") - 400.0) < 120.0, s"head kept ${kept("head")} of ~400")
+    // maxRate rescales the whole profile
+    val rCap = Sampling.temperatureRates(df, col("g"), alpha = 0.5, maxRate = 0.5)
+    assert(rCap("tail") == 0.5 && math.abs(rCap("head") - 0.125) < 1e-12)
+    // a high-cardinality group column is the wrong tool and fails loudly
+    val wide = spark.range(10001).select($"id".cast("string").as("g"), $"id".cast("string").as("text"))
+    val e = intercept[IllegalArgumentException](
+      Sampling.temperatureRates(wide, col("g"), alpha = 0.5))
+    assert(e.getMessage.contains("groups"))
+  }
 }
