@@ -300,6 +300,28 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_corpus_cap_tokens" -> ((s, dir) => {
+      // token-budget balancing: mixtures are specified in tokens, so the
+      // cap accumulates token counts in the same deterministic hash order
+      // as q_corpus_cap and stops before the budget would be crossed
+      val d = Tables.documents(s, dir)
+      operators.Sampling.capPerGroupTokens(d, Seq(col("source")), col("text"),
+          col("doc_id"), TextFunctions.tokenCount(col("text")), budget = 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    "q_text_chunks" -> ((s, dir) => {
+      // context-window chunking: 64-token chunks, 8-token overlap
+      operators.CorpusOps.chunkDocuments(Tables.documents(s, dir),
+          "doc_id", "text", chunkTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "q_corpus_mix_temp" -> ((s, dir) => {
       // temperature mixing (p_source ∝ n^alpha): rates derived from the
       // group sizes in one count pre-pass, stashed so the oracle renders
@@ -1399,6 +1421,21 @@ object SparkEntry {
            |FROM documents
            |WHERE ${operators.Sampling.sqlStratifiedKeep("source", MixRates, "text", MixDefaultRate)}
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same deterministic (hash, id) order as q_corpus_cap's oracle; the
+      // cumulative window is RANGE-framed in both engines and the order key
+      // is unique, so RANGE == ROWS
+      "q_corpus_cap_tokens" ->
+        """SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+          |FROM (SELECT source, len(string_split(text, ' ')) AS nt,
+          |        sum(len(string_split(text, ' '))) OVER (
+          |          PARTITION BY source
+          |          ORDER BY substr(md5(text), 1, 13), doc_id) AS cum
+          |      FROM documents)
+          |WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_text_chunks" ->
+        operators.CorpusOps.sqlChunkDocuments(chunkTokens = 64, overlap = 8),
 
       "q_corpus_cap" ->
         """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -106,6 +106,10 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def shuffle(seed: String): Corpus =
     copy(df = Sampling.deterministicShuffle(df, id, seed))
 
+  /** Terminal: overlapping fixed-token context windows per document. */
+  def chunk(chunkTokens: Int, overlap: Int = 0): DataFrame =
+    CorpusOps.chunkDocuments(df, idCol, textCol, chunkTokens, overlap)
+
   /** Terminal: concat-and-chunk sequence layout per group. */
   def pack(maxSeqLen: Int, groupCols: Seq[Column] = Seq(col("source"))): DataFrame =
     Sampling.packSequences(df, groupCols, id,

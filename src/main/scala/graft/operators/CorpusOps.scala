@@ -266,6 +266,54 @@ object CorpusOps {
    * Returns (doc_id, n_words, dup_word_frac, top_bigram_frac) for documents
    * with at least 2 words, fractions rounded to 4 digits.
    */
+  /**
+   * Context-window chunking for long documents (RAG / long-context
+   * training prep): split each document's whitespace-token stream into
+   * `chunkTokens`-token chunks starting every `chunkTokens - overlap`
+   * tokens, so each chunk reopens with the previous chunk's last `overlap`
+   * tokens. A pure per-row explode — no shuffle, chunk COUNT is exact
+   * integer arithmetic shared with the DuckDB twin
+   * ([[sqlChunkDocuments]]). A document shorter than one chunk yields
+   * exactly one (possibly short) chunk. Output: (doc_id, chunk_id,
+   * n_chunk_tokens, chunk_text).
+   */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    // ceil((n - overlap) / stride) chunks, clamped so even an
+    // under-`overlap` document gets one; numerator kept positive because
+    // engines disagree on negative integer division
+    val nc = floor((greatest(col("__n") - lit(overlap), lit(1)) + lit(stride - 1))
+      .cast("double") / stride).cast("int")
+    val start = col("chunk_id") * stride
+    docs.select(col(idCol).as("doc_id"), toks.as("__w"), size(toks).as("__n"))
+      .select(col("doc_id"), col("__w"), col("__n"),
+        explode(sequence(lit(0), nc - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(chunkTokens), col("__n") - start).cast("int").as("n_chunk_tokens"),
+        array_join(slice(col("__w"), start + 1, lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[chunkDocuments]] over `documents` (chunk text hashed
+    * as md5 so the gate compares fixed-width values). */
+  def sqlChunkDocuments(chunkTokens: Int, overlap: Int): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |        len(string_split(text, ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, n, w,
+       |        unnest(range((greatest(n - $overlap, 1) + ${stride - 1}) // $stride)) AS chunk_id
+       |      FROM d)
+       |SELECT doc_id, chunk_id,
+       |  least($chunkTokens, n - chunk_id * $stride)::INT AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(w, chunk_id * $stride + 1,
+       |        chunk_id * $stride + $chunkTokens), ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(
       col(idCol).as("doc_id"),

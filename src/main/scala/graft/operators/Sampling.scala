@@ -73,6 +73,23 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Per-group TOKEN budget: keep each group's rows, in [[capPerGroup]]'s
+    * deterministic hash order, until the cumulative token count would
+    * exceed `budget` (the crossing document is dropped, so each group's
+    * kept total is ≤ budget). Training mixtures are specified in tokens,
+    * not documents — a doc-count cap lets a long-document group blow its
+    * token share. Monotone in budget (raising it only ADDS documents) and
+    * the same one-window-shuffle shape as [[capPerGroup]]. */
+  def capPerGroupTokens(
+      df: DataFrame, groupCols: Seq[Column], hashKey: Column, tieBreak: Column,
+      tokenCount: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*).orderBy(hex13(hashKey).asc, tieBreak.asc)
+    df.withColumn("__cum", sum(tokenCount.cast("long")).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
+
   /**
    * Training-sequence packing ("concatenate and chunk", the layout step of
    * every LLM pretraining pipeline): lay each group's token stream out in

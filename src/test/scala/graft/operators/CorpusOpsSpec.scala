@@ -398,4 +398,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e1 != e0a, "a new epoch seed must reshuffle")
     assert(e1.toSet == e0a.toSet, "shuffle is a permutation")
   }
+
+  test("chunkDocuments: overlapping fixed-token windows, exact boundaries") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // 10 tokens
+      (2L, "a b c d e f g h i j k"), // 11 tokens -> 4th short chunk
+      (3L, "x"),                     // shorter than one chunk
+      (4L, ""))                      // split("") = [""] -> one empty chunk
+      .toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 4, "a b c d"), (1L, 1, 4, "d e f g"), (1L, 2, 4, "g h i j"),
+      (2L, 0, 4, "a b c d"), (2L, 1, 4, "d e f g"), (2L, 2, 4, "g h i j"),
+      (2L, 3, 2, "j k"),
+      (3L, 0, 1, "x"),
+      (4L, 0, 1, "")))
+    // every consecutive chunk pair shares exactly the overlap tokens
+    got.filter(_._1 == 1L).sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4.split(" ").last == b._4.split(" ").head)
+    }
+  }
+
+  test("capPerGroupTokens: budget respected, monotone, deterministic") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf001)
+    val nt = graft.functions.TextFunctions.tokenCount($"text")
+    def kept(budget: Long) = Sampling.capPerGroupTokens(docs, Seq($"source"),
+      $"text", $"doc_id", nt, budget).select($"doc_id").as[Long].collect().toSet
+    val k500 = kept(500L); val k2000 = kept(2000L)
+    assert(kept(500L) == k500, "deterministic")
+    assert(k500.subsetOf(k2000), "raising the budget only adds documents")
+    // the kept total per group never exceeds the budget
+    val totals = Sampling.capPerGroupTokens(docs, Seq($"source"), $"text",
+        $"doc_id", nt, 500L)
+      .groupBy($"source").agg(sum(nt.cast("long"))).as[(String, Long)].collect()
+    assert(totals.forall(_._2 <= 500L), totals.mkString(","))
+    // a budget above any group's total keeps the whole corpus
+    assert(kept(100000000L).size == docs.count())
+  }
 }
