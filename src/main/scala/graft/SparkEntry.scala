@@ -728,6 +728,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      // paragraph-level dedup + reassembly. The synthetic corpus has no
+      // newlines, so the gate segments each document into fixed 10-token
+      // windows (identically in the oracle) and rejoins survivors with a
+      // space; compare on the md5 of the rewritten text
+      val d = Tables.documents(s, dir)
+      val wrds = split(col("text"), " ")
+      val nc = floor((size(wrds) + lit(9)).cast("double") / 10).cast("int")
+      val paras = transform(sequence(lit(0), nc - 1),
+        i => array_join(slice(wrds, i * 10 + 1, lit(10)), " "))
+      Dedup.dedupParagraphs(d, "doc_id", "text", paras, joinWith = " ")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("n_paras"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_normalized" -> ((s, dir) => {
       // fuzzy-exact dedup over normalizeText. The synthetic corpus has no
       // reformatted copies, so the gate PLANTS one per document (uppercased,
@@ -1823,6 +1839,28 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
           | FROM documents)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // first-occurrence choice depends only on hash-equality groups, so
+      // the engines may hash differently (xxhash64 pair vs md5) and still
+      // agree up to a collision; ORDER BY (doc_id, pos) is unique, making
+      // row_number deterministic in both
+      "q_dedup_paragraphs" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+          |        len(string_split(text, ' ')) AS n FROM documents),
+          |p AS (SELECT doc_id, unnest(range((n + 9) // 10)) AS pos, w FROM d),
+          |q AS (SELECT doc_id, pos,
+          |        array_to_string(list_slice(w, pos * 10 + 1, pos * 10 + 10), ' ') AS para
+          |      FROM p),
+          |k AS (SELECT doc_id, pos FROM (
+          |        SELECT doc_id, pos,
+          |          row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+          |        FROM q) WHERE rn = 1)
+          |SELECT s.doc_id, md5(string_agg(s.para, ' ' ORDER BY s.pos)) AS text_md5,
+          |  CAST(any_value((d.n + 9) // 10) AS INT) AS n_paras,
+          |  CAST(count(*) AS INT) AS n_kept
+          |FROM (SELECT q.* FROM q JOIN k USING (doc_id, pos)) s
+          |JOIN d USING (doc_id)
+          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
       // lowercasing agrees across engines only for ASCII, so the guard
       // errors the gate loudly on a non-ASCII document instead of letting

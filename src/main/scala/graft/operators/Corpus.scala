@@ -86,6 +86,15 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = df.join(flagged, Seq(idCol), "left_anti"))
   }
 
+  /** Paragraph-level exact dedup with reassembly: each distinct paragraph
+    * survives only at its corpus-wide first occurrence; documents are
+    * rewritten from their surviving paragraphs (and drop when nothing
+    * survives). Other columns are replaced by (n_paras, n_kept) — run this
+    * stage before projections that must survive ([[Dedup.dedupParagraphs]]). */
+  def dedupParagraphs(delim: String = "\n"): Corpus =
+    copy(df = Dedup.dedupParagraphs(df, idCol, textCol,
+      org.apache.spark.sql.functions.split(col(textCol), delim), joinWith = delim))
+
   /** Mixture re-weighting: keep ~rate of each group, content-hash chosen. */
   def sample(rates: Map[String, Double], groupCol: String = "source",
       defaultRate: Double = 1.0): Corpus =

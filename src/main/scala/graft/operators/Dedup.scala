@@ -191,6 +191,53 @@ object Dedup extends Logging {
       .drop("__h0", "__h1", "__rn")
   }
 
+  /**
+   * Paragraph-level exact dedup with document reassembly (the CCNet / Dolma
+   * hygiene pass, one granularity below [[exactRows]]): each distinct
+   * paragraph survives only at its FIRST occurrence in (id, position) order
+   * across the whole corpus; every later occurrence — inside the same
+   * document or any other — is cut out, and each document's survivors are
+   * re-joined with `joinWith` in their original order. A document that
+   * loses every paragraph drops entirely.
+   *
+   * `paragraphs` is the segmentation, an `array<string>` column evaluated
+   * against `docs` (default: newline split of `textCol`; corpora without
+   * newlines pass their own segmentation, e.g. fixed-token windows).
+   *
+   * Scale shape: the global first-occurrence choice shuffles only
+   * (hash₀, hash₁, id, pos) — two 64-bit content hashes (same
+   * double-hash collision guard as [[exactRows]]), never paragraph text.
+   * Kept positions are aggregated to one per-document array (never the
+   * driver), and the only full-text movement is the single equi-join of the
+   * original documents against that narrow kept-set table; reassembly is a
+   * per-row array filter after the join.
+   *
+   * Output: (idCol, textCol rewritten, n_paras, n_kept).
+   */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      paragraphs: Column = null, joinWith: String = "\n"): DataFrame = {
+    val paras = Option(paragraphs).getOrElse(split(col(textCol), "\n"))
+    val ex = docs.select(col(idCol).as("__id"), posexplode(paras).as(Seq("__pos", "__p")))
+    val w = Window.partitionBy(col("__h0"), col("__h1"))
+      .orderBy(col("__id").asc, col("__pos").asc)
+    val kept = ex
+      .select(col("__id"), col("__pos"),
+        contentHash(Seq(col("__p")), 0).as("__h0"),
+        contentHash(Seq(col("__p")), 1).as("__h1"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__keep"),
+        count(lit(1)).cast("int").as("n_kept"))
+    docs.join(kept, col(idCol) === kept("__id"))
+      .withColumn("__paras", paras)
+      .select(col(idCol),
+        array_join(filter(col("__paras"),
+          (p, i) => array_contains(col("__keep"), i)), joinWith).as(textCol),
+        size(col("__paras")).as("n_paras"),
+        col("n_kept"))
+  }
+
   /** Two independent 64-bit content hashes: word 1 prepends a salt literal,
     * which reseeds the xxhash64 stream, so a simultaneous collision in both
     * words is required to merge distinct keys. */

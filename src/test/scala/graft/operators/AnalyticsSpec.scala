@@ -217,6 +217,37 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.filter($"doc_id" === 3L).isEmpty)
   }
 
+  test("dedupParagraphs: corpus-wide first occurrence wins, docs reassemble in order") {
+    val pdocs = Seq(
+      (10L, "alpha beta\nshared one\ngamma delta"),
+      (11L, "shared one\nepsilon zeta\nshared two"),
+      (12L, "shared two\nshared one"), // loses everything
+      (13L, "eta theta\neta theta\niota")) // intra-doc dup also cut
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(pdocs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      (10L, "alpha beta\nshared one\ngamma delta", 3, 3),
+      (11L, "epsilon zeta\nshared two", 3, 2),
+      (13L, "eta theta\niota", 3, 2)),
+      s"got=$got") // doc 12 dropped: both paragraphs seen earlier
+  }
+
+  test("dedupParagraphs: custom segmentation and join delimiter") {
+    val pdocs = Seq(
+      (0L, "a b c d"),
+      (1L, "c d a b"))
+      .toDF("doc_id", "text")
+    // two-token windows: doc0 = [a b, c d], doc1 = [c d, a b] — doc1's
+    // windows are both repeats of doc0's, so doc1 drops
+    val w2 = split($"text", " ")
+    val paras = transform(sequence(lit(0), lit(1)),
+      i => array_join(slice(w2, i * 2 + 1, lit(2)), " "))
+    val got = Dedup.dedupParagraphs(pdocs, "doc_id", "text", paras, joinWith = " ")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(got == Seq((0L, "a b c d", 2, 2)))
+  }
+
   test("ngram jaccard pairs find exact and near duplicates with correct scores") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
