@@ -978,6 +978,13 @@ object SparkEntry {
         .orderBy(col("guess"))
     }),
 
+    "q_quality_gopher" -> ((s, dir) => {
+      // Gopher rule matrix, paper-default thresholds; ratio rules compare
+      // stableRound(4)ed values so both engines make identical decisions
+      operators.CorpusOps.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       // per-row scores are rounded then summed as DECIMAL: the float avg's
       // partial-aggregation order varies run to run, and stableRound only
@@ -2017,6 +2024,8 @@ object SparkEntry {
       "q_text_langid" ->
         s"""SELECT ${TextFunctions.sqlLangIdGuess("text")} AS guess, count(*) AS n
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_quality_gopher" -> operators.CorpusOps.sqlGopherRules(),
 
       "q_text_quality" ->
         s"""SELECT source,

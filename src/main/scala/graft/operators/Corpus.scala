@@ -86,6 +86,14 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = df.join(flagged, Seq(idCol), "left_anti"))
   }
 
+  /** Drop documents failing any Gopher quality rule
+    * ([[CorpusOps.gopherRules]], paper-default thresholds). */
+  def gopherFilter(): Corpus = {
+    val flagged = CorpusOps.gopherRules(df, idCol, textCol)
+      .filter(!col("pass")).select(col("doc_id").as(idCol))
+    copy(df = df.join(flagged, Seq(idCol), "left_anti"))
+  }
+
   /** Paragraph-level exact dedup with reassembly: each distinct paragraph
     * survives only at its corpus-wide first occurrence; documents are
     * rewritten from their surviving paragraphs (and drop when nothing

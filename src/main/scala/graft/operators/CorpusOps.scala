@@ -256,6 +256,112 @@ object CorpusOps {
   }
 
   /**
+   * The Gopher quality rules (Rae et al. 2021, appendix A1.1) as a per-rule
+   * diagnostic table: word-count bounds, mean-word-length bounds,
+   * symbol-to-word ratio (# and ellipsis), bullet-start and ellipsis-end
+   * line fractions, alphabetic-word fraction, and required-stopword hits —
+   * `pass` is the conjunction. Unlike [[qualityFilter]]'s first-failing-rule
+   * label, every rule is evaluated for every document, so threshold tuning
+   * sees the full failure matrix in one pass. All signals are per-row
+   * expressions — NO shuffle, a pure scan stage at any corpus size.
+   *
+   * Ratio diagnostics are [[TextFunctions.stableRound]]ed to 4 digits and
+   * the rule booleans compare the ROUNDED values, so the decisions are
+   * bit-reproducible across engines (the DuckDB twin is
+   * [[sqlGopherRules]]). Thresholds default to the paper's.
+   */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val ws = TextFunctions.words(t)
+    val nW = size(ws)
+    val nWd = greatest(nW, lit(1)).cast("double")
+    val meanLen = TextFunctions.stableRound(
+      aggregate(ws, lit(0L), (a, x) => a + length(x)).cast("double") / nWd, 4)
+    val hashCnt = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val dotsCnt = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))).cast("double") / 3.0
+    val symbolRatio = TextFunctions.stableRound((hashCnt + dotsCnt) / nWd, 4)
+    val lines = split(t, "\n")
+    val nLd = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = TextFunctions.stableRound(
+      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("• "))).cast("double") / nLd, 4)
+    val ellipsisFrac = TextFunctions.stableRound(
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLd, 4)
+    val alphaFrac = TextFunctions.stableRound(
+      size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double") / nWd, 4)
+    val stopHits = size(array_intersect(ws,
+      array(GopherStopWords.map(lit): _*)))
+    val rWords = nW >= minWords && nW <= maxWords
+    val rWordLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val rSymbol = symbolRatio <= maxSymbolRatio
+    val rBullet = bulletFrac <= maxBulletFrac
+    val rEllipsis = ellipsisFrac <= maxEllipsisFrac
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rStops = stopHits >= minStopHits
+    docs.select(col(idCol).as("doc_id"),
+      nW.cast("int").as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.cast("int").as("n_stop_hits"),
+      rWords.as("r_words"), rWordLen.as("r_word_len"), rSymbol.as("r_symbol"),
+      rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"),
+      rStops.as("r_stops"),
+      (rWords && rWordLen && rSymbol && rBullet && rEllipsis && rAlpha &&
+        rStops).as("pass"))
+  }
+
+  /** Gopher's required stopwords (shared by the Scala and SQL renderings). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** DuckDB twin of [[gopherRules]] over `documents` (thresholds must match
+    * the Scala call). */
+  def sqlGopherRules(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): String = {
+    val stops = GopherStopWords.map(s => s"'$s'").mkString(", ")
+    def r4(e: String) = TextFunctions.sqlStableRound(e, 4)
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+       |    greatest(len(string_split(text, ' ')), 1)::DOUBLE AS nwd,
+       |    string_split(text, chr(10)) AS ls,
+       |    greatest(len(string_split(text, chr(10))), 1)::DOUBLE AS nld
+       |  FROM documents),
+       |m AS (SELECT doc_id, len(w) AS n_words,
+       |    ${r4("list_sum(list_transform(w, x -> len(x)))::DOUBLE / nwd")} AS mean_word_len,
+       |    ${r4("((len(text) - len(replace(text, '#', '')))::DOUBLE + " +
+             "(len(text) - len(replace(text, '...', '')))::DOUBLE / 3.0) / nwd")} AS symbol_ratio,
+       |    ${r4("len(list_filter(ls, l -> starts_with(l, '- ') OR " +
+             "starts_with(l, '* ') OR starts_with(l, '• ')))::DOUBLE / nld")} AS bullet_frac,
+       |    ${r4("len(list_filter(ls, l -> ends_with(l, '...')))::DOUBLE / nld")} AS ellipsis_frac,
+       |    ${r4("len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / nwd")} AS alpha_frac,
+       |    len(list_intersect(w, [$stops])) AS n_stop_hits
+       |  FROM d)
+       |SELECT doc_id, n_words::INT AS n_words, mean_word_len, symbol_ratio,
+       |  bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits::INT AS n_stop_hits,
+       |  (n_words BETWEEN $minWords AND $maxWords) AS r_words,
+       |  (mean_word_len BETWEEN $minMeanWordLen AND $maxMeanWordLen) AS r_word_len,
+       |  (symbol_ratio <= $maxSymbolRatio) AS r_symbol,
+       |  (bullet_frac <= $maxBulletFrac) AS r_bullet,
+       |  (ellipsis_frac <= $maxEllipsisFrac) AS r_ellipsis,
+       |  (alpha_frac >= $minAlphaFrac) AS r_alpha,
+       |  (n_stop_hits >= $minStopHits) AS r_stops,
+       |  (n_words BETWEEN $minWords AND $maxWords
+       |    AND mean_word_len BETWEEN $minMeanWordLen AND $maxMeanWordLen
+       |    AND symbol_ratio <= $maxSymbolRatio AND bullet_frac <= $maxBulletFrac
+       |    AND ellipsis_frac <= $maxEllipsisFrac AND alpha_frac >= $minAlphaFrac
+       |    AND n_stop_hits >= $minStopHits) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /**
    * Intra-document repetition profile (the Gopher/MassiveText repetition
    * rules): per document, the duplicate-word fraction and the fraction of
    * word bigrams taken by the single most frequent bigram. High values mark

@@ -399,6 +399,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e1.toSet == e0a.toSet, "shuffle is a permutation")
   }
 
+  test("gopherRules: each rule fires on its crafted document") {
+    val longText = Seq.fill(60)("steady").mkString(" ") + " the of and"
+    val docs = Seq(
+      (0L, longText), // passes everything
+      (1L, "too short the of"), // fails r_words only
+      (2L, longText + " " + Seq.fill(20)("#####").mkString(" ")), // symbols
+      (3L, Seq.fill(60)("ab").mkString(" ") + " the of"), // mean word len < 3
+      (4L, (Seq.fill(12)("- bullet line " + longText) :+ "tail").mkString("\n")), // bullets
+      (5L, Seq.fill(60)("12345").mkString(" ") + " the of and"), // alpha frac
+      (6L, Seq.fill(60)("steady").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val got = CorpusOps.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"r_words", $"r_word_len", $"r_symbol", $"r_bullet",
+        $"r_alpha", $"r_stops", $"pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    def row(id: Long) = got.find(_._1 == id).get
+    assert(row(0L) == ((0L, true, true, true, true, true, true, true)))
+    assert(!row(1L)._2 && !row(1L)._8 && row(1L)._4) // short, but symbols fine
+    assert(!row(2L)._4, "symbol ratio must fail")
+    assert(!row(3L)._3, "mean word length must fail")
+    assert(!row(4L)._5, "bullet line fraction must fail")
+    assert(!row(5L)._6, "alphabetic word fraction must fail")
+    assert(!row(6L)._7 && row(6L)._2, "stopword rule must fail alone")
+  }
+
   test("chunkDocuments: overlapping fixed-token windows, exact boundaries") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),  // 10 tokens
