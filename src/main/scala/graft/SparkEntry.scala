@@ -978,6 +978,20 @@ object SparkEntry {
         .orderBy(col("guess"))
     }),
 
+    "q_corpus_diff" -> ((s, dir) => {
+      // dataset versioning: two snapshots derived deterministically from the
+      // corpus (identically in the oracle) — old drops ids ≡0 (mod 7), new
+      // drops ids ≡0 (mod 5) and rewrites text for ids ≡0 (mod 3)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      operators.CorpusOps.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_gopher" -> ((s, dir) => {
       // Gopher rule matrix, paper-default thresholds; ratio rules compare
       // stableRound(4)ed values so both engines make identical decisions
@@ -2024,6 +2038,21 @@ object SparkEntry {
       "q_text_langid" ->
         s"""SELECT ${TextFunctions.sqlLangIdGuess("text")} AS guess, count(*) AS n
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_corpus_diff" ->
+        """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+          |           WHERE doc_id % 7 <> 0),
+          |n AS (SELECT doc_id,
+          |        md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS new_md5
+          |      FROM documents WHERE doc_id % 5 <> 0)
+          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |  CASE WHEN o.doc_id IS NULL THEN 'added'
+          |       WHEN n.doc_id IS NULL THEN 'removed'
+          |       WHEN old_md5 <> new_md5 THEN 'changed'
+          |       ELSE 'unchanged' END AS status,
+          |  old_md5, new_md5
+          |FROM o FULL OUTER JOIN n USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       "q_quality_gopher" -> operators.CorpusOps.sqlGopherRules(),
 

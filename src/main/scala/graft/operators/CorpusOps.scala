@@ -256,6 +256,30 @@ object CorpusOps {
   }
 
   /**
+   * Snapshot diff for dataset versioning: label every document id across
+   * two corpus versions as added (only in `newDocs`), removed (only in
+   * `oldDocs`), changed (present in both with different content), or
+   * unchanged. Content equality is by md5 of the text, so the full-outer
+   * join shuffles only (id, 16-byte hash) per side — document text never
+   * moves, which is what makes diffing two 100 TB snapshots a narrow
+   * two-scan job. Output: (doc_id, status, old_md5, new_md5).
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("old_md5"))
+    val n = newDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol).cast("binary")).as("new_md5"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_md5"), col("new_md5"))
+  }
+
+  /**
    * The Gopher quality rules (Rae et al. 2021, appendix A1.1) as a per-rule
    * diagnostic table: word-count bounds, mean-word-length bounds,
    * symbol-to-word ratio (# and ellipsis), bullet-start and ellipsis-end

@@ -399,6 +399,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e1.toSet == e0a.toSet, "shuffle is a permutation")
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged") {
+    val old0 = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val new0 = Seq((2L, "two"), (3L, "trois"), (4L, "four")).toDF("doc_id", "text")
+    val got = CorpusOps.corpusDiff(old0, new0, "doc_id", "text")
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("gopherRules: each rule fires on its crafted document") {
     val longText = Seq.fill(60)("steady").mkString(" ") + " the of and"
     val docs = Seq(
