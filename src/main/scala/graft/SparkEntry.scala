@@ -398,6 +398,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_decontaminate_neardup" -> ((s, dir) => {
+      // paraphrase-shaped leakage: ids ≡0 (mod 17) re-enter as benchmark
+      // docs with their first word dropped (identically in the oracle) —
+      // exact-match misses them, MinHash-LSH + Jaccard-verify must not
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val wrds = split(col("text"), " ")
+      val bench = d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          array_join(slice(wrds, lit(2), size(wrds) - 1), " ").as("text"))
+      operators.CorpusOps.decontaminateNearDup(d, bench, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       // Gopher/MassiveText-style repetition signals, most-repetitive first
       operators.CorpusOps.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")
@@ -1513,6 +1526,9 @@ object SparkEntry {
       },
 
       "q_corpus_decontaminate" -> deconOracleSql,
+
+      "q_corpus_decontaminate_neardup" ->
+        operators.CorpusOps.sqlDecontaminateNearDup(),
 
       "q_pipeline_e2e" -> {
         val reason = operators.CorpusOps.sqlQualityFilterReason(

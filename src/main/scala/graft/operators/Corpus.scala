@@ -75,6 +75,17 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = df.join(flagged, Seq(idCol), "left_anti"))
   }
 
+  /** Drop documents whose shingle-Jaccard with any benchmark document
+    * reaches `threshold` — the paraphrase-shaped leakage exact
+    * decontamination misses ([[CorpusOps.decontaminateNearDup]]). */
+  def decontaminateNearDup(bench: DataFrame, k: Int = 3,
+      threshold: Double = 0.5): Corpus = {
+    val flagged = CorpusOps.decontaminateNearDup(df, bench, idCol, textCol,
+        k, threshold = threshold)
+      .select(col("doc_id").as(idCol))
+    copy(df = df.join(flagged, Seq(idCol), "left_anti"))
+  }
+
   /** Drop documents whose cross-document duplicate-span fraction exceeds
     * the threshold — shared-boilerplate removal (the detection half is
     * [[CorpusOps.duplicateSpanProfile]]; documents shorter than `k` words

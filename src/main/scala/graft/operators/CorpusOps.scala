@@ -256,6 +256,115 @@ object CorpusOps {
   }
 
   /**
+   * NEAR-DUP benchmark decontamination: find corpus documents whose word
+   * `k`-gram shingle-set Jaccard with ANY benchmark document reaches
+   * `threshold` — the leakage [[decontaminate]]'s exact shared-shingle
+   * count can under-rank when a benchmark item was lightly paraphrased
+   * before it leaked. Candidate generation is MinHash-LSH ACROSS the two
+   * corpora: both sides band their signatures, the benchmark's banded
+   * table (benchmark-sized, narrow) broadcasts against the corpus's banded
+   * rows — (doc_id, band, bucket) only, corpus text never enters the
+   * candidate shuffle — and survivors verify with exact shingle Jaccard.
+   * Benchmark buckets hotter than `maxBenchBucket` are dropped (counted
+   * under tag "decontaminateNearDup"): one degenerate bucket would fan
+   * corpus rows |bench| ways.
+   *
+   * Returns one row per contaminated document:
+   * (doc_id, n_bench_matched, top_jaccard).
+   */
+  def decontaminateNearDup(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBenchBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rows = numHashes / bands
+    import graft.functions.hashFunctions.minhash_signature
+    def shingled(df: DataFrame, idAs: String): DataFrame = df.select(
+      col(idCol).as(idAs),
+      array_distinct(TextFunctions.wordShingles(col(textCol), k)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    def banded(base: DataFrame, idAs: String): DataFrame = {
+      val sigs = base.select(col(idAs),
+        minhash_signature(col("sh"), numHashes, seed).as("sig"))
+      val bandBuckets = (0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows)))
+      sigs.select(col(idAs), posexplode(array(bandBuckets: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
+    // benchmark side is read twice (banding + verification) — checkpoint
+    // lazily so it shingles once; the corpus side streams through each stage
+    val bBase = shingled(bench, "bench_id").localCheckpoint(eager = false)
+    val cBase = shingled(corpus, "doc_id")
+    val bBand = Dedup.dropHotKeys(banded(bBase, "bench_id"),
+      Seq("band", "bucket"), maxBenchBucket, "decontaminateNearDup")
+    val cand = banded(cBase, "doc_id")
+      .join(broadcast(bBand), Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    cand
+      .join(cBase, Seq("doc_id"))
+      .join(broadcast(bBase.withColumnRenamed("sh", "bsh")), Seq("bench_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("bsh"))).cast("double") /
+          size(array_union(col("sh"), col("bsh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matched"),
+        round(max(col("jaccard")), 4).as("top_jaccard"))
+  }
+
+  /**
+   * DuckDB twin of [[decontaminateNearDup]] with the gate's planted
+   * benchmark: ids ≡ 0 (mod `benchMod`) re-enter as bench docs (id +
+   * 500000) with their FIRST WORD DROPPED — a paraphrase-shaped mutation
+   * that exact-match decontamination misses at the shingle level but whose
+   * shingle Jaccard stays near 1. Same slice-join equivalence as
+   * [[Dedup.sqlMinHashLshPairs]]; the `maxBenchBucket` guard is not
+   * rendered (cannot fire at oracle scale — a fired guard would rightly
+   * hash-mismatch).
+   */
+  def sqlDecontaminateNearDup(
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L, benchMod: Int = 17): String = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigCols = Dedup.sqlMinHashSigCols(numHashes, seed)
+    val sh = TextFunctions.sqlWordShingles("text", k)
+      .replace("string_split(text, ' ')", "w")
+    val fnv = TextFunctions.sqlFnv1a64("t")
+    val guard = TextFunctions.sqlAsciiGuard("doc_id", "text")
+    s"""WITH corpus0 AS (
+       |  SELECT ($guard) AS doc_id, string_split(text, ' ') AS w FROM documents
+       |), bench0 AS (
+       |  SELECT doc_id + 500000 AS bench_id,
+       |    list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))) AS w
+       |  FROM documents WHERE doc_id % $benchMod = 0
+       |), c AS (
+       |  SELECT doc_id, sh, list_transform(sh, t -> $fnv) AS hs FROM (
+       |    SELECT doc_id, list_distinct($sh) AS sh FROM corpus0) WHERE len(sh) > 0
+       |), b AS (
+       |  SELECT bench_id, sh, list_transform(sh, t -> $fnv) AS hs FROM (
+       |    SELECT bench_id, list_distinct($sh) AS sh FROM bench0) WHERE len(sh) > 0
+       |), csig AS (SELECT doc_id, $sigCols FROM c),
+       |bsig AS (SELECT bench_id, $sigCols FROM b),
+       |cband AS (${Dedup.sqlMinHashBandRows(bands, rows, "csig", "doc_id")}),
+       |bband AS (${Dedup.sqlMinHashBandRows(bands, rows, "bsig", "bench_id")}),
+       |cand AS (
+       |  SELECT DISTINCT doc_id, bench_id
+       |  FROM cband JOIN bband ON cband.band = bband.band AND cband.chunk = bband.chunk
+       |)
+       |SELECT doc_id, count(*) AS n_bench_matched,
+       |  round(max(j), 4) AS top_jaccard
+       |FROM (
+       |  SELECT cand.doc_id,
+       |    len(list_intersect(c.sh, b.sh)) * 1.0
+       |      / (len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))) AS j
+       |  FROM cand JOIN c USING (doc_id) JOIN b USING (bench_id))
+       |WHERE j >= $threshold
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /**
    * Snapshot diff for dataset versioning: label every document id across
    * two corpus versions as added (only in `newDocs`), removed (only in
    * `oldDocs`), changed (present in both with different content), or

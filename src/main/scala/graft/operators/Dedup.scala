@@ -354,11 +354,13 @@ object Dedup extends Logging {
    * bucket can exceed it (the gate's data has ≤ 5k docs), and a fired guard
    * would rightly show up as a mismatch.
    */
-  def sqlMinHashLshPairs(
-      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, seed: Long = 42L): String = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
+  /** DuckDB select-list rendering of the `numHashes` seed-derived affine
+    * MinHash signature columns (`s0..sN`) over an `hs` column (list of
+    * HUGEINT FNV shingle hashes) — the permutation constants come from the
+    * SAME `HashUtil.permParams` the executor kernel draws from, inlined as
+    * unsigned literals with a 32-bit split so `a*x` never leaves int128.
+    * Shared by the self-join and cross-corpus oracle twins. */
+  private[operators] def sqlMinHashSigCols(numHashes: Int, seed: Long): String = {
     val (pa, pb) = graft.functions.HashUtil.permParams(numHashes, seed)
     val m64 = "18446744073709551616::HUGEINT"
     def affine(i: Int): String = {
@@ -370,11 +372,26 @@ object Dedup extends Logging {
         s" + $a1::HUGEINT * (x % 4294967296::HUGEINT)) % 4294967296::HUGEINT)" +
         s" * 4294967296::HUGEINT + $b::HUGEINT) % $m64)))"
     }
-    val sigCols = (0 until numHashes).map(i => s"${affine(i)} AS s$i").mkString(", ")
-    val bandRows = (0 until bands).map { b =>
+    (0 until numHashes).map(i => s"${affine(i)} AS s$i").mkString(", ")
+  }
+
+  /** DuckDB band-explosion rendering: one UNION ALL branch per band, each
+    * slicing its `rows` signature columns into a `chunk` list (the oracle
+    * joins on the slices themselves — see [[sqlMinHashLshPairs]]). */
+  private[operators] def sqlMinHashBandRows(
+      bands: Int, rows: Int, sigTable: String, idCol: String): String =
+    (0 until bands).map { b =>
       val slice = (0 until rows).map(r => s"s${b * rows + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band, [$slice] AS chunk FROM sig"
+      s"SELECT $idCol, $b AS band, [$slice] AS chunk FROM $sigTable"
     }.mkString(" UNION ALL ")
+
+  def sqlMinHashLshPairs(
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): String = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigCols = sqlMinHashSigCols(numHashes, seed)
+    val bandRows = sqlMinHashBandRows(bands, rows, "sig", "doc_id")
     val sh = graft.functions.TextFunctions.sqlWordShingles("text", k)
       .replace("string_split(text, ' ')", "w")
     val fnv = graft.functions.TextFunctions.sqlFnv1a64("t")

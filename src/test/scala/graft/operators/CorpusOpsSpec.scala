@@ -399,6 +399,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e1.toSet == e0a.toSet, "shuffle is a permutation")
   }
 
+  test("decontaminateNearDup catches paraphrase-shaped leakage") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "unrelated totally different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      // doc 1 with the first word dropped — a light paraphrase
+      (100L, "beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "completely disjoint benchmark item with its own vocabulary"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.decontaminateNearDup(corpus, bench, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L), s"got=$got")
+    val (_, nMatched, topJ) = got.head
+    assert(nMatched == 1L)
+    // 10 words -> 8 trigram shingles; bench copy has 7, all shared: J = 7/8
+    assert(topJ == 0.875, s"topJ=$topJ")
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged") {
     val old0 = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
     val new0 = Seq((2L, "two"), (3L, "trois"), (4L, "four")).toDF("doc_id", "text")
