@@ -226,6 +226,41 @@ object GraftExtensions {
             intArg(args, 3, 3, "graft_dup_spans"),
             intArg(args, 4, 2, "graft_dup_spans")))
       },
+      tvf("graft_gopher",
+        "graft_gopher(table, idCol, textCol) - per-document Gopher quality rule matrix") {
+        args => arity(args, "graft_gopher", 3, 3)
+          logical(operators.CorpusOps.gopherRules(
+            activeTable(strArg(args, 0, "graft_gopher")),
+            strArg(args, 1, "graft_gopher"), strArg(args, 2, "graft_gopher")))
+      },
+      tvf("graft_chunk",
+        "graft_chunk(table, idCol, textCol, chunkTokens[, overlap]) - " +
+          "fixed-token context windows per document") {
+        args => arity(args, "graft_chunk", 4, 5)
+          logical(operators.CorpusOps.chunkDocuments(
+            activeTable(strArg(args, 0, "graft_chunk")),
+            strArg(args, 1, "graft_chunk"), strArg(args, 2, "graft_chunk"),
+            intArg(args, 3, -1, "graft_chunk"),
+            intArg(args, 4, 0, "graft_chunk")))
+      },
+      tvf("graft_dedup_paragraphs",
+        "graft_dedup_paragraphs(table, idCol, textCol) - newline-paragraph " +
+          "exact dedup with document reassembly (corpus-wide first occurrence wins)") {
+        args => arity(args, "graft_dedup_paragraphs", 3, 3)
+          logical(operators.Dedup.dedupParagraphs(
+            activeTable(strArg(args, 0, "graft_dedup_paragraphs")),
+            strArg(args, 1, "graft_dedup_paragraphs"),
+            strArg(args, 2, "graft_dedup_paragraphs")))
+      },
+      tvf("graft_corpus_diff",
+        "graft_corpus_diff(oldTable, newTable, idCol, textCol) - " +
+          "snapshot diff: added/removed/changed/unchanged by content md5") {
+        args => arity(args, "graft_corpus_diff", 4, 4)
+          logical(operators.CorpusOps.corpusDiff(
+            activeTable(strArg(args, 0, "graft_corpus_diff")),
+            activeTable(strArg(args, 1, "graft_corpus_diff")),
+            strArg(args, 2, "graft_corpus_diff"), strArg(args, 3, "graft_corpus_diff")))
+      },
       tvf("graft_shuffle",
         "graft_shuffle(table, keyCol, seed) - deterministic salted-hash training order") {
         args => arity(args, "graft_shuffle", 3, 3)

@@ -113,6 +113,37 @@ class PlanSpec extends AnyFunSuite {
       .columns.toSeq == Seq("text", "keeper", "n_dups"))
   }
 
+  test("paragraph-dedup first-occurrence shuffle carries hashes, never paragraph text") {
+    val q = SparkEntry.queries("q_dedup_paragraphs")(spark, dir)
+    val exchanges = plan(q).linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected hash exchanges in the paragraph plan")
+    // the window (first-occurrence choice) partitions on the two hash words;
+    // no exchange may partition on the exploded paragraph string itself
+    exchanges.foreach { l =>
+      assert(!l.matches(""".*hashpartitioning\(__p#\d+.*"""), l)
+    }
+    assert(exchanges.exists(_.matches(""".*hashpartitioning\(__h0#\d+L?, __h1#\d+L?.*""")),
+      exchanges.mkString("\n"))
+  }
+
+  test("gopher rule matrix is a pure scan — no exchange at all") {
+    val q = operators.CorpusOps.gopherRules(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val p = plan(q)
+    assert(!p.contains("Exchange"), p)
+    assert(q.count() > 0)
+  }
+
+  test("near-dup decontamination broadcasts the benchmark side of both joins") {
+    val q = SparkEntry.queries("q_corpus_decontaminate_neardup")(spark, dir)
+    val p = plan(q)
+    // candidate join (bench banded table) and verification join (bench
+    // shingle arrays) are both hinted broadcasts: the corpus side must
+    // never shuffle its banded rows or text to meet the benchmark
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
   test("duplicate-span plan shuffles 8-byte span hashes, never span text") {
     val q = SparkEntry.queries("q_corpus_dup_spans")(spark, dir)
     val exchanges = plan(q).linesIterator

@@ -152,6 +152,32 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.decontaminate(corpus, bench, "doc_id", "text")
         .orderBy(col("doc_id")).collect().toSeq)
 
+    val gop = spark.sql(
+      "SELECT * FROM graft_gopher('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
+    assert(gop.collect().toSeq ==
+      operators.CorpusOps.gopherRules(docs, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
+    val ch = spark.sql(
+      "SELECT * FROM graft_chunk('tvfdocs', 'doc_id', 'text', 64, 8) " +
+        "ORDER BY doc_id, chunk_id")
+    assert(ch.collect().toSeq ==
+      operators.CorpusOps.chunkDocuments(docs, "doc_id", "text", 64, 8)
+        .orderBy(col("doc_id"), col("chunk_id")).collect().toSeq)
+
+    val pd = spark.sql(
+      "SELECT * FROM graft_dedup_paragraphs('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
+    assert(pd.collect().toSeq ==
+      operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
+    val cd = spark.sql(
+      "SELECT * FROM graft_corpus_diff('tvfcorpus', 'tvfdocs', 'doc_id', 'text') " +
+        "ORDER BY doc_id")
+    assert(cd.collect().toSeq ==
+      operators.CorpusOps.corpusDiff(corpus, docs, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
     // TVFs compose with plain SQL on top
     val top = spark.sql(
       """SELECT term, count(*) AS n FROM graft_tfidf('tvfdocs', 'doc_id', 'text', 1)
