@@ -252,6 +252,15 @@ object GraftExtensions {
             strArg(args, 1, "graft_dedup_paragraphs"),
             strArg(args, 2, "graft_dedup_paragraphs")))
       },
+      tvf("graft_scrub_spans",
+        "graft_scrub_spans(table, idCol, textCol[, k]) - exact-substring " +
+          "scrub: splice out k-gram spans seen earlier anywhere in the corpus") {
+        args => arity(args, "graft_scrub_spans", 3, 4)
+          logical(operators.Dedup.removeDuplicateSpans(
+            activeTable(strArg(args, 0, "graft_scrub_spans")),
+            strArg(args, 1, "graft_scrub_spans"), strArg(args, 2, "graft_scrub_spans"),
+            intArg(args, 3, 5, "graft_scrub_spans")))
+      },
       tvf("graft_corpus_diff",
         "graft_corpus_diff(oldTable, newTable, idCol, textCol) - " +
           "snapshot diff: added/removed/changed/unchanged by content md5") {

@@ -757,6 +757,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_scrub" -> ((s, dir) => {
+      // ExactSubstr REMOVAL: 5-word spans seen earlier anywhere in the
+      // corpus are spliced out; compare the rewritten text by md5
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("n_words"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_normalized" -> ((s, dir) => {
       // fuzzy-exact dedup over normalizeText. The synthetic corpus has no
       // reformatted copies, so the gate PLANTS one per document (uppercased,
@@ -1876,6 +1885,33 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
           | FROM documents)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // same hash-group equivalence as q_dedup_paragraphs: the scrub
+      // decision depends only on span-equality groups and the unique
+      // (doc_id, pos) order, not on the hash values themselves
+      "q_dedup_scrub" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+          |        len(string_split(text, ' ')) AS n FROM documents),
+          |o AS (SELECT doc_id, unnest(range(greatest(n - 4, 0))) AS pos, w FROM d),
+          |s AS (SELECT doc_id, pos,
+          |        md5(array_to_string(list_slice(w, pos + 1, pos + 5), ' ')) AS h
+          |      FROM o),
+          |m AS (SELECT doc_id, pos,
+          |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+          |        count(*) OVER (PARTITION BY h) AS cnt FROM s),
+          |cov AS (SELECT DISTINCT doc_id, pos + u AS cp FROM m
+          |        CROSS JOIN (SELECT unnest(range(5)) AS u) t
+          |        WHERE cnt >= 2 AND rn >= 2),
+          |p AS (SELECT doc_id, unnest(range(n)) AS p, w FROM d),
+          |keep AS (SELECT p.doc_id, p.p, p.w[p.p + 1] AS word FROM p
+          |         LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.p = cov.cp
+          |         WHERE cov.doc_id IS NULL),
+          |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS txt,
+          |          count(*) AS n_kept FROM keep GROUP BY doc_id)
+          |SELECT d.doc_id, md5(coalesce(agg.txt, '')) AS text_md5,
+          |  len(d.w)::INT AS n_words,
+          |  (len(d.w) - coalesce(agg.n_kept, 0))::INT AS n_removed
+          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
       // first-occurrence choice depends only on hash-equality groups, so
       // the engines may hash differently (xxhash64 pair vs md5) and still

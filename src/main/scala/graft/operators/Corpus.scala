@@ -105,6 +105,14 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = df.join(flagged, Seq(idCol), "left_anti"))
   }
 
+  /** Exact-substring scrub: word positions covered by a `k`-gram span seen
+    * earlier anywhere in the corpus are spliced out; documents are
+    * rewritten from surviving words ([[Dedup.removeDuplicateSpans]]).
+    * Other columns are replaced by (n_words, n_removed) — run before
+    * projections that must survive. */
+  def scrubDuplicateSpans(k: Int = 5): Corpus =
+    copy(df = Dedup.removeDuplicateSpans(df, idCol, textCol, k))
+
   /** Paragraph-level exact dedup with reassembly: each distinct paragraph
     * survives only at its corpus-wide first occurrence; documents are
     * rewritten from their surviving paragraphs (and drop when nothing

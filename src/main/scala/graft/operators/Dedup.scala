@@ -238,6 +238,56 @@ object Dedup extends Logging {
         col("n_kept"))
   }
 
+  /**
+   * Exact-substring duplicate REMOVAL (the scrub half of Lee et al. 2022's
+   * ExactSubstr dedup; [[graft.operators.CorpusOps.duplicateSpanProfile]]
+   * is the detection half): a word position is cut from its document iff
+   * some word `k`-gram span covering it occurs elsewhere in the corpus
+   * EARLIER in (id, position) order — every duplicated span keeps exactly
+   * its first occurrence's text, later occurrences (across documents or
+   * within one) are spliced out, and each document is re-joined from its
+   * surviving words. Documents shorter than `k` words carry no spans and
+   * pass through untouched; a fully-scrubbed document stays, with empty
+   * text (callers drop by `n_removed == n_words` if desired).
+   *
+   * Scale shape: span occurrences shuffle as (two 64-bit content hashes,
+   * id, pos) — never span text; first-occurrence ranking and the
+   * occurrence count share ONE window shuffle; covered positions are
+   * (id, int) rows aggregated per document; the only full-text movement
+   * is the final reassembly equi-join. The same no-all-pairs discipline
+   * as every other dedup operator.
+   *
+   * Output: (idCol, textCol rewritten, n_words, n_removed).
+   */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, joinWith: String = " "): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val occ = docs.select(col(idCol).as("__id"),
+        posexplode(TextFunctions.wordShingles(col(textCol), k)).as(Seq("__pos", "__s")))
+      .select(col("__id"), col("__pos"),
+        contentHash(Seq(col("__s")), 0).as("__h0"),
+        contentHash(Seq(col("__s")), 1).as("__h1"))
+    val part = Window.partitionBy(col("__h0"), col("__h1"))
+    val w = part.orderBy(col("__id").asc, col("__pos").asc)
+    val covered = occ
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(part))
+      .filter(col("__cnt") >= 2 && col("__rn") >= 2)
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__cp"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__cp"))).as("__cut"))
+    val wrds = TextFunctions.words(col(textCol))
+    docs.join(covered, col(idCol) === covered("__id"), "left")
+      .withColumn("__w", wrds)
+      .select(col(idCol),
+        array_join(filter(col("__w"), (x, i) =>
+          when(col("__cut").isNull, lit(true))
+            .otherwise(!array_contains(col("__cut"), i))), joinWith).as(textCol),
+        size(col("__w")).as("n_words"),
+        coalesce(size(col("__cut")), lit(0)).as("n_removed"))
+  }
+
   /** Two independent 64-bit content hashes: word 1 prepends a salt literal,
     * which reseeds the xxhash64 stream, so a simultaneous collision in both
     * words is required to merge distinct keys. */

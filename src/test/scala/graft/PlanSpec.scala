@@ -144,6 +144,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
   }
 
+  test("exact-substring scrub shuffles span hashes, never span text") {
+    val q = SparkEntry.queries("q_dedup_scrub")(spark, dir)
+    val exchanges = plan(q).linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected hash exchanges in the scrub plan")
+    exchanges.foreach { l =>
+      assert(!l.matches(""".*hashpartitioning\(__s#\d+.*"""), l)
+    }
+  }
+
   test("duplicate-span plan shuffles 8-byte span hashes, never span text") {
     val q = SparkEntry.queries("q_corpus_dup_spans")(spark, dir)
     val exchanges = plan(q).linesIterator

@@ -248,6 +248,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((0L, "a b c d", 2, 2)))
   }
 
+  test("removeDuplicateSpans splices out later occurrences, keeps the first") {
+    val sdocs = Seq(
+      (1L, "a b c d e x y z"),        // holds the first "a b c" span
+      (2L, "p q a b c r s t"),        // repeats it -> a b c cut
+      (3L, "short one"),              // < k words: untouched
+      (4L, "a b c a b c d e"))        // intra-doc repeat: second cut
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(sdocs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(got(0) == ((1L, "a b c d e x y z", 8, 0)))
+    assert(got(1) == ((2L, "p q r s t", 8, 3)), s"got=${got(1)}")
+    assert(got(2) == ((3L, "short one", 2, 0)))
+    // doc 4: doc1 holds the first occurrence of "a b c", "b c d", AND
+    // "c d e", so every doc4 span is a later occurrence — the overlapping
+    // covers splice out all 8 positions, leaving the empty document
+    assert(got(3) == ((4L, "", 8, 8)), s"got=${got(3)}")
+  }
+
   test("ngram jaccard pairs find exact and near duplicates with correct scores") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
