@@ -65,6 +65,7 @@ object SparkEntry {
     * (shared by the Spark query and its DuckDB oracle twin). */
   private val MixRates = Map("src0" -> 0.25, "src1" -> 0.75)
   private val MixDefaultRate = 0.5
+  private val MixBudgets = Map("src0" -> 400L, "src1" -> 900L, "src2" -> 2500L)
 
   /** Run a gate stream to completion or fail loudly: a timed-out
     * AvailableNow query must never let the caller read partial sink
@@ -307,6 +308,18 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       operators.Sampling.capPerGroupTokens(d, Seq(col("source")), col("text"),
           col("doc_id"), TextFunctions.tokenCount(col("text")), budget = 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    "q_corpus_mix_budget" -> ((s, dir) => {
+      // token-budget mixture: per-source budgets, unlisted sources default
+      val d = Tables.documents(s, dir)
+      operators.Sampling.mixByTokenBudget(d, col("source"), col("text"),
+          col("doc_id"), TextFunctions.tokenCount(col("text")),
+          MixBudgets, defaultBudget = 1500L)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
@@ -1495,6 +1508,18 @@ object SparkEntry {
 
       "q_text_chunks" ->
         operators.CorpusOps.sqlChunkDocuments(chunkTokens = 64, overlap = 8),
+
+      // q_corpus_cap_tokens's window with a per-source CASE budget
+      "q_corpus_mix_budget" ->
+        s"""SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+           |FROM (SELECT source, len(string_split(text, ' ')) AS nt,
+           |        sum(len(string_split(text, ' '))) OVER (
+           |          PARTITION BY source
+           |          ORDER BY substr(md5(text), 1, 13), doc_id) AS cum
+           |      FROM documents)
+           |WHERE cum <= (${operators.Sampling.sqlTokenBudgetCase(
+                "source", MixBudgets, 1500L)})
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_corpus_cap" ->
         """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

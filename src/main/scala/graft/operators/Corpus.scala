@@ -138,6 +138,13 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def capPerGroup(cap: Int, groupCol: String = "source"): Corpus =
     copy(df = Sampling.capPerGroup(df, Seq(col(groupCol)), col(textCol), id, cap))
 
+  /** Token-budget mixture: cap each group's cumulative whitespace-token
+    * count at its budget (unlisted groups get `defaultBudget`). */
+  def mixByTokenBudget(budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, groupCol: String = "source"): Corpus =
+    copy(df = Sampling.mixByTokenBudget(df, col(groupCol), col(textCol), id,
+      graft.functions.TextFunctions.tokenCount(col(textCol)), budgets, defaultBudget))
+
   /** Deterministic training order (adds `shuffle_key`, globally sorted). */
   def shuffle(seed: String): Corpus =
     copy(df = Sampling.deterministicShuffle(df, id, seed))

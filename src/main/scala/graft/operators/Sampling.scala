@@ -90,6 +90,33 @@ object Sampling {
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
+  /** Token-budget MIXTURE: [[capPerGroupTokens]] with a per-group budget
+    * map — the way training mixtures are actually specified ("this many
+    * tokens of web, this many of code"). Groups absent from `budgets` get
+    * `defaultBudget` (default unlimited). The budget map renders as a
+    * per-row CASE chain, so this stays the same single window shuffle. */
+  def mixByTokenBudget(
+      df: DataFrame, groupCol: Column, hashKey: Column, tieBreak: Column,
+      tokenCount: Column, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    require(budgets.values.forall(_ > 0) && defaultBudget > 0,
+      "budgets must be positive")
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+      when(groupCol === g, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(hex13(hashKey).asc, tieBreak.asc)
+    df.withColumn("__cum", sum(tokenCount.cast("long")).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
+
+  /** DuckDB rendering of [[mixByTokenBudget]]'s budget CASE chain. */
+  def sqlTokenBudgetCase(
+      groupCol: String, budgets: Map[String, Long], defaultBudget: Long): String =
+    budgets.toSeq.sortBy(_._1).map { case (g, b) =>
+      s"WHEN $groupCol = '$g' THEN $b"
+    }.mkString("CASE ", " ", s" ELSE $defaultBudget END")
+
   /**
    * Training-sequence packing ("concatenate and chunk", the layout step of
    * every LLM pretraining pipeline): lay each group's token stream out in

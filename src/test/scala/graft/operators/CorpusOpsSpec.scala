@@ -477,6 +477,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixByTokenBudget: per-group budgets honored, default for the rest") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf001)
+    val nt = graft.functions.TextFunctions.tokenCount($"text")
+    val budgets = Map("src0" -> 300L, "src1" -> 800L)
+    val totals = Sampling.mixByTokenBudget(docs, $"source", $"text", $"doc_id",
+        nt, budgets, defaultBudget = 1200L)
+      .groupBy($"source").agg(sum(nt.cast("long"))).as[(String, Long)]
+      .collect().toMap
+    assert(totals("src0") <= 300L && totals("src1") <= 800L, totals.toString)
+    totals.removedAll(Seq("src0", "src1")).foreach { case (s, t) =>
+      assert(t <= 1200L, s"$s=$t")
+    }
+    // the listed groups track their own budgets, not the default
+    val single = Sampling.capPerGroupTokens(docs.filter($"source" === "src1"),
+        Seq($"source"), $"text", $"doc_id", nt, 800L)
+      .agg(sum(nt.cast("long"))).as[Long].head()
+    assert(totals("src1") == single, "map budget == scalar cap for that group")
+  }
+
   test("capPerGroupTokens: budget respected, monotone, deterministic") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf001)
     val nt = graft.functions.TextFunctions.tokenCount($"text")
