@@ -252,6 +252,15 @@ object GraftExtensions {
             strArg(args, 1, "graft_dedup_paragraphs"),
             strArg(args, 2, "graft_dedup_paragraphs")))
       },
+      tvf("graft_report",
+        "graft_report(table, idCol, textCol[, groupCol]) - per-group " +
+          "dataset-card summary (docs, tokens, dup count, quality, language)") {
+        args => arity(args, "graft_report", 3, 4)
+          logical(operators.CorpusOps.corpusReport(
+            activeTable(strArg(args, 0, "graft_report")),
+            strArg(args, 1, "graft_report"), strArg(args, 2, "graft_report"),
+            if (args.size > 3) strArg(args, 3, "graft_report") else "source"))
+      },
       tvf("graft_scrub_spans",
         "graft_scrub_spans(table, idCol, textCol[, k]) - exact-substring " +
           "scrub: splice out k-gram spans seen earlier anywhere in the corpus") {

@@ -1013,6 +1013,12 @@ object SparkEntry {
         .orderBy(col("guess"))
     }),
 
+    "q_corpus_report" -> ((s, dir) => {
+      // dataset-card summary per source
+      operators.CorpusOps.corpusReport(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("source"))
+    }),
+
     "q_corpus_diff" -> ((s, dir) => {
       // dataset versioning: two snapshots derived deterministically from the
       // corpus (identically in the oracle) — old drops ids ≡0 (mod 7), new
@@ -2115,6 +2121,8 @@ object SparkEntry {
       "q_text_langid" ->
         s"""SELECT ${TextFunctions.sqlLangIdGuess("text")} AS guess, count(*) AS n
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_corpus_report" -> operators.CorpusOps.sqlCorpusReport(),
 
       "q_corpus_diff" ->
         """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents

@@ -365,6 +365,74 @@ object CorpusOps {
   }
 
   /**
+   * Dataset-card report: the per-source summary table every corpus release
+   * ships (docs, tokens, mean length, exact-dup count, mean quality,
+   * dominant language). Two aggregation branches over the corpus — a
+   * per-source rollup (count / token sum / DECIMAL-summed quality so the
+   * mean is shuffle-order independent / distinct-text count for the dup
+   * rate) and a (source, lang) count whose per-source winner is chosen by
+   * a deterministic (count desc, lang) window — joined on source. Both
+   * branches are plain hash aggregations; the corpus is scanned twice
+   * (same deliberate trade as [[tfIdfTopTerms]] — callers can persist).
+   *
+   * Output: (source, n_docs, total_tokens, avg_doc_tokens, n_exact_dup,
+   * avg_quality, top_lang).
+   */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String = "source"): DataFrame = {
+    val t = col(textCol)
+    val nt = TextFunctions.tokenCount(t)
+    val q = TextFunctions.stableRound(TextFunctions.qualityScore(t), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val rollup = docs
+      .select(col(groupCol).as("source"), nt.as("__nt"), q.as("__q"), t.as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt").cast("long")).as("total_tokens"),
+        countDistinct(col("__t")).as("__uniq"),
+        sum(col("__q")).as("__qsum"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        TextFunctions.stableRound(
+          col("total_tokens").cast("double") / col("n_docs"), 2).as("avg_doc_tokens"),
+        (col("n_docs") - col("__uniq")).as("n_exact_dup"),
+        TextFunctions.stableRound(
+          col("__qsum").cast("double") / col("n_docs"), 6).as("avg_quality"))
+    val langWin = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("__n").desc, col("lang").asc)
+    val topLang = docs
+      .select(col(groupCol).as("source"), TextFunctions.langIdGuess(t).as("lang"))
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("__n"))
+      .withColumn("__rn", row_number().over(langWin))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    rollup.join(topLang, Seq("source"))
+  }
+
+  /** DuckDB twin of [[corpusReport]] over `documents`. */
+  def sqlCorpusReport(): String = {
+    val q = TextFunctions.sqlStableRound(TextFunctions.sqlQualityScore("text"), 6)
+    val lang = TextFunctions.sqlLangIdGuess("text")
+    s"""WITH r AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       |    count(DISTINCT text) AS uniq,
+       |    sum(($q)::DECIMAL(18,6)) AS qsum
+       |  FROM documents GROUP BY source),
+       |l AS (
+       |  SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang, row_number() OVER (
+       |        PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+       |    FROM (SELECT source, ($lang) AS lang FROM documents)
+       |    GROUP BY source, lang) WHERE rn = 1)
+       |SELECT r.source, n_docs, total_tokens,
+       |  ${TextFunctions.sqlStableRound("total_tokens::DOUBLE / n_docs", 2)} AS avg_doc_tokens,
+       |  (n_docs - uniq) AS n_exact_dup,
+       |  ${TextFunctions.sqlStableRound("qsum::DOUBLE / n_docs", 6)} AS avg_quality,
+       |  top_lang
+       |FROM r JOIN l USING (source) ORDER BY r.source""".stripMargin
+  }
+
+  /**
    * Snapshot diff for dataset versioning: label every document id across
    * two corpus versions as added (only in `newDocs`), removed (only in
    * `oldDocs`), changed (present in both with different content), or

@@ -477,6 +477,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusReport: counts, dup rate, and dominant language are exact") {
+    val docs = Seq(
+      (1L, "the cat is on the mat", "a"),
+      (2L, "the cat is on the mat", "a"), // exact dup of 1
+      (3L, "el gato y los perros y las aves", "a"),
+      (4L, "le chat et le chien et les oiseaux", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusOps.corpusReport(docs, "doc_id", "text")
+      .orderBy($"source").collect()
+    val a = got(0)
+    assert(a.getAs[String]("source") == "a")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("total_tokens") == 20L) // 6 + 6 + 8
+    assert(a.getAs[Long]("n_exact_dup") == 1L)
+    assert(a.getAs[String]("top_lang") == "en") // 2 en docs vs 1 es
+    val b = got(1)
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[String]("top_lang") == "fr")
+  }
+
   test("mixByTokenBudget: per-group budgets honored, default for the rest") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf001)
     val nt = graft.functions.TextFunctions.tokenCount($"text")
