@@ -66,6 +66,7 @@ object SparkEntry {
   private val MixRates = Map("src0" -> 0.25, "src1" -> 0.75)
   private val MixDefaultRate = 0.5
   private val MixBudgets = Map("src0" -> 400L, "src1" -> 900L, "src2" -> 2500L)
+  private val MixEpochs = Map("src0" -> 2.5, "src1" -> 0.4)
 
   /** Run a gate stream to completion or fail loudly: a timed-out
     * AvailableNow query must never let the caller read partial sink
@@ -311,6 +312,18 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    "q_corpus_mix_epochs" -> ((s, dir) => {
+      // fractional-epoch upsampling: src0 x2.5, src1 x0.4, others x1
+      val d = Tables.documents(s, dir)
+      operators.Sampling.upsampleByFactor(d, col("source"), col("text"),
+          MixEpochs, defaultFactor = 1.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).cast("long").as("max_epoch"))
         .orderBy(col("source"))
     }),
 
@@ -1514,6 +1527,15 @@ object SparkEntry {
 
       "q_text_chunks" ->
         operators.CorpusOps.sqlChunkDocuments(chunkTokens = 64, overlap = 8),
+
+      "q_corpus_mix_epochs" ->
+        s"""SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+           |  max(epoch) AS max_epoch
+           |FROM (SELECT source, doc_id,
+           |        unnest(range(${operators.Sampling.sqlUpsampleCopies(
+                      "source", "text", MixEpochs, 1.0)})) AS epoch
+           |      FROM documents)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // q_corpus_cap_tokens's window with a per-source CASE budget
       "q_corpus_mix_budget" ->

@@ -138,6 +138,13 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def capPerGroup(cap: Int, groupCol: String = "source"): Corpus =
     copy(df = Sampling.capPerGroup(df, Seq(col(groupCol)), col(textCol), id, cap))
 
+  /** Mixture epochs: repeat each group `factors(g)` times (fractional via
+    * the content-hash coin; < 1 downsamples). Adds an `epoch` column. */
+  def upsample(factors: Map[String, Double], defaultFactor: Double = 1.0,
+      groupCol: String = "source"): Corpus =
+    copy(df = Sampling.upsampleByFactor(df, col(groupCol), col(textCol),
+      factors, defaultFactor))
+
   /** Token-budget mixture: cap each group's cumulative whitespace-token
     * count at its budget (unlisted groups get `defaultBudget`). */
   def mixByTokenBudget(budgets: Map[String, Long],

@@ -110,6 +110,48 @@ object Sampling {
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
+  /** Mixture UPSAMPLING (epochs, possibly fractional): emit each row of
+    * group g `factors(g)` times in expectation — floor(factor) full copies
+    * plus one more when the row's content-hash coin lands under the
+    * fractional part (the same hex13 coin as [[stratifiedSample]], so a
+    * factor < 1 downsamples with EXACTLY stratifiedSample's row choice).
+    * Small high-quality sources are repeated for multiple epochs in real
+    * training mixtures; this is that recipe, deterministic and
+    * partitioning-invariant. The copy index is exposed as `epoch` so a
+    * downstream [[deterministicShuffle]] can salt on (key, epoch) and
+    * spread the copies. Pure per-row explode — NO shuffle.
+    */
+  def upsampleByFactor(
+      df: DataFrame, groupCol: Column, key: Column,
+      factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
+    require(factors.values.forall(_ >= 0.0) && defaultFactor >= 0.0,
+      "factors must be non-negative")
+    def chain[T](f: Double => T, litOf: T => Column): Column =
+      factors.toSeq.sortBy(_._1).foldRight(litOf(f(defaultFactor))) {
+        case ((g, x), acc) => when(groupCol === lit(g), litOf(f(x))).otherwise(acc)
+      }
+    val full = chain[Int](x => math.floor(x).toInt, lit(_))
+    val fracThresh = chain[String](x => hexThreshold(x - math.floor(x)), lit(_))
+    val n = full + when(hex13(key) < fracThresh, 1).otherwise(0)
+    df.withColumn("__n", n).filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__n") - 1, lit(1))))
+      .drop("__n")
+  }
+
+  /** DuckDB rendering of [[upsampleByFactor]]'s copy-count expression. */
+  def sqlUpsampleCopies(
+      groupCol: String, keyCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0): String = {
+    def chain(f: Double => String): String =
+      factors.toSeq.sortBy(_._1).map { case (g, x) =>
+        s"WHEN $groupCol = '${sqlEscape(g)}' THEN ${f(x)}"
+      }.mkString("CASE ", " ", s" ELSE ${f(defaultFactor)} END")
+    val full = chain(x => math.floor(x).toInt.toString)
+    val thresh = chain(x => s"'${hexThreshold(x - math.floor(x))}'")
+    s"(($full) + (CASE WHEN substr(md5($keyCol), 1, 13) < ($thresh) " +
+      "THEN 1 ELSE 0 END))"
+  }
+
   /** DuckDB rendering of [[mixByTokenBudget]]'s budget CASE chain. */
   def sqlTokenBudgetCase(
       groupCol: String, budgets: Map[String, Long], defaultBudget: Long): String =

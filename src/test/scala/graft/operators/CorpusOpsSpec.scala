@@ -477,6 +477,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsampleByFactor: integer copies, fractional coin, downsample parity") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf001)
+      .select($"doc_id", $"text", $"source")
+    val up = Sampling.upsampleByFactor(docs, $"source", $"text",
+      Map("src0" -> 3.0, "src1" -> 0.4), defaultFactor = 1.0)
+    val bySrc = up.groupBy($"source")
+      .agg(count(lit(1)), countDistinct($"doc_id"), max($"epoch"))
+      .as[(String, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    val n0 = docs.filter($"source" === "src0").count()
+    // integer factor: exactly 3 copies of every doc, epochs 0..2
+    assert(bySrc("src0")._2 == 3 * n0 && bySrc("src0")._4 == 2)
+    // fractional 0.4: downsampled once each, same rows stratifiedSample keeps
+    val strat = Sampling.stratifiedSample(docs.filter($"source" === "src1"),
+        $"source", Map("src1" -> 0.4), $"text")
+      .select($"doc_id").as[Long].collect().toSet
+    val upIds = up.filter($"source" === "src1").select($"doc_id")
+      .as[Long].collect()
+    assert(upIds.toSet == strat && upIds.length == strat.size)
+    assert(bySrc("src1")._4 == 0)
+    // default 1.0: untouched groups emit exactly once
+    val n2 = docs.filter($"source" === "src2").count()
+    assert(bySrc("src2")._2 == n2 && bySrc("src2")._4 == 0)
+    // deterministic
+    assert(up.count() == Sampling.upsampleByFactor(docs, $"source", $"text",
+      Map("src0" -> 3.0, "src1" -> 0.4), 1.0).count())
+  }
+
   test("corpusReport: counts, dup rate, and dominant language are exact") {
     val docs = Seq(
       (1L, "the cat is on the mat", "a"),
