@@ -1187,6 +1187,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_stream_quality" -> ((s, dir) => {
+      // streaming Gopher quality matrix: documents stream back out of the
+      // graft log in admission-controlled micro-batches and every batch
+      // runs the shuffle-free rule matrix. Per-ROW stateless — any trigger
+      // slicing unions to the batch operator, so q_quality_gopher's oracle
+      // gates it unchanged
+      val docs = Tables.documents(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "sq_" + tag
+      docs.select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      val nCorpus = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nCorpus + 7) / 8)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      val outDir = java.nio.file.Files.createTempDirectory(s"sq_out_$tag").toString
+      try {
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+            operators.CorpusOps.gopherRules(batch, "doc_id", "text")
+              .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+            ()
+        }.trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally sources.EventLogRegistry.drop(logName)
+      s.read.parquet(outDir).drop("epoch").orderBy(col("doc_id"))
+    }),
+
     "q_stream_knn" -> ((s, dir) => {
       // streaming vector-search enrichment: query vectors flow through the
       // graft sink into a log (doubles serialized shortest-roundtrip, so
@@ -2162,6 +2196,9 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin,
 
       "q_quality_gopher" -> operators.CorpusOps.sqlGopherRules(),
+
+      // per-row stateless => any trigger slicing unions to the batch matrix
+      "q_stream_quality" -> operators.CorpusOps.sqlGopherRules(),
 
       "q_text_quality" ->
         s"""SELECT source,
