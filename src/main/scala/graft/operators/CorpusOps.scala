@@ -384,12 +384,16 @@ object CorpusOps {
     val nt = TextFunctions.tokenCount(t)
     val q = TextFunctions.stableRound(TextFunctions.qualityScore(t), 6)
       .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    // distinct-text counting goes through the 16-byte content-hash pair
+    // (the Dedup.exact convention): count(DISTINCT text) would shuffle the
+    // documents themselves as distinct keys at corpus scale
     val rollup = docs
-      .select(col(groupCol).as("source"), nt.as("__nt"), q.as("__q"), t.as("__t"))
+      .select(col(groupCol).as("source"), nt.as("__nt"), q.as("__q"),
+        xxhash64(t).as("__h0"), xxhash64(lit(1L), t).as("__h1"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__nt").cast("long")).as("total_tokens"),
-        countDistinct(col("__t")).as("__uniq"),
+        countDistinct(col("__h0"), col("__h1")).as("__uniq"),
         sum(col("__q")).as("__qsum"))
       .select(col("source"), col("n_docs"), col("total_tokens"),
         TextFunctions.stableRound(

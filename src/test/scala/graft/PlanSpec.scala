@@ -144,6 +144,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
   }
 
+  test("dataset-card report shuffles content hashes for the distinct count, never text") {
+    val q = SparkEntry.queries("q_corpus_report")(spark, dir)
+    val exchanges = plan(q).linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected hash exchanges in the report plan")
+    exchanges.foreach { l =>
+      assert(!l.matches(""".*hashpartitioning\([^)]*text#\d+.*"""), l)
+    }
+  }
+
   test("exact-substring scrub shuffles span hashes, never span text") {
     val q = SparkEntry.queries("q_dedup_scrub")(spark, dir)
     val exchanges = plan(q).linesIterator
