@@ -1053,6 +1053,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_lm_bigram" -> ((s, dir) => {
+      // interpolated bigram LM (lambda 0.7), fitted on the corpus itself
+      operators.CorpusOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       // per-row scores are rounded then summed as DECIMAL: the float avg's
       // partial-aggregation order varies run to run, and stableRound only
@@ -1880,6 +1886,8 @@ object SparkEntry {
           |   / 10000.0) AS avg_nll
           |FROM tok JOIN cnt USING (term), tot, voc
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_text_lm_bigram" -> operators.CorpusOps.sqlBigramLmScore(),
 
       "q_corpus_shuffle" ->
         """SELECT doc_id, md5('epoch0-' || doc_id) AS shuffle_key

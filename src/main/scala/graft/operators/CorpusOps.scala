@@ -792,6 +792,92 @@ object CorpusOps {
   }
 
   /**
+   * Interpolated BIGRAM language-model score — one order up from
+   * [[lmQualityScore]] (real CCNet uses a 5-gram KenLM; the bigram form is
+   * the distributable middle ground): every token after the first scores
+   * `-ln(λ·P(cur|prev) + (1−λ)·P₁(cur))`, the first token scores its
+   * unigram probability alone, where P(cur|prev) = c(prev,cur)/c(prev)
+   * (0 for unseen bigrams — interpolation keeps the mix proper) and P₁ is
+   * the add-one-smoothed unigram. Both models fit on the corpus itself in
+   * one explode each. All probabilities are ratios of integer counts —
+   * cross-engine exact before the single `ln`, which gets the same
+   * stableRound(6) + DECIMAL-sum treatment as the unigram operator, so
+   * per-document NLL is shuffle-order independent and oracle-stable.
+   *
+   * Scale shape: the bigram table is the big side — `broadcastLm=false`
+   * (default) equi-joins it on the bigram key (AQE splits hot keys);
+   * broadcast only when the corpus's bigram vocabulary is known small.
+   * Unigram/total/vocab tables are vocabulary-scale and always broadcast.
+   *
+   * Returns (doc_id, n_tokens, avg_nll).
+   */
+  def bigramLmScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7, broadcastLm: Boolean = false): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("__t"), posexplode(TextFunctions.words(col(textCol))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"),
+        when(col("pos") > 0,
+          concat(element_at(TextFunctions.words(col("__t")), col("pos")),
+            lit(" "), col("col"))).as("big"),
+        when(col("pos") > 0,
+          element_at(TextFunctions.words(col("__t")), col("pos"))).as("prev"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt1"))
+    val bi = toks.filter(col("big").isNotNull)
+      .groupBy(col("big")).agg(count(lit(1)).as("cnt2"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val pUni = (col("cnt1") + lit(1)).cast("double") /
+      (col("total") + col("vocab")).cast("double")
+    val pBi = coalesce(
+      col("cnt2").cast("double") / col("__pcnt").cast("double"), lit(0.0))
+    val p = when(col("pos") === 0, pUni)
+      .otherwise(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
+    val nll = TextFunctions.stableRound(-log(p), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val prevCnt = uni.select(col("term").as("prev"), col("cnt1").as("__pcnt"))
+    toks
+      .join(broadcast(uni), Seq("term"))
+      .join(broadcast(prevCnt), Seq("prev"), "left")
+      .join(if (broadcastLm) broadcast(bi) else bi, Seq("big"), "left")
+      .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
+      .select(col("doc_id"), nll.as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("sum_nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        TextFunctions.stableRound(
+            col("sum_nll").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("avg_nll"))
+  }
+
+  /** DuckDB twin of [[bigramLmScore]] over `documents`. */
+  def sqlBigramLmScore(lambda: Double = 0.7): String = {
+    val puni = "(cnt1 + 1)::DOUBLE / (t + v)::DOUBLE"
+    val pbi = "coalesce(cnt2 * 1.0 / pcnt, 0.0)"
+    val p = s"CASE WHEN pos = 0 THEN $puni ELSE $lambda * $pbi + ${1.0 - lambda} * $puni END"
+    s"""WITH tok AS (
+       |  SELECT doc_id, pos, w[pos + 1] AS term,
+       |    CASE WHEN pos > 0 THEN w[pos] || ' ' || w[pos + 1] END AS big,
+       |    CASE WHEN pos > 0 THEN w[pos] END AS prev
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+       |          unnest(range(len(string_split(text, ' ')))) AS pos
+       |        FROM documents)),
+       |uni AS (SELECT term, count(*) AS cnt1 FROM tok GROUP BY 1),
+       |bi AS (SELECT big, count(*) AS cnt2 FROM tok WHERE big IS NOT NULL GROUP BY 1),
+       |tot AS (SELECT count(*) AS t FROM tok),
+       |voc AS (SELECT count(*) AS v FROM uni)
+       |SELECT doc_id, count(*) AS n_tokens,
+       | (round((sum((round(-ln($p) * 1000000.0) / 1000000.0)::DECIMAL(18,6))::DOUBLE
+       |     / count(*)) * 10000.0) / 10000.0) AS avg_nll
+       |FROM tok
+       |JOIN uni USING (term)
+       |LEFT JOIN (SELECT term AS prev, cnt1 AS pcnt FROM uni) pu USING (prev)
+       |LEFT JOIN bi USING (big), tot, voc
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /**
    * The top-`cap` terms of a `(term, cnt)` table by (cnt desc, term asc),
    * WITHOUT a global sort-limit: `orderBy(...).limit(cap)` plans as a
    * single-partition GlobalLimit that funnels the whole vocabulary through

@@ -477,6 +477,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramLmScore: exact interpolated NLL; lambda=0 equals the unigram LM") {
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val got = CorpusOps.bigramLmScore(docs, "doc_id", "text", lambda = 0.7)
+      .as[(Long, Long, Double)].head()
+    // N=3 V=2: p1(a)=3/5, p1(b)=2/5; c(a)=2, P(a|a)=P(b|a)=1/2
+    def r(x: Double, d: Int) = { val s = math.pow(10, d); math.round(x * s) / s }
+    val expect = r((r(-math.log(0.6), 6) + r(-math.log(0.7 * 0.5 + 0.3 * 0.6), 6) +
+      r(-math.log(0.7 * 0.5 + 0.3 * 0.4), 6)) / 3, 4)
+    assert(got == ((1L, 3L, expect)), s"got=$got expect=$expect")
+
+    val corpus = graft.Tables.documents(spark, graft.SparkTestSession.sf001)
+    val bi0 = CorpusOps.bigramLmScore(corpus, "doc_id", "text", lambda = 0.0)
+      .orderBy($"doc_id").collect().toSeq
+    val uni = CorpusOps.lmQualityScore(corpus, "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    assert(bi0 == uni, "lambda=0 must reduce to the unigram score")
+  }
+
   test("upsampleByFactor: integer copies, fractional coin, downsample parity") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf001)
       .select($"doc_id", $"text", $"source")
