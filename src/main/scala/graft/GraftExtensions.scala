@@ -37,6 +37,17 @@ object GraftExtensions {
         s"$fn: argument ${i + 1} must be an integer literal, got $other")
     }
 
+  private def dblArg(args: Seq[Expression], i: Int, default: Double, fn: String): Double =
+    if (args.length <= i) default
+    else args(i) match {
+      case Literal(v: Double, _)              => v
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+      case Literal(v: Int, _)                 => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a numeric literal, got $other")
+    }
+
   private def longArg(args: Seq[Expression], i: Int, default: Long, fn: String): Long =
     if (args.length <= i) default
     else args(i) match {
@@ -225,6 +236,15 @@ object GraftExtensions {
             strArg(args, 1, "graft_dup_spans"), strArg(args, 2, "graft_dup_spans"),
             intArg(args, 3, 3, "graft_dup_spans"),
             intArg(args, 4, 2, "graft_dup_spans")))
+      },
+      tvf("graft_lm_bigram",
+        "graft_lm_bigram(table, idCol, textCol[, lambda]) - per-document " +
+          "interpolated bigram-LM avg NLL") {
+        args => arity(args, "graft_lm_bigram", 3, 4)
+          logical(operators.CorpusOps.bigramLmScore(
+            activeTable(strArg(args, 0, "graft_lm_bigram")),
+            strArg(args, 1, "graft_lm_bigram"), strArg(args, 2, "graft_lm_bigram"),
+            dblArg(args, 3, 0.7, "graft_lm_bigram")))
       },
       tvf("graft_gopher",
         "graft_gopher(table, idCol, textCol) - per-document Gopher quality rule matrix") {

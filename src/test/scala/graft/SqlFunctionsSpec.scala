@@ -178,6 +178,12 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.corpusDiff(corpus, docs, "doc_id", "text")
         .orderBy(col("doc_id")).collect().toSeq)
 
+    val blm = spark.sql(
+      "SELECT * FROM graft_lm_bigram('tvfdocs', 'doc_id', 'text', 0.5) ORDER BY doc_id")
+    assert(blm.collect().toSeq ==
+      operators.CorpusOps.bigramLmScore(docs, "doc_id", "text", lambda = 0.5)
+        .orderBy(col("doc_id")).collect().toSeq)
+
     // TVFs compose with plain SQL on top
     val top = spark.sql(
       """SELECT term, count(*) AS n FROM graft_tfidf('tvfdocs', 'doc_id', 'text', 1)
