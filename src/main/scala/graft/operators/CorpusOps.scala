@@ -823,10 +823,15 @@ object CorpusOps {
             lit(" "), col("col"))).as("big"),
         when(col("pos") > 0,
           element_at(TextFunctions.words(col("__t")), col("pos"))).as("prev"))
+    // the unigram table is read four ways (scoring join, prev-count join,
+    // token total, vocabulary size) — checkpoint it lazily so the corpus
+    // explodes once for it, and derive total/vocab from it (sum of counts
+    // == token total) instead of re-exploding the corpus per scalar
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt1"))
+      .localCheckpoint(eager = false)
     val bi = toks.filter(col("big").isNotNull)
       .groupBy(col("big")).agg(count(lit(1)).as("cnt2"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    val total = uni.agg(sum(col("cnt1")).as("total"))
     val vocab = uni.agg(count(lit(1)).as("vocab"))
     val pUni = (col("cnt1") + lit(1)).cast("double") /
       (col("total") + col("vocab")).cast("double")
