@@ -444,6 +444,11 @@ object CorpusOps {
    * join shuffles only (id, 16-byte hash) per side — document text never
    * moves, which is what makes diffing two 100 TB snapshots a narrow
    * two-scan job. Output: (doc_id, status, old_md5, new_md5).
+   *
+   * Contract: ids are unique within each snapshot (the usual corpus
+   * invariant — run [[graft.operators.Dedup.exactRows]] on the id first if
+   * unsure); a duplicated id would fan out through the join as one row per
+   * old×new pairing rather than erroring.
    */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String): DataFrame = {

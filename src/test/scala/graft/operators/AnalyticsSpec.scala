@@ -266,6 +266,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3) == ((4L, "", 8, 8)), s"got=${got(3)}")
   }
 
+  test("dedupParagraphs invariants on a seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocabP = Vector("aa bb", "cc dd", "ee ff", "gg hh", "ii jj", "kk ll")
+    val rdocs = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(5)
+      (id, Seq.fill(n)(vocabP(rnd.nextInt(vocabP.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(rdocs, "doc_id", "text")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    // the surviving paragraphs across the corpus are exactly the distinct
+    // paragraph set — each distinct paragraph appears exactly once
+    val survivors = out.flatMap(_._2.split("\n").filter(_.nonEmpty))
+    assert(survivors.sorted == survivors.distinct.sorted, "one survivor per paragraph")
+    val allParas = rdocs.as[(Long, String)].collect()
+      .flatMap(_._2.split("\n")).toSet
+    assert(survivors.toSet == allParas, "no paragraph lost entirely")
+    // counts are consistent
+    out.foreach { case (_, txt, nParas, nKept) =>
+      assert(nKept == txt.split("\n").count(_.nonEmpty) && nKept <= nParas)
+    }
+  }
+
+  test("removeDuplicateSpans on identical copies keeps exactly the first intact") {
+    val text = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10" // no internal repeats
+    val copies = (1L to 4L).map(id => (id, text)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(copies, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(got.head == ((1L, text, 10, 0)), s"first copy intact: ${got.head}")
+    got.tail.foreach { case (id, txt, n, removed) =>
+      assert(txt == "" && removed == n, s"copy $id fully scrubbed, got '$txt'")
+    }
+  }
+
   test("ngram jaccard pairs find exact and near duplicates with correct scores") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
