@@ -246,6 +246,14 @@ object GraftExtensions {
             strArg(args, 1, "graft_lm_bigram"), strArg(args, 2, "graft_lm_bigram"),
             dblArg(args, 3, 0.7, "graft_lm_bigram")))
       },
+      tvf("graft_features",
+        "graft_features(table, idCol, textCol) - one-scan per-document " +
+          "quality-classifier feature extraction (zero shuffle)") {
+        args => arity(args, "graft_features", 3, 3)
+          logical(operators.CorpusOps.qualityFeatures(
+            activeTable(strArg(args, 0, "graft_features")),
+            strArg(args, 1, "graft_features"), strArg(args, 2, "graft_features")))
+      },
       tvf("graft_gopher",
         "graft_gopher(table, idCol, textCol) - per-document Gopher quality rule matrix") {
         args => arity(args, "graft_gopher", 3, 3)

@@ -1046,6 +1046,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_quality_features" -> ((s, dir) => {
+      // one-scan classifier feature extraction, zero shuffle
+      operators.CorpusOps.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_gopher" -> ((s, dir) => {
       // Gopher rule matrix, paper-default thresholds; ratio rules compare
       // stableRound(4)ed values so both engines make identical decisions
@@ -2202,6 +2208,8 @@ object SparkEntry {
           |  old_md5, new_md5
           |FROM o FULL OUTER JOIN n USING (doc_id)
           |ORDER BY doc_id""".stripMargin,
+
+      "q_quality_features" -> operators.CorpusOps.sqlQualityFeatures(),
 
       "q_quality_gopher" -> operators.CorpusOps.sqlGopherRules(),
 

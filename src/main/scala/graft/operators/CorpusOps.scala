@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -365,6 +365,56 @@ object CorpusOps {
   }
 
   /**
+   * One-scan feature extraction for quality-classifier training: every
+   * per-row signal the curators' toolbox computes — the seven Gopher
+   * signals, the duplicate-word fraction, the composite quality score,
+   * language guess, BPE-ish token count, and PII hit count — in one
+   * codegen'd pass with ZERO shuffle (the fan-out stage a feature pipeline
+   * wants: it pipelines straight into a writer or a classifier scorer).
+   * Corpus-model signals (unigram/bigram NLL, cross-doc repetition) stay
+   * in their own operators since they genuinely shuffle; join on doc_id
+   * when needed.
+   */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val GopherSignals(nW, meanLen, symbolRatio, bulletFrac, ellipsisFrac,
+      alphaFrac, stopHits) = gopherSignals(t)
+    val dup = TextFunctions.stableRound(lit(1.0) -
+      size(array_distinct(TextFunctions.words(t))).cast("double") /
+        greatest(nW, lit(1)).cast("double"), 4)
+    docs.select(col(idCol).as("doc_id"),
+      nW.cast("int").as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.cast("int").as("n_stop_hits"),
+      dup.as("dup_word_frac"),
+      TextFunctions.stableRound(TextFunctions.qualityScore(t), 4).as("quality"),
+      TextFunctions.langIdGuess(t).as("lang"),
+      TextFunctions.bpeTokenCount(t).cast("int").as("n_bpe_tokens"),
+      TextFunctions.piiCount(t).cast("int").as("n_pii"))
+  }
+
+  /** DuckDB twin of [[qualityFeatures]] over `documents`. */
+  def sqlQualityFeatures(): String = {
+    val signals = sqlGopherSignalExprs
+      .map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+    s"""WITH d AS ($sqlGopherBase),
+       |m AS (SELECT doc_id, text, w, nwd,
+       |    $signals
+       |  FROM d)
+       |SELECT doc_id, n_words::INT AS n_words, mean_word_len, symbol_ratio,
+       |  bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits::INT AS n_stop_hits,
+       |  ${TextFunctions.sqlStableRound(
+            "1.0 - len(list_distinct(w))::DOUBLE / nwd", 4)} AS dup_word_frac,
+       |  ${TextFunctions.sqlStableRound(
+            TextFunctions.sqlQualityScore("text"), 4)} AS quality,
+       |  (${TextFunctions.sqlLangIdGuess("text")}) AS lang,
+       |  (${TextFunctions.sqlBpeTokenCount.format("text")})::INT AS n_bpe_tokens,
+       |  (${TextFunctions.sqlPiiCount("text")})::INT AS n_pii
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /**
    * Dataset-card report: the per-source summary table every corpus release
    * ships (docs, tokens, mean length, exact-dup count, mean quality,
    * dominant language). Two aggregation branches over the corpus — a
@@ -487,25 +537,8 @@ object CorpusOps {
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopHits: Int = 2): DataFrame = {
     val t = col(textCol)
-    val ws = TextFunctions.words(t)
-    val nW = size(ws)
-    val nWd = greatest(nW, lit(1)).cast("double")
-    val meanLen = TextFunctions.stableRound(
-      aggregate(ws, lit(0L), (a, x) => a + length(x)).cast("double") / nWd, 4)
-    val hashCnt = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
-    val dotsCnt = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))).cast("double") / 3.0
-    val symbolRatio = TextFunctions.stableRound((hashCnt + dotsCnt) / nWd, 4)
-    val lines = split(t, "\n")
-    val nLd = greatest(size(lines), lit(1)).cast("double")
-    val bulletFrac = TextFunctions.stableRound(
-      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
-        l.startsWith("• "))).cast("double") / nLd, 4)
-    val ellipsisFrac = TextFunctions.stableRound(
-      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLd, 4)
-    val alphaFrac = TextFunctions.stableRound(
-      size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double") / nWd, 4)
-    val stopHits = size(array_intersect(ws,
-      array(GopherStopWords.map(lit): _*)))
+    val GopherSignals(nW, meanLen, symbolRatio, bulletFrac, ellipsisFrac,
+      alphaFrac, stopHits) = gopherSignals(t)
     val rWords = nW >= minWords && nW <= maxWords
     val rWordLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
     val rSymbol = symbolRatio <= maxSymbolRatio
@@ -529,6 +562,61 @@ object CorpusOps {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The seven per-row Gopher signal columns (ratios pre-stableRound(4)ed)
+    * — single source shared by [[gopherRules]] and [[qualityFeatures]]. */
+  private case class GopherSignals(nWords: Column, meanWordLen: Column,
+    symbolRatio: Column, bulletFrac: Column, ellipsisFrac: Column,
+    alphaFrac: Column, stopHits: Column)
+
+  private def gopherSignals(t: Column): GopherSignals = {
+    val ws = TextFunctions.words(t)
+    val nW = size(ws)
+    val nWd = greatest(nW, lit(1)).cast("double")
+    val meanLen = TextFunctions.stableRound(
+      aggregate(ws, lit(0L), (a, x) => a + length(x)).cast("double") / nWd, 4)
+    val hashCnt = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val dotsCnt = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))).cast("double") / 3.0
+    val symbolRatio = TextFunctions.stableRound((hashCnt + dotsCnt) / nWd, 4)
+    val lines = split(t, "\n")
+    val nLd = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = TextFunctions.stableRound(
+      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("• "))).cast("double") / nLd, 4)
+    val ellipsisFrac = TextFunctions.stableRound(
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLd, 4)
+    val alphaFrac = TextFunctions.stableRound(
+      size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double") / nWd, 4)
+    val stopHits = size(array_intersect(ws, array(GopherStopWords.map(lit): _*)))
+    GopherSignals(nW, meanLen, symbolRatio, bulletFrac, ellipsisFrac,
+      alphaFrac, stopHits)
+  }
+
+  /** DuckDB select-expression rendering of [[gopherSignals]] over a `d`
+    * CTE providing (text, w, nwd, ls, nld) — shared by [[sqlGopherRules]]
+    * and [[sqlQualityFeatures]]. */
+  private def sqlGopherSignalExprs: Seq[(String, String)] = {
+    def r4(e: String) = TextFunctions.sqlStableRound(e, 4)
+    Seq(
+      "n_words" -> "len(w)",
+      "mean_word_len" -> r4("list_sum(list_transform(w, x -> len(x)))::DOUBLE / nwd"),
+      "symbol_ratio" -> r4("((len(text) - len(replace(text, '#', '')))::DOUBLE + " +
+        "(len(text) - len(replace(text, '...', '')))::DOUBLE / 3.0) / nwd"),
+      "bullet_frac" -> r4("len(list_filter(ls, l -> starts_with(l, '- ') OR " +
+        "starts_with(l, '* ') OR starts_with(l, '• ')))::DOUBLE / nld"),
+      "ellipsis_frac" -> r4("len(list_filter(ls, l -> ends_with(l, '...')))::DOUBLE / nld"),
+      "alpha_frac" -> r4("len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / nwd"),
+      "n_stop_hits" ->
+        s"len(list_intersect(w, [${GopherStopWords.map(s => s"'$s'").mkString(", ")}]))")
+  }
+
+  /** The shared `d` CTE body for the Gopher-signal SQL renderings. */
+  private val sqlGopherBase =
+    """SELECT doc_id, text, string_split(text, ' ') AS w,
+      |    greatest(len(string_split(text, ' ')), 1)::DOUBLE AS nwd,
+      |    string_split(text, chr(10)) AS ls,
+      |    greatest(len(string_split(text, chr(10))), 1)::DOUBLE AS nld
+      |  FROM documents""".stripMargin
+
   /** DuckDB twin of [[gopherRules]] over `documents` (thresholds must match
     * the Scala call). */
   def sqlGopherRules(
@@ -537,22 +625,11 @@ object CorpusOps {
       maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopHits: Int = 2): String = {
-    val stops = GopherStopWords.map(s => s"'$s'").mkString(", ")
-    def r4(e: String) = TextFunctions.sqlStableRound(e, 4)
-    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
-       |    greatest(len(string_split(text, ' ')), 1)::DOUBLE AS nwd,
-       |    string_split(text, chr(10)) AS ls,
-       |    greatest(len(string_split(text, chr(10))), 1)::DOUBLE AS nld
-       |  FROM documents),
-       |m AS (SELECT doc_id, len(w) AS n_words,
-       |    ${r4("list_sum(list_transform(w, x -> len(x)))::DOUBLE / nwd")} AS mean_word_len,
-       |    ${r4("((len(text) - len(replace(text, '#', '')))::DOUBLE + " +
-             "(len(text) - len(replace(text, '...', '')))::DOUBLE / 3.0) / nwd")} AS symbol_ratio,
-       |    ${r4("len(list_filter(ls, l -> starts_with(l, '- ') OR " +
-             "starts_with(l, '* ') OR starts_with(l, '• ')))::DOUBLE / nld")} AS bullet_frac,
-       |    ${r4("len(list_filter(ls, l -> ends_with(l, '...')))::DOUBLE / nld")} AS ellipsis_frac,
-       |    ${r4("len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / nwd")} AS alpha_frac,
-       |    len(list_intersect(w, [$stops])) AS n_stop_hits
+    val signals = sqlGopherSignalExprs
+      .map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+    s"""WITH d AS ($sqlGopherBase),
+       |m AS (SELECT doc_id,
+       |    $signals
        |  FROM d)
        |SELECT doc_id, n_words::INT AS n_words, mean_word_len, symbol_ratio,
        |  bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits::INT AS n_stop_hits,

@@ -135,6 +135,14 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("quality feature extraction is a pure scan — no exchange at all") {
+    val q = operators.CorpusOps.qualityFeatures(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val p = plan(q)
+    assert(!p.contains("Exchange"), p)
+    assert(q.count() > 0)
+  }
+
   test("near-dup decontamination broadcasts the benchmark side of both joins") {
     val q = SparkEntry.queries("q_corpus_decontaminate_neardup")(spark, dir)
     val p = plan(q)
