@@ -227,6 +227,19 @@ object GraftExtensions {
             intArg(args, 4, 3, "graft_decontaminate"),
             intArg(args, 5, 2, "graft_decontaminate")))
       },
+      tvf("graft_contamination",
+        "graft_contamination(corpusTable, benchTable, idCol, textCol[, k[, minShared]]) - " +
+          "per-benchmark-item leak report: corpus docs sharing >= minShared " +
+          "shingles, by bench_id (same eager bloom-build caveat as " +
+          "graft_decontaminate)") {
+        args => arity(args, "graft_contamination", 4, 6)
+          logical(operators.CorpusOps.contaminationReport(
+            activeTable(strArg(args, 0, "graft_contamination")),
+            activeTable(strArg(args, 1, "graft_contamination")),
+            strArg(args, 2, "graft_contamination"), strArg(args, 3, "graft_contamination"),
+            intArg(args, 4, 3, "graft_contamination"),
+            intArg(args, 5, 2, "graft_contamination")))
+      },
       tvf("graft_dup_spans",
         "graft_dup_spans(table, idCol, textCol[, k[, minDf]]) - per-document " +
           "cross-doc duplicate-span profile (shared-boilerplate fraction)") {

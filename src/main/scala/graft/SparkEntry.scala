@@ -80,9 +80,10 @@ object SparkEntry {
         s"gate stream did not complete within ${ms / 1000}s")
     }
 
-  /** Shared by q_corpus_decontaminate and q_stream_decontaminate: the
-    * streaming form is per-batch stateless, so one batch oracle gates both. */
-  private lazy val deconOracleSql: String =
+  /** The qualifying contaminated (doc_id, bench_id, shared) pair CTEs —
+    * shared prefix of the decontamination and contamination-report oracles,
+    * mirroring the shared pair stage in [[operators.CorpusOps]]. */
+  private lazy val deconPairsCte: String =
     s"""WITH d AS (
        |  SELECT doc_id, source,
        |   list_distinct(${TextFunctions.sqlWordShingles("text", 3)
@@ -92,7 +93,12 @@ object SparkEntry {
        |cs AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE source <> 'src0'),
        |bs AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE source = 'src0'),
        |j AS (SELECT cs.doc_id, bs.bench_id, count(*) AS shared
-       |      FROM cs JOIN bs USING (s) GROUP BY 1, 2)
+       |      FROM cs JOIN bs USING (s) GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by q_corpus_decontaminate and q_stream_decontaminate: the
+    * streaming form is per-batch stateless, so one batch oracle gates both. */
+  private lazy val deconOracleSql: String =
+    s"""$deconPairsCte
        |SELECT doc_id, count(*) AS n_bench_matched, max(shared) AS top_shared
        |FROM j WHERE shared >= 2 GROUP BY 1 ORDER BY doc_id""".stripMargin
 
@@ -422,6 +428,17 @@ object SparkEntry {
           docs.filter(col("source") === "src0"),
           "doc_id", "text", k = 3, minShared = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_corpus_contamination" -> ((s, dir) => {
+      // the release-audit flip side: per benchmark (src0) item, how many
+      // corpus docs leak it — same pair stage as q_corpus_decontaminate
+      val docs = Tables.documents(s, dir)
+      operators.CorpusOps.contaminationReport(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", k = 3, minShared = 2)
+        .orderBy(col("bench_id"))
     }),
 
     "q_corpus_decontaminate_neardup" -> ((s, dir) => {
@@ -1634,6 +1651,12 @@ object SparkEntry {
       },
 
       "q_corpus_decontaminate" -> deconOracleSql,
+
+      "q_corpus_contamination" ->
+        s"""$deconPairsCte
+           |SELECT bench_id, count(*) AS n_corpus_docs, max(shared) AS top_shared,
+           | CAST(sum(shared) AS BIGINT) AS total_shared
+           |FROM j WHERE shared >= 2 GROUP BY 1 ORDER BY bench_id""".stripMargin,
 
       "q_corpus_decontaminate_neardup" ->
         operators.CorpusOps.sqlDecontaminateNearDup(),

@@ -139,7 +139,17 @@ object CorpusOps {
     * shuffle; identical results either way. */
   def decontaminateAgainstIndex(
       corpus: DataFrame, benchCold: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minShared: Int = 2, bloom: Option[Array[Byte]] = None): DataFrame = {
+      k: Int = 3, minShared: Int = 2, bloom: Option[Array[Byte]] = None): DataFrame =
+    contaminationPairs(corpus, benchCold, idCol, textCol, k, minShared, bloom)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matched"), max(col("shared")).as("top_shared"))
+
+  /** The shared (doc_id, bench_id, shared) pair stage of [[decontaminate]]
+    * and [[contaminationReport]]: qualifying contaminated pairs with their
+    * shared-shingle count. */
+  private def contaminationPairs(
+      corpus: DataFrame, benchCold: DataFrame, idCol: String, textCol: String,
+      k: Int, minShared: Int, bloom: Option[Array[Byte]]): DataFrame = {
     val shingles = corpus.select(
       col(idCol).as("doc_id"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
@@ -152,8 +162,29 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bench_matched"), max(col("shared")).as("top_shared"))
+  }
+
+  /**
+   * The release-audit flip side of [[decontaminate]]: per BENCHMARK item,
+   * how many corpus documents leak it and how strongly — the table a
+   * benchmark steward publishes ("GSM8K item 412 appears in 9,301 crawl
+   * docs") to decide which eval items are burned. Same pair stage as
+   * [[decontaminate]] (same bloom gate, same hot-shingle drop), aggregated
+   * by `bench_id` instead of `doc_id`, so the two views are consistent by
+   * construction: sum(n_corpus_docs) here == sum(n_bench_matched) there.
+   * Scale shape is identical — the only shuffle beyond the pair stage is a
+   * benchmark-sized re-aggregation.
+   */
+  def contaminationReport(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame = {
+    val worthBloom = bloomWorthwhile(corpus, bench)
+    val idx = benchIndex(bench, idCol, textCol, k, maxShingleDf, materialize = worthBloom)
+    val bloom = if (worthBloom) benchBloom(idx) else None
+    contaminationPairs(corpus, idx, idCol, textCol, k, minShared, bloom)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_corpus_docs"), max(col("shared")).as("top_shared"),
+        sum(col("shared")).as("total_shared"))
   }
 
   /**

@@ -50,6 +50,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Dedup.lastDropStats("decontaminate").get.buckets > 0)
   }
 
+  test("contaminationReport is the bench-side view of the same pairs") {
+    val bench = Seq(
+      (100L, "the capital of france is paris and always has been"),
+      (101L, "two plus two equals four in base ten arithmetic")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "everyone knows the capital of france is paris indeed"),
+      (1L, "two plus two equals four in base ten arithmetic obviously"),
+      (2L, "completely unrelated text about gardening and tomatoes plants"),
+      (3L, "the capital of france is paris and two plus two equals four"))
+      .toDF("doc_id", "text")
+    val rep = CorpusOps.contaminationReport(corpus, bench, "doc_id", "text",
+        k = 3, minShared = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // bench 100 leaked by docs 0 and 3; bench 101 by docs 1 and 3
+    assert(rep.map(_._1).toSeq == Seq(100L, 101L), rep.mkString(","))
+    assert(rep.forall(_._2 == 2L), rep.mkString(","))
+    assert(rep.find(_._1 == 100L).get._3 == 5L) // doc 3's 5 shared shingles
+    // conservation vs the doc-side view: both aggregate the same pair set
+    val doc = CorpusOps.decontaminate(corpus, bench, "doc_id", "text",
+        k = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(rep.map(_._2).sum == doc.map(_._2).sum)
+    assert(rep.map(_._3).max == doc.map(_._3).max)
+  }
+
   test("decontaminateStream over micro-batches equals the batch operator") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
     val corpus = docs.filter($"source" =!= "src0")
