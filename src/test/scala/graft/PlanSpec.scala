@@ -44,6 +44,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("contamination report keeps the decontaminate join shape — bench side broadcast") {
+    val q = SparkEntry.queries("q_corpus_contamination")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("skew-guard anti-join broadcasts the hot-key table, never shuffles the index") {
     // the hot-key alarm's object boundary hides size stats from Catalyst;
     // without the explicit broadcast hint this anti-join silently became a
