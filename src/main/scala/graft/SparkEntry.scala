@@ -1345,11 +1345,7 @@ object SparkEntry {
         // file-source streams need a directory basePath; the glob keeps the
         // listing to the events table inside the shared sf directory
         val src = s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-        val normalized = rawSchema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case _ => src
-        }
+        val normalized = Tables.normalizeTs(src)
         val keyed = normalized
           .select(col("user_id").cast("string"), col("ts"))
           .as[(String, java.sql.Timestamp)]

@@ -5,11 +5,23 @@ import org.apache.spark.sql.functions._
 
 /**
  * Accessors for the driver-generated testdata tables (TESTDATA.md).
- * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 only
- * reads with the nanosAsLong legacy flag — `events()` normalizes it back to
- * a proper timestamp column so every query sees the same shape DuckDB does.
+ * `events.ts` has shipped in two shapes across testdata regenerations:
+ * parquet TIMESTAMP(NANOS) (read as nanos-Long under the nanosAsLong legacy
+ * flag) and parquet timestamp[us] (read as TIMESTAMP_NTZ by Spark 4).
+ * `events()` normalizes both to a proper TimestampType column so every query
+ * sees the same shape DuckDB does; the session TZ is UTC everywhere, so the
+ * NTZ cast is value-preserving. SchemaDriftSpec pins the accepted shapes.
  */
 object Tables {
+  /** Normalize an events-shaped `ts` column to TimestampType (UTC session). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -25,11 +37,6 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    normalizeTs(table(spark, dir, "events"))
   }
 }

@@ -97,8 +97,9 @@ class ConnectorBatchSpec extends AnyFunSuite {
     // body carries props; partition = event_id % 4; enqueuedTime = ts
     val viaLog = df.select($"partition".cast("int"),
       col("body").cast("string").as("props"), $"enqueuedTime")
-    val expected = events.select(pmod($"event_id", lit(4)).cast("int").as("partition"),
-      $"props", expr("timestamp_micros(ts div 1000)").as("enqueuedTime"))
+    val expected = graft.Tables.normalizeTs(events)
+      .select(pmod($"event_id", lit(4)).cast("int").as("partition"),
+        $"props", $"ts".as("enqueuedTime"))
     assert(viaLog.except(expected).isEmpty && expected.except(viaLog).isEmpty)
   }
 }

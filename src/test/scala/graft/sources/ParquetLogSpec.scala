@@ -18,13 +18,13 @@ class ParquetLogSpec extends AnyFunSuite {
   private val path = s"$dir/events.parquet"
   private def logName(partitions: Int) = EventLogConf.parquetLogName(path, partitions)
 
-  /** Ground truth from a plain Spark read of the same file. */
+  /** Ground truth from a plain Spark read of the same file (ts shape-agnostic). */
   private def truth(partitions: Int) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+    graft.Tables.normalizeTs(spark.read.parquet(path))
       .select(
         pmod($"event_id", lit(partitions)).cast("int").as("pid"),
-        $"event_id", expr("ts div 1000").as("ts_us"), $"props", $"event_type")
+        $"event_id", unix_micros($"ts").as("ts_us"), $"props", $"event_type")
   }
 
   test("connector read with NO driver-held log (registry stays empty)") {
