@@ -919,14 +919,24 @@ object CorpusOps {
    *
    * Scale shape: the bigram table is the big side — `broadcastLm=false`
    * (default) equi-joins it on the bigram key (AQE splits hot keys);
-   * broadcast only when the corpus's bigram vocabulary is known small.
-   * Unigram/total/vocab tables are vocabulary-scale and always broadcast.
+   * broadcast only when the corpus's bigram vocabulary is known small. The
+   * unigram table is vocabulary-scale: a 100 TB web corpus has a 10⁸+-term
+   * vocabulary, so the two unigram lookups (scoring join, prev-count join)
+   * default to PLAIN equi-joins — Spark's size-based planning broadcasts
+   * them when the vocabulary is actually small, and shuffles (with AQE skew
+   * splits) when it isn't. `broadcastVocab=true` forces the hint for
+   * known-small vocabularies; `vocabCap` bounds the LM itself via the same
+   * threshold-histogram selection as [[lmQualityScore]] ([[cappedVocab]] —
+   * no global sort-limit), with out-of-vocabulary tokens taking the add-one
+   * unseen probability 1/(T+V) and unseen `prev` counts interpolating to
+   * the unigram term alone.
    *
    * Returns (doc_id, n_tokens, avg_nll).
    */
   def bigramLmScore(
       docs: DataFrame, idCol: String, textCol: String,
-      lambda: Double = 0.7, broadcastLm: Boolean = false): DataFrame = {
+      lambda: Double = 0.7, broadcastLm: Boolean = false,
+      vocabCap: Int = Int.MaxValue, broadcastVocab: Boolean = false): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val toks = docs.select(col(idCol).as("doc_id"),
         col(textCol).as("__t"), posexplode(TextFunctions.words(col(textCol))))
@@ -940,13 +950,19 @@ object CorpusOps {
     // token total, vocabulary size) — checkpoint it lazily so the corpus
     // explodes once for it, and derive total/vocab from it (sum of counts
     // == token total) instead of re-exploding the corpus per scalar
-    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt1"))
+    val uniFull = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt1"))
       .localCheckpoint(eager = false)
+    val uni = if (vocabCap == Int.MaxValue) uniFull
+      else cappedVocab(uniFull.withColumnRenamed("cnt1", "cnt"), vocabCap)
+        .withColumnRenamed("cnt", "cnt1")
     val bi = toks.filter(col("big").isNotNull)
       .groupBy(col("big")).agg(count(lit(1)).as("cnt2"))
-    val total = uni.agg(sum(col("cnt1")).as("total"))
+    // token total comes from the FULL table (capping must not shrink T —
+    // the unseen probability 1/(T+V) has to stay a proper bound); V is the
+    // size of the capped LM actually used for lookups
+    val total = uniFull.agg(sum(col("cnt1")).as("total"))
     val vocab = uni.agg(count(lit(1)).as("vocab"))
-    val pUni = (col("cnt1") + lit(1)).cast("double") /
+    val pUni = (coalesce(col("cnt1"), lit(0L)) + lit(1)).cast("double") /
       (col("total") + col("vocab")).cast("double")
     val pBi = coalesce(
       col("cnt2").cast("double") / col("__pcnt").cast("double"), lit(0.0))
@@ -955,9 +971,10 @@ object CorpusOps {
     val nll = TextFunctions.stableRound(-log(p), 6)
       .cast(org.apache.spark.sql.types.DecimalType(18, 6))
     val prevCnt = uni.select(col("term").as("prev"), col("cnt1").as("__pcnt"))
+    def vb(df: DataFrame): DataFrame = if (broadcastVocab) broadcast(df) else df
     toks
-      .join(broadcast(uni), Seq("term"))
-      .join(broadcast(prevCnt), Seq("prev"), "left")
+      .join(vb(uni), Seq("term"), "left")
+      .join(vb(prevCnt), Seq("prev"), "left")
       .join(if (broadcastLm) broadcast(bi) else bi, Seq("big"), "left")
       .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
       .select(col("doc_id"), nll.as("nll"))

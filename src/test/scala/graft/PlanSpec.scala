@@ -201,6 +201,23 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("bigram LM never force-broadcasts the vocabulary (web-scale unigram table)") {
+    // with the size-based threshold disabled, any BroadcastHashJoin left in
+    // the plan can only come from a forced broadcast() hint — the unigram
+    // scoring join, the prev-count join and the bigram join must all plan
+    // as shuffle joins (only the 1-row total/vocab scalars stay broadcast,
+    // as BroadcastNestedLoopJoin cross joins)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, dir)
+      val q = operators.CorpusOps.bigramLmScore(docs, "doc_id", "text")
+      val p = plan(q)
+      assert(!p.contains("BroadcastHashJoin"),
+        "unigram/bigram tables must not carry a broadcast hint:\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stream-knn per-batch join broadcasts the batch side; the corpus never shuffles to join") {
     // q_stream_knn's foreachBatch runs knnJoin(batch, corpus): each
     // micro-batch is dimension-table-sized by contract, so the join must be

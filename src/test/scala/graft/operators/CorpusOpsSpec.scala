@@ -210,6 +210,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(capped(1)._3 > got(1)._3, "OOV must score worse than in-vocab")
   }
 
+  test("bigramLmScore: capped vocab scores OOV via the unseen add-one bound") {
+    // corpus: doc0 "a a b", doc1 "a c" => uni {a:3, b:1, c:1}, T=5
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP) / 1e6
+    def score(ps: Seq[Double]): Double =
+      (BigDecimal(ps.map(p => r6(-math.log(p))).sum.toDouble) / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = 0.7
+    // capped to 1 term: only 'a' stays; b and c are OOV => pUni = 1/(T+V) = 1/6
+    val pA = 4.0 / 6; val pOov = 1.0 / 6
+    val expected = Map(
+      0L -> score(Seq(pA, lam * (1.0 / 3) + (1 - lam) * pA, lam * (1.0 / 3) + (1 - lam) * pOov)),
+      1L -> score(Seq(pA, lam * (1.0 / 3) + (1 - lam) * pOov)))
+    val capped = CorpusOps.bigramLmScore(docs, "doc_id", "text", vocabCap = 1)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(capped.map(r => r._1 -> r._3).toMap == expected)
+    // (capping is NOT monotone overall — V shrinks, raising in-vocab
+    // probabilities — so correctness is pinned by the exact values above)
+    val full = CorpusOps.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // a cap above the vocabulary is a no-op, and the forced-broadcast path
+    // answers identically to the planner-chosen default
+    assert(CorpusOps.bigramLmScore(docs, "doc_id", "text", vocabCap = 100)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq == full.toSeq)
+    assert(CorpusOps.bigramLmScore(docs, "doc_id", "text", broadcastVocab = true)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq == full.toSeq)
+  }
+
   test("duplicateSpanProfile finds cross-doc spans, not intra-doc repeats") {
     val docs = Seq(
       (0L, "shared span here plus own words"),   // "shared span here" also in doc 1
