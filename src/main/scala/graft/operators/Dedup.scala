@@ -251,11 +251,19 @@ object Dedup extends Logging {
    * text (callers drop by `n_removed == n_words` if desired).
    *
    * Scale shape: span occurrences shuffle as (two 64-bit content hashes,
-   * id, pos) — never span text; first-occurrence ranking and the
-   * occurrence count share ONE window shuffle; covered positions are
-   * (id, int) rows aggregated per document; the only full-text movement
-   * is the final reassembly equi-join. The same no-all-pairs discipline
-   * as every other dedup operator.
+   * id, pos) — never span text. The first-occurrence choice is an
+   * AGGREGATION (`min(struct(id, pos))` + count per span hash), NOT a
+   * window: a window partitioned by raw span hashes funnels every
+   * occurrence of one pathological high-frequency k-gram (licence headers,
+   * boilerplate separators) through a single reducer that AQE cannot
+   * split, while the aggregation gets map-side partial combine (each task
+   * emits one partial row per distinct span) and the join of occurrences
+   * back against the per-span firsts is a plain equi-join that AQE
+   * skew-splits. Hot spans therefore slow nothing down and are still
+   * scrubbed exactly — no capped-recall tradeoff needed. Covered positions
+   * are (id, int) rows aggregated per document; the only full-text
+   * movement is the final reassembly equi-join. The same no-all-pairs
+   * discipline as every other dedup operator.
    *
    * Output: (idCol, textCol rewritten, n_words, n_removed).
    */
@@ -267,12 +275,18 @@ object Dedup extends Logging {
       .select(col("__id"), col("__pos"),
         contentHash(Seq(col("__s")), 0).as("__h0"),
         contentHash(Seq(col("__s")), 1).as("__h1"))
-    val part = Window.partitionBy(col("__h0"), col("__h1"))
-    val w = part.orderBy(col("__id").asc, col("__pos").asc)
-    val covered = occ
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(lit(1)).over(part))
-      .filter(col("__cnt") >= 2 && col("__rn") >= 2)
+    // one row per duplicated span: its global first occurrence in (id, pos)
+    // order (struct min compares id, then pos — same order the old
+    // row_number ranking used)
+    val firsts = occ
+      .groupBy(col("__h0"), col("__h1"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__h0"), col("__h1"),
+        col("__first.__id").as("__fid"), col("__first.__pos").as("__fpos"))
+    val covered = occ.join(firsts, Seq("__h0", "__h1"))
+      .filter(!(col("__id") === col("__fid") && col("__pos") === col("__fpos")))
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__cp"))
       .groupBy(col("__id"))

@@ -179,6 +179,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring scrub plans NO window over span hashes (un-splittable skew)") {
+    // a Window partitioned by raw span hashes sends every occurrence of one
+    // hot k-gram through a single reducer AQE cannot split; the scrub must
+    // plan its first-occurrence choice as aggregation + equi-join instead
+    val q = SparkEntry.queries("q_dedup_scrub")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("Window"), "scrub must not use a window operator:\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("duplicate-span plan shuffles 8-byte span hashes, never span text") {
     val q = SparkEntry.queries("q_corpus_dup_spans")(spark, dir)
     val exchanges = plan(q).linesIterator

@@ -299,6 +299,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicateSpans under a hostile hot-span distribution stays exact") {
+    // one boilerplate span ("the same footer line") in EVERY document — the
+    // distribution that used to funnel the whole corpus's occurrences into
+    // a single un-splittable window partition. The agg+join shape must keep
+    // the results exact: the footer survives only in the lowest (id, pos)
+    // occurrence, every other document loses exactly those k positions.
+    val footer = "f1 f2 f3 f4 f5"
+    val hostile = (0L until 300L).map { id =>
+      (id, s"u${id}a u${id}b u${id}c $footer")
+    }.toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(hostile, "doc_id", "text", k = 5)
+      .orderBy($"doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(got.size == 300)
+    // doc 0 holds the first occurrence of every footer-overlapping span
+    assert(got.head == ((0L, "u0a u0b u0c f1 f2 f3 f4 f5", 8, 0)), got.head)
+    got.tail.foreach { case (id, txt, n, removed) =>
+      // later docs: spans covering the footer are dups; the pure-unique
+      // prefix "u{id}a u{id}b u{id}c" starts the only non-duplicated span
+      // window, so positions 0..2 survive and the 5 footer positions go
+      assert(n == 8 && removed == 5 && txt == s"u${id}a u${id}b u${id}c",
+        s"doc $id: '$txt' removed=$removed")
+    }
+  }
+
   test("ngram jaccard pairs find exact and near duplicates with correct scores") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
