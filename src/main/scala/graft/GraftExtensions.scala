@@ -217,8 +217,8 @@ object GraftExtensions {
       tvf("graft_decontaminate",
         "graft_decontaminate(corpusTable, benchTable, idCol, textCol[, k[, minShared]]) - " +
           "docs sharing >= minShared k-gram shingles with any benchmark doc " +
-          "(runs eager bloom-build jobs AT ANALYSIS TIME, even for EXPLAIN, " +
-          "when the corpus is >=16x the benchmark by plan stats)") {
+          "(bloom pre-filter is a lazy scalar subquery gated on plan stats: " +
+          "EXPLAIN runs no jobs; the filter builds at first execution)") {
         args => arity(args, "graft_decontaminate", 4, 6)
           logical(operators.CorpusOps.decontaminate(
             activeTable(strArg(args, 0, "graft_decontaminate")),
@@ -230,7 +230,7 @@ object GraftExtensions {
       tvf("graft_contamination",
         "graft_contamination(corpusTable, benchTable, idCol, textCol[, k[, minShared]]) - " +
           "per-benchmark-item leak report: corpus docs sharing >= minShared " +
-          "shingles, by bench_id (same eager bloom-build caveat as " +
+          "shingles, by bench_id (same lazy bloom subquery as " +
           "graft_decontaminate)") {
         args => arity(args, "graft_contamination", 4, 6)
           logical(operators.CorpusOps.contaminationReport(

@@ -41,13 +41,15 @@ object CorpusOps {
   def decontaminate(
       corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame = {
-    // the index is checkpointed only when the bloom build will read it a
+    // the index is checkpointed only when the bloom subquery will read it a
     // second time; a one-shot join re-derives the small explode inline,
     // which measures ~20% faster than a checkpoint write+read at sf0.1
     val worthBloom = bloomWorthwhile(corpus, bench)
     val idx = benchIndex(bench, idCol, textCol, k, maxShingleDf, materialize = worthBloom)
-    val bloom = if (worthBloom) benchBloom(idx) else None
-    decontaminateAgainstIndex(corpus, idx, idCol, textCol, k, minShared, bloom)
+    val prune = if (worthBloom) lazyBloomProbe(idx) else None
+    contaminationPairs(corpus, idx, idCol, textCol, k, minShared, prune)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_matched"), max(col("shared")).as("top_shared"))
   }
 
   /** Should [[decontaminate]] pay the bloom build? Decided from Catalyst
@@ -66,19 +68,25 @@ object CorpusOps {
   val BloomGateRatio: Int = 16
 
   /** The static half of decontamination: hot-dropped inverted shingle index
-    * (bench_id, s) of the benchmark. `materialize` lazily checkpoints it so
-    * repeated readers (every micro-batch of [[decontaminateStream]], or a
-    * bloom build + join in the same plan) reuse one materialization instead
-    * of re-shingling the benchmark; a one-shot batch caller reads the index
-    * once, where re-deriving the (benchmark-sized, small) explode inline is
-    * cheaper than a checkpoint write + read. */
+    * (bench_id, s) of the benchmark. `materialize` lazily CACHES it
+    * (`persist`, not `localCheckpoint` — a lazy checkpoint still
+    * force-plans its AQE stages at construction time, which is a job during
+    * EXPLAIN; persist only registers with the CacheManager, which also
+    * dedups repeated builds of the same index by canonicalized plan) so
+    * repeated readers (every micro-batch of [[decontaminateStream]], or the
+    * bloom subquery + join in the same plan) reuse one materialization
+    * instead of re-shingling the benchmark; a one-shot batch caller reads
+    * the index once, where re-deriving the (benchmark-sized, small) explode
+    * inline is cheaper than a cache write + read. */
   def benchIndex(
       bench: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxShingleDf: Int = 1000, materialize: Boolean = true): DataFrame = {
     val raw = bench.select(
       col(idCol).as("bench_id"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
-    val idx = if (materialize) raw.localCheckpoint(eager = false) else raw
+    val idx = if (materialize)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
     Dedup.dropHotKeys(idx, Seq("s"), maxShingleDf, "decontaminate")
   }
 
@@ -136,28 +144,73 @@ object CorpusOps {
 
   /** Corpus side of [[decontaminate]] against a prebuilt [[benchIndex]].
     * `bloom` (from [[benchBloom]]) prunes corpus shingles BEFORE the join
-    * shuffle; identical results either way. */
+    * shuffle; identical results either way. Used by the streaming path,
+    * where building the filter bytes ONCE at stream setup (instead of a
+    * per-micro-batch subquery job) is the designed shape. */
   def decontaminateAgainstIndex(
       corpus: DataFrame, benchCold: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minShared: Int = 2, bloom: Option[Array[Byte]] = None): DataFrame =
-    contaminationPairs(corpus, benchCold, idCol, textCol, k, minShared, bloom)
+      k: Int = 3, minShared: Int = 2, bloom: Option[Array[Byte]] = None): DataFrame = {
+    // the prebuilt filter rides a broadcast, not a plan literal: at the
+    // shingle cap it serializes to ~20 MB, which would otherwise bloat
+    // every task binary
+    val prune = bloom.map(b => (s: Column) =>
+      graft.functions.hashFunctions.bloom_might_contain_bc(corpus.sparkSession, b, s))
+    contaminationPairs(corpus, benchCold, idCol, textCol, k, minShared, prune)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_matched"), max(col("shared")).as("top_shared"))
+  }
+
+  /**
+   * LAZY bloom pre-filter over the benchmark index, as a Catalyst scalar
+   * subquery: `BloomFilterMightContain(ScalarSubquery(bloom_filter_agg(
+   * xxhash64(s)) over idx), xxhash64(value))` — the same mechanism Spark's
+   * own runtime row-level filtering injects. Unlike [[benchBloom]] (which
+   * runs count + treeReduce jobs when the OPERATOR IS CONSTRUCTED — wrong
+   * for the SQL TVF path, where construction happens at analysis time and
+   * even `EXPLAIN graft_decontaminate(...)` would fire jobs), the subquery
+   * executes with the query: EXPLAIN stays job-free, and the engine
+   * schedules/reuses the one-time build itself at first execution.
+   *
+   * Sizing is plan-stats metadata (no job): estimated items from the
+   * index's byte estimate, clamped to Spark's runtime-bloom caps, with
+   * numBits ~= 10 bits/item (~1% fpp at estimate). An underestimate only
+   * raises fpp — the exact join verifies survivors either way. Returns
+   * None above the caps, same skip as [[benchBloom]]'s.
+   */
+  private[operators] def lazyBloomProbe(idx: DataFrame): Option[Column => Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val estBytes = idx.queryExecution.optimizedPlan.stats.sizeInBytes
+    // ~32 bytes per (bench_id, shingle) row; stay under Spark's
+    // RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS (4e6) / MAX_NUM_BITS (67108864)
+    // validation caps — above them, skip pruning like benchBloom does
+    val est = estBytes / 32
+    if (est > MaxBloomShingles) return None
+    val items = est.max(1L << 16).min(4000000L).toLong
+    val numBits = (items * 10L).min(67108864L)
+    val bloomDf = idx.select(xxhash64(col("s")).as("__h"))
+      .agg(ColumnBridge.column(new BloomFilterAggregate(
+          ColumnBridge.expression(col("__h")), Literal(items), Literal(numBits))
+        .toAggregateExpression()).as("__bloom"))
+    val subquery = ScalarSubquery(
+      bloomDf.queryExecution.analyzed)
+    Some((value: Column) => ColumnBridge.column(
+      BloomFilterMightContain(subquery, ColumnBridge.expression(xxhash64(value)))))
+  }
 
   /** The shared (doc_id, bench_id, shared) pair stage of [[decontaminate]]
     * and [[contaminationReport]]: qualifying contaminated pairs with their
-    * shared-shingle count. */
+    * shared-shingle count. `prune` (bloom probe — prebuilt bytes or lazy
+    * subquery) drops non-overlapping corpus shingles BEFORE the join
+    * shuffle; identical results either way. */
   private def contaminationPairs(
       corpus: DataFrame, benchCold: DataFrame, idCol: String, textCol: String,
-      k: Int, minShared: Int, bloom: Option[Array[Byte]]): DataFrame = {
+      k: Int, minShared: Int, prune: Option[Column => Column]): DataFrame = {
     val shingles = corpus.select(
       col(idCol).as("doc_id"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("s"))
-    // the filter rides a broadcast, not a plan literal: at the shingle cap
-    // it serializes to ~20 MB, which would otherwise bloat every task binary
-    bloom.fold(shingles)(b =>
-        shingles.filter(graft.functions.hashFunctions.bloom_might_contain_bc(
-          corpus.sparkSession, b, col("s"))))
+    prune.fold(shingles)(p => shingles.filter(p(col("s"))))
       .join(benchCold, "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared"))
@@ -180,8 +233,8 @@ object CorpusOps {
       k: Int = 3, minShared: Int = 2, maxShingleDf: Int = 1000): DataFrame = {
     val worthBloom = bloomWorthwhile(corpus, bench)
     val idx = benchIndex(bench, idCol, textCol, k, maxShingleDf, materialize = worthBloom)
-    val bloom = if (worthBloom) benchBloom(idx) else None
-    contaminationPairs(corpus, idx, idCol, textCol, k, minShared, bloom)
+    val prune = if (worthBloom) lazyBloomProbe(idx) else None
+    contaminationPairs(corpus, idx, idCol, textCol, k, minShared, prune)
       .groupBy(col("bench_id"))
       .agg(count(lit(1)).as("n_corpus_docs"), max(col("shared")).as("top_shared"),
         sum(col("shared")).as("total_shared"))

@@ -111,10 +111,10 @@ object Dedup extends Logging {
   def removeDropStatsListener(l: DropStatsListener): Unit = { dropListeners.remove(l); () }
 
   /** Drop counts recorded by the last invocation of the tagged operator in
-    * this JVM (None = operator not yet built). Computed on demand: after the
-    * operator's query has run this is a KB-scale aggregation over the
-    * already-checkpointed hot-key table; before it, the index pipeline runs
-    * to produce them. */
+    * this JVM (None = operator not yet built). Computed on demand: a
+    * KB-scale aggregation over the hot-key table's plan (re-run per poll —
+    * the hot table is deliberately un-materialized so operator construction
+    * stays job-free). */
   def lastDropStats(tag: String): Option[DropStats] =
     Option(dropStats.get(tag)).flatMap(_.tryStats)
 
@@ -145,10 +145,13 @@ object Dedup extends Logging {
       .filter(col("__df") > cap)
     // route the (metadata-scale) hot-key table through the executor-side
     // alarm so the drop is loud when the CALLER's action runs it — not only
-    // when someone polls the stats afterwards
+    // when someone polls the stats afterwards. NO checkpoint here: a lazy
+    // localCheckpoint still force-plans its AQE stages at CONSTRUCTION time
+    // (jobs during EXPLAIN — breaks the one-lazy-plan contract for every
+    // operator built on this guard); the cost is that a stats poll re-runs
+    // this KB-scale aggregation instead of reading a materialized table.
     val hot = hot0.mapPartitions(rows => HotKeyAlarm.wrap(tag, cap, rows))(
         org.apache.spark.sql.Encoders.row(hot0.schema))
-      .localCheckpoint(eager = false)
     dropStats.put(tag, new DropHandle(tag, cap, hot))
     // explicit broadcast: the alarm's object boundary hides the hot table's
     // size from Catalyst (default estimate = huge), which would silently

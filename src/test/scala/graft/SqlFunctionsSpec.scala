@@ -77,6 +77,44 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(got._1 == 9 && got._2 > got._1) // bpe splits punctuation off
   }
 
+  test("EXPLAIN graft_decontaminate runs ZERO Spark jobs (lazy bloom subquery)") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val docs = Tables.documents(spark, SparkTestSession.sf0001)
+    // corpus >> bench so the bloom gate is OPEN — the eager-build regression
+    // this pins fired exactly then
+    docs.createOrReplaceTempView("exdocs")
+    docs.limit(2).createOrReplaceTempView("exbench")
+    // jobs are attributed to SQL executions: the EXPLAIN's executions must
+    // own ZERO jobs (the sentinel action below owns its own — under AQE it
+    // legitimately submits several)
+    val jobs = new ConcurrentLinkedQueue[(Int, String)]() // (jobId, jobGroup)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add((j.jobId,
+          Option(j.properties.getProperty("spark.jobGroup.id")).getOrElse("-")))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = spark.sql(
+        "EXPLAIN EXTENDED SELECT * FROM graft_decontaminate('exdocs', 'exbench', 'doc_id', 'text')")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        "expected the lazy bloom subquery in the plan:\n" + plan)
+      // flush the async listener bus with one sentinel action: every event
+      // posted before it is delivered before its start event
+      spark.sparkContext.setJobGroup("SENTINEL", "SENTINEL", false)
+      try spark.range(1).groupBy().count().collect()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500) // drain any trailing sentinel stage jobs
+      val strays = jobs.toArray(Array.empty[(Int, String)])
+        .filterNot { case (_, g) => g == "SENTINEL" }
+      assert(strays.isEmpty,
+        s"EXPLAIN must not start Spark jobs; stray jobs (id, execId): ${strays.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("PII scrub is SQL-callable and matches the Column API") {
     import spark.implicits._
     val df = Seq((1L, "mail a.b@c.io or call 555-0199 from 10.1.2.3")).toDF("id", "text")
