@@ -162,6 +162,14 @@ object Bench {
       s""","events_per_sec":${eventsPerSec.round},"n_events":$totalEvents""" +
       s""","failed":$failedNames""" +
       s""","queries":$qs,"sf":"$sfDir"}""")
+    // the full line above is ~90 queries wide and has been truncated out of
+    // the driver's tail capture two rounds running (BENCH parse came back
+    // null); repeat the headline metrics as a SECOND, short, self-contained
+    // JSON line so a tail capture of any length keeps them
+    println(s"""{"metric":"headline","value":$total,"unit":"sec"""" +
+      s""","passthrough_sec":$passthrough,"windowed_sec":$windowed""" +
+      s""","events_per_sec":${eventsPerSec.round},"n_events":$totalEvents""" +
+      s""","failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
   }

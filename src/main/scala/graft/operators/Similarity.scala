@@ -743,11 +743,15 @@ object Similarity extends org.apache.spark.internal.Logging {
    * Design choices, each load-bearing at corpus scale:
    *  - The pair join is keyed on the cell id — a plain shuffle equijoin
    *    whose per-cell work is |cell|², never an all-pairs product. Cell
-   *    count is the knob: size `nCells` ≈ n / (a few thousand) so cells
-   *    stay small; a degenerate fit (one fat cell) is caught by
-   *    `maxCellSize` — over-cap cells are excluded from pairing (their
-   *    members all survive) with the drop counted loudly under tag
-   *    `"semanticDedup"` (see [[Dedup.lastDropStats]]).
+   *    count is the CONTRACT, not a constant: `nCells` MUST scale with the
+   *    corpus (size it ≈ n / a-few-thousand, so mean cell size stays in the
+   *    low thousands at any n — 10⁹ vectors wants ~10⁵–10⁶ cells). A
+   *    degenerate fit (one fat cell) is caught by `maxCellSize` — over-cap
+   *    cells are excluded from pairing (their members all survive) with the
+   *    drop counted loudly under tag `"semanticDedup"` (see
+   *    [[Dedup.lastDropStats]]). The default cap of 10,000 bounds a cell's
+   *    pair work at ~5×10⁷ cosines — one reducer-minute, not the ~5×10⁹ the
+   *    previous 100k default allowed; raise it only knowingly.
    *  - Keep policy is smallest-id-wins, evaluated greedily against ALL
    *    same-cell neighbors (not only surviving ones): deterministic,
    *    partitioning-invariant, and exactly expressible in the DuckDB twin
@@ -761,7 +765,7 @@ object Similarity extends org.apache.spark.internal.Logging {
   def semanticDedupWith(
       embs: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Int, Array[Double])], tau: Double,
-      maxCellSize: Int = 100000): DataFrame = {
+      maxCellSize: Int = 10000): DataFrame = {
     val dim = cents.head._2.length
     val idx = requireDim(ivfIndexWith(embs, idCol, vecCol, cents), col("v"), dim)
     val sized = Dedup.dropHotKeys(idx, Seq("cell"), maxCellSize, "semanticDedup")
@@ -778,7 +782,7 @@ object Similarity extends org.apache.spark.internal.Logging {
   def semanticDedup(
       embs: DataFrame, idCol: String, vecCol: String, nCells: Int = 16,
       tau: Double = 0.95, maxFitPerCell: Int = DefaultMaxFitPerCell,
-      maxCellSize: Int = 100000): DataFrame =
+      maxCellSize: Int = 10000): DataFrame =
     semanticDedupWith(embs, idCol, vecCol,
       centroids(embs, idCol, vecCol, nCells, maxFitPerCell), tau, maxCellSize)
 

@@ -1327,6 +1327,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(stats.exists(_.rows > 0), s"expected loud drops, got $stats")
   }
 
+  test("semanticDedup DEFAULT cap trips on a 10k+ degenerate cell, members survive") {
+    // one centroid => every vector lands in cell 0, which exceeds the
+    // default maxCellSize (10,000): the cell is excluded from pairing (all
+    // rows survive, including planted exact duplicates) and the exclusion
+    // is counted — the designed fail-loud behavior for a degenerate fit at
+    // the new default
+    import spark.implicits._
+    val n = 10050
+    val fat = (0 until n).map(i => (i.toLong, Seq(1.0f, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val oneCell = Array((0, Array(0.0, 0.0)))
+    val kept = Similarity.semanticDedupWith(fat, "vec_id", "embedding", oneCell,
+      tau = 0.5) // default maxCellSize
+    assert(kept.count() == n, "over-cap cell members must all survive")
+    val stats = Dedup.lastDropStats("semanticDedup")
+    assert(stats.exists(s => s.rows >= n), s"expected ~$n counted drops, got $stats")
+  }
+
   test("semanticDedup pair join is cell-keyed, never a cartesian product") {
     val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
     val plan = Similarity.semanticDedupWith(embs, "vec_id", "embedding", cents,
