@@ -140,7 +140,12 @@ object Bench {
       }
       (name, if (failed) -sec else sec)
     }
+    // cold-start discipline: operators lazily persist shared intermediates
+    // (CacheManager dedups by canonical plan), so without clearing, pass 2
+    // would partly measure pass 1's warm cache instead of the plan
+    spark.catalog.clearCache()
     val pass1 = sweep().toMap
+    spark.catalog.clearCache()
     val pass2 = sweep().toMap
     val results = named.map { case (name, _) =>
       val (a, b) = (pass1(name), pass2(name))

@@ -54,9 +54,9 @@ object SparkEntry {
           fresh
         }
       entry._2.getOrElseUpdate(dir,
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-            k = 3, threshold = 0.5)
-          .localCheckpoint(eager = false))
+        Dedup.lazyShare(
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 3, threshold = 0.5)))
     }
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -376,9 +376,9 @@ object CorpusOps {
       sigs.select(col(idAs), posexplode(array(bandBuckets: _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     }
-    // benchmark side is read twice (banding + verification) — checkpoint
+    // benchmark side is read twice (banding + verification) — share it
     // lazily so it shingles once; the corpus side streams through each stage
-    val bBase = shingled(bench, "bench_id").localCheckpoint(eager = false)
+    val bBase = Dedup.lazyShare(shingled(bench, "bench_id"))
     val cBase = shingled(corpus, "doc_id")
     val bBand = Dedup.dropHotKeys(banded(bBase, "bench_id"),
       Seq("band", "bucket"), maxBenchBucket, "decontaminateNearDup")
@@ -1000,11 +1000,11 @@ object CorpusOps {
         when(col("pos") > 0,
           element_at(TextFunctions.words(col("__t")), col("pos"))).as("prev"))
     // the unigram table is read four ways (scoring join, prev-count join,
-    // token total, vocabulary size) — checkpoint it lazily so the corpus
+    // token total, vocabulary size) — share it lazily so the corpus
     // explodes once for it, and derive total/vocab from it (sum of counts
     // == token total) instead of re-exploding the corpus per scalar
-    val uniFull = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt1"))
-      .localCheckpoint(eager = false)
+    val uniFull = Dedup.lazyShare(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("cnt1")))
     val uni = if (vocabCap == Int.MaxValue) uniFull
       else cappedVocab(uniFull.withColumnRenamed("cnt1", "cnt"), vocabCap)
         .withColumnRenamed("cnt", "cnt1")
@@ -1084,14 +1084,14 @@ object CorpusOps {
    *     DISTRIBUTED range sort + zipWithIndex — exact global ranks from
    *     per-partition offsets, never a single-partition exchange.
    *
-   * `counts` is lazily localCheckpoint'ed first so the histogram pass and
-   * the returned plan share one materialization of the vocabulary instead
-   * of re-exploding the corpus per branch.
+   * `counts` is lazily cached first so the histogram pass and the returned
+   * plan share one materialization of the vocabulary instead of
+   * re-exploding the corpus per branch.
    */
   private[operators] def cappedVocab(counts: DataFrame, cap: Int): DataFrame = {
     require(cap > 0, s"vocabCap must be positive, got $cap")
     val spark = counts.sparkSession
-    val vocab = counts.localCheckpoint(eager = false)
+    val vocab = Dedup.lazyShare(counts)
     val hist = vocab.groupBy(col("cnt")).agg(count(lit(1)).as("n_terms"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     if (hist.map(_._2).sum <= cap) return vocab

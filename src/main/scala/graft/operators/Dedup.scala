@@ -132,6 +132,19 @@ object Dedup extends Logging {
   }
 
   /**
+   * Share one materialization of a deterministic intermediate that the
+   * surrounding plan reads more than once (both sides of a self-join, a
+   * band table plus its verification join), WITHOUT executing anything at
+   * construction: `persist` only registers the plan with the CacheManager
+   * (which also dedups repeated builds by canonicalized plan), whereas a
+   * lazy `localCheckpoint` force-plans its AQE stages eagerly — running
+   * real Spark jobs while the operator is merely being CONSTRUCTED, i.e.
+   * during `EXPLAIN` of any SQL TVF built on it.
+   */
+  private[graft] def lazyShare(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /**
    * The shared skew guard: drop index rows whose key (shingle, fingerprint,
    * LSH bucket) occurs in more than `cap` rows, recording what was dropped
    * under `tag`. The hot-key table is one narrow row per distinct key —
@@ -338,14 +351,13 @@ object Dedup extends Logging {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
-    // lazily checkpoint the exploded index: both sides of the self-join read
-    // it, and without materialization the shingle computation runs twice
-    val sh = docs.select(
+    // share the exploded index lazily: both sides of the self-join read it,
+    // and without sharing the shingle computation runs twice
+    val sh = lazyShare(docs.select(
       col(idCol).as("doc_id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), k)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-      .localCheckpoint(eager = false)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s")))
     val sized = dropHotKeys(sh, Seq("s"), maxShingleDf, "ngramJaccardPairs")
     val a = sized.as("a"); val b = sized.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -603,7 +615,7 @@ object Dedup extends Logging {
   private def bucketedPairs(
       banded0: DataFrame, bucketCol: String, maxBucketSize: Int, tag: String)
       : DataFrame = {
-    val banded = banded0.localCheckpoint(eager = false)
+    val banded = lazyShare(banded0)
     val sized = dropHotKeys(banded, Seq("band", bucketCol), maxBucketSize, tag)
     val a = sized.as("a"); val b = sized.as("b")
     a.join(b, col(s"a.band") === col(s"b.band") &&
@@ -751,9 +763,8 @@ object Dedup extends Logging {
       docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 24, window: Int = 8, minShared: Int = 5,
       maxFingerprintDf: Int = 1000): DataFrame = {
-    val fp = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(rolling_fingerprints(col(textCol), ngram, window))).as("f"))
-      .localCheckpoint(eager = false)
+    val fp = lazyShare(docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(rolling_fingerprints(col(textCol), ngram, window))).as("f")))
     // df-cap: a fingerprint present in thousands of docs is a stop-phrase
     val sized = dropHotKeys(fp, Seq("f"), maxFingerprintDf, "fingerprintPairs")
     val a = sized.as("a"); val b = sized.as("b")

@@ -100,6 +100,14 @@ class SqlFunctionsSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).mkString("\n")
       assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
         "expected the lazy bloom subquery in the plan:\n" + plan)
+      // every TVF whose operator shares intermediates must also explain
+      // job-free (their checkpoints are lazy persists, not AQE-eager ones)
+      Seq(
+        "EXPLAIN SELECT * FROM graft_contamination('exdocs', 'exbench', 'doc_id', 'text')",
+        "EXPLAIN SELECT * FROM graft_lm_bigram('exdocs', 'doc_id', 'text', 0.7)",
+        "EXPLAIN SELECT * FROM graft_lm_score('exdocs', 'doc_id', 'text')",
+        "EXPLAIN SELECT * FROM graft_dup_spans('exdocs', 'doc_id', 'text')"
+      ).foreach(q => spark.sql(q).collect())
       // flush the async listener bus with one sentinel action: every event
       // posted before it is delivered before its start event
       spark.sparkContext.setJobGroup("SENTINEL", "SENTINEL", false)

@@ -323,6 +323,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicateSpans matches a plain-Scala reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, doc))
+    val k = 3
+    (0 until 6).foreach { i =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(31 + i.toLong)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      // reference: global first occurrence of each k-gram in (id, pos)
+      // order; every later occurrence covers its k positions
+      val spans = texts.zipWithIndex.flatMap { case (t, id) =>
+        val w = t.split(" ")
+        (0 to w.length - k).map(p => (w.slice(p, p + k).mkString(" "), id.toLong, p))
+      }
+      val firstOf = spans.groupBy(_._1).map { case (s, os) =>
+        (s, os.map(o => (o._2, o._3)).min)
+      }
+      val expected = texts.zipWithIndex.map { case (t, id) =>
+        val w = t.split(" ")
+        val cut = (0 to w.length - k)
+          .filter { p =>
+            val s = w.slice(p, p + k).mkString(" ")
+            spans.count(_._1 == s) >= 2 && firstOf(s) != ((id.toLong, p))
+          }
+          .flatMap(p => p until p + k).toSet
+        val kept = w.zipWithIndex.collect { case (x, j) if !cut.contains(j) => x }
+        (id.toLong, kept.mkString(" "), w.length, cut.size)
+      }
+      val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = k)
+        .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+      assert(got == expected, s"seed=$i texts=$texts")
+    }
+  }
+
   test("ngram jaccard pairs find exact and near duplicates with correct scores") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
