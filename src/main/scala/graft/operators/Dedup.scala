@@ -195,16 +195,31 @@ object Dedup extends Logging {
       .drop("__h0", "__h1")
   }
 
-  /** Exact dedup returning the surviving rows themselves (row_number window
-    * partitioned by the content hash of `keyCols`, deterministic tie-break;
-    * same 16-byte shuffle-key rationale as [[exact]]). */
+  /** Exact dedup returning the surviving rows themselves (min-`keepBy` row
+    * per distinct content hash of `keyCols`; same 16-byte shuffle-key
+    * rationale as [[exact]]).
+    *
+    * Skew shape: the survivor choice is an AGGREGATION (min keepBy per
+    * hash, map-side combinable) plus an equi-join back against the rows —
+    * NOT a row_number window over raw content hashes, which would funnel a
+    * million-copy duplicate group through one reducer AQE cannot split
+    * (same rationale as [[removeDuplicateSpans]]). The residual window
+    * below it orders only min-keepBy TIES — one row per group when
+    * `keepBy` is unique (the operator's contract for reproducibility), so
+    * it never concentrates load; with tied keepBy it picks one survivor
+    * arbitrarily-but-stably, exactly as the old full window did. */
   def exactRows(df: DataFrame, keyCols: Seq[Column], keepBy: Column): DataFrame = {
-    val w = Window.partitionBy(col("__h0"), col("__h1")).orderBy(keepBy.asc)
-    df.withColumn("__h0", contentHash(keyCols, 0))
+    val withH = df
+      .withColumn("__h0", contentHash(keyCols, 0))
       .withColumn("__h1", contentHash(keyCols, 1))
+    val firsts = withH.groupBy(col("__h0"), col("__h1"))
+      .agg(min(keepBy).as("__mk"))
+    val w = Window.partitionBy(col("__h0"), col("__h1")).orderBy(keepBy.asc)
+    withH.join(firsts, Seq("__h0", "__h1"))
+      .filter(keepBy === col("__mk"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__h0", "__h1", "__rn")
+      .drop("__h0", "__h1", "__mk", "__rn")
   }
 
   /**
@@ -222,9 +237,13 @@ object Dedup extends Logging {
    *
    * Scale shape: the global first-occurrence choice shuffles only
    * (hash₀, hash₁, id, pos) — two 64-bit content hashes (same
-   * double-hash collision guard as [[exactRows]]), never paragraph text.
-   * Kept positions are aggregated to one per-document array (never the
-   * driver), and the only full-text movement is the single equi-join of the
+   * double-hash collision guard as [[exactRows]]), never paragraph text —
+   * and is an AGGREGATION (`min(struct(id, pos))` per paragraph hash,
+   * map-side combinable), not a window: one boilerplate paragraph repeated
+   * across millions of documents must not funnel through a single reducer
+   * AQE cannot split (same rationale as [[removeDuplicateSpans]]). Kept
+   * positions are aggregated to one per-document array (never the driver),
+   * and the only full-text movement is the single equi-join of the
    * original documents against that narrow kept-set table; reassembly is a
    * per-row array filter after the join.
    *
@@ -234,16 +253,14 @@ object Dedup extends Logging {
       paragraphs: Column = null, joinWith: String = "\n"): DataFrame = {
     val paras = Option(paragraphs).getOrElse(split(col(textCol), "\n"))
     val ex = docs.select(col(idCol).as("__id"), posexplode(paras).as(Seq("__pos", "__p")))
-    val w = Window.partitionBy(col("__h0"), col("__h1"))
-      .orderBy(col("__id").asc, col("__pos").asc)
     val kept = ex
       .select(col("__id"), col("__pos"),
         contentHash(Seq(col("__p")), 0).as("__h0"),
         contentHash(Seq(col("__p")), 1).as("__h1"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(col("__pos"))).as("__keep"),
+      .groupBy(col("__h0"), col("__h1"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__f"))
+      .groupBy(col("__f.__id").as("__id"))
+      .agg(sort_array(collect_list(col("__f.__pos"))).as("__keep"),
         count(lit(1)).cast("int").as("n_kept"))
     docs.join(kept, col(idCol) === kept("__id"))
       .withColumn("__paras", paras)

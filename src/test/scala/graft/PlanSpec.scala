@@ -189,6 +189,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("paragraph dedup plans NO window over paragraph hashes") {
+    // same un-splittable-skew rationale as the scrub: the first-occurrence
+    // choice must be min(struct(id,pos)) aggregation, not row_number
+    val q = SparkEntry.queries("q_dedup_paragraphs")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("Window"), "paragraph dedup must not use a window:\n" + p)
+  }
+
+  test("exact-rows dedup pre-shrinks with a min-keepBy agg+join before its tie window") {
+    val q = SparkEntry.queries("q_dedup_exact_rows")(spark, dir)
+    val p = plan(q)
+    // the survivor choice is agg + join; the residual window only orders
+    // min-keepBy ties (1 row per group for unique keepBy)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
   test("duplicate-span plan shuffles 8-byte span hashes, never span text") {
     val q = SparkEntry.queries("q_corpus_dup_spans")(spark, dir)
     val exchanges = plan(q).linesIterator
