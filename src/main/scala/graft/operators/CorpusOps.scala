@@ -882,16 +882,17 @@ object CorpusOps {
    * would scan once but gathers every occurrence of a hot stopword into
    * one window partition (no combiner) — a skew cliff, not an option.
    *
-   * `broadcastDf`: the df table is vocab-sized — broadcastable for
-   * anything up to ~10M terms; at web-corpus vocabularies pass false and
-   * the join runs as a shuffle join where AQE's skew handling splits the
-   * hot-term partitions.
+   * `broadcastDf`: the df table is vocab-sized — a 100 TB web corpus has a
+   * 10⁸+-term vocabulary, so the DEFAULT (false) leaves the join to
+   * size-based planning (Spark broadcasts small vocabularies on its own;
+   * big ones shuffle-join with AQE splitting hot-term partitions). Pass
+   * true only when the vocabulary is known broadcast-sized.
    *
    * Returns (doc_id, term, tf, df, score), score rounded to 4 digits, `k`
    * rows per document ordered by score desc with a term-asc tiebreak.
    */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3,
-      broadcastDf: Boolean = true): DataFrame = {
+      broadcastDf: Boolean = false): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -924,15 +925,19 @@ object CorpusOps {
    * Determinism: each token's NLL is rounded then summed as DECIMAL(18,6),
    * so the per-document sum is exact and independent of row order — a
    * float sum would hash differently run to run as shuffle arrival order
-   * changes. Scale shape: vocab-sized LM broadcast onto the token stream,
-   * one hash agg by doc_id; two scalar subqueries (T, V) broadcast as
-   * 1-row literals.
+   * changes. Scale shape: the LM is vocab-sized, so its join onto the
+   * token stream DEFAULTS to planner-chosen (`broadcastLm = false`): Spark
+   * broadcasts small vocabularies on its own, and a 10⁸+-term web
+   * vocabulary shuffle-joins with AQE splitting hot-term partitions —
+   * force the hint (or bound the LM with `vocabCap`) only when the
+   * vocabulary is known broadcast-sized. The two scalars (T, V) broadcast
+   * as 1-row literals.
    *
    * Returns (doc_id, n_tokens, avg_nll rounded to 4).
    */
   def lmQualityScore(
       docs: DataFrame, idCol: String, textCol: String,
-      vocabCap: Int = Int.MaxValue, broadcastLm: Boolean = true): DataFrame = {
+      vocabCap: Int = Int.MaxValue, broadcastLm: Boolean = false): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("term"))
     val counts = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
@@ -943,9 +948,8 @@ object CorpusOps {
       (col("total") + col("vocab")).cast("double")
     val nll = TextFunctions.stableRound(-log(p), 6)
       .cast(org.apache.spark.sql.types.DecimalType(18, 6))
-    // the LM is vocab-sized: broadcast by default; at web-corpus
-    // vocabularies pass broadcastLm=false (shuffle join + AQE skew split),
-    // or bound it with vocabCap — the OOV fallback keeps scoring proper
+    // the LM is vocab-sized: leave the join to size-based planning unless
+    // the caller opts into the hint — the OOV fallback keeps scoring proper
     tokens.join(if (broadcastLm) broadcast(lm) else lm, Seq("term"), "left")
       .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
       .select(col("doc_id"), nll.as("nll"))

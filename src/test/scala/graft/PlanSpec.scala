@@ -238,10 +238,15 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val docs = Tables.documents(spark, dir)
-      val q = operators.CorpusOps.bigramLmScore(docs, "doc_id", "text")
-      val p = plan(q)
-      assert(!p.contains("BroadcastHashJoin"),
-        "unigram/bigram tables must not carry a broadcast hint:\n" + p)
+      Seq(
+        operators.CorpusOps.bigramLmScore(docs, "doc_id", "text"),
+        operators.CorpusOps.lmQualityScore(docs, "doc_id", "text"),
+        operators.CorpusOps.tfIdfTopTerms(docs, "doc_id", "text")
+      ).foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastHashJoin"),
+          "vocabulary tables must not carry a broadcast hint:\n" + p)
+      }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -181,8 +181,9 @@ class CorpusOpsSpec extends AnyFunSuite {
     val two = CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
       .filter($"doc_id" === 0L).as[(Long, String, Long, Long, Double)].collect()
     assert(two.map(_._2).toSet == Set("rare", "common"))
-    // the non-broadcast join path (web-scale vocab) answers identically
-    assert(CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", k = 1, broadcastDf = false)
+    // the forced-broadcast path (known-small vocab) answers identically to
+    // the planner-chosen default
+    assert(CorpusOps.tfIdfTopTerms(docs, "doc_id", "text", k = 1, broadcastDf = true)
       .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1).toSeq == got.toSeq)
   }
 
@@ -198,10 +199,11 @@ class CorpusOpsSpec extends AnyFunSuite {
     val pB = nll(1, 4, 2) // -ln(2/6)
     assert(got(0) == ((0L, 3L, BigDecimal(pA * 3 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(got(1) == ((1L, 1L, BigDecimal(pB).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
-    // the non-broadcast join path (web-scale vocab) answers identically
-    val noBc = CorpusOps.lmQualityScore(docs, "doc_id", "text", broadcastLm = false)
+    // the forced-broadcast path (known-small vocab) answers identically to
+    // the planner-chosen default
+    val bc = CorpusOps.lmQualityScore(docs, "doc_id", "text", broadcastLm = true)
       .as[(Long, Long, Double)].collect().sortBy(_._1)
-    assert(noBc.toSeq == got.toSeq)
+    assert(bc.toSeq == got.toSeq)
     // cap the vocab to 1 term: b falls out and scores as OOV 1/(T+V)
     val capped = CorpusOps.lmQualityScore(docs, "doc_id", "text", vocabCap = 1)
       .as[(Long, Long, Double)].collect().sortBy(_._1)
