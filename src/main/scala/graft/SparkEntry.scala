@@ -53,10 +53,16 @@ object SparkEntry {
           ngramPairsMemo.put(k, fresh)
           fresh
         }
-      entry._2.getOrElseUpdate(dir,
+      val df = entry._2.getOrElseUpdate(dir,
         Dedup.lazyShare(
           Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
             k = 3, threshold = 0.5)))
+      // a clearCache() (e.g. Bench between sweep passes) drops the persist
+      // registration of the long-lived memo DataFrame — re-register so the
+      // two gates sharing it (ngram pairs, clusters) stay shared per pass
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
     }
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
