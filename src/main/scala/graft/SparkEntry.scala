@@ -1388,6 +1388,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_lm_capped" -> ((s, dir) => {
+      // the 100 TB form of the unigram LM: vocabulary bounded to the top-64
+      // terms by (count desc, term asc) via the threshold-histogram
+      // selection (no global sort-limit); out-of-vocabulary tokens score
+      // the add-one unseen probability 1/(T+V)
+      operators.CorpusOps.lmQualityScore(Tables.documents(s, dir), "doc_id", "text",
+          vocabCap = 64)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_shuffle" -> ((s, dir) => {
       // deterministic training-order shuffle; gate checks the order head
       operators.Sampling.deterministicShuffle(Tables.documents(s, dir), col("doc_id"), "epoch0")
@@ -1916,6 +1926,25 @@ object SparkEntry {
           |     / 1000000.0)::DECIMAL(18,6))::DOUBLE / count(*)) * 10000.0)
           |   / 10000.0) AS avg_nll
           |FROM tok JOIN cnt USING (term), tot, voc
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the oracle picks the capped vocabulary with a plain rank (DuckDB is
+      // single-node; the Spark side's histogram-threshold selection exists
+      // precisely to avoid this global sort-limit) — same (count desc,
+      // term asc) order, so the selected term sets are identical
+      "q_text_lm_capped" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          | cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+          | lm AS (SELECT term, c FROM (
+          |   SELECT term, c, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
+          |   FROM cnt) WHERE rn <= 64),
+          | tot AS (SELECT count(*) AS t FROM tok),
+          | voc AS (SELECT count(*) AS v FROM lm)
+          |SELECT doc_id, count(*) AS n_tokens,
+          | (round((sum((round(-ln((coalesce(c, 0) + 1)::DOUBLE / (t + v)::DOUBLE) * 1000000.0)
+          |     / 1000000.0)::DECIMAL(18,6))::DOUBLE / count(*)) * 10000.0)
+          |   / 10000.0) AS avg_nll
+          |FROM tok LEFT JOIN lm USING (term), tot, voc
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_text_lm_bigram" -> operators.CorpusOps.sqlBigramLmScore(),
