@@ -1088,6 +1088,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_lm_bigram_capped" -> ((s, dir) => {
+      // the 100 TB form: unigram vocabulary bounded to the top-64 terms
+      // (threshold-histogram selection); OOV tokens take the add-one unseen
+      // bound and unseen prev counts interpolate to the unigram term alone
+      operators.CorpusOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text",
+          vocabCap = 64)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       // per-row scores are rounded then summed as DECIMAL: the float avg's
       // partial-aggregation order varies run to run, and stableRound only
@@ -1948,6 +1957,9 @@ object SparkEntry {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q_text_lm_bigram" -> operators.CorpusOps.sqlBigramLmScore(),
+
+      "q_text_lm_bigram_capped" ->
+        operators.CorpusOps.sqlBigramLmScore(vocabCap = 64),
 
       "q_corpus_shuffle" ->
         """SELECT doc_id, md5('epoch0-' || doc_id) AS shuffle_key

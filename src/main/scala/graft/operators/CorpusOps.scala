@@ -1043,11 +1043,22 @@ object CorpusOps {
           .as("avg_nll"))
   }
 
-  /** DuckDB twin of [[bigramLmScore]] over `documents`. */
-  def sqlBigramLmScore(lambda: Double = 0.7): String = {
-    val puni = "(cnt1 + 1)::DOUBLE / (t + v)::DOUBLE"
+  /** DuckDB twin of [[bigramLmScore]] over `documents`. With a finite
+    * `vocabCap` the oracle selects the same top-cap vocabulary with a plain
+    * rank (count desc, term asc — single-node DuckDB can afford the global
+    * sort the Spark side's threshold-histogram selection avoids), scores
+    * out-of-vocabulary tokens at the add-one unseen bound, and interpolates
+    * unseen `prev` counts to the unigram term alone — mirroring the capped
+    * Spark path exactly. */
+  def sqlBigramLmScore(lambda: Double = 0.7, vocabCap: Int = Int.MaxValue): String = {
+    val puni = "(coalesce(cnt1, 0) + 1)::DOUBLE / (t + v)::DOUBLE"
     val pbi = "coalesce(cnt2 * 1.0 / pcnt, 0.0)"
     val p = s"CASE WHEN pos = 0 THEN $puni ELSE $lambda * $pbi + ${1.0 - lambda} * $puni END"
+    val lm =
+      if (vocabCap == Int.MaxValue) "SELECT term, cnt1 FROM uniFull"
+      else s"""SELECT term, cnt1 FROM (
+              |   SELECT term, cnt1, row_number() OVER (ORDER BY cnt1 DESC, term ASC) AS rn
+              |   FROM uniFull) WHERE rn <= $vocabCap""".stripMargin
     s"""WITH tok AS (
        |  SELECT doc_id, pos, w[pos + 1] AS term,
        |    CASE WHEN pos > 0 THEN w[pos] || ' ' || w[pos + 1] END AS big,
@@ -1055,15 +1066,16 @@ object CorpusOps {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
        |          unnest(range(len(string_split(text, ' ')))) AS pos
        |        FROM documents)),
-       |uni AS (SELECT term, count(*) AS cnt1 FROM tok GROUP BY 1),
+       |uniFull AS (SELECT term, count(*) AS cnt1 FROM tok GROUP BY 1),
+       |uni AS ($lm),
        |bi AS (SELECT big, count(*) AS cnt2 FROM tok WHERE big IS NOT NULL GROUP BY 1),
-       |tot AS (SELECT count(*) AS t FROM tok),
+       |tot AS (SELECT sum(cnt1)::BIGINT AS t FROM uniFull),
        |voc AS (SELECT count(*) AS v FROM uni)
        |SELECT doc_id, count(*) AS n_tokens,
        | (round((sum((round(-ln($p) * 1000000.0) / 1000000.0)::DECIMAL(18,6))::DOUBLE
        |     / count(*)) * 10000.0) / 10000.0) AS avg_nll
        |FROM tok
-       |JOIN uni USING (term)
+       |LEFT JOIN uni USING (term)
        |LEFT JOIN (SELECT term AS prev, cnt1 AS pcnt FROM uni) pu USING (prev)
        |LEFT JOIN bi USING (big), tot, voc
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
