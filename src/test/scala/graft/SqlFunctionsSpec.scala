@@ -95,31 +95,40 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val plan = spark.sql(
-        "EXPLAIN EXTENDED SELECT * FROM graft_decontaminate('exdocs', 'exbench', 'doc_id', 'text')")
-        .collect().map(_.getString(0)).mkString("\n")
+      // attribute by job group: suites share this SparkContext and may run
+      // concurrently, so only jobs tagged with OUR group count as strays
+      // (session-thread jobs and AQE/subquery futures both inherit it via
+      // thread-local capture)
+      spark.sparkContext.setJobGroup("GRAFT_EXPLAIN_TEST", "explain-must-be-job-free", false)
+      val plan =
+        try {
+          val p = spark.sql(
+            "EXPLAIN EXTENDED SELECT * FROM graft_decontaminate('exdocs', 'exbench', 'doc_id', 'text')")
+            .collect().map(_.getString(0)).mkString("\n")
+          // every TVF whose operator shares intermediates must also explain
+          // job-free (their checkpoints are lazy persists, not AQE-eager ones)
+          Seq(
+            "EXPLAIN SELECT * FROM graft_contamination('exdocs', 'exbench', 'doc_id', 'text')",
+            "EXPLAIN SELECT * FROM graft_lm_bigram('exdocs', 'doc_id', 'text', 0.7)",
+            "EXPLAIN SELECT * FROM graft_lm_score('exdocs', 'doc_id', 'text')",
+            "EXPLAIN SELECT * FROM graft_dup_spans('exdocs', 'doc_id', 'text')"
+          ).foreach(q => spark.sql(q).collect())
+          p
+        } finally spark.sparkContext.clearJobGroup()
       assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
         "expected the lazy bloom subquery in the plan:\n" + plan)
-      // every TVF whose operator shares intermediates must also explain
-      // job-free (their checkpoints are lazy persists, not AQE-eager ones)
-      Seq(
-        "EXPLAIN SELECT * FROM graft_contamination('exdocs', 'exbench', 'doc_id', 'text')",
-        "EXPLAIN SELECT * FROM graft_lm_bigram('exdocs', 'doc_id', 'text', 0.7)",
-        "EXPLAIN SELECT * FROM graft_lm_score('exdocs', 'doc_id', 'text')",
-        "EXPLAIN SELECT * FROM graft_dup_spans('exdocs', 'doc_id', 'text')"
-      ).foreach(q => spark.sql(q).collect())
       // flush the async listener bus with one sentinel action: every event
       // posted before it is delivered before its start event
       spark.sparkContext.setJobGroup("SENTINEL", "SENTINEL", false)
       try spark.range(1).groupBy().count().collect()
       finally spark.sparkContext.clearJobGroup()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (jobs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-      Thread.sleep(500) // drain any trailing sentinel stage jobs
+      while (!jobs.toArray(Array.empty[(Int, String)]).exists(_._2 == "SENTINEL") &&
+        System.nanoTime() < deadline) Thread.sleep(50)
       val strays = jobs.toArray(Array.empty[(Int, String)])
-        .filterNot { case (_, g) => g == "SENTINEL" }
+        .filter { case (_, g) => g == "GRAFT_EXPLAIN_TEST" }
       assert(strays.isEmpty,
-        s"EXPLAIN must not start Spark jobs; stray jobs (id, execId): ${strays.mkString(", ")}")
+        s"EXPLAIN must not start Spark jobs; stray jobs (id, group): ${strays.mkString(", ")}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
