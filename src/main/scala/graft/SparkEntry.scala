@@ -553,6 +553,32 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "q_stream_session_window" -> ((s, dir) => {
+      // NATIVE session windows in a stream (stock session_window + state
+      // store) — the streaming face of q_events_session_window without
+      // hand-rolled flatMapGroupsWithState; complete mode emits the full
+      // final state, so the result equals the batch session windows exactly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(mid(dir)).schema
+      val out = "ssw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+        val q = Tables.normalizeTs(src)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("memory").queryName(out).outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(out)
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "q_numeric_profile" -> ((s, dir) => {
       operators.Sketches.numericProfileExact(
           Tables.events(s, dir), Seq(col("event_type")), col("value"))
@@ -1812,6 +1838,22 @@ object SparkEntry {
           |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
           |       FROM events))
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // identical session semantics to q_events_session_window: complete-
+      // mode streaming session windows equal the batch result
+      "q_stream_session_window" ->
+        """WITH s AS (
+          |  SELECT user_id, ts,
+          |   CASE WHEN lag(ts) OVER w IS NULL
+          |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+          |   THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), g AS (
+          |  SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          |  FROM s)
+          |SELECT user_id, min(ts) AS session_start,
+          | max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
+          |FROM g GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
 
       "q_events_session_window" ->
         """WITH s AS (
