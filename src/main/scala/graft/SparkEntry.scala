@@ -447,6 +447,18 @@ object SparkEntry {
         .orderBy(col("bench_id"))
     }),
 
+    "q_corpus_coverage" -> ((s, dir) => {
+      // token-level contamination coverage (GPT-3/PaLM appendix metric):
+      // per corpus doc, the fraction of word positions covered by a k-gram
+      // that also occurs anywhere in the benchmark
+      val docs = Tables.documents(s, dir)
+      operators.CorpusOps.contaminationCoverage(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_decontaminate_neardup" -> ((s, dir) => {
       // paraphrase-shaped leakage: ids ≡0 (mod 17) re-enter as benchmark
       // docs with their first word dropped (identically in the oracle) —
@@ -1704,6 +1716,28 @@ object SparkEntry {
            |SELECT bench_id, count(*) AS n_corpus_docs, max(shared) AS top_shared,
            | CAST(sum(shared) AS BIGINT) AS total_shared
            |FROM j WHERE shared >= 2 GROUP BY 1 ORDER BY bench_id""".stripMargin,
+
+      // engines may hash spans differently (double-xxhash64 vs md5) —
+      // agreement is up to a collision, as in the dedup-family oracles
+      "q_corpus_coverage" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+          |        len(string_split(text, ' ')) AS n
+          |      FROM documents WHERE source != 'src0'),
+          |b AS (SELECT DISTINCT md5(array_to_string(list_slice(w, pos + 1, pos + 3), ' ')) AS h
+          |      FROM (SELECT string_split(text, ' ') AS w,
+          |              unnest(range(greatest(len(string_split(text, ' ')) - 2, 0))) AS pos
+          |            FROM documents WHERE source = 'src0')),
+          |o AS (SELECT doc_id, pos,
+          |        md5(array_to_string(list_slice(w, pos + 1, pos + 3), ' ')) AS h
+          |      FROM (SELECT doc_id, w, unnest(range(greatest(n - 2, 0))) AS pos FROM d)),
+          |cov AS (SELECT DISTINCT doc_id, pos + u AS cp FROM o JOIN b USING (h)
+          |        CROSS JOIN (SELECT unnest(range(3)) AS u) t),
+          |c AS (SELECT doc_id, count(*) AS ncov FROM cov GROUP BY 1)
+          |SELECT d.doc_id, d.n::INT AS n_words, coalesce(c.ncov, 0)::INT AS n_covered,
+          |  CASE WHEN d.n = 0 THEN 0.0 ELSE
+          |    (round((coalesce(c.ncov, 0)::DOUBLE / d.n) * 10000.0) / 10000.0)
+          |  END AS coverage
+          |FROM d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
       "q_corpus_decontaminate_neardup" ->
         operators.CorpusOps.sqlDecontaminateNearDup(),

@@ -241,6 +241,56 @@ object CorpusOps {
   }
 
   /**
+   * Token-level contamination COVERAGE — the GPT-3/PaLM-appendix report
+   * metric, one level finer than [[decontaminate]]'s match counts: for
+   * every corpus document, the fraction of its word positions covered by
+   * at least one word `k`-gram that also occurs anywhere in the benchmark.
+   * A doc with `coverage` near 1.0 is a near-verbatim leak even when no
+   * single benchmark ITEM matches strongly; `decontaminate` answers "does
+   * it match some item", this answers "how much of it is benchmark text".
+   *
+   * Scale shape: corpus spans shuffle as (hash0, hash1, doc_id, pos) —
+   * never span text (same double-xxhash64 collision guard as the dedup
+   * family); the benchmark side is its DISTINCT shingle-hash set, one row
+   * per shingle, so the equi-join has multiplicity ≤ 1 per corpus span (no
+   * quadratic blowup — no hot-key cap needed, unlike pair generation);
+   * covered positions aggregate per document and the final join back to
+   * the corpus moves only (doc_id, n_covered). Size-based planning
+   * broadcasts benchmark-sized shingle sets on its own.
+   *
+   * Output: (doc_id, n_words, n_covered, coverage rounded to 4).
+   */
+  def contaminationCoverage(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def h(c: Column, word: Int): Column =
+      if (word == 0) xxhash64(c) else xxhash64(lit(word.toLong), c)
+    val occ = corpus.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.wordShingles(col(textCol), k)).as(Seq("__pos", "__s")))
+      .select(col("doc_id"), col("__pos"), h(col("__s"), 0).as("__h0"), h(col("__s"), 1).as("__h1"))
+    val benchSet = bench.select(
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), k))).as("__s"))
+      .select(h(col("__s"), 0).as("__h0"), h(col("__s"), 1).as("__h1"))
+      .distinct()
+    val covered = occ.join(benchSet, Seq("__h0", "__h1"))
+      .select(col("doc_id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__cp"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("__cp")).cast("int").as("__ncov"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        size(TextFunctions.words(col(textCol))).as("n_words"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("__ncov"), lit(0)).as("n_covered"),
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          TextFunctions.stableRound(
+            coalesce(col("__ncov"), lit(0)).cast("double") / col("n_words").cast("double"), 4))
+          .as("coverage"))
+  }
+
+  /**
    * Streaming benchmark decontamination: every micro-batch of arriving
    * documents is checked against the STATIC benchmark index (stream-static
    * join, the q_stream_enrich shape). A document's contamination depends

@@ -329,6 +329,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.bloomWorthwhile(docs, docs.limit(2)))
   }
 
+  test("contaminationCoverage: exact covered-position fractions") {
+    // bench holds "a b c" and "x y z"; k=3 spans cover their positions
+    val corpus = Seq(
+      (0L, "a b c d e"),        // span "a b c" at pos 0 -> positions 0..2 covered
+      (1L, "p q r s"),          // nothing shared
+      (2L, "a b c x y z"),      // "a b c"@0 and "x y z"@3 -> all 6 covered
+      (3L, "q a b c a b c r"),  // spans @1 and @4 -> positions 1..6 covered
+      (4L, "a b")               // shorter than k: no spans
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c"), (101L, "x y z w")).toDF("doc_id", "text")
+    val got = CorpusOps.contaminationCoverage(corpus, bench, "doc_id", "text", k = 3)
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 5, 3, 0.6),
+      (1L, 4, 0, 0.0),
+      (2L, 6, 6, 1.0),
+      (3L, 8, 6, 0.75),
+      (4L, 2, 0, 0.0)))
+  }
+
   test("lazy bloom subquery: same results as prebuilt bytes and as no pruning") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
     val corpus = docs.filter($"source" =!= "src0")
