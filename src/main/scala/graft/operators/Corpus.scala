@@ -62,15 +62,25 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = Dedup.dedupByNearDup(df, idCol, textCol, ngram, threshold))
 
   /** Drop documents sharing at least `minShared` `k`-gram shingles with any
-    * benchmark document.
-    *
-    * Exception to the facade's one-lazy-plan contract: when the corpus
-    * dwarfs the benchmark by plan stats (≥16×), constructing this stage runs
-    * the bloom pre-filter build EAGERLY — Spark jobs at plan-construction
-    * time, even if the pipeline is only EXPLAINed (same warning on
-    * [[CorpusOps.decontaminate]] and the `graft_decontaminate` TVF). */
+    * benchmark document. Fully lazy — the bloom pre-filter (gated on the
+    * corpus:bench plan-size ratio) is a Catalyst scalar subquery that
+    * executes with the query, so even this stage keeps the facade's
+    * one-lazy-plan contract ([[CorpusOps.decontaminate]]). */
   def decontaminate(bench: DataFrame, k: Int = 3, minShared: Int = 2): Corpus = {
     val flagged = CorpusOps.decontaminate(df, bench, idCol, textCol, k, minShared)
+      .select(col("doc_id").as(idCol))
+    copy(df = df.join(flagged, Seq(idCol), "left_anti"))
+  }
+
+  /** Drop documents whose token-level benchmark coverage
+    * ([[CorpusOps.contaminationCoverage]] — fraction of word positions
+    * covered by any benchmark-shared `k`-gram) exceeds `maxCoverage`: the
+    * GPT-3/PaLM-style cut for near-verbatim leaks that no single benchmark
+    * item flags strongly. */
+  def dropContaminatedSpans(bench: DataFrame, maxCoverage: Double = 0.2,
+      k: Int = 3): Corpus = {
+    val flagged = CorpusOps.contaminationCoverage(df, bench, idCol, textCol, k)
+      .filter(col("coverage") > maxCoverage)
       .select(col("doc_id").as(idCol))
     copy(df = df.join(flagged, Seq(idCol), "left_anti"))
   }

@@ -449,6 +449,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Corpus.dropContaminatedSpans keeps exactly the low-coverage docs") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val thr = 0.3
+    val flagged = CorpusOps.contaminationCoverage(corpus, bench, "doc_id", "text")
+      .filter($"coverage" > thr).select($"doc_id").as[Long].collect().toSet
+    val kept = Corpus(corpus).dropContaminatedSpans(bench, maxCoverage = thr).df
+      .select($"doc_id").as[Long].collect().toSet
+    val all = corpus.select($"doc_id").as[Long].collect().toSet
+    assert(kept == all -- flagged)
+    assert(flagged.nonEmpty, "expected some high-coverage docs in the fixture")
+  }
+
   test("Corpus facade composes to exactly the gated pipeline plan's rows") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
     val corpus = docs.filter($"source" =!= "src0")
