@@ -240,6 +240,17 @@ object GraftExtensions {
             intArg(args, 4, 3, "graft_contamination"),
             intArg(args, 5, 2, "graft_contamination")))
       },
+      tvf("graft_coverage",
+        "graft_coverage(corpusTable, benchTable, idCol, textCol[, k]) - " +
+          "per-document token-level benchmark coverage: fraction of word " +
+          "positions covered by any k-gram shared with the benchmark") {
+        args => arity(args, "graft_coverage", 4, 5)
+          logical(operators.CorpusOps.contaminationCoverage(
+            activeTable(strArg(args, 0, "graft_coverage")),
+            activeTable(strArg(args, 1, "graft_coverage")),
+            strArg(args, 2, "graft_coverage"), strArg(args, 3, "graft_coverage"),
+            intArg(args, 4, 3, "graft_coverage")))
+      },
       tvf("graft_dup_spans",
         "graft_dup_spans(table, idCol, textCol[, k[, minDf]]) - per-document " +
           "cross-doc duplicate-span profile (shared-boilerplate fraction)") {

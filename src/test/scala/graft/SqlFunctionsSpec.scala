@@ -207,6 +207,12 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.decontaminate(corpus, bench, "doc_id", "text")
         .orderBy(col("doc_id")).collect().toSeq)
 
+    val cov = spark.sql(
+      "SELECT * FROM graft_coverage('tvfcorpus', 'tvfbench', 'doc_id', 'text') ORDER BY doc_id")
+    assert(cov.collect().toSeq ==
+      operators.CorpusOps.contaminationCoverage(corpus, bench, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
     val gop = spark.sql(
       "SELECT * FROM graft_gopher('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
     assert(gop.collect().toSeq ==
