@@ -60,7 +60,10 @@ object Bench {
     // warmup: absorb session/codegen startup + seed the event-log cache
     Tables.lineitem(spark, sfDir).count()
     val seeded = GraftEventLog.readParquetLog(spark, s"$sfDir/events.parquet", 4)
-    val totalEvents = seeded.count()
+    val totalEvents = seeded.count() // metadata-only (aggregate pushdown)
+    // the bare count above no longer decodes rows — force one real scan so
+    // the parquet cursor / page cache is warm before the timed passthrough
+    seeded.agg(sum(length(col("body")))).collect()
 
     val partitions = 4
     val trigger = partitions * 1000

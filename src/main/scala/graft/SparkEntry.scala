@@ -625,6 +625,26 @@ object SparkEntry {
         .orderBy(col("partition"))
     }),
 
+    "q_source_count" -> ((s, dir) => {
+      // metadata aggregate pushdown (ref S5's count-without-scan surfaced to
+      // SQL): COUNT/MIN/MAX over sequenceNumber are answered from the
+      // translated offset ranges with zero events decoded — the plan carries
+      // a `metadata-agg` scan (pinned in ConnectorBatchSpec/PlanSpec)
+      GraftEventLog.readParquetLog(s, mid(dir), 4)
+        .agg(count(lit(1)).as("n"), min(col("sequenceNumber")).as("min_seq"),
+          max(col("sequenceNumber")).as("max_seq"))
+    }),
+
+    "q_source_count_groups" -> ((s, dir) => {
+      // grouped form: per-partition counts/bounds are the same offset
+      // arithmetic, one metadata row per log partition
+      GraftEventLog.readParquetLog(s, mid(dir), 4)
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"), min(col("sequenceNumber")).as("min_seq"),
+          max(col("sequenceNumber")).as("max_seq"))
+        .orderBy(col("partition"))
+    }),
+
     "q_source_time_seek" -> ((s, dir) => {
       GraftEventLog.readParquetLog(s, mid(dir), 4,
           Map("startingPosition" -> """{"enqueuedTime":"2024-01-15T00:00:00Z"}"""))
@@ -2062,6 +2082,15 @@ object SparkEntry {
            | min(rk) AS min_seq, max(rk) AS max_seq
            |FROM ($srcRank) WHERE rk >= 100 AND rk < 200
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_source_count" ->
+        s"""SELECT count(*) AS n, min(rk) AS min_seq, max(rk) AS max_seq
+           |FROM ($srcRank)""".stripMargin,
+
+      "q_source_count_groups" ->
+        s"""SELECT CAST(pid AS VARCHAR) AS "partition", count(*) AS n,
+           | min(rk) AS min_seq, max(rk) AS max_seq
+           |FROM ($srcRank) GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_source_time_seek" ->
         """SELECT CAST(event_id % 4 AS VARCHAR) AS "partition", count(*) AS n

@@ -131,11 +131,14 @@ class EventLogTable(val conf: EventLogConf) extends Table
 class EventLogScanBuilder(conf: EventLogConf) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var prunedSchema: StructType = EventLogTable.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var sawFilters = false
+  private var pushedAgg: Option[(Boolean, Seq[Int])] = None // (groupByPartition, AggKind ordinals)
 
   // range narrowing extracted from pushed predicates (applied per partition)
   private var minSeqNo: Option[Long] = None     // inclusive
@@ -147,6 +150,7 @@ class EventLogScanBuilder(conf: EventLogConf) extends ScanBuilder
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     import org.apache.spark.sql.sources._
+    sawFilters = filters.nonEmpty
     def micros(v: Any): Option[Long] = v match {
       case t: java.sql.Timestamp => Some(t.getTime * 1000L + t.getNanos / 1000 % 1000)
       case i: java.time.Instant  => Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
@@ -189,8 +193,159 @@ class EventLogScanBuilder(conf: EventLogConf) extends ScanBuilder
   // Spark still applies the global limit above.
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan =
-    new EventLogScan(conf, prunedSchema, minSeqNo, maxSeqNoEx, minTimeUs, limit)
+  /**
+   * Metadata aggregate pushdown (the SQL face of ref S5's count-without-scan,
+   * EventHubsRDD.scala:59-89): `COUNT(*)`, `MIN(sequenceNumber)` and
+   * `MAX(sequenceNumber)` — optionally grouped by `partition` — are pure
+   * offset arithmetic on the translated [from, until) ranges, so the scan
+   * answers them from partition metadata without decoding a single event.
+   * Pushdown is PARTIAL (`supportCompletePushDown` stays false): the scan
+   * emits one pre-aggregated row per log partition and Spark's final
+   * aggregate folds them (count -> sum), which keeps the contract trivially
+   * correct under any future multi-range planning. Declined whenever any
+   * predicate is present — our pushed filters are range-narrowing HINTS
+   * re-evaluated as residuals, and residual evaluation needs real rows.
+   */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (sawFilters || limit.isDefined) return false
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression, name: String): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array(name))
+        case _ => false
+      }
+    val groupByPartition = agg.groupByExpressions.toSeq match {
+      case Seq() => false
+      case Seq(e) if isCol(e, "partition") => true
+      case _ => return false
+    }
+    val kinds = agg.aggregateExpressions.map {
+      case _: CountStar => EventLogAggScan.KindCount
+      case m: Min if isCol(m.column, "sequenceNumber") => EventLogAggScan.KindMinSeq
+      case m: Max if isCol(m.column, "sequenceNumber") => EventLogAggScan.KindMaxSeq
+      case _ => return false
+    }
+    pushedAgg = Some((groupByPartition, kinds.toSeq))
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((groupByPartition, kinds)) =>
+      new EventLogAggScan(conf, groupByPartition, kinds)
+    case None =>
+      new EventLogScan(conf, prunedSchema, minSeqNo, maxSeqNoEx, minTimeUs, limit)
+  }
+}
+
+object EventLogAggScan {
+  val KindCount = 0
+  val KindMinSeq = 1
+  val KindMaxSeq = 2
+}
+
+/**
+ * Metadata-only aggregate scan: per-partition (count, minSeq, maxSeq) rows
+ * derived from the same translated ranges a full scan would read — start/end
+ * position options (seqNo / enqueuedTime / byte-offset, global or
+ * per-partition) all apply — but with zero row decoding. Grouped form skips
+ * empty partitions (a row-level GROUP BY would produce no group for them);
+ * global form always emits its one combined row so `COUNT(*)` of an empty
+ * log folds to 0, not null.
+ */
+class EventLogAggScan(conf: EventLogConf, groupByPartition: Boolean, kinds: Seq[Int])
+    extends Scan with Batch with SupportsReportStatistics {
+  import EventLogAggScan._
+
+  override def readSchema(): StructType = {
+    val aggFields = kinds.map {
+      case KindCount  => StructField("count(*)", LongType, nullable = false)
+      case KindMinSeq => StructField("min(sequenceNumber)", LongType)
+      case KindMaxSeq => StructField("max(sequenceNumber)", LongType)
+    }
+    StructType(
+      (if (groupByPartition) Seq(StructField("partition", StringType)) else Nil) ++ aggFields)
+  }
+
+  override def description(): String = {
+    val names = kinds.map {
+      case KindCount => "count(*)"; case KindMinSeq => "min(seq)"; case KindMaxSeq => "max(seq)"
+    }
+    s"graft-eventlog ${conf.name} [metadata-agg ${names.mkString(",")}" +
+      (if (groupByPartition) " group by partition" else "") + "]"
+  }
+
+  override def toBatch: Batch = this
+
+  /** (pid, count, minSeq, maxSeq) per non-degenerate group, driver-side. */
+  private def aggRows(): Array[(String, Long, Long, Long)] = {
+    val ranges =
+      new EventLogScan(conf, EventLogTable.schema, None, None, None, None).planRanges()
+    val perPartition = ranges.map { r =>
+      (r.partitionId.toString, r.count, r.fromSeqNo, r.untilSeqNo - 1)
+    }
+    if (groupByPartition) perPartition.filter(_._2 > 0)
+    else {
+      val n = perPartition.map(_._2).sum
+      val nonEmpty = perPartition.filter(_._2 > 0)
+      val minSeq = if (nonEmpty.isEmpty) -1L else nonEmpty.map(_._3).min
+      val maxSeq = if (nonEmpty.isEmpty) -1L else nonEmpty.map(_._4).max
+      Array(("", n, minSeq, maxSeq))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EventLogAggResultPartition(aggRows(), groupByPartition, kinds))
+
+  override def createReaderFactory(): PartitionReaderFactory = EventLogAggReaderFactory
+
+  override def estimateStatistics(): Statistics = {
+    val rows = aggRows().length.toLong
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(rows * 32L)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
+  }
+}
+
+/** The pre-aggregated result rows ride in the partition itself — a handful
+  * of longs per log partition, no executor-side log access at all. */
+final case class EventLogAggResultPartition(
+    rows: Array[(String, Long, Long, Long)],
+    groupByPartition: Boolean,
+    kinds: Seq[Int]) extends InputPartition
+
+object EventLogAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = partition.asInstanceOf[EventLogAggResultPartition]
+    new PartitionReader[InternalRow] {
+      private val iter = p.rows.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!iter.hasNext) return false
+        val (pid, count, minSeq, maxSeq) = iter.next()
+        val aggValues = p.kinds.map {
+          case EventLogAggScan.KindCount  => count: Any
+          case EventLogAggScan.KindMinSeq => if (count > 0) (minSeq: Any) else null
+          case EventLogAggScan.KindMaxSeq => if (count > 0) (maxSeq: Any) else null
+        }
+        val values =
+          (if (p.groupByPartition) Seq(UTF8String.fromString(pid): Any) else Nil) ++ aggValues
+        current = new GenericInternalRow(values.toArray)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class EventLogScan(

@@ -102,6 +102,75 @@ class ConnectorBatchSpec extends AnyFunSuite {
         $"props", $"ts".as("enqueuedTime"))
     assert(viaLog.except(expected).isEmpty && expected.except(viaLog).isEmpty)
   }
+
+  // ---- metadata aggregate pushdown (SQL face of ref S5 count-without-scan) ----
+
+  private def aggPlanOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("aggregate pushdown: global count/min/max answered from metadata") {
+    freshLog("agg1", partitions = 4, perPartition = 25)
+    val df = spark.read.format("graft-eventlog").option("name", "agg1").load()
+      .agg(count(lit(1)).as("n"), min($"sequenceNumber").as("mn"),
+        max($"sequenceNumber").as("mx"))
+    assert(aggPlanOf(df).contains("metadata-agg"), aggPlanOf(df))
+    assert(df.as[(Long, Long, Long)].head() == ((100L, 0L, 24L)))
+  }
+
+  test("aggregate pushdown: group by partition skips empty partitions") {
+    EventLogRegistry.drop("agg2")
+    val log = EventLogRegistry.create("agg2", 3)
+    for (i <- 0 until 7) log.append(0, Event(s"a$i".getBytes("UTF-8"), i * 1000L))
+    for (i <- 0 until 2) log.append(2, Event(s"c$i".getBytes("UTF-8"), i * 1000L))
+    val df = spark.read.format("graft-eventlog").option("name", "agg2").load()
+      .groupBy($"partition")
+      .agg(count(lit(1)).as("n"), min($"sequenceNumber").as("mn"),
+        max($"sequenceNumber").as("mx"))
+      .orderBy($"partition")
+    assert(aggPlanOf(df).contains("metadata-agg"), aggPlanOf(df))
+    // a row-level GROUP BY has no group for the empty partition 1
+    assert(df.as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("0", 7L, 0L, 6L), ("2", 2L, 0L, 1L)))
+  }
+
+  test("aggregate pushdown: starting positions narrow the metadata ranges") {
+    freshLog("agg3", partitions = 4, perPartition = 10)
+    val df = spark.read.format("graft-eventlog").option("name", "agg3")
+      .option("startingPosition", """{"seqNo":5}""").load()
+      .agg(count(lit(1)).as("n"), min($"sequenceNumber").as("mn"),
+        max($"sequenceNumber").as("mx"))
+    assert(aggPlanOf(df).contains("metadata-agg"), aggPlanOf(df))
+    assert(df.as[(Long, Long, Long)].head() == ((20L, 5L, 9L)))
+  }
+
+  test("aggregate pushdown: declined when any predicate is present") {
+    freshLog("agg4", partitions = 4, perPartition = 10)
+    val df = spark.read.format("graft-eventlog").option("name", "agg4").load()
+      .filter($"sequenceNumber" >= 5L)
+      .agg(count(lit(1)).as("n"))
+    // pushed filters are residual-reevaluated hints: aggregation over them
+    // must fall back to a real row scan
+    assert(!aggPlanOf(df).contains("metadata-agg"), aggPlanOf(df))
+    assert(df.as[Long].head() == 20L)
+  }
+
+  test("aggregate pushdown: declined for non-metadata aggregates") {
+    freshLog("agg5", partitions = 2, perPartition = 5)
+    val df = spark.read.format("graft-eventlog").option("name", "agg5").load()
+      .agg(sum($"sequenceNumber").as("s"))
+    assert(!aggPlanOf(df).contains("metadata-agg"), aggPlanOf(df))
+    assert(df.as[Long].head() == 2L * (0 + 1 + 2 + 3 + 4))
+  }
+
+  test("aggregate pushdown: empty log counts 0, min/max null") {
+    EventLogRegistry.drop("agg6")
+    EventLogRegistry.create("agg6", 2)
+    val df = spark.read.format("graft-eventlog").option("name", "agg6").load()
+      .agg(count(lit(1)).as("n"), min($"sequenceNumber").as("mn"))
+    assert(aggPlanOf(df).contains("metadata-agg"), aggPlanOf(df))
+    val row = df.collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
 }
 
 class ConnectorStreamSpec extends AnyFunSuite {
