@@ -200,6 +200,15 @@ object GraftExtensions {
             strArg(args, 1, "graft_lm_score"), strArg(args, 2, "graft_lm_score"),
             intArg(args, 3, Int.MaxValue, "graft_lm_score")))
       },
+      tvf("graft_ppl_buckets",
+        "graft_ppl_buckets(table, idCol, textCol[, nBuckets]) - CCNet-style equal-mass " +
+          "perplexity tiers (1 = most fluent); one lazy plan, thresholds as sub-aggregates") {
+        args => arity(args, "graft_ppl_buckets", 3, 4)
+          logical(operators.CorpusOps.perplexityBuckets(
+            activeTable(strArg(args, 0, "graft_ppl_buckets")),
+            strArg(args, 1, "graft_ppl_buckets"), strArg(args, 2, "graft_ppl_buckets"),
+            intArg(args, 3, 3, "graft_ppl_buckets")))
+      },
       tvf("graft_quality_filter",
         "graft_quality_filter(table, idCol, textCol) - reason-labeled corpus quality gate") {
         args => arity(args, "graft_quality_filter", 3, 3)

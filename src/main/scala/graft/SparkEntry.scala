@@ -1455,6 +1455,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_ppl_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: equal-mass perplexity tiers cut at exact
+      // integer-rank thresholds resolved from a bounded avg_nll histogram
+      // (no global sort, no float interpolation)
+      operators.CorpusOps.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_lm_capped" -> ((s, dir) => {
       // the 100 TB form of the unigram LM: vocabulary bounded to the top-64
       // terms by (count desc, term asc) via the threshold-histogram
@@ -2051,6 +2059,8 @@ object SparkEntry {
           |   / 10000.0) AS avg_nll
           |FROM tok LEFT JOIN lm USING (term), tot, voc
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_text_ppl_buckets" -> operators.CorpusOps.sqlPerplexityBuckets(),
 
       "q_text_lm_bigram" -> operators.CorpusOps.sqlBigramLmScore(),
 

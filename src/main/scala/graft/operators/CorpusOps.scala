@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -1129,6 +1130,89 @@ object CorpusOps {
        |LEFT JOIN (SELECT term AS prev, cnt1 AS pcnt FROM uni) pu USING (prev)
        |LEFT JOIN bi USING (big), tot, voc
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359 §4.3 —
+   * the head/middle/tail split): score every document with the corpus
+   * unigram LM ([[lmQualityScore]]) and cut the corpus into `nBuckets`
+   * equal-mass quality tiers by EXACT empirical rank thresholds.
+   *
+   * Threshold selection avoids both a global sort-limit and float
+   * interpolation (two engines interpolating `lo + d*(hi-lo)` vs
+   * `lo*(1-d) + hi*d` can disagree in the last ulp): the k-th boundary is
+   * the avg_nll VALUE at integer rank ceil(k*n/nBuckets) ascending — an
+   * actual data value picked by integer arithmetic. It is resolved from a
+   * BOUNDED histogram: avg_nll is stableRound(4)ed and lives in
+   * [0, ln(T+V)], so `groupBy(avg_nll)` has at most ~10^4 * ln(T+V)
+   * distinct values (a few hundred thousand at ANY corpus size). The
+   * cumulative walk is a running-sum window over that histogram — its
+   * single-partition exchange carries only the bounded histogram, never
+   * documents — and each boundary folds to a one-row min() aggregate that
+   * broadcasts onto the scored corpus. The whole operator is ONE lazy plan
+   * (EXPLAIN runs zero jobs — unlike a driver-side collect of the
+   * histogram, this keeps the TVF surface job-free at analysis time); the
+   * scored intermediate is lazily shared so the corpus is scored once.
+   *
+   * A document lands in bucket `1 + |{k : avg_nll > t_k}|` — ties sit
+   * entirely on one side of every boundary, so the split is deterministic
+   * on any partitioning and identical across engines. Duplicate boundary
+   * values are kept (NOT deduped): when two cuts land on one value the
+   * tier between them is empty and documents above skip it — the SQL twin
+   * counts the same way.
+   *
+   * Returns (doc_id, n_tokens, avg_nll, bucket), bucket in [1, nBuckets]
+   * with 1 = most fluent (head).
+   */
+  def perplexityBuckets(
+      docs: DataFrame, idCol: String, textCol: String, nBuckets: Int = 3,
+      vocabCap: Int = Int.MaxValue, broadcastLm: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scored = Dedup.lazyShare(lmQualityScore(docs, idCol, textCol, vocabCap, broadcastLm))
+    // bounded histogram + running count: ≤ ~10^4·ln(T+V) rows by construction
+    val histCum = scored.groupBy(col("avg_nll")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("cum",
+        sum(col("n_docs")).over(Window.orderBy(col("avg_nll"))))
+    val total = scored.agg(count(lit(1)).as("n"))
+    // t_k = smallest value whose cumulative count reaches ceil(k*n/nBuckets)
+    // (`div` keeps the rank integer-exact); one broadcastable row per cut
+    val cuts = (1 until nBuckets).map { k =>
+      histCum.crossJoin(broadcast(total))
+        .filter(col("cum") >= expr(s"($k * n + ${nBuckets - 1}) div $nBuckets"))
+        .agg(min(col("avg_nll")).as(s"__t$k"))
+    }.reduce(_.crossJoin(_))
+    val bucket = (1 until nBuckets).foldLeft(lit(1)) { (acc, k) =>
+      acc + when(col("avg_nll") > col(s"__t$k"), 1).otherwise(0)
+    }
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"), bucket.as("bucket"))
+  }
+
+  /** DuckDB twin of [[perplexityBuckets]] over `documents` (uncapped LM):
+    * same integer-rank thresholds — `(k*n + nB-1) // nB` — read off a
+    * ranked scan, same strictly-greater bucket rule. */
+  def sqlPerplexityBuckets(nBuckets: Int = 3): String = {
+    val ths = (1 until nBuckets)
+      .map(k => s"max(CASE WHEN rn = ($k*n + ${nBuckets - 1}) // $nBuckets " +
+        s"THEN avg_nll END) AS t$k").mkString(",\n |  ")
+    val cases = (1 until nBuckets)
+      .map(k => s"(CASE WHEN avg_nll > t$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       | cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+       | tot AS (SELECT count(*) AS t FROM tok),
+       | voc AS (SELECT count(*) AS v FROM cnt),
+       | scored AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |   (round((sum((round(-ln((c + 1)::DOUBLE / (t + v)::DOUBLE) * 1000000.0)
+       |       / 1000000.0)::DECIMAL(18,6))::DOUBLE / count(*)) * 10000.0)
+       |     / 10000.0) AS avg_nll
+       |  FROM tok JOIN cnt USING (term), tot, voc GROUP BY doc_id),
+       | ranked AS (SELECT avg_nll, row_number() OVER (ORDER BY avg_nll) AS rn,
+       |            count(*) OVER () AS n FROM scored),
+       | th AS (SELECT $ths
+       | FROM ranked)
+       |SELECT doc_id, n_tokens, avg_nll, 1 + $cases AS bucket
+       |FROM scored, th ORDER BY doc_id""".stripMargin
   }
 
   /**

@@ -111,6 +111,7 @@ class SqlFunctionsSpec extends AnyFunSuite {
             "EXPLAIN SELECT * FROM graft_contamination('exdocs', 'exbench', 'doc_id', 'text')",
             "EXPLAIN SELECT * FROM graft_lm_bigram('exdocs', 'doc_id', 'text', 0.7)",
             "EXPLAIN SELECT * FROM graft_lm_score('exdocs', 'doc_id', 'text')",
+            "EXPLAIN SELECT * FROM graft_ppl_buckets('exdocs', 'doc_id', 'text')",
             "EXPLAIN SELECT * FROM graft_dup_spans('exdocs', 'doc_id', 'text')"
           ).foreach(q => spark.sql(q).collect())
           p
@@ -172,6 +173,12 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val lmApi = operators.CorpusOps.lmQualityScore(docs, "doc_id", "text")
       .orderBy(col("doc_id"))
     assert(lmSql.collect().toSeq == lmApi.collect().toSeq)
+
+    val pplSql = spark.sql(
+      "SELECT * FROM graft_ppl_buckets('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
+    val pplApi = operators.CorpusOps.perplexityBuckets(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+    assert(pplSql.collect().toSeq == pplApi.collect().toSeq)
 
     val qf = spark.sql(
       "SELECT count(*) FROM graft_quality_filter('tvfdocs', 'doc_id', 'text') WHERE keep")

@@ -701,4 +701,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     // a budget above any group's total keeps the whole corpus
     assert(kept(100000000L).size == docs.count())
   }
+
+  test("perplexityBuckets: equal-mass tiers cut at exact rank thresholds") {
+    // 9 docs with clearly separated fluency: repeated common words score low
+    // NLL, distinct rare words score high — 3 tiers of 3
+    val docs = (0 until 9).map { i =>
+      val text =
+        if (i < 3) "the the the the the the"                       // head: one hot term
+        else if (i < 6) s"the the the common word$i word$i"        // middle
+        else s"rare$i unique$i single$i only$i once$i alone$i"     // tail: all hapax
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val got = CorpusOps.perplexityBuckets(docs, "doc_id", "text")
+      .select($"doc_id", $"bucket", $"avg_nll")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val byBucket = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket(1) == Set(0L, 1L, 2L), got.mkString(","))
+    assert(byBucket(2) == Set(3L, 4L, 5L), got.mkString(","))
+    assert(byBucket(3) == Set(6L, 7L, 8L), got.mkString(","))
+    // bucket is monotone in avg_nll
+    val sorted = got.sortBy(_._3)
+    assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq)
+  }
+
+  test("perplexityBuckets: ties sit on one side; deterministic under repartition") {
+    // 6 identical docs + 2 distinct: the tie group must land whole in one
+    // bucket even though an interpolated tercile would split it
+    val docs = ((0 until 6).map(i => (i.toLong, "same text here every time")) ++
+      Seq((6L, "zz yy xx ww vv uu"), (7L, "qq rr ss tt uu vv"))).toDF("doc_id", "text")
+    val got = CorpusOps.perplexityBuckets(docs, "doc_id", "text")
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    val tieBuckets = (0L until 6L).map(got).toSet
+    assert(tieBuckets.size == 1, s"tie group split across buckets: $got")
+    val again = CorpusOps.perplexityBuckets(docs.repartition(5), "doc_id", "text")
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(got == again)
+  }
+
+  test("perplexityBuckets: nBuckets=4 covers all tiers, masses within one of equal") {
+    val docs = (0 until 20).map(i => (i.toLong, s"term$i " * (i + 1) + "shared"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.perplexityBuckets(docs, "doc_id", "text", nBuckets = 4)
+      .select($"bucket").as[Int].collect()
+    val masses = got.groupBy(identity).view.mapValues(_.length).toMap
+    assert(masses.keySet.subsetOf(Set(1, 2, 3, 4)), masses.toString)
+    // with no ties across boundaries each tier holds exactly n/4
+    assert(masses.values.sum == 20)
+  }
 }
