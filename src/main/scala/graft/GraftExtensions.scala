@@ -223,6 +223,18 @@ object GraftExtensions {
             activeTable(strArg(args, 0, "graft_repetition")),
             strArg(args, 1, "graft_repetition"), strArg(args, 2, "graft_repetition")))
       },
+      tvf("graft_importance",
+        "graft_importance(corpusTable, targetTable, idCol, textCol[, buckets]) - " +
+          "DSIR importance log-weights: hashed unigram+bigram multinomial " +
+          "likelihood ratio of each corpus doc under target vs corpus " +
+          "(buckets must be a power of two)") {
+        args => arity(args, "graft_importance", 4, 5)
+          logical(operators.CorpusOps.importanceWeights(
+            activeTable(strArg(args, 0, "graft_importance")),
+            activeTable(strArg(args, 1, "graft_importance")),
+            strArg(args, 2, "graft_importance"), strArg(args, 3, "graft_importance"),
+            intArg(args, 4, 8192, "graft_importance")))
+      },
       tvf("graft_decontaminate",
         "graft_decontaminate(corpusTable, benchTable, idCol, textCol[, k[, minShared]]) - " +
           "docs sharing >= minShared k-gram shingles with any benchmark doc " +

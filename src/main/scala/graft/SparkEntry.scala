@@ -1113,6 +1113,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_corpus_importance" -> ((s, dir) => {
+      // DSIR importance weights: English docs as the target distribution,
+      // hashed unigram+bigram multinomials, power-of-two bucket mask
+      val docs = Tables.documents(s, dir)
+      operators.CorpusOps.importanceWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_corpus_importance_sample" -> ((s, dir) => {
+      // DSIR selection: deterministic Gumbel top-k over the weights
+      val docs = Tables.documents(s, dir)
+      operators.CorpusOps.importanceSample(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", n = 50)
+    }),
+
     "q_corpus_diff" -> ((s, dir) => {
       // dataset versioning: two snapshots derived deterministically from the
       // corpus (identically in the oracle) — old drops ids ≡0 (mod 7), new
@@ -2374,6 +2390,12 @@ object SparkEntry {
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_corpus_report" -> operators.CorpusOps.sqlCorpusReport(),
+
+      "q_corpus_importance" ->
+        operators.CorpusOps.sqlImportanceWeights("lang = 'en'"),
+
+      "q_corpus_importance_sample" ->
+        operators.CorpusOps.sqlImportanceSample("lang = 'en'", 50),
 
       "q_corpus_diff" ->
         """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents

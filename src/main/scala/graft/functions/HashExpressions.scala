@@ -170,6 +170,25 @@ case class SimHash64(child: Expression)
 }
 
 /**
+ * FNV-1a 64-bit hash of one string — the cross-engine scalar feature hash
+ * (DuckDB twin: [[graft.functions.TextFunctions.sqlFnv1a64]]); used for
+ * hashed n-gram feature buckets (DSIR-style importance weighting).
+ */
+case class Fnv1a64(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fnv1a64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashUtil.fnv1a64(input.asInstanceOf[UTF8String]))
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/**
  * Cosine similarity between two numeric arrays, computed in double precision
  * with a single sequential pass (same accumulation order as a left-to-right
  * SQL fold, so results are bit-comparable with the DuckDB oracle).
@@ -421,6 +440,7 @@ object hashFunctions {
   def rolling_fingerprints(c: Column, ngram: Int = 8, window: Int = 4): Column =
     column(RollingFingerprints(expression(c), ngram, window))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def fnv1a64(c: Column): Column = column(Fnv1a64(expression(c)))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a.cast("array<double>")),
       expression(b.cast("array<double>"))))

@@ -1216,6 +1216,137 @@ object CorpusOps {
   }
 
   /**
+   * DSIR importance weighting (Xie et al., arXiv:2302.03169 — "Data
+   * Selection for Language Models via Importance Resampling"): score every
+   * corpus document by how much more likely its hashed n-gram features are
+   * under a TARGET corpus (the distribution you want more of — e.g. wiki,
+   * books, a high-quality subset) than under the raw corpus itself:
+   * `log_weight(doc) = Σ_features [ln p̂_target(b) − ln p̂_raw(b)]`, where
+   * features are word unigrams+bigrams hashed into `buckets` buckets and
+   * each p̂ is the add-one-smoothed bucket multinomial fit on its corpus.
+   *
+   * Cross-engine exactness: probabilities are ratios of integer counts; the
+   * per-feature log-ratio difference is stableRound(6)ed then DECIMAL-summed
+   * per document (shuffle-order independent), with the final sum
+   * stableRound(4)ed — the [[lmQualityScore]] idiom. `buckets` must be a
+   * POWER OF TWO: the Spark-side hash is a signed 64-bit FNV-1a and the SQL
+   * twin's is unsigned, and only a power-of-two modulus (= low-bit mask)
+   * makes the two bucket mappings identical.
+   *
+   * Scale shape: both bucket-multinomial tables are bounded by `buckets`
+   * ROWS (kilobytes at the DSIR-standard 10^4 — broadcast-sized BY
+   * CONSTRUCTION, `broadcastModels` opts out for pathological dims); totals
+   * broadcast as one-row literals; the corpus explodes once (lazily shared
+   * between the model fit and the scoring pass) and the only corpus-scale
+   * shuffle carries (doc_id, rounded-decimal) pairs for the per-doc sum —
+   * never text. The target corpus only ever aggregates; it can be any size.
+   *
+   * Returns (doc_id, n_feats, log_weight); log_weight > 0 reads "more
+   * target-like than the corpus average".
+   */
+  def importanceWeights(
+      corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 8192, broadcastModels: Boolean = true): DataFrame = {
+    require(buckets >= 16 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two >= 16 (signed/unsigned mod parity), got $buckets")
+    import graft.functions.hashFunctions
+    def feats(df: DataFrame): DataFrame = df.select(
+        col(idCol).as("doc_id"),
+        explode(concat(
+          hashFunctions.word_shingles(col(textCol), 1),
+          hashFunctions.word_shingles(col(textCol), 2))).as("f"))
+      .select(col("doc_id"),
+        hashFunctions.fnv1a64(col("f")).bitwiseAND(lit((buckets - 1).toLong)).as("b"))
+    val corpusFeats = Dedup.lazyShare(feats(corpus))
+    val tgtFeats = Dedup.lazyShare(feats(target))
+    val cntT = tgtFeats.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cntR = corpusFeats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totT = tgtFeats.agg(count(lit(1)).as("tt"))
+    val totR = corpusFeats.agg(count(lit(1)).as("tr"))
+    def bm(df: DataFrame) = if (broadcastModels) broadcast(df) else df
+    val lnT = log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+      (col("tt") + lit(buckets)).cast("double"))
+    val lnR = log((coalesce(col("cr"), lit(0L)) + lit(1)).cast("double") /
+      (col("tr") + lit(buckets)).cast("double"))
+    val termScore = TextFunctions.stableRound(lnT - lnR, 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    corpusFeats
+      .join(bm(cntT), Seq("b"), "left")
+      .join(bm(cntR), Seq("b"), "left")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .select(col("doc_id"), termScore.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("s")).as("sum_s"))
+      .select(col("doc_id"), col("n_feats"),
+        TextFunctions.stableRound(col("sum_s").cast("double"), 4).as("log_weight"))
+  }
+
+  /**
+   * DSIR selection: Gumbel top-k over [[importanceWeights]] — sampling
+   * without replacement with probability ∝ exp(log_weight) is exactly
+   * "take the k largest log_weight + Gumbel(0,1) keys" (the Gumbel-max
+   * trick). The noise is DETERMINISTIC: u = (md5-derived 52-bit value
+   * + 0.5)/2^52 is an exact dyadic rational addressed by (seed, doc_id) —
+   * reproducible across engines, runs and partitionings — and
+   * g = −ln(−ln u). With the `.limit(n)` on top Catalyst plans a
+   * distributed top-k (per-partition TakeOrdered + merge), not a global
+   * sort. Returns (doc_id, log_weight, gumbel_key), the selected n docs.
+   */
+  def importanceSample(
+      corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      n: Int, seed: String = "dsir", buckets: Int = 8192): DataFrame = {
+    val w = importanceWeights(corpus, target, idCol, textCol, buckets)
+    val hexv = conv(substring(md5(
+        concat(lit(seed + "-"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (hexv.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val g = -log(-log(u))
+    w.select(col("doc_id"), col("log_weight"),
+        TextFunctions.stableRound(col("log_weight") + g, 6).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(n)
+  }
+
+  /** DuckDB twin of [[importanceWeights]] over `documents`, with the target
+    * sub-corpus selected by `targetWhere`. Same power-of-two bucket mask
+    * (unsigned FNV low bits == signed low bits), same rounding ladder. */
+  def sqlImportanceWeights(targetWhere: String, buckets: Int = 8192): String = {
+    val fnv = TextFunctions.sqlFnv1a64("f")
+    val bi = TextFunctions.sqlWordShingles("text", 2).replace("string_split(text, ' ')", "w")
+    val guard = TextFunctions.sqlAsciiGuard("doc_id", "text")
+    s"""WITH cw AS (SELECT ($guard) AS doc_id, string_split(text, ' ') AS w FROM documents),
+       | cb AS (SELECT doc_id, ($fnv) % ${buckets}::HUGEINT AS b
+       |        FROM (SELECT doc_id, unnest(list_concat(w, $bi)) AS f FROM cw)),
+       | tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE $targetWhere),
+       | tb AS (SELECT doc_id, ($fnv) % ${buckets}::HUGEINT AS b
+       |        FROM (SELECT doc_id, unnest(list_concat(w, $bi)) AS f FROM tw)),
+       | cntT AS (SELECT b, count(*) AS ct FROM tb GROUP BY 1),
+       | cntR AS (SELECT b, count(*) AS cr FROM cb GROUP BY 1),
+       | tt AS (SELECT count(*) AS tt FROM tb),
+       | tr AS (SELECT count(*) AS tr FROM cb)
+       |SELECT doc_id, count(*) AS n_feats,
+       | (round(sum((round((ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + $buckets)::DOUBLE)
+       |     - ln((coalesce(cr, 0) + 1)::DOUBLE / (tr + $buckets)::DOUBLE)) * 1000000.0)
+       |     / 1000000.0)::DECIMAL(18,6))::DOUBLE * 10000.0) / 10000.0) AS log_weight
+       |FROM cb LEFT JOIN cntT USING (b) LEFT JOIN cntR USING (b), tt, tr
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[importanceSample]]: the weights query plus the same
+    * deterministic Gumbel key and (key desc, doc_id) top-n. */
+  def sqlImportanceSample(
+      targetWhere: String, n: Int, seed: String = "dsir", buckets: Int = 8192): String = {
+    val w = sqlImportanceWeights(targetWhere, buckets)
+    s"""WITH iw AS (${w.replace("ORDER BY doc_id", "")})
+       |SELECT doc_id, log_weight,
+       | (round((log_weight + -ln(-ln(
+       |    (('0x' || substring(md5('$seed-' || doc_id::VARCHAR), 1, 13))::UBIGINT::DOUBLE
+       |      + 0.5) / 4503599627370496.0))) * 1000000.0) / 1000000.0) AS gumbel_key
+       |FROM iw ORDER BY gumbel_key DESC, doc_id LIMIT $n""".stripMargin
+  }
+
+  /**
    * The top-`cap` terms of a `(term, cnt)` table by (cnt desc, term asc),
    * WITHOUT a global sort-limit: `orderBy(...).limit(cap)` plans as a
    * single-partition GlobalLimit that funnels the whole vocabulary through

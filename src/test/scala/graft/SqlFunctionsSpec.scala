@@ -174,6 +174,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .orderBy(col("doc_id"))
     assert(lmSql.collect().toSeq == lmApi.collect().toSeq)
 
+    spark.sql("SELECT * FROM tvfdocs WHERE lang = 'en'")
+      .createOrReplaceTempView("tvftarget")
+    val impSql = spark.sql(
+      "SELECT * FROM graft_importance('tvfdocs', 'tvftarget', 'doc_id', 'text') ORDER BY doc_id")
+    val impApi = operators.CorpusOps.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+    assert(impSql.collect().toSeq == impApi.collect().toSeq)
+
     val pplSql = spark.sql(
       "SELECT * FROM graft_ppl_buckets('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
     val pplApi = operators.CorpusOps.perplexityBuckets(docs, "doc_id", "text")

@@ -702,6 +702,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept(100000000L).size == docs.count())
   }
 
+  test("importanceWeights: target-like docs score above corpus-like docs") {
+    // corpus: half cooking-themed, half legal-themed; target = cooking only.
+    // cooking docs share n-grams with the target -> positive log-weight;
+    // legal docs anti-correlate -> negative
+    val cooking = (0 until 10).map(i =>
+      (i.toLong, s"stir the sauce and season the fresh pasta slowly $i"))
+    val legal = (10 until 20).map(i =>
+      (i.toLong, s"the party hereby agrees to indemnify the undersigned counsel $i"))
+    val corpus = (cooking ++ legal).toDF("doc_id", "text")
+    val target = cooking.toDF("doc_id", "text")
+    val w = CorpusOps.importanceWeights(corpus, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(w.length == 20)
+    val (cookW, legalW) = w.partition(_._1 < 10)
+    assert(cookW.map(_._3).min > legalW.map(_._3).max,
+      s"cooking ${cookW.map(_._3).mkString(",")} vs legal ${legalW.map(_._3).mkString(",")}")
+    // deterministic on any partitioning
+    val again = CorpusOps.importanceWeights(
+        corpus.repartition(7), target.repartition(3), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(w.toSeq == again.toSeq)
+  }
+
+  test("importanceWeights: bucket count must be a power of two") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.importanceWeights(df, df, "doc_id", "text", buckets = 1000)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
+
+  test("importanceSample: Gumbel top-k is deterministic and weight-biased") {
+    val cooking = (0 until 25).map(i =>
+      (i.toLong, s"stir the sauce and season the fresh pasta slowly $i"))
+    val legal = (25 until 50).map(i =>
+      (i.toLong, s"the party hereby agrees to indemnify the undersigned counsel $i"))
+    val corpus = (cooking ++ legal).toDF("doc_id", "text")
+    val target = cooking.toDF("doc_id", "text")
+    val picked = CorpusOps.importanceSample(corpus, target, "doc_id", "text", n = 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(picked.size == 20)
+    // strong weights dominate the bounded Gumbel noise: mostly cooking docs
+    assert(picked.count(_ < 25) > 15, s"picked $picked")
+    val again = CorpusOps.importanceSample(
+        corpus.repartition(9), target, "doc_id", "text", n = 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(picked == again)
+    // a different seed reshuffles the noise, not the weights
+    val otherSeed = CorpusOps.importanceSample(
+        corpus, target, "doc_id", "text", n = 20, seed = "epoch1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(otherSeed.size == 20)
+  }
+
   test("perplexityBuckets: equal-mass tiers cut at exact rank thresholds") {
     // 9 docs with clearly separated fluency: repeated common words score low
     // NLL, distinct rare words score high — 3 tiers of 3
