@@ -316,6 +316,16 @@ object GraftExtensions {
             intArg(args, 3, -1, "graft_chunk"),
             intArg(args, 4, 0, "graft_chunk")))
       },
+      tvf("graft_select_top",
+        "graft_select_top(table, groupCol, scoreCol, topPermille) - keep each " +
+          "group's top share by score (threshold ties all kept)") {
+        args => arity(args, "graft_select_top", 4, 4)
+          logical(operators.CorpusOps.selectTopShareByGroup(
+            activeTable(strArg(args, 0, "graft_select_top")),
+            strArg(args, 1, "graft_select_top"),
+            strArg(args, 2, "graft_select_top"),
+            intArg(args, 3, -1, "graft_select_top")))
+      },
       tvf("graft_dedup_paragraphs",
         "graft_dedup_paragraphs(table, idCol, textCol) - newline-paragraph " +
           "exact dedup with document reassembly (corpus-wide first occurrence wins)") {

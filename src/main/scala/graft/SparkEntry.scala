@@ -982,6 +982,17 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    "q_embed_diversity" -> ((s, dir) => {
+      // cluster-balanced diversity sampling: nearest-cell assignment plus a
+      // deterministic per-cell cap — selection is a pure function of
+      // (cell, id-hash), so the oracle replays it from the run's centroids
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = Similarity.centroidsOf(e, "vec_id", "embedding", 16)
+      diversityCentroidStash.set(cents)
+      Similarity.diversitySampleWith(e, "vec_id", "embedding", cents, perCell = 20)
+        .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
+    }),
+
     // ---- similarity search ----
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1127,6 +1138,17 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       operators.CorpusOps.importanceSample(
         docs, docs.filter(col("lang") === "en"), "doc_id", "text", n = 50)
+    }),
+
+    "q_corpus_select_quantile" -> ((s, dir) => {
+      // FineWeb-Edu-style selection: keep each source's top quarter by the
+      // stableRound(4)ed quality score — the per-group cut resolves from a
+      // bounded (group, score) histogram, never a per-group sort of the rows
+      val d = Tables.documents(s, dir).withColumn("score",
+        TextFunctions.stableRound(TextFunctions.qualityScore(col("text")), 4))
+      operators.CorpusOps.selectTopShareByGroup(d, "source", "score", topPermille = 250)
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_corpus_diff" -> ((s, dir) => {
@@ -1604,6 +1626,10 @@ object SparkEntry {
 
   /** Same capture for q_dedup_semantic's k-means cells. */
   private val semanticCentroidStash =
+    new java.util.concurrent.atomic.AtomicReference[Array[(Int, Array[Double])]]()
+
+  /** Same capture for q_embed_diversity's k-means cells. */
+  private val diversityCentroidStash =
     new java.util.concurrent.atomic.AtomicReference[Array[(Int, Array[Double])]]()
 
   /** Same capture for q_corpus_mix_temp's size-derived keep-rates. */
@@ -2397,6 +2423,9 @@ object SparkEntry {
       "q_corpus_importance_sample" ->
         operators.CorpusOps.sqlImportanceSample("lang = 'en'", 50),
 
+      "q_corpus_select_quantile" ->
+        operators.CorpusOps.sqlSelectTopShareByGroup(250),
+
       "q_corpus_diff" ->
         """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
           |           WHERE doc_id % 7 <> 0),
@@ -2527,7 +2556,10 @@ object SparkEntry {
         sourceSql = """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
           | UNION ALL SELECT vec_id + 10000,
           |   list_transform(embedding::DOUBLE[], x -> x * 2) FROM embeddings"""
-          .stripMargin))
+          .stripMargin)
+    ) ++ Option(diversityCentroidStash.get()).map(cents =>
+      "q_embed_diversity" -> Similarity.sqlDiversitySample(
+        cents, dim = EmbeddingDim, perCell = 20))
   }
 
   /** Planted-batch admission oracle shared by q_dedup_incremental and its

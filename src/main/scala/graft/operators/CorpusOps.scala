@@ -1347,6 +1347,72 @@ object CorpusOps {
   }
 
   /**
+   * Per-group top-share selection (the FineWeb-Edu-style classifier
+   * selection step, arXiv:2406.17557 §3.3): within every group (domain,
+   * source, language, ...) keep the rows whose `scoreCol` places them in the
+   * group's top `topPermille`/1000 fraction. Ties at the threshold score are
+   * ALL kept, so the kept count per group is >= ceil(p*n_g/1000) and the
+   * rule is a pure function of (group, score) — independent of row order
+   * and partitioning, hence reproducible across engines and cluster layouts.
+   *
+   * The per-group cut is the score at descending integer rank
+   * r_g = ceil(p*n_g/1000) = (p*n_g + 999) div 1000 (integer-exact in both
+   * engines), resolved WITHOUT a per-group sort over the raw rows:
+   *  1. one hash-agg shuffle builds the (group, score) histogram;
+   *  2. per-group totals derive from the histogram by a second KB-scale agg
+   *     (no second scan of the corpus);
+   *  3. a window over the HISTOGRAM — partition size = distinct scores in
+   *     the group, e.g. <= 10^4+1 for a stableRound(4)ed score in [0,1],
+   *     BOUNDED regardless of corpus size, which is why callers should
+   *     discretize the score first — yields the descending cumulative
+   *     count, and the cut is t_g = max{v : #rows with score>=v reaches r_g};
+   *  4. the (group, cut) table — ONE ROW PER GROUP — joins back
+   *     planner-chosen, and the keep rule is `score >= t_g`.
+   * A 10^5-domain web corpus pays one histogram shuffle plus a
+   * broadcast-sized cut join; the raw rows never sort and never move unless
+   * the planner picks a shuffle join on the group key.
+   */
+  def selectTopShareByGroup(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      topPermille: Int): DataFrame = {
+    require(topPermille >= 1 && topPermille <= 1000,
+      s"topPermille must be in [1, 1000], got $topPermille")
+    val hist = Dedup.lazyShare(
+      df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+        .agg(count(lit(1)).as("__c")))
+    val tot = hist.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(col("__g")).orderBy(col("__s").desc)))
+    val cuts = cum.join(tot, "__g")
+      .filter(col("__cum") >= expr(s"($topPermille * __n + 999) div 1000"))
+      .groupBy(col("__g")).agg(max(col("__s")).as("__t"))
+    df.join(cuts, df(groupCol) === cuts("__g"))
+      .filter(col(scoreCol) >= col("__t"))
+      .drop("__g", "__t")
+  }
+
+  /** DuckDB twin of [[selectTopShareByGroup]] over `documents`, grouped by
+    * `source` and scored by the stableRound(4)ed
+    * [[TextFunctions.qualityScore]]. The cut is read off a per-group
+    * descending `row_number` — the value AT rank r is tie-permutation
+    * independent even though the rank itself is not — and the keep rule is
+    * the same `score >= t`. */
+  def sqlSelectTopShareByGroup(topPermille: Int): String = {
+    val score = TextFunctions.sqlStableRound(TextFunctions.sqlQualityScore("text"), 4)
+    s"""WITH scored AS (SELECT doc_id, source, ($score) AS score FROM documents),
+       | tot AS (SELECT source, count(*) AS n FROM scored GROUP BY 1),
+       | ranked AS (SELECT source, score,
+       |            row_number() OVER (PARTITION BY source ORDER BY score DESC) AS rn
+       |            FROM scored),
+       | th AS (SELECT r.source, min(score) AS t
+       |        FROM ranked r JOIN tot USING (source)
+       |        WHERE rn <= ($topPermille * n + 999) // 1000 GROUP BY 1)
+       |SELECT s.doc_id, s.source, s.score
+       |FROM scored s JOIN th USING (source) WHERE s.score >= th.t
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /**
    * The top-`cap` terms of a `(term, cnt)` table by (cnt desc, term asc),
    * WITHOUT a global sort-limit: `orderBy(...).limit(cap)` plans as a
    * single-partition GlobalLimit that funnels the whole vocabulary through

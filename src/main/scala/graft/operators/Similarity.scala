@@ -787,6 +787,59 @@ object Similarity extends org.apache.spark.internal.Logging {
       centroids(embs, idCol, vecCol, nCells, maxFitPerCell), tau, maxCellSize)
 
   /**
+   * Cluster-balanced diversity sampling (the density-flattening step of
+   * SemDeDup-style curation, arXiv:2303.09540 §5 / DataComp clustering
+   * baselines): assign every vector to its nearest k-means cell, then keep
+   * at most `perCell` vectors per cell, chosen deterministically by content
+   * hash of the id with an id tiebreak — so a few dominant embedding-space
+   * modes can't monopolize a training mix, and the selection is
+   * reproducible on any partitioning. Returns surviving rows with the
+   * `cell` column kept for downstream stratification.
+   *
+   * Scale shape: cell assignment is the per-row codegen'd [[best_centroid]]
+   * arg-max (zero shuffle); selection is [[Sampling.capPerGroup]]'s ONE
+   * window shuffle on the cell key, rank-limit pushed down
+   * (WindowGroupLimit) so each map task forwards at most `perCell` rows per
+   * cell. Cell population is the window-partition size, governed by the
+   * same `nCells ∝ corpus size` contract as [[semanticDedup]]; the k-means
+   * fit itself is sample-capped ([[centroidsOf]]).
+   */
+  def diversitySampleWith(
+      embs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], perCell: Int): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    val dim = cents.head._2.length
+    val withCell = requireDim(embs, col(vecCol), dim)
+      .withColumn("cell", best_centroid(col(vecCol), cents.map(_._2)))
+    Sampling.capPerGroup(withCell, Seq(col("cell")),
+      col(idCol).cast("string"), col(idCol), perCell)
+  }
+
+  /** [[diversitySampleWith]] over a fresh (memoized) k-means fit. */
+  def diversitySample(
+      embs: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      perCell: Int, maxFitPerCell: Int = DefaultMaxFitPerCell): DataFrame =
+    diversitySampleWith(embs, idCol, vecCol,
+      centroids(embs, idCol, vecCol, nCells, maxFitPerCell), perCell)
+
+  /** DuckDB twin of [[diversitySampleWith]] over `embeddings`: the same
+    * centroid literals and arg-max assignment as [[sqlSemanticDedup]], the
+    * same hash-ordered per-cell rank as q_corpus_cap's oracle. */
+  def sqlDiversitySample(cents: Array[(Int, Array[Double])], dim: Int,
+      perCell: Int): String = {
+    s"""WITH ce AS (SELECT * FROM (VALUES
+       |  ${sqlCentroidRows(cents)}) AS t(cell, c, cnorm)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${sqlAssignCtes(dim)},
+       |ranked AS (SELECT vec_id, cell,
+       |  row_number() OVER (PARTITION BY cell
+       |                     ORDER BY substr(md5(vec_id::VARCHAR), 1, 13), vec_id) AS rn
+       |  FROM assign)
+       |SELECT vec_id, cell FROM ranked WHERE rn <= $perCell
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /**
    * Symmetric per-vector int8 quantization of an embedding column — the
    * storage form for 100 TB vector corpora: 8× smaller than float64 (4× vs
    * float32), with cosine ranking degraded only by the bounded per-element

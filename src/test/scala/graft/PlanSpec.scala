@@ -237,6 +237,12 @@ class PlanSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // drop caches first: an earlier suite may have EXECUTED a lazily-shared
+      // vocab table under the default threshold, and its InMemoryRelation
+      // stores that run's final plan — where AQE legitimately converted the
+      // shuffle join to a broadcast. That cached artifact would be spliced
+      // into this test's plans and read as a false "forced broadcast".
+      spark.catalog.clearCache()
       val docs = Tables.documents(spark, dir)
       Seq(
         operators.CorpusOps.bigramLmScore(docs, "doc_id", "text"),

@@ -242,6 +242,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.chunkDocuments(docs, "doc_id", "text", 64, 8)
         .orderBy(col("doc_id"), col("chunk_id")).collect().toSeq)
 
+    val scored = docs.withColumn("score",
+      TextFunctions.stableRound(TextFunctions.qualityScore(col("text")), 4))
+    scored.createOrReplaceTempView("tvfscored")
+    val sel = spark.sql(
+      "SELECT * FROM graft_select_top('tvfscored', 'source', 'score', 250) ORDER BY doc_id")
+    assert(sel.collect().toSeq ==
+      operators.CorpusOps.selectTopShareByGroup(scored, "source", "score", 250)
+        .orderBy(col("doc_id")).collect().toSeq)
+
     val pd = spark.sql(
       "SELECT * FROM graft_dedup_paragraphs('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
     assert(pd.collect().toSeq ==

@@ -1293,6 +1293,27 @@ class SimilaritySpec extends AnyFunSuite {
       transform($"embedding", x => x * lit(2.0f)).as("embedding")))
   }
 
+  test("diversitySample caps each cell deterministically, keeps small cells whole") {
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
+    val got = Similarity.diversitySampleWith(embs, "vec_id", "embedding", cents, perCell = 5)
+    val byCell = got.groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    val cellSizes = embs.withColumn("cell",
+        graft.functions.hashFunctions.best_centroid($"embedding", cents.map(_._2)))
+      .groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    cellSizes.foreach { case (cell, n) =>
+      assert(byCell.getOrElse(cell, 0L) == math.min(n, 5L),
+        s"cell $cell: kept ${byCell.getOrElse(cell, 0L)} of $n")
+    }
+    // selection is (cell, id-hash)-pure: identical survivors on any partitioning
+    val again = Similarity.diversitySampleWith(
+        embs.repartition(7), "vec_id", "embedding", cents, perCell = 5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(again == got.select($"vec_id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Similarity.diversitySampleWith(embs, "vec_id", "embedding", cents, perCell = 0)
+    }
+  }
+
   test("semanticDedup drops planted scaled copies, keeps every original") {
     val e = withPlantedDups
     val cents = Similarity.centroidsOf(e, "vec_id", "embedding", 16)

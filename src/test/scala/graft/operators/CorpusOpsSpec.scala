@@ -802,4 +802,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     // with no ties across boundaries each tier holds exactly n/4
     assert(masses.values.sum == 20)
   }
+
+  test("selectTopShareByGroup: exact per-group cut, ties at the threshold all kept") {
+    val df = Seq(
+      // group a: distinct scores — top 25% of 4 = rank 1 → only 0.9 survives
+      (0L, "a", 0.9), (1L, "a", 0.8), (2L, "a", 0.7), (3L, "a", 0.6),
+      // group b: threshold ties — rank 1 of 4 lands on 0.5, all three ties kept
+      (4L, "b", 0.5), (5L, "b", 0.5), (6L, "b", 0.5), (7L, "b", 0.2),
+      // group c: smaller than any rank granularity — rank ceil(.25*1)=1 keeps it
+      (8L, "c", 0.1)
+    ).toDF("id", "grp", "score")
+    val kept = CorpusOps.selectTopShareByGroup(df, "grp", "score", topPermille = 250)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(0L, 4L, 5L, 6L, 8L), kept.toString)
+    // the rule is (group, score)-pure: same survivors on any partitioning
+    val again = CorpusOps.selectTopShareByGroup(
+        df.repartition(7), "grp", "score", topPermille = 250)
+      .select($"id").as[Long].collect().toSet
+    assert(again == kept)
+    // 1000 permille keeps everything; bounds are validated
+    assert(CorpusOps.selectTopShareByGroup(df, "grp", "score", 1000).count() == 9)
+    intercept[IllegalArgumentException] {
+      CorpusOps.selectTopShareByGroup(df, "grp", "score", 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.selectTopShareByGroup(df, "grp", "score", 1001)
+    }
+  }
+
+  test("selectTopShareByGroup: kept count per group is the ceiling rank plus ties") {
+    // 10 rows per group with distinct scores: top 300‰ → ceil(3.0)=3 rows
+    val df = (0 until 30).map(i => (i.toLong, s"g${i % 3}", (i / 3) / 10.0))
+      .toDF("id", "grp", "score")
+    val byGroup = CorpusOps.selectTopShareByGroup(df, "grp", "score", 300)
+      .groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("g0" -> 3L, "g1" -> 3L, "g2" -> 3L), byGroup.toString)
+  }
 }

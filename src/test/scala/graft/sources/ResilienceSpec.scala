@@ -126,8 +126,11 @@ class ResilienceSpec extends AnyFunSuite {
     withFaults("res3") { faults =>
       faults.transientReceiveFaults.set(1000)
       val err = intercept[Exception] {
+        // sum() is not metadata-pushable (unlike a bare count, which the
+        // aggregate pushdown now answers from offsets without a receive)
         spark.read.format("graft-eventlog").option("name", "res3")
-          .option("maxRetries", "2").option("retryDelayMs", "1").load().count()
+          .option("maxRetries", "2").option("retryDelayMs", "1").load()
+          .agg(org.apache.spark.sql.functions.sum("sequenceNumber")).collect()
       }
       assert(messages(err).exists(_.contains("failed after 2 retries")),
         s"got: ${messages(err)}")
@@ -139,9 +142,12 @@ class ResilienceSpec extends AnyFunSuite {
     withFaults("res4") { faults =>
       faults.receiveDelayMs = 60L
       val before = faults.receiveCalls.get()
+      // the residual filter declines aggregate pushdown, forcing a real
+      // receive (a bare count is now offset-served without one)
       val n = spark.read.format("graft-eventlog").option("name", "res4")
         .option("receiverTimeout", "10")
-        .option("maxRetries", "5").option("retryDelayMs", "1").load().count()
+        .option("maxRetries", "5").option("retryDelayMs", "1").load()
+        .filter(org.apache.spark.sql.functions.length($"body") >= 0).count()
       assert(n == 40L)
       // one receive per partition — the overrun produced a warning, not a retry
       assert(faults.receiveCalls.get() - before <= 2,
@@ -156,9 +162,11 @@ class ResilienceSpec extends AnyFunSuite {
       faults.transientReceiveFaults.set(1000)
       val before = faults.receiveCalls.get()
       val err = intercept[Exception] {
+        // sum() forces a real receive — a bare count is now offset-served
         spark.read.format("graft-eventlog").option("name", "res4b")
           .option("receiverTimeout", "10")
-          .option("maxRetries", "50").option("retryDelayMs", "1").load().count()
+          .option("maxRetries", "50").option("retryDelayMs", "1").load()
+          .agg(org.apache.spark.sql.functions.sum("sequenceNumber")).collect()
       }
       assert(messages(err).exists(_.contains("receiverTimeout")),
         s"got: ${messages(err)}")
@@ -190,9 +198,11 @@ class ResilienceSpec extends AnyFunSuite {
     withFaults("res5") { faults =>
       faults.transientReceiveFaults.set(1000000)
       val err = intercept[Exception] {
+        // sum() forces a real receive — a bare count is now offset-served
         spark.read.format("graft-eventlog").option("name", "res5")
           .option("operationTimeout", "150").option("retryDelayMs", "50")
-          .option("maxRetries", "1000000").load().count()
+          .option("maxRetries", "1000000").load()
+          .agg(org.apache.spark.sql.functions.sum("sequenceNumber")).collect()
       }
       assert(messages(err).exists(_.contains("operationTimeout")),
         s"got: ${messages(err)}")
