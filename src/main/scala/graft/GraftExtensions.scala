@@ -362,6 +362,24 @@ object GraftExtensions {
             activeTable(strArg(args, 1, "graft_corpus_diff")),
             strArg(args, 2, "graft_corpus_diff"), strArg(args, 3, "graft_corpus_diff")))
       },
+      tvf("graft_vocab_drift",
+        "graft_vocab_drift(oldTable, newTable, idCol, textCol, topK) - " +
+          "top-k terms by relative-frequency movement between snapshots") {
+        args => arity(args, "graft_vocab_drift", 5, 5)
+          logical(operators.CorpusOps.vocabularyDrift(
+            activeTable(strArg(args, 0, "graft_vocab_drift")),
+            activeTable(strArg(args, 1, "graft_vocab_drift")),
+            strArg(args, 2, "graft_vocab_drift"), strArg(args, 3, "graft_vocab_drift"),
+            intArg(args, 4, -1, "graft_vocab_drift")))
+      },
+      tvf("graft_encoding",
+        "graft_encoding(table, idCol, textCol) - per-document encoding-damage " +
+          "profile (replacement/control chars, non-ASCII ratio, suspect flag)") {
+        args => arity(args, "graft_encoding", 3, 3)
+          logical(operators.CorpusOps.encodingProfile(
+            activeTable(strArg(args, 0, "graft_encoding")),
+            strArg(args, 1, "graft_encoding"), strArg(args, 2, "graft_encoding")))
+      },
       tvf("graft_shuffle",
         "graft_shuffle(table, keyCol, seed) - deterministic salted-hash training order") {
         args => arity(args, "graft_shuffle", 3, 3)

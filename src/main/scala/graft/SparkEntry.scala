@@ -1151,6 +1151,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_encoding" -> ((s, dir) => {
+      // encoding-damage profile: plant deterministic mojibake — a U+FFFD
+      // replacement char, a BEL control char, a Latin-1 e-acute — identically
+      // in the oracle; the profile itself is a zero-shuffle scan
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\uFFFD")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\u0007")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\u00e9")).otherwise(lit(""))).as("text"))
+      operators.CorpusOps.encodingProfile(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_corpus_vocab_drift" -> ((s, dir) => {
+      // vocabulary-level dataset versioning over q_corpus_diff's snapshots:
+      // top-30 terms by relative-frequency movement between old and new
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      operators.CorpusOps.vocabularyDrift(oldSnap, newSnap, "doc_id", "text", topK = 30)
+    }),
+
     "q_corpus_diff" -> ((s, dir) => {
       // dataset versioning: two snapshots derived deterministically from the
       // corpus (identically in the oracle) — old drops ids ≡0 (mod 7), new
@@ -2425,6 +2450,19 @@ object SparkEntry {
 
       "q_corpus_select_quantile" ->
         operators.CorpusOps.sqlSelectTopShareByGroup(250),
+
+      "q_text_encoding" -> operators.CorpusOps.sqlEncodingProfile(
+        """SELECT doc_id, text ||
+          | CASE WHEN doc_id % 3 = 0 THEN chr(65533) ELSE '' END ||
+          | CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END ||
+          | CASE WHEN doc_id % 7 = 0 THEN chr(233) ELSE '' END AS text
+          |FROM documents""".stripMargin),
+
+      "q_corpus_vocab_drift" -> operators.CorpusOps.sqlVocabularyDrift(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0",
+        """SELECT doc_id,
+          | CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+          |FROM documents WHERE doc_id % 5 <> 0""".stripMargin, 30),
 
       "q_corpus_diff" ->
         """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents

@@ -1346,6 +1346,122 @@ object CorpusOps {
        |FROM iw ORDER BY gumbel_key DESC, doc_id LIMIT $n""".stripMargin
   }
 
+  /** C0 control chars except tab/LF/CR — the "should never appear in clean
+    * text" set. ASCII-range hex classes render identically in Java regex and
+    * RE2, like [[TextFunctions]]'s punct class. */
+  private val CtlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  private val NonAsciiClass = "[^\\x00-\\x7F]"
+
+  /**
+   * Per-document encoding-damage profile (the C4/Dolma "is this text
+   * mojibake?" hygiene signal): counts of U+FFFD replacement characters
+   * (the tombstone a lossy decode leaves behind), of C0 control characters
+   * other than tab/newline/CR, and the non-ASCII character ratio, plus a
+   * composite `suspect` flag (any replacement char, any control char, or
+   * ratio > 0.30 — the heuristic for "decoded with the wrong charset").
+   * Pure per-row codegen'd expressions: profiling a 100 TB corpus is a
+   * zero-shuffle scan stage. Counting U+FFFD by split-length keeps both
+   * engines on literal (non-regex) matching.
+   */
+  def encodingProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("long")
+    val repl = (size(split(t, "\uFFFD", -1)) - 1).cast("long")
+    val ctl = n - length(regexp_replace(t, CtlClass, ""))
+    val nonAscii = n - length(regexp_replace(t, NonAsciiClass, ""))
+    val ratio = TextFunctions.stableRound(
+      nonAscii.cast("double") / greatest(n, lit(1L)).cast("double"), 4)
+    docs.select(col(idCol).as("doc_id"), n.as("n_chars"), repl.as("repl_chars"),
+      ctl.as("ctl_chars"), ratio.as("nonascii_ratio"),
+      (repl > 0 || ctl > 0 || ratio > 0.30).as("suspect"))
+  }
+
+  /** DuckDB twin of [[encodingProfile]] over a `d(doc_id, text)` CTE the
+    * caller supplies (so gates can plant damage identically both sides). */
+  def sqlEncodingProfile(sourceCte: String): String = {
+    val ctl = s"regexp_replace(text, '$CtlClass', '', 'g')"
+    val ascii = s"regexp_replace(text, '$NonAsciiClass', '', 'g')"
+    val ratio = TextFunctions.sqlStableRound(
+      "(len(text) - len(" + ascii + "))::DOUBLE / greatest(len(text), 1)::DOUBLE", 4)
+    s"""WITH d AS ($sourceCte)
+       |SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+       | CAST(len(string_split(text, chr(65533))) - 1 AS BIGINT) AS repl_chars,
+       | CAST(len(text) - len($ctl) AS BIGINT) AS ctl_chars,
+       | $ratio AS nonascii_ratio,
+       | (len(string_split(text, chr(65533))) - 1 > 0
+       |  OR len(text) - len($ctl) > 0
+       |  OR $ratio > 0.30) AS suspect
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /**
+   * Vocabulary drift between two corpus snapshots (dataset-versioning
+   * companion to [[corpusDiff]]): the `topK` terms whose relative frequency
+   * moved the most between the old and new snapshot, with both counts and
+   * both probabilities. The standard "what changed in my training mix"
+   * audit — a vocabulary-level view where [[corpusDiff]] is document-level.
+   *
+   * Exactness: probabilities are integer-count ratios in IEEE doubles,
+   * stableRound(8)ed before the delta so both engines rank identical
+   * values. Scale shape: each snapshot explodes once into a term hash-agg;
+   * the two vocab tables full-outer-join on term (planner-chosen, AQE
+   * skew-split); totals ride as one-row broadcasts; and the final top-k is
+   * a distributed TakeOrderedAndProject — per-partition top-k then a k-row
+   * merge, fine for the report-sized k this emits (NOT the vocab-sized
+   * global sort [[cappedVocab]] exists to avoid).
+   */
+  def vocabularyDrift(
+      oldDocs: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    def vocab(df: DataFrame, cntAs: String): DataFrame =
+      df.select(explode(TextFunctions.words(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(cntAs))
+    val vo = Dedup.lazyShare(vocab(oldDocs, "cnt_old"))
+    val vn = Dedup.lazyShare(vocab(newDocs, "cnt_new"))
+    val to = vo.agg(sum(col("cnt_old")).as("__to"))
+    val tn = vn.agg(sum(col("cnt_new")).as("__tn"))
+    val pOld = TextFunctions.stableRound(
+      coalesce(col("cnt_old"), lit(0L)).cast("double") / col("__to").cast("double"), 8)
+    val pNew = TextFunctions.stableRound(
+      coalesce(col("cnt_new"), lit(0L)).cast("double") / col("__tn").cast("double"), 8)
+    vo.join(vn, Seq("term"), "full_outer")
+      .crossJoin(broadcast(to)).crossJoin(broadcast(tn))
+      .select(col("term"),
+        coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"),
+        pOld.as("p_old"), pNew.as("p_new"),
+        TextFunctions.stableRound(pNew - pOld, 8).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("term").asc)
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[vocabularyDrift]] over caller-supplied old/new
+    * snapshot CTE bodies (each `SELECT doc_id, text ...`). */
+  def sqlVocabularyDrift(oldCte: String, newCte: String, topK: Int): String = {
+    val pOld = TextFunctions.sqlStableRound(
+      "coalesce(cnt_old, 0)::DOUBLE / tot_o::DOUBLE", 8)
+    val pNew = TextFunctions.sqlStableRound(
+      "coalesce(cnt_new, 0)::DOUBLE / tot_n::DOUBLE", 8)
+    s"""WITH o AS ($oldCte), n AS ($newCte),
+       | vo AS (SELECT unnest(string_split(text, ' ')) AS term FROM o),
+       | vn AS (SELECT unnest(string_split(text, ' ')) AS term FROM n),
+       | co AS (SELECT term, count(*) AS cnt_old FROM vo GROUP BY 1),
+       | cn AS (SELECT term, count(*) AS cnt_new FROM vn GROUP BY 1),
+       | t AS (SELECT (SELECT count(*) FROM vo) AS tot_o,
+       |              (SELECT count(*) FROM vn) AS tot_n),
+       | j AS (SELECT coalesce(co.term, cn.term) AS term,
+       |              CAST(coalesce(cnt_old, 0) AS BIGINT) AS cnt_old,
+       |              CAST(coalesce(cnt_new, 0) AS BIGINT) AS cnt_new,
+       |              $pOld AS p_old, $pNew AS p_new
+       |       FROM co FULL OUTER JOIN cn ON co.term = cn.term, t)
+       |SELECT term, cnt_old, cnt_new, p_old, p_new,
+       | ${TextFunctions.sqlStableRound("p_new - p_old", 8)} AS delta
+       |FROM j
+       |ORDER BY abs(delta) DESC, term ASC
+       |LIMIT $topK""".stripMargin
+  }
+
   /**
    * Per-group top-share selection (the FineWeb-Edu-style classifier
    * selection step, arXiv:2406.17557 §3.3): within every group (domain,

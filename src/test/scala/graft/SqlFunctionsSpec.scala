@@ -257,6 +257,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
         .orderBy(col("doc_id")).collect().toSeq)
 
+    val enc = spark.sql(
+      "SELECT * FROM graft_encoding('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
+    assert(enc.collect().toSeq ==
+      operators.CorpusOps.encodingProfile(docs, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
+    val vd = spark.sql(
+      "SELECT * FROM graft_vocab_drift('tvfcorpus', 'tvfdocs', 'doc_id', 'text', 10)")
+    assert(vd.collect().toSeq ==
+      operators.CorpusOps.vocabularyDrift(
+          spark.table("tvfcorpus"), docs, "doc_id", "text", 10)
+        .collect().toSeq)
+
     val cd = spark.sql(
       "SELECT * FROM graft_corpus_diff('tvfcorpus', 'tvfdocs', 'doc_id', 'text') " +
         "ORDER BY doc_id")

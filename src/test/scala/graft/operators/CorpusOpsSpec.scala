@@ -803,6 +803,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(masses.values.sum == 20)
   }
 
+  test("encodingProfile: replacement chars, control chars, non-ASCII ratio, suspect flag") {
+    val df = Seq(
+      (0L, "clean ascii text"),
+      (1L, "bad\uFFFDdecode\uFFFD"),          // two replacement chars
+      (2L, "ctlheretoo"),          // two C0 controls (not tab/LF/CR)
+      (3L, "tabs\tand\nnewlines\rok"),         // whitelisted controls stay clean
+      (4L, "\u00e9\u00e9\u00e9\u00e9")         // 100% non-ASCII
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.encodingProfile(df, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"repl_chars", $"ctl_chars", $"nonascii_ratio", $"suspect")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got(0) == (0L, 0L, 0.0, false))
+    assert(got(1)._1 == 2L && got(1)._4)
+    assert(got(2)._2 == 2L && got(2)._4)
+    assert(got(3) == (0L, 0L, 0.0, false), got(3).toString)
+    assert(got(4)._3 == 1.0 && got(4)._4)
+  }
+
+  test("vocabularyDrift: exact count ratios, new terms included, top-k by |delta|") {
+    val oldSnap = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "a b b b c")).toDF("doc_id", "text")
+    val got = CorpusOps.vocabularyDrift(oldSnap, newSnap, "doc_id", "text", topK = 3)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    // a: 2/3 -> 1/5 (biggest mover), b: 1/3 -> 3/5, c: 0 -> 1/5 (new term)
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"), got.mkString(","))
+    val a = got(0); val c = got(2)
+    assert(a._2 == 2L && a._3 == 1L)
+    assert(math.abs(a._6 - (-0.46666667)) < 1e-9, a.toString)
+    assert(c._2 == 0L && c._3 == 1L && math.abs(c._6 - 0.2) < 1e-9)
+    // top-1 keeps only the biggest mover
+    assert(CorpusOps.vocabularyDrift(oldSnap, newSnap, "doc_id", "text", topK = 1)
+      .as[(String, Long, Long, Double, Double, Double)].collect().map(_._1).toSeq == Seq("a"))
+  }
+
   test("selectTopShareByGroup: exact per-group cut, ties at the threshold all kept") {
     val df = Seq(
       // group a: distinct scores — top 25% of 4 = rank 1 → only 0.9 survives
