@@ -162,6 +162,21 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = Sampling.mixByTokenBudget(df, col(groupCol), col(textCol), id,
       graft.functions.TextFunctions.tokenCount(col(textCol)), budgets, defaultBudget))
 
+  /** Keep each group's top `topPermille`/1000 fraction by `scoreCol`
+    * (FineWeb-Edu-style classifier selection; threshold ties all kept). The
+    * score column must already exist — pair with a scoring terminal, e.g.
+    * `.withScore(...)` via plain DataFrame ops, and discretize it
+    * (stableRound) so the selection histogram stays bounded. */
+  def selectTopShare(scoreCol: String, topPermille: Int,
+      groupCol: String = "source"): Corpus =
+    copy(df = CorpusOps.selectTopShareByGroup(df, groupCol, scoreCol, topPermille))
+
+  /** Drop documents whose text shows encoding damage (replacement chars,
+    * stray C0 controls, or a non-ASCII ratio past the mojibake heuristic).
+    * Zero-shuffle scan stage. */
+  def dropEncodingSuspects(): Corpus =
+    copy(df = df.filter(!CorpusOps.encodingSuspect(col(textCol))))
+
   /** Deterministic training order (adds `shuffle_key`, globally sorted). */
   def shuffle(seed: String): Corpus =
     copy(df = Sampling.deterministicShuffle(df, id, seed))
@@ -185,4 +200,7 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     CorpusOps.duplicateSpanProfile(df, idCol, textCol, k, minDf)
   def contaminationReport(bench: DataFrame, k: Int = 3, minShared: Int = 2): DataFrame =
     CorpusOps.decontaminate(df, bench, idCol, textCol, k, minShared)
+  def encodingProfile(): DataFrame = CorpusOps.encodingProfile(df, idCol, textCol)
+  def vocabularyDrift(older: Corpus, topK: Int = 20): DataFrame =
+    CorpusOps.vocabularyDrift(older.df, df, idCol, textCol, topK)
 }

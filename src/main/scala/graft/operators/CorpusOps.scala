@@ -1366,15 +1366,27 @@ object CorpusOps {
   def encodingProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val n = length(t).cast("long")
-    val repl = (size(split(t, "\uFFFD", -1)) - 1).cast("long")
-    val ctl = n - length(regexp_replace(t, CtlClass, ""))
-    val nonAscii = n - length(regexp_replace(t, NonAsciiClass, ""))
-    val ratio = TextFunctions.stableRound(
-      nonAscii.cast("double") / greatest(n, lit(1L)).cast("double"), 4)
+    val repl = replCharCount(t)
+    val ctl = ctlCharCount(t)
+    val ratio = nonAsciiRatio(t)
     docs.select(col(idCol).as("doc_id"), n.as("n_chars"), repl.as("repl_chars"),
       ctl.as("ctl_chars"), ratio.as("nonascii_ratio"),
-      (repl > 0 || ctl > 0 || ratio > 0.30).as("suspect"))
+      encodingSuspect(t).as("suspect"))
   }
+
+  private def replCharCount(t: Column): Column =
+    (size(split(t, "\uFFFD", -1)) - 1).cast("long")
+  private def ctlCharCount(t: Column): Column =
+    length(t).cast("long") - length(regexp_replace(t, CtlClass, ""))
+  private def nonAsciiRatio(t: Column): Column = TextFunctions.stableRound(
+    (length(t).cast("long") - length(regexp_replace(t, NonAsciiClass, "")))
+      .cast("double") / greatest(length(t).cast("long"), lit(1L)).cast("double"), 4)
+
+  /** The [[encodingProfile]] `suspect` rule as a standalone per-row
+    * predicate, so a pipeline stage can FILTER on it without materializing
+    * the profile or joining anything. */
+  def encodingSuspect(t: Column): Column =
+    replCharCount(t) > 0 || ctlCharCount(t) > 0 || nonAsciiRatio(t) > 0.30
 
   /** DuckDB twin of [[encodingProfile]] over a `d(doc_id, text)` CTE the
     * caller supplies (so gates can plant damage identically both sides). */

@@ -67,6 +67,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("diversity sample keeps capPerGroup's rank-limit pushdown over the cell window") {
+    val q = SparkEntry.queries("q_embed_diversity")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("top-share selection windows only the bounded (group, score) histogram") {
+    // the raw corpus must reach the cut join through a hash AGGREGATE, never
+    // through a per-group sort/window of the rows themselves: exactly one
+    // Window in the plan, fed by an Aggregate (the histogram), and no
+    // global sort anywhere
+    val q = SparkEntry.queries("q_corpus_select_quantile")(spark, dir)
+    val p = plan(q)
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"expected exactly one Window (over the histogram):\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("encoding profile is a pure scan — no exchange at all") {
+    val q = operators.CorpusOps.encodingProfile(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val p = plan(q)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("connector scan: narrowed range appears in scan description; whole-stage codegen above") {
     val df = GraftEventLog.readParquetLog(spark, s"$dir/events.parquet", 4,
         Map("startingPosition" -> """{"seqNo":10}"""))

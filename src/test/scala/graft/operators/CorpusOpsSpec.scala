@@ -865,6 +865,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Corpus facade: selectTopShare and dropEncodingSuspects delegate exactly") {
+    val docs = Seq(
+      (0L, "s1", "good clean text body here"),
+      (1L, "s1", "bad\uFFFDtext"),
+      (2L, "s2", "another fine document text")).toDF("doc_id", "source", "text")
+    val dropped = Corpus(docs).dropEncodingSuspects().df
+      .select($"doc_id").as[Long].collect().toSet
+    assert(dropped == Set(0L, 2L))
+    val scored = docs.withColumn("score",
+      graft.functions.TextFunctions.stableRound(
+        graft.functions.TextFunctions.qualityScore($"text"), 4))
+    val viaFacade = Corpus(scored).selectTopShare("score", 500).df
+      .select($"doc_id").as[Long].collect().toSet
+    val direct = CorpusOps.selectTopShareByGroup(scored, "source", "score", 500)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaFacade == direct)
+  }
+
   test("selectTopShareByGroup: kept count per group is the ceiling rank plus ties") {
     // 10 rows per group with distinct scores: top 300‰ → ceil(3.0)=3 rows
     val df = (0 until 30).map(i => (i.toLong, s"g${i % 3}", (i / 3) / 10.0))
