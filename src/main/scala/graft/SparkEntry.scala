@@ -214,6 +214,10 @@ object SparkEntry {
       build: () => String): String =
     hashIndexPaths.getOrBuild(s, dir, build)
 
+  /** Persisted MinHash index per (session, corpus dir) — q_dedup
+    * _incremental_neardup's probe target, built once per sweep. */
+  private val minHashIndexPaths = new SessionDirMemo[String]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (inherited from Spark SQL; SURVEY §2.7 —
     //      exercised to prove parity on the engine we build on) ----
@@ -908,6 +912,26 @@ object SparkEntry {
           .otherwise(concat(col("text"), lit(" batch2 #"), col("doc_id")))
           .as("text"))
       Dedup.dedupAgainstHashIndex(batch, Seq(col("text")), path)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_incremental_neardup" -> ((s, dir) => {
+      // the near-dup half of the incremental story: the corpus is indexed
+      // once (MinHash bands + FNV shingle hashes), then a new batch probes
+      // it — paraphrased re-crawls (first word dropped, ids ≡ 0 mod 13)
+      // drop; genuinely new docs (reversed word order) survive
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val path = minHashIndexPaths.getOrBuild(s, dir, () => {
+        val p = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+        Dedup.saveMinHashIndex(d, "doc_id", "text", p)
+        p
+      })
+      val w = TextFunctions.words(col("text"))
+      val batch = d.select((col("doc_id") + 300000L).as("doc_id"),
+        when(col("doc_id") % 13 === 0,
+            concat_ws(" ", slice(w, lit(2), size(w) - 1)))
+          .otherwise(concat_ws(" ", reverse(w))).as("text"))
+      Dedup.dedupAgainstMinHashIndex(batch, "doc_id", "text", path)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -2299,6 +2323,14 @@ object SparkEntry {
       // exact-content semantics of the hash-index anti-join (equal up to a
       // 128-bit collision, same convention as the q_dedup_exact oracles)
       "q_dedup_incremental" -> incrementalDedupOracleSql,
+
+      "q_dedup_incremental_neardup" -> Dedup.sqlMinHashIndexSurvivors(
+        "SELECT doc_id, string_split(text, ' ') AS w FROM documents",
+        """SELECT doc_id + 300000 AS doc_id,
+          | CASE WHEN doc_id % 13 = 0
+          |  THEN list_slice(string_split(text, ' '), 2, len(string_split(text, ' ')))
+          |  ELSE list_reverse(string_split(text, ' ')) END AS w
+          |FROM documents""".stripMargin),
 
       // the streaming form admits per epoch, but no two stream rows share
       // a text, so ANY trigger slicing unions to the batch result

@@ -1036,4 +1036,226 @@ object Dedup extends Logging {
       path: String, epochId: Long): Unit =
     hashesOf(df, keyCols).distinct()
       .write.mode("overwrite").parquet(s"$path/hashes/epoch=$epochId")
+
+  // -------------------------------------------------------------------
+  // Persisted MinHash index — the NEAR-DUP half of the incremental-dedup
+  // story ([[saveHashIndex]] covers exact): a daily-crawl pipeline must
+  // also drop documents that are paraphrase-level copies of anything
+  // admitted in past runs, without holding the past corpus in the job.
+  // -------------------------------------------------------------------
+
+  private final case class MinHashIndexParams(
+      k: Int, numHashes: Int, bands: Int, seed: Long)
+  private val minHashIndexParams =
+    new ConcurrentHashMap[String, MinHashIndexParams]()
+
+  private def shingleBase(df: DataFrame, idCol: String, textCol: String,
+      k: Int, idAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        array_distinct(TextFunctions.wordShingles(col(textCol), k)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private def bandRows(base: DataFrame, idAs: String,
+      numHashes: Int, bands: Int, seed: Long): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = base.select(col(idAs),
+      minhash_signature(col("sh"), numHashes, seed).as("sig"))
+    val bandBuckets = (0 until bands).map(b =>
+      hash(slice(col("sig"), b * rows + 1, rows)))
+    sigs.select(col(idAs), posexplode(array(bandBuckets: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  private def hashedShingles(base: DataFrame, idAs: String): DataFrame =
+    base.select(col(idAs), transform(col("sh"), s => fnv1a64(s)).as("hs"))
+
+  /**
+   * Persist a MinHash band index of a corpus for INCREMENTAL NEAR-DUP dedup
+   * ([[dedupAgainstMinHashIndex]]). Two tables, both narrow, both
+   * epoch-partitioned exactly like [[saveHashIndex]] (batch writes land in
+   * `epoch=-1`; streaming admission owns `epoch=<id>` so a replayed
+   * micro-batch can exclude its own partial delta):
+   *  - `bands/`: (doc_id, band, bucket) — the candidate-generation rows, a
+   *    few dozen bytes × `bands` per document;
+   *  - `shingles/`: (doc_id, hs: array<long>) — 64-bit FNV hashes of each
+   *    document's distinct word shingles, ~8 bytes per shingle, for the
+   *    exact-Jaccard verification (Jaccard over the hash sets equals
+   *    Jaccard over the shingle sets up to vanishing 64-bit collisions;
+   *    storing hashes instead of text keeps the index content-free).
+   * `params/` records (k, numHashes, bands, seed); a probe with different
+   * parameters is impossible to match and fails loudly.
+   */
+  def saveMinHashIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): Unit = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val spark = docs.sparkSession
+    val base = lazyShare(shingleBase(docs, idCol, textCol, k, "doc_id"))
+    bandRows(base, "doc_id", numHashes, bands, seed)
+      .write.mode("overwrite").parquet(s"$path/bands/epoch=-1")
+    hashedShingles(base, "doc_id")
+      .write.mode("overwrite").parquet(s"$path/shingles/epoch=-1")
+    import spark.implicits._
+    Seq((k, numHashes, bands, seed)).toDF("k", "num_hashes", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    minHashIndexParams.put(path, MinHashIndexParams(k, numHashes, bands, seed))
+    ()
+  }
+
+  private def minHashParamsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinHashIndexParams =
+    minHashIndexParams.computeIfAbsent(path, _ => {
+      val r = spark.read.parquet(s"$path/params").head()
+      MinHashIndexParams(r.getAs[Int]("k"), r.getAs[Int]("num_hashes"),
+        r.getAs[Int]("bands"), r.getAs[Long]("seed"))
+    })
+
+  private[graft] def forgetMinHashIndex(path: String): Unit = {
+    minHashIndexParams.remove(path); ()
+  }
+
+  /**
+   * Per-batch-document matches against the persisted MinHash index:
+   * (doc_id, n_index_matched, top_jaccard) for every batch document with at
+   * least one indexed near-dup at `threshold`. The scale contract mirrors
+   * [[CorpusOps.decontaminateNearDup]] with the roles fixed by the
+   * broadcast-sized-batch assumption:
+   *  - the BATCH bands (capped by `maxBatchBucket` with counted drops, tag
+   *    `"minHashIndex"`) broadcast against the index's band scan — the
+   *    corpus-scale band table feeds the candidate join without an
+   *    exchange, and the probe prunes `excludeEpoch`'s files at listing;
+   *  - the candidate set joined with the batch's own shingle hashes
+   *    broadcasts against the index's shingle scan — the corpus-scale
+   *    verification payload never shuffles either.
+   * Batch-INTERNAL near-dups both survive (the index only knows past
+   * batches); compose with [[dedupByNearDup]] for within-batch dedup.
+   */
+  def minHashIndexMatches(batch: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.5, maxBatchBucket: Int = 1000,
+      excludeEpoch: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val p = minHashParamsOf(spark, path)
+    val base = lazyShare(shingleBase(batch, idCol, textCol, p.k, "doc_id"))
+    val bBand = dropHotKeys(
+      bandRows(base, "doc_id", p.numHashes, p.bands, p.seed),
+      Seq("band", "bucket"), maxBatchBucket, "minHashIndex")
+    def epochScan(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$path/$table")
+      excludeEpoch.foldLeft(df)((d, e) => d.filter(col("epoch") =!= lit(e)))
+    }
+    val iBand = epochScan("bands").select(
+      col("doc_id").as("idx_id"), col("band"), col("bucket"))
+    val cand = iBand.join(broadcast(bBand), Seq("band", "bucket"))
+      .select(col("doc_id"), col("idx_id")).distinct()
+    val iSh = epochScan("shingles").select(
+      col("doc_id").as("idx_id"), col("hs").as("idx_hs"))
+    iSh.join(broadcast(cand.join(hashedShingles(base, "doc_id"), Seq("doc_id"))),
+        Seq("idx_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("hs"), col("idx_hs"))).cast("double") /
+          size(array_union(col("hs"), col("idx_hs"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_index_matched"),
+        round(max(col("jaccard")), 4).as("top_jaccard"))
+  }
+
+  /** Rows of `batch` with NO near-dup in the persisted index — the
+    * incremental near-dup admission filter ([[dedupAgainstHashIndex]]'s
+    * paraphrase-robust sibling). */
+  def dedupAgainstMinHashIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String, threshold: Double = 0.5,
+      maxBatchBucket: Int = 1000, excludeEpoch: Option[Long] = None): DataFrame = {
+    val matches = minHashIndexMatches(batch, idCol, textCol, path, threshold,
+      maxBatchBucket, excludeEpoch).select(col("doc_id").as("__dup_id"))
+    batch.join(matches, batch(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  /** Admit a batch into the MinHash index: append its band rows and shingle
+    * hashes to the `epoch=-1` partition. Intended flow mirrors
+    * [[appendToHashIndex]]: dedup → admit survivors downstream → append
+    * THOSE rows here. */
+  def appendToMinHashIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val p = minHashParamsOf(batch.sparkSession, path)
+    val base = lazyShare(shingleBase(batch, idCol, textCol, p.k, "doc_id"))
+    bandRows(base, "doc_id", p.numHashes, p.bands, p.seed)
+      .write.mode("append").parquet(s"$path/bands/epoch=-1")
+    hashedShingles(base, "doc_id")
+      .write.mode("append").parquet(s"$path/shingles/epoch=-1")
+  }
+
+  /**
+   * Continuous-ingestion form of [[dedupAgainstMinHashIndex]], with the
+   * same replay contract as [[dedupStreamAgainstHashIndex]]: every
+   * micro-batch probes the index EXCLUDING its own epoch's delta,
+   * survivors go to `writeBatch` (which must be idempotent on the epoch
+   * id), and admission OVERWRITES the epoch's partitions — so an
+   * at-least-once retry recomputes the identical survivor set. One live
+   * stream per index path.
+   */
+  def dedupStreamAgainstMinHashIndex(
+      stream: DataFrame, idCol: String, textCol: String, path: String,
+      threshold: Double = 0.5, admit: Boolean = true)(
+      writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      val fresh = dedupAgainstMinHashIndex(batch, idCol, textCol, path,
+        threshold, excludeEpoch = Some(epochId)).persist()
+      try {
+        writeBatch(fresh, epochId)
+        if (admit) admitMinHashEpoch(fresh, idCol, textCol, path, epochId)
+      } finally { fresh.unpersist(); () }
+    }
+
+  private[graft] def admitMinHashEpoch(df: DataFrame, idCol: String,
+      textCol: String, path: String, epochId: Long): Unit = {
+    val p = minHashParamsOf(df.sparkSession, path)
+    val base = lazyShare(shingleBase(df, idCol, textCol, p.k, "doc_id"))
+    bandRows(base, "doc_id", p.numHashes, p.bands, p.seed)
+      .write.mode("overwrite").parquet(s"$path/bands/epoch=$epochId")
+    hashedShingles(base, "doc_id")
+      .write.mode("overwrite").parquet(s"$path/shingles/epoch=$epochId")
+  }
+
+  /**
+   * DuckDB twin of [[dedupAgainstMinHashIndex]]'s survivor set over
+   * caller-supplied CTE bodies: `indexCte` and `batchCte` must each yield
+   * `(doc_id, w)` with `w` the split word list. Same slice-join equivalence
+   * and permutation-literal rendering as [[sqlMinHashLshPairs]]; the
+   * verification runs over the same FNV shingle-hash lists the Spark index
+   * stores. Survivors = batch ids with no indexed match at `threshold`.
+   */
+  def sqlMinHashIndexSurvivors(indexCte: String, batchCte: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): String = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigCols = sqlMinHashSigCols(numHashes, seed)
+    val sh = TextFunctions.sqlWordShingles("text", k)
+      .replace("string_split(text, ' ')", "w")
+    val fnv = TextFunctions.sqlFnv1a64("t")
+    s"""WITH idx0 AS ($indexCte), bat0 AS ($batchCte),
+       |i AS (SELECT doc_id AS idx_id, sh, list_transform(sh, t -> $fnv) AS hs
+       |      FROM (SELECT doc_id, list_distinct($sh) AS sh FROM idx0)
+       |      WHERE len(sh) > 0),
+       |b AS (SELECT doc_id, sh, list_transform(sh, t -> $fnv) AS hs
+       |      FROM (SELECT doc_id, list_distinct($sh) AS sh FROM bat0)
+       |      WHERE len(sh) > 0),
+       |isig AS (SELECT idx_id, $sigCols FROM i),
+       |bsig AS (SELECT doc_id, $sigCols FROM b),
+       |iband AS (${sqlMinHashBandRows(bands, rows, "isig", "idx_id")}),
+       |bband AS (${sqlMinHashBandRows(bands, rows, "bsig", "doc_id")}),
+       |cand AS (SELECT DISTINCT doc_id, idx_id
+       |  FROM bband JOIN iband ON bband.band = iband.band
+       |   AND bband.chunk = iband.chunk),
+       |matched AS (SELECT DISTINCT cand.doc_id
+       |  FROM cand JOIN b USING (doc_id) JOIN i USING (idx_id)
+       |  WHERE len(list_intersect(b.hs, i.hs)) * 1.0
+       |    / (len(b.hs) + len(i.hs) - len(list_intersect(b.hs, i.hs)))
+       |    >= $threshold)
+       |SELECT doc_id FROM bat0
+       |WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

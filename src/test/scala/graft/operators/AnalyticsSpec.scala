@@ -568,6 +568,56 @@ class DedupSpec extends AnyFunSuite {
     assert(probe(exclude = Some(8L)).isEmpty)
   }
 
+  test("minhash index: cross-batch incremental NEAR-dup dedup lifecycle") {
+    val path = java.nio.file.Files.createTempDirectory("mh-idx").toString
+    Dedup.saveMinHashIndex(docs, "doc_id", "text", path)
+    val batch = Seq(
+      // paraphrase of doc 0 (one word swapped) -> near-dup, drops
+      (10L, "the quick brown fox jumps over the lazy dog again and again yesterday"),
+      // genuinely new -> survives
+      (11L, "a wholly original essay on distributed joins and partitioning"),
+      // too short to shingle -> can never match, survives
+      (12L, "hi"))
+      .toDF("doc_id", "text")
+    val matches = Dedup.minHashIndexMatches(batch, "doc_id", "text", path)
+      .as[(Long, Long, Double)].collect()
+    assert(matches.map(_._1).toSet == Set(10L), matches.mkString(","))
+    assert(matches.head._3 > 0.5 && matches.head._3 < 1.0)
+    val s1 = Dedup.dedupAgainstMinHashIndex(batch, "doc_id", "text", path)
+    assert(s1.select($"doc_id").as[Long].collect().toSet == Set(11L, 12L))
+    // admit the survivors; a paraphrase of 11 now drops in the next batch
+    Dedup.appendToMinHashIndex(s1, "doc_id", "text", path)
+    val batch2 = Seq(
+      (20L, "a wholly original essay on distributed joins and sharding"),
+      (21L, "fresh unrelated commentary about watermarks and state stores"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.dedupAgainstMinHashIndex(batch2, "doc_id", "text", path)
+    assert(s2.select($"doc_id").as[Long].collect().toSet == Set(21L))
+    Dedup.forgetMinHashIndex(path)
+  }
+
+  test("minhash index: streaming admission with replay-safe epoch exclusion") {
+    val path = java.nio.file.Files.createTempDirectory("mh-idx-replay").toString
+    Dedup.saveMinHashIndex(docs, "doc_id", "text", path)
+    val batch = Seq(
+      (30L, "a replayed but genuinely new treatise about broadcast joins"),
+      (31L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    def probe(exclude: Option[Long]) =
+      Dedup.dedupAgainstMinHashIndex(batch, "doc_id", "text", path,
+        excludeEpoch = exclude).select($"doc_id").as[Long].collect().toSet
+    val attempt1 = probe(exclude = Some(7L))
+    assert(attempt1 == Set(30L))
+    // crashed attempt admitted its survivors into epoch 7, then replays:
+    // the self-exclusion makes the retry recompute the identical set
+    Dedup.admitMinHashEpoch(batch.filter($"doc_id" === 30L), "doc_id", "text", path, 7L)
+    assert(probe(exclude = Some(7L)) == attempt1, "replay must be deterministic")
+    // un-excluded probe self-collides; the next epoch sees the admission
+    assert(probe(exclude = None).isEmpty)
+    assert(probe(exclude = Some(8L)).isEmpty)
+    Dedup.forgetMinHashIndex(path)
+  }
+
   test("dedupNormalized collapses reformatted copies to the min-id original") {
     val df = Seq(
       (0L, "The quick brown fox."),
