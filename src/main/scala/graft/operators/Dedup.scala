@@ -1168,7 +1168,10 @@ object Dedup extends Logging {
       maxBatchBucket: Int = 1000, excludeEpoch: Option[Long] = None): DataFrame = {
     val matches = minHashIndexMatches(batch, idCol, textCol, path, threshold,
       maxBatchBucket, excludeEpoch).select(col("doc_id").as("__dup_id"))
-    batch.join(matches, batch(idCol) === col("__dup_id"), "left_anti")
+    // the aggregate hides its size from Catalyst, but matches ≤ batch rows
+    // by construction (one row per flagged batch doc) — without the hint
+    // this anti-join silently becomes a sort-merge shuffle of the batch
+    batch.join(broadcast(matches), batch(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** Admit a batch into the MinHash index: append its band rows and shingle
@@ -1216,6 +1219,62 @@ object Dedup extends Logging {
       .write.mode("overwrite").parquet(s"$path/bands/epoch=$epochId")
     hashedShingles(base, "doc_id")
       .write.mode("overwrite").parquet(s"$path/shingles/epoch=$epochId")
+  }
+
+  /**
+   * Fail loudly when the persisted MinHash index no longer matches the
+   * corpus it claims to cover — a drifted index silently re-admits
+   * near-dups. Compares row count and an order-independent id-hash
+   * fingerprint of the index's shingle table against the corpus's
+   * SHINGLE-ELIGIBLE documents (those with at least one k-shingle; shorter
+   * docs never enter the index by design). One narrow scan per side.
+   */
+  def validateMinHashIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val p = minHashParamsOf(spark, path)
+    def fp(df: DataFrame, c: String): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col(c))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (ic, ih) = fp(spark.read.parquet(s"$path/shingles"), "doc_id")
+    val (cc, ch) = fp(shingleBase(docs, idCol, textCol, p.k, "doc_id"), "doc_id")
+    if (ic != cc || ih != ch) throw new IllegalStateException(
+      s"MinHash index at $path is stale: it covers $ic documents " +
+        s"(id-fingerprint $ih) but the corpus has $cc shingle-eligible " +
+        s"(fingerprint $ch). Rebuild with saveMinHashIndex or append the " +
+        "delta with appendToMinHashIndex.")
+  }
+
+  /**
+   * Merge a long-lived stream's accreted `epoch=<id>` delta partitions
+   * (and any appends) into the single `epoch=-1` partition — undoing
+   * admission erosion without recomputing a single signature. Only run
+   * while no stream owns the index (the swap is not atomic against a
+   * concurrent epoch write). Returns the number of partitions merged, 0 if
+   * the index was already compact.
+   */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def epochDirs(table: String): Array[Path] =
+      fs.listStatus(new Path(s"$path/$table"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+        .map(_.getPath)
+    val n = epochDirs("bands").length
+    if (n <= 1 && epochDirs("shingles").length <= 1) return 0
+    Seq("bands", "shingles").foreach { table =>
+      val tmp = new Path(s"$path/${table}__compacting")
+      spark.read.parquet(s"$path/$table").drop("epoch")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val live = new Path(s"$path/$table")
+      fs.delete(live, true)
+      fs.mkdirs(live)
+      fs.rename(tmp, new Path(s"$path/$table/epoch=-1"))
+    }
+    n
   }
 
   /**

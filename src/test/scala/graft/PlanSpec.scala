@@ -67,6 +67,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("minhash-index probe broadcasts the batch at both joins — the index never shuffles") {
+    val q = SparkEntry.queries("q_dedup_incremental_neardup")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("diversity sample keeps capPerGroup's rank-limit pushdown over the cell window") {
     val q = SparkEntry.queries("q_embed_diversity")(spark, dir)
     val p = plan(q)

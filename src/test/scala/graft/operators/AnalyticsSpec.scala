@@ -618,6 +618,32 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetMinHashIndex(path)
   }
 
+  test("minhash index: drift detection and epoch compaction") {
+    val path = java.nio.file.Files.createTempDirectory("mh-idx-life").toString
+    Dedup.saveMinHashIndex(docs, "doc_id", "text", path)
+    Dedup.validateMinHashIndex(docs, "doc_id", "text", path) // fresh: passes
+    // a grown corpus no longer matches -> loud failure, not stale re-admission
+    val grown = docs.unionByName(Seq(
+      (99L, "a very new document beyond what the index has ever covered"))
+      .toDF("doc_id", "text"))
+    val e = intercept[IllegalStateException](
+      Dedup.validateMinHashIndex(grown, "doc_id", "text", path))
+    assert(e.getMessage.contains("stale"))
+    // streaming epochs accrete partitions; compaction merges them into -1
+    // without changing a single probe result
+    Dedup.admitMinHashEpoch(grown.filter($"doc_id" === 99L), "doc_id", "text", path, 3L)
+    val probe = Seq((200L, "a very new document beyond what the index has ever covered"))
+      .toDF("doc_id", "text")
+    def survivors() = Dedup.dedupAgainstMinHashIndex(probe, "doc_id", "text", path)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors().isEmpty) // 200 is a near-dup of admitted 99
+    assert(Dedup.compactMinHashIndex(spark, path) == 2)
+    assert(survivors().isEmpty, "compaction must not change probe results")
+    assert(Dedup.compactMinHashIndex(spark, path) == 0, "already compact")
+    Dedup.validateMinHashIndex(grown, "doc_id", "text", path) // now current
+    Dedup.forgetMinHashIndex(path)
+  }
+
   test("dedupNormalized collapses reformatted copies to the min-id original") {
     val df = Seq(
       (0L, "The quick brown fox."),
