@@ -1175,6 +1175,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_quality_classifier" -> ((s, dir) => {
+      // FineWeb-style classifier loop, train+score in one plan: Naive Bayes
+      // log-odds fit on the corpus's own language labels (en = positive),
+      // every document scored by its summed token log-odds
+      operators.CorpusOps.naiveBayesScore(Tables.documents(s, dir),
+          "doc_id", "text", positive = col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_encoding" -> ((s, dir) => {
       // encoding-damage profile: plant deterministic mojibake — a U+FFFD
       // replacement char, a BEL control char, a Latin-1 e-acute — identically
@@ -2482,6 +2491,9 @@ object SparkEntry {
 
       "q_corpus_select_quantile" ->
         operators.CorpusOps.sqlSelectTopShareByGroup(250),
+
+      "q_quality_classifier" ->
+        operators.CorpusOps.sqlNaiveBayesScore("lang = 'en'"),
 
       "q_text_encoding" -> operators.CorpusOps.sqlEncodingProfile(
         """SELECT doc_id, text ||

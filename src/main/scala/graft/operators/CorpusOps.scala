@@ -1475,6 +1475,120 @@ object CorpusOps {
   }
 
   /**
+   * Score every document with a user-supplied LINEAR bag-of-words
+   * classifier — the application half of the fastText-style quality
+   * classifiers the curation literature trains offline (weights arrive as
+   * a (term, weight) table from any trainer): score(doc) = bias +
+   * Σ_tokens w(token), with out-of-vocabulary tokens contributing
+   * `oovWeight`. Per-token weights are stableRound(6)ed then DECIMAL-summed
+   * so the score is shuffle-order independent; sigmoid is monotone, so
+   * thresholding this linear score IS thresholding the probability —
+   * apply [[selectTopShareByGroup]] or a cutoff directly.
+   *
+   * Scale shape: one corpus explode; the vocab-sized weights table joins
+   * planner-chosen (`broadcastWeights` opts into the hint); the only
+   * corpus-scale shuffle carries (doc_id, decimal) pairs.
+   */
+  def linearClassifierScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bias: Double = 0.0, oovWeight: Double = 0.0,
+      broadcastWeights: Boolean = false): DataFrame = {
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.words(col(textCol))).as("term"))
+    val w = TextFunctions.stableRound(
+        coalesce(col("weight"), lit(oovWeight)), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    tokens.join(if (broadcastWeights) broadcast(weights) else weights,
+        Seq("term"), "left")
+      .select(col("doc_id"), w.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
+      .select(col("doc_id"), col("n_tokens"),
+        TextFunctions.stableRound(lit(bias) + col("sum_w").cast("double"), 4)
+          .as("score"))
+  }
+
+  /**
+   * Train-and-score a Naive Bayes log-odds classifier on a labeled subset
+   * of the corpus itself — the missing middle of the FineWeb-Edu loop
+   * (extract features → TRAIN/SCORE a classifier → select top share):
+   * each token contributes
+   * `w(t) = ln((c_pos(t)+1)/(T_pos+V)) − ln((c_neg(t)+1)/(T_neg+V))`
+   * (add-one smoothing, V = joint vocabulary size, OOV falls out of the
+   * same formula at c=0), and the document score is
+   * `bias + Σ w(token)` with `bias = ln((n_pos+1)/(n_neg+1))` over
+   * document counts. score > 0 reads "more positive-class-like".
+   *
+   * Cross-engine exactness: every probability is a ratio of integer counts;
+   * per-token log-odds are stableRound(6)ed then DECIMAL-summed, the final
+   * score stableRound(4)ed — the [[lmQualityScore]] ladder. Scale shape:
+   * corpus explodes once (lazily shared between the class-count fit and
+   * scoring); the per-class count table is vocab-sized and joins
+   * planner-chosen; totals/bias ride as one-row broadcasts; OOV handling is
+   * a `coalesce` in the weight expression, not a separate lookup.
+   *
+   * Returns (doc_id, n_tokens, score).
+   */
+  def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
+      positive: Column, broadcastWeights: Boolean = false): DataFrame = {
+    val toks = Dedup.lazyShare(docs.select(col(idCol).as("doc_id"),
+      positive.cast("boolean").as("__pos"),
+      explode(TextFunctions.words(col(textCol))).as("term")))
+    val cnt = toks.groupBy(col("term")).agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("__pos"), 0L).otherwise(1L)).as("cneg"))
+    val tot = cnt.agg(sum(col("cpos")).as("tpos"), sum(col("cneg")).as("tneg"),
+      count(lit(1)).as("v"))
+    val db = docs.agg(
+      sum(when(positive.cast("boolean"), 1L).otherwise(0L)).as("npos"),
+      sum(when(positive.cast("boolean"), 0L).otherwise(1L)).as("nneg"))
+    val bias = TextFunctions.stableRound(
+      log((col("npos") + lit(1)).cast("double") / (col("nneg") + lit(1)).cast("double")), 6)
+    val w = TextFunctions.stableRound(
+        log((coalesce(col("cpos"), lit(0L)) + lit(1)).cast("double") /
+          (col("tpos") + col("v")).cast("double")) -
+        log((coalesce(col("cneg"), lit(0L)) + lit(1)).cast("double") /
+          (col("tneg") + col("v")).cast("double")), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    toks.join(if (broadcastWeights) broadcast(cnt) else cnt, Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
+      .crossJoin(broadcast(db))
+      .select(col("doc_id"), col("n_tokens"),
+        TextFunctions.stableRound(bias + col("sum_w").cast("double"), 4)
+          .as("score"))
+  }
+
+  /** DuckDB twin of [[naiveBayesScore]] over `documents` with the positive
+    * class selected by `positiveWhere`. Same add-one ratios, same
+    * round-then-decimal-sum ladder. */
+  def sqlNaiveBayesScore(positiveWhere: String): String = {
+    val wExpr = TextFunctions.sqlStableRound(
+      s"ln((coalesce(cpos, 0) + 1)::DOUBLE / (tpos + v)::DOUBLE)" +
+        s" - ln((coalesce(cneg, 0) + 1)::DOUBLE / (tneg + v)::DOUBLE)", 6)
+    val biasExpr = TextFunctions.sqlStableRound(
+      "ln((npos + 1)::DOUBLE / (nneg + 1)::DOUBLE)", 6)
+    s"""WITH tok AS (SELECT doc_id, ($positiveWhere) AS pos,
+       |              unnest(string_split(text, ' ')) AS term FROM documents),
+       | cnt AS (SELECT term,
+       |          count(*) FILTER (WHERE pos) AS cpos,
+       |          count(*) FILTER (WHERE NOT pos) AS cneg
+       |         FROM tok GROUP BY 1),
+       | tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg, count(*) AS v
+       |         FROM cnt),
+       | db AS (SELECT count(*) FILTER (WHERE $positiveWhere) AS npos,
+       |          count(*) FILTER (WHERE NOT ($positiveWhere)) AS nneg
+       |        FROM documents),
+       | agg AS (SELECT doc_id, count(*) AS n_tokens,
+       |          sum(($wExpr)::DECIMAL(18,6))::DOUBLE AS s
+       |         FROM tok JOIN cnt USING (term), tot GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       | ${TextFunctions.sqlStableRound(s"$biasExpr + s", 4)} AS score
+       |FROM agg, db ORDER BY doc_id""".stripMargin
+  }
+
+  /**
    * Per-group top-share selection (the FineWeb-Edu-style classifier
    * selection step, arXiv:2406.17557 §3.3): within every group (domain,
    * source, language, ...) keep the rows whose `scoreCol` places them in the

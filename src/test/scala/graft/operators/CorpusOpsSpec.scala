@@ -803,6 +803,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(masses.values.sum == 20)
   }
 
+  test("naiveBayesScore: exact hand-computed log-odds; positives above negatives") {
+    val docs = Seq(
+      (1L, true, "a a b"),
+      (2L, false, "b c")).toDF("doc_id", "pos", "text")
+    val got = CorpusOps.naiveBayesScore(docs, "doc_id", "text", $"pos")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    // cpos: a=2 b=1 c=0; cneg: b=1 c=1; Tpos=3 Tneg=2 V=3; bias=ln(2/2)=0
+    // w(a)=r6(ln(3/6)-ln(1/5))=0.916291, w(b)=r6(ln(2/6)-ln(2/5))=-0.182322,
+    // w(c)=r6(ln(1/6)-ln(2/5))=-0.875469
+    assert(got(0) == ((1L, 3L, 1.6503)), got(0).toString)   // 2*w(a)+w(b)
+    assert(got(1) == ((2L, 2L, -1.0578)), got(1).toString)  // w(b)+w(c)
+  }
+
+  test("linearClassifierScore: user weights, OOV fallback, bias") {
+    val docs = Seq((1L, "good good bad"), (2L, "novel words only")).toDF("doc_id", "text")
+    val weights = Seq(("good", 1.0), ("bad", -2.0)).toDF("term", "weight")
+    val got = CorpusOps.linearClassifierScore(docs, "doc_id", "text", weights,
+        bias = 0.5, oovWeight = 0.1)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(got(0) == ((1L, 3L, 0.5)), got(0).toString)  // 0.5 + 1 + 1 - 2
+    assert(got(1) == ((2L, 3L, 0.8)), got(1).toString)  // 0.5 + 3 * 0.1
+  }
+
   test("encodingProfile: replacement chars, control chars, non-ASCII ratio, suspect flag") {
     val df = Seq(
       (0L, "clean ascii text"),
