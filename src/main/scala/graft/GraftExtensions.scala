@@ -119,6 +119,11 @@ object GraftExtensions {
       args => arity(args, "graft_langid", 1, 1)
         Coalesce(Seq(LangIdGuess(args.head, TextFunctions.langMarkers), Literal("und")))
     },
+    fn("graft_nfc",
+      "graft_nfc(text) - Unicode NFC canonical normalization") {
+      args => arity(args, "graft_nfc", 1, 1)
+        graft.functions.NfcNormalize(args.head)
+    },
     fn("graft_token_count",
       "graft_token_count(text) - whitespace-token count") {
       args => arity(args, "graft_token_count", 1, 1)

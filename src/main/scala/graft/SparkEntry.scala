@@ -1175,6 +1175,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_paragraphs_doc" -> ((s, dir) => {
+      // within-doc repeated-paragraph cleanup: plant each document's own
+      // text as a duplicate second paragraph plus a unique tail
+      // (identically in the oracle); the cleanup is a zero-shuffle scan
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", col("text"), col("text"),
+          concat(lit("tail "), col("doc_id").cast("string"))).as("text"))
+      Dedup.dedupParagraphsWithinDoc(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_nfc" -> ((s, dir) => {
+      // Unicode NFC: plant a decomposed e + COMBINING ACUTE suffix on ids
+      // ≡ 0 (mod 4); after normalization it is byte-identical to the
+      // precomposed form, so content hashes and dedup see one spelling
+      val nfc = graft.functions.hashFunctions.nfc_normalize _
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" cafe\u0301"))
+            .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"), nfc(col("text")).as("text"),
+          (nfc(col("text")) =!= col("text")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality_classifier" -> ((s, dir) => {
       // FineWeb-style classifier loop, train+score in one plan: Naive Bayes
       // log-odds fit on the corpus's own language labels (en = positive),
@@ -2494,6 +2519,18 @@ object SparkEntry {
 
       "q_quality_classifier" ->
         operators.CorpusOps.sqlNaiveBayesScore("lang = 'en'"),
+
+      "q_dedup_paragraphs_doc" -> Dedup.sqlDedupParagraphsWithinDoc(
+        "SELECT doc_id, text || chr(10) || text || chr(10) || 'tail ' || doc_id AS text " +
+          "FROM documents"),
+
+      "q_text_nfc" ->
+        """WITH d AS (SELECT doc_id,
+          |  text || CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769) ELSE '' END AS text
+          |  FROM documents)
+          |SELECT doc_id, nfc_normalize(text) AS text,
+          | nfc_normalize(text) <> text AS changed
+          |FROM d ORDER BY doc_id""".stripMargin,
 
       "q_text_encoding" -> operators.CorpusOps.sqlEncodingProfile(
         """SELECT doc_id, text ||

@@ -174,6 +174,28 @@ case class SimHash64(child: Expression)
  * (DuckDB twin: [[graft.functions.TextFunctions.sqlFnv1a64]]); used for
  * hashed n-gram feature buckets (DSIR-style importance weighting).
  */
+/**
+ * Unicode NFC normalization (canonical composition) — the hygiene step that
+ * makes "é" spelled as e+COMBINING ACUTE byte-identical to precomposed "é",
+ * so content hashes, shingles and dedup see one document, not two. Both
+ * engines implement the same Unicode standard (DuckDB twin:
+ * `nfc_normalize`), so the result is oracle-exact.
+ */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 case class Fnv1a64(child: Expression)
     extends UnaryExpression with RefEvalCodegen {
 
@@ -441,6 +463,7 @@ object hashFunctions {
     column(RollingFingerprints(expression(c), ngram, window))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def fnv1a64(c: Column): Column = column(Fnv1a64(expression(c)))
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a.cast("array<double>")),
       expression(b.cast("array<double>"))))

@@ -162,6 +162,18 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     copy(df = Sampling.mixByTokenBudget(df, col(groupCol), col(textCol), id,
       graft.functions.TextFunctions.tokenCount(col(textCol)), budgets, defaultBudget))
 
+  /** Within-document repeated-paragraph cleanup (Dolma-style; zero-shuffle
+    * scan — [[dedupParagraphs]] is the corpus-wide form). */
+  def dedupParagraphsWithinDoc(delim: String = "\n"): Corpus =
+    copy(df = Dedup.dedupParagraphsWithinDoc(df, idCol, textCol, delim)
+      .drop("n_paras", "n_kept"))
+
+  /** Unicode NFC canonical normalization of the text column, so decomposed
+    * and precomposed spellings hash/shingle identically (zero-shuffle). */
+  def normalizeUnicode(): Corpus =
+    copy(df = df.withColumn(textCol,
+      graft.functions.hashFunctions.nfc_normalize(col(textCol))))
+
   /** Keep each group's top `topPermille`/1000 fraction by `scoreCol`
     * (FineWeb-Edu-style classifier selection; threshold ties all kept). The
     * score column must already exist — pair with a scoring terminal, e.g.

@@ -272,6 +272,49 @@ object Dedup extends Logging {
   }
 
   /**
+   * WITHIN-document repeated-paragraph removal (the Dolma/CCNet "repeated
+   * line" cleanup, scoped to each document alone — [[dedupParagraphs]] is
+   * the corpus-wide form): each document keeps only the FIRST occurrence of
+   * every distinct paragraph it contains. A pure per-row expression — the
+   * keep test is `first index of this paragraph == my index` over the
+   * document's own paragraph array — so cleaning a 100 TB corpus is a
+   * ZERO-SHUFFLE scan stage (per-doc work is O(paragraphs²) string
+   * compares, trivial at real paragraph counts). Returns
+   * (idCol, textCol rewritten, n_paras, n_kept).
+   */
+  def dedupParagraphsWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", joinWith: String = "\n"): DataFrame = {
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(delim))
+    val kept = filter(paras, (p, i) => array_position(paras, p) === i + 1)
+    // the filtered array is materialized ONCE in its own projection: two
+    // references to a lambda-bearing expression inside one Project evaluate
+    // inconsistently under subexpression elimination (seen live: size()
+    // read 1 while array_join() of the "same" column carried 2 elements),
+    // and CollapseProject keeps the stage split because the non-cheap HOF
+    // is consumed twice downstream
+    docs.select(col(idCol), kept.as("__kept"), size(paras).as("n_paras"))
+      .select(col(idCol),
+        array_join(col("__kept"), joinWith).as(textCol),
+        col("n_paras"),
+        size(col("__kept")).as("n_kept"))
+  }
+
+  /** DuckDB twin of [[dedupParagraphsWithinDoc]] over a `d(doc_id, text)`
+    * CTE the caller supplies (so gates can plant repeats identically).
+    * DuckDB's lambda index is 1-based where Spark's is 0-based — the two
+    * `list_position == i` forms below are the same predicate. */
+  def sqlDedupParagraphsWithinDoc(sourceCte: String): String = {
+    s"""WITH d AS ($sourceCte),
+       | p AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d),
+       | k AS (SELECT doc_id, ps,
+       |        list_filter(ps, (x, i) -> list_position(ps, x) = i) AS keep
+       |       FROM p)
+       |SELECT doc_id, array_to_string(keep, chr(10)) AS text,
+       | CAST(len(ps) AS INT) AS n_paras, CAST(len(keep) AS INT) AS n_kept
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  /**
    * Exact-substring duplicate REMOVAL (the scrub half of Lee et al. 2022's
    * ExactSubstr dedup; [[graft.operators.CorpusOps.duplicateSpanProfile]]
    * is the detection half): a word position is cut from its document iff

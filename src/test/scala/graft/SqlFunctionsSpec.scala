@@ -146,6 +146,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(got == (("mail <EMAIL> or call <PHONE> from <IP>", 3)))
   }
 
+  test("graft_nfc composes decomposed unicode in SQL") {
+    import spark.implicits._
+    // Spark SQL's chr() wraps at 256, so the combining mark arrives via a view
+    Seq(Tuple1("cafe\u0301")).toDF("t").createOrReplaceTempView("nfcv")
+    assert(spark.sql("SELECT graft_nfc(t) FROM nfcv").as[String].head() ==
+      "caf\u00e9")
+    assert(spark.sql("SELECT graft_nfc('plain')").as[String].head() == "plain")
+  }
+
   test("langid falls through to 'und' and literal-arg validation fires") {
     import spark.implicits._
     assert(spark.sql("SELECT graft_langid('the cat is on the mat')").as[String].head() == "en")

@@ -644,6 +644,44 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetMinHashIndex(path)
   }
 
+  test("dedupParagraphsWithinDoc keeps first occurrences, zero shuffle") {
+    val df = Seq(
+      (0L, "a\na\ntail zero"),                         // repeat of para 0
+      (1L, "x words here\nx words here\ntail one"),    // longer repeat
+      (2L, "unique one\nunique two"),                  // nothing repeated
+      (3L, "solo"))                                    // single paragraph
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphsWithinDoc(df, "doc_id", "text")
+    val r = got.orderBy($"doc_id").as[(Long, String, Int, Int)].collect()
+    assert(r(0) == ((0L, "a\ntail zero", 3, 2)), r(0).toString)
+    assert(r(1) == ((1L, "x words here\ntail one", 3, 2)))
+    assert(r(2) == ((2L, "unique one\nunique two", 2, 2)))
+    assert(r(3) == ((3L, "solo", 1, 1)))
+    // pure scan: no exchange in the plan
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+    // regression guard for the two-references-in-one-Project wrong result:
+    // size and array_join must agree on every row
+    val both = Dedup.dedupParagraphsWithinDoc(df, "doc_id", "text")
+      .select($"n_kept", size(split($"text", "\n")).as("n_join"))
+      .as[(Int, Int)].collect()
+    assert(both.forall(p => p._1 == p._2), both.mkString(","))
+  }
+
+  test("nfc_normalize composes decomposed sequences; idempotent on clean text") {
+    import graft.functions.hashFunctions.nfc_normalize
+    val df = Seq((0L, "plain ascii"), (1L, "café"), (2L, "café"))
+      .toDF("id", "text")
+    val got = df.select($"id", nfc_normalize($"text").as("n"))
+      .orderBy($"id").as[(Long, String)].collect()
+    assert(got(0)._2 == "plain ascii")
+    assert(got(1)._2 == "caf\u00e9", "decomposed must compose")
+    assert(got(2)._2 == "caf\u00e9", "precomposed unchanged")
+    // after NFC the two spellings hash identically
+    val h = df.filter($"id" > 0)
+      .select(md5(nfc_normalize($"text").cast("binary"))).distinct().count()
+    assert(h == 1L)
+  }
+
   test("dedupNormalized collapses reformatted copies to the min-id original") {
     val df = Seq(
       (0L, "The quick brown fox."),
