@@ -906,6 +906,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(viaFacade == direct)
   }
 
+  test("selectTopShareByGroup: cut law holds on random data (ceiling rank, ties, purity)") {
+    val rnd = new scala.util.Random(42)
+    Seq(100, 250, 500, 900).foreach { p =>
+      val rows = (0 until 200).map { i =>
+        (i.toLong, s"g${rnd.nextInt(5)}", rnd.nextInt(21) / 20.0)
+      }
+      val df = rows.toDF("id", "grp", "score")
+      val kept = CorpusOps.selectTopShareByGroup(df, "grp", "score", p)
+        .select($"id", $"grp", $"score").as[(Long, String, Double)].collect()
+      rows.groupBy(_._2).foreach { case (g, rs) =>
+        val r = (p * rs.length + 999) / 1000
+        val keptG = kept.filter(_._2 == g)
+        assert(keptG.length >= r, s"p=$p $g: kept ${keptG.length} < rank $r")
+        // kept = exactly the rows at or above the threshold score
+        val t = keptG.map(_._3).min
+        assert(rs.count(_._3 >= t) == keptG.length, s"p=$p $g: ties not inclusive")
+        val keptIds = keptG.map(_._1).toSet
+        val dropped = rs.filterNot(x => keptIds(x._1))
+        if (dropped.nonEmpty)
+          assert(t > dropped.map(_._3).max, s"p=$p $g: dropped row above the cut")
+      }
+    }
+  }
+
   test("selectTopShareByGroup: kept count per group is the ceiling rank plus ties") {
     // 10 rows per group with distinct scores: top 300‰ → ceil(3.0)=3 rows
     val df = (0 until 30).map(i => (i.toLong, s"g${i % 3}", (i / 3) / 10.0))
