@@ -1444,6 +1444,45 @@ object SparkEntry {
       s.read.parquet(outDir).drop("epoch").orderBy(col("doc_id"))
     }),
 
+    "q_stream_classifier" -> ((s, dir) => {
+      // online crawl scoring: the Naive Bayes weights fit ONCE on the
+      // static corpus, then documents stream back out of the graft log in
+      // admission-controlled micro-batches and each batch scores against
+      // those fixed weights. Per-row stateless ⇒ any trigger slicing unions
+      // to the batch operator, and fit+apply == composed train+score
+      // (CorpusOpsSpec pins it), so q_quality_classifier's oracle gates it
+      val docs = Tables.documents(s, dir)
+      val (w, bias, oov) = operators.CorpusOps.naiveBayesFit(
+        docs, "doc_id", "text", col("lang") === "en")
+      val weights = Dedup.lazyShare(w)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "sc_" + tag
+      docs.select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      val nCorpus = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nCorpus + 7) / 8)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      val outDir = java.nio.file.Files.createTempDirectory(s"sc_out_$tag").toString
+      try {
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+            operators.CorpusOps.linearClassifierScore(
+                batch, "doc_id", "text", weights, bias, oov)
+              .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+            ()
+        }.trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally sources.EventLogRegistry.drop(logName)
+      s.read.parquet(outDir).drop("epoch").orderBy(col("doc_id"))
+    }),
+
     "q_stream_knn" -> ((s, dir) => {
       // streaming vector-search enrichment: query vectors flow through the
       // graft sink into a log (doubles serialized shortest-roundtrip, so
@@ -2518,6 +2557,11 @@ object SparkEntry {
         operators.CorpusOps.sqlSelectTopShareByGroup(250),
 
       "q_quality_classifier" ->
+        operators.CorpusOps.sqlNaiveBayesScore("lang = 'en'"),
+
+      // fit-once weights applied per micro-batch are row-stateless, so the
+      // stream unions to the batch train+score exactly
+      "q_stream_classifier" ->
         operators.CorpusOps.sqlNaiveBayesScore("lang = 'en'"),
 
       "q_dedup_paragraphs_doc" -> Dedup.sqlDedupParagraphsWithinDoc(

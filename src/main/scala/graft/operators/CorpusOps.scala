@@ -1560,6 +1560,43 @@ object CorpusOps {
           .as("score"))
   }
 
+  /**
+   * Fit the Naive Bayes model ALONE — for the train-once / score-many flow
+   * (e.g. scoring a document STREAM against weights fit on a static
+   * corpus). Returns (weights(term, weight), bias, oovWeight), where
+   * applying them through [[linearClassifierScore]] reproduces
+   * [[naiveBayesScore]] row-for-row on the training corpus. The two
+   * collected rows are one-row aggregates (class totals and document
+   * counts) — bounded metadata, not data; the weights table itself stays
+   * distributed and vocab-sized.
+   */
+  def naiveBayesFit(docs: DataFrame, idCol: String, textCol: String,
+      positive: Column): (DataFrame, Double, Double) = {
+    val toks = docs.select(positive.cast("boolean").as("__pos"),
+      explode(TextFunctions.words(col(textCol))).as("term"))
+    val cnt = Dedup.lazyShare(toks.groupBy(col("term")).agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("__pos"), 0L).otherwise(1L)).as("cneg")))
+    val t = cnt.agg(sum(col("cpos")), sum(col("cneg")), count(lit(1))).head()
+    val (tpos, tneg, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val d = docs.agg(
+      sum(when(positive.cast("boolean"), 1L).otherwise(0L)),
+      sum(when(positive.cast("boolean"), 0L).otherwise(1L))).head()
+    // HALF_UP on the scaled double = Spark round() = DuckDB round() — the
+    // same half-away-from-zero the stableRound ladder relies on (math.round
+    // would differ on negative .5 boundaries)
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val bias = r6(math.log((d.getLong(0) + 1).toDouble / (d.getLong(1) + 1).toDouble))
+    val oov = r6(math.log(1.0 / (tpos + v)) - math.log(1.0 / (tneg + v)))
+    val weights = cnt.select(col("term"),
+      TextFunctions.stableRound(
+        log((col("cpos") + lit(1)).cast("double") / lit((tpos + v).toDouble)) -
+          log((col("cneg") + lit(1)).cast("double") / lit((tneg + v).toDouble)), 6)
+        .as("weight"))
+    (weights, bias, oov)
+  }
+
   /** DuckDB twin of [[naiveBayesScore]] over `documents` with the positive
     * class selected by `positiveWhere`. Same add-one ratios, same
     * round-then-decimal-sum ladder. */

@@ -816,6 +816,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, -1.0578)), got(1).toString)  // w(b)+w(c)
   }
 
+  test("naiveBayesFit + linearClassifierScore == composed naiveBayesScore") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+    val (w, bias, oov) = CorpusOps.naiveBayesFit(docs, "doc_id", "text",
+      $"lang" === "en")
+    val applied = CorpusOps.linearClassifierScore(docs, "doc_id", "text", w, bias, oov)
+      .orderBy($"doc_id").collect()
+    val composed = CorpusOps.naiveBayesScore(docs, "doc_id", "text", $"lang" === "en")
+      .orderBy($"doc_id").collect()
+    assert(applied.toSeq == composed.toSeq)
+    // OOV genuinely fires when scoring UNSEEN text with the fitted model
+    val fresh = Seq((9999L, "zzzqx vvkwq pplmd")).toDF("doc_id", "text")
+    val got = CorpusOps.linearClassifierScore(fresh, "doc_id", "text", w, bias, oov)
+      .as[(Long, Long, Double)].head()
+    val expected = BigDecimal((bias + 3 * oov) * 1e4)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e4
+    assert(got._3 == expected, s"got ${got._3}, expected $expected")
+  }
+
   test("linearClassifierScore: user weights, OOV fallback, bias") {
     val docs = Seq((1L, "good good bad"), (2L, "novel words only")).toDF("doc_id", "text")
     val weights = Seq(("good", 1.0), ("bad", -2.0)).toDF("term", "weight")
