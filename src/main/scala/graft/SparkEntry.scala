@@ -67,6 +67,34 @@ object SparkEntry {
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** The ngram-Jaccard connected-components CTE chain (pairs → edges →
+    * transitive reach) shared by the q_dedup_clusters and
+    * q_corpus_split_safe oracles — both must define the SAME components. */
+  private lazy val sqlNgramReachCtes: String =
+    s"""pairs AS (
+       |  WITH d AS (
+       |    SELECT doc_id,
+       |     list_distinct(${TextFunctions.sqlWordShingles("text", 3)
+             .replace("string_split(text, ' ')", "w")}) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  ), e AS (
+       |    SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0
+       |  ), p AS (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+       |     count(*) AS shared
+       |    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2, 3, 4)
+       |  SELECT doc_a, doc_b FROM p
+       |  WHERE shared * 1.0 / (na + nb - shared) >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)""".stripMargin
+
   /** Per-source keep-rates for the q_corpus_mix stratified-sampling gate
     * (shared by the Spark query and its DuckDB oracle twin). */
   private val MixRates = Map("src0" -> 0.25, "src1" -> 0.75)
@@ -1232,6 +1260,17 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       operators.CorpusOps.vocabularyDrift(oldSnap, newSnap, "doc_id", "text", topK = 30)
+    }),
+
+    "q_corpus_split_safe" -> ((s, dir) => {
+      // leakage-safe split: near-dup clusters (q_dedup_clusters' components,
+      // from the memoized ngram pair stage) travel to one split together;
+      // docs without a near-dup split on their own id
+      operators.Sampling.leakageSafeSplit(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", ngramPairsShared(s, dir), SplitWeights)
+        .select(col("doc_id"), col("split_rep"), col("split"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_corpus_diff" -> ((s, dir) => {
@@ -2469,31 +2508,19 @@ object SparkEntry {
            |ORDER BY ex.query_id""".stripMargin,
 
       "q_dedup_clusters" ->
-        s"""WITH RECURSIVE pairs AS (
-           |  WITH d AS (
-           |    SELECT doc_id,
-           |     list_distinct(${TextFunctions.sqlWordShingles("text", 3)
-                   .replace("string_split(text, ' ')", "w")}) AS sh
-           |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-           |  ), e AS (
-           |    SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE len(sh) > 0
-           |  ), p AS (
-           |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-           |     count(*) AS shared
-           |    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-           |    GROUP BY 1, 2, 3, 4)
-           |  SELECT doc_a, doc_b FROM p
-           |  WHERE shared * 1.0 / (na + nb - shared) >= 0.5
-           |), edges AS (
-           |  SELECT doc_a AS u, doc_b AS v FROM pairs
-           |  UNION SELECT doc_b, doc_a FROM pairs
-           |), reach(u, v) AS (
-           |  SELECT u, v FROM edges
-           |  UNION
-           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-           |)
+        s"""WITH RECURSIVE $sqlNgramReachCtes
            |SELECT u AS doc_id, least(u, min(v)) AS cluster
            |FROM reach GROUP BY u ORDER BY 1""".stripMargin,
+
+      "q_corpus_split_safe" ->
+        s"""WITH RECURSIVE $sqlNgramReachCtes,
+           |rep AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+           |        FROM reach GROUP BY u),
+           |j AS (SELECT d.doc_id, coalesce(r.cluster, d.doc_id) AS split_rep
+           |      FROM documents d LEFT JOIN rep r USING (doc_id))
+           |SELECT doc_id, split_rep,
+           | ${operators.Sampling.sqlHashSplit("split_rep::VARCHAR", SplitWeights)} AS split
+           |FROM j ORDER BY doc_id""".stripMargin,
 
       "q_stream_dedup" ->
         """SELECT event_type, count(DISTINCT props) AS n_distinct

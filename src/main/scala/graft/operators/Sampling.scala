@@ -255,6 +255,33 @@ object Sampling {
     stratifiedSample(df, groupCol,
       temperatureRates(df, groupCol, alpha, maxRate), key, defaultRate = 0.0)
 
+  /**
+   * Near-dup-aware train/val/test split: every document in one near-dup
+   * CLUSTER lands in the same split — the eval-hygiene guard against
+   * train/test leakage through paraphrase copies, which a plain per-doc
+   * hash split scatters across splits with probability 1-Σw². `pairs` is
+   * any near-dup pair table (doc_a, doc_b) — [[Dedup.ngramJaccardPairs]],
+   * [[Dedup.minHashLshPairs]], [[Dedup.simHashPairs]] ... — so the leakage
+   * definition composes with every dedup family. The split key is the
+   * cluster representative (min id in the connected component; a doc with
+   * no near-dup represents itself): still a pure content-derived function,
+   * reproducible on any partitioning. Adds `split_rep` and `split`.
+   *
+   * Scale shape: candidate pairs come from the caller's bucketed pipeline
+   * (never all-pairs); [[Dedup.clusters]] label-propagates over EDGES only
+   * (docs without a near-dup never enter the iteration); the cluster map —
+   * one row per doc WITH a near-dup, typically a small fraction — joins
+   * back planner-chosen, and the split itself is a per-row hash expression.
+   */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val comps = Dedup.clusters(pairs).withColumnRenamed("doc_id", "__cid")
+    val withRep = docs.join(comps, col(idCol) === col("__cid"), "left")
+      .withColumn("split_rep", coalesce(col("cluster"), col(idCol)))
+      .drop("__cid", "cluster")
+    hashSplit(withRep, col("split_rep").cast("string"), weights)
+  }
+
   /** DuckDB rendering of [[stratifiedSample]]'s keep-predicate (oracle twin). */
   def sqlStratifiedKeep(
       groupCol: String, rates: Map[String, Double], keyCol: String,

@@ -816,6 +816,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, -1.0578)), got(1).toString)  // w(b)+w(c)
   }
 
+  test("leakageSafeSplit: near-dup clusters land in one split, loners split by own id") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (2L, "completely different content about spark query engines and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "another unrelated piece of text mentioning vectors and embeddings"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    val w = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", pairs, w)
+      .select($"doc_id", $"split_rep", $"split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // 0/1/3 are one near-dup component -> same representative, same split
+    assert(got.filter(r => Set(0L, 1L, 3L)(r._1)).map(_._2).distinct.length == 1)
+    assert(got.filter(r => Set(0L, 1L, 3L)(r._1)).map(_._3).distinct.length == 1)
+    // loners represent themselves and match the plain hash split
+    val plain = Sampling.hashSplit(
+        docs.filter($"doc_id".isin(2L, 4L)), $"doc_id".cast("string"), w)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    got.filter(r => Set(2L, 4L)(r._1)).foreach { r =>
+      assert(r._2 == r._1 && r._3 == plain(r._1), r.toString)
+    }
+  }
+
   test("naiveBayesFit + linearClassifierScore == composed naiveBayesScore") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
     val (w, bias, oov) = CorpusOps.naiveBayesFit(docs, "doc_id", "text",
