@@ -340,6 +340,15 @@ object GraftExtensions {
             strArg(args, 1, "graft_dedup_paragraphs"),
             strArg(args, 2, "graft_dedup_paragraphs")))
       },
+      tvf("graft_dedup_paragraphs_doc",
+        "graft_dedup_paragraphs_doc(table, idCol, textCol) - WITHIN-document " +
+          "repeated-paragraph cleanup (keep first occurrence; zero-shuffle)") {
+        args => arity(args, "graft_dedup_paragraphs_doc", 3, 3)
+          logical(operators.Dedup.dedupParagraphsWithinDoc(
+            activeTable(strArg(args, 0, "graft_dedup_paragraphs_doc")),
+            strArg(args, 1, "graft_dedup_paragraphs_doc"),
+            strArg(args, 2, "graft_dedup_paragraphs_doc")))
+      },
       tvf("graft_report",
         "graft_report(table, idCol, textCol[, groupCol]) - per-group " +
           "dataset-card summary (docs, tokens, dup count, quality, language)") {

@@ -242,6 +242,14 @@ object SparkEntry {
       build: () => String): String =
     hashIndexPaths.getOrBuild(s, dir, build)
 
+  /** The ngram near-dup COMPONENTS per (session, dir): q_dedup_clusters and
+    * q_corpus_split_safe both need them, and the label-propagation rounds
+    * (localCheckpoint-backed, so clearCache() can't unshare them) are the
+    * expensive stage — run once per sweep, not once per gate. */
+  private val clustersMemo = new SessionDirMemo[DataFrame]
+  private def clustersShared(s: SparkSession, dir: String): DataFrame =
+    clustersMemo.getOrBuild(s, dir, () => Dedup.clusters(ngramPairsShared(s, dir)))
+
   /** Persisted MinHash index per (session, corpus dir) — q_dedup
     * _incremental_neardup's probe target, built once per sweep. */
   private val minHashIndexPaths = new SessionDirMemo[String]
@@ -1263,12 +1271,12 @@ object SparkEntry {
     }),
 
     "q_corpus_split_safe" -> ((s, dir) => {
-      // leakage-safe split: near-dup clusters (q_dedup_clusters' components,
-      // from the memoized ngram pair stage) travel to one split together;
-      // docs without a near-dup split on their own id
-      operators.Sampling.leakageSafeSplit(
+      // leakage-safe split: near-dup clusters (q_dedup_clusters' memoized
+      // components) travel to one split together; docs without a near-dup
+      // split on their own id
+      operators.Sampling.leakageSafeSplitWith(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
-          "doc_id", ngramPairsShared(s, dir), SplitWeights)
+          "doc_id", clustersShared(s, dir), SplitWeights)
         .select(col("doc_id"), col("split_rep"), col("split"))
         .orderBy(col("doc_id"))
     }),
@@ -1343,7 +1351,7 @@ object SparkEntry {
     }),
 
     "q_dedup_clusters" -> ((s, dir) => {
-      Dedup.clusters(ngramPairsShared(s, dir)).orderBy(col("doc_id"))
+      clustersShared(s, dir).orderBy(col("doc_id"))
     }),
 
     "q_stream_dedup" -> ((s, dir) => {

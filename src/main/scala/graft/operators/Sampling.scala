@@ -274,9 +274,16 @@ object Sampling {
    * back planner-chosen, and the split itself is a per-row hash expression.
    */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)]): DataFrame =
+    leakageSafeSplitWith(docs, idCol, Dedup.clusters(pairs), weights)
+
+  /** [[leakageSafeSplit]] over a PRECOMPUTED component map (doc_id,
+    * cluster) — for callers that already ran [[Dedup.clusters]] (clustering
+    * is the expensive stage; the split itself is a hash expression). */
+  def leakageSafeSplitWith(docs: DataFrame, idCol: String, comps: DataFrame,
       weights: Seq[(String, Double)]): DataFrame = {
-    val comps = Dedup.clusters(pairs).withColumnRenamed("doc_id", "__cid")
-    val withRep = docs.join(comps, col(idCol) === col("__cid"), "left")
+    val c = comps.select(col("doc_id").as("__cid"), col("cluster"))
+    val withRep = docs.join(c, col(idCol) === col("__cid"), "left")
       .withColumn("split_rep", coalesce(col("cluster"), col(idCol)))
       .drop("__cid", "cluster")
     hashSplit(withRep, col("split_rep").cast("string"), weights)

@@ -266,6 +266,12 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
         .orderBy(col("doc_id")).collect().toSeq)
 
+    val pdd = spark.sql(
+      "SELECT * FROM graft_dedup_paragraphs_doc('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
+    assert(pdd.collect().toSeq ==
+      operators.Dedup.dedupParagraphsWithinDoc(docs, "doc_id", "text")
+        .orderBy(col("doc_id")).collect().toSeq)
+
     val enc = spark.sql(
       "SELECT * FROM graft_encoding('tvfdocs', 'doc_id', 'text') ORDER BY doc_id")
     assert(enc.collect().toSeq ==
