@@ -376,6 +376,15 @@ object GraftExtensions {
             activeTable(strArg(args, 1, "graft_corpus_diff")),
             strArg(args, 2, "graft_corpus_diff"), strArg(args, 3, "graft_corpus_diff")))
       },
+      tvf("graft_classify",
+        "graft_classify(table, idCol, textCol, positiveSqlPredicate) - " +
+          "Naive Bayes log-odds train+score; positive class via a SQL predicate") {
+        args => arity(args, "graft_classify", 4, 4)
+          logical(operators.CorpusOps.naiveBayesScore(
+            activeTable(strArg(args, 0, "graft_classify")),
+            strArg(args, 1, "graft_classify"), strArg(args, 2, "graft_classify"),
+            org.apache.spark.sql.functions.expr(strArg(args, 3, "graft_classify"))))
+      },
       tvf("graft_vocab_drift",
         "graft_vocab_drift(oldTable, newTable, idCol, textCol, topK) - " +
           "top-k terms by relative-frequency movement between snapshots") {

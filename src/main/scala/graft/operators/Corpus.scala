@@ -189,6 +189,14 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def dropEncodingSuspects(): Corpus =
     copy(df = df.filter(!CorpusOps.encodingSuspect(col(textCol))))
 
+  /** Near-dup-aware train/val/test split: paraphrase clusters (ngram
+    * Jaccard ≥ `threshold`) land in one split — adds `split_rep`/`split`.
+    * The clustering pre-pass runs when the plan executes. */
+  def leakageSafeSplit(weights: Seq[(String, Double)], ngram: Int = 3,
+      threshold: Double = 0.5): Corpus =
+    copy(df = Sampling.leakageSafeSplit(df, idCol,
+      Dedup.ngramJaccardPairs(df, idCol, textCol, ngram, threshold), weights))
+
   /** Deterministic training order (adds `shuffle_key`, globally sorted). */
   def shuffle(seed: String): Corpus =
     copy(df = Sampling.deterministicShuffle(df, id, seed))

@@ -278,6 +278,14 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.encodingProfile(docs, "doc_id", "text")
         .orderBy(col("doc_id")).collect().toSeq)
 
+    val cls = spark.sql(
+      "SELECT * FROM graft_classify('tvfdocs', 'doc_id', 'text', 'lang = ''en''') " +
+        "ORDER BY doc_id")
+    assert(cls.collect().toSeq ==
+      operators.CorpusOps.naiveBayesScore(docs, "doc_id", "text",
+          expr("lang = 'en'"))
+        .orderBy(col("doc_id")).collect().toSeq)
+
     val vd = spark.sql(
       "SELECT * FROM graft_vocab_drift('tvfcorpus', 'tvfdocs', 'doc_id', 'text', 10)")
     assert(vd.collect().toSeq ==
