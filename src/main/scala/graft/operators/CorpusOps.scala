@@ -526,7 +526,12 @@ object CorpusOps {
       TextFunctions.stableRound(TextFunctions.qualityScore(t), 4).as("quality"),
       TextFunctions.langIdGuess(t).as("lang"),
       TextFunctions.bpeTokenCount(t).cast("int").as("n_bpe_tokens"),
-      TextFunctions.piiCount(t).cast("int").as("n_pii"))
+      TextFunctions.piiCount(t).cast("int").as("n_pii"),
+      // encoding-damage signals (the [[encodingProfile]] trio) — classifier
+      // features too, and they ride the same zero-shuffle scan for free
+      replCharCount(t).cast("int").as("n_repl_chars"),
+      ctlCharCount(t).cast("int").as("n_ctl_chars"),
+      nonAsciiRatio(t).as("nonascii_ratio"))
   }
 
   /** DuckDB twin of [[qualityFeatures]] over `documents`. */
@@ -545,7 +550,13 @@ object CorpusOps {
             TextFunctions.sqlQualityScore("text"), 4)} AS quality,
        |  (${TextFunctions.sqlLangIdGuess("text")}) AS lang,
        |  (${TextFunctions.sqlBpeTokenCount.format("text")})::INT AS n_bpe_tokens,
-       |  (${TextFunctions.sqlPiiCount("text")})::INT AS n_pii
+       |  (${TextFunctions.sqlPiiCount("text")})::INT AS n_pii,
+       |  (len(string_split(text, chr(65533))) - 1)::INT AS n_repl_chars,
+       |  (len(text) - len(regexp_replace(text, '$CtlClass', '', 'g')))::INT
+       |    AS n_ctl_chars,
+       |  ${TextFunctions.sqlStableRound(
+            s"(len(text) - len(regexp_replace(text, '$NonAsciiClass', '', 'g')))::DOUBLE" +
+              " / greatest(len(text), 1)::DOUBLE", 4)} AS nonascii_ratio
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
