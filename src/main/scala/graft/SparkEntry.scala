@@ -1530,6 +1530,39 @@ object SparkEntry {
       s.read.parquet(outDir).drop("epoch").orderBy(col("doc_id"))
     }),
 
+    "q_stream_vocab" -> ((s, dir) => {
+      // streaming heavy-hitter terms: a STATEFUL running token count over
+      // documents flowing through the connector (the state store carries the
+      // vocabulary across micro-batches); complete mode emits the final
+      // counts, so the top-20 equals the batch vocabulary head exactly
+      val docs = Tables.documents(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "sv_" + tag
+      docs.select(col("text").cast("binary").as("body"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      val nCorpus = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nCorpus + 7) / 8)
+      val out = "svout_" + tag
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.format(GraftEventLog.Format)
+          .option("name", logName)
+          .option("maxEventsPerTrigger", perTrigger.toString)
+          .load()
+          .select(explode(split(col("body").cast("string"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(out).outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        sources.EventLogRegistry.drop(logName)
+      }
+      s.table(out).orderBy(col("n").desc, col("token").asc).limit(20)
+    }),
+
     "q_stream_knn" -> ((s, dir) => {
       // streaming vector-search enrichment: query vectors flow through the
       // graft sink into a log (doubles serialized shortest-roundtrip, so
@@ -2222,6 +2255,13 @@ object SparkEntry {
           |ORDER BY 1, 3""".stripMargin,
 
       "q_text_vocab" ->
+        """SELECT token, count(*) AS n
+          |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+          |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+      // the stateful running count's final complete-mode state == the batch
+      // vocabulary head, whatever the trigger slicing
+      "q_stream_vocab" ->
         """SELECT token, count(*) AS n
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
           |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
