@@ -221,6 +221,8 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def contaminationReport(bench: DataFrame, k: Int = 3, minShared: Int = 2): DataFrame =
     CorpusOps.decontaminate(df, bench, idCol, textCol, k, minShared)
   def encodingProfile(): DataFrame = CorpusOps.encodingProfile(df, idCol, textCol)
+  def classify(positive: Column): DataFrame =
+    CorpusOps.naiveBayesScore(df, idCol, textCol, positive)
   def vocabularyDrift(older: Corpus, topK: Int = 20): DataFrame =
     CorpusOps.vocabularyDrift(older.df, df, idCol, textCol, topK)
 }
