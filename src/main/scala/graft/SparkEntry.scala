@@ -1258,6 +1258,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_diversity" -> ((s, dir) => {
+      // distinct-n per source: the template-repetition / memorization
+      // signal; shuffle rows are (source, 8-byte shingle hash) only
+      operators.CorpusOps.ngramDiversity(Tables.documents(s, dir),
+        "text", "source", n = 3).orderBy(col("source"))
+    }),
+
     "q_corpus_vocab_drift" -> ((s, dir) => {
       // vocabulary-level dataset versioning over q_corpus_diff's snapshots:
       // top-30 terms by relative-frequency movement between old and new
@@ -2657,6 +2664,8 @@ object SparkEntry {
           | CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END ||
           | CASE WHEN doc_id % 7 = 0 THEN chr(233) ELSE '' END AS text
           |FROM documents""".stripMargin),
+
+      "q_corpus_diversity" -> operators.CorpusOps.sqlNgramDiversity(3),
 
       "q_corpus_vocab_drift" -> operators.CorpusOps.sqlVocabularyDrift(
         "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0",

@@ -1486,6 +1486,49 @@ object CorpusOps {
   }
 
   /**
+   * Per-group n-gram diversity ("distinct-n"): distinct word n-grams,
+   * total n-gram occurrences, and their ratio — the standard
+   * template-repetition / memorization signal (a source whose ratio
+   * collapses is boilerplate-heavy; compare across [[corpusDiff]] snapshots
+   * to catch a generator leaking into a crawl). Shuffle rows are
+   * (group, 8-byte FNV shingle hash) — never shingle text; distinctness
+   * over the hashes equals distinctness over the shingles up to vanishing
+   * 64-bit collisions, and both engines hash identically so the oracle is
+   * exact either way. Two chained hash aggs, map-side combined.
+   */
+  def ngramDiversity(docs: DataFrame, textCol: String,
+      groupCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.hashFunctions.fnv1a64
+    docs.select(col(groupCol).as("__g"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("__s"))
+      .select(col("__g"), fnv1a64(col("__s")).as("__h"))
+      .groupBy(col("__g"), col("__h")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("__c")).as("n_total"))
+      .select(col("__g").as(groupCol), col("n_distinct"), col("n_total"),
+        TextFunctions.stableRound(
+          col("n_distinct").cast("double") / col("n_total").cast("double"), 4)
+          .as("distinct_ratio"))
+  }
+
+  /** DuckDB twin of [[ngramDiversity]] over `documents` grouped by
+    * `source`. */
+  def sqlNgramDiversity(n: Int): String = {
+    val sh = TextFunctions.sqlWordShingles("text", n)
+      .replace("string_split(text, ' ')", "w")
+    val fnv = TextFunctions.sqlFnv1a64("t")
+    s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       | h AS (SELECT source, ($fnv) AS h
+       |       FROM (SELECT source, unnest($sh) AS t FROM d)),
+       | c AS (SELECT source, h, count(*) AS c FROM h GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_distinct,
+       | CAST(sum(c) AS BIGINT) AS n_total,
+       | ${TextFunctions.sqlStableRound(
+           "count(*)::DOUBLE / sum(c)::DOUBLE", 4)} AS distinct_ratio
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /**
    * Score every document with a user-supplied LINEAR bag-of-words
    * classifier — the application half of the fastText-style quality
    * classifiers the curation literature trains offline (weights arrive as

@@ -841,6 +841,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramDiversity: exact distinct/total ratios per group") {
+    val docs = Seq(
+      (0L, "a", "x y z x y z"),   // shingles: xyz yzx zxy xyz -> 3 distinct / 4
+      (1L, "b", "p q r s"))       // pqr qrs -> 2 distinct / 2
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.ngramDiversity(docs, "text", "source", n = 3)
+      .orderBy($"source").as[(String, Long, Long, Double)].collect()
+    assert(got(0) == (("a", 3L, 4L, 0.75)), got(0).toString)
+    assert(got(1) == (("b", 2L, 2L, 1.0)), got(1).toString)
+  }
+
+  test("Corpus.classify delegates to naiveBayesScore") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001).limit(50)
+    assert(Corpus(docs).classify($"lang" === "en").orderBy($"doc_id").collect().toSeq ==
+      CorpusOps.naiveBayesScore(docs, "doc_id", "text", $"lang" === "en")
+        .orderBy($"doc_id").collect().toSeq)
+  }
+
   test("naiveBayesFit + linearClassifierScore == composed naiveBayesScore") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
     val (w, bias, oov) = CorpusOps.naiveBayesFit(docs, "doc_id", "text",
