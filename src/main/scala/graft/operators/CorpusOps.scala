@@ -1695,10 +1695,12 @@ object CorpusOps {
    *  2. per-group totals derive from the histogram by a second KB-scale agg
    *     (no second scan of the corpus);
    *  3. a window over the HISTOGRAM — partition size = distinct scores in
-   *     the group, e.g. <= 10^4+1 for a stableRound(4)ed score in [0,1],
-   *     BOUNDED regardless of corpus size, which is why callers should
-   *     discretize the score first — yields the descending cumulative
-   *     count, and the cut is t_g = max{v : #rows with score>=v reaches r_g};
+   *     the group, <= 10^scoreDigits x the score range by CONSTRUCTION
+   *     (the operator stableRound(scoreDigits)s the score before the
+   *     histogram and in the keep rule, so a hostile continuous score
+   *     cannot blow the window partition; a pre-discretized score re-rounds
+   *     to itself) — yields the descending cumulative count, and the cut is
+   *     t_g = max{v : #rows with score>=v reaches r_g};
    *  4. the (group, cut) table — ONE ROW PER GROUP — joins back
    *     planner-chosen, and the keep rule is `score >= t_g`.
    * A 10^5-domain web corpus pays one histogram shuffle plus a
@@ -1707,11 +1709,19 @@ object CorpusOps {
    */
   def selectTopShareByGroup(
       df: DataFrame, groupCol: String, scoreCol: String,
-      topPermille: Int): DataFrame = {
+      topPermille: Int, scoreDigits: Int = 4): DataFrame = {
     require(topPermille >= 1 && topPermille <= 1000,
       s"topPermille must be in [1, 1000], got $topPermille")
+    require(scoreDigits >= 0 && scoreDigits <= 9,
+      s"scoreDigits must be in [0, 9], got $scoreDigits")
+    // the histogram boundedness is ENFORCED, not assumed: the score is
+    // stableRound(scoreDigits)ed before histogramming AND in the keep rule,
+    // so a group's window partition holds at most 10^digits x score-range
+    // rows no matter what the caller passes (an already-discretized score
+    // re-rounds to itself)
+    val s = TextFunctions.stableRound(col(scoreCol), scoreDigits)
     val hist = Dedup.lazyShare(
-      df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      df.groupBy(col(groupCol).as("__g"), s.as("__s"))
         .agg(count(lit(1)).as("__c")))
     val tot = hist.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
     val cum = hist.withColumn("__cum",
@@ -1720,7 +1730,7 @@ object CorpusOps {
       .filter(col("__cum") >= expr(s"($topPermille * __n + 999) div 1000"))
       .groupBy(col("__g")).agg(max(col("__s")).as("__t"))
     df.join(cuts, df(groupCol) === cuts("__g"))
-      .filter(col(scoreCol) >= col("__t"))
+      .filter(s >= col("__t"))
       .drop("__g", "__t")
   }
 

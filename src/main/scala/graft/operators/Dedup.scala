@@ -1173,10 +1173,35 @@ object Dedup extends Logging {
    * Batch-INTERNAL near-dups both survive (the index only knows past
    * batches); compose with [[dedupByNearDup]] for within-batch dedup.
    */
+  /** Session override for the batch-side broadcast guard (bytes; "0"
+    * disables — mirrors [[Similarity.BroadcastGuardConfKey]]'s contract). */
+  val MinHashBatchGuardConfKey = "graft.minhashIndex.broadcastGuardBytes"
+
+  private def requireBroadcastSizedBatch(batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val cap = spark.conf.getOption(MinHashBatchGuardConfKey)
+      .map(v => BigInt(v.toLong))
+      .getOrElse(BigInt(math.max(
+        spark.sessionState.conf.autoBroadcastJoinThreshold, 10L << 20)) * 8)
+    if (cap <= 0) return
+    val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= cap,
+      s"minHashIndexMatches broadcasts the BATCH side by contract (its bands " +
+        s"probe the index scan, its candidate set probes the shingle scan), " +
+        s"but the batch's plan-size estimate ($est bytes) exceeds the guard " +
+        s"($cap bytes — default 8x autoBroadcastJoinThreshold): a corpus-sized " +
+        "batch would OOM executors. Dedup corpus-sized inputs against each " +
+        "other with minHashLshPairs/dedupByNearDup instead, ingest in smaller " +
+        "batches, or — if the batch only LOOKS big because size-only stats " +
+        "carry a filtered parent's estimate — persist() it first or raise/" +
+        s"disable the guard via spark.conf.set(\"$MinHashBatchGuardConfKey\", ...).")
+  }
+
   def minHashIndexMatches(batch: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.5, maxBatchBucket: Int = 1000,
       excludeEpoch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
+    requireBroadcastSizedBatch(batch)
     val p = minHashParamsOf(spark, path)
     val base = lazyShare(shingleBase(batch, idCol, textCol, p.k, "doc_id"))
     val bBand = dropHotKeys(

@@ -618,6 +618,22 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetMinHashIndex(path)
   }
 
+  test("minhash index probe refuses a corpus-shaped batch loudly") {
+    val path = java.nio.file.Files.createTempDirectory("mh-idx-guard").toString
+    Dedup.saveMinHashIndex(docs, "doc_id", "text", path)
+    spark.conf.set(Dedup.MinHashBatchGuardConfKey, "1")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.minHashIndexMatches(docs, "doc_id", "text", path))
+      assert(e.getMessage.contains("broadcasts the BATCH side"), e.getMessage)
+    } finally spark.conf.unset(Dedup.MinHashBatchGuardConfKey)
+    // guard off -> same call plans fine
+    spark.conf.set(Dedup.MinHashBatchGuardConfKey, "0")
+    try assert(Dedup.minHashIndexMatches(docs, "doc_id", "text", path).columns.length == 3)
+    finally spark.conf.unset(Dedup.MinHashBatchGuardConfKey)
+    Dedup.forgetMinHashIndex(path)
+  }
+
   test("minhash index: drift detection and epoch compaction") {
     val path = java.nio.file.Files.createTempDirectory("mh-idx-life").toString
     Dedup.saveMinHashIndex(docs, "doc_id", "text", path)

@@ -941,6 +941,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == kept)
     // 1000 permille keeps everything; bounds are validated
     assert(CorpusOps.selectTopShareByGroup(df, "grp", "score", 1000).count() == 9)
+    // a hostile CONTINUOUS score is discretized by the operator itself, so
+    // the histogram (and its window partition) stays bounded — and the cut
+    // law still holds at the rounded granularity
+    val cont = (0 until 100).map(i => (i.toLong, "g", i * math.Pi % 1.0))
+      .toDF("id", "grp", "score")
+    val kc = CorpusOps.selectTopShareByGroup(cont, "grp", "score", 250, scoreDigits = 2)
+      .select($"id").as[Long].collect()
+    assert(kc.length >= 25 && kc.length <= 35, s"kept ${kc.length}")
     intercept[IllegalArgumentException] {
       CorpusOps.selectTopShareByGroup(df, "grp", "score", 0)
     }
