@@ -1080,6 +1080,31 @@ object Dedup extends Logging {
     hashesOf(df, keyCols).distinct()
       .write.mode("overwrite").parquet(s"$path/hashes/epoch=$epochId")
 
+  /**
+   * Merge a hash index's accreted `epoch=<id>` delta partitions into the
+   * single `epoch=-1` partition (dedup'ing hashes across epochs) — the
+   * in-place form of the "rebuild with [[saveHashIndex]]" compaction the
+   * admission doc describes, without rescanning any corpus text. Only run
+   * while no stream owns the index. Returns the number of partitions
+   * merged, 0 if already compact.
+   */
+  def compactHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/hashes")
+    val n = fs.listStatus(live)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+    if (n <= 1) return 0
+    val tmp = new Path(s"$path/hashes__compacting")
+    spark.read.parquet(live.toString).drop("epoch").distinct()
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(live, true)
+    fs.mkdirs(live)
+    fs.rename(tmp, new Path(s"$path/hashes/epoch=-1"))
+    n
+  }
+
   // -------------------------------------------------------------------
   // Persisted MinHash index — the NEAR-DUP half of the incremental-dedup
   // story ([[saveHashIndex]] covers exact): a daily-crawl pipeline must

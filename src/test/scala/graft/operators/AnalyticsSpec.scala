@@ -618,6 +618,26 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetMinHashIndex(path)
   }
 
+  test("hash index: epoch compaction merges deltas without changing probes") {
+    val path = java.nio.file.Files.createTempDirectory("hash-idx-compact").toString
+    Dedup.saveHashIndex(docs, Seq($"text"), path)
+    val extra = Seq((50L, "an epoch-admitted document for compaction")).toDF("doc_id", "text")
+    Dedup.admitEpoch(extra, Seq($"text"), path, 5L)
+    Dedup.admitEpoch(extra, Seq($"text"), path, 6L) // duplicate across epochs
+    val probe = Seq(
+      (60L, "an epoch-admitted document for compaction"),  // must drop
+      (61L, "never seen anywhere")).toDF("doc_id", "text") // must survive
+    def survivors() = Dedup.dedupAgainstHashIndex(probe, Seq($"text"), path)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors() == Set(61L))
+    assert(Dedup.compactHashIndex(spark, path) == 3)
+    assert(survivors() == Set(61L), "compaction must not change probe results")
+    assert(Dedup.compactHashIndex(spark, path) == 0)
+    // cross-epoch duplicate hashes collapsed to one row
+    val rows = Dedup.loadHashIndex(spark, path)
+    assert(rows.count() == rows.dropDuplicates("h0", "h1").count())
+  }
+
   test("minhash index probe refuses a corpus-shaped batch loudly") {
     val path = java.nio.file.Files.createTempDirectory("mh-idx-guard").toString
     Dedup.saveMinHashIndex(docs, "doc_id", "text", path)
