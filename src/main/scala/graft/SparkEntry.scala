@@ -1258,6 +1258,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pipeline_curation" -> ((s, dir) => {
+      // the round's NEW curation stages composed into ONE Catalyst plan:
+      // plant unicode damage (decomposed suffix, ids ≡0 mod 4) and
+      // intra-doc repetition (self-copied paragraph, ids ≡0 mod 3), then
+      // NFC-normalize → drop repeated paragraphs → quality-score → keep
+      // each source's top half → assign content-hash splits
+      val base = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" cafe\u0301")).otherwise(lit("")))
+      val planted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 3 === 0, concat_ws("\n", base, base))
+          .otherwise(base).as("text"))
+      val cleaned = operators.Corpus(planted)
+        .normalizeUnicode().dedupParagraphsWithinDoc().df
+      val scored = cleaned.withColumn("score",
+        TextFunctions.stableRound(TextFunctions.qualityScore(col("text")), 4))
+      val selected = operators.CorpusOps.selectTopShareByGroup(
+        scored, "source", "score", topPermille = 500)
+      operators.Sampling.hashSplit(selected, col("text"), SplitWeights)
+        .select(col("doc_id"), col("source"), col("score"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_diversity" -> ((s, dir) => {
       // distinct-n per source: the template-repetition / memorization
       // signal; shuffle rows are (source, 8-byte shingle hash) only
@@ -2664,6 +2686,37 @@ object SparkEntry {
           | CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END ||
           | CASE WHEN doc_id % 7 = 0 THEN chr(233) ELSE '' END AS text
           |FROM documents""".stripMargin),
+
+      "q_pipeline_curation" -> {
+        val score = TextFunctions.sqlStableRound(
+          TextFunctions.sqlQualityScore("text"), 4)
+        s"""WITH d0 AS (
+           |  SELECT doc_id, source,
+           |   CASE WHEN doc_id % 3 = 0 THEN b || chr(10) || b ELSE b END AS text
+           |  FROM (SELECT doc_id, source,
+           |         text || CASE WHEN doc_id % 4 = 0
+           |                      THEN ' cafe' || chr(769) ELSE '' END AS b
+           |        FROM documents)),
+           | n AS (SELECT doc_id, source, nfc_normalize(text) AS text FROM d0),
+           | p AS (SELECT doc_id, source,
+           |        array_to_string(
+           |          list_filter(ps, (x, i) -> list_position(ps, x) = i),
+           |          chr(10)) AS text
+           |       FROM (SELECT doc_id, source,
+           |              string_split(text, chr(10)) AS ps FROM n)),
+           | scored AS (SELECT doc_id, source, text, ($score) AS score FROM p),
+           | tot AS (SELECT source, count(*) AS n FROM scored GROUP BY 1),
+           | ranked AS (SELECT source, score,
+           |            row_number() OVER (PARTITION BY source ORDER BY score DESC) AS rn
+           |            FROM scored),
+           | th AS (SELECT r.source, min(score) AS t
+           |        FROM ranked r JOIN tot USING (source)
+           |        WHERE rn <= (500 * n + 999) // 1000 GROUP BY 1)
+           |SELECT s.doc_id, s.source, s.score,
+           | ${operators.Sampling.sqlHashSplit("s.text", SplitWeights)} AS split
+           |FROM scored s JOIN th USING (source) WHERE s.score >= th.t
+           |ORDER BY s.doc_id""".stripMargin
+      },
 
       "q_corpus_diversity" -> operators.CorpusOps.sqlNgramDiversity(3),
 

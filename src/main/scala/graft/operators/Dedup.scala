@@ -291,12 +291,12 @@ object Dedup extends Logging {
     // inconsistently under subexpression elimination (seen live: size()
     // read 1 while array_join() of the "same" column carried 2 elements),
     // and CollapseProject keeps the stage split because the non-cheap HOF
-    // is consumed twice downstream
-    docs.select(col(idCol), kept.as("__kept"), size(paras).as("n_paras"))
-      .select(col(idCol),
-        array_join(col("__kept"), joinWith).as(textCol),
-        col("n_paras"),
-        size(col("__kept")).as("n_kept"))
+    // is consumed twice downstream. All OTHER columns pass through, so the
+    // stage composes inside a pipeline without re-joining metadata.
+    docs.withColumn("__kept", kept).withColumn("n_paras", size(paras))
+      .withColumn(textCol, array_join(col("__kept"), joinWith))
+      .withColumn("n_kept", size(col("__kept")))
+      .drop("__kept")
   }
 
   /** DuckDB twin of [[dedupParagraphsWithinDoc]] over a `d(doc_id, text)`
