@@ -376,6 +376,15 @@ object GraftExtensions {
             activeTable(strArg(args, 1, "graft_corpus_diff")),
             strArg(args, 2, "graft_corpus_diff"), strArg(args, 3, "graft_corpus_diff")))
       },
+      tvf("graft_diversity",
+        "graft_diversity(table, textCol, groupCol, n) - per-group distinct-n " +
+          "n-gram diversity (template-repetition signal)") {
+        args => arity(args, "graft_diversity", 4, 4)
+          logical(operators.CorpusOps.ngramDiversity(
+            activeTable(strArg(args, 0, "graft_diversity")),
+            strArg(args, 1, "graft_diversity"), strArg(args, 2, "graft_diversity"),
+            intArg(args, 3, -1, "graft_diversity")))
+      },
       tvf("graft_classify",
         "graft_classify(table, idCol, textCol, positiveSqlPredicate) - " +
           "Naive Bayes log-odds train+score; positive class via a SQL predicate") {

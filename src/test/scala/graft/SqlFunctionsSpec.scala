@@ -278,6 +278,12 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.encodingProfile(docs, "doc_id", "text")
         .orderBy(col("doc_id")).collect().toSeq)
 
+    val div = spark.sql(
+      "SELECT * FROM graft_diversity('tvfdocs', 'text', 'source', 3) ORDER BY source")
+    assert(div.collect().toSeq ==
+      operators.CorpusOps.ngramDiversity(docs, "text", "source", 3)
+        .orderBy(col("source")).collect().toSeq)
+
     val cls = spark.sql(
       "SELECT * FROM graft_classify('tvfdocs', 'doc_id', 'text', 'lang = ''en''') " +
         "ORDER BY doc_id")
