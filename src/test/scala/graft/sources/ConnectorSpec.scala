@@ -31,6 +31,17 @@ class ConnectorBatchSpec extends AnyFunSuite {
     assert(row.getAs[Map[String, String]]("properties") == Map("i" -> "3"))
   }
 
+  test("reuse same dataframe in query (ref EventHubsRelationSuite:174)") {
+    // the reference guarded an RDD-reuse bug: self-union of one relation
+    // must read the log twice, not alias one scan's rows
+    freshLog("b1r")
+    val df = spark.read.format("graft-eventlog").option("name", "b1r").load()
+    assert(df.union(df).count() == 80)
+    assert(df.union(df).select($"partition", $"sequenceNumber")
+      .groupBy($"partition", $"sequenceNumber").count()
+      .filter($"count" =!= 2).count() == 0)
+  }
+
   test("batch read: starting/ending positions narrow the scan (ref EventHubsRelationSuite)") {
     freshLog("b2")
     val df = spark.read.format("graft-eventlog").option("name", "b2")
@@ -399,6 +410,21 @@ class ConnectorSinkSpec extends AnyFunSuite {
       Seq(("b", "9")).toDF("body", "partition")
         .write.mode("append").format("graft-eventlog").option("name", "w4").save()
     }
+    // null body fails at execution (ref EventHubsWriteTask null checks)
+    def rootMsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ rootMsgs(t.getCause)
+    val eNullBody = intercept[Throwable] {
+      Seq(Tuple1(null.asInstanceOf[String])).toDF("body")
+        .write.mode("append").format("graft-eventlog").option("name", "w4").save()
+    }
+    assert(rootMsgs(eNullBody).exists(_.contains("null 'body'")), rootMsgs(eNullBody))
+    // null property VALUE fails at execution (ref EventHubsSinkSuite:443)
+    val eNullProp = intercept[Throwable] {
+      Seq("b").toDF("body")
+        .withColumn("properties", map(lit("a"), lit(null).cast("string")))
+        .write.mode("append").format("graft-eventlog").option("name", "w4").save()
+    }
+    assert(rootMsgs(eNullProp).exists(_.contains("null key or value")), rootMsgs(eNullProp))
   }
 
   test("task-side staged writes: O(1) messages, speculative/replayed/aborted attempts dropped") {
