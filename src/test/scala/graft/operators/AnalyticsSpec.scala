@@ -654,6 +654,28 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetMinHashIndex(path)
   }
 
+  test("minhash index probe agrees with decontaminateNearDup on the same params") {
+    // two independent paths to one contract: probing a PERSISTED index of
+    // the corpus must flag exactly the batch docs the live cross-corpus
+    // operator flags (same k / hashes / bands / threshold / seed)
+    val corpus = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+      .select($"doc_id", $"text")
+    val batch = corpus.limit(40).select(($"doc_id" + 7000L).as("doc_id"),
+      concat_ws(" ", slice(split($"text", " "), lit(2), size(split($"text", " ")) - 1))
+        .as("text")) // paraphrases: first word dropped
+    val path = java.nio.file.Files.createTempDirectory("mh-idx-xcheck").toString
+    Dedup.saveMinHashIndex(corpus, "doc_id", "text", path)
+    val viaIndex = Dedup.minHashIndexMatches(batch, "doc_id", "text", path,
+      threshold = 0.5).select($"doc_id").as[Long].collect().toSet
+    val viaLive = CorpusOps.decontaminateNearDup(batch, corpus, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaIndex == viaLive,
+      s"index-only=${viaIndex -- viaLive} live-only=${viaLive -- viaIndex}")
+    assert(viaIndex.nonEmpty, "paraphrases must be caught at all")
+    Dedup.forgetMinHashIndex(path)
+  }
+
   test("minhash index: drift detection and epoch compaction") {
     val path = java.nio.file.Files.createTempDirectory("mh-idx-life").toString
     Dedup.saveMinHashIndex(docs, "doc_id", "text", path)
