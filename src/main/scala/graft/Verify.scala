@@ -29,7 +29,10 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          // full stack, not just the message: a red gate must be
+          // diagnosable from the driver's captured stderr alone
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          e.printStackTrace(System.err)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -170,11 +170,6 @@ case class SimHash64(child: Expression)
 }
 
 /**
- * FNV-1a 64-bit hash of one string — the cross-engine scalar feature hash
- * (DuckDB twin: [[graft.functions.TextFunctions.sqlFnv1a64]]); used for
- * hashed n-gram feature buckets (DSIR-style importance weighting).
- */
-/**
  * Unicode NFC normalization (canonical composition) — the hygiene step that
  * makes "é" spelled as e+COMBINING ACUTE byte-identical to precomposed "é",
  * so content hashes, shingles and dedup see one document, not two. Both
@@ -196,6 +191,11 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * FNV-1a 64-bit hash of one string — the cross-engine scalar feature hash
+ * (DuckDB twin: [[graft.functions.TextFunctions.sqlFnv1a64]]); used for
+ * hashed n-gram feature buckets (DSIR-style importance weighting).
+ */
 case class Fnv1a64(child: Expression)
     extends UnaryExpression with RefEvalCodegen {
 

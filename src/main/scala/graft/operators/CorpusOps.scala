@@ -1587,14 +1587,19 @@ object CorpusOps {
     val toks = Dedup.lazyShare(docs.select(col(idCol).as("doc_id"),
       positive.cast("boolean").as("__pos"),
       explode(TextFunctions.words(col(textCol))).as("term")))
+    // NULL labels (a nullable predicate column) belong to NEITHER class —
+    // the DuckDB twin's count FILTER (WHERE pos) / (WHERE NOT pos) excludes
+    // them from both, so the negative counter must fire only on explicit
+    // false: when(not(pos), 1).otherwise(0) yields 0 for NULL (the
+    // otherwise branch), never a phantom negative
     val cnt = toks.groupBy(col("term")).agg(
       sum(when(col("__pos"), 1L).otherwise(0L)).as("cpos"),
-      sum(when(col("__pos"), 0L).otherwise(1L)).as("cneg"))
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("cneg"))
     val tot = cnt.agg(sum(col("cpos")).as("tpos"), sum(col("cneg")).as("tneg"),
       count(lit(1)).as("v"))
     val db = docs.agg(
       sum(when(positive.cast("boolean"), 1L).otherwise(0L)).as("npos"),
-      sum(when(positive.cast("boolean"), 0L).otherwise(1L)).as("nneg"))
+      sum(when(!positive.cast("boolean"), 1L).otherwise(0L)).as("nneg"))
     val bias = TextFunctions.stableRound(
       log((col("npos") + lit(1)).cast("double") / (col("nneg") + lit(1)).cast("double")), 6)
     val w = TextFunctions.stableRound(
@@ -1628,14 +1633,15 @@ object CorpusOps {
       positive: Column): (DataFrame, Double, Double) = {
     val toks = docs.select(positive.cast("boolean").as("__pos"),
       explode(TextFunctions.words(col(textCol))).as("term"))
+    // same NULL-label rule as naiveBayesScore: neither class
     val cnt = Dedup.lazyShare(toks.groupBy(col("term")).agg(
       sum(when(col("__pos"), 1L).otherwise(0L)).as("cpos"),
-      sum(when(col("__pos"), 0L).otherwise(1L)).as("cneg")))
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("cneg")))
     val t = cnt.agg(sum(col("cpos")), sum(col("cneg")), count(lit(1))).head()
     val (tpos, tneg, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
     val d = docs.agg(
       sum(when(positive.cast("boolean"), 1L).otherwise(0L)),
-      sum(when(positive.cast("boolean"), 0L).otherwise(1L))).head()
+      sum(when(!positive.cast("boolean"), 1L).otherwise(0L))).head()
     // HALF_UP on the scaled double = Spark round() = DuckDB round() — the
     // same half-away-from-zero the stableRound ladder relies on (math.round
     // would differ on negative .5 boundaries)

@@ -1092,17 +1092,67 @@ object Dedup extends Logging {
       path: String): Int = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, path, "hashes") // a prior crashed swap first
     val live = new Path(s"$path/hashes")
     val n = fs.listStatus(live)
       .count(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
     if (n <= 1) return 0
-    val tmp = new Path(s"$path/hashes__compacting")
-    spark.read.parquet(live.toString).drop("epoch").distinct()
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(live, true)
-    fs.mkdirs(live)
-    fs.rename(tmp, new Path(s"$path/hashes/epoch=-1"))
+    swapCompacted(fs, path, "hashes", tmp =>
+      spark.read.parquet(live.toString).drop("epoch").distinct()
+        .write.mode("overwrite").parquet(tmp))
     n
+  }
+
+  /** Crash-safe swap of a freshly-compacted table into `<path>/<table>` as
+    * its single `epoch=-1` partition. The live dir is never deleted before
+    * its replacement is in place: live is RENAMED aside to a backup, the
+    * compacted tmp is renamed in, and only then is the backup dropped —
+    * with every `fs.rename` boolean checked (a silently failed rename,
+    * e.g. cross-filesystem, must abort, not strand the index). A crash at
+    * any point leaves either the live table or the backup intact; the next
+    * compaction (or [[recoverCompaction]] directly) restores a missing
+    * live table from the backup before proceeding. */
+  private def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, table: String, writeTmp: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/$table")
+    val tmp = new Path(s"$path/${table}__compacting")
+    recoverCompaction(fs, path, table)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeTmp(tmp.toString)
+    val backup = new Path(s"$path/${table}__precompact")
+    if (!fs.rename(live, backup))
+      throw new java.io.IOException(
+        s"compaction of $live: swap-out rename to $backup failed; index untouched")
+    fs.mkdirs(live)
+    val in = new Path(live, "epoch=-1")
+    if (!fs.rename(tmp, in)) {
+      // roll back: the backup is still the complete pre-compaction index
+      fs.delete(live, true)
+      fs.rename(backup, live)
+      throw new java.io.IOException(
+        s"compaction of $live: swap-in rename of $tmp failed; index restored")
+    }
+    fs.delete(backup, true)
+    ()
+  }
+
+  /** Restore `<path>/<table>` from a crashed [[swapCompacted]]: a leftover
+    * `__precompact` backup with NO live table means the crash hit between
+    * swap-out and swap-in — rename it back; with a live table present the
+    * swap had completed, so the backup is stale and dropped. */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, table: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/$table")
+    val backup = new Path(s"$path/${table}__precompact")
+    if (fs.exists(backup)) {
+      if (fs.exists(live)) fs.delete(backup, true)
+      else if (!fs.rename(backup, live))
+        throw new java.io.IOException(
+          s"recovery rename of $backup to $live failed")
+    }
+    ()
   }
 
   // -------------------------------------------------------------------
@@ -1352,20 +1402,26 @@ object Dedup extends Logging {
       path: String): Int = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // restore either table from a prior crashed swap before counting epochs
+    Seq("bands", "shingles").foreach(recoverCompaction(fs, path, _))
     def epochDirs(table: String): Array[Path] =
       fs.listStatus(new Path(s"$path/$table"))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
         .map(_.getPath)
     val n = epochDirs("bands").length
     if (n <= 1 && epochDirs("shingles").length <= 1) return 0
+    // bands: full-row distinct; shingles: one row per doc — a doc admitted
+    // into more than one epoch (double append, or a crashed stream
+    // re-admitted under a new epoch id) must not keep duplicate rows that
+    // would inflate minHashIndexMatches counts forever
     Seq("bands", "shingles").foreach { table =>
-      val tmp = new Path(s"$path/${table}__compacting")
-      spark.read.parquet(s"$path/$table").drop("epoch")
-        .write.mode("overwrite").parquet(tmp.toString)
-      val live = new Path(s"$path/$table")
-      fs.delete(live, true)
-      fs.mkdirs(live)
-      fs.rename(tmp, new Path(s"$path/$table/epoch=-1"))
+      swapCompacted(fs, path, table, { tmp =>
+        val merged = spark.read.parquet(s"$path/$table").drop("epoch")
+        val deduped =
+          if (table == "shingles") merged.dropDuplicates("doc_id")
+          else merged.distinct()
+        deduped.write.mode("overwrite").parquet(tmp)
+      })
     }
     n
   }

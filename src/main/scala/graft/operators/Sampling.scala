@@ -73,20 +73,97 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Number of order-key buckets the grouped prefix sums split each group
+    * into. With hex13 order keys a 2-hex-digit prefix yields 256 uniform
+    * buckets; the generic sampled-boundary path aims for the same count. */
+  private[operators] val CumSumBuckets = 256
+
+  /** Order-consistent bucket of a `hex13` order key: its first two hex
+    * digits as an int (0..255). Lowercase fixed-width hex compares
+    * lexicographically == numerically, so every key in bucket b sorts
+    * strictly before every key in bucket b+1 — cutting a group's hash
+    * order at bucket boundaries never splits the order. */
+  private def hexBucket(hexKey: Column): Column =
+    coalesce(conv(substring(hexKey, 1, 2), 16, 10).cast("int"), lit(0))
+
+  /**
+   * Distributed grouped running sum — `sum(value) OVER (PARTITION BY group
+   * ORDER BY orderKeys)` WITHOUT funneling each group through one reducer.
+   *
+   * A bare per-group window cumsum has no rank-limit pushdown (unlike
+   * `row_number`'s WindowGroupLimit), so the window shuffle lands a
+   * group's ENTIRE row set in a single task that must sort it — a 100 TB
+   * corpus with a handful of sources puts billions of rows through one
+   * reducer per source, and AQE cannot split a window partition. Instead,
+   * the same two-phase prefix sum as [[CorpusOps.cappedVocab]]'s histogram
+   * cuts:
+   *
+   *  1. Bucket the order key with `bucket` — REQUIRED order-consistent:
+   *     key1 < key2 must imply bucket(key1) <= bucket(key2), so bucket
+   *     boundaries are cuts of the group's order, never reorderings.
+   *  2. Per-(group, bucket) subtotals: a map-side-combinable hash
+   *     aggregation over at most |groups| * [[CumSumBuckets]] cells.
+   *  3. Cross-bucket offsets WITHOUT any window: each group's <= 256
+   *     subtotal cells collect into one array; a higher-order `aggregate`
+   *     over the array yields each bucket's prefix offset. Bounded work
+   *     per group regardless of corpus size, and no Window node
+   *     partitioned by the bare group column anywhere in the plan.
+   *  4. Join the offsets back (null-safe on group keys; the offset side is
+   *     metadata-scale, so the planner broadcasts it) and window ONLY
+   *     within (group, bucket) — each window partition holds ~1/256 of a
+   *     group, so a skewed group spreads over 256 tasks instead of one.
+   *
+   * The result is VALUE-identical to the single-window form for any
+   * bucketing (buckets only cut the order), so oracles and repartition
+   * invariance are untouched.
+   */
+  private def bucketedCumSum(
+      df: DataFrame, groupCols: Seq[Column], orderKeys: Seq[Column],
+      bucket: Column, value: Column, cumCol: String): DataFrame = {
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val d0 = groupCols.zip(gNames).foldLeft(df) { case (acc, (c, n)) =>
+      acc.withColumn(n, c)
+    }
+    val d = d0.withColumn("__bkt", bucket).withColumn("__val", value.cast("long"))
+    val gCols = gNames.map(col)
+    val sub = d.groupBy((gCols :+ col("__bkt")): _*).agg(sum(col("__val")).as("__sub"))
+    val offsets = sub
+      .groupBy(gCols: _*)
+      .agg(collect_list(struct(col("__bkt"), col("__sub"))).as("__arr"))
+      .select((gCols :+ col("__arr") :+ explode(col("__arr")).as("__e")): _*)
+      .select((gCols :+ col("__e.__bkt").as("__obkt") :+
+        aggregate(
+          filter(col("__arr"), x => x.getField("__bkt") < col("__e.__bkt")),
+          lit(0L), (acc, x) => acc + x.getField("__sub")).as("__off")): _*)
+      .withColumnsRenamed(gNames.map(n => n -> s"__o$n").toMap)
+    val joinCond = gNames.map(n => d(n) <=> offsets(s"__o$n"))
+      .reduce(_ && _) && d("__bkt") === offsets("__obkt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((gCols :+ col("__bkt")): _*)
+      .orderBy(orderKeys: _*)
+    d.join(offsets, joinCond)
+      .withColumn(cumCol, col("__off") + sum(col("__val")).over(w))
+      .drop((gNames ++ gNames.map(n => s"__o$n") ++
+        Seq("__bkt", "__obkt", "__val", "__off")): _*)
+  }
+
   /** Per-group TOKEN budget: keep each group's rows, in [[capPerGroup]]'s
     * deterministic hash order, until the cumulative token count would
     * exceed `budget` (the crossing document is dropped, so each group's
     * kept total is ≤ budget). Training mixtures are specified in tokens,
     * not documents — a doc-count cap lets a long-document group blow its
-    * token share. Monotone in budget (raising it only ADDS documents) and
-    * the same one-window-shuffle shape as [[capPerGroup]]. */
+    * token share. Monotone in budget (raising it only ADDS documents).
+    * The running sum is the [[bucketedCumSum]] two-phase prefix sum: one
+    * metadata-scale subtotal aggregation plus one window over (group,
+    * hex-prefix bucket) — a group's rows spread over [[CumSumBuckets]]
+    * tasks, never a single reducer. */
   def capPerGroupTokens(
       df: DataFrame, groupCols: Seq[Column], hashKey: Column, tieBreak: Column,
       tokenCount: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols: _*).orderBy(hex13(hashKey).asc, tieBreak.asc)
-    df.withColumn("__cum", sum(tokenCount.cast("long")).over(w))
+    val key = hex13(hashKey)
+    bucketedCumSum(df, groupCols, Seq(key.asc, tieBreak.asc), hexBucket(key),
+        tokenCount, "__cum")
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
@@ -94,7 +171,7 @@ object Sampling {
     * map — the way training mixtures are actually specified ("this many
     * tokens of web, this many of code"). Groups absent from `budgets` get
     * `defaultBudget` (default unlimited). The budget map renders as a
-    * per-row CASE chain, so this stays the same single window shuffle. */
+    * per-row CASE chain over the same [[bucketedCumSum]] prefix sum. */
   def mixByTokenBudget(
       df: DataFrame, groupCol: Column, hashKey: Column, tieBreak: Column,
       tokenCount: Column, budgets: Map[String, Long],
@@ -104,9 +181,9 @@ object Sampling {
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
       when(groupCol === g, lit(b)).otherwise(acc)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(hex13(hashKey).asc, tieBreak.asc)
-    df.withColumn("__cum", sum(tokenCount.cast("long")).over(w))
+    val key = hex13(hashKey)
+    bucketedCumSum(df, Seq(groupCol), Seq(key.asc, tieBreak.asc), hexBucket(key),
+        tokenCount, "__cum")
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
@@ -168,11 +245,14 @@ object Sampling {
    * chunk boundaries, as in standard concat-and-chunk), and its offset
    * inside the first sequence.
    *
-   * The result is pure metadata — one window cumsum per group (the same
-   * single-shuffle shape as [[capPerGroup]]), no token materialization —
-   * so packing a 100 TB corpus costs one shuffle of its doc STATS; the
-   * training loader then fetches a sequence's documents by
-   * (group, seq range) lookup.
+   * The result is pure metadata — a [[bucketedCumSum]] grouped prefix sum,
+   * no token materialization — so packing a 100 TB corpus costs one
+   * shuffle of its doc STATS spread over [[CumSumBuckets]] tasks per
+   * group (never one reducer per group), plus a bounded boundary-sampling
+   * pre-pass at plan-construction time ([[temperatureRates]]' count
+   * pre-pass precedent — persist the input first when composing on top of
+   * an expensive upstream). The training loader then fetches a sequence's
+   * documents by (group, seq range) lookup.
    *
    * A zero-token document gets `seq_last = seq_first - 1` (explicitly, at
    * ANY token offset — not only at chunk boundaries): it occupies no
@@ -183,10 +263,9 @@ object Sampling {
       df: DataFrame, groupCols: Seq[Column], orderCol: Column,
       tokenCount: Column, maxSeqLen: Int): DataFrame = {
     require(maxSeqLen > 0, s"maxSeqLen must be positive, got $maxSeqLen")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols: _*).orderBy(orderCol.asc)
-    df.withColumn("n_tokens", tokenCount.cast("long"))
-      .withColumn("__cum_end", sum(col("n_tokens")).over(w))
+    val bucket = rangeBucket(df, orderCol)
+    bucketedCumSum(df.withColumn("n_tokens", tokenCount.cast("long")),
+        groupCols, Seq(orderCol.asc), bucket, col("n_tokens"), "__cum_end")
       .withColumn("token_start", col("__cum_end") - col("n_tokens"))
       .withColumn("seq_first", floor(col("token_start") / maxSeqLen))
       .withColumn("seq_last",
@@ -194,6 +273,50 @@ object Sampling {
           .otherwise(floor((col("__cum_end") - 1) / maxSeqLen)))
       .withColumn("seq_offset", col("token_start") % maxSeqLen)
       .drop("__cum_end")
+  }
+
+  /** Order-consistent bucket expression for an ARBITRARY orderable
+    * `orderCol` (packSequences' caller picks the layout order — often a
+    * doc id or shuffle key, not a hash this library minted): boundaries
+    * come from a per-partition reservoir sample of the key (fixed seed per
+    * partition index — deterministic on a fixed input partitioning), and
+    * the bucket is "how many boundaries the key is >= ", a short codegen'd
+    * comparison chain. Only bucket BALANCE depends on the sample; the
+    * prefix-sum VALUES are bucketing-invariant, so a skewed or stale
+    * sample degrades parallelism, never correctness. Null keys sort first
+    * under `asc` and get bucket 0 (null >= b is null -> indicator 0). The
+    * sample is <= 8 keys * input partitions rows, sorted by Spark itself
+    * (no driver-side Ordering for exotic key types). */
+  private def rangeBucket(df: DataFrame, orderCol: Column): Column = {
+    val spark = df.sparkSession
+    val keyed = df.select(orderCol.as("__k"))
+    val perPart = 8
+    val sampled = keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ idx)
+      val res = new Array[org.apache.spark.sql.Row](perPart)
+      var n = 0L
+      it.foreach { r =>
+        n += 1
+        if (n <= perPart) res((n - 1).toInt) = r
+        else {
+          val j = math.abs(rng.nextLong() % n)
+          if (j < perPart) res(j.toInt) = r
+        }
+      }
+      res.iterator.filter(_ != null)
+    }.collect()
+    if (sampled.isEmpty) return lit(0)
+    val sorted = spark.createDataFrame(
+        spark.sparkContext.parallelize(sampled.toSeq, 1), keyed.schema)
+      .orderBy(col("__k").asc_nulls_first)
+      .collect().map(_.get(0)).filter(_ != null)
+    if (sorted.isEmpty) return lit(0)
+    val nB = math.min(CumSumBuckets, sorted.length + 1)
+    val boundaries = (1 until nB)
+      .map(i => sorted((i.toLong * sorted.length / nB).toInt))
+      .distinct
+    boundaries.map(b => when(orderCol >= lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
   }
 
   /**

@@ -177,6 +177,46 @@ final case class EventLogConf(options: Map[String, String]) {
     v
   }
 
+  // ---- transport-scope knobs: ACCEPTED and VALIDATED, documented inert ----
+  // These tune the reference's AMQP connection lifecycle (receiver
+  // recreation, epoch receivers, client thread pool) — transport concerns
+  // with no counterpart on the local/simulated backend, which holds no
+  // connection to keep alive. They are parsed and range-checked with the
+  // reference's rules so a migrating user's conf passes `validated()`
+  // unchanged instead of hitting the strict-option rejection, and are
+  // deliberately NOT wired to any behavior.
+
+  /** Receiver-recreation threshold after silence (ref setMaxSilentTime,
+    * EventHubsConf.scala:387-397: rejects values below MinSilentTime, the
+    * AMQP client's 30 s floor). Validated, inert on the local backend. */
+  def maxSilentTimeMs: Option[Long] = get("maxsilenttime").map { s =>
+    val v = if (s.nonEmpty && (s.charAt(0) == 'P' || s.charAt(0) == 'p'))
+      java.time.Duration.parse(s).toMillis
+    else s.toLong
+    require(v >= 30000L, s"maxSilentTime is less than the 30 s minimum: $v ms")
+    v
+  }
+
+  /** Epoch-receiver flag (ref setUseExclusiveReceiver,
+    * EventHubsConf.scala:410-418; default true). Validated boolean, inert
+    * on the local backend (the striped parquet cursor is always exclusive
+    * to this job). */
+  def useExclusiveReceiver: Boolean =
+    get("useexclusivereceiver").forall { s =>
+      require(s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false"),
+        s"useExclusiveReceiver must be a boolean, got '$s'")
+      s.toBoolean
+    }
+
+  /** AMQP client thread-pool size (ref setThreadPoolSize,
+    * EventHubsConf.scala:560-571). Validated positive, inert on the local
+    * backend (reads run on Spark task threads). */
+  def threadPoolSize: Option[Int] = get("threadpoolsize").map { s =>
+    val v = s.toInt
+    require(v >= 1, s"threadPoolSize must be >= 1, got $v")
+    v
+  }
+
   /** Durations accept plain milliseconds or ISO-8601 ("PT60S"). */
   private def durationMs(k: String, dflt: Long): Long = get(k).map { s =>
     val v = if (s.nonEmpty && (s.charAt(0) == 'P' || s.charAt(0) == 'p'))
@@ -196,6 +236,10 @@ final case class EventLogConf(options: Map[String, String]) {
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"unknown graft-eventlog option(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
         s"known options: ${EventLogConf.KnownOptions.toSeq.sorted.mkString(", ")}")
+    // transport-scope knobs are wired to nothing, so their range checks
+    // would otherwise never run — force them here so a bad value fails at
+    // the same boundary every other option does
+    maxSilentTimeMs; useExclusiveReceiver; threadPoolSize
     this
   }
 }
@@ -230,7 +274,9 @@ object EventLogConf {
     "maxacceptablebatchreceivetime",
     "metricplugin", "throttlingstatusplugin",
     "maxretries", "retrydelayms", "receivertimeout", "operationtimeout",
-    "prefetchcount")
+    "prefetchcount",
+    // transport-scope: validated, documented inert on the local backend
+    "maxsilenttime", "useexclusivereceiver", "threadpoolsize")
 
   /** What executors need (ref EventHubsConf.trimmed's include list,
     * EventHubsConf.scala:163-191): identity + credentials + receive/retry

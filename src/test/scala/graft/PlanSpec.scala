@@ -92,6 +92,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("token-budget/packing cumsum: no Window is partitioned by the bare group") {
+    // a per-group window RUNNING SUM has no WindowGroupLimit analogue: its
+    // shuffle lands a group's entire row set in ONE task. The bucketed
+    // two-phase prefix sum must leave every Window partitioned by
+    // (group, order-key bucket), never the group alone — the difference
+    // between one reducer per source and 256 tasks per source at 100 TB.
+    val windowParts = """Window \[[^\]]*\], \[([^\]]*)\]""".r
+    for (g <- Seq("q_corpus_pack", "q_corpus_cap_tokens", "q_corpus_mix_budget")) {
+      val p = plan(SparkEntry.queries(g)(spark, dir))
+      val parts = windowParts.findAllMatchIn(p).map(_.group(1)).toList
+      assert(parts.nonEmpty, s"$g: expected a (group, bucket) Window:\n$p")
+      parts.foreach { spec =>
+        assert(spec.contains("__bkt") && spec.split(",").length >= 2,
+          s"$g: Window partitioned by [$spec] — missing the order-key bucket:\n$p")
+      }
+    }
+  }
+
   test("encoding profile is a pure scan — no exchange at all") {
     val q = operators.CorpusOps.encodingProfile(
       Tables.documents(spark, dir), "doc_id", "text")

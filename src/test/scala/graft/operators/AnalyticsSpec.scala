@@ -702,6 +702,34 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetMinHashIndex(path)
   }
 
+  test("minhash compaction dedups double-admitted docs and survives a crashed swap") {
+    val path = java.nio.file.Files.createTempDirectory("mh-idx-crash").toString
+    Dedup.saveMinHashIndex(docs, "doc_id", "text", path)
+    // the same doc admitted under TWO epochs (double append / crashed
+    // stream re-admitted): compaction must keep ONE row per doc, not
+    // inflate match counts forever
+    val again = docs.filter($"doc_id" === 1L)
+    Dedup.admitMinHashEpoch(again, "doc_id", "text", path, 7L)
+    Dedup.admitMinHashEpoch(again, "doc_id", "text", path, 8L)
+    assert(Dedup.compactMinHashIndex(spark, path) == 3)
+    val nDocRows = spark.read.parquet(s"$path/shingles")
+      .filter($"doc_id" === 1L).count()
+    assert(nDocRows == 1, s"double-admitted doc kept $nDocRows shingle rows")
+    // crashed swap: live table renamed aside, process died before swap-in.
+    // The next compaction must RESTORE from the backup, not fail or lose
+    // the index (the old delete-then-rename left nothing to restore).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    assert(fs.rename(p("shingles"), p("shingles__precompact")))
+    Dedup.admitMinHashEpoch(again, "doc_id", "text", path, 9L) // recreates dir
+    fs.delete(p("shingles/epoch=9"), true); fs.delete(p("shingles"), true)
+    assert(Dedup.compactMinHashIndex(spark, path) >= 1)
+    assert(spark.read.parquet(s"$path/shingles").filter($"doc_id" === 1L).count() == 1,
+      "recovery from __precompact backup lost the shingles table")
+    Dedup.forgetMinHashIndex(path)
+  }
+
   test("dedupParagraphsWithinDoc keeps first occurrences, zero shuffle") {
     val df = Seq(
       (0L, "a\na\ntail zero"),                         // repeat of para 0

@@ -816,6 +816,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, -1.0578)), got(1).toString)  // w(b)+w(c)
   }
 
+  test("naiveBayes: NULL labels train NEITHER class (DuckDB FILTER semantics)") {
+    // a nullable predicate column (reachable via the graft_classify TVF)
+    // must not count its NULL rows as negatives: the DuckDB twin's
+    // count FILTER (WHERE pos) / (WHERE NOT pos) excludes them from both
+    // classes, so the fitted model must equal one trained with the
+    // null-labeled doc carrying no label weight at all — while the doc
+    // itself still gets SCORED
+    val withNull = Seq(
+      (1L, Some(true), "a a b"),
+      (2L, Some(false), "b c"),
+      (3L, None, "a b c d")).toDF("doc_id", "pos", "text")
+    val got = CorpusOps.naiveBayesScore(withNull, "doc_id", "text", $"pos")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(got.length == 3, "null-labeled doc must still be scored")
+    // class counts must match the 2-doc model EXCEPT V (doc 3 contributes
+    // the unseen term d to the joint vocabulary in both engines), so pin
+    // against hand-computed values: cpos a=2 b=1; cneg b=1 c=1; V=4
+    // (a,b,c,d); Tpos=3 Tneg=2; bias=ln(2/2)=0
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    def r4(x: Double) = BigDecimal(x * 1e4)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e4
+    val (wa, wb, wc, wd) = (
+      r6(math.log(3.0 / 7) - math.log(1.0 / 6)),
+      r6(math.log(2.0 / 7) - math.log(2.0 / 6)),
+      r6(math.log(1.0 / 7) - math.log(2.0 / 6)),
+      r6(math.log(1.0 / 7) - math.log(1.0 / 6)))
+    assert(got(0)._3 == r4(2 * wa + wb), got(0).toString)
+    assert(got(1)._3 == r4(wb + wc), got(1).toString)
+    assert(got(2)._3 == r4(wa + wb + wc + wd), got(2).toString)
+    // fit-side rule matches score-side
+    val (_, bias, _) = CorpusOps.naiveBayesFit(withNull, "doc_id", "text", $"pos")
+    assert(bias == 0.0, s"null label leaked into the document counts: bias=$bias")
+  }
+
   test("leakageSafeSplit: near-dup clusters land in one split, loners split by own id") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -357,6 +357,44 @@ class ConnectorMetricsSpec extends AnyFunSuite {
     assert(sinkMetrics.last.get("appendedEvents") == "100")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
+
+  test("transport-scope knobs are accepted, range-validated, and inert") {
+    // a conf migrated verbatim from the reference connector may carry AMQP
+    // transport tuning (receiver silence threshold, epoch receivers, client
+    // thread pool). The strict-option validator must accept them — parsed
+    // with the reference's range rules — while they change nothing on the
+    // local backend.
+    val base = Map("name" -> "knobs1", "partitions" -> "2")
+    val conf = EventLogConf(base ++ Map(
+      "maxsilenttime" -> "PT60S",
+      "useexclusivereceiver" -> "false",
+      "threadpoolsize" -> "16")).validated()
+    assert(conf.maxSilentTimeMs.contains(60000L))
+    assert(!conf.useExclusiveReceiver)
+    assert(conf.threadPoolSize.contains(16))
+    // defaults mirror the reference: exclusive receiver on, others unset
+    val dflt = EventLogConf(base).validated()
+    assert(dflt.useExclusiveReceiver && dflt.maxSilentTimeMs.isEmpty &&
+      dflt.threadPoolSize.isEmpty)
+    // range rules fire at the validation boundary, not at some never-read
+    // accessor: below the 30 s silent-time floor (ref setMaxSilentTime,
+    // EventHubsConf.scala:393-395), non-boolean, non-positive pool
+    intercept[IllegalArgumentException](
+      EventLogConf(base + ("maxsilenttime" -> "1000")).validated())
+    intercept[IllegalArgumentException](
+      EventLogConf(base + ("useexclusivereceiver" -> "yep")).validated())
+    intercept[IllegalArgumentException](
+      EventLogConf(base + ("threadpoolsize" -> "0")).validated())
+    // inert: an end-to-end read with the knobs set returns the same rows
+    EventLogRegistry.drop("knobs1")
+    val log = EventLogRegistry.create("knobs1", 2)
+    for (p <- 0 until 2; i <- 0 until 5)
+      log.append(p, Event(s"$p-$i".getBytes("UTF-8"), i * 1000000L))
+    val rows = spark.read.format("graft-eventlog").option("name", "knobs1")
+      .option("maxSilentTime", "PT60S").option("useExclusiveReceiver", "true")
+      .option("threadPoolSize", "8").load().count()
+    assert(rows == 10)
+  }
 }
 
 class ConnectorSinkSpec extends AnyFunSuite {
