@@ -607,25 +607,38 @@ object SparkEntry {
 
     "q_stream_session_window" -> ((s, dir) => {
       // NATIVE session windows in a stream (stock session_window + state
-      // store) — the streaming face of q_events_session_window without
-      // hand-rolled flatMapGroupsWithState; complete mode emits the full
-      // final state, so the result equals the batch session windows exactly
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(mid(dir)).schema
+      // store) in APPEND mode — the watermark-EVICTION path a 100 TB
+      // deployment runs, where a session is emitted (and its state freed)
+      // once the watermark passes its end, instead of complete mode's
+      // full-state rematerialization every trigger. A sentinel event far
+      // past the data advances the final watermark beyond every real
+      // session end + gap, so the bounded testdata provably flushes ALL
+      // sessions through eviction and the result still equals the batch
+      // session windows exactly.
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // sentinel key -1: real user ids are non-negative; its only job is to
+      // advance the final watermark past every real session end + gap
+      val sentinel = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + 36000000L))).toDF("user_id", "ts")
+      val tmp = java.nio.file.Files.createTempDirectory("ssw_src").toString
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(tmp)
       val out = "ssw_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        val src = s.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-        val q = Tables.normalizeTs(src)
+        val src = s.readStream.schema(ev.schema).parquet(tmp)
+        val q = src
           .withWatermark("ts", "1 hour")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
           .agg(count(lit(1)).as("n_events"))
-          .writeStream.format("memory").queryName(out).outputMode("complete")
+          .writeStream.format("memory").queryName(out).outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
         awaitOrFail(q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(out)
+        .filter(col("user_id") =!= -1L)
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
@@ -1592,6 +1605,47 @@ object SparkEntry {
       s.table(out).orderBy(col("n").desc, col("token").asc).limit(20)
     }),
 
+    "q_stream_vocab_sketch" -> ((s, dir) => {
+      // the 100 TB form of q_stream_vocab: cross-batch state is a KB-sized
+      // Count-Min sketch plus 20 candidate terms (StreamOps.heavyHitterSink),
+      // never one state row per distinct token. DuckDB-checkable properties:
+      // the exact top-5 terms' exact counts, each found in the sketch's
+      // top-20, each estimate within the one-sided CMS bound — the
+      // q_sketch_terms gating technique applied to the streaming tracker
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "svs_" + tag
+      docs.select(col("text").cast("binary").as("body"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      val nCorpus = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nCorpus + 7) / 8)
+      val (tracker, fn) = streaming.StreamOps.heavyHitterSink("body", k = 20)
+      try {
+        val q = s.readStream.format(GraftEventLog.Format)
+          .option("name", logName)
+          .option("maxEventsPerTrigger", perTrigger.toString)
+          .load()
+          .writeStream.foreachBatch(fn)
+          .trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally sources.EventLogRegistry.drop(logName)
+      val inTopK = tracker.result.map(_._1).toSet
+      val words = docs.select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val epsBound = math.ceil(
+        operators.Sketches.DefaultCmsEps * words.count()).toLong
+      val top5 = words.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term").asc).limit(5)
+        .as[(String, Long)].collect()
+      top5.toSeq.map { case (t, n) =>
+        val est = tracker.estimate(t)
+        (t, n, inTopK.contains(t), est >= n && est <= n + epsBound)
+      }.toDF("term", "n_exact", "in_topk", "within_bounds")
+        .orderBy(col("term"))
+    }),
+
     "q_stream_knn" -> ((s, dir) => {
       // streaming vector-search enrichment: query vectors flow through the
       // graft sink into a log (doubles serialized shortest-roundtrip, so
@@ -2294,6 +2348,17 @@ object SparkEntry {
         """SELECT token, count(*) AS n
           |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
           |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+      // the sketch tracker's booleans are the CMS guarantees (found in
+      // top-20, estimate within the one-sided bound) — literal true in the
+      // oracle, exact counts carry the data check (q_sketch_terms pattern)
+      "q_stream_vocab_sketch" ->
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+          | c AS (SELECT term, count(*) AS n_exact FROM w WHERE term != ''
+          |       GROUP BY 1)
+          |SELECT term, n_exact, true AS in_topk, true AS within_bounds
+          |FROM (SELECT * FROM c ORDER BY n_exact DESC, term ASC LIMIT 5)
+          |ORDER BY term""".stripMargin,
 
       "q_text_tfidf" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

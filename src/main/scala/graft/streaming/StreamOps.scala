@@ -81,6 +81,97 @@ object StreamOps {
   }
 
   /**
+   * Bounded-state streaming heavy hitters: the 100 TB replacement for a
+   * complete-mode `groupBy(token).count()`, whose state store holds one row
+   * per DISTINCT token — a 10⁸+-row state per shuffle partition on a web
+   * corpus, materialized in full every trigger. Here the cross-batch state
+   * is a KB-sized Count-Min sketch plus at most `k` candidate terms,
+   * independent of vocabulary size:
+   *
+   *  - each micro-batch aggregates its tokens into a CMS
+   *    (`count_min_sketch`, mergeable partials, map-side combined) and a
+   *    distributed top-`candidatesPerBatch` term list (TakeOrdered — never
+   *    a global sort, never the batch vocabulary on the driver);
+   *  - the tracker merges the batch CMS into the running sketch (same
+   *    eps/confidence/seed, so merged counts ADD exactly) and re-ranks
+   *    (previous candidates ∪ batch candidates) by their merged-CMS
+   *    estimates, keeping `k`.
+   *
+   * Guarantees, matching the classic sketch-heavy-hitter recipe: every
+   * reported count is within the CMS one-sided bound
+   * (exact <= est <= exact + eps * totalTokens w.p. `confidence`); a true
+   * heavy hitter is reported as long as it surfaces in some batch's
+   * top-`candidatesPerBatch` (admission-controlled batches make that the
+   * overwhelmingly common case; a term spread perfectly thin below every
+   * batch head can be missed — the standard tradeoff for bounded state).
+   *
+   * Epoch-idempotent: a replayed `foreachBatch` epoch (failure recovery)
+   * is skipped, not double-merged — same rule as the connector sink's
+   * idempotent epoch commit.
+   */
+  final class HeavyHitterTracker private[streaming] (
+      k: Int, eps: Double, confidence: Double, seed: Int) extends Serializable {
+    @transient private var cms: org.apache.spark.util.sketch.CountMinSketch = _
+    private var candidates: List[String] = Nil
+    private var lastEpoch: Long = Long.MinValue
+
+    private[streaming] def update(
+        batchCms: Option[Array[Byte]], batchTerms: Seq[String],
+        epochId: Long): Unit = synchronized {
+      if (epochId <= lastEpoch) return // replayed epoch: already merged
+      lastEpoch = epochId
+      batchCms.foreach { bytes =>
+        val b = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        if (cms == null) cms = b else { cms.mergeInPlace(b); () }
+      }
+      if (cms != null) {
+        candidates = (candidates ++ batchTerms).distinct
+          .map(t => t -> cms.estimateCount(t))
+          .sortBy { case (t, n) => (-n, t) }
+          .take(k).map(_._1)
+      }
+    }
+
+    /** Current top-k (term, estimated count), best-ranked first. */
+    def result: Seq[(String, Long)] = synchronized {
+      if (cms == null) Nil
+      else candidates.map(t => t -> cms.estimateCount(t))
+    }
+
+    /** Point estimate for any term from the merged sketch (CMS one-sided
+      * bound applies whether or not the term is a kept candidate). */
+    def estimate(term: String): Long = synchronized {
+      if (cms == null) 0L else cms.estimateCount(term)
+    }
+  }
+
+  /** Build the tracker plus the `foreachBatch` function that feeds it.
+    * Usage: `val (t, fn) = StreamOps.heavyHitterSink("body", 20)` then
+    * `stream.writeStream.foreachBatch(fn)...`; read `t.result` after. */
+  def heavyHitterSink(textCol: String, k: Int, candidatesPerBatch: Int = 0,
+      eps: Double = graft.operators.Sketches.DefaultCmsEps,
+      confidence: Double = 0.99, seed: Int = 42)
+      : (HeavyHitterTracker, (DataFrame, Long) => Unit) = {
+    require(k > 0, s"k must be positive, got $k")
+    val perBatch = if (candidatesPerBatch > 0) candidatesPerBatch else 4 * k
+    val tracker = new HeavyHitterTracker(k, eps, confidence, seed)
+    val fn = (batch: DataFrame, epochId: Long) => {
+      val words = batch
+        .select(explode(split(col(textCol).cast("string"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val cmsBytes = Option(
+        words.agg(count_min_sketch(col("term"), lit(eps), lit(confidence),
+          lit(seed)).as("cms")).head().getAs[Array[Byte]]("cms"))
+      val terms = words.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(perBatch)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      tracker.update(cmsBytes, terms, epochId)
+    }
+    (tracker, fn)
+  }
+
+  /**
    * Simplest possible sink: a ForeachWriter that round-robins string rows
    * into a named in-memory log (ref S11: EventHubsForeachWriter.scala:41-99).
    */

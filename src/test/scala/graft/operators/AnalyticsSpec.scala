@@ -1330,6 +1330,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sorted(withNull) == sorted(viaIndex))
   }
 
+  test("IVF recall sweep: mean recall@k is monotone in nProbe for every k") {
+    // the acceptance sweep a 100 TB user runs before trusting an index
+    // build: for each k, probing more cells may only ADD candidates, and
+    // the exact top-k over a candidate superset can only gain true
+    // neighbors — so mean recall@k must be non-decreasing in nProbe, and
+    // full probe (nProbe = nCells) must recover recall 1.0 exactly
+    val nCells = 16
+    val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", nCells)
+    val idx = Similarity.ivfIndexWith(embs, "vec_id", "embedding", cents)
+    val queries = embs.filter($"vec_id" < 24)
+    for (k <- Seq(1, 10, 100)) {
+      val exact = Similarity.knnJoin(queries, "vec_id", "embedding",
+        embs, "vec_id", "embedding", k = k)
+      val meanRecall = (Seq(1, 2, 4) :+ nCells).map { nProbe =>
+        val approx = Similarity.ivfKnnJoinWith(idx, cents, queries,
+          "vec_id", "embedding", k = k, nProbe = nProbe)
+        val r = Similarity.recallAtK(exact, approx, k)
+          .agg(avg($"recall")).head().getDouble(0)
+        nProbe -> r
+      }
+      meanRecall.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+        assert(r2 >= r1 - 1e-9,
+          s"k=$k: recall fell from $r1 (nProbe=$p1) to $r2 (nProbe=$p2)")
+      }
+      assert(meanRecall.last._2 == 1.0,
+        s"k=$k: full probe must equal brute force, got ${meanRecall.last._2}")
+      info(s"k=$k: " + meanRecall.map { case (p, r) => f"p$p=$r%.3f" }.mkString(" "))
+    }
+  }
+
   test("ivfKnnJoinWith: batch IVF join matches per-query probes on the persisted index") {
     val cents = Similarity.centroidsOf(embs, "vec_id", "embedding", 8)
     val path = java.nio.file.Files.createTempDirectory("ivf-knn").toString

@@ -88,4 +88,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(bounds.values.map(_._2).sum == 12)
     assert(bounds.values.forall(_._2 > 0), s"round robin skipped: $bounds")
   }
+
+  test("heavyHitterSink: bounded state, skewed terms found, replayed epochs skipped") {
+    // 3 heavy terms spread across batches + a long distinct tail: state may
+    // never exceed k candidates + one sketch, yet the heavy terms must win
+    val (tracker, fn) = StreamOps.heavyHitterSink("body", k = 3)
+    def batch(rows: Seq[String]) = rows.toDF("body")
+    // batch 0: alpha-heavy; batch 1: beta-heavy; batch 2: gamma + tail noise
+    fn(batch(Seq.fill(40)("alpha common") ++ Seq.tabulate(20)(i => s"t0_$i")), 0L)
+    fn(batch(Seq.fill(30)("beta common") ++ Seq.tabulate(20)(i => s"t1_$i")), 1L)
+    fn(batch(Seq.fill(25)("gamma") ++ Seq.tabulate(20)(i => s"t2_$i")), 2L)
+    val got = tracker.result
+    assert(got.length <= 3, s"state exceeded k: $got")
+    // common: 70 across epochs; alpha 40; beta 30 — the cross-batch merge
+    // must rank 'common' first even though no single batch made it #1
+    assert(got.map(_._1) == Seq("common", "alpha", "beta"), got.toString)
+    assert(got.toMap.apply("common") == 70L, got.toString)
+    // replayed epoch (failure recovery re-runs epoch 2): counts unchanged
+    fn(batch(Seq.fill(25)("gamma")), 2L)
+    assert(tracker.estimate("gamma") == 25L, "replayed epoch was double-merged")
+    // a fresh epoch does merge
+    fn(batch(Seq.fill(50)("gamma extra")), 3L)
+    assert(tracker.estimate("gamma") == 75L)
+  }
 }
