@@ -450,7 +450,11 @@ object SparkEntry {
       val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
       val mixed = operators.Sampling.stratifiedSample(clean, col("source"),
         MixRates, col("text"), defaultRate = MixDefaultRate)
-      operators.Sampling.packSequences(mixed, Seq(col("source")), col("doc_id"),
+      // persist the mixture before layout: packSequences' boundary-sample
+      // and stats passes would otherwise re-run the dedup+decontaminate
+      // upstream per pass (the practice its scaladoc prescribes)
+      val staged = Dedup.lazyShare(mixed)
+      operators.Sampling.packSequences(staged, Seq(col("source")), col("doc_id"),
           TextFunctions.tokenCount(col("text")), maxSeqLen = 512)
         .select(col("source"), col("doc_id"), col("n_tokens"), col("token_start"),
           col("seq_first"), col("seq_last"), col("seq_offset"))

@@ -54,4 +54,44 @@ class SamplingPropertySpec extends AnyFunSuite {
     assert(sql.contains(Sampling.hexThreshold(0.8)))
     assert(!sql.contains("'g'") || sql.endsWith("'c'"), "last split is the fallback")
   }
+
+  test("bucketed prefix sum == naive per-group cumsum on random inputs") {
+    // the two-phase prefix sum must be VALUE-identical to the single-window
+    // form for any data, group skew, duplicate tokens, or partitioning —
+    // randomized inputs sweep the shapes the fixed-fixture tests miss
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rowsGen = Gen.listOf(Gen.zip(
+      Gen.oneOf("g1", "g2", "g3"),           // group (few, to force overlap)
+      Gen.choose(0, 9999),                   // id (may collide -> same hash)
+      Gen.choose(0L, 50L)))                  // token count (zeros included)
+    forSamples(rowsGen, n = 8) { rows0 =>
+      val rows = rows0.zipWithIndex
+        .map { case ((g, id, t), i) => (g, s"d${id}_$i", t) } // unique ids
+      if (rows.nonEmpty) {
+        val df = rows.toDF("src", "doc_id", "n_tok").repartition(5)
+        // naive reference: driver-side sort by (md5-hex order, tiebreak)
+        def hex(s: String): String = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8"))
+          d.map("%02x".format(_)).mkString.substring(0, 13)
+        }
+        // .toList before flatMap: flatMapping the groupBy Map directly would
+        // rebuild a Map keyed by group and silently keep ONE pair per group
+        val expected = rows.groupBy(_._1).toList.flatMap { case (_, grp) =>
+          var cum = 0L
+          grp.sortBy { case (_, id, _) => (hex(id), id) }.flatMap {
+            case (g, id, t) =>
+              cum += t
+              if (cum <= 100L) Some((g, id)) else None
+          }
+        }.toSet
+        val got = Sampling.capPerGroupTokens(df, Seq($"src"), $"doc_id",
+            $"doc_id", $"n_tok", budget = 100L)
+          .select($"src", $"doc_id").as[(String, String)].collect().toSet
+        assert(got == expected,
+          s"mismatch: extra=${got -- expected} missing=${expected -- got} rows=$rows")
+      }
+    }
+  }
 }
