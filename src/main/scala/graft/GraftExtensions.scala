@@ -385,6 +385,16 @@ object GraftExtensions {
             strArg(args, 1, "graft_diversity"), strArg(args, 2, "graft_diversity"),
             intArg(args, 3, -1, "graft_diversity")))
       },
+      tvf("graft_bm25",
+        "graft_bm25(table, idCol, textCol, query[, k]) - Okapi BM25 top-k " +
+          "document retrieval for a space-separated query string") {
+        args => arity(args, "graft_bm25", 4, 5)
+          logical(operators.CorpusOps.bm25Search(
+            activeTable(strArg(args, 0, "graft_bm25")),
+            strArg(args, 1, "graft_bm25"), strArg(args, 2, "graft_bm25"),
+            strArg(args, 3, "graft_bm25").split(' ').toSeq.filter(_.nonEmpty),
+            intArg(args, 4, 20, "graft_bm25")))
+      },
       tvf("graft_classify",
         "graft_classify(table, idCol, textCol, positiveSqlPredicate) - " +
           "Naive Bayes log-odds train+score; positive class via a SQL predicate") {

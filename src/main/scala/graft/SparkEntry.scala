@@ -101,6 +101,7 @@ object SparkEntry {
   private val MixDefaultRate = 0.5
   private val MixBudgets = Map("src0" -> 400L, "src1" -> 900L, "src2" -> 2500L)
   private val MixEpochs = Map("src0" -> 2.5, "src1" -> 0.4)
+  private val Bm25Query = Seq("data", "key", "spark", "table", "value")
 
   /** Run a gate stream to completion or fail loudly: a timed-out
     * AvailableNow query must never let the caller read partial sink
@@ -1776,6 +1777,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    "q_text_bm25" -> ((s, dir) => {
+      // Okapi BM25 retrieval against a fixed query: token stream filtered
+      // to the query terms before any shuffle, df/stats broadcast,
+      // distributed top-k — the corpus-search / decontamination-triage
+      // scorer (ordered by the output rank so the result is deterministic)
+      operators.CorpusOps.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+          Bm25Query, k = 20)
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     "q_text_lm_score" -> ((s, dir) => {
       // CCNet-style unigram-LM quality: per-doc avg negative log-likelihood
       operators.CorpusOps.lmQualityScore(Tables.documents(s, dir), "doc_id", "text")
@@ -2363,6 +2374,8 @@ object SparkEntry {
           |SELECT term, n_exact, true AS in_topk, true AS within_bounds
           |FROM (SELECT * FROM c ORDER BY n_exact DESC, term ASC LIMIT 5)
           |ORDER BY term""".stripMargin,
+
+      "q_text_bm25" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
 
       "q_text_tfidf" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

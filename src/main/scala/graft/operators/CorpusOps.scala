@@ -971,6 +971,90 @@ object CorpusOps {
   }
 
   /**
+   * BM25 relevance of every document against a fixed query term set — the
+   * standard retrieval score (Robertson/Sparck Jones Okapi BM25) used by
+   * training-data pipelines for benchmark-similarity ranking, targeted
+   * decontamination triage, and corpus search. Returns the top-`k` docs as
+   * `(doc_id, n_terms, score)` ranked by (score desc, doc_id asc).
+   *
+   * score(D) = Σ_{t ∈ Q ∩ D} IDF(t) · tf·(k1+1) / (tf + k1·(1−b + b·|D|/avgdl))
+   * with IDF(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the +1 keeps IDF
+   * positive for terms in more than half the corpus.
+   *
+   * Scale shape: the token stream is FILTERED to the query terms before any
+   * aggregation (a corpus-size scan whose shuffle carries only matching
+   * (doc, term) pairs); per-term document frequencies are a ≤|Q|-row
+   * broadcast; (N, avgdl) ride as a 1-row broadcast; document length is
+   * carried on the scan row (no join back to the corpus); the final top-k
+   * is `orderBy().limit(k)` — a distributed TakeOrdered, never a global
+   * single-partition sort. Cross-engine exactness: constants (k1+1, 1−b)
+   * are computed once driver-side and inlined in BOTH engines via
+   * shortest-roundtrip literals; per-(doc, term) contributions are
+   * stableRound(6)ed then DECIMAL-summed (order-independent), final score
+   * stableRound(4) — the [[lmQualityScore]] ladder.
+   */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val terms = queryTerms.distinct
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(TextFunctions.tokenCount(col(textCol)).cast("long")).as("avgdl"))
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = (col("tf").cast("double") * lit(k1p1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(oneMb) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val w = TextFunctions.stableRound(idf * norm, 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        TextFunctions.stableRound(sum(w).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25Search]] over `documents`: identical IEEE op
+    * order (driver-computed constants inlined shortest-roundtrip, explicit
+    * parenthesization) and the same round-then-DECIMAL-sum ladder. */
+  def sqlBm25(queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    def dLit(x: Double) = java.lang.Double.toString(x)
+    val terms = queryTerms.distinct
+      .map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+    val (k1s, bs) = (dLit(k1), dLit(b))
+    val (k1p1, oneMb) = (dLit(k1 + 1.0), dLit(1.0 - b))
+    val dl = TextFunctions.sqlTokenCount.format("text")
+    val wExpr = TextFunctions.sqlStableRound(
+      s"ln(((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) + 1.0)" +
+        s" * ((tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1s * ($oneMb + $bs * dl::DOUBLE / avgdl)))", 6)
+    s"""WITH q(term) AS (VALUES $terms),
+       | d AS (SELECT doc_id, ($dl) AS dl, text FROM documents),
+       | tok AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM d),
+       | tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |        FROM tok JOIN q USING (term) GROUP BY 1, 2, 3),
+       | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       | w AS (SELECT doc_id, ($wExpr)::DECIMAL(18,6) AS w
+       |       FROM tf JOIN dft USING (term), st)
+       |SELECT doc_id, count(*) AS n_terms,
+       | ${TextFunctions.sqlStableRound("sum(w)::DOUBLE", 4)} AS score
+       |FROM w GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  /**
    * Unigram language-model quality score (the CCNet-style signal): fit a
    * corpus-wide add-one-smoothed unigram LM, then score every document by
    * its average negative log-likelihood under it — boilerplate and

@@ -284,6 +284,13 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.ngramDiversity(docs, "text", "source", 3)
         .orderBy(col("source")).collect().toSeq)
 
+    val bm = spark.sql(
+      "SELECT * FROM graft_bm25('tvfdocs', 'doc_id', 'text', 'data key value', 5)")
+    assert(bm.collect().toSeq ==
+      operators.CorpusOps.bm25Search(docs, "doc_id", "text",
+          Seq("data", "key", "value"), k = 5)
+        .collect().toSeq)
+
     val cls = spark.sql(
       "SELECT * FROM graft_classify('tvfdocs', 'doc_id', 'text', 'lang = ''en''') " +
         "ORDER BY doc_id")

@@ -803,6 +803,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(masses.values.sum == 20)
   }
 
+  test("bm25Search: exact hand-computed scores, rank order, top-k cut") {
+    // 3 docs, query = {cat, dog}: N=3, avgdl = (4+2+3)/3 = 3.0
+    // df(cat)=2, df(dog)=1
+    val docs = Seq(
+      (1L, "cat dog cat mouse"),  // dl=4, tf(cat)=2, tf(dog)=1
+      (2L, "cat fish"),           // dl=2, tf(cat)=1
+      (3L, "bird mouse fish"))    // dl=3, no query terms
+      .toDF("doc_id", "text")
+    val got = CorpusOps.bm25Search(docs, "doc_id", "text", Seq("cat", "dog"), k = 10)
+      .as[(Long, Long, Double)].collect()
+    def r(x: Double, d: Int) = BigDecimal(x * math.pow(10, d))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / math.pow(10, d)
+    val (k1, b) = (1.2, 0.75)
+    def w(tf: Int, df: Int, dl: Int): Double = {
+      val idf = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+      r(idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / 3.0)), 6)
+    }
+    val exp1 = r(w(2, 2, 4) + w(1, 1, 4), 4) // doc 1: both terms
+    val exp2 = r(w(1, 2, 2), 4)              // doc 2: cat only
+    assert(got.toSeq == Seq((1L, 2L, exp1), (2L, 1L, exp2)),
+      s"got ${got.toSeq}, expected ${Seq((1L, 2L, exp1), (2L, 1L, exp2))}")
+    // doc 3 (no query term) absent; k cuts the tail deterministically
+    val top1 = CorpusOps.bm25Search(docs, "doc_id", "text", Seq("cat", "dog"), k = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(top1.toSeq == Seq((1L, 2L, exp1)))
+  }
+
   test("naiveBayesScore: exact hand-computed log-odds; positives above negatives") {
     val docs = Seq(
       (1L, true, "a a b"),
