@@ -1138,19 +1138,25 @@ object Dedup extends Logging {
   }
 
   /** Restore `<path>/<table>` from a crashed [[swapCompacted]]: a leftover
-    * `__precompact` backup with NO live table means the crash hit between
-    * swap-out and swap-in — rename it back; with a live table present the
-    * swap had completed, so the backup is stale and dropped. */
+    * `__precompact` backup with no live table — or only the EMPTY shell
+    * `mkdirs` creates between swap-out and swap-in — means the swap never
+    * completed: rename the backup back. A live table with content means
+    * the swap finished (a valid index dir always holds at least one
+    * `epoch=` child), so the backup is stale and dropped. */
   private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       path: String, table: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$path/$table")
     val backup = new Path(s"$path/${table}__precompact")
     if (fs.exists(backup)) {
-      if (fs.exists(live)) fs.delete(backup, true)
-      else if (!fs.rename(backup, live))
-        throw new java.io.IOException(
-          s"recovery rename of $backup to $live failed")
+      val liveHasData = fs.exists(live) && fs.listStatus(live).nonEmpty
+      if (liveHasData) fs.delete(backup, true)
+      else {
+        if (fs.exists(live)) fs.delete(live, true) // the empty mkdirs shell
+        if (!fs.rename(backup, live))
+          throw new java.io.IOException(
+            s"recovery rename of $backup to $live failed")
+      }
     }
     ()
   }

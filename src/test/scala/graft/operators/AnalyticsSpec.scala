@@ -727,6 +727,15 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.compactMinHashIndex(spark, path) >= 1)
     assert(spark.read.parquet(s"$path/shingles").filter($"doc_id" === 1L).count() == 1,
       "recovery from __precompact backup lost the shingles table")
+    // the narrower crash window: swap-out done AND the empty live shell
+    // recreated by mkdirs, but the compacted data never renamed in. The
+    // empty shell must NOT be mistaken for a completed swap.
+    Dedup.admitMinHashEpoch(again, "doc_id", "text", path, 10L)
+    assert(fs.rename(p("shingles"), p("shingles__precompact")))
+    assert(fs.mkdirs(p("shingles")))
+    assert(Dedup.compactMinHashIndex(spark, path) >= 1)
+    assert(spark.read.parquet(s"$path/shingles").filter($"doc_id" === 1L).count() == 1,
+      "empty mkdirs shell was mistaken for a completed swap — index lost")
     Dedup.forgetMinHashIndex(path)
   }
 
