@@ -1577,6 +1577,44 @@ object SparkEntry {
       s.read.parquet(outDir).drop("epoch").orderBy(col("doc_id"))
     }),
 
+    "q_stream_bm25" -> ((s, dir) => {
+      // streaming retrieval scoring: BM25 statistics (per-term df, N,
+      // avgdl) fit ONCE on the static corpus, then documents stream out of
+      // the graft log in admission-controlled micro-batches and each batch
+      // scores against those fixed stats. Per-row stateless ⇒ any trigger
+      // slicing unions to the batch scorer, so the full-corpus BM25 (sans
+      // top-k cut) is the exact oracle
+      val docs = Tables.documents(s, dir)
+      val (dft, nDocs, avgdl) = operators.CorpusOps.bm25Fit(
+        docs, "doc_id", "text", Bm25Query)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "sb_" + tag
+      docs.select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      val nCorpus = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nCorpus + 7) / 8)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      val outDir = java.nio.file.Files.createTempDirectory(s"sb_out_$tag").toString
+      try {
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+            operators.CorpusOps.bm25ScoreWith(
+                batch, "doc_id", "text", dft, nDocs, avgdl)
+              .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+            ()
+        }.trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally sources.EventLogRegistry.drop(logName)
+      s.read.parquet(outDir).drop("epoch").orderBy(col("doc_id"))
+    }),
+
     "q_stream_vocab" -> ((s, dir) => {
       // streaming heavy-hitter terms: a STATEFUL running token count over
       // documents flowing through the connector (the state store carries the
@@ -2376,6 +2414,10 @@ object SparkEntry {
           |ORDER BY term""".stripMargin,
 
       "q_text_bm25" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
+
+      // fixed fit stats + per-row-stateless scoring: any trigger slicing
+      // unions to the batch scorer, so the uncut corpus BM25 is exact
+      "q_stream_bm25" -> operators.CorpusOps.sqlBm25Scores(Bm25Query),
 
       "q_text_tfidf" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -223,6 +223,8 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def encodingProfile(): DataFrame = CorpusOps.encodingProfile(df, idCol, textCol)
   def classify(positive: Column): DataFrame =
     CorpusOps.naiveBayesScore(df, idCol, textCol, positive)
+  def bm25(queryTerms: Seq[String], k: Int = 20): DataFrame =
+    CorpusOps.bm25Search(df, idCol, textCol, queryTerms, k)
   def ngramDiversity(groupCol: String = "source", n: Int = 3): DataFrame =
     CorpusOps.ngramDiversity(df, textCol, groupCol, n)
   def vocabularyDrift(older: Corpus, topK: Int = 20): DataFrame =

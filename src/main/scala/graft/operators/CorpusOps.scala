@@ -1026,11 +1026,82 @@ object CorpusOps {
       .limit(k)
   }
 
+  /**
+   * Fit BM25 corpus statistics ONCE — the per-term document-frequency
+   * table (≤|Q| rows, lazily shared), the document count, and the average
+   * document length — for the fit-once / score-many flow: score a document
+   * STREAM against statistics fit on the static corpus
+   * ([[naiveBayesFit]]'s pattern). N and avgdl are one-row aggregates —
+   * bounded driver collects, not data.
+   */
+  def bm25Fit(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): (DataFrame, Long, Double) = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.distinct
+    val dft = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val st = docs.agg(count(lit(1)),
+      avg(TextFunctions.tokenCount(col(textCol)).cast("long"))).head()
+    (Dedup.lazyShare(dft), st.getLong(0), st.getDouble(1))
+  }
+
+  /**
+   * Score a document batch against PRE-FIT BM25 statistics ([[bm25Fit]]):
+   * per-row stateless (tf and |D| come from the row itself; df/N/avgdl are
+   * fixed), so a stream scored per micro-batch unions to the batch scorer
+   * exactly, under any trigger slicing. Identical arithmetic to
+   * [[bm25Search]] — the collected N/avgdl inline as the same IEEE doubles
+   * the crossJoin would have carried — minus the top-k cut (a stream emits
+   * every scored document; rank downstream if needed). Query terms absent
+   * from the fit corpus score nothing (inner join against the df table).
+   */
+  def bm25ScoreWith(batch: DataFrame, idCol: String, textCol: String,
+      dft: DataFrame, nDocs: Long, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    val toks = batch.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+    val tf = toks.join(broadcast(dft), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = log((lit(nDocs).cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = (col("tf").cast("double") * lit(k1p1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(oneMb) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val w = TextFunctions.stableRound(idf * norm, 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    tf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        TextFunctions.stableRound(sum(w).cast("double"), 4).as("score"))
+  }
+
   /** DuckDB twin of [[bm25Search]] over `documents`: identical IEEE op
     * order (driver-computed constants inlined shortest-roundtrip, explicit
     * parenthesization) and the same round-then-DECIMAL-sum ladder. */
   def sqlBm25(queryTerms: Seq[String], k: Int = 20,
-      k1: Double = 1.2, b: Double = 0.75): String = {
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""${sqlBm25Ctes(queryTerms, k1, b)}
+       |SELECT doc_id, count(*) AS n_terms,
+       | ${TextFunctions.sqlStableRound("sum(w)::DOUBLE", 4)} AS score
+       |FROM w GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** [[sqlBm25]] WITHOUT the top-k cut, ordered by doc_id — the oracle of
+    * the per-micro-batch streaming scorer ([[bm25ScoreWith]]), which emits
+    * every scored document. */
+  def sqlBm25Scores(queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""${sqlBm25Ctes(queryTerms, k1, b)}
+       |SELECT doc_id, count(*) AS n_terms,
+       | ${TextFunctions.sqlStableRound("sum(w)::DOUBLE", 4)} AS score
+       |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private def sqlBm25Ctes(queryTerms: Seq[String], k1: Double, b: Double): String = {
     def dLit(x: Double) = java.lang.Double.toString(x)
     val terms = queryTerms.distinct
       .map(t => s"('${t.replace("'", "''")}')").mkString(", ")
@@ -1048,10 +1119,7 @@ object CorpusOps {
        | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        | st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
        | w AS (SELECT doc_id, ($wExpr)::DECIMAL(18,6) AS w
-       |       FROM tf JOIN dft USING (term), st)
-       |SELECT doc_id, count(*) AS n_terms,
-       | ${TextFunctions.sqlStableRound("sum(w)::DOUBLE", 4)} AS score
-       |FROM w GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin
+       |       FROM tf JOIN dft USING (term), st)""".stripMargin
   }
 
   /**

@@ -830,6 +830,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top1.toSeq == Seq((1L, 2L, exp1)))
   }
 
+  test("bm25Fit + bm25ScoreWith == bm25Search rows (fit-once/score-many parity)") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+    val q = Seq("data", "key", "value")
+    val (dft, n, avgdl) = CorpusOps.bm25Fit(docs, "doc_id", "text", q)
+    val applied = CorpusOps.bm25ScoreWith(docs, "doc_id", "text", dft, n, avgdl)
+      .orderBy($"doc_id").collect()
+    val composed = CorpusOps.bm25Search(docs, "doc_id", "text", q, k = 1000000)
+      .orderBy($"doc_id").collect()
+    assert(applied.toSeq == composed.toSeq)
+    // slicing invariance: scoring two halves separately unions to the whole
+    val (h1, h2) = (docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+    val sliced = CorpusOps.bm25ScoreWith(h1, "doc_id", "text", dft, n, avgdl)
+      .unionByName(CorpusOps.bm25ScoreWith(h2, "doc_id", "text", dft, n, avgdl))
+      .orderBy($"doc_id").collect()
+    assert(sliced.toSeq == applied.toSeq)
+  }
+
   test("naiveBayesScore: exact hand-computed log-odds; positives above negatives") {
     val docs = Seq(
       (1L, true, "a a b"),
