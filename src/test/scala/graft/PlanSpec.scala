@@ -110,6 +110,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: df and stats broadcast, top-k is a distributed TakeOrdered") {
+    // the corpus-scan side must never shuffle to meet the tiny df/stats
+    // tables, and the top-k must not plan as a single-partition global sort
+    val q = SparkEntry.queries("q_text_bm25")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("encoding profile is a pure scan — no exchange at all") {
     val q = operators.CorpusOps.encodingProfile(
       Tables.documents(spark, dir), "doc_id", "text")
