@@ -18,20 +18,34 @@ object Relational {
    *
    * Implementation is the union-and-carry-forward trick, NOT a per-key
    * cross/inequality join: tag both sides, union, and carry the latest
-   * right value forward with `last_value(ignoreNulls)` over a
-   * (key, time, tag) window. One shuffle on the key, one sort within
-   * partitions — the same cost envelope as a window function, regardless of
-   * how many right rows precede each left row.
+   * right value forward — the same cost envelope as a window function,
+   * regardless of how many right rows precede each left row.
+   *
+   * Skew shape: a bare per-key carry window would land a hot key's ENTIRE
+   * history (every SPY quote) in one reducer, like the per-group running
+   * sum [[Sampling]] replaced. The carry therefore runs the same bucketed
+   * two-phase form: the time axis is cut into order-consistent buckets
+   * (sampled boundaries — balance depends on the sample, values never do);
+   * each (key, bucket) aggregates its LAST right value per carried column
+   * (a map-side-combinable struct max over right rows only); each bucket's
+   * CARRY-IN — the newest right value from any earlier bucket — resolves
+   * with an array aggregate over the per-key bucket summaries (no window);
+   * and the carry window runs only WITHIN (key, bucket), so a hot key
+   * spreads across the buckets instead of one task. Like
+   * [[Sampling.packSequences]], the boundary sample is a bounded pre-pass
+   * at plan-construction time — persist expensive upstreams first.
    *
    * `rightCols` are the right-side columns to carry (renamed as given).
    * Right rows are first reduced to one per (key, time) via `max` so the
-   * match is deterministic under ties.
+   * match is deterministic under ties. Each carried column takes its most
+   * recent NON-NULL value independently (`last(ignoreNulls)` semantics).
    */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
       rightCols: Map[String, String]): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin needs at least one right column to carry")
+    val ds = rightCols.values.toSeq
     val aggs = rightCols.map { case (src, dst) => max(col(src)).as(s"__r_$dst") }.toSeq
     val rightDedup = right.groupBy(col(keyCol), col(timeCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -39,25 +53,54 @@ object Relational {
     val lTagged = left
       .withColumn("__tag", lit(1))
       .select((leftCols.map(col) :+ col("__tag")) ++
-        rightCols.values.map(d => lit(null).cast(rightDedup.schema(s"__r_$d").dataType)
+        ds.map(d => lit(null).cast(rightDedup.schema(s"__r_$d").dataType)
           .as(s"__r_$d")): _*)
     val rTagged = rightDedup
       .withColumn("__tag", lit(0))
       .select((leftCols.map(c =>
         if (c == keyCol || c == timeCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__tag")) ++
-        rightCols.values.map(d => col(s"__r_$d")): _*)
+        ds.map(d => col(s"__r_$d")): _*)
     val unioned = lTagged.union(rTagged)
+    val d0 = unioned
+      .withColumn("__bkt", Sampling.rangeBucket(unioned, col(timeCol)))
+      .withColumn("__key", col(keyCol))
+    // phase 1: per (key, bucket), the latest right value of each carried
+    // column — struct max over right rows with a non-null value, so the
+    // (time, value) pair always comes from one row and nulls are skipped
+    // exactly as last(ignoreNulls) would
+    val lastAggs = ds.map { d =>
+      max(when(col("__tag") === 0 && col(s"__r_$d").isNotNull,
+        struct(col(timeCol).as("t"), col(s"__r_$d").as("v")))).as(s"__last_$d")
+    }
+    val sub = d0.groupBy(col("__key"), col("__bkt")).agg(lastAggs.head, lastAggs.tail: _*)
+    // phase 2: carry-in per bucket — the newest right value among EARLIER
+    // buckets, via an array aggregate over the per-key bucket summaries
+    // (bounded rows per key; no Window partitioned by the bare key anywhere)
+    val offsets = sub.groupBy(col("__key"))
+      .agg(collect_list(struct(
+        (col("__bkt") +: ds.map(d => col(s"__last_$d"))): _*)).as("__arr"))
+      .select(col("__key").as("__okey"), col("__arr"),
+        explode(col("__arr")).as("__e"))
+      .select((col("__okey") +: col("__e.__bkt").as("__obkt") +:
+        ds.map { d =>
+          array_max(filter(col("__arr"), x =>
+            x.getField("__bkt") < col("__e.__bkt") &&
+              x.getField(s"__last_$d").isNotNull))
+            .getField(s"__last_$d").getField("v").as(s"__in_$d")
+        }): _*)
+    val joined = d0.join(offsets,
+      d0("__key") <=> offsets("__okey") && d0("__bkt") === offsets("__obkt"))
     // right rows (__tag=0) sort before left rows at equal time => "<=" semantics
-    val w = Window.partitionBy(col(keyCol))
+    val w = Window.partitionBy(col("__key"), col("__bkt"))
       .orderBy(col(timeCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.values.foldLeft(unioned) { (df, d) =>
-      df.withColumn(s"__c_$d", last(col(s"__r_$d"), ignoreNulls = true).over(w))
+    val carried = ds.foldLeft(joined) { (df, d) =>
+      df.withColumn(s"__c_$d",
+        coalesce(last(col(s"__r_$d"), ignoreNulls = true).over(w), col(s"__in_$d")))
     }
     carried.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++
-        rightCols.values.map(d => col(s"__c_$d").as(d)): _*)
+      .select(leftCols.map(col) ++ ds.map(d => col(s"__c_$d").as(d)): _*)
   }
 
   /**

@@ -287,7 +287,7 @@ object Sampling {
     * under `asc` and get bucket 0 (null >= b is null -> indicator 0). The
     * sample is <= 8 keys * input partitions rows, sorted by Spark itself
     * (no driver-side Ordering for exotic key types). */
-  private def rangeBucket(df: DataFrame, orderCol: Column): Column = {
+  private[operators] def rangeBucket(df: DataFrame, orderCol: Column): Column = {
     val spark = df.sparkSession
     val keyed = df.select(orderCol.as("__k"))
     val perPart = 8

@@ -110,6 +110,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: no Window is partitioned by the bare key") {
+    // the carry must run within (key, time-bucket); a bare-key carry window
+    // puts a hot key's entire history through one reducer
+    val windowParts = """Window \[[^\]]*\], \[([^\]]*)\]""".r
+    val p = plan(SparkEntry.queries("q_asof_join")(spark, dir))
+    val parts = windowParts.findAllMatchIn(p).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected a (key, bucket) carry Window:\n$p")
+    parts.foreach { spec =>
+      assert(spec.contains("__bkt") && spec.split(",").length >= 2,
+        s"as-of carry Window partitioned by [$spec] — missing the time bucket:\n$p")
+    }
+  }
+
   test("bm25: df and stats broadcast, top-k is a distributed TakeOrdered") {
     // the corpus-scan side must never shuffle to meet the tiny df/stats
     // tables, and the top-k must not plan as a single-partition global sort

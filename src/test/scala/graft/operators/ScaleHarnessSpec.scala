@@ -139,6 +139,38 @@ class ScaleHarnessSpec extends AnyFunSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("as-of join with one key holding 95% of rows runs multi-task and carries correctly") {
+    // hot-instrument shape: 95% of trades and quotes on one key. The carry
+    // must spread the key across time buckets, and every trade must still
+    // pick up the newest quote at-or-before its time — including trades in
+    // buckets with no quote at all (the cross-bucket carry-in path).
+    val n = 30000
+    val quotes = spark.range(n.toLong).select(
+      when(col("id") < (n * 0.95).toLong, lit("HOT"))
+        .otherwise(concat(lit("c"), pmod(col("id"), lit(5)))).as("sym"),
+      (col("id") * 7L).as("ts"),
+      (col("id") + 100000L).as("px"))
+    val trades = spark.range(n.toLong).select(
+      when(col("id") < (n * 0.95).toLong, lit("HOT"))
+        .otherwise(concat(lit("c"), pmod(col("id"), lit(5)))).as("sym"),
+      (col("id") * 7L + 3L).as("ts"),
+      col("id").as("trade_id"))
+    var out: Array[(String, Long, Long)] = null
+    val maxRead = maxTaskShuffleRead {
+      out = Relational.asofJoin(trades, quotes, "sym", "ts", Map("px" -> "px"))
+        .select($"sym", $"ts", $"px").as[(String, Long, Long)].collect()
+    }
+    assert(out.length == n)
+    // quote times are id*7, trade at id*7+3: the as-of quote is the SAME id
+    // within a key's id-sequence, so px == floor(ts/7) + 100000 whenever a
+    // quote at-or-before exists for the key (always, by construction)
+    out.foreach { case (sym, ts, px) =>
+      assert(px == ts / 7 + 100000L, s"$sym trade at $ts carried px $px")
+    }
+    assert(maxRead < n,
+      s"one task shuffle-read $maxRead of ${2 * n} union rows — bare-key carry is back")
+  }
+
   test("a stop-phrase shingle at 50% df is dropped with counted semantics and the join stays bounded") {
     // 2k docs; half share one stop phrase, each also has a unique tail.
     // Without the maxShingleDf guard the hot shingle alone would generate
