@@ -74,7 +74,8 @@ object GraftExtensions {
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, null, name, usage, ""),
+      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, "", name, usage,
+        "", "", "", "", "", "", "built-in"),
       builder)
 
   /** (identifier, info, builder) triples — the SparkSessionExtensions
@@ -182,7 +183,8 @@ object GraftExtensions {
   private def tvf(name: String, usage: String)(builder: Seq[Expression] => LogicalPlan)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier(name),
-      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, null, name, usage, ""),
+      new ExpressionInfo(GraftExtensions.getClass.getCanonicalName, "", name, usage,
+        "", "", "", "", "", "", "built-in"),
       builder)
 
   /** TVF (identifier, info, builder) triples — the

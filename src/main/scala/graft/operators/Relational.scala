@@ -62,8 +62,14 @@ object Relational {
         else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__tag")) ++
         ds.map(d => col(s"__r_$d")): _*)
     val unioned = lTagged.union(rTagged)
+    // boundary sample from the RAW time columns of both inputs — same
+    // distribution the union carries, without paying the right side's
+    // dedup shuffle in the sampling pre-pass
+    val bounds = Sampling.sampledBoundaries(
+      left.select(col(timeCol).as("__t"))
+        .unionAll(right.select(col(timeCol).as("__t"))), col("__t"))
     val d0 = unioned
-      .withColumn("__bkt", Sampling.rangeBucket(unioned, col(timeCol)))
+      .withColumn("__bkt", Sampling.bucketOf(col(timeCol), bounds))
       .withColumn("__key", col(keyCol))
     // phase 1: per (key, bucket), the latest right value of each carried
     // column — struct max over right rows with a non-null value, so the

@@ -287,7 +287,15 @@ object Sampling {
     * under `asc` and get bucket 0 (null >= b is null -> indicator 0). The
     * sample is <= 8 keys * input partitions rows, sorted by Spark itself
     * (no driver-side Ordering for exotic key types). */
-  private[operators] def rangeBucket(df: DataFrame, orderCol: Column): Column = {
+  private[operators] def rangeBucket(df: DataFrame, orderCol: Column): Column =
+    bucketOf(orderCol, sampledBoundaries(df, orderCol))
+
+  /** The boundary-sampling half of [[rangeBucket]], exposed so a caller can
+    * sample from a CHEAPER source than the full plan the bucket expression
+    * will run over (e.g. [[Relational.asofJoin]] samples the raw time
+    * column of both inputs, skipping the right side's dedup shuffle). */
+  private[operators] def sampledBoundaries(
+      df: DataFrame, orderCol: Column): Seq[Any] = {
     val spark = df.sparkSession
     val keyed = df.select(orderCol.as("__k"))
     val perPart = 8
@@ -305,19 +313,23 @@ object Sampling {
       }
       res.iterator.filter(_ != null)
     }.collect()
-    if (sampled.isEmpty) return lit(0)
+    if (sampled.isEmpty) return Nil
     val sorted = spark.createDataFrame(
         spark.sparkContext.parallelize(sampled.toSeq, 1), keyed.schema)
       .orderBy(col("__k").asc_nulls_first)
       .collect().map(_.get(0)).filter(_ != null)
-    if (sorted.isEmpty) return lit(0)
+    if (sorted.isEmpty) return Nil
     val nB = math.min(CumSumBuckets, sorted.length + 1)
-    val boundaries = (1 until nB)
+    (1 until nB)
       .map(i => sorted((i.toLong * sorted.length / nB).toInt))
       .distinct
+  }
+
+  /** "How many boundaries is the key >= " — the order-consistent bucket
+    * expression over driver-held `boundaries` (see [[rangeBucket]]). */
+  private[operators] def bucketOf(orderCol: Column, boundaries: Seq[Any]): Column =
     boundaries.map(b => when(orderCol >= lit(b), 1).otherwise(0))
       .foldLeft(lit(0))(_ + _)
-  }
 
   /**
    * Stratified (per-group) sampling — the "mixture re-weighting" step of a

@@ -77,7 +77,7 @@ object Similarity extends org.apache.spark.internal.Logging {
   def bruteForceTopK(
       embs: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], k: Int = 10, excludeId: Option[Long] = None): DataFrame = {
-    val qLit = array(queryVec.map(lit): _*)
+    val qLit = array(queryVec.toIndexedSeq.map(lit): _*)
     val scored = requireDim(embs, col(vecCol), queryVec.length)
       .select(col(idCol).as("vec_id"),
         graft.functions.TextFunctions.stableRound(
@@ -309,7 +309,7 @@ object Similarity extends org.apache.spark.internal.Logging {
       case org.apache.spark.sql.types.IntegerType => probes.map(_.toInt)
       case _ => probes
     }
-    val qLit = array(queryVec.map(lit): _*)
+    val qLit = array(queryVec.toIndexedSeq.map(lit): _*)
     val scored = requireDim(
         index.filter(col("bucket").isin(probeVals: _*)), col("v"), queryVec.length)
       .select(col("vec_id"),
@@ -451,9 +451,9 @@ object Similarity extends org.apache.spark.internal.Logging {
       excludeId: Option[Long] = None): DataFrame = {
     val qCells = cents.map { case (cid, c) => (cid, cosineOf(queryVec, c)) }
       .sortBy(-_._2).take(nProbe).map(_._1)
-    val qLit = array(queryVec.map(lit): _*)
+    val qLit = array(queryVec.toIndexedSeq.map(lit): _*)
     val scored = requireDim(
-        index.filter(col("cell").isin(qCells: _*)), col("v"), queryVec.length)
+        index.filter(col("cell").isin(qCells.toIndexedSeq: _*)), col("v"), queryVec.length)
       .select(col("vec_id"),
         graft.functions.TextFunctions.stableRound(
           cosine_similarity(col("v"), qLit), 6).as("cosine"))

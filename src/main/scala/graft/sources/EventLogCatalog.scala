@@ -101,7 +101,7 @@ class EventLogCatalog extends TableCatalog {
     // user case, and a case-sensitive miss would silently use the default
     val p = opts.get("partitions").map(_.toInt)
       .getOrElse(types.DefaultPartitionCount)
-    val conf = EventLogConf(opts + ("name" -> n, "partitions" -> p.toString)).validated()
+    val conf = EventLogConf(opts ++ Map("name" -> n, "partitions" -> p.toString)).validated()
     EventLogRegistry.create(n, p)
     EventLogCatalog.storeProps(n, opts + ("partitions" -> p.toString))
     new EventLogTable(conf)
