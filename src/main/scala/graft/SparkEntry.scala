@@ -588,14 +588,11 @@ object SparkEntry {
     }),
 
     "q_events_sessions" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      Tables.events(s, dir)
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
-        .groupBy(col("user_id"))
-        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      // gap-rule session counts via the bucketed two-phase form (no window
+      // partitioned by the bare user key — a hot user spreads over the
+      // time buckets; Relational.sessionCounts)
+      operators.Relational.sessionCounts(Tables.events(s, dir),
+          "user_id", "ts", gapMicros = 1800L * 1000000L)
         .orderBy(col("user_id"))
     }),
 

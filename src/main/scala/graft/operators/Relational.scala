@@ -110,6 +110,60 @@ object Relational {
   }
 
   /**
+   * Per-key session COUNTS from a gap rule: a session starts at a row with
+   * no predecessor, or one more than `gapMicros` after its predecessor —
+   * the batch summary twin of [[graft.streaming.StreamOps.sessionize]]
+   * (n_sessions + n_events per key, not per-session rows).
+   *
+   * Skew shape: the naive form is `lag(ts) over (partition by key order by
+   * ts)` — a hot key's whole history in one reducer. Here the time axis is
+   * cut into order-consistent sampled buckets ([[asofJoin]]'s technique):
+   * within (key, bucket), a lag window counts INTERNAL session starts and
+   * aggregates (n, first_ts, last_ts); per key, the ≤[[Sampling.CumSumBuckets]]
+   * bucket summaries merge with a sorted-array aggregate that walks
+   * adjacent buckets and counts BOUNDARY starts (first event overall, and
+   * cross-bucket gaps over `gapMicros`). No window is partitioned by the
+   * bare key; values are identical to the naive form for any bucketing.
+   *
+   * `timeCol` must be a timestamp column. Returns (key, n_sessions,
+   * n_events) with `key` named after `keyCol`.
+   */
+  def sessionCounts(df: DataFrame, keyCol: String, timeCol: String,
+      gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    val bounds = Sampling.sampledBoundaries(
+      df.select(col(timeCol).as("__t")), col("__t"))
+    val d = df.select(col(keyCol).as("__key"),
+      unix_micros(col(timeCol)).as("__us"),
+      Sampling.bucketOf(col(timeCol), bounds).as("__bkt"))
+    val w = Window.partitionBy(col("__key"), col("__bkt")).orderBy(col("__us").asc)
+    val sub = d.withColumn("__prev", lag(col("__us"), 1).over(w))
+      .groupBy(col("__key"), col("__bkt"))
+      .agg(count(lit(1)).as("__n"),
+        min(col("__us")).as("__first"), max(col("__us")).as("__last"),
+        sum(when(col("__prev").isNotNull && col("__us") - col("__prev") > gapMicros,
+          1L).otherwise(0L)).as("__inner"))
+    sub.groupBy(col("__key"))
+      .agg(sum(col("__n")).as("n_events"),
+        sum(col("__inner")).as("__inner_total"),
+        sort_array(collect_list(
+          struct(col("__bkt"), col("__first"), col("__last")))).as("__arr"))
+      .withColumn("__boundary", aggregate(
+        col("__arr"),
+        struct(lit(0L).as("cnt"), lit(null).cast("long").as("prevLast")),
+        (acc, x) => struct(
+          (acc.getField("cnt") +
+            when(acc.getField("prevLast").isNull ||
+              x.getField("__first") - acc.getField("prevLast") > gapMicros,
+              1L).otherwise(0L)).as("cnt"),
+          x.getField("__last").as("prevLast")),
+        acc => acc.getField("cnt")))
+      .select(col("__key").as(keyCol),
+        (col("__inner_total") + col("__boundary")).as("n_sessions"),
+        col("n_events"))
+  }
+
+  /**
    * Banded range join: pairs (l, r) with |l.time - r.time| <= tolerance,
    * without a quadratic inequality join. Each side is bucketed by
    * floor(time / tolerance); matching pairs can only live in the same or

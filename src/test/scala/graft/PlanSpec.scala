@@ -123,6 +123,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("session counts: no Window is partitioned by the bare key") {
+    val windowParts = """Window \[[^\]]*\], \[([^\]]*)\]""".r
+    val p = plan(SparkEntry.queries("q_events_sessions")(spark, dir))
+    val parts = windowParts.findAllMatchIn(p).map(_.group(1)).toList
+    assert(parts.nonEmpty, s"expected a (key, bucket) lag Window:\n$p")
+    parts.foreach { spec =>
+      assert(spec.contains("__bkt") && spec.split(",").length >= 2,
+        s"session lag Window partitioned by [$spec] — missing the time bucket:\n$p")
+    }
+  }
+
   test("bm25: df and stats broadcast, top-k is a distributed TakeOrdered") {
     // the corpus-scan side must never shuffle to meet the tiny df/stats
     // tables, and the top-k must not plan as a single-partition global sort

@@ -171,6 +171,40 @@ class ScaleHarnessSpec extends AnyFunSuite {
       s"one task shuffle-read $maxRead of ${2 * n} union rows — bare-key carry is back")
   }
 
+  test("session counts with one user holding 95% of events run multi-task and match brute force") {
+    // bot-user shape: 95% of events on one key, clustered into sessions
+    // with 2000s gaps every 100 events. Counting must spread the hot user
+    // across time buckets, and cross-bucket boundary starts must be
+    // counted exactly once.
+    val n = 40000
+    val ev = spark.range(n.toLong).select(
+      when(col("id") < (n * 0.95).toLong, lit(7L))
+        .otherwise(pmod(col("id"), lit(9))).as("user_id"),
+      // 1s spacing; every 100th event jumps 2000s => a new session
+      timestamp_micros((col("id") * 1000000L) +
+        (floor(col("id") / 100) * 2000000000L)).as("ts")).cache()
+    ev.count()
+    try {
+      var got: Map[Long, (Long, Long)] = null
+      val maxRead = maxTaskShuffleRead {
+        got = Relational.sessionCounts(ev, "user_id", "ts", 1800L * 1000000L)
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      }
+      // brute force on the driver
+      val rows = ev.as[(Long, java.sql.Timestamp)].collect()
+      val expected = rows.groupBy(_._1).map { case (u, g) =>
+        val ts = g.map(_._2.getTime * 1000L).sorted
+        val starts = 1 + ts.toSeq.sliding(2).count {
+          case Seq(a, b) => b - a > 1800L * 1000000L; case _ => false }
+        u -> (starts.toLong, ts.length.toLong)
+      }
+      assert(got == expected,
+        s"diff: ${(got.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- got.toSet).take(5)}")
+      assert(maxRead < n / 2,
+        s"one task shuffle-read $maxRead of $n events — bare-key lag window is back")
+    } finally { ev.unpersist(); () }
+  }
+
   test("a stop-phrase shingle at 50% df is dropped with counted semantics and the join stays bounded") {
     // 2k docs; half share one stop phrase, each also has a unique tail.
     // Without the maxShingleDf guard the hot shingle alone would generate
