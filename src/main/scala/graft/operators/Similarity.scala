@@ -667,9 +667,18 @@ object Similarity extends org.apache.spark.internal.Logging {
     over.foreach { st =>
       val oldFiles = dataFiles(st.getPath)
       val newDir = new Path(tmp, st.getPath.getName)
-      // additive first, delete after: a crash mid-swap duplicates, never loses
-      dataFiles(newDir).foreach(f =>
+      // additive first, delete after: a crash mid-swap duplicates, never
+      // loses. Every rename result is CHECKED — a silently failed rename
+      // (e.g. cross-filesystem) with the old files then deleted would lose
+      // the bucket's rows; instead the old files stay put and the error is
+      // loud (the bucket holds duplicates until validate/rebuild, which
+      // displaces neighbors but never drops them)
+      val movedAll = dataFiles(newDir).forall(f =>
         fs.rename(f.getPath, new Path(st.getPath, f.getPath.getName)))
+      if (!movedAll) throw new java.io.IOException(
+        s"compaction of ${st.getPath}: move of compacted files failed; old " +
+          "files retained (bucket may hold duplicates — run validate, " +
+          "re-run compaction or rebuild)")
       oldFiles.foreach(f => fs.delete(f.getPath, false))
     }
     fs.delete(tmp, true)
