@@ -28,6 +28,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(4L).isEmpty)         // no quote before t=5
   }
 
+  test("asofJoin carries each column's last NON-NULL value independently, across buckets") {
+    // column A goes null at the latest quote while B updates: the carry
+    // must pull A from the older quote and B from the newer one — the
+    // last(ignoreNulls) per-column semantic, which the cross-bucket
+    // carry-in must preserve (many distinct times spread the rows over
+    // the sampled time buckets, so carries routinely cross boundaries)
+    val trades = (100L to 400L by 10).map(t => (t, "K", ts(t)))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = (
+      (1L to 395L by 7).map(t => ("K", ts(t), Some(t * 1.0), Option.empty[Double])) :+
+        (("K", ts(50), Option.empty[Double], Some(7.7))))
+      .toDF("sym", "ts", "a", "b")
+    val got = Relational.asofJoin(trades, quotes, "sym", "ts",
+        Map("a" -> "a", "b" -> "b"))
+      .select($"trade_id", $"a", $"b")
+      .as[(Long, Option[Double], Option[Double])].collect()
+    got.foreach { case (t, a, b) =>
+      val expA = (1L to 395L by 7).filter(_ <= t).lastOption.map(_ * 1.0)
+      assert(a == expA, s"trade $t: a=$a expected $expA")
+      assert(b.contains(7.7), s"trade $t: b=$b expected 7.7 carried from ts=50")
+    }
+  }
+
   test("asofJoin deduplicates right side ties deterministically (max)") {
     val l = Seq((1L, "K", ts(10))).toDF("id", "k", "ts")
     val r = Seq(("K", ts(10), 1.0), ("K", ts(10), 9.0)).toDF("k", "ts", "v")
