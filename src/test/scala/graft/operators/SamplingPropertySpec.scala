@@ -55,6 +55,37 @@ class SamplingPropertySpec extends AnyFunSuite {
     assert(!sql.contains("'g'") || sql.endsWith("'c'"), "last split is the fallback")
   }
 
+  test("two-phase as-of carry == driver brute force on random inputs") {
+    // random keys/times/nullable values, duplicate right times included:
+    // the bucketed carry (within-bucket window + cross-bucket carry-in)
+    // must match a literal per-row scan of the deduped right side
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOf(Gen.zip(Gen.oneOf("k1", "k2"), Gen.choose(0L, 500L))),
+      Gen.listOf(Gen.zip(Gen.oneOf("k1", "k2"), Gen.choose(0L, 500L),
+        Gen.option(Gen.choose(0L, 99L)))))
+    forSamples(gen, n = 8) { case (lRows0, rRows0) =>
+      val lRows = lRows0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      if (lRows.nonEmpty) {
+        val l = lRows.toDF("id", "k", "t")
+        val r = rRows0.toDF("k", "t", "v")
+        val got = Relational.asofJoin(l, r, "k", "t", Map("v" -> "v"))
+          .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+        // brute force over the max-deduped right side
+        val dedup = rRows0.groupBy(r => (r._1, r._2)).map { case ((k, t), g) =>
+          (k, t, g.flatMap(_._3).reduceOption(_ max _))
+        }.toSeq
+        lRows.foreach { case (id, k, t) =>
+          val exp = dedup.filter(r => r._1 == k && r._2 <= t && r._3.isDefined)
+            .sortBy(_._2).lastOption.flatMap(_._3)
+          assert(got(id) == exp,
+            s"left ($k,$t): got ${got(id)}, expected $exp; right=$rRows0")
+        }
+      }
+    }
+  }
+
   test("bucketed prefix sum == naive per-group cumsum on random inputs") {
     // the two-phase prefix sum must be VALUE-identical to the single-window
     // form for any data, group skew, duplicate tokens, or partitioning —
