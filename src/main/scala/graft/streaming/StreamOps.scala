@@ -144,6 +144,45 @@ object StreamOps {
     def estimate(term: String): Long = synchronized {
       if (cms == null) 0L else cms.estimateCount(term)
     }
+
+    /** Serialize (sketch + candidates + last epoch) — checkpoint this
+      * beside the stream's offset log so a driver restart resumes the
+      * tracker instead of losing history (the tracker itself is
+      * process-local state; Spark checkpoints offsets, not foreachBatch
+      * user state). */
+    def toBytes: Array[Byte] = synchronized {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeLong(lastEpoch)
+      out.writeInt(candidates.length)
+      candidates.foreach(out.writeUTF)
+      if (cms == null) out.writeInt(0)
+      else {
+        val sk = new java.io.ByteArrayOutputStream()
+        cms.writeTo(sk)
+        val bytes = sk.toByteArray
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Restore state serialized by [[toBytes]] (same k/eps/confidence/seed
+      * contract as the sketch merge itself). */
+    def restore(bytes: Array[Byte]): Unit = synchronized {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      lastEpoch = in.readLong()
+      candidates = List.fill(in.readInt())(in.readUTF())
+      val skLen = in.readInt()
+      cms = if (skLen == 0) null
+      else {
+        val sk = new Array[Byte](skLen)
+        in.readFully(sk)
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sk))
+      }
+    }
   }
 
   /** Build the tracker plus the `foreachBatch` function that feeds it.

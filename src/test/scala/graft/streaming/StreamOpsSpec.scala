@@ -108,7 +108,17 @@ class StreamOpsSpec extends AnyFunSuite {
     fn(batch(Seq.fill(25)("gamma")), 2L)
     assert(tracker.estimate("gamma") == 25L, "replayed epoch was double-merged")
     // a fresh epoch does merge
-    fn(batch(Seq.fill(50)("gamma extra")), 3L)
+    fn(batch(Seq.fill(50)("gamma")), 3L)
     assert(tracker.estimate("gamma") == 75L)
+    // checkpoint/restore: a restarted driver resumes the tracker — same
+    // top-k, same estimates, and the restored epoch floor still rejects a
+    // replay of the last merged epoch
+    val (restored, fn2) = StreamOps.heavyHitterSink("body", k = 3)
+    restored.restore(tracker.toBytes)
+    assert(restored.result == tracker.result)
+    fn2(batch(Seq.fill(50)("gamma")), 3L) // replay of epoch 3: skipped
+    assert(restored.estimate("gamma") == 75L)
+    fn2(batch(Seq.fill(5)("gamma")), 4L)  // new epoch: merged
+    assert(restored.estimate("gamma") == 80L)
   }
 }
