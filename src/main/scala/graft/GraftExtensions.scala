@@ -387,6 +387,15 @@ object GraftExtensions {
             strArg(args, 1, "graft_diversity"), strArg(args, 2, "graft_diversity"),
             intArg(args, 3, -1, "graft_diversity")))
       },
+      tvf("graft_sessions",
+        "graft_sessions(table, keyCol, timeCol, gapSeconds) - per-key " +
+          "gap-rule session counts (n_sessions, n_events)") {
+        args => arity(args, "graft_sessions", 4, 4)
+          logical(operators.Relational.sessionCounts(
+            activeTable(strArg(args, 0, "graft_sessions")),
+            strArg(args, 1, "graft_sessions"), strArg(args, 2, "graft_sessions"),
+            longArg(args, 3, 1800L, "graft_sessions") * 1000000L))
+      },
       tvf("graft_bm25",
         "graft_bm25(table, idCol, textCol, query[, k]) - Okapi BM25 top-k " +
           "document retrieval for a space-separated query string") {

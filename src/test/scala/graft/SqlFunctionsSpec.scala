@@ -284,6 +284,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.ngramDiversity(docs, "text", "source", 3)
         .orderBy(col("source")).collect().toSeq)
 
+    graft.Tables.events(spark, graft.SparkTestSession.sf0001)
+      .createOrReplaceTempView("tvfevents")
+    val ses = spark.sql(
+      "SELECT * FROM graft_sessions('tvfevents', 'user_id', 'ts', 1800) " +
+        "ORDER BY user_id")
+    assert(ses.collect().toSeq ==
+      operators.Relational.sessionCounts(
+          graft.Tables.events(spark, graft.SparkTestSession.sf0001),
+          "user_id", "ts", 1800L * 1000000L)
+        .orderBy(col("user_id")).collect().toSeq)
+
     val bm = spark.sql(
       "SELECT * FROM graft_bm25('tvfdocs', 'doc_id', 'text', 'data key value', 5)")
     assert(bm.collect().toSeq ==
