@@ -1127,11 +1127,16 @@ object Dedup extends Logging {
     fs.mkdirs(live)
     val in = new Path(live, "epoch=-1")
     if (!fs.rename(tmp, in)) {
-      // roll back: the backup is still the complete pre-compaction index
+      // roll back: the backup is still the complete pre-compaction index —
+      // and the rollback rename is itself checked, so the error never
+      // claims a restore that did not happen
       fs.delete(live, true)
-      fs.rename(backup, live)
+      val restored = fs.rename(backup, live)
       throw new java.io.IOException(
-        s"compaction of $live: swap-in rename of $tmp failed; index restored")
+        s"compaction of $live: swap-in rename of $tmp failed; " +
+          (if (restored) "index restored from backup"
+           else s"ROLLBACK RENAME ALSO FAILED — index is at $backup; " +
+             "the next compaction (recoverCompaction) will restore it"))
     }
     fs.delete(backup, true)
     ()

@@ -126,7 +126,9 @@ object Relational {
    * bare key; values are identical to the naive form for any bucketing.
    *
    * `timeCol` must be a timestamp column. Returns (key, n_sessions,
-   * n_events) with `key` named after `keyCol`.
+   * n_events) with `key` named after `keyCol`. Like [[asofJoin]], the
+   * boundary sample is a bounded pre-pass AT CALL TIME (a scan of the
+   * time column) — persist an expensive unpersisted upstream first.
    */
   def sessionCounts(df: DataFrame, keyCol: String, timeCol: String,
       gapMicros: Long): DataFrame = {

@@ -124,7 +124,12 @@ object Sampling {
     val d0 = groupCols.zip(gNames).foldLeft(df) { case (acc, (c, n)) =>
       acc.withColumn(n, c)
     }
-    val d = d0.withColumn("__bkt", bucket).withColumn("__val", value.cast("long"))
+    // null values count as 0 — exactly how a window SUM ignores them. An
+    // uncoalesced null would also poison the per-bucket subtotal (sum of
+    // all-null = null) and through it every LATER bucket's offset, silently
+    // nulling __cum for whole bucket ranges
+    val d = d0.withColumn("__bkt", bucket)
+      .withColumn("__val", coalesce(value.cast("long"), lit(0L)))
     val gCols = gNames.map(col)
     val sub = d.groupBy((gCols :+ col("__bkt")): _*).agg(sum(col("__val")).as("__sub"))
     val offsets = sub

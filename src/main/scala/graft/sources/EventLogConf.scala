@@ -190,9 +190,7 @@ final case class EventLogConf(options: Map[String, String]) {
     * EventHubsConf.scala:387-397: rejects values below MinSilentTime, the
     * AMQP client's 30 s floor). Validated, inert on the local backend. */
   def maxSilentTimeMs: Option[Long] = get("maxsilenttime").map { s =>
-    val v = if (s.nonEmpty && (s.charAt(0) == 'P' || s.charAt(0) == 'p'))
-      java.time.Duration.parse(s).toMillis
-    else s.toLong
+    val v = EventLogConf.parseDurationMs(s)
     require(v >= 30000L, s"maxSilentTime is less than the 30 s minimum: $v ms")
     v
   }
@@ -219,9 +217,7 @@ final case class EventLogConf(options: Map[String, String]) {
 
   /** Durations accept plain milliseconds or ISO-8601 ("PT60S"). */
   private def durationMs(k: String, dflt: Long): Long = get(k).map { s =>
-    val v = if (s.nonEmpty && (s.charAt(0) == 'P' || s.charAt(0) == 'p'))
-      java.time.Duration.parse(s).toMillis
-    else s.toLong
+    val v = EventLogConf.parseDurationMs(s)
     require(v > 0, s"$k must be positive, got $v")
     v
   }.getOrElse(dflt)
@@ -245,6 +241,12 @@ final case class EventLogConf(options: Map[String, String]) {
 }
 
 object EventLogConf {
+  /** Shared duration parse: plain milliseconds or ISO-8601 ("PT60S"). */
+  private[sources] def parseDurationMs(s: String): Long =
+    if (s.nonEmpty && (s.charAt(0) == 'P' || s.charAt(0) == 'p'))
+      java.time.Duration.parse(s).toMillis
+    else s.toLong
+
   def apply(opts: CaseInsensitiveStringMap): EventLogConf =
     EventLogConf(sealSecrets(
       opts.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }.toMap))

@@ -193,19 +193,27 @@ object StreamOps {
       confidence: Double = 0.99, seed: Int = 42)
       : (HeavyHitterTracker, (DataFrame, Long) => Unit) = {
     require(k > 0, s"k must be positive, got $k")
+    require(candidatesPerBatch >= 0,
+      s"candidatesPerBatch must be >= 0 (0 = default 4k), got $candidatesPerBatch")
     val perBatch = if (candidatesPerBatch > 0) candidatesPerBatch else 4 * k
     val tracker = new HeavyHitterTracker(k, eps, confidence, seed)
     val fn = (batch: DataFrame, epochId: Long) => {
+      // the CMS aggregate and the top-M candidate job share one
+      // materialization of the exploded token stream — without the persist
+      // each trigger would scan/split/explode the batch twice
       val words = batch
         .select(explode(split(col(textCol).cast("string"), " ")).as("term"))
         .filter(col("term") =!= "")
-      val cmsBytes = Option(
-        words.agg(count_min_sketch(col("term"), lit(eps), lit(confidence),
-          lit(seed)).as("cms")).head().getAs[Array[Byte]]("cms"))
-      val terms = words.groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term").asc).limit(perBatch)
-        .select(col("term")).collect().map(_.getString(0)).toSeq
-      tracker.update(cmsBytes, terms, epochId)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cmsBytes = Option(
+          words.agg(count_min_sketch(col("term"), lit(eps), lit(confidence),
+            lit(seed)).as("cms")).head().getAs[Array[Byte]]("cms"))
+        val terms = words.groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term").asc).limit(perBatch)
+          .select(col("term")).collect().map(_.getString(0)).toSeq
+        tracker.update(cmsBytes, terms, epochId)
+      } finally { words.unpersist(); () }
     }
     (tracker, fn)
   }

@@ -86,6 +86,23 @@ class SamplingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed prefix sum: a null token count is 0, never poisons later buckets") {
+    // a null value alone in its bucket used to null that bucket's subtotal
+    // and, through the offset aggregate, EVERY later bucket's cumulative —
+    // silently dropping whole bucket ranges from the budget filter. Window
+    // SUM semantics (nulls ignored) must hold instead.
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rows = (0 until 64).map(i => ("g", s"doc_$i",
+      if (i % 5 == 0) None else Some(3L)))
+    val df = rows.toDF("src", "doc_id", "n_tok")
+    val kept = Sampling.capPerGroupTokens(df, Seq($"src"), $"doc_id", $"doc_id",
+        $"n_tok", budget = Long.MaxValue / 4)
+      .select($"doc_id").as[String].collect()
+    assert(kept.length == 64,
+      s"null token counts dropped ${64 - kept.length} rows from later buckets")
+  }
+
   test("bucketed prefix sum == naive per-group cumsum on random inputs") {
     // the two-phase prefix sum must be VALUE-identical to the single-window
     // form for any data, group skew, duplicate tokens, or partitioning —
