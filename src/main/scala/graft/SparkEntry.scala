@@ -1812,6 +1812,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    "q_corpus_overlap" -> ((s, dir) => {
+      // dataset-dedup triage: overlap of two snapshot slices by distinct
+      // normalized-content hash — three count-distinct aggregations, no
+      // corpus join (inclusion-exclusion gives the intersection)
+      val d = Tables.documents(s, dir)
+      operators.CorpusOps.corpusOverlap(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 3 === 0), "text")
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       // Okapi BM25 retrieval against a fixed query: token stream filtered
       // to the query terms before any shuffle, df/stats broadcast,
@@ -2409,6 +2418,10 @@ object SparkEntry {
           |SELECT term, n_exact, true AS in_topk, true AS within_bounds
           |FROM (SELECT * FROM c ORDER BY n_exact DESC, term ASC LIMIT 5)
           |ORDER BY term""".stripMargin,
+
+      "q_corpus_overlap" -> operators.CorpusOps.sqlCorpusOverlap(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 3 = 0"),
 
       "q_text_bm25" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
 

@@ -662,6 +662,57 @@ object CorpusOps {
   }
 
   /**
+   * Corpus-level overlap — the dataset-dedup triage number ("how much of
+   * snapshot B is already in A?") computed WITHOUT joining the corpora:
+   * each side reduces to its distinct content-hash count, the union to one
+   * more count, and inclusion–exclusion gives the intersection. One row:
+   * (n_a, n_b, n_union, n_intersect, jaccard, containment_b_in_a), all
+   * over normalized-text md5s so formatting noise doesn't mask copies.
+   *
+   * Scale shape: three map-side-combinable distinct-count aggregations
+   * over 16-byte hashes — no corpus joins, no doc pairs. For repeated
+   * triage over many snapshot pairs at 100 TB, compute per-snapshot HLL
+   * sketches ONCE with [[Sketches.distinctSketch]] over the same hash
+   * column and merge pairs with `hll_union_agg` (KB-sized state, the same
+   * inclusion–exclusion) — this exact form is the verification path.
+   */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def hashes(df: DataFrame) = df.select(
+      md5(TextFunctions.normalizeText(col(textCol)).cast("binary")).as("h"))
+    val na = hashes(a).agg(countDistinct(col("h")).as("n_a"))
+    val nb = hashes(b).agg(countDistinct(col("h")).as("n_b"))
+    val nu = hashes(a).unionAll(hashes(b))
+      .agg(countDistinct(col("h")).as("n_union"))
+    na.crossJoin(nb).crossJoin(nu)
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+        TextFunctions.stableRound(
+          (col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_union").cast("double"), 6).as("jaccard"),
+        TextFunctions.stableRound(
+          (col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_b").cast("double"), 6).as("containment_b_in_a"))
+  }
+
+  /** DuckDB twin of [[corpusOverlap]] over caller-supplied CTE bodies, each
+    * yielding a `text` column. */
+  def sqlCorpusOverlap(aCte: String, bCte: String): String = {
+    val norm = TextFunctions.sqlNormalizeText("text")
+    s"""WITH a0 AS ($aCte), b0 AS ($bCte),
+       | ha AS (SELECT DISTINCT md5($norm) AS h FROM a0),
+       | hb AS (SELECT DISTINCT md5($norm) AS h FROM b0),
+       | n AS (SELECT (SELECT count(*) FROM ha) AS n_a,
+       |              (SELECT count(*) FROM hb) AS n_b,
+       |              (SELECT count(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS n_union)
+       |SELECT n_a, n_b, n_union, (n_a + n_b - n_union) AS n_intersect,
+       | ${TextFunctions.sqlStableRound(
+             "(n_a + n_b - n_union)::DOUBLE / n_union::DOUBLE", 6)} AS jaccard,
+       | ${TextFunctions.sqlStableRound(
+             "(n_a + n_b - n_union)::DOUBLE / n_b::DOUBLE", 6)} AS containment_b_in_a
+       |FROM n""".stripMargin
+  }
+
+  /**
    * The Gopher quality rules (Rae et al. 2021, appendix A1.1) as a per-rule
    * diagnostic table: word-count bounds, mean-word-length bounds,
    * symbol-to-word ratio (# and ellipsis), bullet-start and ellipsis-end

@@ -803,6 +803,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(masses.values.sum == 20)
   }
 
+  test("corpusOverlap: exact inclusion-exclusion; HLL sketch path agrees") {
+    val a = (0 until 100).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val b = (50 until 150).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.corpusOverlap(a, b, "text")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(got == ((100L, 100L, 150L, 50L, 0.333333, 0.5)), got.toString)
+    // the 100 TB repeated-triage path the scaladoc prescribes: per-snapshot
+    // HLL sketches over the same hash column, merged pairwise — estimates
+    // must land within the sketch's tolerance of the exact counts
+    def hashes(df: org.apache.spark.sql.DataFrame) = df.select(
+      md5(graft.functions.TextFunctions.normalizeText($"text").cast("binary")).as("h"))
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Sketches.distinctSketch(hashes(df), Seq(lit(1).as("g")), $"h")
+        .select($"n_approx", $"sketch")
+    val (naEst, skA) = sk(a).as[(Long, Array[Byte])].head()
+    val (nbEst, skB) = sk(b).as[(Long, Array[Byte])].head()
+    val unionEst = Sketches.mergeDistinctSketches(
+      sk(a).select($"sketch").unionAll(sk(b).select($"sketch")))
+    val interEst = naEst + nbEst - unionEst
+    assert(math.abs(naEst - 100) <= 5 && math.abs(unionEst - 150) <= 8 &&
+      math.abs(interEst - 50) <= 10,
+      s"sketch path drifted: n_a=$naEst n_b=$nbEst union=$unionEst inter=$interEst")
+  }
+
   test("bm25Search: exact hand-computed scores, rank order, top-k cut") {
     // 3 docs, query = {cat, dog}: N=3, avgdl = (4+2+3)/3 = 3.0
     // df(cat)=2, df(dog)=1
