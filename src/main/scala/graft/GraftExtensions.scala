@@ -387,6 +387,15 @@ object GraftExtensions {
             strArg(args, 1, "graft_diversity"), strArg(args, 2, "graft_diversity"),
             intArg(args, 3, -1, "graft_diversity")))
       },
+      tvf("graft_overlap",
+        "graft_overlap(tableA, tableB, textCol) - corpus-level overlap by " +
+          "distinct normalized-content hash (jaccard, containment)") {
+        args => arity(args, "graft_overlap", 3, 3)
+          logical(operators.CorpusOps.corpusOverlap(
+            activeTable(strArg(args, 0, "graft_overlap")),
+            activeTable(strArg(args, 1, "graft_overlap")),
+            strArg(args, 2, "graft_overlap")))
+      },
       tvf("graft_sessions",
         "graft_sessions(table, keyCol, timeCol, gapSeconds) - per-key " +
           "gap-rule session counts (n_sessions, n_events)") {

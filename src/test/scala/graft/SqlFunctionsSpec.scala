@@ -284,6 +284,12 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.CorpusOps.ngramDiversity(docs, "text", "source", 3)
         .orderBy(col("source")).collect().toSeq)
 
+    val ovl = spark.sql(
+      "SELECT * FROM graft_overlap('tvfcorpus', 'tvfdocs', 'text')")
+    assert(ovl.collect().toSeq ==
+      operators.CorpusOps.corpusOverlap(
+          spark.table("tvfcorpus"), docs, "text").collect().toSeq)
+
     graft.Tables.events(spark, graft.SparkTestSession.sf0001)
       .createOrReplaceTempView("tvfevents")
     val ses = spark.sql(
