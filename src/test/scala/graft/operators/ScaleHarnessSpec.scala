@@ -205,6 +205,26 @@ class ScaleHarnessSpec extends AnyFunSuite {
     } finally { ev.unpersist(); () }
   }
 
+  test("minhash LSH on 5k identical docs: hot band buckets drop loudly, no quadratic join") {
+    // the most hostile near-dup distribution: every doc identical, so every
+    // band bucket holds the whole corpus. Without the maxBucketSize guard
+    // the banded self-join would build ~bands * n^2/2 candidate pairs; with
+    // it, the buckets are excluded with counted drops and the planted
+    // distinct near-pair (sharing no hot bucket content) still surfaces
+    // nothing — the operator completes fast and LOUDLY instead of exploding
+    val n = 5000
+    val docs = spark.range(n.toLong).select(
+      col("id").as("doc_id"),
+      lit("the exact same document body repeated across the whole corpus many times over")
+        .as("text"))
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(pairs.count() == 0, "over-cap buckets must be excluded, not joined")
+    val drops = Dedup.lastDropStats("minHashLshPairs").get
+    assert(drops.buckets >= 16 && drops.rows >= 16L * n,
+      s"expected every band bucket dropped with counted rows, got $drops")
+  }
+
   test("a stop-phrase shingle at 50% df is dropped with counted semantics and the join stays bounded") {
     // 2k docs; half share one stop phrase, each also has a unique tail.
     // Without the maxShingleDf guard the hot shingle alone would generate
