@@ -412,7 +412,9 @@ object GraftExtensions {
           logical(operators.CorpusOps.bm25Search(
             activeTable(strArg(args, 0, "graft_bm25")),
             strArg(args, 1, "graft_bm25"), strArg(args, 2, "graft_bm25"),
-            strArg(args, 3, "graft_bm25").split(' ').toSeq.filter(_.nonEmpty),
+            // \s+ not ' ': a tab/newline-joined query would otherwise keep
+            // "a\tb" as one term the space-split tokenizer can never match
+            strArg(args, 3, "graft_bm25").split("\\s+").toSeq.filter(_.nonEmpty),
             intArg(args, 4, 20, "graft_bm25")))
       },
       tvf("graft_classify",

@@ -451,12 +451,15 @@ object SparkEntry {
       val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
       val mixed = operators.Sampling.stratifiedSample(clean, col("source"),
         MixRates, col("text"), defaultRate = MixDefaultRate)
-      // persist the mixture before layout: packSequences' boundary-sample
-      // and stats passes would otherwise re-run the dedup+decontaminate
-      // upstream per pass (the practice its scaladoc prescribes)
+      // persist the mixture before layout: bucketedCumSum's subtotal and
+      // join-back branches would otherwise re-run the dedup+decontaminate
+      // upstream; the boundary sample itself reads the RAW column-pruned
+      // scan (boundarySource), not the pipeline — bucket boundaries shape
+      // only balance, so sampling the superset is free and value-identical
       val staged = Dedup.lazyShare(mixed)
       operators.Sampling.packSequences(staged, Seq(col("source")), col("doc_id"),
-          TextFunctions.tokenCount(col("text")), maxSeqLen = 512)
+          TextFunctions.tokenCount(col("text")), maxSeqLen = 512,
+          boundarySource = Some(docs))
         .select(col("source"), col("doc_id"), col("n_tokens"), col("token_start"),
           col("seq_first"), col("seq_last"), col("seq_offset"))
         .orderBy(col("source"), col("doc_id"))
@@ -638,7 +641,10 @@ object SparkEntry {
           .writeStream.format("memory").queryName(out).outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
         awaitOrFail(q)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
       s.table(out)
         .filter(col("user_id") =!= -1L)
         .select(col("user_id"), col("sw.start").as("session_start"),

@@ -205,10 +205,24 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def chunk(chunkTokens: Int, overlap: Int = 0): DataFrame =
     CorpusOps.chunkDocuments(df, idCol, textCol, chunkTokens, overlap)
 
-  /** Terminal: concat-and-chunk sequence layout per group. */
+  /** Terminal: concat-and-chunk sequence layout per group, in id order. */
   def pack(maxSeqLen: Int, groupCols: Seq[Column] = Seq(col("source"))): DataFrame =
     Sampling.packSequences(df, groupCols, id,
       graft.functions.TextFunctions.tokenCount(col(textCol)), maxSeqLen)
+
+  /** Terminal: concat-and-chunk layout in TRAINING order — the
+    * `shuffle_key` a prior [[shuffle]] minted. The key is this library's
+    * own md5 hex, so the layout buckets come straight off its first two
+    * digits (`hexOrdered`): zero boundary-sampling pre-pass, the shape a
+    * 100 TB epoch layout wants. */
+  def packShuffled(maxSeqLen: Int,
+      groupCols: Seq[Column] = Seq(col("source"))): DataFrame = {
+    require(df.columns.contains("shuffle_key"),
+      "packShuffled needs the shuffle_key column — call shuffle(seed) first")
+    Sampling.packSequences(df, groupCols, col("shuffle_key"),
+      graft.functions.TextFunctions.tokenCount(col(textCol)), maxSeqLen,
+      hexOrdered = true)
+  }
 
   // ---- reports (terminal, don't transform the corpus) ----
 

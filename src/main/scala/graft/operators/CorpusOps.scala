@@ -677,8 +677,12 @@ object CorpusOps {
    * inclusion–exclusion) — this exact form is the verification path.
    */
   def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    // null text hashes to null — excluded EXPLICITLY on both engines (Spark's
+    // countDistinct would skip it anyway, but DuckDB's SELECT DISTINCT keeps
+    // a NULL row that count(*) counts, so the filter keeps the twins equal)
     def hashes(df: DataFrame) = df.select(
-      md5(TextFunctions.normalizeText(col(textCol)).cast("binary")).as("h"))
+        md5(TextFunctions.normalizeText(col(textCol)).cast("binary")).as("h"))
+      .filter(col("h").isNotNull)
     val na = hashes(a).agg(countDistinct(col("h")).as("n_a"))
     val nb = hashes(b).agg(countDistinct(col("h")).as("n_b"))
     val nu = hashes(a).unionAll(hashes(b))
@@ -699,8 +703,8 @@ object CorpusOps {
   def sqlCorpusOverlap(aCte: String, bCte: String): String = {
     val norm = TextFunctions.sqlNormalizeText("text")
     s"""WITH a0 AS ($aCte), b0 AS ($bCte),
-       | ha AS (SELECT DISTINCT md5($norm) AS h FROM a0),
-       | hb AS (SELECT DISTINCT md5($norm) AS h FROM b0),
+       | ha AS (SELECT DISTINCT md5($norm) AS h FROM a0 WHERE ($norm) IS NOT NULL),
+       | hb AS (SELECT DISTINCT md5($norm) AS h FROM b0 WHERE ($norm) IS NOT NULL),
        | n AS (SELECT (SELECT count(*) FROM ha) AS n_a,
        |              (SELECT count(*) FROM hb) AS n_b,
        |              (SELECT count(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS n_union)

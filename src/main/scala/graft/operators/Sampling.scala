@@ -253,11 +253,15 @@ object Sampling {
    * The result is pure metadata — a [[bucketedCumSum]] grouped prefix sum,
    * no token materialization — so packing a 100 TB corpus costs one
    * shuffle of its doc STATS spread over [[CumSumBuckets]] tasks per
-   * group (never one reducer per group), plus a bounded boundary-sampling
-   * pre-pass at plan-construction time ([[temperatureRates]]' count
-   * pre-pass precedent — persist the input first when composing on top of
-   * an expensive upstream). The training loader then fetches a sequence's
-   * documents by (group, seq range) lookup.
+   * group (never one reducer per group). The default layout adds a bounded
+   * boundary-sampling pre-pass at plan-construction time
+   * ([[temperatureRates]]' count pre-pass precedent); skip it entirely with
+   * `hexOrdered = true` when the layout order is one of this library's hex
+   * hash keys (the usual case — packing follows [[deterministicShuffle]]),
+   * or point `boundarySource` at a cheaper frame carrying the same order
+   * column when composing on top of an expensive upstream. The training
+   * loader then fetches a sequence's documents by (group, seq range)
+   * lookup.
    *
    * A zero-token document gets `seq_last = seq_first - 1` (explicitly, at
    * ANY token offset — not only at chunk boundaries): it occupies no
@@ -266,9 +270,26 @@ object Sampling {
    */
   def packSequences(
       df: DataFrame, groupCols: Seq[Column], orderCol: Column,
-      tokenCount: Column, maxSeqLen: Int): DataFrame = {
+      tokenCount: Column, maxSeqLen: Int,
+      hexOrdered: Boolean = false,
+      boundarySource: Option[DataFrame] = None): DataFrame = {
     require(maxSeqLen > 0, s"maxSeqLen must be positive, got $maxSeqLen")
-    val bucket = rangeBucket(df, orderCol)
+    require(!(hexOrdered && boundarySource.nonEmpty),
+      "pass hexOrdered OR boundarySource, not both")
+    // bucket choice NEVER affects values (buckets only cut the layout
+    // order; bucketedCumSum is bucketing-invariant) — only how evenly a
+    // group spreads over tasks. Three layouts, cheapest first:
+    //  - hexOrdered: orderCol is one of this library's lowercase fixed-width
+    //    hex keys (md5 / hex13 / deterministicShuffle's shuffle_key), whose
+    //    first two digits are already a uniform order-consistent bucket —
+    //    ZERO pre-pass, like capPerGroupTokens.
+    //  - boundarySource: sample split points from a CHEAPER frame holding
+    //    the same order column (e.g. the raw scan under an expensive
+    //    dedup+mix pipeline) instead of re-running the full input per pass.
+    //  - default: sample the input itself (persist expensive upstreams).
+    val bucket =
+      if (hexOrdered) hexBucket(orderCol)
+      else rangeBucket(boundarySource.getOrElse(df), orderCol)
     bucketedCumSum(df.withColumn("n_tokens", tokenCount.cast("long")),
         groupCols, Seq(orderCol.asc), bucket, col("n_tokens"), "__cum_end")
       .withColumn("token_start", col("__cum_end") - col("n_tokens"))
@@ -290,8 +311,11 @@ object Sampling {
     * prefix-sum VALUES are bucketing-invariant, so a skewed or stale
     * sample degrades parallelism, never correctness. Null keys sort first
     * under `asc` and get bucket 0 (null >= b is null -> indicator 0). The
-    * sample is <= 8 keys * input partitions rows, sorted by Spark itself
-    * (no driver-side Ordering for exotic key types). */
+    * per-partition sample (8 keys * input partitions) re-reservoirs to a
+    * FIXED [[MaxBoundaryKeys]] driver-side cap, so driver memory does not
+    * grow with cluster scale; the cap and the driver-side sort shape only
+    * bucket BALANCE, never values ([[bucketOf]] is a sum of per-boundary
+    * indicators — monotone in the key for ANY boundary multiset). */
   private[operators] def rangeBucket(df: DataFrame, orderCol: Column): Column =
     bucketOf(orderCol, sampledBoundaries(df, orderCol))
 
@@ -299,9 +323,12 @@ object Sampling {
     * sample from a CHEAPER source than the full plan the bucket expression
     * will run over (e.g. [[Relational.asofJoin]] samples the raw time
     * column of both inputs, skipping the right side's dedup shuffle). */
+  /** Driver-side cap on collected boundary-sample keys: 64k 16-byte-ish
+    * keys is ~1 MB however many input partitions the cluster has. */
+  private[operators] val MaxBoundaryKeys = 65536
+
   private[operators] def sampledBoundaries(
       df: DataFrame, orderCol: Column): Seq[Any] = {
-    val spark = df.sparkSession
     val keyed = df.select(orderCol.as("__k"))
     val perPart = 8
     val sampled = keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
@@ -318,12 +345,35 @@ object Sampling {
       }
       res.iterator.filter(_ != null)
     }.collect()
-    if (sampled.isEmpty) return Nil
-    val sorted = spark.createDataFrame(
-        spark.sparkContext.parallelize(sampled.toSeq, 1), keyed.schema)
-      .orderBy(col("__k").asc_nulls_first)
-      .collect().map(_.get(0)).filter(_ != null)
-    if (sorted.isEmpty) return Nil
+    // second-level reservoir: one fixed seed over the per-partition samples
+    // keeps at most MaxBoundaryKeys rows regardless of input partition count
+    val capped =
+      if (sampled.length <= MaxBoundaryKeys) sampled
+      else {
+        val rng = new java.util.Random(0x9E3779B97F4A7C15L)
+        val res = new Array[org.apache.spark.sql.Row](MaxBoundaryKeys)
+        var n = 0L
+        sampled.foreach { r =>
+          n += 1
+          if (n <= MaxBoundaryKeys) res((n - 1).toInt) = r
+          else {
+            val j = math.abs(rng.nextLong() % n)
+            if (j < MaxBoundaryKeys) res(j.toInt) = r
+          }
+        }
+        res
+      }
+    val keys = capped.iterator.filter(_ != null)
+      .map(_.get(0)).filter(_ != null).toArray
+    if (keys.isEmpty) return Nil
+    // sort DRIVER-side (every key type this library buckets — string,
+    // numeric, timestamp, date — is Comparable); a mis-sorted or unsorted
+    // boundary list can only unbalance buckets, never change values, so a
+    // non-Comparable key type just falls back to encounter order
+    val sorted = scala.util.Try(
+      keys.sortWith((a, b) =>
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+    ).getOrElse(keys)
     val nB = math.min(CumSumBuckets, sorted.length + 1)
     (1 until nB)
       .map(i => sorted((i.toLong * sorted.length / nB).toInt))

@@ -107,7 +107,11 @@ object StreamOps {
    *
    * Epoch-idempotent: a replayed `foreachBatch` epoch (failure recovery)
    * is skipped, not double-merged — same rule as the connector sink's
-   * idempotent epoch commit.
+   * idempotent epoch commit. That guard assumes epochs INCREASE within one
+   * query lifetime, so a tracker is SINGLE-QUERY (single-checkpoint)
+   * scoped: starting a second query with a fresh checkpoint restarts epoch
+   * ids at 0, which the guard would silently skip. Call [[HeavyHitterTracker
+   * .reset]] (or build a new tracker) before reusing one across queries.
    */
   final class HeavyHitterTracker private[streaming] (
       k: Int, eps: Double, confidence: Double, seed: Int) extends Serializable {
@@ -137,6 +141,16 @@ object StreamOps {
     def result: Seq[(String, Long)] = synchronized {
       if (cms == null) Nil
       else candidates.map(t => t -> cms.estimateCount(t))
+    }
+
+    /** Clear all state (sketch, candidates, epoch watermark) so the tracker
+      * can feed a NEW query whose epoch ids restart at 0 — without this, the
+      * replay guard would mistake the new query's batches for replays of the
+      * old one's and skip every one of them. */
+    def reset(): Unit = synchronized {
+      cms = null
+      candidates = Nil
+      lastEpoch = Long.MinValue
     }
 
     /** Point estimate for any term from the merged sketch (CMS one-sided

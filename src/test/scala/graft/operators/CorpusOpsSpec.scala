@@ -131,6 +131,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == packed.map(p => (p._1, p._3)).toSet)
   }
 
+  test("packSequences hexOrdered and boundarySource layouts equal the sampled default") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .withColumn("hk", md5($"text".cast("binary")))
+    val tok = graft.functions.TextFunctions.tokenCount($"text")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"token_start", $"seq_first", $"seq_last", $"seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // layout order = the library's own md5 hex: the zero-pre-pass bucket
+    // must produce byte-identical packing to the sampled-boundary default
+    val sampled = key(Sampling.packSequences(docs, Seq($"source"), $"hk", tok, 256))
+    val hexed = key(Sampling.packSequences(docs, Seq($"source"), $"hk", tok, 256,
+      hexOrdered = true))
+    assert(hexed == sampled)
+    // boundaries sampled from a DIFFERENT (superset) frame: same values
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val direct = key(Sampling.packSequences(half, Seq($"source"), $"hk", tok, 256))
+    val viaSource = key(Sampling.packSequences(half, Seq($"source"), $"hk", tok, 256,
+      boundarySource = Some(docs)))
+    assert(viaSource == direct)
+    // facade: shuffle(seed).packShuffled lays out in shuffle_key order
+    val c = Corpus(docs.drop("hk")).shuffle("epoch0")
+    val viaFacade = key(c.packShuffled(256))
+    val explicit = key(Sampling.packSequences(c.df, Seq($"source"), $"shuffle_key",
+      graft.functions.TextFunctions.tokenCount($"text"), 256))
+    assert(viaFacade == explicit)
+    assert(viaFacade.nonEmpty)
+  }
+
   test("qualityFilter labels each doc with the first failing rule") {
     val docs = Seq(
       (0L, "tiny doc"),                                        // too_short
