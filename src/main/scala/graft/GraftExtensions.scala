@@ -417,6 +417,17 @@ object GraftExtensions {
             strArg(args, 3, "graft_bm25").split("\\s+").toSeq.filter(_.nonEmpty),
             intArg(args, 4, 20, "graft_bm25")))
       },
+      tvf("graft_bm25_many",
+        "graft_bm25_many(docsTable, idCol, textCol, queriesTable, queryIdCol, " +
+          "queryTextCol[, k]) - one-pass Okapi BM25 top-k per query of a query table") {
+        args => arity(args, "graft_bm25_many", 6, 7)
+          logical(operators.CorpusOps.bm25SearchMany(
+            activeTable(strArg(args, 0, "graft_bm25_many")),
+            strArg(args, 1, "graft_bm25_many"), strArg(args, 2, "graft_bm25_many"),
+            activeTable(strArg(args, 3, "graft_bm25_many")),
+            strArg(args, 4, "graft_bm25_many"), strArg(args, 5, "graft_bm25_many"),
+            intArg(args, 6, 20, "graft_bm25_many")))
+      },
       tvf("graft_classify",
         "graft_classify(table, idCol, textCol, positiveSqlPredicate) - " +
           "Naive Bayes log-odds train+score; positive class via a SQL predicate") {

@@ -103,6 +103,15 @@ object SparkEntry {
   private val MixEpochs = Map("src0" -> 2.5, "src1" -> 0.4)
   private val Bm25Query = Seq("data", "key", "spark", "table", "value")
 
+  /** Fixed benchmark query TABLE for the multi-query BM25 gate: duplicate
+    * in-query terms (dedup once), overlapping term sets across queries
+    * (shared tf/df work), and one all-miss query (absent from output). */
+  private val Bm25Queries = Seq(
+    (1L, "data value"),
+    (2L, "spark table key"),
+    (3L, "data data spark"),
+    (4L, "zzzznomatch qqqqnomatch"))
+
   /** Run a gate stream to completion or fail loudly: a timed-out
     * AvailableNow query must never let the caller read partial sink
     * contents as the query's answer (and the still-running stream must not
@@ -1837,6 +1846,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "q_text_bm25_multi" -> ((s, dir) => {
+      // multi-query BM25: a benchmark TABLE of queries scored in ONE corpus
+      // pass — shared token/tf/df work, broadcast per-query fan-out, and a
+      // WindowGroupLimit per-query top-k (each map task ships <= k rows per
+      // query). The retrieval shape every eval-decontamination triage runs.
+      import s.implicits._
+      operators.CorpusOps.bm25SearchMany(Tables.documents(s, dir), "doc_id",
+          "text", Bm25Queries.toDF("query_id", "query_text"),
+          "query_id", "query_text", k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "q_text_lm_score" -> ((s, dir) => {
       // CCNet-style unigram-LM quality: per-doc avg negative log-likelihood
       operators.CorpusOps.lmQualityScore(Tables.documents(s, dir), "doc_id", "text")
@@ -2430,6 +2451,8 @@ object SparkEntry {
         "SELECT text FROM documents WHERE doc_id % 3 = 0"),
 
       "q_text_bm25" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
+
+      "q_text_bm25_multi" -> operators.CorpusOps.sqlBm25Many(Bm25Queries, k = 10),
 
       // fixed fit stats + per-row-stateless scoring: any trigger slicing
       // unions to the batch scorer, so the uncut corpus BM25 is exact

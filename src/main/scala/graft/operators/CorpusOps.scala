@@ -1082,6 +1082,109 @@ object CorpusOps {
   }
 
   /**
+   * Multi-query BM25 — [[bm25Search]] for a benchmark TABLE of queries,
+   * the shape real retrieval/decontamination-triage runs (every eval suite
+   * scores hundreds of queries, not one literal term list). One corpus
+   * pass serves ALL queries:
+   *
+   *  - query texts explode to per-(query_id, term) rows ONCE, deduped
+   *    within each query (duplicate terms in a query count once, exactly
+   *    as [[bm25Search]]'s `.distinct`);
+   *  - the corpus token stream is cut to the UNION of all queries' terms
+   *    by a broadcast semi-join BEFORE any shuffle — the tf aggregation
+   *    carries only matching (doc, term) pairs, so cost scales with
+   *    matches, not |queries| x |corpus|;
+   *  - tf/df/(N, avgdl) are computed once and shared; the per-query fan-out
+   *    is a broadcast join of the (query_id, term) table onto the tf rows;
+   *  - the per-query top-`k` is `row_number` over (query_id) + a rank
+   *    filter — Spark's WindowGroupLimit pushes the limit below the
+   *    shuffle, so each map task ships at most k rows per query instead of
+   *    every candidate (a stop-word query matching billions of docs still
+   *    shuffles only k x tasks rows).
+   *
+   * Identical arithmetic (and rounding ladder) to [[bm25Search]]; a query
+   * whose terms match nothing yields no rows. Returns
+   * (query_id, doc_id, n_terms, score, rnk), rnk 1-based per query.
+   */
+  def bm25SearchMany(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    val qt = Dedup.lazyShare(queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(TextFunctions.words(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "").distinct())
+    val uniq = qt.select(col("term")).distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .join(broadcast(uniq), Seq("term"), "left_semi")
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(TextFunctions.tokenCount(col(textCol)).cast("long")).as("avgdl"))
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = (col("tf").cast("double") * lit(k1p1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(oneMb) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val w = TextFunctions.stableRound(idf * norm, 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val scored = tf.join(broadcast(dft), "term")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        TextFunctions.stableRound(sum(w).cast("double"), 4).as("score"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** DuckDB twin of [[bm25SearchMany]] over `documents` for a literal
+    * (query_id, query_text) list — same tokenizer, IEEE op order, and
+    * round-then-DECIMAL-sum ladder as [[sqlBm25]]. */
+  def sqlBm25Many(queries: Seq[(Long, String)], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    def dLit(x: Double) = java.lang.Double.toString(x)
+    val qVals = queries.map { case (id, t) =>
+      s"($id, '${t.replace("'", "''")}')"
+    }.mkString(", ")
+    val (k1s, bs) = (dLit(k1), dLit(b))
+    val (k1p1, oneMb) = (dLit(k1 + 1.0), dLit(1.0 - b))
+    val dl = TextFunctions.sqlTokenCount.format("text")
+    val wExpr = TextFunctions.sqlStableRound(
+      s"ln(((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) + 1.0)" +
+        s" * ((tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1s * ($oneMb + $bs * dl::DOUBLE / avgdl)))", 6)
+    s"""WITH qraw(query_id, qtext) AS (VALUES $qVals),
+       | q AS (SELECT DISTINCT query_id, term FROM
+       |       (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM qraw)
+       |       WHERE term <> ''),
+       | uq AS (SELECT DISTINCT term FROM q),
+       | d AS (SELECT doc_id, ($dl) AS dl, text FROM documents),
+       | tok AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM d),
+       | tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |        FROM tok JOIN uq USING (term) GROUP BY 1, 2, 3),
+       | dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       | st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       | w AS (SELECT query_id, doc_id, ($wExpr)::DECIMAL(18,6) AS w
+       |       FROM tf JOIN dft USING (term) JOIN q USING (term), st),
+       | s AS (SELECT query_id, doc_id, count(*) AS n_terms,
+       |        ${TextFunctions.sqlStableRound("sum(w)::DOUBLE", 4)} AS score
+       |       FROM w GROUP BY 1, 2),
+       | r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |       FROM s)
+       |SELECT query_id, doc_id, n_terms, score, rnk FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /**
    * Fit BM25 corpus statistics ONCE — the per-term document-frequency
    * table (≤|Q| rows, lazily shared), the document count, and the average
    * document length — for the fit-once / score-many flow: score a document

@@ -144,6 +144,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bm25 multi-query: per-query top-k gets the WindowGroupLimit pushdown") {
+    // row_number + rank filter must plan as WindowGroupLimit (partial below
+    // the shuffle), so each map task ships <= k rows per query — never every
+    // candidate of a stop-word query; fan-out joins stay broadcast
+    val q = SparkEntry.queries("q_text_bm25_multi")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("encoding profile is a pure scan — no exchange at all") {
     val q = operators.CorpusOps.encodingProfile(
       Tables.documents(spark, dir), "doc_id", "text")

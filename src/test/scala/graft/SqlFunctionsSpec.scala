@@ -308,6 +308,18 @@ class SqlFunctionsSpec extends AnyFunSuite {
           Seq("data", "key", "value"), k = 5)
         .collect().toSeq)
 
+    locally { import spark.implicits._
+      Seq((1L, "data value"), (2L, "key table"))
+        .toDF("query_id", "query_text").createOrReplaceTempView("tvfqueries")
+    }
+    val bmm = spark.sql(
+      "SELECT * FROM graft_bm25_many('tvfdocs', 'doc_id', 'text', " +
+        "'tvfqueries', 'query_id', 'query_text', 5) ORDER BY query_id, rnk")
+    assert(bmm.collect().toSeq ==
+      operators.CorpusOps.bm25SearchMany(docs, "doc_id", "text",
+          spark.table("tvfqueries"), "query_id", "query_text", k = 5)
+        .orderBy(col("query_id"), col("rnk")).collect().toSeq)
+
     val cls = spark.sql(
       "SELECT * FROM graft_classify('tvfdocs', 'doc_id', 'text', 'lang = ''en''') " +
         "ORDER BY doc_id")

@@ -884,6 +884,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top1.toSeq == Seq((1L, 2L, exp1)))
   }
 
+  test("bm25SearchMany == per-query bm25Search; misses absent; in-query dups count once") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+    val queries = Seq(
+      (1L, "data value"), (2L, "spark table key"),
+      (3L, "data data spark"),          // duplicate term dedups like .distinct
+      (4L, "zzzznomatch"))              // no matching docs -> no rows
+      .toDF("query_id", "query_text")
+    val many = CorpusOps.bm25SearchMany(docs, "doc_id", "text",
+        queries, "query_id", "query_text", k = 7)
+      .collect().groupBy(_.getLong(0))
+    assert(!many.contains(4L))
+    for ((qid, terms) <- Seq(1L -> Seq("data", "value"),
+        2L -> Seq("spark", "table", "key"), 3L -> Seq("data", "data", "spark"))) {
+      val single = CorpusOps.bm25Search(docs, "doc_id", "text", terms, k = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val got = many(qid).sortBy(_.getLong(4))
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == single.toSeq, s"query $qid diverged from bm25Search")
+      // rnk is 1..n in score order
+      assert(many(qid).map(_.getLong(4)).sorted.toSeq == (1L to got.length).toSeq)
+    }
+  }
+
   test("bm25Fit + bm25ScoreWith == bm25Search rows (fit-once/score-many parity)") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
     val q = Seq("data", "key", "value")
