@@ -86,6 +86,47 @@ class SamplingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed sessionCounts == driver brute force: 300 random samples + degenerate spacings") {
+    // the two-phase form (within-(key, bucket) lag + sorted-array boundary
+    // merge) must equal the naive per-key scan for any keys/timestamps/gaps;
+    // 300 random samples ride as disjoint composite keys in 6 combined
+    // frames (one per gap), so the bucket-boundary merge sees 50 different
+    // distributions cut by ONE shared boundary sample per frame
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    def bruteCheck(rows: Seq[(String, Long)], gapMicros: Long): Unit = {
+      val df = rows.toDF("k", "t").select($"k", timestamp_micros($"t").as("ts"))
+      val got = Relational.sessionCounts(df, "k", "ts", gapMicros)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val exp = rows.groupBy(_._1).map { case (k, g) =>
+        val ts = g.map(_._2).sorted
+        val breaks = ts.zip(ts.drop(1)).count { case (a, b) => b - a > gapMicros }
+        k -> (((breaks + 1).toLong, ts.length.toLong))
+      }
+      assert(got == exp, s"gap=$gapMicros; first diffs: " +
+        (exp.toSet diff got.toSet).take(3) + " expected vs got " +
+        (got.toSet diff exp.toSet).take(3))
+    }
+    val rowGen = Gen.listOf(Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 2000L)))
+    for ((gap, block) <- Seq(1L, 7L, 10L, 50L, 123L, 400L).zipWithIndex) {
+      val combined = (0 until 50).flatMap { i =>
+        val sample = rowGen(Gen.Parameters.default,
+          Seed((block * 50 + i).toLong)).getOrElse(Nil)
+        sample.map { case (k, t) => (s"s${i}_$k", t) }
+      }
+      if (combined.nonEmpty) bruteCheck(combined, gap)
+    }
+    // all-equal timestamps: every event lands ON one bucket boundary value
+    bruteCheck(Seq.fill(200)(("k", 777L)), 10L)
+    // spacing EXACTLY the gap never splits (the rule is strictly-greater);
+    // one microsecond less splits everywhere — the boundary-merge's
+    // cross-bucket comparison must honor the same strictness
+    bruteCheck((0 until 100).map(i => ("k", i * 10L)), 10L)
+    bruteCheck((0 until 100).map(i => ("k", i * 10L)), 9L)
+  }
+
   test("bucketed prefix sum: a null token count is 0, never poisons later buckets") {
     // a null value alone in its bucket used to null that bucket's subtotal
     // and, through the offset aggregate, EVERY later bucket's cumulative —

@@ -121,4 +121,61 @@ class StreamOpsSpec extends AnyFunSuite {
     fn2(batch(Seq.fill(5)("gamma")), 4L)  // new epoch: merged
     assert(restored.estimate("gamma") == 80L)
   }
+
+  test("heavyHitterTracker driver restart end-to-end: byte-roundtrip + checkpoint resume == unbroken run") {
+    // a REAL stream stopped mid-corpus, the tracker checkpointed to bytes,
+    // a NEW tracker restored and the query resumed from the SAME Spark
+    // checkpoint — final counts must equal an unbroken run. The last commit
+    // file is deleted before the resume, so Spark genuinely REPLAYS the
+    // final pre-stop epoch (the crash-between-merge-and-commit case) and
+    // the restored epoch floor must skip it, not double-merge.
+    val base = java.nio.file.Files.createTempDirectory("hh_restart").toString
+    def file(dir: String, rows: Seq[String]): Unit =
+      rows.toDF("body").coalesce(1).write.mode("append").parquet(dir)
+    val files = Seq(
+      Seq.fill(10)("common alpha") ++ Seq.tabulate(15)(i => s"a_$i"),
+      Seq.fill(10)("common alpha") ++ Seq.tabulate(15)(i => s"b_$i"),
+      Seq.fill(10)("common alpha alpha") ++ Seq.tabulate(15)(i => s"c_$i"),
+      Seq.fill(10)("common beta") ++ Seq.tabulate(15)(i => s"d_$i"),
+      Seq.fill(10)("common beta") ++ Seq.tabulate(15)(i => s"e_$i"),
+      Seq.fill(10)("common beta beta") ++ Seq.tabulate(15)(i => s"f_$i"))
+    // exact truth: common = 60, alpha = 40, beta = 40 (alpha wins the tie
+    // on the term-asc tie-break)
+    def run(dir: String, cp: String, fn: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+      val q = spark.readStream.schema("body STRING")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream.foreachBatch(fn).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+    }
+    // unbroken reference run over the full corpus
+    files.foreach(file(s"$base/srcA", _))
+    val (unbroken, fnA) = StreamOps.heavyHitterSink("body", k = 3)
+    run(s"$base/srcA", s"$base/cpA", fnA)
+    assert(unbroken.result.map(_._1) == Seq("common", "alpha", "beta"))
+    // restart run: first half, stop, checkpoint the tracker to bytes
+    files.take(3).foreach(file(s"$base/srcB", _))
+    val (before, fnB1) = StreamOps.heavyHitterSink("body", k = 3)
+    run(s"$base/srcB", s"$base/cpB", fnB1)
+    assert(before.estimate("alpha") == 40L && before.estimate("common") == 30L)
+    val bytes = before.toBytes
+    // crash between tracker merge and offset commit: epoch 2 merged into
+    // the tracker bytes, but Spark's commit log never recorded it
+    val lastCommit = new java.io.File(s"$base/cpB/commits/2")
+    assert(lastCommit.exists, "expected 3 committed epochs")
+    assert(lastCommit.delete())
+    // the local FS keeps a checksum sibling; a real HDFS loss drops both
+    new java.io.File(s"$base/cpB/commits/.2.crc").delete()
+    // resume: fresh process = fresh tracker restored from bytes, same
+    // checkpoint; Spark re-runs epoch 2 (skipped) then the second half
+    files.drop(3).foreach(file(s"$base/srcB", _))
+    val (resumed, fnB2) = StreamOps.heavyHitterSink("body", k = 3)
+    resumed.restore(bytes)
+    run(s"$base/srcB", s"$base/cpB", fnB2)
+    assert(resumed.result == unbroken.result,
+      s"resumed ${resumed.result} != unbroken ${unbroken.result}")
+    assert(resumed.estimate("common") == 60L, "replayed epoch was double-merged")
+    assert(resumed.estimate("alpha") == 40L && resumed.estimate("beta") == 40L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
