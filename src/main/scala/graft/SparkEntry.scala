@@ -1836,6 +1836,35 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 3 === 0), "text")
     }),
 
+    "q_corpus_overlap_sketch" -> ((s, dir) => {
+      // the 100 TB repeated-triage form: per-snapshot HLL sketches merged
+      // pairwise (KB-sized state, no corpus join). Gate technique =
+      // q_sketch_distinct: output the DuckDB-verifiable exact counts plus
+      // accuracy-bound booleans for the estimates (lgConfigK=12 is ~1%
+      // relative standard error, so 5% is a failure signal, not flake room;
+      // the intersection inherits both sides' errors, so its bound scales
+      // with n_union)
+      val d = Tables.documents(s, dir)
+      val a = d.filter(col("doc_id") % 2 === 0)
+      val b = d.filter(col("doc_id") % 3 === 0)
+      val approx = operators.CorpusOps.corpusOverlapSketch(a, b, "text")
+        .select(col("n_a").as("a_a"), col("n_b").as("a_b"),
+          col("n_union").as("a_union"), col("n_intersect").as("a_intersect"))
+      val exact = operators.CorpusOps.corpusOverlap(a, b, "text")
+      exact.crossJoin(approx).select(
+        col("n_a").as("n_a_exact"), col("n_b").as("n_b_exact"),
+        col("n_union").as("n_union_exact"),
+        col("n_intersect").as("n_intersect_exact"),
+        (abs(col("a_a") - col("n_a")).cast("double") <=
+          col("n_a").cast("double") * 0.05).as("a_within_5pct"),
+        (abs(col("a_b") - col("n_b")).cast("double") <=
+          col("n_b").cast("double") * 0.05).as("b_within_5pct"),
+        (abs(col("a_union") - col("n_union")).cast("double") <=
+          col("n_union").cast("double") * 0.05).as("union_within_5pct"),
+        (abs(col("a_intersect") - col("n_intersect")).cast("double") <=
+          col("n_union").cast("double") * 0.05).as("intersect_within_5pct_of_union"))
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       // Okapi BM25 retrieval against a fixed query: token stream filtered
       // to the query terms before any shuffle, df/stats broadcast,
@@ -2449,6 +2478,15 @@ object SparkEntry {
       "q_corpus_overlap" -> operators.CorpusOps.sqlCorpusOverlap(
         "SELECT text FROM documents WHERE doc_id % 2 = 0",
         "SELECT text FROM documents WHERE doc_id % 3 = 0"),
+
+      "q_corpus_overlap_sketch" ->
+        s"""SELECT n_a AS n_a_exact, n_b AS n_b_exact, n_union AS n_union_exact,
+           | n_intersect AS n_intersect_exact,
+           | true AS a_within_5pct, true AS b_within_5pct,
+           | true AS union_within_5pct, true AS intersect_within_5pct_of_union
+           |FROM (${operators.CorpusOps.sqlCorpusOverlap(
+                 "SELECT text FROM documents WHERE doc_id % 2 = 0",
+                 "SELECT text FROM documents WHERE doc_id % 3 = 0")})""".stripMargin,
 
       "q_text_bm25" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
 

@@ -717,6 +717,40 @@ object CorpusOps {
   }
 
   /**
+   * Sketch form of [[corpusOverlap]] — the repeated-triage path its
+   * scaladoc prescribes for 100 TB: each snapshot reduces to ONE KB-sized
+   * HLL sketch over the normalized-text hash (computed once, reusable
+   * across every pair the triage matrix compares), a scalar `hll_union`
+   * merges a pair, and the same inclusion–exclusion yields the estimated
+   * intersection. Same columns as [[corpusOverlap]], estimated: lgConfigK
+   * 12 gives ~1% relative standard error on n_a/n_b/n_union; n_intersect
+   * inherits their errors additively, so its bound scales with n_union
+   * (the q_corpus_overlap_sketch gate checks exactly these bounds).
+   */
+  def corpusOverlapSketch(a: DataFrame, b: DataFrame, textCol: String,
+      lgConfigK: Int = 12): DataFrame = {
+    def sketch(df: DataFrame) = df.select(
+        md5(TextFunctions.normalizeText(col(textCol)).cast("binary")).as("h"))
+      .filter(col("h").isNotNull)
+      .agg(hll_sketch_agg(col("h"), lit(lgConfigK)).as("sk"))
+    sketch(a).select(col("sk").as("sk_a"))
+      .crossJoin(sketch(b).select(col("sk").as("sk_b")))
+      .select(
+        hll_sketch_estimate(col("sk_a")).cast("long").as("n_a"),
+        hll_sketch_estimate(col("sk_b")).cast("long").as("n_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_union"))
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+        TextFunctions.stableRound(
+          (col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_union").cast("double"), 6).as("jaccard"),
+        TextFunctions.stableRound(
+          (col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_b").cast("double"), 6).as("containment_b_in_a"))
+  }
+
+  /**
    * The Gopher quality rules (Rae et al. 2021, appendix A1.1) as a per-rule
    * diagnostic table: word-count bounds, mean-word-length bounds,
    * symbol-to-word ratio (# and ellipsis), bullet-start and ellipsis-end

@@ -839,22 +839,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     val got = CorpusOps.corpusOverlap(a, b, "text")
       .as[(Long, Long, Long, Long, Double, Double)].head()
     assert(got == ((100L, 100L, 150L, 50L, 0.333333, 0.5)), got.toString)
-    // the 100 TB repeated-triage path the scaladoc prescribes: per-snapshot
-    // HLL sketches over the same hash column, merged pairwise — estimates
-    // must land within the sketch's tolerance of the exact counts
-    def hashes(df: org.apache.spark.sql.DataFrame) = df.select(
-      md5(graft.functions.TextFunctions.normalizeText($"text").cast("binary")).as("h"))
-    def sk(df: org.apache.spark.sql.DataFrame) =
-      Sketches.distinctSketch(hashes(df), Seq(lit(1).as("g")), $"h")
-        .select($"n_approx", $"sketch")
-    val (naEst, skA) = sk(a).as[(Long, Array[Byte])].head()
-    val (nbEst, skB) = sk(b).as[(Long, Array[Byte])].head()
-    val unionEst = Sketches.mergeDistinctSketches(
-      sk(a).select($"sketch").unionAll(sk(b).select($"sketch")))
-    val interEst = naEst + nbEst - unionEst
-    assert(math.abs(naEst - 100) <= 5 && math.abs(unionEst - 150) <= 8 &&
-      math.abs(interEst - 50) <= 10,
-      s"sketch path drifted: n_a=$naEst n_b=$nbEst union=$unionEst inter=$interEst")
+    // the 100 TB repeated-triage path, now a first-class operator:
+    // per-snapshot HLL sketches merged pairwise — estimates must land
+    // within the sketch's tolerance of the exact counts
+    val est = CorpusOps.corpusOverlapSketch(a, b, "text")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(math.abs(est._1 - 100) <= 5 && math.abs(est._2 - 100) <= 5 &&
+      math.abs(est._3 - 150) <= 8 && math.abs(est._4 - 50) <= 10,
+      s"sketch path drifted: $est")
+    // null text must not shift either engine's counts (ADVICE r10)
+    val withNull = a.unionByName(Seq((9999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val gotNull = CorpusOps.corpusOverlap(withNull, b, "text")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(gotNull == got, s"null text shifted overlap: $gotNull vs $got")
   }
 
   test("bm25Search: exact hand-computed scores, rank order, top-k cut") {
