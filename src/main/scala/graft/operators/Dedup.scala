@@ -922,13 +922,16 @@ object Dedup extends Logging {
    */
   def saveHashIndex(df: DataFrame, keyCols: Seq[Column], path: String): Unit = {
     val spark = df.sparkSession
-    hashesOf(df, keyCols).distinct()
-      .write.mode("overwrite").parquet(s"$path/hashes/epoch=-1")
-    import spark.implicits._
-    val asked = keyCols.map(nameOf).mkString(",")
-    Seq(asked).toDF("key_cols")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    hashIndexParams.put(path, asked) // refresh: the path may be re-keyed
+    withIndexLease(indexFs(spark, path), path, "saveHashIndex") {
+      hashesOf(df, keyCols).distinct()
+        .write.mode("overwrite").parquet(s"$path/hashes/epoch=-1")
+      import spark.implicits._
+      val asked = keyCols.map(nameOf).mkString(",")
+      Seq(asked).toDF("key_cols")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      hashIndexParams.put(path, asked) // refresh: the path may be re-keyed
+    }
+    ()
   }
 
   /** Forget a path's memoized params (for callers that delete a temp
@@ -1026,8 +1029,10 @@ object Dedup extends Logging {
     * but stores dead weight. */
   def appendToHashIndex(df: DataFrame, keyCols: Seq[Column], path: String): Unit = {
     requireKeyColsMatch(df.sparkSession, path, keyCols)
-    hashesOf(df, keyCols).distinct()
-      .write.mode("append").parquet(s"$path/hashes/epoch=-1")
+    withIndexLease(indexFs(df.sparkSession, path), path, "appendToHashIndex") {
+      hashesOf(df, keyCols).distinct()
+        .write.mode("append").parquet(s"$path/hashes/epoch=-1")
+    }
   }
 
   /**
@@ -1092,16 +1097,81 @@ object Dedup extends Logging {
       path: String): Int = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverCompaction(fs, path, "hashes") // a prior crashed swap first
-    val live = new Path(s"$path/hashes")
-    val n = fs.listStatus(live)
-      .count(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
-    if (n <= 1) return 0
-    swapCompacted(fs, path, "hashes", tmp =>
-      spark.read.parquet(live.toString).drop("epoch").distinct()
-        .write.mode("overwrite").parquet(tmp))
-    n
+    withIndexLease(fs, path, "compactHashIndex") {
+      recoverCompaction(fs, path, "hashes") // a prior crashed swap first
+      val live = new Path(s"$path/hashes")
+      val n = fs.listStatus(live)
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      if (n <= 1) 0
+      else {
+        swapCompacted(fs, path, "hashes", tmp =>
+          spark.read.parquet(live.toString).drop("epoch").distinct()
+            .write.mode("overwrite").parquet(tmp))
+        n
+      }
+    }
   }
+
+  /** How old a lease file must be before a new writer may break it: a
+    * writer that died without cleanup must not brick its index forever,
+    * but a SLOW live compaction must not get its lease stolen mid-swap. */
+  private[operators] val IndexLeaseStaleMs: Long = 30L * 60 * 1000
+
+  /** Best-effort single-writer lease over an index path. The compaction
+    * swap is crash-safe against a writer DYING, but two simultaneous
+    * writers (two jobs sharing an index path — append while compacting,
+    * two compactions) can interleave the checked renames into states no
+    * single-writer recovery contemplates. Every index mutation therefore
+    * takes `<path>/__lease` via create-exclusive first and fails LOUDLY
+    * (with the holder's tag in the message) if another writer holds it;
+    * a lease older than [[IndexLeaseStaleMs]] is treated as a dead
+    * writer's leftover and broken. Best-effort by design: HDFS
+    * create-exclusive is atomic; on stores without atomic create the
+    * guard still refuses every OBSERVABLE overlap — its job is turning a
+    * silent corruption into a loud error, not distributed locking. */
+  private def withIndexLease[T](fs: org.apache.hadoop.fs.FileSystem,
+      path: String, op: String)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val lease = new Path(s"$path/__lease")
+    fs.mkdirs(new Path(path))
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        try out.write(s"$op@${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+        catch {
+          // holder released between our failed create and the stat: retry
+          case _: java.io.FileNotFoundException => Long.MaxValue
+        }
+      if (age >= IndexLeaseStaleMs) {
+        fs.delete(lease, false)
+        acquired = tryAcquire()
+      }
+      if (!acquired) {
+        val holder =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+            new java.io.DataInputStream(fs.open(lease))), "UTF-8")
+          catch { case _: Exception => "unknown" }
+        throw new IllegalStateException(
+          s"index at $path is being written by another job (lease held by " +
+            s"$holder). Concurrent index mutations are unsupported; if that " +
+            s"writer is dead, delete $lease (stale leases are broken " +
+            s"automatically after ${IndexLeaseStaleMs / 60000} min)")
+      }
+    }
+    try body finally { fs.delete(lease, false); () }
+  }
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Crash-safe swap of a freshly-compacted table into `<path>/<table>` as
     * its single `epoch=-1` partition. The live dir is never deleted before
@@ -1219,15 +1289,17 @@ object Dedup extends Logging {
       seed: Long = 42L): Unit = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val spark = docs.sparkSession
-    val base = lazyShare(shingleBase(docs, idCol, textCol, k, "doc_id"))
-    bandRows(base, "doc_id", numHashes, bands, seed)
-      .write.mode("overwrite").parquet(s"$path/bands/epoch=-1")
-    hashedShingles(base, "doc_id")
-      .write.mode("overwrite").parquet(s"$path/shingles/epoch=-1")
-    import spark.implicits._
-    Seq((k, numHashes, bands, seed)).toDF("k", "num_hashes", "bands", "seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    minHashIndexParams.put(path, MinHashIndexParams(k, numHashes, bands, seed))
+    withIndexLease(indexFs(spark, path), path, "saveMinHashIndex") {
+      val base = lazyShare(shingleBase(docs, idCol, textCol, k, "doc_id"))
+      bandRows(base, "doc_id", numHashes, bands, seed)
+        .write.mode("overwrite").parquet(s"$path/bands/epoch=-1")
+      hashedShingles(base, "doc_id")
+        .write.mode("overwrite").parquet(s"$path/shingles/epoch=-1")
+      import spark.implicits._
+      Seq((k, numHashes, bands, seed)).toDF("k", "num_hashes", "bands", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      minHashIndexParams.put(path, MinHashIndexParams(k, numHashes, bands, seed))
+    }
     ()
   }
 
@@ -1335,11 +1407,13 @@ object Dedup extends Logging {
   def appendToMinHashIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val p = minHashParamsOf(batch.sparkSession, path)
-    val base = lazyShare(shingleBase(batch, idCol, textCol, p.k, "doc_id"))
-    bandRows(base, "doc_id", p.numHashes, p.bands, p.seed)
-      .write.mode("append").parquet(s"$path/bands/epoch=-1")
-    hashedShingles(base, "doc_id")
-      .write.mode("append").parquet(s"$path/shingles/epoch=-1")
+    withIndexLease(indexFs(batch.sparkSession, path), path, "appendToMinHashIndex") {
+      val base = lazyShare(shingleBase(batch, idCol, textCol, p.k, "doc_id"))
+      bandRows(base, "doc_id", p.numHashes, p.bands, p.seed)
+        .write.mode("append").parquet(s"$path/bands/epoch=-1")
+      hashedShingles(base, "doc_id")
+        .write.mode("append").parquet(s"$path/shingles/epoch=-1")
+    }
   }
 
   /**
@@ -1413,28 +1487,32 @@ object Dedup extends Logging {
       path: String): Int = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // restore either table from a prior crashed swap before counting epochs
-    Seq("bands", "shingles").foreach(recoverCompaction(fs, path, _))
-    def epochDirs(table: String): Array[Path] =
-      fs.listStatus(new Path(s"$path/$table"))
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
-        .map(_.getPath)
-    val n = epochDirs("bands").length
-    if (n <= 1 && epochDirs("shingles").length <= 1) return 0
-    // bands: full-row distinct; shingles: one row per doc — a doc admitted
-    // into more than one epoch (double append, or a crashed stream
-    // re-admitted under a new epoch id) must not keep duplicate rows that
-    // would inflate minHashIndexMatches counts forever
-    Seq("bands", "shingles").foreach { table =>
-      swapCompacted(fs, path, table, { tmp =>
-        val merged = spark.read.parquet(s"$path/$table").drop("epoch")
-        val deduped =
-          if (table == "shingles") merged.dropDuplicates("doc_id")
-          else merged.distinct()
-        deduped.write.mode("overwrite").parquet(tmp)
-      })
+    withIndexLease(fs, path, "compactMinHashIndex") {
+      // restore either table from a prior crashed swap before counting epochs
+      Seq("bands", "shingles").foreach(recoverCompaction(fs, path, _))
+      def epochDirs(table: String): Array[Path] =
+        fs.listStatus(new Path(s"$path/$table"))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+          .map(_.getPath)
+      val n = epochDirs("bands").length
+      if (n <= 1 && epochDirs("shingles").length <= 1) 0
+      else {
+        // bands: full-row distinct; shingles: one row per doc — a doc
+        // admitted into more than one epoch (double append, or a crashed
+        // stream re-admitted under a new epoch id) must not keep duplicate
+        // rows that would inflate minHashIndexMatches counts forever
+        Seq("bands", "shingles").foreach { table =>
+          swapCompacted(fs, path, table, { tmp =>
+            val merged = spark.read.parquet(s"$path/$table").drop("epoch")
+            val deduped =
+              if (table == "shingles") merged.dropDuplicates("doc_id")
+              else merged.distinct()
+            deduped.write.mode("overwrite").parquet(tmp)
+          })
+        }
+        n
+      }
     }
-    n
   }
 
   /**

@@ -40,10 +40,19 @@ object Relational {
    * match is deterministic under ties. Each carried column takes its most
    * recent NON-NULL value independently (`last(ignoreNulls)` semantics).
    */
+  /** The boundary-sample half of [[asofJoin]]'s bucket pre-pass, exposed
+    * for fit-once callers (e.g. the streaming enrichment scores many
+    * micro-batches against ONE static right side — sample its time axis
+    * once, not per trigger). Boundaries shape only bucket balance, never
+    * values, so any time-column sample is a valid argument. */
+  def asofBoundaries(df: DataFrame, timeCol: String): Seq[Any] =
+    Sampling.sampledBoundaries(df.select(col(timeCol).as("__t")), col("__t"))
+
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
-      rightCols: Map[String, String]): DataFrame = {
+      rightCols: Map[String, String],
+      boundaries: Option[Seq[Any]] = None): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin needs at least one right column to carry")
     val ds = rightCols.values.toSeq
     val aggs = rightCols.map { case (src, dst) => max(col(src)).as(s"__r_$dst") }.toSeq
@@ -64,10 +73,11 @@ object Relational {
     val unioned = lTagged.union(rTagged)
     // boundary sample from the RAW time columns of both inputs — same
     // distribution the union carries, without paying the right side's
-    // dedup shuffle in the sampling pre-pass
-    val bounds = Sampling.sampledBoundaries(
+    // dedup shuffle in the sampling pre-pass (or the caller's precomputed
+    // boundaries: a fit-once streaming caller skips the pre-pass entirely)
+    val bounds = boundaries.getOrElse(Sampling.sampledBoundaries(
       left.select(col(timeCol).as("__t"))
-        .unionAll(right.select(col(timeCol).as("__t"))), col("__t"))
+        .unionAll(right.select(col(timeCol).as("__t"))), col("__t")))
     val d0 = unioned
       .withColumn("__bkt", Sampling.bucketOf(col(timeCol), bounds))
       .withColumn("__key", col(keyCol))

@@ -31,6 +31,36 @@ object StreamOps {
       keyCols: Seq[String]): DataFrame =
     df.withWatermark(timeCol, watermark).dropDuplicates(keyCols :+ timeCol)
 
+  /**
+   * Stream-static AS-OF enrichment: each micro-batch row takes the latest
+   * at-or-before `rightCols` value per `keyCol` from a STATIC dimension —
+   * the trades/quotes shape (price as of trade, last profile update as of
+   * event) against a slowly-changing dimension snapshot. Enrichment is
+   * per-row stateless with respect to the stream (the right side is
+   * fixed), so the union over ANY trigger slicing equals the batch
+   * [[graft.operators.Relational.asofJoin]] on the same inputs — which is
+   * exactly how the gate oracles it.
+   *
+   * Fit-once shape: the dimension is lazily shared (its dedup shuffle and
+   * scan cache across triggers) and the as-of bucket boundary sample runs
+   * ONCE here, not per micro-batch — a trigger pays only the batch-side
+   * union-and-carry. `writeBatch` must be idempotent on the epoch id
+   * (foreachBatch is at-least-once). Returns the configured writer; the
+   * caller picks trigger/checkpoint and starts it.
+   */
+  def asofEnrichStream(stream: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, rightCols: Map[String, String])(
+      writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val dim = graft.operators.Dedup.lazyShare(right)
+    val bounds = graft.operators.Relational.asofBoundaries(right, timeCol)
+    stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      writeBatch(graft.operators.Relational.asofJoin(
+        batch, dim, keyCol, timeCol, rightCols, boundaries = Some(bounds)),
+        epochId)
+    }
+  }
+
   final case class SessionUpdate(key: String, nEvents: Long, startMs: Long, endMs: Long)
 
   /**

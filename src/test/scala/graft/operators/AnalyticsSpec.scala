@@ -638,6 +638,44 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.count() == rows.dropDuplicates("h0", "h1").count())
   }
 
+  test("index writer lease: a second concurrent writer fails loudly; stale lease is broken") {
+    val path = java.nio.file.Files.createTempDirectory("hash-idx-lease").toString
+    Dedup.saveHashIndex(docs, Seq($"text"), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$path/__lease")
+    // writer A holds the lease (mid-append/compaction): every other
+    // mutation must fail LOUDLY and leave the index untouched
+    val out = fs.create(lease, false)
+    out.write("compactHashIndex@test".getBytes("UTF-8")); out.close()
+    val extra = Seq((70L, "lease contention document")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException](
+      Dedup.appendToHashIndex(extra, Seq($"text"), path))
+    assert(e1.getMessage.contains("lease") &&
+      e1.getMessage.contains("compactHashIndex@test"), e1.getMessage)
+    intercept[IllegalStateException](Dedup.compactHashIndex(spark, path))
+    intercept[IllegalStateException](Dedup.saveHashIndex(docs, Seq($"text"), path))
+    def survivors() = Dedup.dedupAgainstHashIndex(
+        Seq((71L, "lease contention document")).toDF("doc_id", "text"),
+        Seq($"text"), path)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors() == Set(71L), "failed writer must not have mutated the index")
+    // A releases: B wins, appends, and the index validates
+    fs.delete(lease, false)
+    Dedup.appendToHashIndex(extra, Seq($"text"), path)
+    assert(survivors().isEmpty, "post-lease append must be probe-visible")
+    assert(!fs.exists(lease), "winner must release the lease")
+    // a dead writer's leftover lease (older than the staleness window) is
+    // broken automatically instead of bricking the index
+    val out2 = fs.create(lease, false)
+    out2.write("deadWriter@crash".getBytes("UTF-8")); out2.close()
+    val old = System.currentTimeMillis() - Dedup.IndexLeaseStaleMs - 60000
+    fs.setTimes(lease, old, old)
+    assert(Dedup.compactHashIndex(spark, path) >= 0) // acquires by breaking
+    assert(!fs.exists(lease))
+    Dedup.forgetHashIndex(path)
+  }
+
   test("minhash index probe refuses a corpus-shaped batch loudly") {
     val path = java.nio.file.Files.createTempDirectory("mh-idx-guard").toString
     Dedup.saveMinHashIndex(docs, "doc_id", "text", path)
