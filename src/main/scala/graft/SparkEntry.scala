@@ -120,25 +120,31 @@ object SparkEntry {
     * round-over-round comparison. In-memory registry logs, one per sf dir
     * and shape, never dropped (bounded: the test suite touches <= 3 dirs). */
   private val sharedLogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedDocsLog(s: SparkSession, dir: String, withId: Boolean,
-      dropSrc0: Boolean = false): String = {
-    val shape = (if (withId) "id" else "body") + (if (dropSrc0) "-nosrc0" else "")
+  private def sharedLog(dir: String, shape: String)(
+      write: String => Unit): String =
     sharedLogs.compute(s"$dir|$shape", (_, existing) => {
       if (existing != null && sources.EventLogRegistry.exists(existing)) existing
       else {
-        val name = s"s${shape.replace("-", "")}_" +
+        val name = s"s${shape}_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val docs0 = Tables.documents(s, dir)
-        val docs = if (dropSrc0) docs0.filter(col("source") =!= "src0") else docs0
-        (if (withId)
-          docs.select(col("text").cast("binary").as("body"),
-            map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
-        else docs.select(col("text").cast("binary").as("body")))
-          .write.format(GraftEventLog.Format)
-          .option("name", name).option("partitions", "4").mode("append").save()
+        write(name)
         name
       }
     })
+
+  private def sharedDocsLog(s: SparkSession, dir: String, withId: Boolean,
+      dropSrc0: Boolean = false): String = {
+    val shape = (if (withId) "id" else "body") + (if (dropSrc0) "nosrc0" else "")
+    sharedLog(dir, shape) { name =>
+      val docs0 = Tables.documents(s, dir)
+      val docs = if (dropSrc0) docs0.filter(col("source") =!= "src0") else docs0
+      (if (withId)
+        docs.select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+      else docs.select(col("text").cast("binary").as("body")))
+        .write.format(GraftEventLog.Format)
+        .option("name", name).option("partitions", "4").mode("append").save()
+    }
   }
 
   /** Same once-per-dir sharing for q_stream_session_window's sentinel-
@@ -919,13 +925,14 @@ object SparkEntry {
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("value"))
       val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-      val logName = "sa_" + tag
-      clicks.select(col("event_id").cast("string").cast("binary").as("body"),
-          map(lit("event_id"), col("event_id").cast("string"),
-            lit("user_id"), col("user_id").cast("string"),
-            lit("ts_us"), unix_micros(col("ts")).cast("string")).as("properties"))
-        .write.format(GraftEventLog.Format)
-        .option("name", logName).option("partitions", "4").mode("append").save()
+      val logName = sharedLog(dir, "clicks") { name =>
+        clicks.select(col("event_id").cast("string").cast("binary").as("body"),
+            map(lit("event_id"), col("event_id").cast("string"),
+              lit("user_id"), col("user_id").cast("string"),
+              lit("ts_us"), unix_micros(col("ts")).cast("string")).as("properties"))
+          .write.format(GraftEventLog.Format)
+          .option("name", name).option("partitions", "4").mode("append").save()
+      }
       val nClicks = GraftEventLog.count(logName)
       val perTrigger = math.max(256L, (nClicks + 3) / 4)
       val stream = s.readStream.format(GraftEventLog.Format)
@@ -944,10 +951,7 @@ object SparkEntry {
           res.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
         }.trigger(Trigger.AvailableNow()).start()
         awaitOrFail(q)
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        sources.EventLogRegistry.drop(logName)
-      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.read.parquet(outDir)
         .select(col("event_id"), col("user_id"), col("view_value"))
         .orderBy(col("event_id"))
@@ -1919,6 +1923,54 @@ object SparkEntry {
           col("n_union").cast("double") * 0.05).as("intersect_within_5pct_of_union"))
     }),
 
+    "q_corpus_overlap_matrix" -> ((s, dir) => {
+      // N-snapshot triage: each snapshot reduces ONCE to a persisted
+      // KB-sized sketch file (saveOverlapSketch); ALL pairwise overlaps
+      // then come from one plan over the sketch rows — zero corpus
+      // rescans (corpusOverlapMatrix). Gate technique = the sketch gate's:
+      // exact per-pair counts DuckDB-verified, 5%-bound booleans for the
+      // sketch estimates. The 3-row result is collected eagerly so the
+      // temp sketch files can be deleted before returning.
+      val d = Tables.documents(s, dir)
+      val preds = Seq("m2" -> 2, "m3" -> 3, "m5" -> 5)
+      val base = java.nio.file.Files.createTempDirectory("ovm").toString
+      try {
+        val paths = preds.map { case (nm, m) =>
+          operators.CorpusOps.saveOverlapSketch(
+            d.filter(col("doc_id") % m === 0), "text", s"$base/$nm")
+          nm -> s"$base/$nm"
+        }
+        val matrix = operators.CorpusOps.corpusOverlapMatrix(s, paths)
+        val exact = preds.combinations(2).map { case Seq((na, ma), (nb, mb)) =>
+          operators.CorpusOps.corpusOverlap(
+              d.filter(col("doc_id") % ma === 0),
+              d.filter(col("doc_id") % mb === 0), "text")
+            .select(lit(na).as("snap_a"), lit(nb).as("snap_b"),
+              col("n_a").as("e_a"), col("n_b").as("e_b"),
+              col("n_union").as("e_union"), col("n_intersect").as("e_intersect"))
+        }.reduce(_ unionAll _)
+        val res = matrix.join(exact, Seq("snap_a", "snap_b"))
+          .select(col("snap_a"), col("snap_b"),
+            col("e_a").as("n_a_exact"), col("e_b").as("n_b_exact"),
+            col("e_union").as("n_union_exact"),
+            col("e_intersect").as("n_intersect_exact"),
+            (abs(col("n_a") - col("e_a")).cast("double") <=
+              col("e_a").cast("double") * 0.05).as("a_within_5pct"),
+            (abs(col("n_b") - col("e_b")).cast("double") <=
+              col("e_b").cast("double") * 0.05).as("b_within_5pct"),
+            (abs(col("n_union") - col("e_union")).cast("double") <=
+              col("e_union").cast("double") * 0.05).as("union_within_5pct"),
+            (abs(col("n_intersect") - col("e_intersect")).cast("double") <=
+              col("e_union").cast("double") * 0.05)
+              .as("intersect_within_5pct_of_union"))
+          .orderBy(col("snap_a"), col("snap_b"))
+        val rows = res.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)); ()
+      }
+    }),
+
     "q_text_bm25" -> ((s, dir) => {
       // Okapi BM25 retrieval against a fixed query: token stream filtered
       // to the query terms before any shuffle, df/stats broadcast,
@@ -2541,6 +2593,18 @@ object SparkEntry {
            |FROM (${operators.CorpusOps.sqlCorpusOverlap(
                  "SELECT text FROM documents WHERE doc_id % 2 = 0",
                  "SELECT text FROM documents WHERE doc_id % 3 = 0")})""".stripMargin,
+
+      "q_corpus_overlap_matrix" -> Seq(("m2", 2, "m3", 3), ("m2", 2, "m5", 5),
+          ("m3", 3, "m5", 5)).map { case (na, ma, nb, mb) =>
+        s"""SELECT '$na' AS snap_a, '$nb' AS snap_b,
+           | n_a AS n_a_exact, n_b AS n_b_exact, n_union AS n_union_exact,
+           | n_intersect AS n_intersect_exact,
+           | true AS a_within_5pct, true AS b_within_5pct,
+           | true AS union_within_5pct, true AS intersect_within_5pct_of_union
+           |FROM (${operators.CorpusOps.sqlCorpusOverlap(
+                  s"SELECT text FROM documents WHERE doc_id % $ma = 0",
+                  s"SELECT text FROM documents WHERE doc_id % $mb = 0")})""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY snap_a, snap_b"),
 
       "q_text_bm25" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
 

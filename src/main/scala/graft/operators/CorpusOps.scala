@@ -750,6 +750,68 @@ object CorpusOps {
             col("n_b").cast("double"), 6).as("containment_b_in_a"))
   }
 
+  /** Persist a snapshot's overlap sketch: ONE HLL row over the
+    * normalized-text hash, written to `path` — the fit-once artifact of
+    * repeated triage. A 100 TB snapshot reduces ONCE to a KB-sized file;
+    * every later pairwise (or N-way, [[corpusOverlapMatrix]]) comparison
+    * is a merge of sketch bytes — zero corpus rescans. `lgConfigK` must
+    * match across sketches that will be merged (stored beside the sketch
+    * and validated at matrix time). */
+  def saveOverlapSketch(df: DataFrame, textCol: String, path: String,
+      lgConfigK: Int = 12): Unit = {
+    df.select(
+        md5(TextFunctions.normalizeText(col(textCol)).cast("binary")).as("h"))
+      .filter(col("h").isNotNull)
+      .agg(hll_sketch_agg(col("h"), lit(lgConfigK)).as("sketch"))
+      .withColumn("lg_config_k", lit(lgConfigK))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    ()
+  }
+
+  /**
+   * Pairwise overlap MATRIX over N persisted [[saveOverlapSketch]]
+   * snapshots — the triage table a dataset-curation review reads ("which
+   * of our 12 crawl snapshots duplicate each other, and how much?").
+   * All N*(N-1)/2 pairs come from ONE plan over N single-row sketch
+   * loads: a self-join on snapshot name order (each side is N KB-sized
+   * rows — the join is trivially broadcast), scalar `hll_union` per pair,
+   * inclusion–exclusion per pair. Nothing rescans any corpus. Returns
+   * (snap_a, snap_b, n_a, n_b, n_union, n_intersect, jaccard,
+   * containment_b_in_a) for every name pair with snap_a < snap_b.
+   */
+  def corpusOverlapMatrix(spark: org.apache.spark.sql.SparkSession,
+      snapshots: Seq[(String, String)]): DataFrame = {
+    require(snapshots.size >= 2, "overlap matrix needs at least two snapshots")
+    require(snapshots.map(_._1).distinct.size == snapshots.size,
+      "snapshot names must be distinct")
+    val rows = snapshots.map { case (name, path) =>
+      spark.read.parquet(path).select(lit(name).as("snap"),
+        col("sketch"), col("lg_config_k"))
+    }.reduce(_ unionAll _)
+    val ks = rows.select(col("lg_config_k")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    require(ks.size == 1,
+      s"sketches disagree on lgConfigK ($ks) — estimates would not merge; " +
+        "re-sketch with one configuration")
+    val a = rows.select(col("snap").as("snap_a"), col("sketch").as("sk_a"))
+    val b = rows.select(col("snap").as("snap_b"), col("sketch").as("sk_b"))
+    a.join(b, col("snap_a") < col("snap_b"))
+      .select(col("snap_a"), col("snap_b"),
+        hll_sketch_estimate(col("sk_a")).cast("long").as("n_a"),
+        hll_sketch_estimate(col("sk_b")).cast("long").as("n_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_union"))
+      .select(col("snap_a"), col("snap_b"), col("n_a"), col("n_b"),
+        col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+        TextFunctions.stableRound(
+          (col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_union").cast("double"), 6).as("jaccard"),
+        TextFunctions.stableRound(
+          (col("n_a") + col("n_b") - col("n_union")).cast("double") /
+            col("n_b").cast("double"), 6).as("containment_b_in_a"))
+  }
+
   /**
    * The Gopher quality rules (Rae et al. 2021, appendix A1.1) as a per-rule
    * diagnostic table: word-count bounds, mean-word-length bounds,

@@ -855,6 +855,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(gotNull == got, s"null text shifted overlap: $gotNull vs $got")
   }
 
+  test("persisted overlap sketches: matrix over N snapshots, config drift fails loudly") {
+    val a = (0 until 100).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val b = (50 until 150).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val c = (100 until 160).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("ovm-test").toString
+    CorpusOps.saveOverlapSketch(a, "text", s"$base/a")
+    CorpusOps.saveOverlapSketch(b, "text", s"$base/b")
+    CorpusOps.saveOverlapSketch(c, "text", s"$base/c")
+    val m = CorpusOps.corpusOverlapMatrix(spark,
+        Seq("a" -> s"$base/a", "b" -> s"$base/b", "c" -> s"$base/c"))
+      .orderBy($"snap_a", $"snap_b")
+      .select($"snap_a", $"snap_b", $"n_intersect").as[(String, String, Long)]
+      .collect().toSeq
+    assert(m.map(r => (r._1, r._2)) == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val inter = m.map(r => (r._1, r._2) -> r._3).toMap
+    // true intersections: a∩b=50, a∩c=0, b∩c=50 — estimates within sketch
+    // tolerance at these cardinalities
+    assert(math.abs(inter(("a", "b")) - 50) <= 10, m.toString)
+    assert(math.abs(inter(("a", "c")) - 0) <= 8, m.toString)
+    assert(math.abs(inter(("b", "c")) - 50) <= 10, m.toString)
+    // a sketch built with a different lgConfigK must refuse to merge
+    CorpusOps.saveOverlapSketch(c, "text", s"$base/c9", lgConfigK = 9)
+    val e = intercept[IllegalArgumentException](CorpusOps.corpusOverlapMatrix(
+      spark, Seq("a" -> s"$base/a", "c9" -> s"$base/c9")))
+    assert(e.getMessage.contains("lgConfigK"), e.getMessage)
+    intercept[IllegalArgumentException](
+      CorpusOps.corpusOverlapMatrix(spark, Seq("a" -> s"$base/a")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("bm25Search: exact hand-computed scores, rank order, top-k cut") {
     // 3 docs, query = {cat, dog}: N=3, avgdl = (4+2+3)/3 = 3.0
     // df(cat)=2, df(dog)=1

@@ -92,6 +92,39 @@ class ScaleHarnessSpec extends AnyFunSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("bm25SearchMany stop-word query: WindowGroupLimit keeps the rank shuffle bounded") {
+    // one query term ('the') matches EVERY document — the naive per-query
+    // top-k plan lands all n candidates of that query in ONE rank task.
+    // WindowGroupLimit (row_number + rank filter) must cap each map task
+    // at k rows per query, so no task ever shuffle-reads the corpus.
+    val n = 60000
+    val docs = spark.range(n.toLong).select(
+      format_string("d_%06d", col("id")).as("doc_id"),
+      concat(lit("the w"), pmod(col("id"), lit(100))).as("text")).cache()
+    docs.count()
+    try {
+      val queries = Seq((1L, "the"), (2L, "w42")).toDF("query_id", "query_text")
+      var out: Array[org.apache.spark.sql.Row] = null
+      val maxRead = maxTaskShuffleRead {
+        out = CorpusOps.bm25SearchMany(docs, "doc_id", "text", queries,
+          "query_id", "query_text", k = 5).collect()
+      }
+      assert(maxRead < n / 2,
+        s"one task shuffle-read $maxRead of $n candidates — the per-query " +
+          "rank limit is not being pushed below the shuffle")
+      // correctness under the hostile distribution: per-query equality
+      // with the single-query scorer, ranks dense 1..k
+      val g = out.groupBy(_.getLong(0))
+      for ((qid, terms) <- Seq(1L -> Seq("the"), 2L -> Seq("w42"))) {
+        val single = CorpusOps.bm25Search(docs, "doc_id", "text", terms, k = 5)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        val got = g(qid).sortBy(_.getLong(4))
+          .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+        assert(got.toSeq == single.toSeq, s"query $qid diverged under skew")
+      }
+    } finally { docs.unpersist(); () }
+  }
+
   test("packSequences on a 95%-skewed group: multi-task and value-correct under skew") {
     val n = 40000
     val docs = skewedDocs(n, 0.95).cache()

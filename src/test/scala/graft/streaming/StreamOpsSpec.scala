@@ -122,6 +122,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(restored.estimate("gamma") == 80L)
   }
 
+  test("asofEnrichStream: any trigger slicing unions to the batch asofJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // static dimension: per-key value history with gaps and ties
+    val dim = Seq(
+      ("k1", ts(10), 100L), ("k1", ts(50), 150L), ("k1", ts(50), 160L),
+      ("k2", ts(30), 200L)).toDF("k", "t", "v")
+    val leftRows = Seq(
+      (1L, "k1", ts(5)),   // before any right row -> null
+      (2L, "k1", ts(10)),  // exactly at -> 100
+      (3L, "k1", ts(60)),  // after the tie -> max of tie = 160
+      (4L, "k2", ts(100)), // -> 200
+      (5L, "k3", ts(40))) // key with no dimension rows -> null
+    val expected = graft.operators.Relational.asofJoin(
+        leftRows.toDF("id", "k", "t"), dim, "k", "t", Map("v" -> "v"))
+      .select($"id", $"v").as[(Long, Option[Long])].collect().toSet
+    // stream the left side in 3 different slicings; every one must union
+    // to the batch result exactly (per-row stateless w.r.t. the stream)
+    for (slices <- Seq(Seq(leftRows), leftRows.grouped(2).toSeq,
+        leftRows.map(Seq(_)))) {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val got = scala.collection.mutable.Set.empty[(Long, Option[Long])]
+      val q = StreamOps.asofEnrichStream(
+          input.toDF().toDF("id", "k", "t"), dim, "k", "t",
+          Map("v" -> "v")) { (res, _) =>
+        got ++= res.select(col("id"), col("v"))
+          .as[(Long, Option[Long])].collect()
+        ()
+      }.start()
+      slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      q.stop()
+      assert(got.toSet == expected, s"slicing ${slices.map(_.size)} diverged")
+    }
+  }
+
   test("heavyHitterTracker driver restart end-to-end: byte-roundtrip + checkpoint resume == unbroken run") {
     // a REAL stream stopped mid-corpus, the tracker checkpointed to bytes,
     // a NEW tracker restored and the query resumed from the SAME Spark
