@@ -1693,6 +1693,40 @@ object SparkEntry {
       s.read.parquet(outDir).drop("epoch").orderBy(col("doc_id"))
     }),
 
+    "q_stream_bm25_multi" -> ((s, dir) => {
+      // fit-once MULTI-query streaming retrieval: the (query_id, term) /
+      // df / (N, avgdl) state fits once on the static corpus, then each
+      // micro-batch scores every (query, doc) pair against it. Per-row
+      // stateless ⇒ any trigger slicing unions to bm25SearchMany's scores
+      // (sans top-k cut), which is the exact oracle
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val (qt, dft, nDocs, avgdl) = operators.CorpusOps.bm25FitMany(
+        docs, "doc_id", "text", Bm25Queries.toDF("query_id", "query_text"),
+        "query_id", "query_text")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = sharedDocsLog(s, dir, withId = true)
+      val nCorpus = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nCorpus + 3) / 4)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      val outDir = java.nio.file.Files.createTempDirectory(s"sbm_out_$tag").toString
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          operators.CorpusOps.bm25ScoreManyWith(
+              batch, "doc_id", "text", qt, dft, nDocs, avgdl)
+            .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+          ()
+      }.trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q)
+      s.read.parquet(outDir).drop("epoch")
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     "q_stream_vocab" -> ((s, dir) => {
       // streaming heavy-hitter terms: a STATEFUL running token count over
       // documents flowing through the connector (the state store carries the
@@ -2609,6 +2643,10 @@ object SparkEntry {
       "q_text_bm25" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
 
       "q_text_bm25_multi" -> operators.CorpusOps.sqlBm25Many(Bm25Queries, k = 10),
+
+      // fit-once + per-row-stateless scoring: any slicing unions to the
+      // uncut multi-query scores
+      "q_stream_bm25_multi" -> operators.CorpusOps.sqlBm25ManyScores(Bm25Queries),
 
       // fixed fit stats + per-row-stateless scoring: any trigger slicing
       // unions to the batch scorer, so the uncut corpus BM25 is exact

@@ -1246,7 +1246,25 @@ object CorpusOps {
     * (query_id, query_text) list — same tokenizer, IEEE op order, and
     * round-then-DECIMAL-sum ladder as [[sqlBm25]]. */
   def sqlBm25Many(queries: Seq[(Long, String)], k: Int = 20,
-      k1: Double = 1.2, b: Double = 0.75): String = {
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""${sqlBm25ManyCtes(queries, k1, b)},
+       | r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |       FROM s)
+       |SELECT query_id, doc_id, n_terms, score, rnk FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** [[sqlBm25Many]] WITHOUT the per-query top-k cut, ordered by
+    * (query_id, doc_id) — the oracle of the fit-once streaming scorer
+    * ([[bm25ScoreManyWith]]), which emits every scored pair. */
+  def sqlBm25ManyScores(queries: Seq[(Long, String)],
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""${sqlBm25ManyCtes(queries, k1, b)}
+       |SELECT query_id, doc_id, n_terms, score FROM s
+       |ORDER BY query_id, doc_id""".stripMargin
+
+  private def sqlBm25ManyCtes(queries: Seq[(Long, String)],
+      k1: Double, b: Double): String = {
     def dLit(x: Double) = java.lang.Double.toString(x)
     val qVals = queries.map { case (id, t) =>
       s"($id, '${t.replace("'", "''")}')"
@@ -1272,12 +1290,64 @@ object CorpusOps {
        |       FROM tf JOIN dft USING (term) JOIN q USING (term), st),
        | s AS (SELECT query_id, doc_id, count(*) AS n_terms,
        |        ${TextFunctions.sqlStableRound("sum(w)::DOUBLE", 4)} AS score
-       |       FROM w GROUP BY 1, 2),
-       | r AS (SELECT *, row_number() OVER
-       |        (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
-       |       FROM s)
-       |SELECT query_id, doc_id, n_terms, score, rnk FROM r
-       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+       |       FROM w GROUP BY 1, 2)""".stripMargin
+  }
+
+  /**
+   * Fit the multi-query BM25 state ONCE — the per-query term table, the
+   * per-term document frequencies over the union of all queries' terms,
+   * and (N, avgdl) — for scoring a document STREAM against a fixed query
+   * table ([[bm25Fit]]'s pattern, many queries). Both tables are
+   * benchmark-scale (≤ |queries| x terms rows) and lazily shared.
+   */
+  def bm25FitMany(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String)
+      : (DataFrame, DataFrame, Long, Double) = {
+    val qt = Dedup.lazyShare(queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(TextFunctions.words(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "").distinct())
+    val uniq = qt.select(col("term")).distinct()
+    val dft = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .join(broadcast(uniq), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val st = docs.agg(count(lit(1)),
+      avg(TextFunctions.tokenCount(col(textCol)).cast("long"))).head()
+    (qt, Dedup.lazyShare(dft), st.getLong(0), st.getDouble(1))
+  }
+
+  /**
+   * Score a document batch against PRE-FIT multi-query BM25 state
+   * ([[bm25FitMany]]): per-row stateless (tf and |D| come from the row;
+   * qt/dft/N/avgdl are fixed), so a stream scored per micro-batch unions
+   * to [[bm25SearchMany]]'s scores exactly under any trigger slicing —
+   * minus the per-query top-k cut (a stream emits every scored pair; rank
+   * downstream). Identical arithmetic and rounding ladder.
+   */
+  def bm25ScoreManyWith(batch: DataFrame, idCol: String, textCol: String,
+      qt: DataFrame, dft: DataFrame, nDocs: Long, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    val toks = batch.select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+    val tf = toks.join(broadcast(dft), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = log((lit(nDocs).cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val norm = (col("tf").cast("double") * lit(k1p1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(oneMb) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val w = TextFunctions.stableRound(idf * norm, 6)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    tf.join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        TextFunctions.stableRound(sum(w).cast("double"), 4).as("score"))
   }
 
   /**

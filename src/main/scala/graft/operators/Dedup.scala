@@ -1129,7 +1129,7 @@ object Dedup extends Logging {
     * create-exclusive is atomic; on stores without atomic create the
     * guard still refuses every OBSERVABLE overlap — its job is turning a
     * silent corruption into a loud error, not distributed locking. */
-  private def withIndexLease[T](fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def withIndexLease[T](fs: org.apache.hadoop.fs.FileSystem,
       path: String, op: String)(body: => T): T = {
     import org.apache.hadoop.fs.Path
     val lease = new Path(s"$path/__lease")
@@ -1168,7 +1168,7 @@ object Dedup extends Logging {
     try body finally { fs.delete(lease, false); () }
   }
 
-  private def indexFs(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def indexFs(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

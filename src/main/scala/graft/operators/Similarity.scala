@@ -337,15 +337,20 @@ object Similarity extends org.apache.spark.internal.Logging {
    */
   def saveLshIndex(index: DataFrame, numBits: Int, seed: Long, path: String,
       int8: Boolean = false): Unit = {
-    // cluster each bucket into one task before partitionBy: otherwise every
-    // input partition emits a file per bucket it touches (N x 2^bits small
-    // files), and probe-time file listing/opens dominate the scan it saved
-    storageForm(index, int8).repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
     val spark = index.sparkSession
-    import spark.implicits._
-    Seq((numBits, seed, int8)).toDF("num_bits", "seed", "int8")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    // single-writer lease (Dedup.withIndexLease contract): concurrent
+    // save/append/compact on one index path fail loudly, not corrupt
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "saveLshIndex") {
+      // cluster each bucket into one task before partitionBy: otherwise every
+      // input partition emits a file per bucket it touches (N x 2^bits small
+      // files), and probe-time file listing/opens dominate the scan it saved
+      storageForm(index, int8).repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
+      import spark.implicits._
+      Seq((numBits, seed, int8)).toDF("num_bits", "seed", "int8")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    }
+    ()
   }
 
   private def storageForm(index: DataFrame, int8: Boolean): DataFrame =
@@ -410,9 +415,11 @@ object Similarity extends org.apache.spark.internal.Logging {
     // int8 index would mix schemas inside the bucket files
     val int8 = params.columns.contains("int8") &&
       params.select(col("int8")).head().getBoolean(0)
-    storageForm(lshIndex(newVecs, idCol, vecCol, p.getInt(0), p.getLong(1)), int8)
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "appendToLshIndex") {
+      storageForm(lshIndex(newVecs, idCol, vecCol, p.getInt(0), p.getLong(1)), int8)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
+    }
   }
 
   /**
@@ -472,14 +479,17 @@ object Similarity extends org.apache.spark.internal.Logging {
   def saveIvfIndex(
       index: DataFrame, cents: Array[(Int, Array[Double])], path: String,
       int8: Boolean = false): Unit = {
-    // one file per cell (see saveLshIndex): probe-time listing cost stays
-    // proportional to probed cells, not input partitioning
-    ivfStorageForm(index, int8).repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
     val spark = index.sparkSession
-    import spark.implicits._
-    cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "saveIvfIndex") {
+      // one file per cell (see saveLshIndex): probe-time listing cost stays
+      // proportional to probed cells, not input partitioning
+      ivfStorageForm(index, int8).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+      import spark.implicits._
+      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    ()
   }
 
   private def ivfStorageForm(index: DataFrame, int8: Boolean): DataFrame =
@@ -581,11 +591,13 @@ object Similarity extends org.apache.spark.internal.Logging {
       .sortBy(_._1)
     // schema-detect the persisted storage form so deltas match it
     val int8 = spark.read.parquet(s"$path/assignments").columns.contains("q")
-    ivfStorageForm(
-        newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-          .withColumn("cell", best_centroid(col("v"), cents.map(_._2))), int8)
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "appendToIvfIndex") {
+      ivfStorageForm(
+          newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+            .withColumn("cell", best_centroid(col("v"), cents.map(_._2))), int8)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+    }
   }
 
   /**
@@ -608,13 +620,17 @@ object Similarity extends org.apache.spark.internal.Logging {
    */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerBucket: Int = 1): Int =
-    compactPartitionedTable(spark, s"$path/buckets", "bucket", maxFilesPerBucket)
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "compactLshIndex") {
+      compactPartitionedTable(spark, s"$path/buckets", "bucket", maxFilesPerBucket)
+    }
 
   /** IVF twin of [[compactLshIndex]]: rewrites only over-threshold cells of
     * `assignments/`; `centroids/` (the cell geometry) is untouched. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerCell: Int = 1): Int =
-    compactPartitionedTable(spark, s"$path/assignments", "cell", maxFilesPerCell)
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "compactIvfIndex") {
+      compactPartitionedTable(spark, s"$path/assignments", "cell", maxFilesPerCell)
+    }
 
   /** Rewrite the partitions of a `partCol=value`-laid-out parquet table that
     * hold more than `maxFiles` data files, one output file per partition.

@@ -1218,6 +1218,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale") && e.getMessage.contains("appendToIvfIndex"))
   }
 
+  test("LSH/IVF index writers honor the single-writer lease") {
+    // the same contention contract DedupSpec pins for the hash index: a
+    // held lease makes every ANN-index mutation fail loudly and leave the
+    // index untouched; probes (reads) are unaffected
+    val path = java.nio.file.Files.createTempDirectory("lsh-idx-lease").toString
+    Similarity.saveLshIndex(
+      Similarity.lshIndex(embs, "vec_id", "embedding", numBits = 4, seed = 42L),
+      numBits = 4, seed = 42L, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$path/__lease")
+    val out = fs.create(lease, false)
+    out.write("saveLshIndex@other".getBytes("UTF-8")); out.close()
+    val delta = embs.limit(5).select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val e = intercept[IllegalStateException](
+      Similarity.appendToLshIndex(delta, "vec_id", "embedding", path))
+    assert(e.getMessage.contains("lease") && e.getMessage.contains("saveLshIndex@other"),
+      e.getMessage)
+    intercept[IllegalStateException](Similarity.compactLshIndex(spark, path))
+    // probes still work while a writer holds the lease
+    val (idx, bits, seedv) = Similarity.loadLshIndex(spark, path)
+    val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
+    assert(Similarity.lshTopKWith(idx, bits, seedv, qv, 5,
+      multiProbe = 2, excludeId = Some(0L)).count() == 5)
+    fs.delete(lease, false)
+    Similarity.appendToLshIndex(delta, "vec_id", "embedding", path)
+    assert(!fs.exists(lease), "winner must release the lease")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("persisted LSH index: reload answers identically, reads ONLY probe buckets' files") {
     val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
     val live = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,

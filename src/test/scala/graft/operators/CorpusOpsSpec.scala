@@ -955,6 +955,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(sliced.toSeq == applied.toSeq)
   }
 
+  test("bm25FitMany + bm25ScoreManyWith == bm25SearchMany scores; slicing invariant") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+    val queries = Seq((1L, "data value"), (2L, "spark table key"))
+      .toDF("query_id", "query_text")
+    val (qt, dft, n, avgdl) = CorpusOps.bm25FitMany(
+      docs, "doc_id", "text", queries, "query_id", "query_text")
+    val applied = CorpusOps.bm25ScoreManyWith(docs, "doc_id", "text", qt, dft, n, avgdl)
+      .orderBy($"query_id", $"doc_id").collect()
+    val composed = CorpusOps.bm25SearchMany(docs, "doc_id", "text", queries,
+        "query_id", "query_text", k = 1000000)
+      .drop("rnk").orderBy($"query_id", $"doc_id").collect()
+    assert(applied.toSeq == composed.toSeq)
+    // slicing invariance: two halves scored separately union to the whole
+    val (h1, h2) = (docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+    val sliced = CorpusOps.bm25ScoreManyWith(h1, "doc_id", "text", qt, dft, n, avgdl)
+      .unionByName(CorpusOps.bm25ScoreManyWith(h2, "doc_id", "text", qt, dft, n, avgdl))
+      .orderBy($"query_id", $"doc_id").collect()
+    assert(sliced.toSeq == applied.toSeq)
+  }
+
   test("naiveBayesScore: exact hand-computed log-odds; positives above negatives") {
     val docs = Seq(
       (1L, true, "a a b"),
