@@ -711,6 +711,38 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_numeric_profile_sketch" -> ((s, dir) => {
+      // the 100 TB numeric profile: percentile_approx (mergeable KLL-style
+      // partials, map-side combined) instead of the exact sort-based
+      // percentile. Gate technique = q_sketch_distinct: exact group counts
+      // DuckDB-verified plus a boolean that each returned quantile value's
+      // TRUE rank interval [lt+1, le] intersects the sketch's guaranteed
+      // rank window [(p-eps)n - 1, (p+eps)n + 1] (eps = 1/accuracy)
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val accuracy = 10000
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val prof = operators.Sketches.numericProfile(
+          ev, Seq(col("event_type")), col("value"), qs)
+        .select(col("event_type"), col("n"),
+          posexplode(col("quantiles")).as(Seq("qi", "qv")))
+      val qlit = array(qs.map(lit): _*)
+      val eps = 1.0 / accuracy
+      ev.join(broadcast(prof), Seq("event_type"))
+        .groupBy(col("event_type"), col("qi"), col("qv"), col("n"))
+        .agg(sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).as("le"))
+        .select(col("event_type"),
+          element_at(qlit, col("qi").cast("int") + 1).as("quantile"),
+          col("n").as("n_exact"),
+          ((col("lt") + 1) <=
+            ceil((element_at(qlit, col("qi").cast("int") + 1) + eps) *
+              col("n")) + 1 &&
+           col("le") >=
+            floor((element_at(qlit, col("qi").cast("int") + 1) - eps) *
+              col("n")) - 1).as("within_rank_bounds"))
+        .orderBy(col("event_type"), col("quantile"))
+    }),
+
     "q_events_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
       Tables.events(s, dir)
@@ -2521,6 +2553,12 @@ object SparkEntry {
           | round(quantile_cont(value, 0.75), 4) AS p75,
           | round(min(value), 4) AS min, round(max(value), 4) AS max
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_numeric_profile_sketch" ->
+        """SELECT event_type, q.quantile, count(*) AS n_exact,
+          | true AS within_rank_bounds
+          |FROM events, (VALUES (0.25), (0.5), (0.75), (0.95)) q(quantile)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_stream_enrich" ->
         """SELECT event_type, count(*) AS n_events,
