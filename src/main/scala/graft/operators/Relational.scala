@@ -119,6 +119,116 @@ object Relational {
       .select(leftCols.map(col) ++ ds.map(d => col(s"__c_$d").as(d)): _*)
   }
 
+  /** A fitted as-of RIGHT side ([[asofFit]]): probe-ready state for
+    * [[asofJoinWith]]. `byBucket` holds, per non-empty (key, time-bucket),
+    * the bucket's time-sorted (t, value) arrays (nulls removed, one
+    * carried column each) plus each bucket's CARRY-IN (the newest earlier
+    * value); `byKey` holds one ≤[[Sampling.CumSumBuckets]]-element bucket
+    * summary array per key, for probes landing in a bucket the right side
+    * never touched. Array sizes are bucket-bounded — a hot key's history
+    * spreads across the buckets, never into one row. */
+  final case class AsofFitted(
+      byBucket: DataFrame, byKey: DataFrame,
+      boundaries: Seq[Any], rightCols: Map[String, String])
+
+  /**
+   * Fit the right side of an as-of join ONCE — the fit-once / probe-many
+   * flow ([[graft.operators.CorpusOps.bm25Fit]]'s pattern): a STREAM (or
+   * many batches) enriched against a slowly-changing dimension should not
+   * re-aggregate the dimension per micro-batch the way composing
+   * [[asofJoin]] per batch does. The fitted state reduces every probe
+   * batch to two planner-chosen joins plus an array lookup:
+   *
+   *  - probe rows bucket with the SAME stored boundaries (order-consistent
+   *    cuts — [[asofJoin]]'s bucketing, so values are identical);
+   *  - a (key, bucket) join attaches the bucket's sorted (t, v) array;
+   *    the latest element with `t <= probe time` answers in-bucket, the
+   *    stored carry-in answers "bucket has data only after my time";
+   *  - probes in a (key, bucket) the dimension never touched fall back to
+   *    the per-key summary: the newest value of any EARLIER bucket.
+   *
+   * VALUE-identical to [[asofJoin]] on the same inputs (same dedup, same
+   * `<=`-with-max-tie semantics, per-column last-non-null independence).
+   */
+  def asofFit(right: DataFrame, keyCol: String, timeCol: String,
+      rightCols: Map[String, String]): AsofFitted = {
+    require(rightCols.nonEmpty, "asofFit needs at least one right column to carry")
+    val ds = rightCols.values.toSeq
+    val aggs = rightCols.map { case (src, dst) => max(col(src)).as(s"__r_$dst") }.toSeq
+    val bounds = Sampling.sampledBoundaries(
+      right.select(col(timeCol).as("__t")), col("__t"))
+    val dedup = right.groupBy(col(keyCol), col(timeCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col(keyCol).as("__key") +: col(timeCol).as("__t") +:
+        Sampling.bucketOf(col(timeCol), bounds).as("__bkt") +:
+        ds.map(d => col(s"__r_$d"))): _*)
+    // per (key, bucket): each carried column's time-sorted (t, v) pairs
+    // with null values dropped (collect_list skips null ENTRIES, and the
+    // `when` nulls the whole struct for a null value) — so the in-bucket
+    // lookup and the bucket's own "last" are last-NON-NULL by construction
+    val arrAggs = ds.map { d =>
+      sort_array(collect_list(when(col(s"__r_$d").isNotNull,
+        struct(col("__t").as("t"), col(s"__r_$d").as("v"))))).as(s"__arr_$d")
+    }
+    val perBucket = dedup.groupBy(col("__key"), col("__bkt"))
+      .agg(arrAggs.head, arrAggs.tail: _*)
+    // per key: the ≤CumSumBuckets bucket summaries (bucket, last value per
+    // column), sorted by bucket — both the carry-in source and the
+    // missing-bucket fallback
+    val byKey = perBucket.groupBy(col("__key"))
+      .agg(sort_array(collect_list(struct(
+        col("__bkt") +: ds.map(d =>
+          try_element_at(col(s"__arr_$d"), lit(-1)).getField("v").as(s"last_$d")): _*)))
+        .as("__summary"))
+    // carry-in per existing bucket: newest non-null value of any EARLIER
+    // bucket, via an array aggregate over the summary (no window anywhere)
+    val withSummary = perBucket.join(byKey, "__key")
+    val byBucket = ds.foldLeft(withSummary) { (df, d) =>
+      df.withColumn(s"__in_$d",
+        try_element_at(filter(col("__summary"), e =>
+          e.getField("__bkt") < col("__bkt") &&
+            e.getField(s"last_$d").isNotNull), lit(-1)).getField(s"last_$d"))
+    }.drop("__summary")
+    AsofFitted(Dedup.lazyShare(byBucket), Dedup.lazyShare(byKey), bounds, rightCols)
+  }
+
+  /** Probe a fitted as-of right side ([[asofFit]]): attach each left row's
+    * latest at-or-before value per carried column. Two left joins (bucket
+    * state, per-key fallback) + array lookups — no unions, windows, or
+    * right-side aggregation in the probe plan, so a micro-batch pays only
+    * its own size. Output schema matches [[asofJoin]]. */
+  def asofJoinWith(left: DataFrame, fitted: AsofFitted,
+      keyCol: String, timeCol: String): DataFrame = {
+    val ds = fitted.rightCols.values.toSeq
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__lkey", col(keyCol))
+      .withColumn("__lbkt", Sampling.bucketOf(col(timeCol), fitted.boundaries))
+    val j = l.join(fitted.byBucket,
+        l("__lkey") <=> fitted.byBucket("__key") &&
+          l("__lbkt") === fitted.byBucket("__bkt"), "left")
+      .drop("__key", "__bkt")
+      .join(fitted.byKey.withColumnRenamed("__key", "__fkey"),
+        l("__lkey") <=> col("__fkey"), "left")
+    val out = ds.foldLeft(j) { (df, d) =>
+      df.withColumn(s"__c_$d",
+        when(col(s"__arr_$d").isNotNull,
+          // bucket exists: latest in-bucket element at-or-before my time,
+          // else the bucket's stored carry-in
+          coalesce(
+            try_element_at(filter(col(s"__arr_$d"),
+              x => x.getField("t") <= col(timeCol)), lit(-1)).getField("v"),
+            col(s"__in_$d")))
+        .otherwise(
+          // bucket empty for this key: newest value of any earlier bucket
+          try_element_at(filter(col("__summary"), e =>
+            e.getField("__bkt") < col("__lbkt") &&
+              e.getField(s"last_$d").isNotNull), lit(-1)).getField(s"last_$d")))
+    }
+    out.select(leftCols.map(col) ++
+      ds.map(d => col(s"__c_$d").as(d)): _*)
+  }
+
   /**
    * Per-key session COUNTS from a gap rule: a session starts at a row with
    * no predecessor, or one more than `gapMicros` after its predecessor —

@@ -330,8 +330,15 @@ object Sampling {
   private[operators] def sampledBoundaries(
       df: DataFrame, orderCol: Column): Seq[Any] = {
     val keyed = df.select(orderCol.as("__k"))
-    val perPart = 8
-    val sampled = keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
+    // aim for ~2x CumSumBuckets total samples whatever the partition
+    // count: a 4-partition input at 8/partition would yield only ~32
+    // boundaries — 8x coarser buckets than designed, so a hot group
+    // spreads 8x worse. Per-partition cost stays capped at 8 once the
+    // input has >= 64 partitions (the cluster-scale case).
+    val rdd = keyed.rdd
+    val parts = math.max(1, rdd.getNumPartitions)
+    val perPart = math.max(8, (2 * CumSumBuckets + parts - 1) / parts)
+    val sampled = rdd.mapPartitionsWithIndex { (idx, it) =>
       val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ idx)
       val res = new Array[org.apache.spark.sql.Row](perPart)
       var n = 0L

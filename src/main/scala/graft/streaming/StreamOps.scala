@@ -41,10 +41,12 @@ object StreamOps {
    * [[graft.operators.Relational.asofJoin]] on the same inputs — which is
    * exactly how the gate oracles it.
    *
-   * Fit-once shape: the dimension is lazily shared (its dedup shuffle and
-   * scan cache across triggers) and the as-of bucket boundary sample runs
-   * ONCE here, not per micro-batch — a trigger pays only the batch-side
-   * union-and-carry. `writeBatch` must be idempotent on the epoch id
+   * Fit-once shape ([[graft.operators.Relational.asofFit]]): the
+   * dimension reduces ONCE to bucket-bounded probe state (sorted
+   * per-bucket value arrays + per-key bucket summaries, lazily shared);
+   * each micro-batch then pays two planner-chosen joins plus an array
+   * lookup — no per-trigger union, window, or re-aggregation of the
+   * dimension. `writeBatch` must be idempotent on the epoch id
    * (foreachBatch is at-least-once). Returns the configured writer; the
    * caller picks trigger/checkpoint and starts it.
    */
@@ -52,12 +54,10 @@ object StreamOps {
       timeCol: String, rightCols: Map[String, String])(
       writeBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    val dim = graft.operators.Dedup.lazyShare(right)
-    val bounds = graft.operators.Relational.asofBoundaries(right, timeCol)
+    val fitted = graft.operators.Relational.asofFit(right, keyCol, timeCol, rightCols)
     stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
-      writeBatch(graft.operators.Relational.asofJoin(
-        batch, dim, keyCol, timeCol, rightCols, boundaries = Some(bounds)),
-        epochId)
+      writeBatch(graft.operators.Relational.asofJoinWith(
+        batch, fitted, keyCol, timeCol), epochId)
     }
   }
 

@@ -72,6 +72,13 @@ class SamplingPropertySpec extends AnyFunSuite {
         val r = rRows0.toDF("k", "t", "v")
         val got = Relational.asofJoin(l, r, "k", "t", Map("v" -> "v"))
           .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+        // the fit-once probe form must be value-identical to the composed
+        // join on every random input (in-bucket, carry-in, and
+        // missing-bucket fallback paths all get exercised)
+        val fitted = Relational.asofFit(r, "k", "t", Map("v" -> "v"))
+        val gotFit = Relational.asofJoinWith(l, fitted, "k", "t")
+          .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+        assert(gotFit == got, s"asofJoinWith diverged from asofJoin; right=$rRows0")
         // brute force over the max-deduped right side
         val dedup = rRows0.groupBy(r => (r._1, r._2)).map { case ((k, t), g) =>
           (k, t, g.flatMap(_._3).reduceOption(_ max _))

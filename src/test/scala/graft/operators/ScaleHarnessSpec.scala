@@ -92,6 +92,34 @@ class ScaleHarnessSpec extends AnyFunSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("asofFit on a hot-key dimension: per-bucket arrays bounded, probes equal the join") {
+    // 95% of the dimension is ONE key (every SPY quote): the fitted probe
+    // state must spread that history across the time buckets — a per-key
+    // array holding the whole history would be the one-reducer pattern in
+    // disguise (one row the size of the corpus)
+    val n = 40000
+    val quotes = spark.range(n.toLong).select(
+      when(pmod(col("id"), lit(20)) =!= 0, lit("SPY"))
+        .otherwise(concat(lit("t"), pmod(col("id"), lit(7)))).as("sym"),
+      (col("id") * 1000L).as("ts"),
+      (col("id") + 1).cast("long").as("px"))
+    val fitted = Relational.asofFit(quotes, "sym", "ts", Map("px" -> "px"))
+    val maxArr = fitted.byBucket
+      .select(max(size(col("__arr_px")))).head().getInt(0)
+    assert(maxArr < n / 50,
+      s"one (key, bucket) holds $maxArr of $n quotes — the hot key's " +
+        "history is not spreading across the time buckets")
+    // probe correctness under the skew, incl. between-quote times
+    val trades = spark.range(0L, n.toLong, 37L).select(col("id").as("tid"),
+      lit("SPY").as("sym"), (col("id") * 1000L + 500L).as("ts"))
+    val got = Relational.asofJoinWith(trades, fitted, "sym", "ts")
+      .select(col("tid"), col("px")).as[(Long, Option[Long])].collect().toMap
+    val exp = Relational.asofJoin(trades, quotes, "sym", "ts", Map("px" -> "px"))
+      .select(col("tid"), col("px")).as[(Long, Option[Long])].collect().toMap
+    assert(got == exp, "fitted probe diverged from the composed as-of under skew")
+    assert(got.nonEmpty)
+  }
+
   test("bm25SearchMany stop-word query: WindowGroupLimit keeps the rank shuffle bounded") {
     // one query term ('the') matches EVERY document — the naive per-query
     // top-k plan lands all n candidates of that query in ONE rank task.
