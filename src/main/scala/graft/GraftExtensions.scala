@@ -405,6 +405,30 @@ object GraftExtensions {
             strArg(args, 1, "graft_sessions"), strArg(args, 2, "graft_sessions"),
             longArg(args, 3, 1800L, "graft_sessions") * 1000000L))
       },
+      tvf("graft_asof",
+        "graft_asof(leftTable, rightTable, keyCol, timeCol, valueCol[, alias]) - " +
+          "as-of join: latest right valueCol at-or-before each left row's time, per key") {
+        args => arity(args, "graft_asof", 5, 6)
+          val valueCol = strArg(args, 4, "graft_asof")
+          val alias = if (args.length > 5) strArg(args, 5, "graft_asof") else valueCol
+          logical(operators.Relational.asofJoin(
+            activeTable(strArg(args, 0, "graft_asof")),
+            activeTable(strArg(args, 1, "graft_asof")),
+            strArg(args, 2, "graft_asof"), strArg(args, 3, "graft_asof"),
+            Map(valueCol -> alias)))
+      },
+      tvf("graft_pack",
+        "graft_pack(table, groupCol, orderCol, textCol, maxSeqLen) - " +
+          "concat-and-chunk sequence packing metadata (token_start, seq range)") {
+        args => arity(args, "graft_pack", 5, 5)
+          logical(operators.Sampling.packSequences(
+            activeTable(strArg(args, 0, "graft_pack")),
+            Seq(org.apache.spark.sql.functions.col(strArg(args, 1, "graft_pack"))),
+            org.apache.spark.sql.functions.col(strArg(args, 2, "graft_pack")),
+            graft.functions.TextFunctions.tokenCount(
+              org.apache.spark.sql.functions.col(strArg(args, 3, "graft_pack"))),
+            intArg(args, 4, 2048, "graft_pack")))
+      },
       tvf("graft_bm25",
         "graft_bm25(table, idCol, textCol, query[, k]) - Okapi BM25 top-k " +
           "document retrieval for a space-separated query string") {

@@ -312,6 +312,31 @@ class SqlFunctionsSpec extends AnyFunSuite {
       Seq((1L, "data value"), (2L, "key table"))
         .toDF("query_id", "query_text").createOrReplaceTempView("tvfqueries")
     }
+
+    val packed = spark.sql(
+      "SELECT * FROM graft_pack('tvfdocs', 'source', 'doc_id', 'text', 128) " +
+        "ORDER BY source, doc_id")
+    assert(packed.collect().toSeq ==
+      operators.Sampling.packSequences(docs,
+          Seq(col("source")), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")), 128)
+        .orderBy(col("source"), col("doc_id")).collect().toSeq)
+
+    graft.Tables.events(spark, graft.SparkTestSession.sf0001)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("tvfclicks")
+    graft.Tables.events(spark, graft.SparkTestSession.sf0001)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("tvfviews")
+    val asof = spark.sql(
+      "SELECT * FROM graft_asof('tvfclicks', 'tvfviews', 'user_id', 'ts', " +
+        "'value', 'view_value') ORDER BY event_id")
+    assert(asof.collect().toSeq ==
+      operators.Relational.asofJoin(spark.table("tvfclicks"),
+          spark.table("tvfviews"), "user_id", "ts", Map("value" -> "view_value"))
+        .orderBy(col("event_id")).collect().toSeq)
     val bmm = spark.sql(
       "SELECT * FROM graft_bm25_many('tvfdocs', 'doc_id', 'text', " +
         "'tvfqueries', 'query_id', 'query_text', 5) ORDER BY query_id, rnk")
