@@ -120,16 +120,19 @@ object Relational {
   }
 
   /** A fitted as-of RIGHT side ([[asofFit]]): probe-ready state for
-    * [[asofJoinWith]]. `byBucket` holds, per non-empty (key, time-bucket),
-    * the bucket's time-sorted (t, value) arrays (nulls removed, one
-    * carried column each) plus each bucket's CARRY-IN (the newest earlier
-    * value); `byKey` holds one ≤[[Sampling.CumSumBuckets]]-element bucket
-    * summary array per key, for probes landing in a bucket the right side
-    * never touched. Array sizes are bucket-bounded — a hot key's history
-    * spreads across the buckets, never into one row. */
+    * [[asofJoinWith]]. `byBucket` is DENSE per (key, time-bucket) from the
+    * key's first data bucket upward: each row carries the bucket's
+    * time-sorted (t, value) arrays (nulls removed, one per carried column
+    * — null arrays for buckets with no data of their own) plus the
+    * bucket's CARRY-IN (the newest earlier value), so a probe is ONE
+    * (key, bucket) join and one bounded array lookup. Row count is at
+    * most keys x ([[Sampling.CumSumBuckets]]+1) — metadata-scale next to
+    * the dimension itself — and array sizes are bucket-bounded: a hot
+    * key's history spreads across buckets, never into one row. */
   final case class AsofFitted(
-      byBucket: DataFrame, byKey: DataFrame,
-      boundaries: Seq[Any], rightCols: Map[String, String])
+      byBucket: DataFrame,
+      bucket: Column => Column, maxBucket: Int,
+      rightCols: Map[String, String])
 
   /**
    * Fit the right side of an as-of join ONCE — the fit-once / probe-many
@@ -137,30 +140,71 @@ object Relational {
    * many batches) enriched against a slowly-changing dimension should not
    * re-aggregate the dimension per micro-batch the way composing
    * [[asofJoin]] per batch does. The fitted state reduces every probe
-   * batch to two planner-chosen joins plus an array lookup:
+   * batch to ONE planner-chosen join plus an array lookup:
    *
    *  - probe rows bucket with the SAME stored boundaries (order-consistent
    *    cuts — [[asofJoin]]'s bucketing, so values are identical);
-   *  - a (key, bucket) join attaches the bucket's sorted (t, v) array;
-   *    the latest element with `t <= probe time` answers in-bucket, the
-   *    stored carry-in answers "bucket has data only after my time";
-   *  - probes in a (key, bucket) the dimension never touched fall back to
-   *    the per-key summary: the newest value of any EARLIER bucket.
+   *  - the (key, bucket) join attaches the bucket's sorted (t, v) array
+   *    and its precomputed carry-in; the latest element with
+   *    `t <= probe time` answers in-bucket, the carry-in answers both
+   *    "bucket's data is all after my time" and "bucket has no data at
+   *    all" (the dense rows exist from each key's first data bucket up);
+   *  - a probe below the key's first data bucket — or for an unknown key —
+   *    misses the join and correctly yields null.
    *
    * VALUE-identical to [[asofJoin]] on the same inputs (same dedup, same
    * `<=`-with-max-tie semantics, per-column last-non-null independence).
    */
+  /** Order-consistent bucket expression for the PROBE path: timestamps
+    * and numerics get an equi-width bucket over the right side's observed
+    * [min, max] — ONE small arithmetic expression, so probe plans stay
+    * codegen-friendly and cheap to re-plan per trigger (the quantile
+    * boundary chain used by [[asofJoin]] is a 255-term CASE tree that
+    * breaks codegen and taxes every micro-batch's planning). Balance
+    * under time clustering is weaker than quantile cuts, but bucketing
+    * shapes only task balance, never values. Non-numeric orderable time
+    * types fall back to the sampled-boundary chain. */
+  private def probeBucket(right: DataFrame, timeCol: String)
+      : (Column => Column, Int) = {
+    val nB = Sampling.CumSumBuckets
+    def numeric(c: Column): Option[Column] =
+      right.schema(right.schema.fieldIndex(timeCol)).dataType match {
+        case org.apache.spark.sql.types.TimestampType => Some(c.cast("double"))
+        case org.apache.spark.sql.types.DateType =>
+          Some(c.cast("timestamp").cast("double"))
+        case _: org.apache.spark.sql.types.NumericType => Some(c.cast("double"))
+        case _ => None
+      }
+    numeric(col(timeCol)) match {
+      case Some(_) =>
+        val r = right.agg(
+          min(numeric(col(timeCol)).get), max(numeric(col(timeCol)).get)).head()
+        if (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1))
+          ((_: Column) => lit(0), 0)
+        else {
+          val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+          val width = (hi - lo) / nB
+          ((c: Column) => least(greatest(
+            floor((numeric(c).get - lit(lo)) / lit(width)), lit(0)),
+            lit(nB - 1)).cast("int"), nB - 1)
+        }
+      case None =>
+        val bounds = Sampling.sampledBoundaries(
+          right.select(col(timeCol).as("__t")), col("__t"))
+        ((c: Column) => Sampling.bucketOf(c, bounds), bounds.size)
+    }
+  }
+
   def asofFit(right: DataFrame, keyCol: String, timeCol: String,
       rightCols: Map[String, String]): AsofFitted = {
     require(rightCols.nonEmpty, "asofFit needs at least one right column to carry")
     val ds = rightCols.values.toSeq
     val aggs = rightCols.map { case (src, dst) => max(col(src)).as(s"__r_$dst") }.toSeq
-    val bounds = Sampling.sampledBoundaries(
-      right.select(col(timeCol).as("__t")), col("__t"))
+    val (bucket, maxBkt) = probeBucket(right, timeCol)
     val dedup = right.groupBy(col(keyCol), col(timeCol))
       .agg(aggs.head, aggs.tail: _*)
       .select((col(keyCol).as("__key") +: col(timeCol).as("__t") +:
-        Sampling.bucketOf(col(timeCol), bounds).as("__bkt") +:
+        bucket(col(timeCol)).as("__bkt") +:
         ds.map(d => col(s"__r_$d"))): _*)
     // per (key, bucket): each carried column's time-sorted (t, v) pairs
     // with null values dropped (collect_list skips null ENTRIES, and the
@@ -173,57 +217,56 @@ object Relational {
     val perBucket = dedup.groupBy(col("__key"), col("__bkt"))
       .agg(arrAggs.head, arrAggs.tail: _*)
     // per key: the ≤CumSumBuckets bucket summaries (bucket, last value per
-    // column), sorted by bucket — both the carry-in source and the
-    // missing-bucket fallback
+    // column), sorted by bucket
     val byKey = perBucket.groupBy(col("__key"))
       .agg(sort_array(collect_list(struct(
         col("__bkt") +: ds.map(d =>
           try_element_at(col(s"__arr_$d"), lit(-1)).getField("v").as(s"last_$d")): _*)))
         .as("__summary"))
-    // carry-in per existing bucket: newest non-null value of any EARLIER
-    // bucket, via an array aggregate over the summary (no window anywhere)
-    val withSummary = perBucket.join(byKey, "__key")
-    val byBucket = ds.foldLeft(withSummary) { (df, d) =>
-      df.withColumn(s"__in_$d",
+    // DENSIFY at fit time: one row per bucket from the key's first data
+    // bucket to the top, each carrying that bucket's carry-in (newest
+    // non-null value of any STRICTLY earlier bucket) — O(buckets²) array
+    // work per KEY (≤256², once), so the probe never touches a summary
+    val dense = byKey.select(col("__key"), col("__summary"),
+        explode(sequence(
+          element_at(col("__summary"), 1).getField("__bkt"),
+          lit(maxBkt))).as("__bkt"))
+      .select((col("__key") +: col("__bkt") +: ds.map { d =>
         try_element_at(filter(col("__summary"), e =>
           e.getField("__bkt") < col("__bkt") &&
-            e.getField(s"last_$d").isNotNull), lit(-1)).getField(s"last_$d"))
-    }.drop("__summary")
-    AsofFitted(Dedup.lazyShare(byBucket), Dedup.lazyShare(byKey), bounds, rightCols)
+            e.getField(s"last_$d").isNotNull), lit(-1))
+          .getField(s"last_$d").as(s"__in_$d")
+      }): _*)
+    val byBucket = dense.join(perBucket, Seq("__key", "__bkt"), "left")
+    AsofFitted(Dedup.lazyShare(byBucket), bucket, maxBkt, rightCols)
   }
 
   /** Probe a fitted as-of right side ([[asofFit]]): attach each left row's
-    * latest at-or-before value per carried column. Two left joins (bucket
-    * state, per-key fallback) + array lookups — no unions, windows, or
-    * right-side aggregation in the probe plan, so a micro-batch pays only
-    * its own size. Output schema matches [[asofJoin]]. */
+    * latest at-or-before value per carried column. ONE left join + a
+    * bounded array lookup — no unions, windows, or right-side aggregation
+    * in the probe plan, so a micro-batch pays only its own size. Output
+    * schema matches [[asofJoin]]. */
   def asofJoinWith(left: DataFrame, fitted: AsofFitted,
       keyCol: String, timeCol: String): DataFrame = {
     val ds = fitted.rightCols.values.toSeq
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__lkey", col(keyCol))
-      .withColumn("__lbkt", Sampling.bucketOf(col(timeCol), fitted.boundaries))
+      .withColumn("__lbkt", fitted.bucket(col(timeCol)))
     val j = l.join(fitted.byBucket,
-        l("__lkey") <=> fitted.byBucket("__key") &&
-          l("__lbkt") === fitted.byBucket("__bkt"), "left")
-      .drop("__key", "__bkt")
-      .join(fitted.byKey.withColumnRenamed("__key", "__fkey"),
-        l("__lkey") <=> col("__fkey"), "left")
+      l("__lkey") <=> fitted.byBucket("__key") &&
+        l("__lbkt") === fitted.byBucket("__bkt"), "left")
     val out = ds.foldLeft(j) { (df, d) =>
+      // latest in-bucket element at-or-before my time; else the bucket's
+      // precomputed carry-in (also the answer when the bucket has no data
+      // of its own — __arr is null there and the filter passes null
+      // through). A join miss (unknown key / before the key's first data)
+      // leaves both null — exactly asofJoin's no-match answer.
       df.withColumn(s"__c_$d",
-        when(col(s"__arr_$d").isNotNull,
-          // bucket exists: latest in-bucket element at-or-before my time,
-          // else the bucket's stored carry-in
-          coalesce(
-            try_element_at(filter(col(s"__arr_$d"),
-              x => x.getField("t") <= col(timeCol)), lit(-1)).getField("v"),
-            col(s"__in_$d")))
-        .otherwise(
-          // bucket empty for this key: newest value of any earlier bucket
-          try_element_at(filter(col("__summary"), e =>
-            e.getField("__bkt") < col("__lbkt") &&
-              e.getField(s"last_$d").isNotNull), lit(-1)).getField(s"last_$d")))
+        coalesce(
+          try_element_at(filter(col(s"__arr_$d"),
+            x => x.getField("t") <= col(timeCol)), lit(-1)).getField("v"),
+          col(s"__in_$d")))
     }
     out.select(leftCols.map(col) ++
       ds.map(d => col(s"__c_$d").as(d)): _*)

@@ -267,6 +267,12 @@ object Sampling {
    * ANY token offset — not only at chunk boundaries): it occupies no
    * sequence (a loader emitting docs per (group, seq) range emits nothing),
    * but keeps its `token_start` bookkeeping.
+   *
+   * Per-document separator overhead (BOS/EOS tokens between concatenated
+   * documents) is the CALLER's expression: pass
+   * `tokenCount + lit(sepTokens)` and every document's layout footprint
+   * includes its separators — no dedicated parameter needed, since
+   * `tokenCount` is an arbitrary column.
    */
   def packSequences(
       df: DataFrame, groupCols: Seq[Column], orderCol: Column,

@@ -144,6 +144,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("as-of probe plan (asofJoinWith): no union and no window anywhere") {
+    // the fit-once form's whole point: a probe batch must not pay the
+    // composed asofJoin's per-batch union + within-bucket carry window —
+    // two joins and array lookups only. (The fit aggregations live behind
+    // lazyShare and are window-free by construction.)
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val fitted = operators.Relational.asofFit(views, "user_id", "ts",
+      Map("value" -> "view_value"))
+    val p = plan(operators.Relational.asofJoinWith(clicks, fitted, "user_id", "ts"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("bm25 multi-query: per-query top-k gets the WindowGroupLimit pushdown") {
     // row_number + rank filter must plan as WindowGroupLimit (partial below
     // the shuffle), so each map task ships <= k rows per query — never every

@@ -120,6 +120,13 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(restored.estimate("gamma") == 75L)
     fn2(batch(Seq.fill(5)("gamma")), 4L)  // new epoch: merged
     assert(restored.estimate("gamma") == 80L)
+    // reset(): a reused tracker serves a NEW query whose epochs restart at
+    // 0 — without it, the replay guard would skip every batch
+    restored.reset()
+    assert(restored.result.isEmpty)
+    fn2(batch(Seq.fill(3)("delta")), 0L)
+    assert(restored.estimate("delta") == 3L,
+      "post-reset epoch 0 was treated as a replay")
   }
 
   test("asofEnrichStream: any trigger slicing unions to the batch asofJoin") {
