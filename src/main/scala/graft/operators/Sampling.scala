@@ -394,10 +394,20 @@ object Sampling {
   }
 
   /** "How many boundaries is the key >= " — the order-consistent bucket
-    * expression over driver-held `boundaries` (see [[rangeBucket]]). */
-  private[operators] def bucketOf(orderCol: Column, boundaries: Seq[Any]): Column =
-    boundaries.map(b => when(orderCol >= lit(b), 1).otherwise(0))
-      .foldLeft(lit(0))(_ + _)
+    * expression over driver-held `boundaries` (see [[rangeBucket]]).
+    * The indicator sum is folded as a BALANCED tree (depth ~log2(256))
+    * rather than a left-nested 256-deep Add chain: the deep chain broke
+    * whole-stage codegen and made every plan carrying it megabytes large
+    * — a real per-batch planning tax. (A lambda-based
+    * size(filter(array, ...)) form would be flatter still, but a lambda
+    * capturing an outer attribute fails to re-resolve inside [[Relational
+    * .asofJoin]]'s union, so the fold stays lambda-free.) */
+  private[operators] def bucketOf(orderCol: Column, boundaries: Seq[Any]): Column = {
+    def tree(cols: Seq[Column]): Column =
+      if (cols.sizeIs <= 1) cols.headOption.getOrElse(lit(0))
+      else tree(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
+    tree(boundaries.map(b => when(orderCol >= lit(b), 1).otherwise(0)))
+  }
 
   /**
    * Stratified (per-group) sampling — the "mixture re-weighting" step of a
