@@ -344,6 +344,10 @@ object Sampling {
     val rdd = keyed.rdd
     val parts = math.max(1, rdd.getNumPartitions)
     val perPart = math.max(8, (2 * CumSumBuckets + parts - 1) / parts)
+    // count rows alongside the reservoir: the bucket COUNT below scales
+    // with observed data density, so tiny inputs don't pay 256 buckets'
+    // per-group overhead for parallelism they cannot use
+    val rowCount = keyed.sparkSession.sparkContext.longAccumulator
     val sampled = rdd.mapPartitionsWithIndex { (idx, it) =>
       val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ idx)
       val res = new Array[org.apache.spark.sql.Row](perPart)
@@ -356,6 +360,7 @@ object Sampling {
           if (j < perPart) res(j.toInt) = r
         }
       }
+      rowCount.add(n)
       res.iterator.filter(_ != null)
     }.collect()
     // second-level reservoir: one fixed seed over the per-partition samples
@@ -387,7 +392,14 @@ object Sampling {
       keys.sortWith((a, b) =>
         a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
     ).getOrElse(keys)
-    val nB = math.min(CumSumBuckets, sorted.length + 1)
+    // density-aware bucket count: ~1k rows per bucket up to the
+    // [[CumSumBuckets]] ceiling. A 5k-row input gets ~16 buckets (all the
+    // parallelism its size can use, an order less per-group subtotal
+    // overhead); a corpus-scale input gets the full 256. Bucket count
+    // shapes only balance/parallelism — values are bucketing-invariant.
+    val densityB = math.max(16L, rowCount.value / 1000L)
+    val nB = math.min(math.min(CumSumBuckets.toLong, densityB),
+      sorted.length + 1L).toInt
     (1 until nB)
       .map(i => sorted((i.toLong * sorted.length / nB).toInt))
       .distinct
