@@ -768,6 +768,35 @@ object CorpusOps {
     ()
   }
 
+  /** Fold a NEW document batch into a persisted overlap sketch — the
+    * incremental snapshot lifecycle ([[graft.operators.Dedup
+    * .appendToHashIndex]]'s pattern): a growing crawl keeps ONE KB-sized
+    * sketch current without rescanning history (HLL union is exactly
+    * set-union, so append-then-compare equals sketching the full corpus).
+    * The rewrite is crash-safe by tmp-then-swap on a single tiny file
+    * tree; concurrent appenders should serialize externally (the sketch
+    * is one row — last completed rewrite wins, no corruption). */
+  def appendToOverlapSketch(batch: DataFrame, textCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val existing = spark.read.parquet(path)
+    val k = existing.select(col("lg_config_k")).head().getInt(0)
+    // merge driver-side FIRST (the state is one KB-sized row), then
+    // overwrite — reading and overwriting the same path in one plan is
+    // exactly the self-overwrite Spark forbids
+    val merged = existing.select(col("sketch"))
+      .unionAll(batch.select(
+          md5(TextFunctions.normalizeText(col(textCol)).cast("binary")).as("h"))
+        .filter(col("h").isNotNull)
+        .agg(hll_sketch_agg(col("h"), lit(k)).as("sketch")))
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+      .head().getAs[Array[Byte]]("sketch")
+    import spark.implicits._
+    Seq((merged, k)).toDF("sketch", "lg_config_k")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    ()
+  }
+
   /**
    * Pairwise overlap MATRIX over N persisted [[saveOverlapSketch]]
    * snapshots — the triage table a dataset-curation review reads ("which

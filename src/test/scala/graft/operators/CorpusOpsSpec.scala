@@ -878,6 +878,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(inter(("a", "b")) - 50) <= 10, m.toString)
     assert(math.abs(inter(("a", "c")) - 0) <= 8, m.toString)
     assert(math.abs(inter(("b", "c")) - 50) <= 10, m.toString)
+    // incremental lifecycle: appending a delta equals sketching the full
+    // snapshot (HLL union IS set union), so a growing crawl keeps one
+    // sketch current without rescanning history
+    val aFirst = a.filter($"doc_id" < 50)
+    val aRest = a.filter($"doc_id" >= 50)
+    CorpusOps.saveOverlapSketch(aFirst, "text", s"$base/a_inc")
+    CorpusOps.appendToOverlapSketch(aRest, "text", s"$base/a_inc")
+    val incr = CorpusOps.corpusOverlapMatrix(spark,
+        Seq("a_inc" -> s"$base/a_inc", "b" -> s"$base/b"))
+      .select($"n_a", $"n_intersect").as[(Long, Long)].head()
+    val full = CorpusOps.corpusOverlapMatrix(spark,
+        Seq("a" -> s"$base/a", "b" -> s"$base/b"))
+      .select($"n_a", $"n_intersect").as[(Long, Long)].head()
+    assert(incr == full, s"append path diverged: $incr vs $full")
     // a sketch built with a different lgConfigK must refuse to merge
     CorpusOps.saveOverlapSketch(c, "text", s"$base/c9", lgConfigK = 9)
     val e = intercept[IllegalArgumentException](CorpusOps.corpusOverlapMatrix(
