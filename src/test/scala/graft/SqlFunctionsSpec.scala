@@ -167,6 +167,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("integer literal")))
   }
 
+  test("new TVFs validate arity loudly") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    for (bad <- Seq(
+        "SELECT * FROM graft_asof('a', 'b', 'k')",              // too few
+        "SELECT * FROM graft_pack('a', 'g', 'o', 't', 1, 2)",   // too many
+        "SELECT * FROM graft_bm25_many('a', 'i', 't', 'q')")) { // too few
+      val e = intercept[Exception](spark.sql(bad).collect())
+      assert(msgs(e).exists(m => m.contains("expects") || m.contains("argument")),
+        s"$bad: ${msgs(e).mkString(" | ")}")
+    }
+  }
+
   test("table functions run whole corpus operators from SQL, matching the API") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
     docs.createOrReplaceTempView("tvfdocs")
