@@ -177,12 +177,19 @@ object Relational {
       }
     numeric(col(timeCol)) match {
       case Some(_) =>
-        val r = right.agg(
-          min(numeric(col(timeCol)).get), max(numeric(col(timeCol)).get)).head()
-        if (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1))
-          ((_: Column) => lit(0), 0)
+        // width over the ROBUST [p1, p99] core, not [min, max]: one
+        // outlier timestamp a year away from the data would otherwise
+        // stretch the width until the whole dimension collapses into one
+        // bucket (the hot-row pattern the fit exists to prevent). The 2%
+        // tails clamp into the edge buckets — bounded extra load there,
+        // and bucketing shapes only balance, never values.
+        val r = right.agg(percentile_approx(numeric(col(timeCol)).get,
+          array(lit(0.01), lit(0.99)), lit(10000)).as("p")).head()
+        val p = if (r.isNullAt(0)) Seq.empty[Double]
+          else r.getSeq[Double](0)
+        if (p.isEmpty || p(0) == p(1)) ((_: Column) => lit(0), 0)
         else {
-          val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+          val (lo, hi) = (p(0), p(1))
           val width = (hi - lo) / nB
           ((c: Column) => least(greatest(
             floor((numeric(c).get - lit(lo)) / lit(width)), lit(0)),

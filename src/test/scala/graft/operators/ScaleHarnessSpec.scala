@@ -120,6 +120,34 @@ class ScaleHarnessSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("asofFit with an outlier-stretched time axis still spreads the bulk") {
+    // one quote a YEAR away from the rest: an equi-width bucket over
+    // [min, max] would put ALL other 40k quotes in one bucket — the
+    // robust-percentile width must keep the bulk spread, with only the
+    // clamped tails absorbing outliers
+    val n = 40000
+    val yearUs = 365L * 86400 * 1000000
+    val quotes = spark.range(n.toLong).select(
+      lit("SPY").as("sym"),
+      when(col("id") === 0, lit(yearUs)).otherwise(col("id") * 1000L).as("ts"),
+      (col("id") + 1).cast("long").as("px"))
+    val fitted = Relational.asofFit(quotes, "sym", "ts", Map("px" -> "px"))
+    val maxArr = fitted.byBucket
+      .select(max(size(col("__arr_px")))).head().getInt(0)
+    assert(maxArr < n / 20,
+      s"one bucket holds $maxArr of $n quotes — the outlier collapsed the " +
+        "bucket width (robust-percentile core is not being used)")
+    // probes across the whole axis (incl. beyond the outlier) stay correct
+    val trades = spark.range(0L, n.toLong, 97L).select(col("id").as("tid"),
+      lit("SPY").as("sym"), (col("id") * 1000L + 500L).as("ts"))
+      .unionByName(Seq((999999L, "SPY", 2 * yearUs)).toDF("tid", "sym", "ts"))
+    val got = Relational.asofJoinWith(trades, fitted, "sym", "ts")
+      .select(col("tid"), col("px")).as[(Long, Option[Long])].collect().toMap
+    val exp = Relational.asofJoin(trades, quotes, "sym", "ts", Map("px" -> "px"))
+      .select(col("tid"), col("px")).as[(Long, Option[Long])].collect().toMap
+    assert(got == exp, "fitted probe diverged under the outlier axis")
+  }
+
   test("bm25SearchMany stop-word query: WindowGroupLimit keeps the rank shuffle bounded") {
     // one query term ('the') matches EVERY document — the naive per-query
     // top-k plan lands all n candidates of that query in ONE rank task.
