@@ -350,6 +350,13 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.Relational.asofJoin(spark.table("tvfclicks"),
           spark.table("tvfviews"), "user_id", "ts", Map("value" -> "view_value"))
         .orderBy(col("event_id")).collect().toSeq)
+    // 5-arg form: the carried column keeps its own name
+    val asof5 = spark.sql(
+      "SELECT * FROM graft_asof('tvfclicks', 'tvfviews', 'user_id', 'ts', " +
+        "'value') ORDER BY event_id")
+    assert(asof5.columns.contains("value") &&
+      asof5.select(col("value")).collect().toSeq ==
+        asof.select(col("view_value")).collect().toSeq)
     val bmm = spark.sql(
       "SELECT * FROM graft_bm25_many('tvfdocs', 'doc_id', 'text', " +
         "'tvfqueries', 'query_id', 'query_text', 5) ORDER BY query_id, rnk")

@@ -59,6 +59,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == 9.0)
   }
 
+  test("asofFit probe equals asofJoin on a DATE time axis (date->timestamp bucket path)") {
+    import org.apache.spark.sql.functions._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val left = Seq((1L, "K", d("2024-01-05")), (2L, "K", d("2024-03-01")),
+      (3L, "K", d("2023-12-01")), (4L, "Z", d("2024-06-01")))
+      .toDF("id", "k", "day")
+    val right = Seq(("K", d("2024-01-01"), 10L), ("K", d("2024-02-15"), 20L),
+      ("K", d("2024-05-01"), 30L)).toDF("k", "day", "v")
+    val exp = Relational.asofJoin(left, right, "k", "day", Map("v" -> "v"))
+      .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+    val fitted = Relational.asofFit(right, "k", "day", Map("v" -> "v"))
+    val got = Relational.asofJoinWith(left, fitted, "k", "day")
+      .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+    assert(got == exp, s"got $got expected $exp")
+    assert(got == Map(1L -> Some(10L), 2L -> Some(20L), 3L -> None, 4L -> None))
+  }
+
   test("rangeJoinMicros finds exactly the pairs within tolerance (vs brute force)") {
     val l = Seq((1L, 0L), (2L, 1000L), (3L, 5000L)).toDF("id", "t")
     val r = Seq((10L, 900L), (11L, 2500L), (12L, 99999L)).toDF("id", "t")
