@@ -39,6 +39,12 @@ object Relational {
    * Right rows are first reduced to one per (key, time) via `max` so the
    * match is deterministic under ties. Each carried column takes its most
    * recent NON-NULL value independently (`last(ignoreNulls)` semantics).
+   * Right rows with a NULL `timeCol` are dropped up front: a row whose
+   * time is unknown is never "at or before" any probe (SQL comparison
+   * semantics — the same rows a correlated `WHERE t <= probe` subquery
+   * excludes), and [[asofFit]] applies the identical filter so the two
+   * engines cannot diverge on null-time dimensions. A null LEFT time
+   * likewise matches nothing and yields null carried values.
    */
   /** The boundary-sample half of [[asofJoin]]'s bucket pre-pass, exposed
     * for fit-once callers (e.g. the streaming enrichment scores many
@@ -56,7 +62,8 @@ object Relational {
     require(rightCols.nonEmpty, "asofJoin needs at least one right column to carry")
     val ds = rightCols.values.toSeq
     val aggs = rightCols.map { case (src, dst) => max(col(src)).as(s"__r_$dst") }.toSeq
-    val rightDedup = right.groupBy(col(keyCol), col(timeCol))
+    val right0 = right.filter(col(timeCol).isNotNull)
+    val rightDedup = right0.groupBy(col(keyCol), col(timeCol))
       .agg(aggs.head, aggs.tail: _*)
     val leftCols = left.columns.toSeq
     val lTagged = left
@@ -120,17 +127,24 @@ object Relational {
   }
 
   /** A fitted as-of RIGHT side ([[asofFit]]): probe-ready state for
-    * [[asofJoinWith]]. `byBucket` is DENSE per (key, time-bucket) from the
-    * key's first data bucket upward: each row carries the bucket's
-    * time-sorted (t, value) arrays (nulls removed, one per carried column
-    * — null arrays for buckets with no data of their own) plus the
-    * bucket's CARRY-IN (the newest earlier value), so a probe is ONE
-    * (key, bucket) join and one bounded array lookup. Row count is at
-    * most keys x ([[Sampling.CumSumBuckets]]+1) — metadata-scale next to
-    * the dimension itself — and array sizes are bucket-bounded: a hot
-    * key's history spreads across buckets, never into one row. */
+    * [[asofJoinWith]], SPARSE in the data — state never inflates past the
+    * dimension's own row count, whatever the key cardinality:
+    *
+    *  - `byBucket` has one row per (key, time-bucket) the key's data
+    *    actually TOUCHES, carrying that bucket's time-sorted (t, value)
+    *    array per carried column (null values removed). Total rows <= the
+    *    deduped dimension's rows; array sizes are bucket-bounded, so a
+    *    hot key's history spreads across buckets, never into one row.
+    *  - `byKey` has ONE row per key: the sorted `__summary` array of
+    *    (bucket, last non-null value per column) over the key's <=
+    *    [[Sampling.CumSumBuckets]] data buckets — the probe resolves any
+    *    bucket's carry-in from it with one bounded array scan, so gap
+    *    buckets and probes past the key's last data need no densified
+    *    rows (a 10^9-key dimension with 3 updates each stays ~keys +
+    *    data-bucket rows, not keys x 256).
+    */
   final case class AsofFitted(
-      byBucket: DataFrame,
+      byBucket: DataFrame, byKey: DataFrame,
       bucket: Column => Column, maxBucket: Int,
       rightCols: Map[String, String])
 
@@ -207,8 +221,9 @@ object Relational {
     require(rightCols.nonEmpty, "asofFit needs at least one right column to carry")
     val ds = rightCols.values.toSeq
     val aggs = rightCols.map { case (src, dst) => max(col(src)).as(s"__r_$dst") }.toSeq
-    val (bucket, maxBkt) = probeBucket(right, timeCol)
-    val dedup = right.groupBy(col(keyCol), col(timeCol))
+    val right0 = right.filter(col(timeCol).isNotNull) // [[asofJoin]]'s filter
+    val (bucket, maxBkt) = probeBucket(right0, timeCol)
+    val dedup = right0.groupBy(col(keyCol), col(timeCol))
       .agg(aggs.head, aggs.tail: _*)
       .select((col(keyCol).as("__key") +: col(timeCol).as("__t") +:
         bucket(col(timeCol)).as("__bkt") +:
@@ -216,43 +231,35 @@ object Relational {
     // per (key, bucket): each carried column's time-sorted (t, v) pairs
     // with null values dropped (collect_list skips null ENTRIES, and the
     // `when` nulls the whole struct for a null value) — so the in-bucket
-    // lookup and the bucket's own "last" are last-NON-NULL by construction
+    // lookup and the bucket's own "last" are last-NON-NULL by construction.
+    // SPARSE: only buckets the key's data touches get a row — no densify
+    // (a sparse high-cardinality dimension must not inflate to keys x 256)
     val arrAggs = ds.map { d =>
       sort_array(collect_list(when(col(s"__r_$d").isNotNull,
         struct(col("__t").as("t"), col(s"__r_$d").as("v"))))).as(s"__arr_$d")
     }
-    val perBucket = dedup.groupBy(col("__key"), col("__bkt"))
-      .agg(arrAggs.head, arrAggs.tail: _*)
-    // per key: the ≤CumSumBuckets bucket summaries (bucket, last value per
-    // column), sorted by bucket
+    val perBucket = Dedup.lazyShare(dedup.groupBy(col("__key"), col("__bkt"))
+      .agg(arrAggs.head, arrAggs.tail: _*))
+    // per key: the <=CumSumBuckets bucket summaries (bucket, last value per
+    // column), sorted by bucket — the probe computes any bucket's carry-in
+    // (newest non-null value of a STRICTLY earlier bucket) from this one
+    // bounded array, covering gap buckets and probes past the last data
     val byKey = perBucket.groupBy(col("__key"))
       .agg(sort_array(collect_list(struct(
         col("__bkt") +: ds.map(d =>
           try_element_at(col(s"__arr_$d"), lit(-1)).getField("v").as(s"last_$d")): _*)))
         .as("__summary"))
-    // DENSIFY at fit time: one row per bucket from the key's first data
-    // bucket to the top, each carrying that bucket's carry-in (newest
-    // non-null value of any STRICTLY earlier bucket) — O(buckets²) array
-    // work per KEY (≤256², once), so the probe never touches a summary
-    val dense = byKey.select(col("__key"), col("__summary"),
-        explode(sequence(
-          element_at(col("__summary"), 1).getField("__bkt"),
-          lit(maxBkt))).as("__bkt"))
-      .select((col("__key") +: col("__bkt") +: ds.map { d =>
-        try_element_at(filter(col("__summary"), e =>
-          e.getField("__bkt") < col("__bkt") &&
-            e.getField(s"last_$d").isNotNull), lit(-1))
-          .getField(s"last_$d").as(s"__in_$d")
-      }): _*)
-    val byBucket = dense.join(perBucket, Seq("__key", "__bkt"), "left")
-    AsofFitted(Dedup.lazyShare(byBucket), bucket, maxBkt, rightCols)
+      .select(col("__key").as("__skey"), col("__summary"))
+    AsofFitted(perBucket, Dedup.lazyShare(byKey), bucket, maxBkt, rightCols)
   }
 
   /** Probe a fitted as-of right side ([[asofFit]]): attach each left row's
-    * latest at-or-before value per carried column. ONE left join + a
-    * bounded array lookup — no unions, windows, or right-side aggregation
-    * in the probe plan, so a micro-batch pays only its own size. Output
-    * schema matches [[asofJoin]]. */
+    * latest at-or-before value per carried column. TWO planner-chosen left
+    * equi-joins (per-key summary + per-(key, bucket) arrays — each side no
+    * larger than the dimension itself, both broadcastable) + bounded array
+    * lookups — no unions, windows, or right-side aggregation in the probe
+    * plan, so a micro-batch pays only its own size. Output schema matches
+    * [[asofJoin]]. */
   def asofJoinWith(left: DataFrame, fitted: AsofFitted,
       keyCol: String, timeCol: String): DataFrame = {
     val ds = fitted.rightCols.values.toSeq
@@ -260,20 +267,28 @@ object Relational {
     val l = left
       .withColumn("__lkey", col(keyCol))
       .withColumn("__lbkt", fitted.bucket(col(timeCol)))
-    val j = l.join(fitted.byBucket,
-      l("__lkey") <=> fitted.byBucket("__key") &&
-        l("__lbkt") === fitted.byBucket("__bkt"), "left")
+    val j = l
+      .join(fitted.byKey, l("__lkey") <=> fitted.byKey("__skey"), "left")
+      .join(fitted.byBucket,
+        l("__lkey") <=> fitted.byBucket("__key") &&
+          l("__lbkt") === fitted.byBucket("__bkt"), "left")
     val out = ds.foldLeft(j) { (df, d) =>
       // latest in-bucket element at-or-before my time; else the bucket's
-      // precomputed carry-in (also the answer when the bucket has no data
-      // of its own — __arr is null there and the filter passes null
-      // through). A join miss (unknown key / before the key's first data)
-      // leaves both null — exactly asofJoin's no-match answer.
+      // carry-in, resolved from the key's summary (newest non-null value
+      // of a strictly earlier DATA bucket) — also the answer when my
+      // bucket has no data row at all (gap bucket or past the key's last
+      // data: the (key, bucket) join missed, __arr is null, and the
+      // filter passes null through). An unknown key — or a probe before
+      // the key's first data, or a null probe time (null bucket) — leaves
+      // both legs null: exactly asofJoin's no-match answer.
       df.withColumn(s"__c_$d",
         coalesce(
           try_element_at(filter(col(s"__arr_$d"),
             x => x.getField("t") <= col(timeCol)), lit(-1)).getField("v"),
-          col(s"__in_$d")))
+          try_element_at(filter(col("__summary"), e =>
+            e.getField("__bkt") < l("__lbkt") &&
+              e.getField(s"last_$d").isNotNull), lit(-1))
+            .getField(s"last_$d")))
     }
     out.select(leftCols.map(col) ++
       ds.map(d => col(s"__c_$d").as(d)): _*)

@@ -59,6 +59,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == 9.0)
   }
 
+  test("asofJoin and asofFit drop null-time right rows and null probe times identically") {
+    // contract: a right row with unknown time is never "at or before" any
+    // probe (the rows a correlated WHERE t <= probe subquery excludes),
+    // and a null probe time matches nothing — BOTH engines, so the
+    // fit-once streaming path can never diverge from the composed join
+    val l = Seq((1L, "K", Some(ts(10))), (2L, "K", Option.empty[Timestamp]))
+      .toDF("id", "k", "ts")
+    val r = Seq(("K", Option.empty[Timestamp], 666.0), ("K", Some(ts(5)), 5.0))
+      .toDF("k", "ts", "v")
+    val exp = Map(1L -> Some(5.0), 2L -> None)
+    val got = Relational.asofJoin(l, r, "k", "ts", Map("v" -> "v"))
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(got == exp, s"asofJoin: $got")
+    val fitted = Relational.asofFit(r, "k", "ts", Map("v" -> "v"))
+    val gotFit = Relational.asofJoinWith(l, fitted, "k", "ts")
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(gotFit == exp, s"asofJoinWith: $gotFit")
+  }
+
   test("asofFit probe equals asofJoin on a DATE time axis (date->timestamp bucket path)") {
     import org.apache.spark.sql.functions._
     def d(s: String) = java.sql.Date.valueOf(s)

@@ -93,6 +93,56 @@ class SamplingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fitted as-of probe == composed join under adversarial inputs: " +
+      "null keys/times, out-of-range probes, exact ties") {
+    // the dense-index edge paths: probes BELOW every data bucket (null
+    // answer), probes far PAST the key's last data (summary carry), gap
+    // buckets, exact (t, probe) ties, null keys on BOTH sides (null-safe
+    // key match), and null times on both sides (right null-t rows are
+    // dropped by contract; a null probe time matches nothing)
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val keyGen = Gen.oneOf(Gen.const(Some("k1")), Gen.const(Some("k2")),
+      Gen.const(Option.empty[String]))
+    // half the probe times land inside the right's [0, 500] axis (frequent
+    // exact ties), half sweep far below/above it
+    val lTimeGen = Gen.frequency(
+      1 -> Gen.choose(-3000L, 3000L), 1 -> Gen.choose(0L, 500L))
+    val gen = Gen.zip(
+      Gen.listOf(Gen.zip(keyGen, Gen.option(lTimeGen))),
+      Gen.listOf(Gen.zip(keyGen, Gen.option(Gen.choose(0L, 500L)),
+        Gen.option(Gen.choose(0L, 99L)))))
+    forSamples(gen, n = 12) { case (lRows0, rRows0) =>
+      val lRows = lRows0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      if (lRows.nonEmpty) {
+        val l = lRows.toDF("id", "k", "t")
+        val r = rRows0.toDF("k", "t", "v")
+        val got = Relational.asofJoin(l, r, "k", "t", Map("v" -> "v"))
+          .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+        val fitted = Relational.asofFit(r, "k", "t", Map("v" -> "v"))
+        val gotFit = Relational.asofJoinWith(l, fitted, "k", "t")
+          .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+        assert(gotFit == got,
+          s"asofJoinWith diverged from asofJoin; left=$lRows0 right=$rRows0")
+        // brute force: right rows with a null time are dropped; per-column
+        // last-non-null among rows at-or-before the probe; a null probe
+        // time or unseen/null-mismatched key yields null
+        val dedup = rRows0.filter(_._2.isDefined)
+          .groupBy(row => (row._1, row._2)).map { case ((k, t), g) =>
+            (k, t.get, g.flatMap(_._3).reduceOption(_ max _))
+          }.toSeq
+        lRows.foreach { case (id, k, t) =>
+          val exp = t.flatMap { tt =>
+            dedup.filter(row => row._1 == k && row._2 <= tt && row._3.isDefined)
+              .sortBy(_._2).lastOption.flatMap(_._3)
+          }
+          assert(got(id) == exp,
+            s"left ($k,$t): got ${got(id)}, expected $exp; right=$rRows0")
+        }
+      }
+    }
+  }
+
   test("bucketed sessionCounts == driver brute force: 300 random samples + degenerate spacings") {
     // the two-phase form (within-(key, bucket) lag + sorted-array boundary
     // merge) must equal the naive per-key scan for any keys/timestamps/gaps;

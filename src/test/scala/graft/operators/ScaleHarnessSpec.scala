@@ -148,6 +148,39 @@ class ScaleHarnessSpec extends AnyFunSuite {
     assert(got == exp, "fitted probe diverged under the outlier axis")
   }
 
+  test("asofFit on a sparse high-cardinality dimension: state stays data-sized, not keys x 256") {
+    // 1M users x 3 updates each, times spread over the whole axis: the old
+    // dense fit exploded every key from its first data bucket to the top
+    // (~256 rows/key for early keys -> up to 256M state rows from a 3M-row
+    // dimension). Sparse state must stay <= data rows + one summary row
+    // per key, and probes (gap buckets, past-last buckets) stay correct.
+    val keys = 1000000L
+    val dim = spark.range(3L * keys).select(
+      pmod(col("id"), lit(keys)).as("uid"),
+      (col("id") * 7919L % 100000000L).as("ts"),
+      (col("id") + 1).as("score"))
+    val fitted = Relational.asofFit(dim, "uid", "ts", Map("score" -> "score"))
+    val bucketRows = fitted.byBucket.count()
+    val keyRows = fitted.byKey.count()
+    assert(bucketRows <= 3L * keys,
+      s"$bucketRows (key, bucket) state rows from a ${3 * keys}-row dimension " +
+        "— the dense keys x 256 explosion is back")
+    assert(keyRows == keys, s"expected one summary row per key, got $keyRows")
+    // probe a sample across gap buckets, before-first and past-last times
+    val probes = spark.range(0L, keys, 9973L).select(
+      col("id").as("pid"), col("id").as("uid"),
+      (col("id") % 4L * 60000000L - 10000000L).as("ts"))
+    val got = Relational.asofJoinWith(probes, fitted, "uid", "ts")
+      .select(col("pid"), col("score")).as[(Long, Option[Long])].collect().toMap
+    val exp = Relational.asofJoin(probes, dim, "uid", "ts", Map("score" -> "score"))
+      .select(col("pid"), col("score")).as[(Long, Option[Long])].collect().toMap
+    assert(got == exp, "sparse fitted probe diverged from the composed as-of")
+    assert(got.nonEmpty)
+    fitted.byBucket.unpersist()
+    fitted.byKey.unpersist()
+    ()
+  }
+
   test("bm25SearchMany stop-word query: WindowGroupLimit keeps the rank shuffle bounded") {
     // one query term ('the') matches EVERY document — the naive per-query
     // top-k plan lands all n candidates of that query in ONE rank task.
