@@ -758,15 +758,27 @@ object CorpusOps {
     * match across sketches that will be merged (stored beside the sketch
     * and validated at matrix time). */
   def saveOverlapSketch(df: DataFrame, textCol: String, path: String,
-      lgConfigK: Int = 12): Unit = {
-    df.select(
-        md5(TextFunctions.normalizeText(col(textCol)).cast("binary")).as("h"))
-      .filter(col("h").isNotNull)
-      .agg(hll_sketch_agg(col("h"), lit(lgConfigK)).as("sketch"))
-      .withColumn("lg_config_k", lit(lgConfigK))
-      .coalesce(1).write.mode("overwrite").parquet(path)
-    ()
-  }
+      lgConfigK: Int = 12): Unit =
+    withSketchLease(df.sparkSession, path, "saveOverlapSketch") {
+      df.select(
+          md5(TextFunctions.normalizeText(col(textCol)).cast("binary")).as("h"))
+        .filter(col("h").isNotNull)
+        .agg(hll_sketch_agg(col("h"), lit(lgConfigK)).as("sketch"))
+        .withColumn("lg_config_k", lit(lgConfigK))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      ()
+    }
+
+  /** Single-writer lease for the overlap-sketch lifecycle — [[graft
+    * .operators.Dedup.withIndexLease]] over a SIBLING `<path>__writer`
+    * directory, because the sketch path itself is rewritten wholesale
+    * (parquet overwrite deletes the dir, which would delete an in-dir
+    * lease mid-hold). Turns a concurrent save/append — a silently LOST
+    * batch under last-write-wins — into a loud failure, like every other
+    * persisted index family. */
+  private def withSketchLease[T](spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String)(body: => T): T =
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), s"${path}__writer", op)(body)
 
   /** Fold a NEW document batch into a persisted overlap sketch — the
     * incremental snapshot lifecycle ([[graft.operators.Dedup
@@ -774,9 +786,16 @@ object CorpusOps {
     * sketch current without rescanning history (HLL union is exactly
     * set-union, so append-then-compare equals sketching the full corpus).
     * The rewrite is crash-safe by tmp-then-swap on a single tiny file
-    * tree; concurrent appenders should serialize externally (the sketch
-    * is one row — last completed rewrite wins, no corruption). */
+    * tree, and the whole read-merge-rewrite holds the single-writer
+    * lease ([[saveOverlapSketch]]'s), so a concurrent appender fails
+    * loudly instead of silently losing a batch to last-write-wins. */
   def appendToOverlapSketch(batch: DataFrame, textCol: String,
+      path: String): Unit =
+    withSketchLease(batch.sparkSession, path, "appendToOverlapSketch") {
+      appendToOverlapSketchUnsafe(batch, textCol, path)
+    }
+
+  private def appendToOverlapSketchUnsafe(batch: DataFrame, textCol: String,
       path: String): Unit = {
     val spark = batch.sparkSession
     val existing = spark.read.parquet(path)

@@ -1124,13 +1124,19 @@ object Dedup extends Logging {
     * single-writer recovery contemplates. Every index mutation therefore
     * takes `<path>/__lease` via create-exclusive first and fails LOUDLY
     * (with the holder's tag in the message) if another writer holds it;
-    * a lease older than [[IndexLeaseStaleMs]] is treated as a dead
-    * writer's leftover and broken. Best-effort by design: HDFS
-    * create-exclusive is atomic; on stores without atomic create the
-    * guard still refuses every OBSERVABLE overlap — its job is turning a
-    * silent corruption into a loud error, not distributed locking. */
+    * a lease older than the stale threshold is treated as a dead
+    * writer's leftover and broken. While the body runs, a daemon
+    * HEARTBEAT thread re-touches the lease mtime every `staleMs / 3`, so
+    * a live writer outliving the threshold (a corpus-scale compaction
+    * can easily run past 30 min) keeps its lease fresh instead of having
+    * it silently broken — and its swap corrupted — by a concurrent
+    * writer. Best-effort by design: HDFS create-exclusive is atomic; on
+    * stores without atomic create the guard still refuses every
+    * OBSERVABLE overlap — its job is turning a silent corruption into a
+    * loud error, not distributed locking. */
   private[operators] def withIndexLease[T](fs: org.apache.hadoop.fs.FileSystem,
-      path: String, op: String)(body: => T): T = {
+      path: String, op: String,
+      staleMs: Long = IndexLeaseStaleMs)(body: => T): T = {
     import org.apache.hadoop.fs.Path
     val lease = new Path(s"$path/__lease")
     fs.mkdirs(new Path(path))
@@ -1149,7 +1155,7 @@ object Dedup extends Logging {
           // holder released between our failed create and the stat: retry
           case _: java.io.FileNotFoundException => Long.MaxValue
         }
-      if (age >= IndexLeaseStaleMs) {
+      if (age >= staleMs) {
         fs.delete(lease, false)
         acquired = tryAcquire()
       }
@@ -1162,10 +1168,23 @@ object Dedup extends Logging {
           s"index at $path is being written by another job (lease held by " +
             s"$holder). Concurrent index mutations are unsupported; if that " +
             s"writer is dead, delete $lease (stale leases are broken " +
-            s"automatically after ${IndexLeaseStaleMs / 60000} min)")
+            s"automatically after ${staleMs / 60000} min)")
       }
     }
-    try body finally { fs.delete(lease, false); () }
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(50L, staleMs / 3))
+          // re-touch mtime; best-effort (a missing/unwritable lease here
+          // means the guard is already degraded, never fail the body)
+          try { fs.setTimes(lease, System.currentTimeMillis(), -1); () }
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-index-lease-heartbeat-$op")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally { beat.interrupt(); fs.delete(lease, false); () }
   }
 
   private[operators] def indexFs(spark: org.apache.spark.sql.SparkSession,

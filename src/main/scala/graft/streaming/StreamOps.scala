@@ -143,6 +143,10 @@ object StreamOps {
    * ids at 0, which the guard would silently skip. Call [[HeavyHitterTracker
    * .reset]] (or build a new tracker) before reusing one across queries.
    */
+  /** [[HeavyHitterTracker.toBytes]] header magic: guards against feeding a
+    * pre-header (or foreign) byte blob into [[HeavyHitterTracker.restore]]. */
+  private val HeavyHitterMagic: Int = 0x67484854 // "gHHT"
+
   final class HeavyHitterTracker private[streaming] (
       k: Int, eps: Double, confidence: Double, seed: Int) extends Serializable {
     @transient private var cms: org.apache.spark.util.sketch.CountMinSketch = _
@@ -197,6 +201,15 @@ object StreamOps {
     def toBytes: Array[Byte] = synchronized {
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
+      // header: the tracker's CMS parameters. Restoring into a tracker
+      // built with different (k, eps, confidence, seed) would silently
+      // merge INCOMPATIBLE sketches — width/depth/hash-seed all differ, so
+      // counts become garbage with no error. restore() validates loudly.
+      out.writeInt(HeavyHitterMagic)
+      out.writeInt(k)
+      out.writeDouble(eps)
+      out.writeDouble(confidence)
+      out.writeInt(seed)
       out.writeLong(lastEpoch)
       out.writeInt(candidates.length)
       candidates.foreach(out.writeUTF)
@@ -212,10 +225,23 @@ object StreamOps {
       bos.toByteArray
     }
 
-    /** Restore state serialized by [[toBytes]] (same k/eps/confidence/seed
-      * contract as the sketch merge itself). */
+    /** Restore state serialized by [[toBytes]]. The byte header carries the
+      * writing tracker's (k, eps, confidence, seed); restoring into a
+      * tracker built with DIFFERENT parameters throws instead of silently
+      * merging incompatible sketches into garbage counts. */
     def restore(bytes: Array[Byte]): Unit = synchronized {
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val magic = in.readInt()
+      require(magic == HeavyHitterMagic,
+        s"not a HeavyHitterTracker checkpoint (magic 0x${magic.toHexString})")
+      val (k0, eps0, conf0, seed0) =
+        (in.readInt(), in.readDouble(), in.readDouble(), in.readInt())
+      require(k0 == k && eps0 == eps && conf0 == confidence && seed0 == seed,
+        s"checkpoint was written by a tracker with (k=$k0, eps=$eps0, " +
+          s"confidence=$conf0, seed=$seed0) but this tracker has (k=$k, " +
+          s"eps=$eps, confidence=$confidence, seed=$seed) — merging " +
+          "differently-configured CMS sketches silently corrupts counts; " +
+          "rebuild the tracker with the checkpoint's parameters")
       lastEpoch = in.readLong()
       candidates = List.fill(in.readInt())(in.readUTF())
       val skLen = in.readInt()

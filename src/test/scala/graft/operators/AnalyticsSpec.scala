@@ -676,6 +676,28 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetHashIndex(path)
   }
 
+  test("index lease heartbeat: a body outliving the stale window keeps its lease") {
+    // a corpus-scale compaction can easily run past the staleness window;
+    // without the heartbeat its lease would look dead and a concurrent
+    // writer would break it MID-SWAP — re-enabling the interleaved-rename
+    // corruption the lease exists to prevent. The heartbeat re-touches
+    // mtime every staleMs/3, so the live holder's lease never ages out.
+    val path = java.nio.file.Files.createTempDirectory("hash-idx-beat").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.withIndexLease(fs, path, "slowCompaction", staleMs = 500L) {
+      Thread.sleep(1500L) // 3x the stale window
+      val e = intercept[IllegalStateException](
+        Dedup.withIndexLease(fs, path, "thief", staleMs = 500L) {
+          fail("a live heartbeating lease was stolen")
+        })
+      assert(e.getMessage.contains("slowCompaction"), e.getMessage)
+    }
+    // released: the next writer acquires immediately
+    Dedup.withIndexLease(fs, path, "next") { () }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/__lease")))
+  }
+
   test("minhash index probe refuses a corpus-shaped batch loudly") {
     val path = java.nio.file.Files.createTempDirectory("mh-idx-guard").toString
     Dedup.saveMinHashIndex(docs, "doc_id", "text", path)

@@ -902,6 +902,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("overlap sketch writers hold the index lease: concurrent append fails loudly") {
+    // the sketch is one KB row, so a concurrent append can't corrupt it —
+    // but last-write-wins silently LOSES a batch. The save/append
+    // lifecycle takes the same single-writer lease as every other
+    // persisted index family (in a sibling <path>__writer dir, since the
+    // sketch path itself is rewritten wholesale).
+    val a = (0 until 50).map(i => (i.toLong, s"lease doc $i")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("ovs-lease").toString
+    val path = s"$base/sk"
+    CorpusOps.saveOverlapSketch(a, "text", path)
+    val before = CorpusOps.corpusOverlapMatrix(spark,
+        Seq("x" -> path, "y" -> path)).select($"n_a").as[Long].head()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"${path}__writer/__lease")
+    fs.mkdirs(lease.getParent)
+    val out = fs.create(lease, false)
+    out.write("appendToOverlapSketch@other".getBytes("UTF-8")); out.close()
+    val delta = Seq((999L, "a brand new lease doc")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException](
+      CorpusOps.appendToOverlapSketch(delta, "text", path))
+    assert(e.getMessage.contains("lease") &&
+      e.getMessage.contains("appendToOverlapSketch@other"), e.getMessage)
+    intercept[IllegalStateException](CorpusOps.saveOverlapSketch(a, "text", path))
+    val after = CorpusOps.corpusOverlapMatrix(spark,
+        Seq("x" -> path, "y" -> path)).select($"n_a").as[Long].head()
+    assert(after == before, "failed appender must not have touched the sketch")
+    // holder releases: the append proceeds and is estimate-visible
+    fs.delete(lease, false)
+    CorpusOps.appendToOverlapSketch(delta, "text", path)
+    val grown = CorpusOps.corpusOverlapMatrix(spark,
+        Seq("x" -> path, "y" -> path)).select($"n_a").as[Long].head()
+    assert(grown > before, s"append not visible: $grown vs $before")
+    assert(!fs.exists(lease), "winner must release the lease")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    ()
+  }
+
   test("bm25Search: exact hand-computed scores, rank order, top-k cut") {
     // 3 docs, query = {cat, dog}: N=3, avgdl = (4+2+3)/3 = 3.0
     // df(cat)=2, df(dog)=1

@@ -129,6 +129,37 @@ class StreamOpsSpec extends AnyFunSuite {
       "post-reset epoch 0 was treated as a replay")
   }
 
+  test("heavyHitter restore validates CMS params: a differently-configured tracker throws") {
+    // the checkpoint header carries (k, eps, confidence, seed); restoring
+    // into a tracker whose CMS was built with ANY other configuration must
+    // fail loudly — a silent merge of incompatible sketches (different
+    // width/depth/hash seeds) produces garbage counts with no error
+    val (writer, fn) = StreamOps.heavyHitterSink("body", k = 3)
+    def batch(terms: Seq[String]) = {
+      import spark.implicits._
+      terms.toDF("body")
+    }
+    fn(batch(Seq.fill(10)("alpha")), 0L)
+    val bytes = writer.toBytes
+    for (mismatched <- Seq(
+        StreamOps.heavyHitterSink("body", k = 5)._1,
+        StreamOps.heavyHitterSink("body", k = 3, eps = 0.01)._1,
+        StreamOps.heavyHitterSink("body", k = 3, confidence = 0.95)._1,
+        StreamOps.heavyHitterSink("body", k = 3, seed = 7)._1)) {
+      val e = intercept[IllegalArgumentException](mismatched.restore(bytes))
+      assert(e.getMessage.contains("differently-configured"), e.getMessage)
+    }
+    // garbage bytes are rejected by the magic, not misparsed as state
+    val bad = intercept[IllegalArgumentException](
+      StreamOps.heavyHitterSink("body", k = 3)._1.restore(
+        Array.fill[Byte](64)(0x2a)))
+    assert(bad.getMessage.contains("magic"), bad.getMessage)
+    // the matching configuration still round-trips
+    val (same, _) = StreamOps.heavyHitterSink("body", k = 3)
+    same.restore(bytes)
+    assert(same.estimate("alpha") == 10L)
+  }
+
   test("asofEnrichStream: any trigger slicing unions to the batch asofJoin") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new Timestamp(s * 1000)
