@@ -143,6 +143,76 @@ class SamplingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fitted as-of probe == composed join == brute force: 300 combined adversarial samples") {
+    // prescription-scale randomized sweep of asofJoinWith's dense-index
+    // edge paths: 300 samples ride as composite keys in 6 combined frame
+    // pairs (the sessionCounts technique), so each block's fit sees 50
+    // different per-sample distributions cut by ONE shared [p1,p99] probe
+    // bucket — gap buckets, probes below every data bucket and far past
+    // the last one, exact (t, probe) ties, and null keys/times on both
+    // sides (null keys from different samples deliberately merge into one
+    // global null-key group: the brute force treats them identically, so
+    // the null-safe key match is exercised across a LARGE frame, not a
+    // toy one)
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val keyGen = Gen.oneOf(Gen.const(Some("k1")), Gen.const(Some("k2")),
+      Gen.const(Option.empty[String]))
+    val lTimeGen = Gen.frequency(
+      1 -> Gen.choose(-3000L, 3000L), 1 -> Gen.choose(0L, 500L))
+    val sampleGen = Gen.zip(
+      Gen.listOf(Gen.zip(keyGen, Gen.option(lTimeGen))),
+      Gen.listOf(Gen.zip(keyGen, Gen.option(Gen.choose(0L, 500L)),
+        Gen.option(Gen.choose(0L, 99L)))))
+    def check(lRows: Seq[(Long, Option[String], Option[Long])],
+        rRows: Seq[(Option[String], Option[Long], Option[Long])]): Unit = {
+      val l = lRows.toDF("id", "k", "t")
+      val r = rRows.toDF("k", "t", "v")
+      val got = Relational.asofJoin(l, r, "k", "t", Map("v" -> "v"))
+        .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+      val fitted = Relational.asofFit(r, "k", "t", Map("v" -> "v"))
+      val gotFit = Relational.asofJoinWith(l, fitted, "k", "t")
+        .select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+      assert(gotFit == got, "asofJoinWith diverged from asofJoin; first diffs: " +
+        (got.toSet diff gotFit.toSet).take(3) + " expected vs got " +
+        (gotFit.toSet diff got.toSet).take(3))
+      val dedup = rRows.filter(_._2.isDefined)
+        .groupBy(row => (row._1, row._2)).map { case ((k, t), g) =>
+          (k, t.get, g.flatMap(_._3).reduceOption(_ max _))
+        }.toSeq
+      lRows.foreach { case (id, k, t) =>
+        val exp = t.flatMap { tt =>
+          dedup.filter(row => row._1 == k && row._2 <= tt && row._3.isDefined)
+            .sortBy(_._2).lastOption.flatMap(_._3)
+        }
+        assert(got(id) == exp, s"left ($k,$t): got ${got(id)}, expected $exp")
+      }
+    }
+    var nextId = 0L
+    for (block <- 0 until 6) {
+      val (lAll, rAll) = (0 until 50).map { i =>
+        val (lRows0, rRows0) = sampleGen(Gen.Parameters.default,
+          Seed((1000 + block * 50 + i).toLong)).getOrElse((Nil, Nil))
+        def tag(k: Option[String]) = k.map(kk => s"s${i}|$kk")
+        (lRows0.map { case (k, t) =>
+          nextId += 1; (nextId, tag(k), t)
+        }, rRows0.map { case (k, t, v) => (tag(k), t, v) })
+      }.unzip
+      val (lRows, rRows) = (lAll.flatten, rAll.flatten)
+      if (lRows.nonEmpty) check(lRows, rRows)
+    }
+    // degenerate axes the random sweep can miss: an all-equal right time
+    // axis (p1 == p99 -> the probe bucket collapses to a single bucket)
+    // probed below, at, and above the one data point; and probes exactly
+    // on the right axis's own min/max values (the [p1,p99] edges)
+    check(Seq((9001L, Some("k"), Some(41L)), (9002L, Some("k"), Some(42L)),
+        (9003L, Some("k"), Some(43L)), (9004L, Some("k"), None)),
+      Seq.fill(20)((Some("k"), Some(42L), Some(7L))))
+    check((0L to 100L).map(t => (9100L + t, Some("k"), Some(t))) ++
+        Seq((9300L, Some("k"), Some(0L)), (9301L, Some("k"), Some(100L))),
+      (0L to 100L by 5).map(t => (Some("k"), Some(t), Some(t))))
+  }
+
   test("bucketed sessionCounts == driver brute force: 300 random samples + degenerate spacings") {
     // the two-phase form (within-(key, bucket) lag + sorted-array boundary
     // merge) must equal the naive per-key scan for any keys/timestamps/gaps;
