@@ -436,9 +436,14 @@ object GraftExtensions {
           logical(operators.CorpusOps.bm25Search(
             activeTable(strArg(args, 0, "graft_bm25")),
             strArg(args, 1, "graft_bm25"), strArg(args, 2, "graft_bm25"),
-            // \s+ not ' ': a tab/newline-joined query would otherwise keep
-            // "a\tb" as one term the space-split tokenizer can never match
-            strArg(args, 3, "graft_bm25").split("\\s+").toSeq.filter(_.nonEmpty),
+            // single-space split, NOT \s+: the corpus tokenizer
+            // (TextFunctions.words) splits on single spaces only, so doc
+            // tokens may legitimately contain tabs/newlines — a \s+ query
+            // split could never produce such terms, making those doc
+            // tokens unmatchable via the TVF. Query and corpus must
+            // tokenize identically (bm25SearchMany does the same by
+            // running TextFunctions.words on the query column).
+            strArg(args, 3, "graft_bm25").split(" ").toSeq.filter(_.nonEmpty),
             intArg(args, 4, 20, "graft_bm25")))
       },
       tvf("graft_bm25_many",

@@ -2554,8 +2554,11 @@ object SparkEntry {
           | round(min(value), 4) AS min, round(max(value), 4) AS max
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // n_exact = count(value), NOT count(*): the rank window
+      // [(p-eps)n, (p+eps)n] is over percentile_approx's actual input
+      // population (non-null values), so n must exclude nulls too
       "q_numeric_profile_sketch" ->
-        """SELECT event_type, q.quantile, count(*) AS n_exact,
+        """SELECT event_type, q.quantile, count(value) AS n_exact,
           | true AS within_rank_bounds
           |FROM events, (VALUES (0.25), (0.5), (0.75), (0.95)) q(quantile)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

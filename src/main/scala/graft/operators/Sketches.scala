@@ -33,12 +33,17 @@ object Sketches {
         hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))).cast("long"))
       .head().getLong(0)
 
-  /** Numeric profile per group: approximate quantiles + exact min/max/avg. */
+  /** Numeric profile per group: approximate quantiles + exact min/max/avg.
+    * `n` is the NON-NULL value count — the population every other field
+    * describes (avg/min/max/percentile_approx all skip nulls), and the
+    * population rank-bound checks must be computed against: a count(*)
+    * n would misplace the guaranteed rank window [(p-eps)n, (p+eps)n]
+    * whenever the column contains nulls. */
   def numericProfile(df: DataFrame, groupCols: Seq[Column], value: Column,
       quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
     df.groupBy(groupCols: _*)
       .agg(
-        count(lit(1)).as("n"),
+        count(value).as("n"),
         round(avg(value), 4).as("avg"),
         min(value).as("min"),
         max(value).as("max"),

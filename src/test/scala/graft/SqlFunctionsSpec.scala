@@ -321,6 +321,18 @@ class SqlFunctionsSpec extends AnyFunSuite {
           Seq("data", "key", "value"), k = 5)
         .collect().toSeq)
 
+    // tokenizer parity: the corpus splits on single spaces only, so a doc
+    // token may contain a tab — the TVF's query split must keep "a\tb" as
+    // ONE term (a \s+ split would shred it into unmatchable halves)
+    locally { import spark.implicits._
+      Seq((1L, "a\tb plain"), (2L, "other words here"))
+        .toDF("doc_id", "text").createOrReplaceTempView("tvftabdocs")
+    }
+    val tabHit = spark.sql(
+      "SELECT doc_id FROM graft_bm25('tvftabdocs', 'doc_id', 'text', 'a\tb', 5)")
+    assert(tabHit.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "tab-containing doc token must be matchable via the TVF query string")
+
     locally { import spark.implicits._
       Seq((1L, "data value"), (2L, "key table"))
         .toDF("query_id", "query_text").createOrReplaceTempView("tvfqueries")

@@ -158,6 +158,17 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("numericProfile n counts non-null values only (the quantiles' population)") {
+    // avg/min/max/percentile_approx all skip nulls; n must describe the
+    // same population, or rank-bound checks [(p-eps)n, (p+eps)n] computed
+    // from it are against the wrong n whenever the column contains nulls
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None), ("b", None)).toDF("g", "value")
+    val p = Sketches.numericProfile(df, Seq($"g"), $"value")
+      .select($"g", $"n").as[(String, Long)].collect().toMap
+    assert(p == Map("a" -> 2L, "b" -> 0L), p.toString)
+  }
+
   test("saltedJoin returns exactly the plain equi-join rows") {
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(spark, graft.SparkTestSession.sf0001)
