@@ -429,6 +429,20 @@ object GraftExtensions {
               org.apache.spark.sql.functions.col(strArg(args, 3, "graft_pack"))),
             intArg(args, 4, 2048, "graft_pack")))
       },
+      tvf("graft_pack_rows",
+        "graft_pack_rows(table, groupCol, orderCol, textCol, maxSeqLen) - " +
+          "materialized training sequences: one row per (group, seq_id) " +
+          "with the ordered document slices tiling it") {
+        args => arity(args, "graft_pack_rows", 5, 5)
+          logical(operators.Sampling.packSequenceRows(
+            activeTable(strArg(args, 0, "graft_pack_rows")),
+            Seq(org.apache.spark.sql.functions.col(strArg(args, 1, "graft_pack_rows"))),
+            org.apache.spark.sql.functions.col(strArg(args, 2, "graft_pack_rows")),
+            org.apache.spark.sql.functions.col(strArg(args, 2, "graft_pack_rows")),
+            graft.functions.TextFunctions.tokenCount(
+              org.apache.spark.sql.functions.col(strArg(args, 3, "graft_pack_rows"))),
+            intArg(args, 4, 2048, "graft_pack_rows")))
+      },
       tvf("graft_bm25",
         "graft_bm25(table, idCol, textCol, query[, k]) - Okapi BM25 top-k " +
           "document retrieval for a space-separated query string") {

@@ -504,6 +504,24 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    "q_corpus_pack_rows" -> ((s, dir) => {
+      // materialized packing: one row per (source, seq_id) with the
+      // ordered doc slices that tile it — the table a training loader
+      // actually reads. Gated FLAT (one row per slice, per-sequence
+      // aggregates repeated) so the DuckDB oracle replays the layout with
+      // plain window functions instead of hashing nested arrays.
+      operators.Sampling.packSequenceRows(Tables.documents(s, dir),
+          Seq(col("source")), col("doc_id"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")), maxSeqLen = 512)
+        .select(col("source"), col("seq_id"), col("n_docs"),
+          col("seq_tokens"), explode(col("slices")).as("sl"))
+        .select(col("source"), col("seq_id"), col("n_docs"),
+          col("seq_tokens"), col("sl.pos").as("pos"),
+          col("sl.id").as("doc_id"), col("sl.start").as("doc_start"),
+          col("sl.len").as("len"))
+        .orderBy(col("source"), col("seq_id"), col("pos"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // the full pretraining-data pipeline composed in ONE plan — the
       // "switch your pipeline to this library" demonstration: quality
@@ -2374,6 +2392,33 @@ object SparkEntry {
           | CAST((sum(n_tokens) OVER w - n_tokens) % 512 AS BIGINT) AS seq_offset
           |FROM t WINDOW w AS (PARTITION BY source ORDER BY doc_id)
           |ORDER BY source, doc_id""".stripMargin,
+
+      "q_corpus_pack_rows" ->
+        """WITH d AS (
+          |  SELECT source, doc_id,
+          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |   CAST(sum(len(string_split(text, ' '))) OVER
+          |     (PARTITION BY source ORDER BY doc_id)
+          |     - len(string_split(text, ' ')) AS BIGINT) AS token_start
+          |  FROM documents),
+          | e AS (
+          |  SELECT source, doc_id, n_tokens, token_start,
+          |   unnest(generate_series(token_start // 512,
+          |     (token_start + n_tokens - 1) // 512)) AS seq_id
+          |  FROM d WHERE n_tokens > 0),
+          | s AS (
+          |  SELECT source, seq_id, doc_id,
+          |   greatest(token_start, seq_id * 512) - seq_id * 512 AS pos,
+          |   greatest(token_start, seq_id * 512) - token_start AS doc_start,
+          |   least(token_start + n_tokens, seq_id * 512 + 512)
+          |     - greatest(token_start, seq_id * 512) AS len
+          |  FROM e)
+          |SELECT source, seq_id,
+          | count(*) OVER (PARTITION BY source, seq_id) AS n_docs,
+          | CAST(sum(len) OVER (PARTITION BY source, seq_id) AS BIGINT)
+          |   AS seq_tokens,
+          | pos, doc_id, doc_start, len
+          |FROM s ORDER BY source, seq_id, pos""".stripMargin,
 
       "q_corpus_filter" -> {
         val reason = operators.CorpusOps.sqlQualityFilterReason(

@@ -307,6 +307,57 @@ object Sampling {
       .drop("__cum_end")
   }
 
+  /**
+   * Materialized training sequences — the loader-side twin of
+   * [[packSequences]]: one row per (group, sequence) carrying the ordered
+   * document SLICES that tile it, so a training loader reads sequences
+   * directly instead of hand-rolling the (group, seq range) lookup the
+   * [[packSequences]] scaladoc describes.
+   *
+   * Each document explodes into the `seq_first..seq_last` range it spans —
+   * a BOUNDED fan-out of at most ceil(n_tokens / maxSeqLen) + 1 rows per
+   * document, no windows — then one (group, seq_id) shuffle assembles each
+   * sequence's slices. A slice is (pos, id, start, len): the document
+   * `id`'s tokens [start, start + len) occupy the sequence's positions
+   * [pos, pos + len). Slices tile the sequence gaplessly in layout order
+   * (`pos` is unique within a sequence, so the sorted array IS the
+   * loader's read plan); only the group's final sequence may be short
+   * (`seq_tokens < maxSeqLen`). Documents with a zero (or null) token
+   * count occupy no sequence, exactly as in [[packSequences]].
+   *
+   * Scale shape: per-sequence state is bounded by maxSeqLen (a sequence
+   * holds at most maxSeqLen slices), and a group's sequences spread over
+   * the (group, seq_id) shuffle — a 95%-skew group never funnels through
+   * one reducer. The layout knobs (`hexOrdered`, `boundarySource`) pass
+   * straight to [[packSequences]].
+   */
+  def packSequenceRows(
+      df: DataFrame, groupCols: Seq[Column], orderCol: Column, idCol: Column,
+      tokenCount: Column, maxSeqLen: Int,
+      hexOrdered: Boolean = false,
+      boundarySource: Option[DataFrame] = None): DataFrame = {
+    val packed = packSequences(df, groupCols, orderCol, tokenCount, maxSeqLen,
+      hexOrdered, boundarySource)
+    val exploded = packed
+      .filter(col("n_tokens") > 0)
+      .select(groupCols ++ Seq(idCol.as("__id"), col("n_tokens"),
+        col("token_start"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id")): _*)
+    val seqStart = col("seq_id") * maxSeqLen
+    val gStart = greatest(col("token_start"), seqStart)
+    val gEnd = least(col("token_start") + col("n_tokens"),
+      seqStart + maxSeqLen)
+    exploded
+      .select(groupCols ++ Seq(col("seq_id"),
+        struct((gStart - seqStart).as("pos"), col("__id").as("id"),
+          (gStart - col("token_start")).as("start"),
+          (gEnd - gStart).as("len")).as("__slice")): _*)
+      .groupBy(groupCols :+ col("seq_id"): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__slice.len")).as("seq_tokens"),
+        sort_array(collect_list(col("__slice"))).as("slices"))
+  }
+
   /** Order-consistent bucket expression for an ARBITRARY orderable
     * `orderCol` (packSequences' caller picks the layout order — often a
     * doc id or shuffle key, not a hash this library minted): boundaries

@@ -347,6 +347,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
           graft.functions.TextFunctions.tokenCount(col("text")), 128)
         .orderBy(col("source"), col("doc_id")).collect().toSeq)
 
+    val packedRows = spark.sql(
+      "SELECT * FROM graft_pack_rows('tvfdocs', 'source', 'doc_id', 'text', 128) " +
+        "ORDER BY source, seq_id")
+    assert(packedRows.collect().toSeq ==
+      operators.Sampling.packSequenceRows(docs,
+          Seq(col("source")), col("doc_id"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")), 128)
+        .orderBy(col("source"), col("seq_id")).collect().toSeq)
+
     graft.Tables.events(spark, graft.SparkTestSession.sf0001)
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))

@@ -131,6 +131,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == packed.map(p => (p._1, p._3)).toSet)
   }
 
+  test("packSequenceRows materializes the loader view: ordered slices tile each sequence") {
+    val docs = Seq(
+      (0L, "a", ("w " * 300).trim),  // [0, 300)
+      (1L, "a", ("w " * 300).trim),  // [300, 600): crosses seq 0/1
+      (2L, "a", ("w " * 100).trim),  // [600, 700)
+      (3L, "b", ("w " * 10).trim))   // separate group
+      .toDF("doc_id", "source", "text")
+    val rows = Sampling.packSequenceRows(docs, Seq($"source"), $"doc_id",
+        $"doc_id", graft.functions.TextFunctions.tokenCount($"text"),
+        maxSeqLen = 512)
+      .select($"source", $"seq_id", $"n_docs", $"seq_tokens", $"slices")
+      .as[(String, Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+      .collect().sortBy(r => (r._1, r._2))
+    // slice = (pos, id, start, len): doc id's tokens [start, start+len)
+    // sit at sequence positions [pos, pos+len)
+    assert(rows.toSeq == Seq(
+      ("a", 0L, 2L, 512L, Seq((0L, 0L, 0L, 300L), (300L, 1L, 0L, 212L))),
+      ("a", 1L, 2L, 188L, Seq((0L, 1L, 212L, 88L), (88L, 2L, 0L, 100L))),
+      ("b", 0L, 1L, 10L, Seq((0L, 3L, 0L, 10L)))), rows.mkString("\n"))
+    // a zero-token doc occupies no sequence (packSequences' contract)
+    val withEmpty = docs.unionByName(
+      Seq((9L, "b", "ignored")).toDF("doc_id", "source", "text"))
+    val b0 = Sampling.packSequenceRows(withEmpty, Seq($"source"), $"doc_id",
+        $"doc_id", when($"doc_id" === 9L, 0L)
+          .otherwise(graft.functions.TextFunctions.tokenCount($"text")), 512)
+      .filter($"source" === "b").select($"slices")
+      .as[Seq[(Long, Long, Long, Long)]].collect()
+    assert(b0.toSeq == Seq(Seq((0L, 3L, 0L, 10L))), b0.mkString)
+  }
+
   test("packSequences hexOrdered and boundarySource layouts equal the sampled default") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
       .withColumn("hk", md5($"text".cast("binary")))

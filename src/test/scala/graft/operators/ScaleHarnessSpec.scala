@@ -239,6 +239,45 @@ class ScaleHarnessSpec extends AnyFunSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("packSequenceRows on a 95%-skewed group: multi-task, sequences tile gaplessly") {
+    val n = 40000
+    val docs = skewedDocs(n, 0.95).cache()
+    docs.count()
+    try {
+      var rows: Array[(String, Long, Long, Seq[(Long, String, Long, Long)])] = null
+      val maxRead = maxTaskShuffleRead {
+        rows = Sampling.packSequenceRows(docs, Seq($"source"), $"doc_id",
+            $"doc_id", $"n_tok", maxSeqLen = 512)
+          .select($"source", $"seq_id", $"seq_tokens", $"slices")
+          .as[(String, Long, Long, Seq[(Long, String, Long, Long)])].collect()
+      }
+      // the giant group holds 95% of docs, but its sequences spread over
+      // the (group, seq_id) shuffle — no reducer may see half the corpus
+      assert(maxRead < n / 2,
+        s"one task shuffle-read $maxRead of $n rows — single-reducer assembly")
+      // loader invariants: within every sequence the sorted slices tile
+      // [0, seq_tokens) gaplessly, and every sequence except each group's
+      // last is exactly maxSeqLen tokens
+      rows.foreach { case (src, seqId, seqTok, slices) =>
+        var pos = 0L
+        slices.foreach { case (p, _, _, len) =>
+          assert(p == pos, s"$src/$seqId: slice at $p, expected $pos")
+          pos += len
+        }
+        assert(pos == seqTok, s"$src/$seqId: tiles $pos of $seqTok tokens")
+      }
+      val lastSeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      rows.foreach { case (src, seqId, seqTok, _) =>
+        if (seqId != lastSeq(src))
+          assert(seqTok == 512L, s"$src/$seqId: non-final sequence has $seqTok tokens")
+      }
+      // totals: every token of every doc lands in exactly one slice
+      val totalSliced = rows.map(_._3).sum
+      val totalTokens = docs.agg(sum($"n_tok")).as[Long].head()
+      assert(totalSliced == totalTokens, s"$totalSliced sliced vs $totalTokens input")
+    } finally { docs.unpersist(); () }
+  }
+
   test("exact row dedup of a 50k-copy duplicate group is an aggregation, not a window") {
     // one text duplicated 50k times (84% of rows) + a distinct tail: the
     // survivor must be the min doc_id, and no task may absorb the whole
