@@ -182,6 +182,10 @@ object Bench {
       s""","events_per_sec":${eventsPerSec.round}""" +
       s""","events_per_sec_per_partition":$perPartition,"n_events":$totalEvents""" +
       s""","stream_gates_sec":${math.round(streamGatesSec * 1000) / 1000.0}""" +
+      // every per-gate number is best-of-`samples` independent passes
+      // (cache cleared between them) — declared in the artifact so a
+      // reader knows the noise model without consulting the source
+      s""","samples":2,"per_gate_stat":"min"""" +
       s""","failed":$failedNames"""
     println(s"""{"metric":"total","value":$total,"unit":"sec"""" + headline +
       s""","queries":$qs,"sf":"$sfDir"}""")

@@ -213,6 +213,46 @@ class SamplingPropertySpec extends AnyFunSuite {
       (0L to 100L by 5).map(t => (Some("k"), Some(t), Some(t))))
   }
 
+  test("packSequenceRows == driver brute force: random token streams, tiling invariants") {
+    // the materialized loader view must equal a literal driver-side
+    // concat-and-chunk for any token-count distribution (zeros included):
+    // same sequences, same slice order, same (id, start, len) spans
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(0L, 40L)))
+    forSamples(gen, n = 25) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((g, t), i) => (g, i.toLong, t) }
+      if (rows.nonEmpty) {
+        val maxSeqLen = 16
+        val df = rows.toDF("g", "doc_id", "n_tok").repartition(5)
+        val got = Sampling.packSequenceRows(df, Seq($"g"), $"doc_id",
+            $"doc_id", $"n_tok", maxSeqLen)
+          .select($"g", $"seq_id", $"n_docs", $"seq_tokens", $"slices")
+          .as[(String, Long, Long, Long, Seq[(Long, Long, Long, Long)])]
+          .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+        // brute force: lay each group's docs out in doc_id order, walk the
+        // token stream cutting every maxSeqLen tokens
+        val expected = rows.groupBy(_._1).toList.flatMap { case (g, grp) =>
+          var off = 0L
+          val slices = grp.sortBy(_._2).flatMap { case (_, id, t) =>
+            val out = (off until off + t).grouped(1).toSeq // per-token walk
+              .flatten.groupBy(_ / maxSeqLen).toSeq.map { case (seq, toks) =>
+                (seq, (toks.min % maxSeqLen, id, toks.min - off, toks.length.toLong))
+              }
+            off += t
+            out
+          }
+          slices.groupBy(_._1).map { case (seq, ss) =>
+            val sorted = ss.map(_._2).sortBy(_._1)
+            (g, seq) -> ((sorted.length.toLong, sorted.map(_._4).sum, sorted))
+          }
+        }.toMap
+        assert(got == expected,
+          s"diff keys: ${(expected.keySet diff got.keySet) ++ (got.keySet diff expected.keySet)}")
+      }
+    }
+  }
+
   test("bucketed sessionCounts == driver brute force: 300 random samples + degenerate spacings") {
     // the two-phase form (within-(key, bucket) lag + sorted-array boundary
     // merge) must equal the naive per-key scan for any keys/timestamps/gaps;
