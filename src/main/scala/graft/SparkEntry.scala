@@ -2075,11 +2075,15 @@ object SparkEntry {
     "q_corpus_overlap_append" -> ((s, dir) => {
       // incremental snapshot lifecycle: m2app (save a quarter of the
       // corpus, append the remaining evens — appendToOverlapSketch) must
-      // behave exactly like the rebuilt full-save m2 of the same set.
-      // HLL union IS set union, so the two sketches' registers are
-      // identical: every pairwise stat collapses (n_a == n_b ==
-      // n_union == n_intersect), asserted as booleans, and the estimate
-      // sits within the matrix gate's 5% bound of the DuckDB-exact count.
+      // behave like the rebuilt full-save m2 of the same set. HLL union
+      // IS set union, but NOT bit-identical estimation: a directly-built
+      // sketch streams the HIP estimator while a union-built one answers
+      // with the composite estimator, so the same set's estimates agree
+      // only to within the sketch's error once past sparse mode (exact
+      // equality held at sf0.001/0.01 and broke at sf0.1). The gate
+      // therefore bounds: appended and union within 5% of the DuckDB
+      // exact, and appended-vs-rebuilt within 2% of each other (both
+      // describe ONE set; lgK=12 RSE is ~1%).
       val base = overlapSketchDir(s, dir)
       val m = operators.CorpusOps.corpusOverlapMatrix(s,
         Seq("m2" -> s"$base/m2", "m2app" -> s"$base/m2app"))
@@ -2091,8 +2095,10 @@ object SparkEntry {
         col("e_n").as("n_exact"),
         (abs(col("n_b") - col("e_n")).cast("double") <=
           col("e_n").cast("double") * 0.05).as("appended_within_5pct"),
-        (col("n_a") === col("n_b") && col("n_union") === col("n_a") &&
-          col("n_intersect") === col("n_a")).as("append_equals_rebuilt"))
+        (abs(col("n_union") - col("e_n")).cast("double") <=
+          col("e_n").cast("double") * 0.05).as("union_within_5pct"),
+        (abs(col("n_a") - col("n_b")).cast("double") <=
+          col("e_n").cast("double") * 0.02).as("append_matches_rebuilt"))
     }),
 
     "q_text_bm25" -> ((s, dir) => {
@@ -2768,7 +2774,7 @@ object SparkEntry {
 
       "q_corpus_overlap_append" ->
         s"""SELECT n_a AS n_exact, true AS appended_within_5pct,
-           | true AS append_equals_rebuilt
+           | true AS union_within_5pct, true AS append_matches_rebuilt
            |FROM (${operators.CorpusOps.sqlCorpusOverlap(
                  "SELECT text FROM documents WHERE doc_id % 2 = 0",
                  "SELECT text FROM documents WHERE doc_id % 2 = 0")})""".stripMargin,

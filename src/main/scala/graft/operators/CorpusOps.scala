@@ -783,8 +783,13 @@ object CorpusOps {
   /** Fold a NEW document batch into a persisted overlap sketch — the
     * incremental snapshot lifecycle ([[graft.operators.Dedup
     * .appendToHashIndex]]'s pattern): a growing crawl keeps ONE KB-sized
-    * sketch current without rescanning history (HLL union is exactly
-    * set-union, so append-then-compare equals sketching the full corpus).
+    * sketch current without rescanning history. HLL union is exactly
+    * set-union, so the appended sketch DESCRIBES the same set as a
+    * full-corpus rebuild — but not always bit-identically: a union-built
+    * sketch answers with the composite estimator while a directly-built
+    * one streams HIP, so past sparse mode the two estimates agree only to
+    * within the sketch's error (~1% RSE at the default lgConfigK), not
+    * exactly (q_corpus_overlap_append bounds this at 2%).
     * The rewrite is crash-safe by tmp-then-swap on a single tiny file
     * tree, and the whole read-merge-rewrite holds the single-writer
     * lease ([[saveOverlapSketch]]'s), so a concurrent appender fails
