@@ -179,6 +179,26 @@ object SparkEntry {
       base
     })
 
+  /** Once-per-dir persisted BM25 stats for q_text_bm25_persisted: built
+    * through the full incremental lifecycle (save the evens as the base
+    * snapshot, append the odds as epoch 0) so the gate exercises save +
+    * append + load + probe; the files are a pure function of the sf dir. */
+  private val sharedBm25StatsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25StatsDir(s: SparkSession, dir: String): String =
+    sharedBm25StatsDirs.computeIfAbsent(dir, _ => {
+      val d = Tables.documents(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("bm25s").toString
+      val path = s"$base/stats"
+      operators.CorpusOps.saveBm25Stats(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      operators.CorpusOps.appendToBm25Stats(
+        d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", path, epoch = 0)
+      sys.addShutdownHook {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)); ()
+      }
+      path
+    })
+
   /** Run a gate stream to completion or fail loudly: a timed-out
     * AvailableNow query must never let the caller read partial sink
     * contents as the query's answer (and the still-running stream must not
@@ -2111,6 +2131,19 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "q_text_bm25_persisted" -> ((s, dir) => {
+      // the persisted search-stats lifecycle: an index built INCREMENTALLY
+      // (base snapshot of the evens + one appended epoch of the odds) must
+      // reproduce the one-shot bm25Search over the same corpus EXACTLY —
+      // df/N/total-length are exact mergeable sums, so the same full-hash
+      // oracle as q_text_bm25 gates it. Index files memoized per sf dir
+      // (a pure function of the dir — overlapSketchDir's rationale).
+      val path = bm25StatsDir(s, dir)
+      operators.CorpusOps.bm25SearchWithStats(Tables.documents(s, dir),
+          "doc_id", "text", Bm25Query, path, k = 20)
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     "q_text_bm25_multi" -> ((s, dir) => {
       // multi-query BM25: a benchmark TABLE of queries scored in ONE corpus
       // pass — shared token/tf/df work, broadcast per-query fan-out, and a
@@ -2780,6 +2813,10 @@ object SparkEntry {
                  "SELECT text FROM documents WHERE doc_id % 2 = 0")})""".stripMargin,
 
       "q_text_bm25" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
+
+      // the persisted incremental stats reproduce the one-shot search
+      // EXACTLY (df/N/total-length are exact mergeable sums) — same oracle
+      "q_text_bm25_persisted" -> operators.CorpusOps.sqlBm25(Bm25Query, k = 20),
 
       "q_text_bm25_multi" -> operators.CorpusOps.sqlBm25Many(Bm25Queries, k = 10),
 

@@ -1499,6 +1499,159 @@ object CorpusOps {
        |       FROM tf JOIN dft USING (term), st)""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Persisted BM25 corpus statistics — the search-index lifecycle
+  // ([[graft.operators.Dedup.saveHashIndex]]'s shape for retrieval): a
+  // 100 TB corpus's (term -> document frequency) table plus (n_docs,
+  // total token length) is VOCABULARY-sized state that is expensive to
+  // recompute per query batch but perfectly mergeable — new document
+  // batches append their own stats as epoch partitions, df sums across
+  // epochs, and (n_docs, total_dl) sums likewise, so avgdl recomputes
+  // exactly. Any future query then scores any document batch via
+  // [[bm25ScoreWith]] against the loaded stats without rescanning the
+  // corpus. All mutations hold the single-writer index lease; compaction
+  // reuses the hash index's crash-safe tmp-then-swap.
+  // -------------------------------------------------------------------
+
+  /** Per-path memo + drift check of the stats format tag — loading a
+    * path that is some OTHER index family (or not an index at all) must
+    * fail with a pointed message, not a schema error downstream. */
+  private val Bm25StatsFormat = "graft-bm25-stats-v1"
+  private val bm25StatsFormats =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def requireBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val stored = bm25StatsFormats.computeIfAbsent(path, _ =>
+      try spark.read.parquet(s"$path/params").select(col("format"))
+        .head().getString(0)
+      catch { case _: Exception => "<unreadable>" })
+    if (stored != Bm25StatsFormat) throw new IllegalStateException(
+      s"$path is not a BM25 stats index (params format '$stored', " +
+        s"expected '$Bm25StatsFormat') — point at a saveBm25Stats path " +
+        "or build one first")
+  }
+
+  /** One batch's statistics: per-term document frequency (array_distinct
+    * per row, ONE vocabulary-shuffle aggregate) and the (n_docs, total
+    * token length) pair. `total_dl` is an exact LONG so appended epochs
+    * sum losslessly and avgdl = total_dl / n_docs reproduces the direct
+    * avg() to the double's precision at any epoch count. */
+  private def bm25StatsOf(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val dft = docs.select(
+        explode(array_distinct(TextFunctions.words(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val meta = docs.agg(count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("total_dl"))
+    (dft, meta)
+  }
+
+  /** Create (or re-create wholesale) a persisted BM25 stats index from a
+    * corpus snapshot. Layout: `<path>/terms/epoch=-1` (term, df — written
+    * distributed, vocabulary-scale), `<path>/meta/epoch=-1` (one row),
+    * `<path>/params` (format tag). */
+  def saveBm25Stats(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "saveBm25Stats") {
+      val (dft, meta) = bm25StatsOf(docs, idCol, textCol)
+      dft.write.mode("overwrite").parquet(s"$path/terms/epoch=-1")
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/epoch=-1")
+      import spark.implicits._
+      Seq(Bm25StatsFormat).toDF("format")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      bm25StatsFormats.put(path, Bm25StatsFormat)
+    }
+    ()
+  }
+
+  /** Fold a NEW document batch's statistics into the index as the
+    * `epoch` partition — no corpus rescan, cost is one vocabulary
+    * aggregate over the batch. Epoch writes are idempotent (overwrite of
+    * that partition), so an at-least-once pipeline replaying a batch id
+    * replaces its own stats instead of double-counting; appending the
+    * SAME documents under a NEW epoch double-counts by construction
+    * (append admitted/new documents only — [[Dedup.appendToHashIndex]]'s
+    * contract). */
+  def appendToBm25Stats(batch: DataFrame, idCol: String, textCol: String,
+      path: String, epoch: Long): Unit = {
+    require(epoch >= 0, s"epoch must be >= 0 (got $epoch); -1 is the base snapshot")
+    val spark = batch.sparkSession
+    requireBm25Stats(spark, path)
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "appendToBm25Stats") {
+      val (dft, meta) = bm25StatsOf(batch, idCol, textCol)
+      dft.write.mode("overwrite").parquet(s"$path/terms/epoch=$epoch")
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/epoch=$epoch")
+    }
+    ()
+  }
+
+  /** Load the summed statistics: (per-term df over all epochs, n_docs,
+    * avgdl). The df frame is vocabulary-scale and LAZY — a caller
+    * filtering it to query terms (as [[bm25SearchWithStats]] does) pushes
+    * the term predicate below the epoch-sum aggregate into the parquet
+    * scan, so a probe reads only matching row groups, never the whole
+    * vocabulary into memory. */
+  def loadBm25Stats(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Long, Double) = {
+    requireBm25Stats(spark, path)
+    val dft = spark.read.parquet(s"$path/terms")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val m = spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs")), sum(col("total_dl"))).head()
+    val nDocs = m.getLong(0)
+    require(nDocs > 0, s"BM25 stats at $path cover zero documents")
+    (dft, nDocs, m.getLong(1).toDouble / nDocs)
+  }
+
+  /** [[bm25Search]] against PERSISTED statistics: identical arithmetic,
+    * rounding ladder, and (score desc, doc_id) top-k — but df/N/avgdl come
+    * from the index, so the only corpus-scale work is scoring the rows the
+    * caller passes. An incremental index (save + appends) over the same
+    * documents reproduces the one-shot [[bm25Search]] exactly. */
+  def bm25SearchWithStats(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], path: String, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val (dftAll, nDocs, avgdl) = loadBm25Stats(docs.sparkSession, path)
+    val dft = dftAll.filter(col("term").isin(queryTerms.distinct: _*))
+    bm25ScoreWith(docs, idCol, textCol, dft, nDocs, avgdl, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Merge all epoch partitions into `epoch=-1` — bounds the per-probe
+    * scan fan-in after many appends. Crash-safe via the hash index's
+    * checked tmp-then-swap; returns the number of epochs merged (0 = no
+    * work). Values are unchanged (df and meta are sums either way). */
+  def compactBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    requireBm25Stats(spark, path)
+    val fs = Dedup.indexFs(spark, path)
+    Dedup.withIndexLease(fs, path, "compactBm25Stats") {
+      Dedup.recoverCompaction(fs, path, "terms")
+      Dedup.recoverCompaction(fs, path, "meta")
+      val n = fs.listStatus(new Path(s"$path/terms"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      if (n <= 1) 0
+      else {
+        Dedup.swapCompacted(fs, path, "terms", tmp =>
+          spark.read.parquet(s"$path/terms").drop("epoch")
+            .groupBy(col("term")).agg(sum(col("df")).as("df"))
+            .write.mode("overwrite").parquet(tmp))
+        Dedup.swapCompacted(fs, path, "meta", tmp =>
+          spark.read.parquet(s"$path/meta").drop("epoch")
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("total_dl")).as("total_dl"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp))
+        n
+      }
+    }
+  }
+
   /**
    * Unigram language-model quality score (the CCNet-style signal): fit a
    * corpus-wide add-one-smoothed unigram LM, then score every document by

@@ -970,6 +970,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     ()
   }
 
+  test("persisted BM25 stats: incremental save+append reproduces the one-shot search exactly") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"term$i cat ${if (i % 3 == 0) "dog" else "fish"} shared words " +
+        ("pad " * (i % 7)).trim)
+    }.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25-stats").toString
+    val path = s"$base/idx"
+    // lifecycle: base snapshot = doc_id % 2 == 0; two appends cover the rest
+    CorpusOps.saveBm25Stats(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", path)
+    CorpusOps.appendToBm25Stats(
+      docs.filter($"doc_id" % 2 =!= 0 && $"doc_id" < 30), "doc_id", "text", path, epoch = 0)
+    CorpusOps.appendToBm25Stats(
+      docs.filter($"doc_id" % 2 =!= 0 && $"doc_id" >= 30), "doc_id", "text", path, epoch = 1)
+    val q = Seq("cat", "dog", "missingterm")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq
+    val direct = key(CorpusOps.bm25Search(docs, "doc_id", "text", q, k = 15))
+    val persisted = key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 15))
+    assert(persisted == direct, s"persisted diverged:\n$persisted\nvs\n$direct")
+    // epoch replay is idempotent: re-appending epoch 1 replaces, not doubles
+    CorpusOps.appendToBm25Stats(
+      docs.filter($"doc_id" % 2 =!= 0 && $"doc_id" >= 30), "doc_id", "text", path, epoch = 1)
+    assert(key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 15)) == direct)
+    // compaction merges 3 epochs into one, values unchanged
+    assert(CorpusOps.compactBm25Stats(spark, path) == 3)
+    assert(key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 15)) == direct)
+    assert(CorpusOps.compactBm25Stats(spark, path) == 0, "already compact")
+    // a non-stats path fails loudly, not with a schema error downstream
+    val e = intercept[IllegalStateException](
+      CorpusOps.loadBm25Stats(spark, s"$base/nothere"))
+    assert(e.getMessage.contains("not a BM25 stats index"), e.getMessage)
+    // concurrent mutation: a held lease blocks append AND save
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$path/__lease")
+    val out = fs.create(lease, false)
+    out.write("saveBm25Stats@other".getBytes("UTF-8")); out.close()
+    val c = intercept[IllegalStateException](
+      CorpusOps.appendToBm25Stats(docs.limit(1), "doc_id", "text", path, epoch = 2))
+    assert(c.getMessage.contains("saveBm25Stats@other"), c.getMessage)
+    fs.delete(lease, false)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    ()
+  }
+
   test("bm25Search: exact hand-computed scores, rank order, top-k cut") {
     // 3 docs, query = {cat, dog}: N=3, avgdl = (4+2+3)/3 = 3.0
     // df(cat)=2, df(dog)=1
