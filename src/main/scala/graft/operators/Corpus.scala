@@ -224,6 +224,26 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
       hexOrdered = true)
   }
 
+  /** Terminal: MATERIALIZED training sequences in id order — one row per
+    * (group, seq_id) with the ordered doc slices tiling it, the table a
+    * training loader reads directly ([[Sampling.packSequenceRows]]). */
+  def packRows(maxSeqLen: Int,
+      groupCols: Seq[Column] = Seq(col("source"))): DataFrame =
+    Sampling.packSequenceRows(df, groupCols, id, id,
+      graft.functions.TextFunctions.tokenCount(col(textCol)), maxSeqLen)
+
+  /** Terminal: materialized sequences in TRAINING order ([[packShuffled]]'s
+    * zero-pre-pass hex layout); slices carry the document id, not the
+    * shuffle key, so the loader joins nothing to resolve them. */
+  def packRowsShuffled(maxSeqLen: Int,
+      groupCols: Seq[Column] = Seq(col("source"))): DataFrame = {
+    require(df.columns.contains("shuffle_key"),
+      "packRowsShuffled needs the shuffle_key column — call shuffle(seed) first")
+    Sampling.packSequenceRows(df, groupCols, col("shuffle_key"), id,
+      graft.functions.TextFunctions.tokenCount(col(textCol)), maxSeqLen,
+      hexOrdered = true)
+  }
+
   // ---- reports (terminal, don't transform the corpus) ----
 
   def tfIdfTopTerms(k: Int = 3): DataFrame = CorpusOps.tfIdfTopTerms(df, idCol, textCol, k)

@@ -187,6 +187,18 @@ class CorpusOpsSpec extends AnyFunSuite {
       graft.functions.TextFunctions.tokenCount($"text"), 256))
     assert(viaFacade == explicit)
     assert(viaFacade.nonEmpty)
+    // materialized facade twins: packRows / packRowsShuffled delegate to
+    // packSequenceRows with the doc id carried in the slices
+    def rkey(df: org.apache.spark.sql.DataFrame) = df
+      .select($"seq_id", $"n_docs", $"seq_tokens", $"slices")
+      .as[(Long, Long, Long, Seq[(Long, Long, Long, Long)])].collect().toSet
+    assert(rkey(c.packRowsShuffled(256)) ==
+      rkey(Sampling.packSequenceRows(c.df, Seq($"source"), $"shuffle_key",
+        $"doc_id", graft.functions.TextFunctions.tokenCount($"text"), 256,
+        hexOrdered = true)))
+    assert(rkey(Corpus(docs.drop("hk")).packRows(256)) ==
+      rkey(Sampling.packSequenceRows(docs.drop("hk"), Seq($"source"), $"doc_id",
+        $"doc_id", graft.functions.TextFunctions.tokenCount($"text"), 256)))
   }
 
   test("qualityFilter labels each doc with the first failing rule") {
