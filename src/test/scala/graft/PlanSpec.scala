@@ -144,6 +144,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("persisted bm25 probe: the query-term filter reaches the stats parquet scan") {
+    // a vocabulary-scale stats index must never be read whole per query —
+    // the term predicate has to push below the epoch-sum aggregate into
+    // the scan (StartsWith/EqualTo/In on the term column), and the probe's
+    // joins stay broadcast with a distributed top-k like plain bm25
+    val base = java.nio.file.Files.createTempDirectory("bm25-pin").toString
+    val path = s"$base/stats"
+    val docs = Tables.documents(spark, dir)
+    operators.CorpusOps.saveBm25Stats(docs, "doc_id", "text", path)
+    try {
+      val q = operators.CorpusOps.bm25SearchWithStats(
+        docs, "doc_id", "text", Seq("data", "key"), path, k = 5)
+      val p = plan(q)
+      assert(p.contains("In(term, [data,key])") ||
+        p.contains("In(term, [key,data])"), p)
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)); ()
+    }
+  }
+
   test("as-of probe plan (asofJoinWith): no union and no window anywhere") {
     // the fit-once form's whole point: a probe batch must not pay the
     // composed asofJoin's per-batch union + within-bucket carry window —
