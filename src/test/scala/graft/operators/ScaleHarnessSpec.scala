@@ -278,6 +278,47 @@ class ScaleHarnessSpec extends AnyFunSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("persisted bm25 stats: multi-epoch merge exact under a universal stop term, probe multi-task") {
+    // hostile shape: a term in EVERY document (df = n_docs — the worst
+    // case for both the df merge and the probe's matching-pair volume),
+    // stats built across 1 base + 4 appended epochs with overlapping
+    // vocabularies. The merged index must reproduce the one-shot search
+    // EXACTLY, and the probe's scoring shuffle must spread by doc, never
+    // funnel the stop term's matches through one reducer.
+    val n = 30000
+    val docs = spark.range(n.toLong).select(
+      col("id").as("doc_id"),
+      concat(lit("the tail"), pmod(col("id"), lit(97)),
+        lit(" the filler word number "), col("id")).as("text")).cache()
+    docs.count()
+    val base = java.nio.file.Files.createTempDirectory("bm25-scale").toString
+    val path = s"$base/stats"
+    try {
+      CorpusOps.saveBm25Stats(docs.filter($"doc_id" % 5 === 0), "doc_id", "text", path)
+      for (e <- 1 to 4)
+        CorpusOps.appendToBm25Stats(
+          docs.filter($"doc_id" % 5 === e), "doc_id", "text", path, epoch = e.toLong)
+      val q = Seq("the", "tail7")
+      var got: Seq[(Long, Long, Double)] = null
+      val maxRead = maxTaskShuffleRead {
+        got = CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 25)
+          .as[(Long, Long, Double)].collect().toSeq
+      }
+      val direct = CorpusOps.bm25Search(docs, "doc_id", "text", q, k = 25)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got == direct, s"multi-epoch index diverged from one-shot:\n$got\nvs\n$direct")
+      assert(maxRead < n / 2,
+        s"one task shuffle-read $maxRead of ~$n stop-term matches — probe funneled")
+      // compaction under the same shape stays value-stable
+      assert(CorpusOps.compactBm25Stats(spark, path) == 5)
+      assert(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 25)
+        .as[(Long, Long, Double)].collect().toSeq == direct)
+    } finally {
+      docs.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)); ()
+    }
+  }
+
   test("exact row dedup of a 50k-copy duplicate group is an aggregation, not a window") {
     // one text duplicated 50k times (84% of rows) + a distinct tail: the
     // survivor must be the min doc_id, and no task may absorb the whole
