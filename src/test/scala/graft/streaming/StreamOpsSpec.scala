@@ -195,6 +195,53 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofEnrichStream driver restart end-to-end: checkpoint resume + epoch replay == batch join") {
+    // a REAL enrichment stream stopped mid-corpus and resumed from the
+    // same Spark checkpoint in a "new process" (a fresh asofEnrichStream
+    // writer refits the dimension). The last commit file is deleted before
+    // the resume, so Spark genuinely replays the final pre-stop epoch —
+    // the per-epoch overwrite sink (the idempotency the scaladoc demands)
+    // must absorb it. Final output == the batch asofJoin over all probes.
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val dim = Seq(
+      ("k1", ts(10), 100L), ("k1", ts(50), 150L), ("k1", ts(50), 160L),
+      ("k2", ts(30), 200L)).toDF("k", "t", "v")
+    val probes = (0 until 40).map { i =>
+      (i.toLong, s"k${i % 4}", ts(i * 3L)) // k0/k3 have no dimension rows
+    }
+    val base = java.nio.file.Files.createTempDirectory("asof_restart").toString
+    def feed(rows: Seq[(Long, String, Timestamp)]): Unit =
+      rows.toDF("id", "k", "t").coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    def run(): Unit = {
+      val q = StreamOps.asofEnrichStream(
+          spark.readStream.schema("id LONG, k STRING, t TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/src"),
+          dim, "k", "t", Map("v" -> "v")) { (res, epoch) =>
+        res.write.mode("overwrite").parquet(s"$base/out/epoch=$epoch")
+        ()
+      }.option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+    }
+    probes.grouped(10).take(2).foreach(feed); run() // first half: 2 epochs
+    val lastCommit = new java.io.File(s"$base/cp/commits/1")
+    assert(lastCommit.exists, "expected 2 committed epochs")
+    assert(lastCommit.delete())
+    new java.io.File(s"$base/cp/commits/.1.crc").delete()
+    probes.grouped(10).drop(2).foreach(feed); run() // replay epoch 1 + rest
+    val got = spark.read.parquet(s"$base/out")
+      .select($"id", $"v").as[(Long, Option[Long])].collect()
+    val expected = graft.operators.Relational.asofJoin(
+        probes.toDF("id", "k", "t"), dim, "k", "t", Map("v" -> "v"))
+      .select($"id", $"v").as[(Long, Option[Long])].collect()
+    assert(got.length == expected.length, // replay absorbed, nothing doubled
+      s"${got.length} output rows vs ${expected.length} probes")
+    assert(got.toSet == expected.toSet)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    ()
+  }
+
   test("heavyHitterTracker driver restart end-to-end: byte-roundtrip + checkpoint resume == unbroken run") {
     // a REAL stream stopped mid-corpus, the tracker checkpointed to bytes,
     // a NEW tracker restored and the query resumed from the SAME Spark
