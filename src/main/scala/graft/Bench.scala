@@ -20,6 +20,12 @@ import org.apache.spark.sql.streaming.Trigger
  * absorbs JVM/codegen startup).
  */
 object Bench {
+  /** Independent timing passes per gate (cache cleared between them); the
+    * per-gate number reported is the MIN across passes. Declared in the
+    * JSON (`samples`/`per_gate_stat`) from this one constant so the
+    * artifact can never drift from the actual sampling logic. */
+  val GateSamples: Int = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -146,18 +152,16 @@ object Bench {
     // cold-start discipline: operators lazily persist shared intermediates
     // (CacheManager dedups by canonical plan), so without clearing, pass 2
     // would partly measure pass 1's warm cache instead of the plan
-    spark.catalog.clearCache()
-    val pass1 = sweep().toMap
-    spark.catalog.clearCache()
-    val pass2 = sweep().toMap
+    val passes = (1 to GateSamples).map { _ =>
+      spark.catalog.clearCache()
+      sweep().toMap
+    }
     val results = named.map { case (name, _) =>
-      val (a, b) = (pass1(name), pass2(name))
-      val v =
-        if (a >= 0 && b >= 0) math.min(a, b)
-        else if (a >= 0) a
-        else if (b >= 0) b
-        else a // both failed: keep the first failure's magnitude
-      (name, v)
+      val vs = passes.map(_(name))
+      val ok = vs.filter(_ >= 0)
+      // best-of-N if any pass succeeded; else keep the first failure's
+      // magnitude (negative) so the artifact shows time-to-exception
+      (name, if (ok.nonEmpty) ok.min else vs.head)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -185,7 +189,7 @@ object Bench {
       // every per-gate number is best-of-`samples` independent passes
       // (cache cleared between them) — declared in the artifact so a
       // reader knows the noise model without consulting the source
-      s""","samples":2,"per_gate_stat":"min"""" +
+      s""","samples":$GateSamples,"per_gate_stat":"min"""" +
       s""","failed":$failedNames"""
     println(s"""{"metric":"total","value":$total,"unit":"sec"""" + headline +
       s""","queries":$qs,"sf":"$sfDir"}""")

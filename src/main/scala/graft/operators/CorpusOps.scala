@@ -777,8 +777,18 @@ object CorpusOps {
     * batch under last-write-wins — into a loud failure, like every other
     * persisted index family. */
   private def withSketchLease[T](spark: org.apache.spark.sql.SparkSession,
-      path: String, op: String)(body: => T): T =
-    Dedup.withIndexLease(Dedup.indexFs(spark, path), s"${path}__writer", op)(body)
+      path: String, op: String)(body: => T): T = {
+    val fs = Dedup.indexFs(spark, path)
+    val writerDir = s"${path}__writer"
+    try Dedup.withIndexLease(fs, writerDir, op)(body)
+    finally {
+      // the lease machinery leaves the (now empty) sibling dir behind;
+      // a NON-recursive delete removes it only when empty, so a racing
+      // writer's fresh lease is never clobbered — best-effort cleanup
+      try { fs.delete(new org.apache.hadoop.fs.Path(writerDir), false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** Fold a NEW document batch into a persisted overlap sketch — the
     * incremental snapshot lifecycle ([[graft.operators.Dedup
@@ -1515,47 +1525,75 @@ object CorpusOps {
 
   /** Per-path memo + drift check of the stats format tag — loading a
     * path that is some OTHER index family (or not an index at all) must
-    * fail with a pointed message, not a schema error downstream. */
+    * fail with a pointed message, not a schema error downstream. Only
+    * SUCCESSFUL reads are cached: a transient read failure (store
+    * throttle, a path probed before its creator finished) throws but
+    * must not poison the path for the JVM's lifetime. */
   private val Bm25StatsFormat = "graft-bm25-stats-v1"
   private val bm25StatsFormats =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def requireBm25Stats(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val stored = bm25StatsFormats.computeIfAbsent(path, _ =>
-      try spark.read.parquet(s"$path/params").select(col("format"))
-        .head().getString(0)
-      catch { case _: Exception => "<unreadable>" })
+    val stored = Option(bm25StatsFormats.get(path)).getOrElse {
+      val read =
+        try spark.read.parquet(s"$path/params").select(col("format"))
+          .head().getString(0)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"$path is not a BM25 stats index (params unreadable: " +
+              s"${e.getMessage}) — point at a saveBm25Stats path or build " +
+              "one first", e)
+        }
+      bm25StatsFormats.put(path, read)
+      read
+    }
     if (stored != Bm25StatsFormat) throw new IllegalStateException(
       s"$path is not a BM25 stats index (params format '$stored', " +
         s"expected '$Bm25StatsFormat') — point at a saveBm25Stats path " +
         "or build one first")
   }
 
+  /** Forget a path's memoized format tag (for callers that delete or
+    * replace a temp index out-of-band — [[graft.operators.Dedup
+    * .forgetHashIndex]]'s twin). */
+  private[graft] def forgetBm25Stats(path: String): Unit = {
+    bm25StatsFormats.remove(path); ()
+  }
+
   /** One batch's statistics: per-term document frequency (array_distinct
-    * per row, ONE vocabulary-shuffle aggregate) and the (n_docs, total
-    * token length) pair. `total_dl` is an exact LONG so appended epochs
-    * sum losslessly and avgdl = total_dl / n_docs reproduces the direct
-    * avg() to the double's precision at any epoch count. */
+    * per row, ONE vocabulary-shuffle aggregate) and the (n_docs, n_dl,
+    * total_dl) triple. `n_dl` counts only docs with a NON-NULL token
+    * count and `total_dl` is an exact LONG, so appended epochs sum
+    * losslessly and avgdl = total_dl / n_dl reproduces [[bm25Search]]'s
+    * `avg(tokenCount)` — which SKIPS null-text docs — to the double's
+    * precision at any epoch count (n_docs alone would divide by the
+    * wrong population whenever the corpus holds null texts). */
   private def bm25StatsOf(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
     val dft = docs.select(
         explode(array_distinct(TextFunctions.words(col(textCol)))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = TextFunctions.tokenCount(col(textCol)).cast("long")
     val meta = docs.agg(count(lit(1)).as("n_docs"),
-      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("total_dl"))
+      count(dl).as("n_dl"), sum(dl).as("total_dl"))
     (dft, meta)
   }
 
-  /** Create (or re-create wholesale) a persisted BM25 stats index from a
+  /** Create (or re-create WHOLESALE) a persisted BM25 stats index from a
     * corpus snapshot. Layout: `<path>/terms/epoch=-1` (term, df — written
     * distributed, vocabulary-scale), `<path>/meta/epoch=-1` (one row),
-    * `<path>/params` (format tag). */
+    * `<path>/params` (format tag). Any previously appended epoch
+    * partitions are DELETED first — a rebuild must not leave stale epochs
+    * summing on top of the new base (silent double-count). */
   def saveBm25Stats(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = docs.sparkSession
-    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "saveBm25Stats") {
+    val fs = Dedup.indexFs(spark, path)
+    Dedup.withIndexLease(fs, path, "saveBm25Stats") {
       val (dft, meta) = bm25StatsOf(docs, idCol, textCol)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/terms"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
       dft.write.mode("overwrite").parquet(s"$path/terms/epoch=-1")
       meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/epoch=-1")
       import spark.implicits._
@@ -1581,28 +1619,57 @@ object CorpusOps {
     requireBm25Stats(spark, path)
     Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "appendToBm25Stats") {
       val (dft, meta) = bm25StatsOf(batch, idCol, textCol)
+      // terms FIRST, meta second: the epoch COMMITS when its meta
+      // partition lands — loadBm25Stats reads only epochs present in BOTH
+      // tables, so a crash between the two writes leaves an invisible
+      // half-epoch (repaired by the idempotent replay), never df counts
+      // with no matching n_docs (IDF skew, df > N)
       dft.write.mode("overwrite").parquet(s"$path/terms/epoch=$epoch")
       meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/epoch=$epoch")
     }
     ()
   }
 
+  /** Epoch partitions present under `<path>/<table>` (by directory name). */
+  private def statsEpochs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, table: String): Set[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("epoch=") =>
+        st.getPath.getName.stripPrefix("epoch=").toLong
+    }.toSet
+  }
+
   /** Load the summed statistics: (per-term df over all epochs, n_docs,
-    * avgdl). The df frame is vocabulary-scale and LAZY — a caller
-    * filtering it to query terms (as [[bm25SearchWithStats]] does) pushes
-    * the term predicate below the epoch-sum aggregate into the parquet
-    * scan, so a probe reads only matching row groups, never the whole
-    * vocabulary into memory. */
+    * avgdl). Only epochs present in BOTH tables count — a torn append
+    * (terms written, meta not) is ignored wholesale rather than skewing
+    * IDF with df rows that have no matching document counts. The df frame
+    * is vocabulary-scale and LAZY — a caller filtering it to query terms
+    * (as [[bm25SearchWithStats]] does) pushes the term predicate below
+    * the epoch-sum aggregate into the parquet scan, so a probe reads only
+    * matching row groups, never the whole vocabulary into memory. avgdl
+    * divides by the NON-NULL token-count population (n_dl), matching
+    * [[bm25Search]]'s null-skipping avg exactly. */
   def loadBm25Stats(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, Long, Double) = {
     requireBm25Stats(spark, path)
+    val fs = Dedup.indexFs(spark, path)
+    val committed = statsEpochs(fs, path, "terms") intersect
+      statsEpochs(fs, path, "meta")
+    require(committed.nonEmpty, s"BM25 stats at $path hold no committed epochs")
+    val epochs = committed.toSeq.sorted.map(lit)
     val dft = spark.read.parquet(s"$path/terms")
+      .filter(col("epoch").isin(epochs: _*)) // partition-pruned
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val m = spark.read.parquet(s"$path/meta")
-      .agg(sum(col("n_docs")), sum(col("total_dl"))).head()
+      .filter(col("epoch").isin(epochs: _*))
+      .agg(sum(col("n_docs")), sum(col("n_dl")), sum(col("total_dl"))).head()
     val nDocs = m.getLong(0)
     require(nDocs > 0, s"BM25 stats at $path cover zero documents")
-    (dft, nDocs, m.getLong(1).toDouble / nDocs)
+    val nDl = m.getLong(1)
+    require(nDl > 0, s"BM25 stats at $path cover zero non-null documents")
+    (dft, nDocs, m.getLong(2).toDouble / nDl)
   }
 
   /** [[bm25Search]] against PERSISTED statistics: identical arithmetic,
@@ -1628,23 +1695,28 @@ object CorpusOps {
     * work). Values are unchanged (df and meta are sums either way). */
   def compactBm25Stats(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
-    import org.apache.hadoop.fs.Path
     requireBm25Stats(spark, path)
     val fs = Dedup.indexFs(spark, path)
     Dedup.withIndexLease(fs, path, "compactBm25Stats") {
       Dedup.recoverCompaction(fs, path, "terms")
       Dedup.recoverCompaction(fs, path, "meta")
-      val n = fs.listStatus(new Path(s"$path/terms"))
-        .count(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      // only COMMITTED epochs merge (loadBm25Stats' rule) — compacting a
+      // torn epoch's terms into the base would bake the skew in forever
+      val committed = statsEpochs(fs, path, "terms") intersect
+        statsEpochs(fs, path, "meta")
+      val n = committed.size
       if (n <= 1) 0
       else {
+        val epochs = committed.toSeq.sorted.map(lit)
         Dedup.swapCompacted(fs, path, "terms", tmp =>
-          spark.read.parquet(s"$path/terms").drop("epoch")
+          spark.read.parquet(s"$path/terms")
+            .filter(col("epoch").isin(epochs: _*)).drop("epoch")
             .groupBy(col("term")).agg(sum(col("df")).as("df"))
             .write.mode("overwrite").parquet(tmp))
         Dedup.swapCompacted(fs, path, "meta", tmp =>
-          spark.read.parquet(s"$path/meta").drop("epoch")
-            .agg(sum(col("n_docs")).as("n_docs"),
+          spark.read.parquet(s"$path/meta")
+            .filter(col("epoch").isin(epochs: _*)).drop("epoch")
+            .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_dl")).as("n_dl"),
               sum(col("total_dl")).as("total_dl"))
             .coalesce(1).write.mode("overwrite").parquet(tmp))
         n

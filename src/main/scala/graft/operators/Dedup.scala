@@ -1140,10 +1140,11 @@ object Dedup extends Logging {
     import org.apache.hadoop.fs.Path
     val lease = new Path(s"$path/__lease")
     fs.mkdirs(new Path(path))
+    val holderTag = s"$op@${System.currentTimeMillis()}"
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lease, false)
-        try out.write(s"$op@${System.currentTimeMillis()}".getBytes("UTF-8"))
+        try out.write(holderTag.getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
@@ -1175,10 +1176,18 @@ object Dedup extends Logging {
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(math.max(50L, staleMs / 3))
-          // re-touch mtime; best-effort (a missing/unwritable lease here
-          // means the guard is already degraded, never fail the body)
-          try { fs.setTimes(lease, System.currentTimeMillis(), -1); () }
-          catch { case _: java.io.IOException => () }
+          // refresh the lease's mtime by REWRITING it (same holder tag):
+          // setTimes is a silent no-op on FileSystems that don't override
+          // it (object stores — S3 mtime is immutable), which would leave
+          // the live writer unprotected exactly where the guard matters.
+          // Rewriting our own held lease is safe (a thief only touches a
+          // STALE lease, and this write makes it fresh) and updates mtime
+          // on every store. Best-effort: any failure here means the guard
+          // is already degraded — never kill the beat or fail the body.
+          try {
+            val out = fs.create(lease, true)
+            out.write(holderTag.getBytes("UTF-8")); out.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-index-lease-heartbeat-$op")

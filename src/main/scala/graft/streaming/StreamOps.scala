@@ -230,10 +230,16 @@ object StreamOps {
       * tracker built with DIFFERENT parameters throws instead of silently
       * merging incompatible sketches into garbage counts. */
     def restore(bytes: Array[Byte]): Unit = synchronized {
+      // 28-byte header: magic + k + eps + confidence + seed
+      require(bytes.length >= 28,
+        s"not a HeavyHitterTracker checkpoint (${bytes.length} bytes — " +
+          "shorter than the parameter header)")
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
       val magic = in.readInt()
       require(magic == HeavyHitterMagic,
-        s"not a HeavyHitterTracker checkpoint (magic 0x${magic.toHexString})")
+        s"not a HeavyHitterTracker checkpoint (magic 0x${magic.toHexString}; " +
+          "pre-header-format bytes cannot be restored — rebuild the tracker " +
+          "and replay, the header was introduced before any stable release)")
       val (k0, eps0, conf0, seed0) =
         (in.readInt(), in.readDouble(), in.readDouble(), in.readInt())
       require(k0 == k && eps0 == eps && conf0 == confidence && seed0 == seed,

@@ -1027,6 +1027,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     ()
   }
 
+  test("bm25 stats hardening: re-save clears epochs, torn append invisible, null-text avgdl parity") {
+    val docs = (0 until 40).map(i => (i.toLong, s"alpha beta doc$i word"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25-hard").toString
+    val path = s"$base/idx"
+    val q = Seq("alpha", "doc3")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq
+    // 1) a WHOLESALE re-save must delete previously appended epochs — a
+    //    stale epoch summing on top of the new base double-counts silently
+    CorpusOps.saveBm25Stats(docs.filter($"doc_id" < 20), "doc_id", "text", path)
+    CorpusOps.appendToBm25Stats(docs.filter($"doc_id" >= 20), "doc_id", "text", path, 0)
+    CorpusOps.saveBm25Stats(docs, "doc_id", "text", path) // rebuild over the FULL corpus
+    assert(CorpusOps.loadBm25Stats(spark, path)._2 == 40L,
+      "re-save left a stale epoch double-counting docs")
+    assert(key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 10)) ==
+      key(CorpusOps.bm25Search(docs, "doc_id", "text", q, k = 10)))
+    // 2) a TORN append (terms written, meta missing — a crash between the
+    //    two jobs) must be invisible to load and compaction, never skew IDF
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 10))
+    CorpusOps.appendToBm25Stats(docs.limit(5), "doc_id", "text", path, 7)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta/epoch=7"), true)
+    assert(CorpusOps.loadBm25Stats(spark, path)._2 == 40L,
+      "torn epoch's terms leaked into the load")
+    assert(key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 10)) == before)
+    assert(CorpusOps.compactBm25Stats(spark, path) == 0,
+      "compaction must not count a torn epoch")
+    // the idempotent replay repairs the torn epoch wholesale
+    CorpusOps.appendToBm25Stats(docs.limit(5), "doc_id", "text", path, 7)
+    assert(CorpusOps.loadBm25Stats(spark, path)._2 == 45L)
+    // 3) null-text docs: bm25Search's avg(dl) SKIPS them — the persisted
+    //    avgdl must divide by the same non-null population
+    val withNulls = docs.unionByName(
+      Seq((100L, null: String), (101L, null: String)).toDF("doc_id", "text"))
+    val path2 = s"$base/idx2"
+    CorpusOps.saveBm25Stats(withNulls.filter($"doc_id" % 2 === 0), "doc_id", "text", path2)
+    CorpusOps.appendToBm25Stats(withNulls.filter($"doc_id" % 2 =!= 0), "doc_id", "text", path2, 0)
+    assert(key(CorpusOps.bm25SearchWithStats(withNulls, "doc_id", "text", q, path2, k = 10)) ==
+      key(CorpusOps.bm25Search(withNulls, "doc_id", "text", q, k = 10)),
+      "null-text docs broke the exact-reproduction contract")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    ()
+  }
+
   test("bm25Search: exact hand-computed scores, rank order, top-k cut") {
     // 3 docs, query = {cat, dog}: N=3, avgdl = (4+2+3)/3 = 3.0
     // df(cat)=2, df(dog)=1
