@@ -542,6 +542,20 @@ object SparkEntry {
         .orderBy(col("source"), col("seq_id"), col("pos"))
     }),
 
+    "q_corpus_pack_texts" -> ((s, dir) => {
+      // the loader's final step: resolve the packed slices to actual token
+      // text — end-to-end proof that the layout reconstructs the corpus
+      // (each sequence's text is the exact token span the slices claim)
+      val d = Tables.documents(s, dir)
+      val packed = operators.Sampling.packSequenceRows(d,
+        Seq(col("source")), col("doc_id"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")), maxSeqLen = 512)
+      operators.Sampling.packedSequenceText(packed, d,
+          Seq(col("source")), col("doc_id"), col("text"))
+        .select(col("source"), col("seq_id"), col("seq_tokens"), col("seq_text"))
+        .orderBy(col("source"), col("seq_id"))
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // the full pretraining-data pipeline composed in ONE plan — the
       // "switch your pipeline to this library" demonstration: quality
@@ -2458,6 +2472,35 @@ object SparkEntry {
           |   AS seq_tokens,
           | pos, doc_id, doc_start, len
           |FROM s ORDER BY source, seq_id, pos""".stripMargin,
+
+      "q_corpus_pack_texts" ->
+        """WITH d AS (
+          |  SELECT source, doc_id,
+          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |   CAST(sum(len(string_split(text, ' '))) OVER
+          |     (PARTITION BY source ORDER BY doc_id)
+          |     - len(string_split(text, ' ')) AS BIGINT) AS token_start
+          |  FROM documents),
+          | e AS (
+          |  SELECT source, doc_id, n_tokens, token_start,
+          |   unnest(generate_series(token_start // 512,
+          |     (token_start + n_tokens - 1) // 512)) AS seq_id
+          |  FROM d WHERE n_tokens > 0),
+          | s AS (
+          |  SELECT source, seq_id, doc_id,
+          |   greatest(token_start, seq_id * 512) - seq_id * 512 AS pos,
+          |   greatest(token_start, seq_id * 512) - token_start AS doc_start,
+          |   least(token_start + n_tokens, seq_id * 512 + 512)
+          |     - greatest(token_start, seq_id * 512) AS len
+          |  FROM e),
+          | t AS (
+          |  SELECT s.source, s.seq_id, s.pos, s.len,
+          |   array_to_string(list_slice(string_split(doc.text, ' '),
+          |     s.doc_start + 1, s.doc_start + s.len), ' ') AS piece
+          |  FROM s JOIN documents doc USING (doc_id))
+          |SELECT source, seq_id, CAST(sum(len) AS BIGINT) AS seq_tokens,
+          | string_agg(piece, ' ' ORDER BY pos) AS seq_text
+          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_corpus_filter" -> {
         val reason = operators.CorpusOps.sqlQualityFilterReason(

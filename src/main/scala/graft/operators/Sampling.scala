@@ -358,6 +358,40 @@ object Sampling {
         sort_array(collect_list(col("__slice"))).as("slices"))
   }
 
+  /**
+   * Resolve [[packSequenceRows]]' slices to actual TOKEN TEXT — the final
+   * loader step, and the end-to-end proof of the layout: concatenating a
+   * group's `seq_text`s in seq_id order reproduces the group's documents
+   * in layout order token-for-token (asserted by the round-trip property
+   * test and the q_corpus_pack_texts oracle).
+   *
+   * One planner-chosen equi-join attaches each slice's document text
+   * (slices explode back to one row per (sequence, doc) — the same
+   * bounded fan-out they were built from), `slice(words, start+1, len)`
+   * cuts the token span per row (codegen'd, zero shuffle), and one
+   * (group, seq_id) aggregation reassembles each sequence in `pos` order.
+   * Shuffled bytes are one copy of each document's spanned tokens —
+   * materializing text costs text movement, there is no cheaper shape.
+   */
+  def packedSequenceText(packedRows: DataFrame, docs: DataFrame,
+      groupCols: Seq[Column], idCol: Column, textCol: Column): DataFrame = {
+    val d = docs.select(idCol.as("__did"),
+      graft.functions.TextFunctions.words(textCol).as("__w"))
+    val ex = packedRows
+      .select(groupCols ++ Seq(col("seq_id"), col("seq_tokens"),
+        explode(col("slices")).as("__s")): _*)
+    ex.join(d, ex("__s.id") === d("__did"))
+      .select(groupCols ++ Seq(col("seq_id"), col("seq_tokens"),
+        struct(col("__s.pos").as("pos"),
+          slice(col("__w"), col("__s.start") + 1, col("__s.len"))
+            .as("toks")).as("__piece")): _*)
+      .groupBy(groupCols :+ col("seq_id"): _*)
+      .agg(max(col("seq_tokens")).as("seq_tokens"),
+        array_join(flatten(transform(
+            sort_array(collect_list(col("__piece"))),
+            p => p.getField("toks"))), " ").as("seq_text"))
+  }
+
   /** Order-consistent bucket expression for an ARBITRARY orderable
     * `orderCol` (packSequences' caller picks the layout order — often a
     * doc id or shuffle key, not a hash this library minted): boundaries

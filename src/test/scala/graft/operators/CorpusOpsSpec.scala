@@ -161,6 +161,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(b0.toSeq == Seq(Seq((0L, 3L, 0L, 10L))), b0.mkString)
   }
 
+  test("packedSequenceText round-trips the corpus: group's sequences concatenate to its docs") {
+    // the end-to-end layout proof: resolving every slice to token text and
+    // concatenating a group's sequences in seq_id order must reproduce the
+    // group's documents in layout order TOKEN-FOR-TOKEN — any off-by-one in
+    // the slice arithmetic (start, len, pos ordering) breaks this equality
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf0001)
+    val packed = Sampling.packSequenceRows(docs, Seq($"source"), $"doc_id",
+      $"doc_id", graft.functions.TextFunctions.tokenCount($"text"), 128)
+    val seqs = Sampling.packedSequenceText(packed, docs,
+        Seq($"source"), $"doc_id", $"text")
+      .select($"source", $"seq_id", $"seq_text")
+      .as[(String, Long, String)].collect()
+    val fromSeqs = seqs.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    val fromDocs = docs.select($"source", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    assert(fromSeqs.keySet == fromDocs.keySet)
+    fromSeqs.foreach { case (g, text) =>
+      assert(text == fromDocs(g), s"group $g did not round-trip")
+    }
+    // sequence lengths: every non-final sequence is exactly 128 tokens
+    val lens = seqs.map { case (g, sid, t) => (g, sid, t.split(" ", -1).length) }
+    val lastSeq = lens.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    lens.foreach { case (g, sid, n) =>
+      if (sid != lastSeq(g)) assert(n == 128, s"$g/$sid: $n tokens")
+    }
+  }
+
   test("packSequences hexOrdered and boundarySource layouts equal the sampled default") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
       .withColumn("hk", md5($"text".cast("binary")))
