@@ -542,6 +542,20 @@ object SparkEntry {
         .orderBy(col("source"), col("seq_id"), col("pos"))
     }),
 
+    "q_corpus_constraints" -> ((s, dir) => {
+      // the data-quality admission gate: named row-level expectations with
+      // COUNTED violations in one scan (a 100 TB run reports the full
+      // damage profile of a bad shard, not fail-on-first); null predicates
+      // count as violations, min offending id is the debugging pointer
+      operators.Validation.checkConstraints(Tables.documents(s, dir),
+          col("doc_id"), Seq(
+            "chars_consistent" -> (length(col("text")) === col("n_chars")),
+            "lang_nonnull" -> col("lang").isNotNull,
+            "text_nonempty" -> (length(col("text")) > 0),
+            "tokens_le_50" -> (TextFunctions.tokenCount(col("text")) <= 50)))
+        .orderBy(col("rule"))
+    }),
+
     "q_corpus_pack_texts" -> ((s, dir) => {
       // the loader's final step: resolve the packed slices to actual token
       // text — end-to-end proof that the layout reconstructs the corpus
@@ -2472,6 +2486,28 @@ object SparkEntry {
           |   AS seq_tokens,
           | pos, doc_id, doc_start, len
           |FROM s ORDER BY source, seq_id, pos""".stripMargin,
+
+      "q_corpus_constraints" -> {
+        val nTok = TextFunctions.sqlTokenCount.format("text")
+        def rule(name: String, holdsSql: String) =
+          s"""SELECT '$name' AS rule, count(*) AS n_rows,
+             | CAST(sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END) AS BIGINT)
+             |   AS n_violations,
+             | ${TextFunctions.sqlStableRound(
+               s"CASE WHEN count(*) = 0 THEN 0.0 ELSE " +
+                 s"sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END)::DOUBLE" +
+                 s" / count(*) END", 6)} AS violation_frac,
+             | min(CASE WHEN NOT coalesce($holdsSql, false)
+             |     THEN doc_id::VARCHAR END) AS first_violation,
+             | sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END) = 0 AS pass
+             |FROM documents""".stripMargin
+        Seq(
+          rule("chars_consistent", "len(text) = n_chars"),
+          rule("lang_nonnull", "lang IS NOT NULL"),
+          rule("text_nonempty", "len(text) > 0"),
+          rule("tokens_le_50", s"$nTok <= 50"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+      },
 
       "q_corpus_pack_texts" ->
         """WITH d AS (

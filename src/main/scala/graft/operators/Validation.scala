@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality constraint checking — the admission gate a production
+ * training-data pipeline runs before (and after) every transform stage:
+ * named row-level expectations evaluated with COUNTED violations, never
+ * fail-on-first (a 100 TB run must report the full damage profile of a
+ * bad shard in one pass, not die on its first row).
+ *
+ * Scale shape: all rules evaluate in ONE scan — each rule is a pair of
+ * map-side-combinable aggregates (violation count + min offending id), so
+ * the plan is a single HashAggregate over the input with a 1-row result,
+ * then a constant-width driver-side unpivot to per-rule rows. No shuffle
+ * carries data; adding rules adds columns to the aggregate, not passes.
+ */
+object Validation {
+
+  /**
+   * Evaluate `rules` (name -> predicate that must hold per row) over `df`
+   * in one pass. Returns one row per rule, in the given order:
+   * (rule, n_rows, n_violations, violation_frac, first_violation, pass).
+   *
+   *  - A predicate evaluating to NULL counts as a VIOLATION (the rule did
+   *    not hold), so `col("x") > 0` flags null x — the semantics an
+   *    expectation wants, where SQL's three-valued logic would silently
+   *    pass nulls through a WHERE-style filter.
+   *  - `first_violation` is the MINIMUM offending `idCol` value (cast to
+   *    string) — a bounded, deterministic debugging pointer, not an
+   *    unbounded example list.
+   *  - `violation_frac` is stableRound(·, 6) for cross-engine gating.
+   */
+  def checkConstraints(df: DataFrame, idCol: Column,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkConstraints needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be distinct")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.flatMap {
+      case ((_, pred), i) => Seq(
+        // NULL predicate = violation: coalesce the HOLDS side, not the
+        // violation side
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$i"),
+        min(when(!coalesce(pred, lit(false)), idCol.cast("string")))
+          .as(s"__id_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perRule = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i).as("__ord"), lit(name).as("rule"), col("__n").as("n_rows"),
+        coalesce(col(s"__v_$i"), lit(0L)).as("n_violations"),
+        col(s"__id_$i").as("first_violation"))
+    }
+    one.select(explode(array(perRule: _*)).as("r"))
+      .select(col("r.__ord").as("__ord"), col("r.rule").as("rule"),
+        col("r.n_rows").as("n_rows"), col("r.n_violations").as("n_violations"),
+        graft.functions.TextFunctions.stableRound(
+          when(col("r.n_rows") === 0L, lit(0.0)).otherwise(
+            col("r.n_violations").cast("double") / col("r.n_rows").cast("double")),
+          6).as("violation_frac"),
+        col("r.first_violation"),
+        (col("r.n_violations") === 0L).as("pass"))
+      .orderBy(col("__ord")).drop("__ord")
+  }
+
+  /** [[checkConstraints]] that THROWS (after the full profile is computed)
+    * when any rule with a tolerance of zero — or a violation fraction above
+    * its per-rule `tolerance` — fails: the hard-gate form a pipeline calls
+    * between stages. The exception message carries every failing rule's
+    * count, fraction, and first offending id, so one failure report covers
+    * the whole batch. Returns the per-rule profile when all pass. */
+  def requireConstraints(df: DataFrame, idCol: Column,
+      rules: Seq[(String, Column)],
+      tolerance: Map[String, Double] = Map.empty): Array[org.apache.spark.sql.Row] = {
+    tolerance.keys.foreach(k => require(rules.exists(_._1 == k),
+      s"tolerance for unknown rule '$k'"))
+    val profile = checkConstraints(df, idCol, rules).collect()
+    val failing = profile.filter { r =>
+      r.getDouble(3) > tolerance.getOrElse(r.getString(0), 0.0)
+    }
+    if (failing.nonEmpty) throw new IllegalStateException(
+      "constraint check failed: " + failing.map { r =>
+        s"${r.getString(0)} (${r.getLong(2)}/${r.getLong(1)} rows = " +
+          s"${r.getDouble(3)}, first offender id=${r.getString(4)})"
+      }.mkString("; "))
+    profile
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ValidationSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, Some("good doc"), Some(10)),
+    (2L, Some(""), Some(0)),
+    (3L, None: Option[String], None: Option[Int]),
+    (4L, Some("fine"), Some(4)),
+    (10L, Some("also fine"), Some(9))).toDF("id", "text", "score")
+
+  test("checkConstraints: counts, fractions, min offender, null predicate = violation") {
+    val out = Validation.checkConstraints(docs, $"id", Seq(
+        "text_nonnull" -> $"text".isNotNull,
+        "text_nonempty" -> (length($"text") > 0),
+        "score_pos" -> ($"score" > 0),
+        "all_good" -> $"id".isNotNull))
+      .as[(String, Long, Long, Double, Option[String], Boolean)].collect()
+    // rule order is the caller's order
+    assert(out.map(_._1).toSeq ==
+      Seq("text_nonnull", "text_nonempty", "score_pos", "all_good"))
+    val byRule = out.map(r => r._1 -> r).toMap
+    assert(byRule("text_nonnull") == (("text_nonnull", 5L, 1L, 0.2, Some("3"), false)))
+    // null text: length(null) is null -> predicate null -> VIOLATION
+    assert(byRule("text_nonempty") == (("text_nonempty", 5L, 2L, 0.4, Some("2"), false)))
+    // null score is a violation; 0 is too
+    assert(byRule("score_pos") == (("score_pos", 5L, 2L, 0.4, Some("2"), false)))
+    assert(byRule("all_good") == (("all_good", 5L, 0L, 0.0, None, true)))
+    // the min offender is LEXICOGRAPHIC on the stringified id (documented)
+    val lex = Validation.checkConstraints(docs, $"id", Seq(
+        "none_pass" -> lit(false)))
+      .select($"first_violation").as[String].head()
+    assert(lex == "1")
+  }
+
+  test("requireConstraints: throws with the full profile, tolerances admit bounded dirt") {
+    val e = intercept[IllegalStateException](
+      Validation.requireConstraints(docs, $"id", Seq(
+        "text_nonnull" -> $"text".isNotNull,
+        "score_pos" -> ($"score" > 0))))
+    // ONE failure message carries every failing rule with count + offender
+    assert(e.getMessage.contains("text_nonnull (1/5"), e.getMessage)
+    assert(e.getMessage.contains("score_pos (2/5"), e.getMessage)
+    assert(e.getMessage.contains("first offender id=2"), e.getMessage)
+    // a tolerance admits bounded dirt; the profile comes back for logging
+    val profile = Validation.requireConstraints(docs, $"id", Seq(
+        "text_nonnull" -> $"text".isNotNull,
+        "score_pos" -> ($"score" > 0)),
+      tolerance = Map("text_nonnull" -> 0.25, "score_pos" -> 0.5))
+    assert(profile.length == 2)
+    // an unknown tolerance key is a caller bug, loudly
+    intercept[IllegalArgumentException](
+      Validation.requireConstraints(docs, $"id", Seq("a" -> lit(true)),
+        tolerance = Map("nope" -> 0.1)))
+    // empty frame: zero rows, zero violations, everything passes
+    val empty = Validation.checkConstraints(docs.limit(0), $"id",
+        Seq("r" -> ($"score" > 0)))
+      .as[(String, Long, Long, Double, Option[String], Boolean)].head()
+    assert(empty == (("r", 0L, 0L, 0.0, None, true)))
+  }
+
+  test("checkConstraints is ONE scan: single aggregate, no shuffle of data, no cartesian") {
+    val plan = Validation.checkConstraints(docs, $"id", Seq(
+        "a" -> ($"score" > 0), "b" -> $"text".isNotNull,
+        "c" -> (length($"text") < 100)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // one aggregation over the input: rules add aggregate COLUMNS, not passes
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(plan).size <= 4, plan)
+  }
+}
