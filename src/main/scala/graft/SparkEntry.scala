@@ -556,6 +556,40 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q_stream_constraints" -> ((s, dir) => {
+      // stream-side data-quality monitoring: each micro-batch runs one
+      // checkConstraints scan, the tracker sums per-rule (count,
+      // violations, min offender) across epochs in bounded driver state —
+      // cumulative totals over ANY trigger slicing equal the batch profile
+      val logName = sharedDocsLog(s, dir, withId = true)
+      val nCorpus = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nCorpus + 3) / 4)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+      val (tracker, fn) = streaming.StreamOps.constraintSink(col("doc_id"), Seq(
+        "doc_id_even" -> (col("doc_id") % 2 === 0),
+        "text_nonempty" -> (length(col("text")) > 0),
+        "tokens_le_50" -> (TextFunctions.tokenCount(col("text")) <= 50)))
+      val q = stream.writeStream.foreachBatch(fn)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q)
+      import s.implicits._
+      tracker.result
+        .map { case (r, n, v, off) => (r, n, v, off.orNull) }
+        .toDF("rule", "n_rows", "n_violations", "first_violation")
+        .select(col("rule"), col("n_rows"), col("n_violations"),
+          TextFunctions.stableRound(
+            when(col("n_rows") === 0L, lit(0.0)).otherwise(
+              col("n_violations").cast("double") / col("n_rows").cast("double")),
+            6).as("violation_frac"),
+          col("first_violation"), (col("n_violations") === 0L).as("pass"))
+        .orderBy(col("rule"))
+    }),
+
     "q_corpus_pack_texts" -> ((s, dir) => {
       // the loader's final step: resolve the packed slices to actual token
       // text — end-to-end proof that the layout reconstructs the corpus
@@ -2487,27 +2521,22 @@ object SparkEntry {
           | pos, doc_id, doc_start, len
           |FROM s ORDER BY source, seq_id, pos""".stripMargin,
 
-      "q_corpus_constraints" -> {
-        val nTok = TextFunctions.sqlTokenCount.format("text")
-        def rule(name: String, holdsSql: String) =
-          s"""SELECT '$name' AS rule, count(*) AS n_rows,
-             | CAST(sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END) AS BIGINT)
-             |   AS n_violations,
-             | ${TextFunctions.sqlStableRound(
-               s"CASE WHEN count(*) = 0 THEN 0.0 ELSE " +
-                 s"sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END)::DOUBLE" +
-                 s" / count(*) END", 6)} AS violation_frac,
-             | min(CASE WHEN NOT coalesce($holdsSql, false)
-             |     THEN doc_id::VARCHAR END) AS first_violation,
-             | sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END) = 0 AS pass
-             |FROM documents""".stripMargin
-        Seq(
-          rule("chars_consistent", "len(text) = n_chars"),
-          rule("lang_nonnull", "lang IS NOT NULL"),
-          rule("text_nonempty", "len(text) > 0"),
-          rule("tokens_le_50", s"$nTok <= 50"))
-          .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
-      },
+      "q_corpus_constraints" -> Seq(
+        constraintRuleSql("chars_consistent", "len(text) = n_chars"),
+        constraintRuleSql("lang_nonnull", "lang IS NOT NULL"),
+        constraintRuleSql("text_nonempty", "len(text) > 0"),
+        constraintRuleSql("tokens_le_50",
+          s"${TextFunctions.sqlTokenCount.format("text")} <= 50"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rule"),
+
+      // the streaming tracker's cumulative totals over any trigger slicing
+      // equal the one-pass batch profile — same oracle technique
+      "q_stream_constraints" -> Seq(
+        constraintRuleSql("doc_id_even", "doc_id % 2 = 0"),
+        constraintRuleSql("text_nonempty", "len(text) > 0"),
+        constraintRuleSql("tokens_le_50",
+          s"${TextFunctions.sqlTokenCount.format("text")} <= 50"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rule"),
 
       "q_corpus_pack_texts" ->
         """WITH d AS (
@@ -3484,6 +3513,23 @@ object SparkEntry {
       "q_embed_diversity" -> Similarity.sqlDiversitySample(
         cents, dim = EmbeddingDim, perCell = 20))
   }
+
+  /** One constraint rule's DuckDB profile row ([[operators.Validation
+    * .checkConstraints]]'s twin): counted violations with null-predicate-
+    * is-violation semantics, lexicographic min offender, rounded fraction.
+    * Shared by the batch and streaming constraint oracles. */
+  private def constraintRuleSql(name: String, holdsSql: String): String =
+    s"""SELECT '$name' AS rule, count(*) AS n_rows,
+       | CAST(sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END) AS BIGINT)
+       |   AS n_violations,
+       | ${TextFunctions.sqlStableRound(
+         s"CASE WHEN count(*) = 0 THEN 0.0 ELSE " +
+           s"sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END)::DOUBLE" +
+           s" / count(*) END", 6)} AS violation_frac,
+       | min(CASE WHEN NOT coalesce($holdsSql, false)
+       |     THEN doc_id::VARCHAR END) AS first_violation,
+       | sum(CASE WHEN coalesce($holdsSql, false) THEN 0 ELSE 1 END) = 0 AS pass
+       |FROM documents""".stripMargin
 
   /** Planted-batch admission oracle shared by q_dedup_incremental and its
     * streaming twin: survivors are exactly the batch rows whose text the

@@ -61,6 +61,75 @@ object StreamOps {
     }
   }
 
+  /**
+   * Cumulative data-quality profile of a STREAM — [[graft.operators
+   * .Validation.checkConstraints]] per micro-batch, summed across epochs
+   * into bounded driver state (one (count, violations, min offender) per
+   * rule, whatever the stream's lifetime). Replay-safe the way
+   * [[HeavyHitterTracker]] is: an epoch at or below the merged floor is
+   * skipped, so foreachBatch's at-least-once replays never double-count.
+   * Scoped to ONE query: build a fresh tracker (or reset()) per stream.
+   */
+  final class ConstraintTracker private[streaming] (ruleNames: Seq[String])
+      extends Serializable {
+    private var lastEpoch: Long = Long.MinValue
+    private val nRows = new Array[Long](ruleNames.size)
+    private val nViolations = new Array[Long](ruleNames.size)
+    private val firstViolation = new Array[String](ruleNames.size)
+
+    private[streaming] def update(
+        profile: Seq[(String, Long, Long, Option[String])], epochId: Long): Unit =
+      synchronized {
+        if (epochId <= lastEpoch) return // replayed epoch: already merged
+        lastEpoch = epochId
+        profile.foreach { case (rule, n, v, off) =>
+          val i = ruleNames.indexOf(rule)
+          nRows(i) += n; nViolations(i) += v
+          off.foreach { o =>
+            if (firstViolation(i) == null || o < firstViolation(i))
+              firstViolation(i) = o
+          }
+        }
+      }
+
+    /** Per-rule cumulative (rule, n_rows, n_violations, min offender). */
+    def result: Seq[(String, Long, Long, Option[String])] = synchronized {
+      ruleNames.indices.map(i => (ruleNames(i), nRows(i), nViolations(i),
+        Option(firstViolation(i)))).toSeq
+    }
+
+    /** Clear all state (required before reuse across queries — epoch
+      * floors do not transfer between streams). */
+    def reset(): Unit = synchronized {
+      lastEpoch = Long.MinValue
+      ruleNames.indices.foreach { i =>
+        nRows(i) = 0; nViolations(i) = 0; firstViolation(i) = null
+      }
+    }
+  }
+
+  /** foreachBatch sink monitoring a stream's constraint profile: each
+    * micro-batch runs ONE [[graft.operators.Validation.checkConstraints]]
+    * scan (a per-rule aggregate — no shuffle of data) and folds the
+    * per-rule counts into the tracker. Returns (tracker, sink fn). */
+  def constraintSink(idCol: org.apache.spark.sql.Column,
+      rules: Seq[(String, org.apache.spark.sql.Column)])
+      : (ConstraintTracker, (DataFrame, Long) => Unit) = {
+    val tracker = new ConstraintTracker(rules.map(_._1))
+    val fn = (batch: DataFrame, epochId: Long) => {
+      val profile = graft.operators.Validation
+        .checkConstraints(batch, idCol, rules)
+        .select(col("rule"), col("n_rows"), col("n_violations"),
+          col("first_violation"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          Option(r.getString(3))))
+        .toSeq
+      tracker.update(profile, epochId)
+    }
+    (tracker, fn)
+  }
+
   final case class SessionUpdate(key: String, nEvents: Long, startMs: Long, endMs: Long)
 
   /**

@@ -160,6 +160,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(same.estimate("alpha") == 10L)
   }
 
+  test("constraintSink: cumulative profile == batch check, replayed epoch skipped, reset clears") {
+    import spark.implicits._
+    val rules = Seq(
+      "text_nonempty" -> (length(col("text")) > 0),
+      "id_le_5" -> (col("id") <= 5L))
+    def batch(rows: Seq[(Long, String)]) = rows.toDF("id", "text")
+    val (tracker, fn) = StreamOps.constraintSink(col("id"), rules)
+    val b0 = Seq((1L, "ok"), (2L, ""), (3L, "fine"))
+    val b1 = Seq((7L, "ok"), (8L, ""), (4L, "x"))
+    fn(batch(b0), 0L); fn(batch(b1), 1L)
+    // at-least-once replay of epoch 1 must not double-count
+    fn(batch(b1), 1L)
+    val all = b0 ++ b1
+    val expected = graft.operators.Validation.checkConstraints(
+        batch(all), col("id"), rules)
+      .select(col("rule"), col("n_rows"), col("n_violations"), col("first_violation"))
+      .as[(String, Long, Long, Option[String])].collect().toSeq
+    assert(tracker.result == expected,
+      s"tracker ${tracker.result} != batch $expected")
+    // min offender crosses batches: epoch 0's "2" beats epoch 1's "8"
+    assert(tracker.result.find(_._1 == "text_nonempty").get._4 == Some("2"))
+    tracker.reset()
+    assert(tracker.result.forall(r => r._2 == 0 && r._3 == 0 && r._4.isEmpty))
+    // post-reset epoch 0 is merged again, not skipped by the old floor
+    fn(batch(b0), 0L)
+    assert(tracker.result.find(_._1 == "text_nonempty").get._2 == 3L)
+  }
+
   test("asofEnrichStream: any trigger slicing unions to the batch asofJoin") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new Timestamp(s * 1000)
