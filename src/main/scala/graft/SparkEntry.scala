@@ -556,6 +556,33 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q_corpus_unique" -> ((s, dir) => {
+      // dataset-level uniqueness expectations: one per-key aggregation +
+      // constant-width re-aggregation per check (never a window); the
+      // composite user/type key has real duplicates, event_id is clean
+      val ev = Tables.events(s, dir)
+      operators.Validation.checkUnique(ev, Seq(col("event_id")))
+        .select(lit("event_id").as("key") +: uniqueCols: _*)
+        .unionByName(operators.Validation
+          .checkUnique(ev, Seq(col("user_id"), col("event_type")))
+          .select(lit("user_id|event_type").as("key") +: uniqueCols: _*))
+        .orderBy(col("key"))
+    }),
+
+    "q_corpus_referential" -> ((s, dir) => {
+      // referential expectations: distinct parent keys -> planner-chosen
+      // left-anti join, keys only — user_id resolves in customer (clean),
+      // event_id deliberately probed against documents (real orphans)
+      val ev = Tables.events(s, dir)
+      operators.Validation.checkReferential(ev, col("user_id"),
+          Tables.customer(s, dir), col("c_custkey"))
+        .select(lit("user_id->customer").as("fk") +: refCols: _*)
+        .unionByName(operators.Validation.checkReferential(ev, col("event_id"),
+            Tables.documents(s, dir), col("doc_id"))
+          .select(lit("event_id->documents").as("fk") +: refCols: _*))
+        .orderBy(col("fk"))
+    }),
+
     "q_stream_constraints" -> ((s, dir) => {
       // stream-side data-quality monitoring: each micro-batch runs one
       // checkConstraints scan, the tracker sums per-rule (count,
@@ -2529,6 +2556,48 @@ object SparkEntry {
           s"${TextFunctions.sqlTokenCount.format("text")} <= 50"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY rule"),
 
+      "q_corpus_unique" -> {
+        def check(label: String, groupSql: String, ksSql: String) =
+          s"""SELECT '$label' AS key, CAST(sum(n) AS BIGINT) AS n_rows,
+             | count(*) AS n_distinct_keys,
+             | CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+             | CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows,
+             | min(CASE WHEN n > 1 THEN ks END) AS example_dup_key,
+             | sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS pass
+             |FROM (SELECT count(*) AS n, min($ksSql) AS ks
+             |      FROM events GROUP BY $groupSql)""".stripMargin
+        check("event_id", "event_id",
+          "coalesce(event_id::VARCHAR, '<null>')") +
+          "\nUNION ALL\n" +
+          check("user_id|event_type", "user_id, event_type",
+            "coalesce(user_id::VARCHAR, '<null>') || '|' || " +
+              "coalesce(event_type, '<null>')") +
+          "\nORDER BY key"
+      },
+
+      "q_corpus_referential" -> {
+        def check(label: String, childKey: String,
+            parentTable: String, parentKey: String) =
+          s"""SELECT '$label' AS fk, b.n_child_rows, b.n_null_keys,
+             | o.n_orphans,
+             | ${TextFunctions.sqlStableRound(
+               "CASE WHEN b.n_child_rows - b.n_null_keys = 0 THEN 0.0 ELSE " +
+                 "o.n_orphans::DOUBLE / (b.n_child_rows - b.n_null_keys) END",
+               6)} AS orphan_frac,
+             | o.first_orphan, o.n_orphans = 0 AS pass
+             |FROM
+             | (SELECT count(*) AS n_child_rows,
+             |   CAST(sum(CASE WHEN $childKey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |     AS n_null_keys FROM events) b,
+             | (SELECT count(*) AS n_orphans, min($childKey::VARCHAR) AS first_orphan
+             |  FROM events e WHERE $childKey IS NOT NULL AND NOT EXISTS
+             |   (SELECT 1 FROM $parentTable p WHERE p.$parentKey = e.$childKey)) o""".stripMargin
+        check("user_id->customer", "user_id", "customer", "c_custkey") +
+          "\nUNION ALL\n" +
+          check("event_id->documents", "event_id", "documents", "doc_id") +
+          "\nORDER BY fk"
+      },
+
       // the streaming tracker's cumulative totals over any trigger slicing
       // equal the one-pass batch profile — same oracle technique
       "q_stream_constraints" -> Seq(
@@ -3513,6 +3582,14 @@ object SparkEntry {
       "q_embed_diversity" -> Similarity.sqlDiversitySample(
         cents, dim = EmbeddingDim, perCell = 20))
   }
+
+  /** Output columns of [[operators.Validation.checkUnique]] /
+    * [[operators.Validation.checkReferential]] — the gates prepend a
+    * check-label column and union several checks. */
+  private val uniqueCols = Seq("n_rows", "n_distinct_keys", "n_dup_keys",
+    "n_dup_rows", "example_dup_key", "pass").map(col)
+  private val refCols = Seq("n_child_rows", "n_null_keys", "n_orphans",
+    "orphan_frac", "first_orphan", "pass").map(col)
 
   /** One constraint rule's DuckDB profile row ([[operators.Validation
     * .checkConstraints]]'s twin): counted violations with null-predicate-

@@ -63,6 +63,68 @@ object Validation {
       .orderBy(col("__ord")).drop("__ord")
   }
 
+  /**
+   * Uniqueness expectation over a key — the dataset-level twin of
+   * [[checkConstraints]]' row rules: one row
+   * (n_rows, n_distinct_keys, n_dup_keys, n_dup_rows, example_dup_key,
+   * pass). NULL key parts participate as ordinary values (two all-null
+   * keys are duplicates of each other — exactly the id-collision a
+   * pipeline needs to hear about).
+   *
+   * Scale shape: ONE hash aggregation on the key (map-side combined)
+   * followed by a constant-width re-aggregation of the per-key counts —
+   * the [[Dedup.exactRows]] shuffle shape; `example_dup_key` is the
+   * lexicographic min of the stringified duplicated key, bounded state.
+   */
+  def checkUnique(df: DataFrame, keyCols: Seq[Column]): DataFrame = {
+    require(keyCols.nonEmpty, "checkUnique needs at least one key column")
+    val keyStr = concat_ws("|",
+      keyCols.map(c => coalesce(c.cast("string"), lit("<null>"))): _*)
+    df.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"), min(keyStr).as("__k"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_distinct_keys"),
+        coalesce(sum(when(col("__n") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_dup_keys"),
+        coalesce(sum(when(col("__n") > 1, col("__n")).otherwise(0L)), lit(0L))
+          .as("n_dup_rows"),
+        min(when(col("__n") > 1, col("__k"))).as("example_dup_key"))
+      .withColumn("pass", col("n_dup_keys") === 0L)
+  }
+
+  /**
+   * Referential expectation: child rows whose `keyCol` does not appear in
+   * `parent`'s `refCol` — one row (n_child_rows, n_null_keys, n_orphans,
+   * orphan_frac, first_orphan, pass). NULL child keys are counted
+   * SEPARATELY (n_null_keys), not as orphans — an optional FK is a
+   * different defect than a dangling one; gate nulls with a
+   * [[checkConstraints]] rule when they are illegal too.
+   *
+   * Scale shape: the parent reduces to its DISTINCT keys before a
+   * planner-chosen left-anti join (keys only — neither table's payload
+   * shuffles), then a constant-width aggregate; `orphan_frac` is over
+   * non-null child keys, stableRound(6).
+   */
+  def checkReferential(child: DataFrame, keyCol: Column,
+      parent: DataFrame, refCol: Column): DataFrame = {
+    val base = child.agg(count(lit(1)).as("n_child_rows"),
+      coalesce(sum(when(keyCol.isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null_keys"))
+    val orphans = child.select(keyCol.as("__k")).filter(col("__k").isNotNull)
+      .join(parent.select(refCol.as("__r")).distinct(),
+        col("__k") === col("__r"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"),
+        min(col("__k").cast("string")).as("first_orphan"))
+    base.crossJoin(orphans).select(
+      col("n_child_rows"), col("n_null_keys"), col("n_orphans"),
+      graft.functions.TextFunctions.stableRound(
+        when(col("n_child_rows") - col("n_null_keys") === 0L, lit(0.0))
+          .otherwise(col("n_orphans").cast("double") /
+            (col("n_child_rows") - col("n_null_keys")).cast("double")),
+        6).as("orphan_frac"),
+      col("first_orphan"), (col("n_orphans") === 0L).as("pass"))
+  }
+
   /** [[checkConstraints]] that THROWS (after the full profile is computed)
     * when any rule with a tolerance of zero — or a violation fraction above
     * its per-rule `tolerance` — fails: the hard-gate form a pipeline calls

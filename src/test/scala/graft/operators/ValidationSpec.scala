@@ -64,6 +64,36 @@ class ValidationSpec extends AnyFunSuite {
     assert(empty == (("r", 0L, 0L, 0.0, None, true)))
   }
 
+  test("checkUnique: composite keys, null keys are values, duplicates counted + exampled") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(1L), "a"), (Some(1L), "b"),
+      (None: Option[Long], "a"), (None: Option[Long], "a"),
+      (Some(2L), "a")).toDF("k1", "k2")
+    val r = Validation.checkUnique(df, Seq($"k1", $"k2"))
+      .as[(Long, Long, Long, Long, Option[String], Boolean)].head()
+    // dup keys: (1,a) x2 and (null,a) x2 — a null key part is a VALUE,
+    // two all-null-part keys collide (the id-collision a pipeline wants)
+    assert(r == ((6L, 4L, 2L, 4L, Some("1|a"), false)), r.toString)
+    val clean = Validation.checkUnique(df.limit(0), Seq($"k1"))
+      .as[(Long, Long, Long, Long, Option[String], Boolean)].head()
+    assert(clean == ((0L, 0L, 0L, 0L, None, true)))
+  }
+
+  test("checkReferential: orphans counted, null child keys separate, clean FK passes") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Validation.checkReferential(child, $"fk", parent, $"pk")
+      .as[(Long, Long, Long, Double, Option[String], Boolean)].head()
+    // 5 child rows, 1 null key, 2 orphan ROWS (both 9s count), frac over
+    // the 4 non-null keys
+    assert(r == ((5L, 1L, 2L, 0.5, Some("9"), false)), r.toString)
+    val ok = Validation.checkReferential(
+        child.filter($"fk" < 3L), $"fk", parent, $"pk")
+      .as[(Long, Long, Long, Double, Option[String], Boolean)].head()
+    assert(ok == ((2L, 0L, 0L, 0.0, None, true)))
+  }
+
   test("checkConstraints is ONE scan: single aggregate, no shuffle of data, no cartesian") {
     val plan = Validation.checkConstraints(docs, $"id", Seq(
         "a" -> ($"score" > 0), "b" -> $"text".isNotNull,
