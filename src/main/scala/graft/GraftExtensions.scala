@@ -480,6 +480,36 @@ object GraftExtensions {
             strArg(args, 1, "graft_classify"), strArg(args, 2, "graft_classify"),
             org.apache.spark.sql.functions.expr(strArg(args, 3, "graft_classify"))))
       },
+      tvf("graft_check",
+        "graft_check(table, idCol, ruleName, holdsSqlPredicate) - counted " +
+          "data-quality expectation: violations of the predicate in one scan") {
+        args => arity(args, "graft_check", 4, 4)
+          logical(operators.Validation.checkConstraints(
+            activeTable(strArg(args, 0, "graft_check")),
+            org.apache.spark.sql.functions.col(strArg(args, 1, "graft_check")),
+            Seq(strArg(args, 2, "graft_check") ->
+              org.apache.spark.sql.functions.expr(strArg(args, 3, "graft_check")))))
+      },
+      tvf("graft_check_unique",
+        "graft_check_unique(table, keyCols) - key-uniqueness expectation; " +
+          "keyCols is a comma-separated column list") {
+        args => arity(args, "graft_check_unique", 2, 2)
+          logical(operators.Validation.checkUnique(
+            activeTable(strArg(args, 0, "graft_check_unique")),
+            strArg(args, 1, "graft_check_unique").split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+              .map(org.apache.spark.sql.functions.col)))
+      },
+      tvf("graft_check_fk",
+        "graft_check_fk(childTable, childKeyCol, parentTable, parentKeyCol) - " +
+          "referential-integrity expectation: orphaned child keys") {
+        args => arity(args, "graft_check_fk", 4, 4)
+          logical(operators.Validation.checkReferential(
+            activeTable(strArg(args, 0, "graft_check_fk")),
+            org.apache.spark.sql.functions.col(strArg(args, 1, "graft_check_fk")),
+            activeTable(strArg(args, 2, "graft_check_fk")),
+            org.apache.spark.sql.functions.col(strArg(args, 3, "graft_check_fk"))))
+      },
       tvf("graft_vocab_drift",
         "graft_vocab_drift(oldTable, newTable, idCol, textCol, topK) - " +
           "top-k terms by relative-frequency movement between snapshots") {

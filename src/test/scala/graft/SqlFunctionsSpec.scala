@@ -333,6 +333,21 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(tabHit.collect().map(_.getLong(0)).toSeq == Seq(1L),
       "tab-containing doc token must be matchable via the TVF query string")
 
+    val checked = spark.sql(
+      "SELECT * FROM graft_check('tvfdocs', 'doc_id', 'short_text', 'length(text) < 40')")
+    assert(checked.collect().toSeq ==
+      operators.Validation.checkConstraints(docs, col("doc_id"),
+        Seq("short_text" -> (length(col("text")) < 40))).collect().toSeq)
+    val uniq = spark.sql("SELECT * FROM graft_check_unique('tvfdocs', 'source, doc_id')")
+    assert(uniq.collect().toSeq ==
+      operators.Validation.checkUnique(docs,
+        Seq(col("source"), col("doc_id"))).collect().toSeq)
+    val fk = spark.sql(
+      "SELECT * FROM graft_check_fk('tvfdocs', 'doc_id', 'tvfcorpus', 'doc_id')")
+    assert(fk.collect().toSeq ==
+      operators.Validation.checkReferential(docs, col("doc_id"),
+        spark.table("tvfcorpus"), col("doc_id")).collect().toSeq)
+
     locally { import spark.implicits._
       Seq((1L, "data value"), (2L, "key table"))
         .toDF("query_id", "query_text").createOrReplaceTempView("tvfqueries")
