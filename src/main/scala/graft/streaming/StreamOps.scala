@@ -106,7 +106,51 @@ object StreamOps {
         nRows(i) = 0; nViolations(i) = 0; firstViolation(i) = null
       }
     }
+
+    /** Checkpoint the cumulative profile + epoch floor. The header carries
+      * the rule names: restoring into a tracker whose rules differ (name,
+      * order, or count) throws instead of silently attributing counts to
+      * the wrong rules — [[HeavyHitterTracker.toBytes]]'s contract. */
+    def toBytes: Array[Byte] = synchronized {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(ConstraintMagic)
+      out.writeInt(ruleNames.size)
+      ruleNames.foreach(out.writeUTF)
+      out.writeLong(lastEpoch)
+      ruleNames.indices.foreach { i =>
+        out.writeLong(nRows(i)); out.writeLong(nViolations(i))
+        out.writeBoolean(firstViolation(i) != null)
+        if (firstViolation(i) != null) out.writeUTF(firstViolation(i))
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Restore state serialized by [[toBytes]]; throws on a foreign blob
+      * or a rule-set mismatch. */
+    def restore(bytes: Array[Byte]): Unit = synchronized {
+      require(bytes.length >= 8,
+        s"not a ConstraintTracker checkpoint (${bytes.length} bytes)")
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val magic = in.readInt()
+      require(magic == ConstraintMagic,
+        s"not a ConstraintTracker checkpoint (magic 0x${magic.toHexString})")
+      val stored = Seq.fill(in.readInt())(in.readUTF())
+      require(stored == ruleNames,
+        s"checkpoint was written by a tracker with rules $stored but this " +
+          s"tracker has $ruleNames — counts would attribute to the wrong " +
+          "rules; rebuild the tracker with the checkpoint's rule set")
+      lastEpoch = in.readLong()
+      ruleNames.indices.foreach { i =>
+        nRows(i) = in.readLong(); nViolations(i) = in.readLong()
+        firstViolation(i) = if (in.readBoolean()) in.readUTF() else null
+      }
+    }
   }
+
+  /** [[ConstraintTracker.toBytes]] header magic ("gCTR"). */
+  private val ConstraintMagic: Int = 0x67435452
 
   /** foreachBatch sink monitoring a stream's constraint profile: each
     * micro-batch runs ONE [[graft.operators.Validation.checkConstraints]]

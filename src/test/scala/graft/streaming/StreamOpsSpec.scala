@@ -188,6 +188,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(tracker.result.find(_._1 == "text_nonempty").get._2 == 3L)
   }
 
+  test("constraintTracker checkpoint: byte round-trip, rule-set validation, replay floor survives") {
+    import spark.implicits._
+    val rules = Seq("a" -> ($"id" > 0L), "b" -> (length($"text") > 0))
+    val (t1, fn1) = StreamOps.constraintSink(col("id"), rules)
+    fn1(Seq((0L, "x"), (2L, "")).toDF("id", "text"), 0L)
+    fn1(Seq((3L, "y")).toDF("id", "text"), 1L)
+    val bytes = t1.toBytes
+    // fresh "process": restore, replay epoch 1 (skipped by the restored
+    // floor), then continue — totals equal an unbroken accumulation
+    val (t2, fn2) = StreamOps.constraintSink(col("id"), rules)
+    t2.restore(bytes)
+    fn2(Seq((3L, "y")).toDF("id", "text"), 1L) // replay: must be skipped
+    fn2(Seq((-1L, "z")).toDF("id", "text"), 2L)
+    assert(t2.result == Seq(
+      ("a", 4L, 2L, Some("-1")), ("b", 4L, 1L, Some("2"))), t2.result.toString)
+    // a different rule set must refuse the bytes, not mis-attribute counts
+    val (t3, _) = StreamOps.constraintSink(col("id"),
+      Seq("a" -> ($"id" > 0L), "c" -> (length($"text") > 0)))
+    val e = intercept[IllegalArgumentException](t3.restore(bytes))
+    assert(e.getMessage.contains("wrong"), e.getMessage)
+    // foreign bytes rejected by the magic
+    val bad = intercept[IllegalArgumentException](
+      t3.restore(Array.fill[Byte](64)(0x11)))
+    assert(bad.getMessage.contains("magic"), bad.getMessage)
+  }
+
   test("asofEnrichStream: any trigger slicing unions to the batch asofJoin") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new Timestamp(s * 1000)
