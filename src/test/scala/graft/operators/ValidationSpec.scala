@@ -94,6 +94,50 @@ class ValidationSpec extends AnyFunSuite {
     assert(ok == ((2L, 0L, 0L, 0.0, None, true)))
   }
 
+  test("checkConstraints/checkUnique == driver brute force on random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = Gen.listOf(Gen.zip(
+      Gen.option(Gen.choose(-5L, 15L)), Gen.option(Gen.oneOf("", "x", "yy"))))
+    (0 until 25).foreach { s =>
+      val rows = rowGen(Gen.Parameters.default, Seed(s.toLong)).getOrElse(Nil)
+      if (rows.nonEmpty) {
+        val df = rows.toDF("v", "t").repartition(4)
+        val threshold = s % 10
+        val got = Validation.checkConstraints(df, $"v", Seq(
+            "v_gt" -> ($"v" > threshold.toLong),
+            "t_nonempty" -> (length($"t") > 0)))
+          .as[(String, Long, Long, Double, Option[String], Boolean)]
+          .collect().map(r => r._1 -> r).toMap
+        def brute(name: String, holds: ((Option[Long], Option[String])) => Boolean) = {
+          val viol = rows.filterNot(holds)
+          val off = viol.flatMap(_._1.map(_.toString)).minOption
+          // rows with a null id among the violations keep off at the min
+          // NON-null id string (min skips nulls) or None if all null
+          (name, rows.size.toLong, viol.size.toLong,
+            math.round(viol.size.toDouble / rows.size * 1e6) / 1e6,
+            off, viol.isEmpty)
+        }
+        val expA = brute("v_gt", r => r._1.exists(_ > threshold))
+        val expB = brute("t_nonempty", r => r._2.exists(_.nonEmpty))
+        assert(got("v_gt") == expA, s"seed $s: ${got("v_gt")} vs $expA; rows=$rows")
+        assert(got("t_nonempty") == expB, s"seed $s: ${got("t_nonempty")} vs $expB")
+        // uniqueness on the (v, t) composite vs a literal groupBy
+        val uq = Validation.checkUnique(df, Seq($"v", $"t"))
+          .as[(Long, Long, Long, Long, Option[String], Boolean)].head()
+        val groups = rows.groupBy(identity).values.map(_.size).toSeq
+        val dupKeys = groups.count(_ > 1).toLong
+        val expU = (rows.size.toLong, groups.size.toLong, dupKeys,
+          groups.filter(_ > 1).map(_.toLong).sum,
+          rows.groupBy(identity).filter(_._2.size > 1).keys
+            .map { case (v, t) => v.map(_.toString).getOrElse("<null>") + "|" +
+              t.getOrElse("<null>") }.minOption,
+          dupKeys == 0L)
+        assert(uq == expU, s"seed $s: $uq vs $expU; rows=$rows")
+      }
+    }
+  }
+
   test("checkConstraints is ONE scan: single aggregate, no shuffle of data, no cartesian") {
     val plan = Validation.checkConstraints(docs, $"id", Seq(
         "a" -> ($"score" > 0), "b" -> $"text".isNotNull,
