@@ -1519,8 +1519,18 @@ object CorpusOps {
   // epochs, and (n_docs, total_dl) sums likewise, so avgdl recomputes
   // exactly. Any future query then scores any document batch via
   // [[bm25ScoreWith]] against the loaded stats without rescanning the
-  // corpus. All mutations hold the single-writer index lease; compaction
-  // reuses the hash index's crash-safe tmp-then-swap.
+  // corpus.
+  //
+  // CRASH CONSISTENCY: the index spans TWO tables (terms + meta) whose
+  // per-epoch contents must be read as a pair, so every mutation commits
+  // through a MANIFEST — a tiny versioned file naming the committed epoch
+  // set. Data dirs are written first (under ids no committed epoch uses),
+  // the next manifest version is written last; a crash at any earlier
+  // point leaves garbage dirs the manifest never names, and the previous
+  // manifest keeps serving the intact index (rebuilds never destroy
+  // before they build). Readers use exactly the manifest's epochs for
+  // BOTH tables — no cross-table inference. All mutations hold the
+  // single-writer index lease.
   // -------------------------------------------------------------------
 
   /** Per-path memo + drift check of the stats format tag — loading a
@@ -1560,6 +1570,79 @@ object CorpusOps {
     bm25StatsFormats.remove(path); ()
   }
 
+  /** Committed-epoch manifests: `<path>/manifest-<version>` files with a
+    * one-line `v1:<epochs>` body. The reader takes the highest version
+    * that PARSES (a crash mid-write of version N falls back to N-1, which
+    * still names an intact index); the writer creates version max+1 and
+    * best-effort prunes all but the last two. */
+  private def listBm25Manifests(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith("manifest-"))
+        n.stripPrefix("manifest-").toIntOption.map(_ -> st.getPath)
+      else None
+    }.sortBy(_._1)
+  }
+
+  private def readBm25Manifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Set[Long]] =
+    listBm25Manifests(fs, path).reverse.view.flatMap { case (_, p) =>
+      try {
+        val body = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+          new java.io.DataInputStream(fs.open(p))), "UTF-8").trim
+        if (!body.startsWith("v1:")) None
+        else {
+          val es = body.stripPrefix("v1:")
+          if (es.isEmpty) Some(Set.empty[Long])
+          else {
+            val parsed = es.split(",").toSeq.map(_.trim.toLongOption)
+            if (parsed.forall(_.isDefined)) Some(parsed.flatten.toSet) else None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.headOption
+
+  private def commitBm25Manifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, epochs: Set[Long]): Unit = {
+    val existing = listBm25Manifests(fs, path)
+    val v = existing.lastOption.map(_._1 + 1).getOrElse(1)
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest-$v")
+    val out = fs.create(p, false)
+    try out.write(s"v1:${epochs.toSeq.sorted.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+    // keep the previous version as the partial-write fallback
+    existing.dropRight(1).foreach { case (_, old) =>
+      try { fs.delete(old, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** A fresh epoch id no existing dir or committed epoch uses — NEGATIVE
+    * ids, so user-supplied append epochs (>= 0) can never collide with a
+    * rebuild/compaction generation. */
+  private def freshBaseEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val taken = statsEpochs(fs, path, "terms") ++ statsEpochs(fs, path, "meta") ++
+      readBm25Manifest(fs, path).getOrElse(Set.empty)
+    (taken + 0L).min - 1
+  }
+
+  /** Best-effort removal of epoch dirs the manifest no longer names —
+    * crashed writes and superseded generations. Never load-bearing: an
+    * unnamed dir is already invisible to readers. */
+  private def pruneBm25Epochs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, keep: Set[Long]): Unit =
+    Seq("terms", "meta").foreach { table =>
+      (statsEpochs(fs, path, table) -- keep).foreach { e =>
+        try { fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/$table/epoch=$e"), true); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
   /** One batch's statistics: per-term document frequency (array_distinct
     * per row, ONE vocabulary-shuffle aggregate) and the (n_docs, n_dl,
     * total_dl) triple. `n_dl` counts only docs with a NON-NULL token
@@ -1581,24 +1664,27 @@ object CorpusOps {
   }
 
   /** Create (or re-create WHOLESALE) a persisted BM25 stats index from a
-    * corpus snapshot. Layout: `<path>/terms/epoch=-1` (term, df — written
-    * distributed, vocabulary-scale), `<path>/meta/epoch=-1` (one row),
-    * `<path>/params` (format tag). Any previously appended epoch
-    * partitions are DELETED first — a rebuild must not leave stale epochs
-    * summing on top of the new base (silent double-count). */
+    * corpus snapshot. Layout: `<path>/terms/epoch=E` (term, df — written
+    * distributed, vocabulary-scale), `<path>/meta/epoch=E` (one row),
+    * `<path>/params` (format tag), `<path>/manifest-<v>` (committed
+    * epochs). The rebuild writes its data under a FRESH generation id and
+    * only then flips the manifest — a failed rebuild leaves the previous
+    * index fully intact and serving; superseded epochs are pruned after
+    * the flip. */
   def saveBm25Stats(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = docs.sparkSession
     val fs = Dedup.indexFs(spark, path)
     Dedup.withIndexLease(fs, path, "saveBm25Stats") {
+      val e = freshBaseEpoch(fs, path)
       val (dft, meta) = bm25StatsOf(docs, idCol, textCol)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/terms"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
-      dft.write.mode("overwrite").parquet(s"$path/terms/epoch=-1")
-      meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/epoch=-1")
+      dft.write.mode("overwrite").parquet(s"$path/terms/epoch=$e")
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/epoch=$e")
       import spark.implicits._
       Seq(Bm25StatsFormat).toDF("format")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      commitBm25Manifest(fs, path, Set(e))
+      pruneBm25Epochs(fs, path, Set(e))
       bm25StatsFormats.put(path, Bm25StatsFormat)
     }
     ()
@@ -1614,18 +1700,21 @@ object CorpusOps {
     * contract). */
   def appendToBm25Stats(batch: DataFrame, idCol: String, textCol: String,
       path: String, epoch: Long): Unit = {
-    require(epoch >= 0, s"epoch must be >= 0 (got $epoch); -1 is the base snapshot")
+    require(epoch >= 0,
+      s"epoch must be >= 0 (got $epoch); negative ids are rebuild generations")
     val spark = batch.sparkSession
     requireBm25Stats(spark, path)
-    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "appendToBm25Stats") {
+    val fs = Dedup.indexFs(spark, path)
+    Dedup.withIndexLease(fs, path, "appendToBm25Stats") {
+      val cur = readBm25Manifest(fs, path).getOrElse(throw new IllegalStateException(
+        s"BM25 stats at $path have no manifest — build with saveBm25Stats first"))
       val (dft, meta) = bm25StatsOf(batch, idCol, textCol)
-      // terms FIRST, meta second: the epoch COMMITS when its meta
-      // partition lands — loadBm25Stats reads only epochs present in BOTH
-      // tables, so a crash between the two writes leaves an invisible
-      // half-epoch (repaired by the idempotent replay), never df counts
-      // with no matching n_docs (IDF skew, df > N)
+      // data first, manifest last: a crash before the commit leaves dirs
+      // the manifest never names (invisible; the idempotent replay
+      // overwrites them), never a half-visible epoch
       dft.write.mode("overwrite").parquet(s"$path/terms/epoch=$epoch")
       meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/epoch=$epoch")
+      commitBm25Manifest(fs, path, cur + epoch)
     }
     ()
   }
@@ -1641,13 +1730,14 @@ object CorpusOps {
     }.toSet
   }
 
-  /** Load the summed statistics: (per-term df over all epochs, n_docs,
-    * avgdl). Only epochs present in BOTH tables count — a torn append
-    * (terms written, meta not) is ignored wholesale rather than skewing
-    * IDF with df rows that have no matching document counts. The df frame
-    * is vocabulary-scale and LAZY — a caller filtering it to query terms
-    * (as [[bm25SearchWithStats]] does) pushes the term predicate below
-    * the epoch-sum aggregate into the parquet scan, so a probe reads only
+  /** Load the summed statistics: (per-term df over the COMMITTED epochs,
+    * n_docs, avgdl). The manifest names the epoch set read from BOTH
+    * tables — uncommitted (crashed) writes are invisible, and a committed
+    * epoch missing from either table (out-of-band damage) fails loudly
+    * instead of silently skewing sums. The df frame is vocabulary-scale
+    * and LAZY — a caller filtering it to query terms (as
+    * [[bm25SearchWithStats]] does) pushes the term predicate below the
+    * epoch-sum aggregate into the parquet scan, so a probe reads only
     * matching row groups, never the whole vocabulary into memory. avgdl
     * divides by the NON-NULL token-count population (n_dl), matching
     * [[bm25Search]]'s null-skipping avg exactly. */
@@ -1655,9 +1745,17 @@ object CorpusOps {
       : (DataFrame, Long, Double) = {
     requireBm25Stats(spark, path)
     val fs = Dedup.indexFs(spark, path)
-    val committed = statsEpochs(fs, path, "terms") intersect
-      statsEpochs(fs, path, "meta")
+    val committed = readBm25Manifest(fs, path).getOrElse(
+      throw new IllegalStateException(
+        s"BM25 stats at $path have no manifest — build with saveBm25Stats first"))
     require(committed.nonEmpty, s"BM25 stats at $path hold no committed epochs")
+    Seq("terms", "meta").foreach { table =>
+      val missing = committed -- statsEpochs(fs, path, table)
+      require(missing.isEmpty,
+        s"BM25 stats at $path are damaged: committed epoch(s) " +
+          s"${missing.toSeq.sorted.mkString(",")} missing from $table/ — " +
+          "rebuild with saveBm25Stats or replay the appends")
+    }
     val epochs = committed.toSeq.sorted.map(lit)
     val dft = spark.read.parquet(s"$path/terms")
       .filter(col("epoch").isin(epochs: _*)) // partition-pruned
@@ -1689,36 +1787,38 @@ object CorpusOps {
       .limit(k)
   }
 
-  /** Merge all epoch partitions into `epoch=-1` — bounds the per-probe
-    * scan fan-in after many appends. Crash-safe via the hash index's
-    * checked tmp-then-swap; returns the number of epochs merged (0 = no
-    * work). Values are unchanged (df and meta are sums either way). */
+  /** Merge the committed epochs into one fresh generation — bounds the
+    * per-probe scan fan-in after many appends. Crash-safe through the
+    * manifest: the merged tables land under a NEW negative epoch id
+    * first, the manifest flips to name only it, and the superseded dirs
+    * are pruned after — a crash at any point leaves either the old
+    * manifest serving the old epochs intact, or the new one serving the
+    * merge. Returns the number of epochs merged (0 = no work); values are
+    * unchanged (df and meta are sums either way). */
   def compactBm25Stats(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     requireBm25Stats(spark, path)
     val fs = Dedup.indexFs(spark, path)
     Dedup.withIndexLease(fs, path, "compactBm25Stats") {
-      Dedup.recoverCompaction(fs, path, "terms")
-      Dedup.recoverCompaction(fs, path, "meta")
-      // only COMMITTED epochs merge (loadBm25Stats' rule) — compacting a
-      // torn epoch's terms into the base would bake the skew in forever
-      val committed = statsEpochs(fs, path, "terms") intersect
-        statsEpochs(fs, path, "meta")
+      val committed = readBm25Manifest(fs, path).getOrElse(
+        throw new IllegalStateException(
+          s"BM25 stats at $path have no manifest — build with saveBm25Stats first"))
       val n = committed.size
-      if (n <= 1) 0
+      if (n <= 1) { pruneBm25Epochs(fs, path, committed); 0 }
       else {
+        val b = freshBaseEpoch(fs, path)
         val epochs = committed.toSeq.sorted.map(lit)
-        Dedup.swapCompacted(fs, path, "terms", tmp =>
-          spark.read.parquet(s"$path/terms")
-            .filter(col("epoch").isin(epochs: _*)).drop("epoch")
-            .groupBy(col("term")).agg(sum(col("df")).as("df"))
-            .write.mode("overwrite").parquet(tmp))
-        Dedup.swapCompacted(fs, path, "meta", tmp =>
-          spark.read.parquet(s"$path/meta")
-            .filter(col("epoch").isin(epochs: _*)).drop("epoch")
-            .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_dl")).as("n_dl"),
-              sum(col("total_dl")).as("total_dl"))
-            .coalesce(1).write.mode("overwrite").parquet(tmp))
+        spark.read.parquet(s"$path/terms")
+          .filter(col("epoch").isin(epochs: _*)).drop("epoch")
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .write.mode("overwrite").parquet(s"$path/terms/epoch=$b")
+        spark.read.parquet(s"$path/meta")
+          .filter(col("epoch").isin(epochs: _*)).drop("epoch")
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_dl")).as("n_dl"),
+            sum(col("total_dl")).as("total_dl"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/epoch=$b")
+        commitBm25Manifest(fs, path, Set(b))
+        pruneBm25Epochs(fs, path, Set(b))
         n
       }
     }

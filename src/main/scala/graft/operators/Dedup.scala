@@ -1193,7 +1193,15 @@ object Dedup extends Logging {
     }, s"graft-index-lease-heartbeat-$op")
     beat.setDaemon(true)
     beat.start()
-    try body finally { beat.interrupt(); fs.delete(lease, false); () }
+    try body finally {
+      // JOIN before deleting: a beat mid-rewrite would otherwise recreate
+      // the lease AFTER the delete, locking the index for the stale
+      // window against the next writer
+      beat.interrupt()
+      try beat.join(30000) catch { case _: InterruptedException => () }
+      fs.delete(lease, false)
+      ()
+    }
   }
 
   private[operators] def indexFs(spark: org.apache.spark.sql.SparkSession,
@@ -1210,7 +1218,7 @@ object Dedup extends Logging {
     * any point leaves either the live table or the backup intact; the next
     * compaction (or [[recoverCompaction]] directly) restores a missing
     * live table from the backup before proceeding. */
-  private[operators] def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
+  private def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
       path: String, table: String, writeTmp: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$path/$table")
@@ -1246,7 +1254,7 @@ object Dedup extends Logging {
     * completed: rename the backup back. A live table with content means
     * the swap finished (a valid index dir always holds at least one
     * `epoch=` child), so the backup is stale and dropped. */
-  private[operators] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       path: String, table: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$path/$table")

@@ -100,22 +100,24 @@ object Validation {
    * different defect than a dangling one; gate nulls with a
    * [[checkConstraints]] rule when they are illegal too.
    *
-   * Scale shape: the parent reduces to its DISTINCT keys before a
-   * planner-chosen left-anti join (keys only — neither table's payload
-   * shuffles), then a constant-width aggregate; `orphan_frac` is over
-   * non-null child keys, stableRound(6).
+   * Scale shape: ONE pass over the child — its keys left-join the
+   * parent's DISTINCT keys (multiplicity exactly 1, so row counts are
+   * preserved; keys only, neither table's payload shuffles) and a single
+   * constant-width aggregate computes rows/nulls/orphans/min-orphan
+   * together; `orphan_frac` is over non-null child keys, stableRound(6).
    */
   def checkReferential(child: DataFrame, keyCol: Column,
       parent: DataFrame, refCol: Column): DataFrame = {
-    val base = child.agg(count(lit(1)).as("n_child_rows"),
-      coalesce(sum(when(keyCol.isNull, 1L).otherwise(0L)), lit(0L))
-        .as("n_null_keys"))
-    val orphans = child.select(keyCol.as("__k")).filter(col("__k").isNotNull)
+    val orphan = col("__k").isNotNull && col("__r").isNull
+    child.select(keyCol.as("__k"))
       .join(parent.select(refCol.as("__r")).distinct(),
-        col("__k") === col("__r"), "left_anti")
-      .agg(count(lit(1)).as("n_orphans"),
-        min(col("__k").cast("string")).as("first_orphan"))
-    base.crossJoin(orphans).select(
+        col("__k") === col("__r"), "left")
+      .agg(count(lit(1)).as("n_child_rows"),
+        coalesce(sum(when(col("__k").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_keys"),
+        coalesce(sum(when(orphan, 1L).otherwise(0L)), lit(0L)).as("n_orphans"),
+        min(when(orphan, col("__k").cast("string"))).as("first_orphan"))
+      .select(
       col("n_child_rows"), col("n_null_keys"), col("n_orphans"),
       graft.functions.TextFunctions.stableRound(
         when(col("n_child_rows") - col("n_null_keys") === 0L, lit(0.0))
@@ -138,7 +140,12 @@ object Validation {
       s"tolerance for unknown rule '$k'"))
     val profile = checkConstraints(df, idCol, rules).collect()
     val failing = profile.filter { r =>
-      r.getDouble(3) > tolerance.getOrElse(r.getString(0), 0.0)
+      // gate on the COUNTS, not the display-rounded fraction: 1 violation
+      // in 10M rows rounds to 0.000000 but must still fail a
+      // zero-tolerance rule (the whole point of a hard gate)
+      val (n, v) = (r.getLong(1), r.getLong(2))
+      val frac = if (n == 0) 0.0 else v.toDouble / n
+      v > 0 && frac > tolerance.getOrElse(r.getString(0), 0.0)
     }
     if (failing.nonEmpty) throw new IllegalStateException(
       "constraint check failed: " + failing.map { r =>

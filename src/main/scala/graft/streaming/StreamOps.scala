@@ -86,11 +86,26 @@ object StreamOps {
           val i = ruleNames.indexOf(rule)
           nRows(i) += n; nViolations(i) += v
           off.foreach { o =>
-            if (firstViolation(i) == null || o < firstViolation(i))
+            if (firstViolation(i) == null || utf8Lt(o, firstViolation(i)))
               firstViolation(i) = o
           }
         }
       }
+
+    /** UTF-8 BYTE order, matching Spark's string min exactly — Java's
+      * `<` compares UTF-16 code units, which orders supplementary-plane
+      * characters differently and would let the cumulative min offender
+      * diverge from the batch profile's on non-ASCII ids. */
+    private def utf8Lt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
 
     /** Per-rule cumulative (rule, n_rows, n_violations, min offender). */
     def result: Seq[(String, Long, Long, Option[String])] = synchronized {
@@ -141,10 +156,19 @@ object StreamOps {
         s"checkpoint was written by a tracker with rules $stored but this " +
           s"tracker has $ruleNames — counts would attribute to the wrong " +
           "rules; rebuild the tracker with the checkpoint's rule set")
-      lastEpoch = in.readLong()
+      // parse the WHOLE blob into locals before mutating: a truncated
+      // checkpoint that passes the header checks must throw with the
+      // tracker unchanged, never half-restored (a caller catching the
+      // error and continuing would double-count or mis-skip epochs)
+      val epoch = in.readLong()
+      val parsed = ruleNames.indices.map { _ =>
+        val n = in.readLong(); val v = in.readLong()
+        (n, v, if (in.readBoolean()) in.readUTF() else null)
+      }
+      lastEpoch = epoch
       ruleNames.indices.foreach { i =>
-        nRows(i) = in.readLong(); nViolations(i) = in.readLong()
-        firstViolation(i) = if (in.readBoolean()) in.readUTF() else null
+        nRows(i) = parsed(i)._1; nViolations(i) = parsed(i)._2
+        firstViolation(i) = parsed(i)._3
       }
     }
   }

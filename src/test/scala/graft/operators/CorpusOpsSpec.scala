@@ -1053,6 +1053,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       CorpusOps.appendToBm25Stats(docs.limit(1), "doc_id", "text", path, epoch = 2))
     assert(c.getMessage.contains("saveBm25Stats@other"), c.getMessage)
     fs.delete(lease, false)
+    CorpusOps.forgetBm25Stats(path)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     ()
   }
@@ -1074,21 +1075,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       "re-save left a stale epoch double-counting docs")
     assert(key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 10)) ==
       key(CorpusOps.bm25Search(docs, "doc_id", "text", q, k = 10)))
-    // 2) a TORN append (terms written, meta missing — a crash between the
-    //    two jobs) must be invisible to load and compaction, never skew IDF
+    // 2) an UNCOMMITTED append (data dirs written, crash before the
+    //    manifest flip — simulated by deleting the newest manifest so the
+    //    reader falls back to the previous version) must be invisible to
+    //    load and compaction, never skew IDF
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 10))
     CorpusOps.appendToBm25Stats(docs.limit(5), "doc_id", "text", path, 7)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta/epoch=7"), true)
+    val newestManifest = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(_.getName.startsWith("manifest-"))
+      .maxBy(_.getName.stripPrefix("manifest-").toInt)
+    fs.delete(newestManifest, false)
     assert(CorpusOps.loadBm25Stats(spark, path)._2 == 40L,
-      "torn epoch's terms leaked into the load")
+      "uncommitted epoch leaked into the load")
     assert(key(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text", q, path, k = 10)) == before)
     assert(CorpusOps.compactBm25Stats(spark, path) == 0,
-      "compaction must not count a torn epoch")
-    // the idempotent replay repairs the torn epoch wholesale
+      "compaction must not count an uncommitted epoch")
+    // ...and compaction's prune removed the orphaned dirs
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/terms/epoch=7")),
+      "uncommitted epoch dirs survive until a prune, then go")
+    // the idempotent replay lands the epoch for real
     CorpusOps.appendToBm25Stats(docs.limit(5), "doc_id", "text", path, 7)
     assert(CorpusOps.loadBm25Stats(spark, path)._2 == 45L)
+    // out-of-band DAMAGE (a committed epoch's table deleted) fails loudly
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta/epoch=7"), true)
+    val dmg = intercept[IllegalArgumentException](CorpusOps.loadBm25Stats(spark, path))
+    assert(dmg.getMessage.contains("damaged"), dmg.getMessage)
+    CorpusOps.appendToBm25Stats(docs.limit(5), "doc_id", "text", path, 7) // repair
     // 3) null-text docs: bm25Search's avg(dl) SKIPS them — the persisted
     //    avgdl must divide by the same non-null population
     val withNulls = docs.unionByName(
@@ -1099,6 +1113,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(key(CorpusOps.bm25SearchWithStats(withNulls, "doc_id", "text", q, path2, k = 10)) ==
       key(CorpusOps.bm25Search(withNulls, "doc_id", "text", q, k = 10)),
       "null-text docs broke the exact-reproduction contract")
+    CorpusOps.forgetBm25Stats(path); CorpusOps.forgetBm25Stats(path2)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     ()
   }
