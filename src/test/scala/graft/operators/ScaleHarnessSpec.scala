@@ -320,6 +320,28 @@ class ScaleHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("checkUnique on a 95%-duplicated key: map-side combine, never one reducer") {
+    // one key duplicated across ~95% of rows: the per-key count must
+    // arrive at its reducer as combined partials (an aggregation), never
+    // as the raw row stream (the window/collect shape) — and the counted
+    // profile must still be exact
+    val n = 50000
+    val docs = skewedDocs(n, 0.95).cache()
+    docs.count()
+    try {
+      var r: (Long, Long, Long, Long, Option[String], Boolean) = null
+      val maxRead = maxTaskShuffleRead {
+        r = Validation.checkUnique(docs, Seq($"source"))
+          .as[(Long, Long, Long, Long, Option[String], Boolean)].head()
+      }
+      assert(r._1 == n && r._2 == 8 && r._3 == 8 && r._4 == n &&
+        r._5 == Some("giant") && !r._6, r.toString)
+      assert(maxRead < n / 2,
+        s"one task shuffle-read $maxRead of $n rows — the giant key's rows " +
+          "reached the reducer raw instead of as combined partials")
+    } finally { docs.unpersist(); () }
+  }
+
   test("exact row dedup of a 50k-copy duplicate group is an aggregation, not a window") {
     // one text duplicated 50k times (84% of rows) + a distinct tail: the
     // survivor must be the min doc_id, and no task may absorb the whole
