@@ -94,6 +94,40 @@ class ValidationSpec extends AnyFunSuite {
     assert(ok == ((2L, 0L, 0L, 0.0, None, true)))
   }
 
+  test("zero-tolerance hard gate catches ONE violation in millions of rows") {
+    // the display fraction rounds 1/3M to 0.000000 — the gate must judge
+    // the COUNTS, or the hard gate silently passes exactly at the scale
+    // it exists for
+    val big = spark.range(3000000L).select($"id",
+      ($"id" =!= 1234567L).as("ok"))
+    val e = intercept[IllegalStateException](
+      Validation.requireConstraints(big, $"id", Seq("all_ok" -> $"ok")))
+    assert(e.getMessage.contains("all_ok (1/3000000"), e.getMessage)
+    assert(e.getMessage.contains("id=1234567"), e.getMessage)
+    // a tolerance admits it; the unrounded fraction is what is compared
+    Validation.requireConstraints(big, $"id", Seq("all_ok" -> $"ok"),
+      tolerance = Map("all_ok" -> 1e-6))
+    ()
+  }
+
+  test("appending an empty batch to bm25 stats leaves values unchanged") {
+    val docs = (0 until 30).map(i => (i.toLong, s"alpha doc$i")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25-empty").toString
+    val path = s"$base/idx"
+    CorpusOps.saveBm25Stats(docs, "doc_id", "text", path)
+    val before = CorpusOps.loadBm25Stats(spark, path)
+    CorpusOps.appendToBm25Stats(docs.limit(0), "doc_id", "text", path, epoch = 0)
+    val after = CorpusOps.loadBm25Stats(spark, path)
+    assert(after._2 == before._2 && after._3 == before._3)
+    assert(CorpusOps.bm25SearchWithStats(docs, "doc_id", "text",
+        Seq("alpha"), path, k = 5).collect().toSeq ==
+      CorpusOps.bm25Search(docs, "doc_id", "text", Seq("alpha"), k = 5)
+        .collect().toSeq)
+    CorpusOps.forgetBm25Stats(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    ()
+  }
+
   test("checkConstraints/checkUnique == driver brute force on random inputs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
