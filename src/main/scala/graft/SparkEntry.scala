@@ -511,6 +511,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_corpus_mix_target" -> ((s, dir) => {
+      // target-proportion mixing ("50% src1 / 30% src2 / 20% src3"):
+      // rates solved driver-side for the largest total needing NO
+      // upsampling (binding group keeps rate 1.0), stashed so the oracle
+      // renders the exact thresholds; groups outside the target drop
+      val d = Tables.documents(s, dir)
+      val rates = operators.Sampling.ratesForTargetMix(d, col("source"),
+        Map("src1" -> 50.0, "src2" -> 30.0, "src3" -> 20.0))
+      targetMixRatesStash.set(rates)
+      operators.Sampling.stratifiedSample(d, col("source"), rates, col("text"),
+          defaultRate = 0.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
     "q_corpus_pack" -> ((s, dir) => {
       // concat-and-chunk sequence packing: metadata-only layout of each
       // source's token stream into 512-token training sequences (one window
@@ -2394,6 +2410,10 @@ object SparkEntry {
   private val temperatureRatesStash =
     new java.util.concurrent.atomic.AtomicReference[Map[String, Double]]()
 
+  /** Same capture for q_corpus_mix_target's solved keep-rates. */
+  private val targetMixRatesStash =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]]()
+
   /** Embedding dimension of the testdata `embeddings` table (TESTDATA.md) —
     * the vector oracles render per-index fold expressions and need it
     * statically. */
@@ -3567,6 +3587,12 @@ object SparkEntry {
         cents, dim = EmbeddingDim, queryId = 0L, k = 10, nProbe = 4)
     ) ++ Option(temperatureRatesStash.get()).map(rates =>
       "q_corpus_mix_temp" ->
+        s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents
+           |WHERE ${operators.Sampling.sqlStratifiedKeep("source", rates, "text", 0.0)}
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) ++ Option(targetMixRatesStash.get()).map(rates =>
+      "q_corpus_mix_target" ->
         s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM documents
            |WHERE ${operators.Sampling.sqlStratifiedKeep("source", rates, "text", 0.0)}

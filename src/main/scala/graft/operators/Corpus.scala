@@ -148,6 +148,30 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
   def capPerGroup(cap: Int, groupCol: String = "source"): Corpus =
     copy(df = Sampling.capPerGroup(df, Seq(col(groupCol)), col(textCol), id, cap))
 
+  /** Sample to TARGET mixture proportions ("60% web / 30% code / 10%
+    * books") — rates solved by [[Sampling.ratesForTargetMix]] (largest
+    * total needing no upsampling), groups absent from `targets` dropped.
+    * NOTE: the group-size pre-pass runs EAGERLY at this call. */
+  def sampleToMix(targets: Map[String, Double],
+      groupCol: String = "source"): Corpus =
+    copy(df = Sampling.stratifiedSample(df, col(groupCol),
+      Sampling.ratesForTargetMix(df, col(groupCol), targets), col(textCol),
+      defaultRate = 0.0))
+
+  /** Terminal: data-quality expectations over the corpus
+    * ([[Validation.checkConstraints]] — counted violations, one scan). */
+  def check(rules: Seq[(String, Column)]): DataFrame =
+    Validation.checkConstraints(df, id, rules)
+
+  /** Hard gate between pipeline stages ([[Validation.requireConstraints]]):
+    * throws with the full damage profile when a rule exceeds its
+    * tolerance; returns `this` for chaining when all pass. Runs EAGERLY. */
+  def requireValid(rules: Seq[(String, Column)],
+      tolerance: Map[String, Double] = Map.empty): Corpus = {
+    Validation.requireConstraints(df, id, rules, tolerance)
+    this
+  }
+
   /** Mixture epochs: repeat each group `factors(g)` times (fractional via
     * the content-hash coin; < 1 downsamples). Adds an `epoch` column. */
   def upsample(factors: Map[String, Double], defaultFactor: Double = 1.0,

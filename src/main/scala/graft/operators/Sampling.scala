@@ -558,6 +558,38 @@ object Sampling {
     w.map { case (g, ww) => g -> maxRate * ww / wMax }.toMap
   }
 
+  /**
+   * Sampling rates that hit TARGET mixture proportions exactly — the
+   * "make the training mix 60% web / 30% code / 10% books" solver. Scales
+   * the requested proportions to the largest total that needs NO
+   * upsampling (the binding group keeps rate 1.0; every other group
+   * downsamples), so output_d ≈ target_d · T with
+   * T = min_d size_d / target_d. Driver-side pure math over per-group
+   * sizes ([[temperatureRates]]' shape — a handful of domains, counted in
+   * one aggregate); feed the rates to [[stratifiedSample]]. Groups absent
+   * from `targets` get rate 0 (excluded from the mix); a target for a
+   * group with zero rows is rejected loudly (the mix is infeasible).
+   */
+  def ratesForTargetMix(df: DataFrame, groupCol: Column,
+      targets: Map[String, Double]): Map[String, Double] = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0.0),
+      s"target proportions must be positive: $targets")
+    val counts = df.groupBy(groupCol.cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("g").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targets.keySet.filter(g => counts.getOrElse(g, 0L) == 0L)
+    require(missing.isEmpty,
+      s"target mix is infeasible: group(s) ${missing.toSeq.sorted.mkString(",")} " +
+        "have no rows — no downsampling of the others can produce their share")
+    val total = targets.values.sum // normalize: callers may pass 60/30/10
+    val t = targets.map { case (g, p) => counts(g) / (p / total) }.min
+    targets.map { case (g, p) =>
+      g -> math.min(1.0, (p / total) * t / counts(g))
+    }
+  }
+
   /** [[temperatureRates]] + [[stratifiedSample]] in one step (groups not in
     * the rate table — e.g. null group values — are dropped). */
   def temperatureSample(df: DataFrame, groupCol: Column, key: Column,

@@ -172,6 +172,41 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("ratesForTargetMix hits requested proportions without upsampling; facade terminals") {
+    // sizes: a=6000, b=3000, c=600, d=400; target 60/30/10 over {a,b,c}:
+    // binding group is c (600 / 0.1 = 6000 = smallest total); expected
+    // rates a=0.6, b=0.6, c=1.0, d excluded
+    val docs = (Seq.fill(6000)("a") ++ Seq.fill(3000)("b") ++
+      Seq.fill(600)("c") ++ Seq.fill(400)("d")).zipWithIndex
+      .map { case (g, i) => (i.toLong, g, s"text $i") }
+      .toDF("doc_id", "source", "text")
+    val rates = Sampling.ratesForTargetMix(docs, $"source",
+      Map("a" -> 60.0, "b" -> 30.0, "c" -> 10.0))
+    assert(rates.keySet == Set("a", "b", "c"))
+    assert(math.abs(rates("a") - 0.6) < 1e-12 &&
+      math.abs(rates("b") - 0.6) < 1e-12 && rates("c") == 1.0, rates.toString)
+    // realized proportions from the hash sampler track the targets and
+    // the excluded group vanishes
+    val mixed = Corpus(docs).sampleToMix(Map("a" -> 0.6, "b" -> 0.3, "c" -> 0.1))
+      .df.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(!mixed.contains("d"), mixed.toString)
+    val total = mixed.values.sum.toDouble
+    assert(math.abs(mixed("a") / total - 0.6) < 0.05, mixed.toString)
+    assert(math.abs(mixed("c") / total - 0.1) < 0.03, mixed.toString)
+    // infeasible target (no rows) is loud
+    val e = intercept[IllegalArgumentException](
+      Sampling.ratesForTargetMix(docs, $"source", Map("a" -> 1.0, "zz" -> 1.0)))
+    assert(e.getMessage.contains("zz"), e.getMessage)
+    // facade check/requireValid delegate to Validation
+    val prof = Corpus(docs).check(Seq("nonempty" -> (length($"text") > 0)))
+      .as[(String, Long, Long, Double, Option[String], Boolean)].head()
+    assert(prof._2 == 10000L && prof._6)
+    Corpus(docs).requireValid(Seq("nonempty" -> (length($"text") > 0)))
+    intercept[IllegalStateException](
+      Corpus(docs).requireValid(Seq("is_a" -> ($"source" === "a"))))
+    ()
+  }
+
   test("checkConstraints is ONE scan: single aggregate, no shuffle of data, no cartesian") {
     val plan = Validation.checkConstraints(docs, $"id", Seq(
         "a" -> ($"score" > 0), "b" -> $"text".isNotNull,
