@@ -471,6 +471,31 @@ object GraftExtensions {
             strArg(args, 4, "graft_bm25_many"), strArg(args, 5, "graft_bm25_many"),
             intArg(args, 6, 20, "graft_bm25_many")))
       },
+      tvf("graft_fuzzy_pairs",
+        "graft_fuzzy_pairs(table, idCol, keyCol, maxDist) - unordered id " +
+          "pairs within Levenshtein distance maxDist (exact, pigeonhole-" +
+          "blocked, never all-pairs)") {
+        args => arity(args, "graft_fuzzy_pairs", 4, 4)
+          logical(operators.Fuzzy.fuzzyPairs(
+            activeTable(strArg(args, 0, "graft_fuzzy_pairs")),
+            strArg(args, 1, "graft_fuzzy_pairs"),
+            strArg(args, 2, "graft_fuzzy_pairs"),
+            intArg(args, 3, 2, "graft_fuzzy_pairs")))
+      },
+      tvf("graft_fuzzy_join",
+        "graft_fuzzy_join(leftTable, rightTable, leftId, leftKey, rightId, " +
+          "rightKey, maxDist) - fuzzy record linkage: (id_l, id_r, dist) " +
+          "pairs within Levenshtein distance maxDist") {
+        args => arity(args, "graft_fuzzy_join", 7, 7)
+          logical(operators.Fuzzy.fuzzyJoin(
+            activeTable(strArg(args, 0, "graft_fuzzy_join")),
+            activeTable(strArg(args, 1, "graft_fuzzy_join")),
+            strArg(args, 2, "graft_fuzzy_join"),
+            strArg(args, 3, "graft_fuzzy_join"),
+            strArg(args, 4, "graft_fuzzy_join"),
+            strArg(args, 5, "graft_fuzzy_join"),
+            intArg(args, 6, 2, "graft_fuzzy_join")))
+      },
       tvf("graft_classify",
         "graft_classify(table, idCol, textCol, positiveSqlPredicate) - " +
           "Naive Bayes log-odds train+score; positive class via a SQL predicate") {

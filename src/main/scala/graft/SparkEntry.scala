@@ -1363,6 +1363,37 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      // exact edit-distance near-dup discovery (PassJoin pigeonhole
+      // blocking + banded levenshtein verify). Keys = first 40 chars; the
+      // gate PLANTS a one-edit variant per doc (char 8 deleted, id
+      // +200000) — identically in the oracle — so true pairs exist at
+      // every SF. The doc_id cap bounds the ORACLE's length-banded
+      // all-pairs verify, not the operator.
+      val d0 = Tables.documents(s, dir).filter(col("doc_id") < 800)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
+      val planted = d0.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(substring(col("key"), 1, 7), substring(col("key"), 9, 32)).as("key"))
+      operators.Fuzzy.fuzzyPairs(d0.unionByName(planted), "doc_id", "key",
+          maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_fuzzy_link" -> ((s, dir) => {
+      // fuzzy record linkage: a dirty feed (one substitution typo — '#'
+      // never occurs in the corpus — at char 12, id +500000) links back to
+      // the clean catalog at maxDist 1
+      val d0 = Tables.documents(s, dir).filter(col("doc_id") < 800)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
+      val dirty = d0.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 500000L).as("rec_id"),
+          concat(substring(col("key"), 1, 11), lit("#"),
+            substring(col("key"), 13, 28)).as("key"))
+      operators.Fuzzy.fuzzyJoin(dirty, d0, "rec_id", "key", "doc_id", "key",
+          maxDist = 1)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
     "q_embed_diversity" -> ((s, dir) => {
       // cluster-balanced diversity sampling: nearest-cell assignment plus a
       // deterministic per-cell cap — selection is a pure function of
@@ -3283,6 +3314,38 @@ object SparkEntry {
            | round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
            |FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.5
            |ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_pairs" ->
+        """WITH d0 AS (
+          |  SELECT doc_id, substr(text, 1, 40) AS key
+          |  FROM documents WHERE doc_id < 800),
+          |a AS (
+          |  SELECT doc_id, key FROM d0
+          |  UNION ALL
+          |  SELECT doc_id + 200000, substr(key, 1, 7) || substr(key, 9, 32)
+          |  FROM d0)
+          |SELECT * FROM (
+          |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          |    levenshtein(x.key, y.key)::INT AS dist
+          |  FROM a x JOIN a y
+          |    ON x.doc_id < y.doc_id
+          |   AND abs(length(x.key) - length(y.key)) <= 2)
+          |WHERE dist <= 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_fuzzy_link" ->
+        """WITH d0 AS (
+          |  SELECT doc_id, substr(text, 1, 40) AS key
+          |  FROM documents WHERE doc_id < 800),
+          |dirty AS (
+          |  SELECT doc_id + 500000 AS rec_id,
+          |    substr(key, 1, 11) || '#' || substr(key, 13, 28) AS key
+          |  FROM d0 WHERE doc_id % 3 = 0)
+          |SELECT * FROM (
+          |  SELECT x.rec_id AS id_l, y.doc_id AS id_r,
+          |    levenshtein(x.key, y.key)::INT AS dist
+          |  FROM dirty x JOIN d0 y
+          |    ON abs(length(x.key) - length(y.key)) <= 1)
+          |WHERE dist <= 1 ORDER BY 1, 2""".stripMargin,
 
       "q_dedup_minhash" ->
         operators.Dedup.sqlMinHashLshPairs(

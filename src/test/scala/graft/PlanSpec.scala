@@ -413,6 +413,16 @@ class PlanSpec extends AnyFunSuite {
       "corpus side must reach the join unshuffled:\n" + p)
   }
 
+  test("fuzzy pairs: candidate generation is pure equi-joins — no cartesian, no inequality join") {
+    val q = SparkEntry.queries("q_fuzzy_pairs")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the banded levenshtein verify sits above an equi-join, with the
+    // segment join keyed on (length, slot, content)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("driver smoke: entry() works on a fresh plain session config") {
     // the driver calls entry() without our nanosAsLong session conf; the
     // seeded-log loader must set it on the fly

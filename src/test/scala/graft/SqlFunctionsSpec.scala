@@ -401,6 +401,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
           spark.table("tvfqueries"), "query_id", "query_text", k = 5)
         .orderBy(col("query_id"), col("rnk")).collect().toSeq)
 
+    { import spark.implicits._
+      Seq(1L -> "kitten", 2L -> "sitting", 3L -> "mitten", 4L -> "flour",
+          5L -> "flower").toDF("id", "key")
+        .createOrReplaceTempView("tvffuzzy") }
+    val fz = spark.sql(
+      "SELECT * FROM graft_fuzzy_pairs('tvffuzzy', 'id', 'key', 2) " +
+        "ORDER BY id_a, id_b")
+    assert(fz.collect().toSeq ==
+      operators.Fuzzy.fuzzyPairs(spark.table("tvffuzzy"), "id", "key", 2)
+        .orderBy(col("id_a"), col("id_b")).collect().toSeq)
+    assert(fz.count() > 0)
+
+    val fj = spark.sql(
+      "SELECT * FROM graft_fuzzy_join('tvffuzzy', 'tvffuzzy', 'id', 'key', " +
+        "'id', 'key', 1) WHERE id_l < id_r ORDER BY id_l, id_r")
+    assert(fj.collect().toSeq ==
+      operators.Fuzzy.fuzzyJoin(spark.table("tvffuzzy"), spark.table("tvffuzzy"),
+          "id", "key", "id", "key", 1)
+        .filter(col("id_l") < col("id_r"))
+        .orderBy(col("id_l"), col("id_r")).collect().toSeq)
+
     val cls = spark.sql(
       "SELECT * FROM graft_classify('tvfdocs', 'doc_id', 'text', 'lang = ''en''') " +
         "ORDER BY doc_id")

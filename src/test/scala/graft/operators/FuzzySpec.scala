@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class FuzzySpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference DP — the plain quadratic Levenshtein, no banding. */
+  private def ed(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  private def brutePairs(rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, ka) <- rows; (ib, kb) <- rows if ia < ib
+      d = ed(ka, kb) if d <= k
+    } yield (ia, ib, d)).toSet
+
+  test("known answers: classic pairs, ordering, self exclusion") {
+    val df = Seq(1L -> "kitten", 2L -> "sitting", 3L -> "kitten",
+      4L -> "mitten", 5L -> "flour").toDF("id", "key")
+    val got = Fuzzy.fuzzyPairs(df, "id", "key", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // ed(kitten,sitting)=3, ed(kitten,mitten)=1, flour matches nothing
+    assert(got == brutePairs(Seq(1L -> "kitten", 2L -> "sitting", 3L -> "kitten",
+      4L -> "mitten", 5L -> "flour"), 3))
+    assert(got.contains((1L, 2L, 3)) && got.contains((1L, 4L, 1)) &&
+      got.contains((1L, 3L, 0)) && !got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("randomized brute-force sweep: pairs == DP all-pairs, k in 1..3") {
+    val rnd = new Random(42)
+    val alpha = "abcd"
+    for (round <- 0 until 6) {
+      val n = 60
+      val rows = (0 until n).map { i =>
+        val len = rnd.nextInt(12) // includes 0..4: empty + short-path strings
+        (i.toLong, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      }
+      val k = 1 + round % 3
+      val got = Fuzzy.fuzzyPairs(rows.toDF("id", "key"), "id", "key", k)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brutePairs(rows, k),
+        s"round=$round k=$k diff=${got.diff(brutePairs(rows, k))} missing=${brutePairs(rows, k).diff(got)}")
+    }
+  }
+
+  test("two-table fuzzyJoin == brute force, including cross-length and shorts") {
+    val rnd = new Random(7)
+    val alpha = "xyz"
+    def mk(n: Int, seed: Int) = (0 until n).map { i =>
+      ((i + seed).toLong,
+        (0 until rnd.nextInt(10)).map(_ => alpha(rnd.nextInt(3))).mkString)
+    }
+    val lrows = mk(40, 0); val rrows = mk(40, 1000)
+    val k = 2
+    val got = Fuzzy.fuzzyJoin(lrows.toDF("lid", "lkey"), rrows.toDF("rid", "rkey"),
+        "lid", "lkey", "rid", "rkey", k)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (il, kl) <- lrows; (ir, kr) <- rrows
+      d = ed(kl, kr) if d <= k
+    } yield (il, ir, d)).toSet
+    assert(got == want)
+  }
+
+  test("null ids and keys never match; empty frame yields empty output") {
+    val df = Seq((Some(1L), Some("abc")), (Some(2L), None),
+      (None, Some("abd")), (Some(4L), Some("abd"))).toDF("id", "key")
+    val got = Fuzzy.fuzzyPairs(df, "id", "key", 2).as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 4L, 1)))
+    assert(Fuzzy.fuzzyPairs(Seq.empty[(Long, String)].toDF("id", "key"), "id", "key", 1)
+      .count() == 0)
+  }
+
+  test("templated corpus (shared boilerplate prefix): verify prunes, result exact") {
+    // hostile blocking shape: every key shares its first segment, so the
+    // segment join floods candidates — verification must keep it exact
+    val rows = (0L until 300L).map(i => (i, f"PREFIX-BOILERPLATE-$i%04d"))
+    val got = Fuzzy.fuzzyPairs(rows.toDF("id", "key"), "id", "key", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brutePairs(rows, 2))
+    assert(got.nonEmpty) // 0001 vs 0002 etc. are within 1-2 edits
+  }
+
+  test("all-identical keys: output is the full quadratic pair set at dist 0") {
+    val rows = (0L until 40L).map(i => (i, "same-key-everywhere"))
+    val got = Fuzzy.fuzzyPairs(rows.toDF("id", "key"), "id", "key", 1)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 40 * 39 / 2 && got.forall(_._3 == 0))
+  }
+}
