@@ -471,6 +471,18 @@ object GraftExtensions {
             strArg(args, 4, "graft_bm25_many"), strArg(args, 5, "graft_bm25_many"),
             intArg(args, 6, 20, "graft_bm25_many")))
       },
+      tvf("graft_drift",
+        "graft_drift(refTable, curTable, valueCol, lo, hi, buckets) - PSI " +
+          "distribution-drift profile between two snapshots of a numeric column") {
+        args => arity(args, "graft_drift", 6, 6)
+          logical(operators.Validation.distributionDrift(
+            activeTable(strArg(args, 0, "graft_drift")),
+            activeTable(strArg(args, 1, "graft_drift")),
+            strArg(args, 2, "graft_drift"),
+            dblArg(args, 3, 0.0, "graft_drift"),
+            dblArg(args, 4, 1.0, "graft_drift"),
+            intArg(args, 5, 10, "graft_drift")))
+      },
       tvf("graft_fuzzy_pairs",
         "graft_fuzzy_pairs(table, idCol, keyCol, maxDist) - unordered id " +
           "pairs within Levenshtein distance maxDist (exact, pigeonhole-" +

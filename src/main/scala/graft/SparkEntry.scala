@@ -880,6 +880,29 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_numeric_drift" -> ((s, dir) => {
+      // PSI distribution-drift monitor between two snapshots. The gate
+      // PLANTS a shift (odd-id 'view' events scaled 1.5x + 10 — the tail
+      // clamps into the top bucket) identically in the oracle; edges are
+      // picked binary-exact (w = 32) so bucket assignment is bit-identical
+      // across engines, and the smoothed probabilities / psi terms are
+      // stableRound(6)ed for the hash compare
+      val ev = Tables.events(s, dir)
+      val ref = ev.filter(col("event_id") % 2 === 0)
+      val cur = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value", when(col("event_type") === "view",
+          col("value") * 1.5 + 10).otherwise(col("value")))
+      operators.Validation.distributionDrift(ref, cur, "value",
+          lo = 0.0, hi = 512.0, buckets = 16)
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("lo_edge"), 6).as("lo_edge_r"),
+          TextFunctions.stableRound(col("hi_edge"), 6).as("hi_edge_r"),
+          TextFunctions.stableRound(col("p_ref"), 6).as("p_ref_r"),
+          TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
+          TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_numeric_profile_sketch" -> ((s, dir) => {
       // the 100 TB numeric profile: percentile_approx (mergeable KLL-style
       // partials, map-side combined) instead of the exact sort-based
@@ -2905,6 +2928,38 @@ object SparkEntry {
           | round(quantile_cont(value, 0.75), 4) AS p75,
           | round(min(value), 4) AS min, round(max(value), 4) AS max
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_numeric_drift" -> {
+        def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
+        val pr = "(n_ref + 0.5) / (tr + 8.0)"
+        val pc = "(n_cur + 0.5) / (tc + 8.0)"
+        s"""WITH ref0 AS (
+           |  SELECT value FROM events WHERE event_id % 2 = 0),
+           |cur0 AS (
+           |  SELECT CASE WHEN event_type = 'view' THEN value * 1.5 + 10
+           |         ELSE value END AS value
+           |  FROM events WHERE event_id % 2 = 1),
+           |r AS (
+           |  SELECT CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15)
+           |           AS INT) AS bucket, count(*) AS n
+           |  FROM ref0 WHERE value IS NOT NULL GROUP BY 1),
+           |c AS (
+           |  SELECT CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15)
+           |           AS INT) AS bucket, count(*) AS n
+           |  FROM cur0 WHERE value IS NOT NULL GROUP BY 1),
+           |f AS (SELECT CAST(range AS INT) AS bucket FROM range(16)),
+           |j AS (
+           |  SELECT f.bucket, coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+           |  FROM f LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+           |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+           |SELECT j.bucket, j.n_ref, j.n_cur,
+           | ${sr("0.0 + bucket * 32.0")} AS lo_edge_r,
+           | ${sr("0.0 + (bucket + 1) * 32.0")} AS hi_edge_r,
+           | ${sr(pr)} AS p_ref_r,
+           | ${sr(pc)} AS p_cur_r,
+           | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
+           |FROM j, t ORDER BY 1""".stripMargin
+      },
 
       // n_exact = count(value), NOT count(*): the rank window
       // [(p-eps)n, (p+eps)n] is over percentile_approx's actual input

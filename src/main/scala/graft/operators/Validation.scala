@@ -127,6 +127,77 @@ object Validation {
       col("first_orphan"), (col("n_orphans") === 0L).as("pass"))
   }
 
+  /**
+   * Distribution drift between two snapshots of a numeric column — the
+   * population-stability-index (PSI) monitor a pipeline runs between a
+   * reference batch and each new batch to catch silent upstream shifts
+   * (scale changes, truncation, a source going dark) before they reach
+   * training.
+   *
+   * Fixed equi-width histogram over `[lo, hi)` with `buckets` cells;
+   * values outside the range clamp into the edge cells (a drifted tail
+   * lands in a bucket instead of vanishing), NULLs are excluded on both
+   * sides. Per-cell probabilities are Laplace-smoothed with `alpha` so an
+   * empty cell never divides by zero: `p = (n + alpha) / (N + alpha*B)`.
+   * Output is one row per bucket 0..B-1 (empty cells included):
+   * (bucket, lo_edge, hi_edge, n_ref, n_cur, p_ref, p_cur, psi) with
+   * `psi = (p_cur - p_ref) * ln(p_cur / p_ref)` — total PSI is the sum;
+   * the conventional alarm thresholds are ~0.1 (investigate) / ~0.25
+   * (block).
+   *
+   * Scale shape: each snapshot reduces in ONE map-side-combined aggregate
+   * to at most B rows; the dense bucket frame (a B-row range) left-joins
+   * the two histograms and the two grand totals attach as one-row scalar
+   * aggregates — nothing data-sized ever shuffles or reaches the driver.
+   * The bucket edges are FIXED by the caller (take them from the
+   * reference's known domain), so the monitor is deterministic and
+   * incremental-friendly — unlike quantile-based edges, two runs are
+   * comparable without re-fitting.
+   */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int,
+      alpha: Double = 0.5): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val w = (hi - lo) / buckets
+    def hist(df: DataFrame, n: String): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(greatest(
+        floor((col(valueCol).cast("double") - lo) / w), lit(0.0)),
+        lit((buckets - 1).toDouble)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val frame = ref.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = frame
+      .join(hist(ref, "__nr"), Seq("bucket"), "left")
+      .join(hist(cur, "__nc"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    // grand totals as one-row scalar aggregates (the allowed one-row
+    // cross-join shape); alpha-smoothed probabilities and the PSI term
+    val totals = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val pRef = (col("n_ref") + alpha) / (col("__tr") + alpha * buckets)
+    val pCur = (col("n_cur") + alpha) / (col("__tc") + alpha * buckets)
+    joined.crossJoin(totals)
+      .select(col("bucket"),
+        lit(lo).plus(col("bucket") * w).as("lo_edge"),
+        lit(lo).plus((col("bucket") + 1) * w).as("hi_edge"),
+        col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        ((pCur - pRef) * log(pCur / pRef)).as("psi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Total PSI of [[distributionDrift]] on the same arguments — the single
+    * scalar a scheduler alarms on. */
+  def psiTotal(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int, alpha: Double = 0.5): Double =
+    distributionDrift(ref, cur, valueCol, lo, hi, buckets, alpha)
+      .agg(sum(col("psi"))).head().getDouble(0)
+
   /** [[checkConstraints]] that THROWS (after the full profile is computed)
     * when any rule with a tolerance of zero — or a violation fraction above
     * its per-rule `tolerance` — fails: the hard-gate form a pipeline calls

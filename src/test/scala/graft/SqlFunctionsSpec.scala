@@ -405,6 +405,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
       Seq(1L -> "kitten", 2L -> "sitting", 3L -> "mitten", 4L -> "flour",
           5L -> "flower").toDF("id", "key")
         .createOrReplaceTempView("tvffuzzy") }
+
+    val dr = spark.sql(
+      "SELECT * FROM graft_drift('tvfcorpus', 'tvfdocs', 'n_chars', " +
+        "0.0, 600.0, 12) ORDER BY bucket")
+    assert(dr.collect().toSeq ==
+      operators.Validation.distributionDrift(corpus, docs, "n_chars",
+          0.0, 600.0, 12)
+        .orderBy(col("bucket")).collect().toSeq)
+    assert(dr.count() == 12)
     val fz = spark.sql(
       "SELECT * FROM graft_fuzzy_pairs('tvffuzzy', 'id', 'key', 2) " +
         "ORDER BY id_a, id_b")

@@ -207,6 +207,44 @@ class ValidationSpec extends AnyFunSuite {
     ()
   }
 
+  test("distributionDrift: exact counts, edge clamping, null exclusion, smoothing") {
+    val ref = Seq(1.0, 2.0, 5.0, 5.0, 9.0, -3.0, 100.0)
+      .map(Option(_)).toDF("v") // -3 clamps into bucket 0, 100 into the top
+    val cur = Seq(Some(1.0), Some(6.0), Some(6.5), None).toDF("v")
+    val out = Validation.distributionDrift(ref, cur, "v",
+        lo = 0.0, hi = 10.0, buckets = 5)
+      .as[(Int, Double, Double, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3, 4)) // dense frame
+    val byB = out.map(r => r._1 -> r).toMap
+    // ref buckets: -3->0, 1->0, 2->1, 5->2, 5->2, 9->4, 100->4 (clamped)
+    assert(byB(0)._4 == 2 && byB(1)._4 == 1 && byB(2)._4 == 2 &&
+      byB(3)._4 == 0 && byB(4)._4 == 2)
+    // cur buckets: 1->0, 6->3, 6.5->3; the NULL is excluded
+    assert(byB(0)._5 == 1 && byB(3)._5 == 2 && byB(1)._5 == 0)
+    // edges
+    assert(byB(2)._2 == 4.0 && byB(2)._3 == 6.0)
+    // smoothed probabilities: (n + 0.5) / (N + 2.5)
+    assert(math.abs(byB(0)._6 - 2.5 / 9.5) < 1e-12)
+    assert(math.abs(byB(0)._7 - 1.5 / 5.5) < 1e-12)
+    // psi term matches the closed form
+    val p = 2.5 / 9.5; val q = 1.5 / 5.5
+    assert(math.abs(byB(0)._8 - (q - p) * math.log(q / p)) < 1e-12)
+    // identical snapshots -> PSI exactly 0; shifted -> positive
+    assert(Validation.psiTotal(ref, ref, "v", 0.0, 10.0, 5) == 0.0)
+    assert(Validation.psiTotal(ref, cur, "v", 0.0, 10.0, 5) > 0.0)
+    // parameter validation is loud
+    intercept[IllegalArgumentException](
+      Validation.distributionDrift(ref, cur, "v", 5.0, 5.0, 4))
+    intercept[IllegalArgumentException](
+      Validation.distributionDrift(ref, cur, "v", 0.0, 1.0, 0))
+    // empty current snapshot: finite output, no division by zero
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val drained = Validation.distributionDrift(ref, empty, "v", 0.0, 10.0, 5)
+      .as[(Int, Double, Double, Long, Long, Double, Double, Double)].collect()
+    assert(drained.length == 5 && drained.forall(r => !r._8.isNaN && !r._8.isInfinite))
+  }
+
   test("checkConstraints is ONE scan: single aggregate, no shuffle of data, no cartesian") {
     val plan = Validation.checkConstraints(docs, $"id", Seq(
         "a" -> ($"score" > 0), "b" -> $"text".isNotNull,
