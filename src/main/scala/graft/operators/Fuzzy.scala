@@ -14,42 +14,48 @@ import org.apache.spark.sql.functions._
  * EventHubsWriteTask.scala:210-218); this family is part of the analytics
  * layer layered on top.
  *
- * EXACT and COMPLETE, never all-pairs: candidates come from the
- * pigeonhole segment scheme (the PassJoin partitioning technique —
- * public literature, Li/Deng/Feng VLDB'11). Split every indexed string
- * into `k+1` contiguous segments; if `ed(a, b) <= k` then some segment of
- * `a` survives the optimal alignment edit-free, so it occurs in `b`
- * VERBATIM, at a position shifted by at most `k`. Candidate generation is
- * therefore a pure EQUI-join:
+ * EXACT and COMPLETE, never all-pairs. Two structural defenses:
  *
- *  - index side: `k+1` rows per string — (own length, segment index,
- *    segment text);
- *  - probe side: for each hypothesized index length `la` within `±k` of
- *    its own, each segment slot, and each in-window start position, the
- *    probe's substring of the segment's exact length — at most
- *    `(2k+1)^2 (k+1)` bounded rows per string (75 at k=2), each a few
- *    bytes;
- *  - join on (length, slot, text) → distinct id pairs → one banded
- *    `levenshtein(a, b, k)` verify per candidate (codegen'd built-in,
- *    O(k·min(|a|,|b|)) via the threshold argument — never the full DP
- *    matrix on non-matches).
+ * 1. All similarity work runs over DISTINCT keys. Real corpora carry vast
+ *    exact-duplicate key groups (the very thing [[Dedup.exact]] exists
+ *    for); feeding them to ANY blocking scheme floods every block
+ *    quadratically. Here each distinct key is blocked/verified once, and
+ *    verified key pairs expand back to id pairs through plain equi-joins
+ *    whose fan-out equals the OUTPUT size — a million-copy key costs one
+ *    candidate row, not 10^12.
  *
- * 100 TB shape: both exploded sides shuffle on discriminative content
- * keys; no inequality join, no cartesian, no driver state. The one hot
- * spot is TEMPLATED text — a corpus where millions of strings share an
- * identical segment at the same slot (a boilerplate prefix) puts them in
- * one bucket and the candidate set goes quadratic there. That is partly
- * inherent (if the strings really are within distance k of each other the
- * OUTPUT is quadratic), and where it is not, the standard cure is
- * upstream: exact-dedup first ([[Dedup.exact]]) and key on the
- * discriminative field, not the boilerplate. AQE's skew-join split keeps
- * the shuffle itself balanced either way.
+ * 2. Candidates for distinct key pairs come from the pigeonhole segment
+ *    scheme (the PassJoin partitioning technique — public literature,
+ *    Li/Deng/Feng VLDB'11). Split every indexed key into `k+1` contiguous
+ *    segments; if `ed(a, b) <= k` then some segment of `a` survives the
+ *    optimal alignment edit-free, so it occurs in `b` VERBATIM, at a
+ *    position shifted by at most `k`. Candidate generation is therefore a
+ *    pure EQUI-join:
+ *    - index side: `k+1` rows per key — (own length, slot, segment text);
+ *    - probe side: for each hypothesized index length within `±k` of its
+ *      own, each slot, and each in-window start position, the probe's
+ *      substring of the slot's exact length — at most `(2k+1)^2 (k+1)`
+ *      bounded rows per key (75 at k=2), each a few bytes;
+ *    - join on (length, slot, text) → distinct key pairs → one banded
+ *      `levenshtein(a, b, k)` verify per candidate (codegen'd built-in,
+ *      O(k·min(|a|,|b|)) via the threshold argument — never the full DP
+ *      matrix on non-matches).
  *
- * Strings shorter than `k+1` cannot be cut into `k+1` non-empty segments;
+ * 100 TB shape: every join is an equi-join on discriminative content
+ * keys; no inequality join, no cartesian, no driver state. The residual
+ * hot spot is TEMPLATED text — millions of DISTINCT keys sharing an
+ * identical segment at the same slot (a boilerplate prefix) put their
+ * candidates in one bucket. That is partly inherent (keys genuinely
+ * within distance k of each other have quadratic OUTPUT), and where it is
+ * not, the cure is upstream: key on the discriminative field, not the
+ * boilerplate. The banded verify keeps each surviving candidate cheap,
+ * and AQE's skew-join split keeps the shuffle itself balanced.
+ *
+ * Keys shorter than `k+1` cannot be cut into `k+1` non-empty segments;
  * those index rows (and their possible partners, all of length `< 2k+1`)
  * take a separate banded length-bucket equi-join — bounded work unless
- * the corpus is degenerate (millions of sub-5-char keys at k=2, where no
- * edit-distance blocking can discriminate).
+ * the corpus is degenerate (millions of distinct sub-5-char keys at k=2,
+ * where no edit-distance blocking can discriminate).
  *
  * Null ids or keys never match (dropped up front, SQL comparison
  * semantics). Distances are true Levenshtein distances (unit
@@ -69,38 +75,65 @@ object Fuzzy {
       .filter(col("__lid").isNotNull && col("__lkey").isNotNull)
     val r = right.select(col(rightId).as("__rid"), col(rightKey).as("__rkey"))
       .filter(col("__rid").isNotNull && col("__rkey").isNotNull)
-    verify(candidates(l, r, maxDist), l, r, maxDist)
+    // distinct keys only; equal keys meet in the segment join and verify
+    // at dist 0, so the two-table path needs no special casing
+    val keyPairs = verifiedKeyPairs(
+      l.select(col("__lkey")).distinct(),
+      r.select(col("__rkey")).distinct(), maxDist)
+    keyPairs
+      .join(l, "__lkey")
+      .join(r, "__rkey")
       .select(col("__lid").as("id_l"), col("__rid").as("id_r"), col("dist"))
   }
 
   /** All unordered pairs (id_a, id_b, dist) with
     * `levenshtein(key_a, key_b) <= maxDist` WITHIN one table — fuzzy
-    * near-duplicate discovery (id_a < id_b, self-pairs excluded). */
+    * near-duplicate discovery (id_a < id_b, self-pairs excluded). Rows
+    * sharing a key pair at distance 0 through the output-sized same-key
+    * join; distinct-key pairs through the blocked verify. */
   def fuzzyPairs(df: DataFrame, idCol: String, keyCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val d = df.select(col(idCol).as("__lid"), col(keyCol).as("__lkey"))
-      .filter(col("__lid").isNotNull && col("__lkey").isNotNull)
-    val asProbe = d.select(col("__lid").as("__rid"), col("__lkey").as("__rkey"))
+    val d = df.select(col(idCol).as("__id"), col(keyCol).as("__key"))
+      .filter(col("__id").isNotNull && col("__key").isNotNull)
+    val keys = d.select(col("__key").as("__lkey")).distinct()
     // the pigeonhole guarantees the (index=a, probe=b) orientation finds
-    // every true pair, so one self candidate pass suffices; normalize the
-    // orientation before the distinct so each pair verifies once
-    val cand = candidates(d, asProbe, maxDist)
-      .filter(col("__lid") =!= col("__rid"))
-      .select(least(col("__lid"), col("__rid")).as("__lid"),
-        greatest(col("__lid"), col("__rid")).as("__rid"))
+    // every true pair, so one self pass suffices; normalize the key order
+    // before the distinct so each distinct pair verifies once
+    val keyPairs = verifiedKeyPairs(
+        keys, keys.select(col("__lkey").as("__rkey")), maxDist)
+      .filter(col("__lkey") =!= col("__rkey"))
+      .select(least(col("__lkey"), col("__rkey")).as("__lkey"),
+        greatest(col("__lkey"), col("__rkey")).as("__rkey"), col("dist"))
       .distinct()
-    verify(cand, d, asProbe, maxDist)
-      .select(col("__lid").as("id_a"), col("__rid").as("id_b"), col("dist"))
+    val cross = keyPairs
+      .join(d.select(col("__id").as("__ida"), col("__key").as("__lkey")), "__lkey")
+      .join(d.select(col("__id").as("__idb"), col("__key").as("__rkey")), "__rkey")
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
+    val same = d.as("x").join(d.as("y"),
+        col("x.__key") === col("y.__key") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        lit(0).as("dist"))
+    cross.unionAll(same)
   }
 
-  /** Distinct candidate id pairs (__lid, __rid) from the segment
+  /** Distinct key pairs within distance k: blocked candidates + banded
+    * verify. Input frames carry a single column (`__lkey` / `__rkey`) of
+    * distinct non-null keys; output is (__lkey, __rkey, dist). */
+  private def verifiedKeyPairs(lKeys: DataFrame, rKeys: DataFrame,
+      k: Int): DataFrame =
+    candidates(lKeys, rKeys, k)
+      .withColumn("dist", levenshtein(col("__lkey"), col("__rkey"), k))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+
+  /** Distinct candidate key pairs (__lkey, __rkey) from the segment
     * equi-join plus the short-string band join. Complete for
     * `ed <= maxDist`; a superset otherwise (verification prunes). */
   private def candidates(l: DataFrame, r: DataFrame, k: Int): DataFrame = {
-    val m = k + 1 // segments per indexed string
-    // --- segmented path: indexed strings of length >= m ---
-    // segment i of a length-la string: the last (la % m) segments are one
+    val m = k + 1 // segments per indexed key
+    // --- segmented path: indexed keys of length >= m ---
+    // segment i of a length-la key: the last (la % m) segments are one
     // longer, starts are cumulative
     def segLen(la: Column, i: Column): Column =
       floor(la / lit(m)).cast("long") +
@@ -112,20 +145,20 @@ object Fuzzy {
     val idx = l
       .withColumn("__la", length(col("__lkey")).cast("long"))
       .filter(col("__la") >= m)
-      .select(col("__lid"), explode(transform(sequence(lit(0L), lit(k.toLong)),
+      .select(col("__lkey"), explode(transform(sequence(lit(0L), lit(k.toLong)),
         i => struct(
           col("__la").as("cand_len"), i.as("seg_i"),
           col("__lkey").substr(
             (segStart(col("__la"), i) + 1L).cast("int"),
             segLen(col("__la"), i).cast("int")).as("seg")))).as("__s"))
-      .select(col("__lid"), col("__s.cand_len"), col("__s.seg_i"), col("__s.seg"))
+      .select(col("__lkey"), col("__s.cand_len"), col("__s.seg_i"), col("__s.seg"))
 
     // probe: for each plausible index length la in [lb-k, lb+k] (>= m),
     // each slot i, each start within +-k of the slot's position, the
     // probe's substring of that slot's exact length
     val prb = r
       .withColumn("__lb", length(col("__rkey")).cast("long"))
-      .select(col("__rid"), explode(flatten(flatten(transform(
+      .select(col("__rkey"), explode(flatten(flatten(transform(
         filter(sequence(col("__lb") - k, col("__lb") + k), la => la >= m),
         la => transform(sequence(lit(0L), lit(k.toLong)), i => {
           val len = segLen(la, i)
@@ -137,37 +170,26 @@ object Fuzzy {
               col("__rkey").substr((p + 1L).cast("int"), len.cast("int"))
                 .as("seg")))
         }))))).as("__s"))
-      .select(col("__rid"), col("__s.cand_len"), col("__s.seg_i"), col("__s.seg"))
+      .select(col("__rkey"), col("__s.cand_len"), col("__s.seg_i"), col("__s.seg"))
 
     val segCand = idx.join(prb, Seq("cand_len", "seg_i", "seg"))
-      .select(col("__lid"), col("__rid"))
+      .select(col("__lkey"), col("__rkey"))
 
-    // --- short path: indexed strings of length < m can't be segmented;
+    // --- short path: indexed keys of length < m can't be segmented;
     // their possible partners all have length <= (m-1)+k < 2k+1. Banded
     // length-bucket equi-join (rangeJoinMicros' binning), no cartesian.
     val shortIdx = l
       .withColumn("__la", length(col("__lkey")).cast("long"))
       .filter(col("__la") < m)
-      .select(col("__lid"), floor(col("__la") / lit(m)).as("__bkt"))
+      .select(col("__lkey"), floor(col("__la") / lit(m)).as("__bkt"))
     val shortPrb = r
       .withColumn("__lb", length(col("__rkey")).cast("long"))
       .filter(col("__lb") < 2 * k + 1)
-      .select(col("__rid"), explode(array(Seq(-1, 0, 1).map(d =>
+      .select(col("__rkey"), explode(array(Seq(-1, 0, 1).map(d =>
         floor(col("__lb") / lit(m)) + d): _*)).as("__bkt"))
     val shortCand = shortIdx.join(shortPrb, "__bkt")
-      .select(col("__lid"), col("__rid"))
+      .select(col("__lkey"), col("__rkey"))
 
     segCand.unionAll(shortCand).distinct()
   }
-
-  /** Attach both keys to each candidate pair and keep those within
-    * distance k — the banded built-in never fills the full DP matrix on
-    * rejects. The surviving `dist` is the true distance. */
-  private def verify(cand: DataFrame, l: DataFrame, r: DataFrame,
-      k: Int): DataFrame =
-    cand
-      .join(l, "__lid")
-      .join(r, "__rid")
-      .withColumn("dist", levenshtein(col("__lkey"), col("__rkey"), k))
-      .filter(col("dist") >= 0 && col("dist") <= k)
 }

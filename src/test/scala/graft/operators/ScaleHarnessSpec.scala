@@ -364,6 +364,52 @@ class ScaleHarnessSpec extends AnyFunSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("fuzzyPairs with a 2k-copy duplicate key: blocking runs on distinct keys, expansion is output-sized") {
+    // real corpora carry vast exact-duplicate key groups; feeding them to
+    // the segment blocking would flood one bucket quadratically (a 2k-copy
+    // key alone = 4M candidate rows through one shuffle key). The operator
+    // must block on DISTINCT keys and expand verified key pairs back to id
+    // pairs through output-sized equi-joins.
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    val n = 60000
+    val df = spark.range(n.toLong).select(col("id"),
+      when(col("id") < 2000, lit("hot-duplicated-key"))
+        .otherwise(substring(md5(pmod(col("id"), lit(200)).cast("string")
+          .cast("binary")), 1, 12)).as("key")).cache()
+    df.count()
+    try {
+      // ground truth from the DISTINCT keys (driver-side DP over ~201 keys)
+      val groups = df.groupBy($"key").count().as[(String, Long)].collect()
+      val within = groups.map { case (_, c) => c * (c - 1) / 2 }.sum
+      val cross = (for {
+        (ka, ca) <- groups; (kb, cb) <- groups
+        if ka < kb && ed(ka, kb) <= 2
+      } yield ca * cb).sum
+      var got = 0L
+      val maxRead = maxTaskShuffleRead {
+        got = Fuzzy.fuzzyPairs(df, "id", "key", 2).count()
+      }
+      assert(got == within + cross, s"got $got want ${within + cross}")
+      assert(within > 1999000L) // the hot group's pairs are present
+      // the duplicate group must never flood a candidate bucket: no task
+      // may shuffle-read even a fraction of the old 4M-row hot bucket
+      assert(maxRead < n / 2,
+        s"one task shuffle-read $maxRead — duplicate keys reached the segment join raw")
+    } finally { df.unpersist(); () }
+  }
+
   test("as-of join with one key holding 95% of rows runs multi-task and carries correctly") {
     // hot-instrument shape: 95% of trades and quotes on one key. The carry
     // must spread the key across time buckets, and every trade must still
