@@ -147,6 +147,20 @@ object SparkEntry {
     }
   }
 
+  /** Shared events log carrying (event_id, event_type, value) as typed
+    * properties — q_stream_drift's source (the parquet-seeded `path` log
+    * erases `value`, which the drift monitor needs). */
+  private def sharedEventsValLog(s: SparkSession, dir: String): String =
+    sharedLog(dir, "evval") { name =>
+      Tables.events(s, dir)
+        .select(col("event_type").cast("binary").as("body"),
+          map(lit("event_id"), col("event_id").cast("string"),
+            lit("event_type"), col("event_type"),
+            lit("value"), col("value").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", name).option("partitions", "4").mode("append").save()
+    }
+
   /** Same once-per-dir sharing for q_stream_session_window's sentinel-
     * augmented events copy (events + one watermark-advancing sentinel row
     * — a pure function of the sf dir): written on first use, reused by
@@ -631,6 +645,46 @@ object SparkEntry {
             6).as("violation_frac"),
           col("first_violation"), (col("n_violations") === 0L).as("pass"))
         .orderBy(col("rule"))
+    }),
+
+    "q_stream_drift" -> ((s, dir) => {
+      // streaming PSI drift in the fit-once shape: the reference histogram
+      // fits ONCE from the batch snapshot (even event_ids); each
+      // micro-batch folds one histogram aggregate (<= 16 rows) into
+      // bounded driver state. Counts are exact integers, so the cumulative
+      // monitor over ANY trigger slicing equals the batch
+      // distributionDrift — q_numeric_drift's oracle gates it unchanged.
+      val logName = sharedEventsValLog(s, dir)
+      val nEv = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nEv + 3) / 4)
+      val tracker = streaming.StreamOps.driftFit(
+        Tables.events(s, dir).filter(col("event_id") % 2 === 0), "value",
+        lo = 0.0, hi = 512.0, buckets = 16)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("event_id").cast("long").as("event_id"),
+          col("properties")("event_type").as("event_type"),
+          col("properties")("value").cast("double").as("value"))
+        .filter(col("event_id") % 2 === 1)
+        .withColumn("value", when(col("event_type") === "view",
+          col("value") * 1.5 + 10).otherwise(col("value")))
+      val q = stream.writeStream
+        .foreachBatch(streaming.StreamOps.driftSink(tracker, "value"))
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q)
+      import s.implicits._
+      operators.Validation.distributionDriftFromCounts(
+          tracker.counts.toDF("bucket", "n_ref", "n_cur"),
+          lo = 0.0, hi = 512.0, buckets = 16)
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("lo_edge"), 6).as("lo_edge_r"),
+          TextFunctions.stableRound(col("hi_edge"), 6).as("hi_edge_r"),
+          TextFunctions.stableRound(col("p_ref"), 6).as("p_ref_r"),
+          TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
+          TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
+        .orderBy(col("bucket"))
     }),
 
     "q_corpus_pack_texts" -> ((s, dir) => {
@@ -2929,37 +2983,11 @@ object SparkEntry {
           | round(min(value), 4) AS min, round(max(value), 4) AS max
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
-      "q_numeric_drift" -> {
-        def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
-        val pr = "(n_ref + 0.5) / (tr + 8.0)"
-        val pc = "(n_cur + 0.5) / (tc + 8.0)"
-        s"""WITH ref0 AS (
-           |  SELECT value FROM events WHERE event_id % 2 = 0),
-           |cur0 AS (
-           |  SELECT CASE WHEN event_type = 'view' THEN value * 1.5 + 10
-           |         ELSE value END AS value
-           |  FROM events WHERE event_id % 2 = 1),
-           |r AS (
-           |  SELECT CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15)
-           |           AS INT) AS bucket, count(*) AS n
-           |  FROM ref0 WHERE value IS NOT NULL GROUP BY 1),
-           |c AS (
-           |  SELECT CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15)
-           |           AS INT) AS bucket, count(*) AS n
-           |  FROM cur0 WHERE value IS NOT NULL GROUP BY 1),
-           |f AS (SELECT CAST(range AS INT) AS bucket FROM range(16)),
-           |j AS (
-           |  SELECT f.bucket, coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
-           |  FROM f LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
-           |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
-           |SELECT j.bucket, j.n_ref, j.n_cur,
-           | ${sr("0.0 + bucket * 32.0")} AS lo_edge_r,
-           | ${sr("0.0 + (bucket + 1) * 32.0")} AS hi_edge_r,
-           | ${sr(pr)} AS p_ref_r,
-           | ${sr(pc)} AS p_cur_r,
-           | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
-           |FROM j, t ORDER BY 1""".stripMargin
-      },
+      "q_numeric_drift" -> numericDriftOracleSql,
+
+      // exact cumulative counts over any trigger slicing == the batch
+      // histogram, so the stream monitor shares the batch oracle
+      "q_stream_drift" -> numericDriftOracleSql,
 
       // n_exact = count(value), NOT count(*): the rank window
       // [(p-eps)n, (p+eps)n] is over percentile_approx's actual input
@@ -3755,6 +3783,41 @@ object SparkEntry {
   /** Planted-batch admission oracle shared by q_dedup_incremental and its
     * streaming twin: survivors are exactly the batch rows whose text the
     * corpus has never admitted. */
+  /** PSI drift profile of the planted even/odd snapshot split — shared by
+    * q_numeric_drift (batch) and q_stream_drift (the cumulative streaming
+    * monitor, whose exact counts make the batch SQL its oracle too). */
+  private val numericDriftOracleSql: String = {
+    def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
+    val pr = "(n_ref + 0.5) / (tr + 8.0)"
+    val pc = "(n_cur + 0.5) / (tc + 8.0)"
+    s"""WITH ref0 AS (
+       |  SELECT value FROM events WHERE event_id % 2 = 0),
+       |cur0 AS (
+       |  SELECT CASE WHEN event_type = 'view' THEN value * 1.5 + 10
+       |         ELSE value END AS value
+       |  FROM events WHERE event_id % 2 = 1),
+       |r AS (
+       |  SELECT CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15)
+       |           AS INT) AS bucket, count(*) AS n
+       |  FROM ref0 WHERE value IS NOT NULL GROUP BY 1),
+       |c AS (
+       |  SELECT CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15)
+       |           AS INT) AS bucket, count(*) AS n
+       |  FROM cur0 WHERE value IS NOT NULL GROUP BY 1),
+       |f AS (SELECT CAST(range AS INT) AS bucket FROM range(16)),
+       |j AS (
+       |  SELECT f.bucket, coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+       |  FROM f LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+       |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+       |SELECT j.bucket, j.n_ref, j.n_cur,
+       | ${sr("0.0 + bucket * 32.0")} AS lo_edge_r,
+       | ${sr("0.0 + (bucket + 1) * 32.0")} AS hi_edge_r,
+       | ${sr(pr)} AS p_ref_r,
+       | ${sr(pc)} AS p_cur_r,
+       | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
+       |FROM j, t ORDER BY 1""".stripMargin
+  }
+
   private val incrementalDedupOracleSql: String =
     """WITH batch AS (
       | SELECT doc_id + 200000 AS doc_id,

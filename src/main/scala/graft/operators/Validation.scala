@@ -160,12 +160,9 @@ object Validation {
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
-    val w = (hi - lo) / buckets
     def hist(df: DataFrame, n: String): DataFrame = df
       .filter(col(valueCol).isNotNull)
-      .select(least(greatest(
-        floor((col(valueCol).cast("double") - lo) / w), lit(0.0)),
-        lit((buckets - 1).toDouble)).cast("int").as("bucket"))
+      .select(driftBucket(col(valueCol), lo, hi, buckets).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as(n))
     val frame = ref.sparkSession.range(buckets)
       .select(col("id").cast("int").as("bucket"))
@@ -175,13 +172,27 @@ object Validation {
       .select(col("bucket"),
         coalesce(col("__nr"), lit(0L)).as("n_ref"),
         coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    distributionDriftFromCounts(joined, lo, hi, buckets, alpha)
+  }
+
+  /** [[distributionDrift]]'s probability/PSI tail over an already-binned
+    * dense count frame (bucket, n_ref, n_cur) — the entry point for
+    * histograms accumulated elsewhere (e.g. the streaming monitor
+    * [[graft.streaming.StreamOps.DriftTracker]]), so batch and streaming
+    * PSI can never use different formulas. */
+  def distributionDriftFromCounts(counts: DataFrame, lo: Double, hi: Double,
+      buckets: Int, alpha: Double = 0.5): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val w = (hi - lo) / buckets
     // grand totals as one-row scalar aggregates (the allowed one-row
     // cross-join shape); alpha-smoothed probabilities and the PSI term
-    val totals = joined.agg(sum(col("n_ref")).as("__tr"),
+    val totals = counts.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"))
     val pRef = (col("n_ref") + alpha) / (col("__tr") + alpha * buckets)
     val pCur = (col("n_cur") + alpha) / (col("__tc") + alpha * buckets)
-    joined.crossJoin(totals)
+    counts.crossJoin(totals)
       .select(col("bucket"),
         lit(lo).plus(col("bucket") * w).as("lo_edge"),
         lit(lo).plus((col("bucket") + 1) * w).as("hi_edge"),
@@ -189,6 +200,18 @@ object Validation {
         pRef.as("p_ref"), pCur.as("p_cur"),
         ((pCur - pRef) * log(pCur / pRef)).as("psi"))
       .orderBy(col("bucket"))
+  }
+
+  /** The drift histogram's bucket expression — shared by
+    * [[distributionDrift]] and the streaming monitor
+    * ([[graft.streaming.StreamOps.driftSink]]) so the two can never bin
+    * differently: equi-width over [lo, hi), out-of-range values clamped
+    * into the edge cells. */
+  private[graft] def driftBucket(c: Column, lo: Double, hi: Double,
+      buckets: Int): Column = {
+    val w = (hi - lo) / buckets
+    least(greatest(floor((c.cast("double") - lo) / w), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("int")
   }
 
   /** Total PSI of [[distributionDrift]] on the same arguments — the single

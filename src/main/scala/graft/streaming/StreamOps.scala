@@ -198,6 +198,142 @@ object StreamOps {
     (tracker, fn)
   }
 
+  /**
+   * Cumulative distribution-drift monitor of a STREAM against a FIXED
+   * reference histogram — the streaming twin of [[graft.operators
+   * .Validation.distributionDrift]], in the fit-once / probe-many shape:
+   * the reference snapshot reduces ONCE to `buckets` counts
+   * ([[driftFit]]), and each micro-batch adds one map-side-combined
+   * histogram aggregate (<= B rows collected) to bounded driver state.
+   * Counts are exact integers, so cumulative totals over ANY trigger
+   * slicing equal the batch histogram — the PSI after the last epoch is
+   * the batch PSI. Replay-safe via the same epoch floor as
+   * [[ConstraintTracker]]; scoped to ONE query (reset() before reuse).
+   */
+  final class DriftTracker private[streaming] (
+      val lo: Double, val hi: Double, val buckets: Int, val alpha: Double,
+      private val refCounts: Array[Long]) extends Serializable {
+    private var lastEpoch: Long = Long.MinValue
+    private val curCounts = new Array[Long](buckets)
+
+    private[streaming] def update(batchCounts: Seq[(Int, Long)],
+        epochId: Long): Unit = synchronized {
+      if (epochId <= lastEpoch) return // replayed epoch: already merged
+      lastEpoch = epochId
+      batchCounts.foreach { case (b, n) => curCounts(b) += n }
+    }
+
+    /** Per-bucket cumulative (bucket, n_ref, n_cur). */
+    def counts: Seq[(Int, Long, Long)] = synchronized {
+      (0 until buckets).map(b => (b, refCounts(b), curCounts(b)))
+    }
+
+    /** Total PSI of the stream so far vs the reference —
+      * [[graft.operators.Validation.psiTotal]]'s formula on the
+      * cumulative counts. */
+    def psiTotal: Double = synchronized {
+      val tr = refCounts.sum.toDouble + alpha * buckets
+      val tc = curCounts.sum.toDouble + alpha * buckets
+      (0 until buckets).map { b =>
+        val p = (refCounts(b) + alpha) / tr
+        val q = (curCounts(b) + alpha) / tc
+        (q - p) * math.log(q / p)
+      }.sum
+    }
+
+    /** Clear the STREAM side + epoch floor (the fitted reference stays —
+      * it is the monitor's identity). Required before reuse across
+      * queries: epoch floors do not transfer between streams. */
+    def reset(): Unit = synchronized {
+      lastEpoch = Long.MinValue
+      java.util.Arrays.fill(curCounts, 0L)
+    }
+
+    /** Checkpoint the cumulative state + epoch floor. The header carries
+      * the full monitor identity — (lo, hi, buckets, alpha) AND the
+      * reference histogram — so restoring into a differently-fitted
+      * monitor throws instead of silently producing garbage PSI
+      * ([[ConstraintTracker.toBytes]]'s contract). */
+    def toBytes: Array[Byte] = synchronized {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(DriftMagic)
+      out.writeDouble(lo); out.writeDouble(hi)
+      out.writeInt(buckets); out.writeDouble(alpha)
+      refCounts.foreach(out.writeLong)
+      out.writeLong(lastEpoch)
+      curCounts.foreach(out.writeLong)
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Restore state serialized by [[toBytes]]; throws on a foreign blob
+      * or a monitor-identity mismatch, with the tracker unchanged. */
+    def restore(bytes: Array[Byte]): Unit = synchronized {
+      require(bytes.length >= 8,
+        s"not a DriftTracker checkpoint (${bytes.length} bytes)")
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val magic = in.readInt()
+      require(magic == DriftMagic,
+        s"not a DriftTracker checkpoint (magic 0x${magic.toHexString})")
+      val (sLo, sHi) = (in.readDouble(), in.readDouble())
+      val (sB, sA) = (in.readInt(), in.readDouble())
+      require(sLo == lo && sHi == hi && sB == buckets && sA == alpha,
+        s"checkpoint was written by a differently-configured monitor " +
+          s"([$sLo, $sHi) x $sB, alpha=$sA vs [$lo, $hi) x $buckets, " +
+          s"alpha=$alpha) — cumulative counts would bin differently")
+      val sRef = Array.fill(buckets)(in.readLong())
+      require(java.util.Arrays.equals(sRef, refCounts),
+        "checkpoint was written against a DIFFERENT reference histogram — " +
+          "PSI against this monitor's reference would be garbage; refit " +
+          "from the checkpoint's reference snapshot")
+      // parse the whole blob before mutating (truncated checkpoint must
+      // leave the tracker unchanged)
+      val epoch = in.readLong()
+      val cur = Array.fill(buckets)(in.readLong())
+      lastEpoch = epoch
+      System.arraycopy(cur, 0, curCounts, 0, buckets)
+    }
+  }
+
+  /** [[DriftTracker.toBytes]] header magic ("gDFT"). */
+  private val DriftMagic: Int = 0x67444654
+
+  /** Fit the drift monitor's reference histogram ONCE from a reference
+    * snapshot — one map-side-combined aggregate, <= `buckets` rows
+    * collected. NULLs excluded, out-of-range values clamped into the edge
+    * cells (the exact [[graft.operators.Validation.distributionDrift]]
+    * binning — the bucket expression is shared). */
+  def driftFit(ref: DataFrame, valueCol: String, lo: Double, hi: Double,
+      buckets: Int, alpha: Double = 0.5): DriftTracker = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val refCounts = new Array[Long](buckets)
+    ref.filter(col(valueCol).isNotNull)
+      .select(graft.operators.Validation
+        .driftBucket(col(valueCol), lo, hi, buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect()
+      .foreach(r => refCounts(r.getInt(0)) = r.getLong(1))
+    new DriftTracker(lo, hi, buckets, alpha, refCounts)
+  }
+
+  /** foreachBatch sink folding each micro-batch's histogram (ONE
+    * aggregate, <= B rows) into `tracker`'s cumulative stream side. */
+  def driftSink(tracker: DriftTracker, valueCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      val counts = batch.filter(col(valueCol).isNotNull)
+        .select(graft.operators.Validation.driftBucket(
+          col(valueCol), tracker.lo, tracker.hi, tracker.buckets).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .toSeq
+      tracker.update(counts, epochId)
+    }
+
   final case class SessionUpdate(key: String, nEvents: Long, startMs: Long, endMs: Long)
 
   /**

@@ -214,6 +214,57 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("magic"), bad.getMessage)
   }
 
+  test("driftSink: cumulative counts == batch histogram, replay skipped, PSI matches batch") {
+    import spark.implicits._
+    val ref = Seq(1.0, 2.0, 5.0, 5.0, 9.0).toDF("v")
+    val b0 = Seq(Some(1.0), Some(6.0), None)
+    val b1 = Seq(Some(6.5), Some(-3.0), Some(42.0)) // clamps both edges
+    val tracker = StreamOps.driftFit(ref, "v", lo = 0.0, hi = 10.0, buckets = 5)
+    val sink = StreamOps.driftSink(tracker, "v")
+    sink(b0.toDF("v"), 0L); sink(b1.toDF("v"), 1L)
+    sink(b1.toDF("v"), 1L) // at-least-once replay must not double-count
+    val batch = graft.operators.Validation.distributionDrift(
+        ref, (b0 ++ b1).toDF("v"), "v", 0.0, 10.0, 5)
+      .select(col("bucket"), col("n_ref"), col("n_cur"))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(tracker.counts == batch, s"${tracker.counts} != $batch")
+    val batchPsi = graft.operators.Validation.psiTotal(
+      ref, (b0 ++ b1).toDF("v"), "v", 0.0, 10.0, 5)
+    assert(math.abs(tracker.psiTotal - batchPsi) < 1e-12)
+    // reset clears the stream side + floor, keeps the fitted reference
+    tracker.reset()
+    assert(tracker.counts.forall(_._3 == 0L) && tracker.counts.map(_._2).sum == 5L)
+    sink(b0.toDF("v"), 0L)
+    assert(tracker.counts.map(_._3).sum == 2L)
+  }
+
+  test("driftTracker checkpoint: byte round-trip validates params AND reference histogram") {
+    import spark.implicits._
+    val ref = Seq(1.0, 2.0, 7.0).toDF("v")
+    val t1 = StreamOps.driftFit(ref, "v", 0.0, 10.0, 5)
+    val sink1 = StreamOps.driftSink(t1, "v")
+    sink1(Seq(3.0, 8.0).toDF("v"), 0L)
+    val bytes = t1.toBytes
+    // fresh "process": restore, replayed epoch skipped, totals continue
+    val t2 = StreamOps.driftFit(ref, "v", 0.0, 10.0, 5)
+    t2.restore(bytes)
+    StreamOps.driftSink(t2, "v")(Seq(3.0, 8.0).toDF("v"), 0L) // replay
+    StreamOps.driftSink(t2, "v")(Seq(1.0).toDF("v"), 1L)
+    assert(t2.counts.map(_._3).sum == 3L, t2.counts.toString)
+    // different bucketing refuses the bytes
+    val tB = StreamOps.driftFit(ref, "v", 0.0, 10.0, 4)
+    val e1 = intercept[IllegalArgumentException](tB.restore(bytes))
+    assert(e1.getMessage.contains("differently-configured"), e1.getMessage)
+    // same params, DIFFERENT reference snapshot: refused, not garbage PSI
+    val tR = StreamOps.driftFit(Seq(1.0, 2.0, 2.0).toDF("v"), "v", 0.0, 10.0, 5)
+    val e2 = intercept[IllegalArgumentException](tR.restore(bytes))
+    assert(e2.getMessage.contains("reference"), e2.getMessage)
+    // foreign bytes rejected by the magic
+    val e3 = intercept[IllegalArgumentException](
+      t2.restore(Array.fill[Byte](64)(0x2a)))
+    assert(e3.getMessage.contains("magic"), e3.getMessage)
+  }
+
   test("asofEnrichStream: any trigger slicing unions to the batch asofJoin") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new Timestamp(s * 1000)
