@@ -1482,6 +1482,27 @@ object SparkEntry {
         .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
     }),
 
+    "q_embed_drift" -> ((s, dir) => {
+      // embedding-space drift between snapshots: the gate PLANTS a
+      // re-scaled feed (odd vec_ids, labels >= 5: x*1.2 + 0.01 after the
+      // double cast — identical arithmetic in the oracle) so drifted and
+      // clean labels both appear; norms/cosine stableRound(4)ed (avg
+      // summation order is engine-nondeterministic at ~1e-13)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val ref = e.filter(col("vec_id") % 2 === 0)
+      val cur = e.filter(col("vec_id") % 2 === 1)
+        .withColumn("v", when(col("label") >= 5,
+          transform(col("v"), x => x * 1.2 + 0.01)).otherwise(col("v")))
+      operators.Similarity.embeddingDrift(ref, cur, "label", "v")
+        .select(col("label"), col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("norm_ref"), 4).as("norm_ref_r"),
+          TextFunctions.stableRound(col("norm_cur"), 4).as("norm_cur_r"),
+          TextFunctions.stableRound(col("centroid_cos"), 4).as("cos_r"))
+        .orderBy(col("label"))
+    }),
+
     // ---- similarity search ----
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -3443,6 +3464,39 @@ object SparkEntry {
       "q_dedup_embedding" ->
         operators.Dedup.sqlEmbeddingCosinePairs(
           dim = EmbeddingDim, threshold = 0.4, bands = 12, bitsPerBand = 5),
+
+      "q_embed_drift" -> {
+        def sr(e: String) = TextFunctions.sqlStableRound(e, 4)
+        val normOf = "avg(sqrt(list_sum(list_transform(v, x -> x * x))))"
+        s"""WITH e AS (
+           |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |ref AS (SELECT label, v FROM e WHERE vec_id % 2 = 0),
+           |cur AS (
+           |  SELECT label,
+           |    CASE WHEN label >= 5 THEN list_transform(v, x -> x * 1.2 + 0.01)
+           |    ELSE v END AS v
+           |  FROM e WHERE vec_id % 2 = 1),
+           |rs AS (SELECT label, count(*) AS n_ref, $normOf AS norm_ref
+           |       FROM ref GROUP BY 1),
+           |cs AS (SELECT label, count(*) AS n_cur, $normOf AS norm_cur
+           |       FROM cur GROUP BY 1),
+           |rc AS (SELECT label, i, avg(v[i]) AS m
+           |       FROM ref, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY 1, 2),
+           |cc AS (SELECT label, i, avg(v[i]) AS m
+           |       FROM cur, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY 1, 2),
+           |cosq AS (
+           |  SELECT rc.label,
+           |    CASE WHEN sum(rc.m * rc.m) > 0 AND sum(cc.m * cc.m) > 0
+           |      THEN sum(rc.m * cc.m)
+           |           / sqrt(sum(rc.m * rc.m) * sum(cc.m * cc.m)) END AS cos
+           |  FROM rc JOIN cc ON rc.label = cc.label AND rc.i = cc.i
+           |  GROUP BY 1)
+           |SELECT label, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+           | ${sr("norm_ref")} AS norm_ref_r, ${sr("norm_cur")} AS norm_cur_r,
+           | ${sr("cos")} AS cos_r
+           |FROM rs FULL OUTER JOIN cs USING (label) LEFT JOIN cosq USING (label)
+           |ORDER BY 1""".stripMargin
+      },
 
       "q_ann_lsh" ->
         Similarity.sqlLshTopK(dim = EmbeddingDim, numBits = 6, seed = 42L,

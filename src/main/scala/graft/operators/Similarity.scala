@@ -1070,6 +1070,53 @@ object Similarity extends org.apache.spark.internal.Logging {
        |ORDER BY cosine DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /**
+   * Embedding drift between two snapshots, per label — the vector-space
+   * twin of [[graft.operators.Validation.distributionDrift]]: catches a
+   * re-embedded or re-scaled feed (encoder version bump, normalization
+   * change, a label's sources shifting) before it poisons ANN indexes and
+   * semantic dedup, which both assume one embedding space.
+   *
+   * Per label: row counts, mean L2 norms, and the COSINE between the two
+   * snapshots' centroids (1 = same direction, null when a side is missing
+   * or a centroid is zero). Labels present in only one snapshot appear
+   * with the other side's count 0.
+   *
+   * Scale shape: everything reduces map-side. Per-(label, dim-position)
+   * centroid means and per-label norm/count aggregates shuffle only
+   * O(labels × dim) combined partials — never vectors; the centroid dot
+   * product and norms then reduce the (label, pos) frame again. No
+   * collect, no windows, no vector ever crosses the wire whole.
+   */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    def clean(df: DataFrame) = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v"))
+    def stats(df: DataFrame, n: String, norm: String) = clean(df)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as(n),
+        avg(sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))).as(norm))
+    def cent(df: DataFrame, m: String) = clean(df)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as(m))
+    val cos = cent(ref, "mr").join(cent(cur, "mc"), Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(sum(col("mr") * col("mc")).as("__dot"),
+        sum(col("mr") * col("mr")).as("__nr2"),
+        sum(col("mc") * col("mc")).as("__nc2"))
+      .select(col("label"),
+        when(col("__nr2") > 0 && col("__nc2") > 0,
+          col("__dot") / sqrt(col("__nr2") * col("__nc2"))).as("centroid_cos"))
+    stats(ref, "n_ref", "norm_ref")
+      .join(stats(cur, "n_cur", "norm_cur"), Seq("label"), "full_outer")
+      .join(cos, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("norm_ref"), col("norm_cur"), col("centroid_cos"))
+  }
+
   /** DuckDB twin of [[semanticDedupWith]] GIVEN the gate's centroids
     * (rendered as literals by the caller — the k-means fit itself stays
     * unoracled; assignment, over-cap cell exclusion, pair scoring and the

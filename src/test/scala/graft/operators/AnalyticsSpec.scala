@@ -872,6 +872,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(self._1 == 5L && math.abs(self._2 - 1.0) < 1e-9)
   }
 
+  test("embeddingDrift: identical/scaled/rotated snapshots, one-sided labels, empty vectors") {
+    def df(rows: Seq[(Int, Seq[Double])]) = rows.toDF("label", "v")
+    val ref = Seq(
+      0 -> Seq(1.0, 0.0), 0 -> Seq(3.0, 0.0),  // label 0 centroid (2, 0)
+      1 -> Seq(0.0, 2.0),                       // label 1 centroid (0, 2)
+      2 -> Seq(1.0, 1.0))                       // label 2: ref-only
+    // label 0: pure 2x scale (same direction); label 1: rotated to x-axis;
+    // label 3: cur-only; plus a null and an empty vector (both excluded)
+    val cur = Seq(
+      0 -> Seq(2.0, 0.0), 0 -> Seq(6.0, 0.0),
+      1 -> Seq(2.0, 0.0),
+      3 -> Seq(5.0, 0.0),
+      4 -> Seq.empty[Double])
+    val out = Similarity.embeddingDrift(
+        df(ref), df(cur).unionByName(
+          Seq((5, null: Seq[Double])).toDF("label", "v")), "label", "v")
+      .orderBy(col("label"))
+      .as[(Int, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    val byL = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3)) // empties/nulls dropped
+    // label 0: counts, mean norms (ref (1+3)/2=2, cur (2+6)/2=4), cos 1
+    assert(byL(0)._2 == 2L && byL(0)._3 == 2L)
+    assert(math.abs(byL(0)._4.get - 2.0) < 1e-12 &&
+      math.abs(byL(0)._5.get - 4.0) < 1e-12)
+    assert(math.abs(byL(0)._6.get - 1.0) < 1e-12)
+    // label 1: orthogonal drift -> cos 0
+    assert(math.abs(byL(1)._6.get - 0.0) < 1e-12)
+    // one-sided labels: other count 0, cos null
+    assert(byL(2)._3 == 0L && byL(2)._6.isEmpty && byL(2)._5.isEmpty)
+    assert(byL(3)._2 == 0L && byL(3)._6.isEmpty)
+  }
+
   test("lshTopK returns results from the query bucket (approximate, bounded scan)") {
     val qv = Similarity.vectorOf(embs, "vec_id", "embedding", 0L)
     val top = Similarity.lshTopK(embs, "vec_id", "embedding", qv, 10,
