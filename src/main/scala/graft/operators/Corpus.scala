@@ -287,4 +287,15 @@ final case class Corpus(df: DataFrame, idCol: String = "doc_id", textCol: String
     CorpusOps.ngramDiversity(df, textCol, groupCol, n)
   def vocabularyDrift(older: Corpus, topK: Int = 20): DataFrame =
     CorpusOps.vocabularyDrift(older.df, df, idCol, textCol, topK)
+  /** Unordered id pairs whose `keyCol` values sit within Levenshtein
+    * distance `maxDist` — fuzzy near-duplicate discovery over a short key
+    * (title, url, name), [[Fuzzy.fuzzyPairs]]. */
+  def fuzzyPairs(keyCol: String, maxDist: Int = 2): DataFrame =
+    Fuzzy.fuzzyPairs(df, idCol, keyCol, maxDist)
+  /** PSI distribution drift of `valueCol` vs an older snapshot over the
+    * fixed histogram [lo, hi) x buckets — [[Validation.distributionDrift]]
+    * (this corpus is the CURRENT side). */
+  def distributionDrift(older: Corpus, valueCol: String, lo: Double,
+      hi: Double, buckets: Int): DataFrame =
+    Validation.distributionDrift(older.df, df, valueCol, lo, hi, buckets)
 }

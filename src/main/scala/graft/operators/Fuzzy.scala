@@ -99,16 +99,21 @@ object Fuzzy {
     val keys = d.select(col("__key").as("__lkey")).distinct()
     // the pigeonhole guarantees the (index=a, probe=b) orientation finds
     // every true pair, so one self pass suffices; normalize the key order
-    // before the distinct so each distinct pair verifies once
-    val keyPairs = verifiedKeyPairs(
+    // and dedup BEFORE the banded DP so each unordered pair verifies once
+    val keyPairs = candidates(
         keys, keys.select(col("__lkey").as("__rkey")), maxDist)
       .filter(col("__lkey") =!= col("__rkey"))
       .select(least(col("__lkey"), col("__rkey")).as("__lkey"),
-        greatest(col("__lkey"), col("__rkey")).as("__rkey"), col("dist"))
+        greatest(col("__lkey"), col("__rkey")).as("__rkey"))
       .distinct()
+      .withColumn("dist", levenshtein(col("__lkey"), col("__rkey"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+    // the id guard tolerates one id appearing under several keys (dirty
+    // input): it must not pair with itself
     val cross = keyPairs
       .join(d.select(col("__id").as("__ida"), col("__key").as("__lkey")), "__lkey")
       .join(d.select(col("__id").as("__idb"), col("__key").as("__rkey")), "__rkey")
+      .filter(col("__ida") =!= col("__idb"))
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"), col("dist"))
     val same = d.as("x").join(d.as("y"),

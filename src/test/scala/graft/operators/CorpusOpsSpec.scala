@@ -608,6 +608,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     val all = docs.select($"doc_id").as[Long].collect().toSet
     assert(kept == (all diff flagged))
     assert(flagged.nonEmpty, "word-soup corpus should have some all-dup docs at 0.99")
+    // the fuzzy and drift terminals delegate exactly too
+    val keyed = docs.withColumn("k", substring($"text", 1, 20))
+    assert(c.copy(df = keyed).fuzzyPairs("k", 1).collect().toSet ==
+      Fuzzy.fuzzyPairs(keyed, "doc_id", "k", 1).collect().toSet)
+    val older = Corpus(docs.filter($"doc_id" % 2 === 0))
+    assert(Corpus(docs.filter($"doc_id" % 2 === 1))
+        .distributionDrift(older, "n_chars", 0.0, 600.0, 6).collect().toSeq ==
+      Validation.distributionDrift(docs.filter($"doc_id" % 2 === 0),
+        docs.filter($"doc_id" % 2 === 1), "n_chars", 0.0, 600.0, 6)
+        .collect().toSeq)
   }
 
   test("deterministicShuffle: reproducible order, epoch reshuffles") {
