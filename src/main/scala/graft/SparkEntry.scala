@@ -647,6 +647,39 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    "q_stream_fuzzy" -> ((s, dir) => {
+      // streaming fuzzy record linkage in the fit-once shape: the
+      // catalog's segment index fits once; each micro-batch of typo'd
+      // records explodes, candidate-joins, and band-verifies against it.
+      // Per-row stateless -> any slicing unions to the batch fuzzyJoin,
+      // so q_fuzzy_link's oracle gates it unchanged (sides renamed: the
+      // fitted catalog is the left side here).
+      val outDir = java.nio.file.Files.createTempDirectory("qsfz").toString
+      val logName = sharedDocsLog(s, dir, withId = true)
+      val nCorpus = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nCorpus + 3) / 4)
+      val catalog = Tables.documents(s, dir).filter(col("doc_id") < 800)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 800)
+        .select((col("doc_id") + 500000L).as("rec_id"),
+          concat(substring(col("text"), 1, 11), lit("#"),
+            substring(col("text"), 13, 28)).as("key"))
+      val q = streaming.StreamOps.fuzzyLinkStream(stream, catalog,
+          "doc_id", "key", "rec_id", "key", maxDist = 1) { (res, epochId) =>
+        res.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      }.trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q)
+      s.read.parquet(outDir)
+        .select(col("id_r").as("id_l"), col("id_l").as("id_r"), col("dist"))
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
     "q_stream_drift" -> ((s, dir) => {
       // streaming PSI drift in the fit-once shape: the reference histogram
       // fits ONCE from the batch snapshot (even event_ids); each
@@ -3436,20 +3469,11 @@ object SparkEntry {
           |   AND abs(length(x.key) - length(y.key)) <= 2)
           |WHERE dist <= 2 ORDER BY 1, 2""".stripMargin,
 
-      "q_fuzzy_link" ->
-        """WITH d0 AS (
-          |  SELECT doc_id, substr(text, 1, 40) AS key
-          |  FROM documents WHERE doc_id < 800),
-          |dirty AS (
-          |  SELECT doc_id + 500000 AS rec_id,
-          |    substr(key, 1, 11) || '#' || substr(key, 13, 28) AS key
-          |  FROM d0 WHERE doc_id % 3 = 0)
-          |SELECT * FROM (
-          |  SELECT x.rec_id AS id_l, y.doc_id AS id_r,
-          |    levenshtein(x.key, y.key)::INT AS dist
-          |  FROM dirty x JOIN d0 y
-          |    ON abs(length(x.key) - length(y.key)) <= 1)
-          |WHERE dist <= 1 ORDER BY 1, 2""".stripMargin,
+      "q_fuzzy_link" -> fuzzyLinkOracleSql,
+
+      // per-row stateless linkage: any trigger slicing unions to the
+      // batch fuzzyJoin, so the streaming form shares the batch oracle
+      "q_stream_fuzzy" -> fuzzyLinkOracleSql,
 
       "q_dedup_minhash" ->
         operators.Dedup.sqlMinHashLshPairs(
@@ -3837,6 +3861,25 @@ object SparkEntry {
   /** Planted-batch admission oracle shared by q_dedup_incremental and its
     * streaming twin: survivors are exactly the batch rows whose text the
     * corpus has never admitted. */
+  /** Fuzzy record linkage of the planted typo'd feed — shared by
+    * q_fuzzy_link (batch) and q_stream_fuzzy (the fit-once streaming
+    * linkage, whose per-row statelessness makes the batch SQL its oracle
+    * too). */
+  private val fuzzyLinkOracleSql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS key
+      |  FROM documents WHERE doc_id < 800),
+      |dirty AS (
+      |  SELECT doc_id + 500000 AS rec_id,
+      |    substr(key, 1, 11) || '#' || substr(key, 13, 28) AS key
+      |  FROM d0 WHERE doc_id % 3 = 0)
+      |SELECT * FROM (
+      |  SELECT x.rec_id AS id_l, y.doc_id AS id_r,
+      |    levenshtein(x.key, y.key)::INT AS dist
+      |  FROM dirty x JOIN d0 y
+      |    ON abs(length(x.key) - length(y.key)) <= 1)
+      |WHERE dist <= 1 ORDER BY 1, 2""".stripMargin
+
   /** PSI drift profile of the planted even/odd snapshot split — shared by
     * q_numeric_drift (batch) and q_stream_drift (the cumulative streaming
     * monitor, whose exact counts make the batch SQL its oracle too). */

@@ -69,19 +69,55 @@ object Fuzzy {
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String,
       rightId: String, rightKey: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int): DataFrame =
+    fuzzyJoinWith(fit(left, leftId, leftKey, maxDist, share = false),
+      right, rightId, rightKey)
+
+  /** A fitted fuzzy-join LEFT side ([[fuzzyFit]]): the catalog's distinct
+    * keys segmented and indexed once, lazily shared — probe state for
+    * [[fuzzyJoinWith]], so a stream (or many batches) of dirty records
+    * links against the catalog without re-segmenting it per trigger. */
+  final case class FuzzyFitted private[Fuzzy] (
+      segIdx: DataFrame, shortIdx: DataFrame, ids: DataFrame, maxDist: Int)
+
+  /** Fit the catalog side of a fuzzy join ONCE — the fit-once /
+    * probe-many flow ([[Relational.asofFit]]'s pattern). The catalog's
+    * distinct keys reduce to the segment index + short-key index +
+    * id-expansion table, each lazily shared; every [[fuzzyJoinWith]]
+    * batch then pays only its own probe explosion and the candidate
+    * equi-joins. */
+  def fuzzyFit(catalog: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int): FuzzyFitted =
+    fit(catalog, idCol, keyCol, maxDist, share = true)
+
+  private def fit(catalog: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int, share: Boolean): FuzzyFitted = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val l = left.select(col(leftId).as("__lid"), col(leftKey).as("__lkey"))
+    val shared = if (share) Dedup.lazyShare _ else identity[DataFrame] _
+    val ids = catalog
+      .select(col(idCol).as("__lid"), col(keyCol).as("__lkey"))
       .filter(col("__lid").isNotNull && col("__lkey").isNotNull)
-    val r = right.select(col(rightId).as("__rid"), col(rightKey).as("__rkey"))
+    val keys = ids.select(col("__lkey")).distinct()
+    val (segIdx, shortIdx) = indexFrames(keys, maxDist)
+    FuzzyFitted(shared(segIdx), shared(shortIdx), shared(ids), maxDist)
+  }
+
+  /** Probe a fitted catalog ([[fuzzyFit]]): all (id_l, id_r, dist) pairs
+    * between the catalog and `probe` within the fitted `maxDist` — the
+    * same output as [[fuzzyJoin]] on the original inputs. */
+  def fuzzyJoinWith(fitted: FuzzyFitted, probe: DataFrame,
+      probeId: String, probeKey: String): DataFrame = {
+    val r = probe.select(col(probeId).as("__rid"), col(probeKey).as("__rkey"))
       .filter(col("__rid").isNotNull && col("__rkey").isNotNull)
     // distinct keys only; equal keys meet in the segment join and verify
     // at dist 0, so the two-table path needs no special casing
-    val keyPairs = verifiedKeyPairs(
-      l.select(col("__lkey")).distinct(),
-      r.select(col("__rkey")).distinct(), maxDist)
+    val keyPairs = probeCandidates(fitted.segIdx, fitted.shortIdx,
+        r.select(col("__rkey")).distinct(), fitted.maxDist)
+      .withColumn("dist",
+        levenshtein(col("__lkey"), col("__rkey"), fitted.maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= fitted.maxDist)
     keyPairs
-      .join(l, "__lkey")
+      .join(fitted.ids, "__lkey")
       .join(r, "__rkey")
       .select(col("__lid").as("id_l"), col("__rid").as("id_r"), col("dist"))
   }
@@ -123,30 +159,31 @@ object Fuzzy {
     cross.unionAll(same)
   }
 
-  /** Distinct key pairs within distance k: blocked candidates + banded
-    * verify. Input frames carry a single column (`__lkey` / `__rkey`) of
-    * distinct non-null keys; output is (__lkey, __rkey, dist). */
-  private def verifiedKeyPairs(lKeys: DataFrame, rKeys: DataFrame,
-      k: Int): DataFrame =
-    candidates(lKeys, rKeys, k)
-      .withColumn("dist", levenshtein(col("__lkey"), col("__rkey"), k))
-      .filter(col("dist") >= 0 && col("dist") <= k)
+  /** Segment i of a length-`la` key under m = k+1 segments: the last
+    * (la % m) segments are one longer, starts are cumulative. */
+  private def segLen(m: Int)(la: Column, i: Column): Column =
+    floor(la / lit(m)).cast("long") +
+      when(i >= lit(m.toLong) - la % lit(m), 1L).otherwise(0L)
+  private def segStart(m: Int)(la: Column, i: Column): Column =
+    i * floor(la / lit(m)).cast("long") +
+      greatest(i - (lit(m.toLong) - la % lit(m)), lit(0L))
 
   /** Distinct candidate key pairs (__lkey, __rkey) from the segment
     * equi-join plus the short-string band join. Complete for
     * `ed <= maxDist`; a superset otherwise (verification prunes). */
   private def candidates(l: DataFrame, r: DataFrame, k: Int): DataFrame = {
+    val (segIdx, shortIdx) = indexFrames(l, k)
+    probeCandidates(segIdx, shortIdx, r, k)
+  }
+
+  /** The indexed side's two lookup frames from its distinct keys:
+    * (cand_len, seg_i, seg, __lkey) segment rows for keys of length
+    * >= k+1, and (__bkt, __lkey) length-bucket rows for shorter keys. */
+  private def indexFrames(l: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val m = k + 1 // segments per indexed key
     // --- segmented path: indexed keys of length >= m ---
     // segment i of a length-la key: the last (la % m) segments are one
     // longer, starts are cumulative
-    def segLen(la: Column, i: Column): Column =
-      floor(la / lit(m)).cast("long") +
-        when(i >= lit(m.toLong) - la % lit(m), 1L).otherwise(0L)
-    def segStart(la: Column, i: Column): Column =
-      i * floor(la / lit(m)).cast("long") +
-        greatest(i - (lit(m.toLong) - la % lit(m)), lit(0L))
-
     val idx = l
       .withColumn("__la", length(col("__lkey")).cast("long"))
       .filter(col("__la") >= m)
@@ -154,10 +191,26 @@ object Fuzzy {
         i => struct(
           col("__la").as("cand_len"), i.as("seg_i"),
           col("__lkey").substr(
-            (segStart(col("__la"), i) + 1L).cast("int"),
-            segLen(col("__la"), i).cast("int")).as("seg")))).as("__s"))
+            (segStart(m)(col("__la"), i) + 1L).cast("int"),
+            segLen(m)(col("__la"), i).cast("int")).as("seg")))).as("__s"))
       .select(col("__lkey"), col("__s.cand_len"), col("__s.seg_i"), col("__s.seg"))
 
+    // --- short path: indexed keys of length < m can't be segmented;
+    // their possible partners all have length <= (m-1)+k < 2k+1. Banded
+    // length-bucket equi-join (rangeJoinMicros' binning), no cartesian.
+    val shortIdx = l
+      .withColumn("__la", length(col("__lkey")).cast("long"))
+      .filter(col("__la") < m)
+      .select(col("__lkey"), floor(col("__la") / lit(m)).as("__bkt"))
+    (idx, shortIdx)
+  }
+
+  /** Candidate key pairs for `r`'s distinct keys against a pre-built
+    * index ([[indexFrames]]): the probe-side explosion + the two
+    * candidate equi-joins. */
+  private def probeCandidates(idx: DataFrame, shortIdx: DataFrame,
+      r: DataFrame, k: Int): DataFrame = {
+    val m = k + 1
     // probe: for each plausible index length la in [lb-k, lb+k] (>= m),
     // each slot i, each start within +-k of the slot's position, the
     // probe's substring of that slot's exact length
@@ -166,8 +219,8 @@ object Fuzzy {
       .select(col("__rkey"), explode(flatten(flatten(transform(
         filter(sequence(col("__lb") - k, col("__lb") + k), la => la >= m),
         la => transform(sequence(lit(0L), lit(k.toLong)), i => {
-          val len = segLen(la, i)
-          val st = segStart(la, i)
+          val len = segLen(m)(la, i)
+          val st = segStart(m)(la, i)
           transform(
             filter(sequence(st - k, st + k),
               p => p >= 0L && p <= col("__lb") - len),
@@ -180,13 +233,7 @@ object Fuzzy {
     val segCand = idx.join(prb, Seq("cand_len", "seg_i", "seg"))
       .select(col("__lkey"), col("__rkey"))
 
-    // --- short path: indexed keys of length < m can't be segmented;
-    // their possible partners all have length <= (m-1)+k < 2k+1. Banded
-    // length-bucket equi-join (rangeJoinMicros' binning), no cartesian.
-    val shortIdx = l
-      .withColumn("__la", length(col("__lkey")).cast("long"))
-      .filter(col("__la") < m)
-      .select(col("__lkey"), floor(col("__la") / lit(m)).as("__bkt"))
+    // short partners of un-segmentable indexed keys (see [[indexFrames]])
     val shortPrb = r
       .withColumn("__lb", length(col("__rkey")).cast("long"))
       .filter(col("__lb") < 2 * k + 1)

@@ -62,6 +62,33 @@ object StreamOps {
   }
 
   /**
+   * Stream-static fuzzy record linkage: each micro-batch of dirty records
+   * links against a STATIC catalog within Levenshtein distance `maxDist`
+   * (typo'd names/titles/urls matched back to their clean rows).
+   *
+   * Fit-once shape ([[graft.operators.Fuzzy.fuzzyFit]]): the catalog's
+   * distinct keys segment and index ONCE (lazily shared); each
+   * micro-batch pays only its own bounded probe explosion + the candidate
+   * equi-joins + banded verifies. Per-row stateless w.r.t. the stream, so
+   * the union over ANY trigger slicing equals the batch
+   * [[graft.operators.Fuzzy.fuzzyJoin]] (catalog as the left side) —
+   * which is exactly how the gate oracles it. `writeBatch` must be
+   * idempotent on the epoch id (foreachBatch is at-least-once).
+   */
+  def fuzzyLinkStream(stream: DataFrame, catalog: DataFrame,
+      catalogId: String, catalogKey: String,
+      probeId: String, probeKey: String, maxDist: Int)(
+      writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val fitted = graft.operators.Fuzzy.fuzzyFit(
+      catalog, catalogId, catalogKey, maxDist)
+    stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      writeBatch(graft.operators.Fuzzy.fuzzyJoinWith(
+        fitted, batch, probeId, probeKey), epochId)
+    }
+  }
+
+  /**
    * Cumulative data-quality profile of a STREAM — [[graft.operators
    * .Validation.checkConstraints]] per micro-batch, summed across epochs
    * into bounded driver state (one (count, violations, min offender) per

@@ -265,6 +265,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("magic"), e3.getMessage)
   }
 
+  test("fuzzyLinkStream: any trigger slicing unions to the batch fuzzyJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = Seq(1L -> "kitten", 2L -> "sitting", 3L -> "mitten",
+      4L -> "flour").toDF("id", "key")
+    val dirty = Seq((10L, "kittXn"), (11L, "sittin"), (12L, "flour"),
+      (13L, "zzzzzz"), (14L, "mitten"))
+    val expected = graft.operators.Fuzzy.fuzzyJoin(catalog,
+        dirty.toDF("rid", "rkey"), "id", "key", "rid", "rkey", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty && !expected.exists(_._2 == 13L))
+    for (slices <- Seq(Seq(dirty), dirty.grouped(2).toSeq, dirty.map(Seq(_)))) {
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+      val q = StreamOps.fuzzyLinkStream(input.toDF().toDF("rid", "rkey"),
+          catalog, "id", "key", "rid", "rkey", maxDist = 1) { (res, _) =>
+        got ++= res.as[(Long, Long, Int)].collect()
+        ()
+      }.start()
+      slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      q.stop()
+      assert(got.toSet == expected, s"slicing ${slices.map(_.size)} diverged")
+    }
+  }
+
   test("asofEnrichStream: any trigger slicing unions to the batch asofJoin") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new Timestamp(s * 1000)
