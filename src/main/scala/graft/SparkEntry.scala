@@ -1515,6 +1515,19 @@ object SparkEntry {
         .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
     }),
 
+    "q_dedup_fuzzy" -> ((s, dir) => {
+      // keep-one fuzzy dedup over the SAME planted corpus as
+      // q_fuzzy_pairs: connected components over edit-distance<=2 edges,
+      // smallest id survives (every planted variant collapses with its
+      // original, plus any natural near-key clusters)
+      val d0 = Tables.documents(s, dir).filter(col("doc_id") < 800)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
+      val planted = d0.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(substring(col("key"), 1, 7), substring(col("key"), 9, 32)).as("key"))
+      Dedup.dedupByFuzzy(d0.unionByName(planted), "doc_id", "key", maxDist = 2)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "q_embed_drift" -> ((s, dir) => {
       // embedding-space drift between snapshots: the gate PLANTS a
       // re-scaled feed (odd vec_ids, labels >= 5: x*1.2 + 0.01 after the
@@ -3470,6 +3483,36 @@ object SparkEntry {
           |WHERE dist <= 2 ORDER BY 1, 2""".stripMargin,
 
       "q_fuzzy_link" -> fuzzyLinkOracleSql,
+
+      "q_dedup_fuzzy" ->
+        """WITH RECURSIVE d0 AS (
+          |  SELECT doc_id, substr(text, 1, 40) AS key
+          |  FROM documents WHERE doc_id < 800),
+          |a AS (
+          |  SELECT doc_id, key FROM d0
+          |  UNION ALL
+          |  SELECT doc_id + 200000, substr(key, 1, 7) || substr(key, 9, 32)
+          |  FROM d0),
+          |fpairs AS (
+          |  SELECT * FROM (
+          |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |      levenshtein(x.key, y.key) AS dist
+          |    FROM a x JOIN a y
+          |      ON x.doc_id < y.doc_id
+          |     AND abs(length(x.key) - length(y.key)) <= 2)
+          |  WHERE dist <= 2),
+          |edges AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM fpairs
+          |  UNION SELECT doc_b, doc_a FROM fpairs),
+          |reach(u, v) AS (
+          |  SELECT u, v FROM edges
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+          |rep AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+          |        FROM reach GROUP BY u)
+          |SELECT a.doc_id FROM a LEFT JOIN rep r USING (doc_id)
+          |WHERE coalesce(r.cluster, a.doc_id) = a.doc_id
+          |ORDER BY 1""".stripMargin,
 
       // per-row stateless linkage: any trigger slicing unions to the
       // batch fuzzyJoin, so the streaming form shares the batch oracle

@@ -812,6 +812,21 @@ object Dedup extends Logging {
       .drop(cl("doc_id")).drop(cl("cluster")).drop(col("__cluster"))
   }
 
+  /** Keep ONE row per FUZZY key cluster: connected components over
+    * [[Fuzzy.fuzzyPairs]] edges (keys within Levenshtein `maxDist`),
+    * smallest id survives — the edit-distance twin of [[dedupByNearDup]]
+    * (typo'd titles/urls/names collapse with their clean originals even
+    * when token-level Jaccard misses the single-character difference). */
+  def dedupByFuzzy(docs: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val pairs = Fuzzy.fuzzyPairs(docs, idCol, keyCol, maxDist)
+    val cl = clusters(pairs, "id_a", "id_b")
+    docs.join(cl, docs(idCol) === cl("doc_id"), "left")
+      .withColumn("__cluster", coalesce(cl("cluster"), docs(idCol)))
+      .filter(docs(idCol) === col("__cluster"))
+      .drop(cl("doc_id")).drop(cl("cluster")).drop(col("__cluster"))
+  }
+
   /**
    * Winnowing-fingerprint near-copy pairs: rolling-hash fingerprints
    * (Schleimer et al.) as the inverted-index key; pairs sharing at least

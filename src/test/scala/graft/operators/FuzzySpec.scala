@@ -97,6 +97,19 @@ class FuzzySpec extends AnyFunSuite {
     assert(got.nonEmpty) // 0001 vs 0002 etc. are within 1-2 edits
   }
 
+  test("dedupByFuzzy keeps the smallest id per fuzzy cluster, transitively") {
+    // chain: aaaa ~ aaab ~ aabb (aaaa-aabb at dist 2 also edges); zzzz alone;
+    // an exact duplicate (id 9) of aaaa collapses too
+    val df = Seq(3L -> "aaab", 1L -> "aaaa", 2L -> "aabb", 7L -> "zzzz",
+      9L -> "aaaa").toDF("id", "key")
+    val kept = Dedup.dedupByFuzzy(df, "id", "key", maxDist = 1)
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept == Set(1L, 7L), kept.toString) // chain connects via dist-1 edges
+    // the keeper keeps its full row
+    val rows = Dedup.dedupByFuzzy(df, "id", "key", maxDist = 1).columns.toSeq
+    assert(rows == Seq("id", "key"))
+  }
+
   test("all-identical keys: output is the full quadratic pair set at dist 0") {
     val rows = (0L until 40L).map(i => (i, "same-key-everywhere"))
     val got = Fuzzy.fuzzyPairs(rows.toDF("id", "key"), "id", "key", 1)
