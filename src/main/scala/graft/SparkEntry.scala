@@ -1528,6 +1528,22 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_categorical_drift" -> ((s, dir) => {
+      // categorical PSI drift of the source mix: the gate PLANTS a feed
+      // going dark (odd-id snapshot drops src1 entirely) — identically in
+      // the oracle; top-6 reference categories by (count desc, name asc),
+      // the rest fold into __other__
+      val d = Tables.documents(s, dir)
+      val ref = d.filter(col("doc_id") % 2 === 0)
+      val cur = d.filter(col("doc_id") % 2 === 1 && col("source") =!= "src1")
+      operators.Validation.categoricalDrift(ref, cur, "source", topK = 6)
+        .select(col("category"), col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("p_ref"), 6).as("p_ref_r"),
+          TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
+          TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
+        .orderBy(col("category"))
+    }),
+
     "q_embed_drift" -> ((s, dir) => {
       // embedding-space drift between snapshots: the gate PLANTS a
       // re-scaled feed (odd vec_ids, labels >= 5: x*1.2 + 0.01 after the
@@ -3531,6 +3547,41 @@ object SparkEntry {
       "q_dedup_embedding" ->
         operators.Dedup.sqlEmbeddingCosinePairs(
           dim = EmbeddingDim, threshold = 0.4, bands = 12, bitsPerBand = 5),
+
+      "q_categorical_drift" -> {
+        def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
+        val pr = "(n_ref + 0.5) / (tr + 0.5 * nrows)"
+        val pc = "(n_cur + 0.5) / (tc + 0.5 * nrows)"
+        s"""WITH refc AS (
+           |  SELECT source AS cat, count(*) AS n FROM documents
+           |  WHERE doc_id % 2 = 0 AND source IS NOT NULL GROUP BY 1),
+           |curc AS (
+           |  SELECT source AS cat, count(*) AS n FROM documents
+           |  WHERE doc_id % 2 = 1 AND source <> 'src1'
+           |    AND source IS NOT NULL GROUP BY 1),
+           |top AS (SELECT cat, n FROM refc ORDER BY n DESC, cat ASC LIMIT 6),
+           |refh AS (
+           |  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat
+           |         ELSE '__other__' END AS category, sum(n)::BIGINT AS n_ref
+           |  FROM refc GROUP BY 1),
+           |curh AS (
+           |  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat
+           |         ELSE '__other__' END AS category, sum(n)::BIGINT AS n_cur
+           |  FROM curc GROUP BY 1),
+           |frame AS (SELECT cat AS category FROM top
+           |          UNION ALL SELECT '__other__'),
+           |j AS (
+           |  SELECT f.category, coalesce(r.n_ref, 0) AS n_ref,
+           |    coalesce(c.n_cur, 0) AS n_cur
+           |  FROM frame f LEFT JOIN refh r USING (category)
+           |  LEFT JOIN curh c USING (category)),
+           |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc,
+           |      count(*) AS nrows FROM j)
+           |SELECT category, n_ref, n_cur,
+           | ${sr(pr)} AS p_ref_r, ${sr(pc)} AS p_cur_r,
+           | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
+           |FROM j, t ORDER BY 1""".stripMargin
+      },
 
       "q_embed_drift" -> {
         def sr(e: String) = TextFunctions.sqlStableRound(e, 4)

@@ -202,6 +202,68 @@ object Validation {
       .orderBy(col("bucket"))
   }
 
+  /**
+   * Categorical distribution drift between two snapshots — PSI over
+   * category frequencies (source mix, language mix, license mix): the
+   * discrete twin of [[distributionDrift]], catching a feed going dark or
+   * a new domain flooding in.
+   *
+   * Categories are the reference's top `topK` by count (ties broken by
+   * category value, so the cut is deterministic); everything else — and
+   * every current-only category — folds into the `__other__` row, so the
+   * output stays bounded however many distinct values exist (urls,
+   * domains). NULL categories are excluded on both sides. Probabilities
+   * are Laplace-smoothed over the emitted rows (`alpha`), PSI per row as
+   * in [[distributionDrift]]; output (category, n_ref, n_cur, p_ref,
+   * p_cur, psi), top categories by descending reference count then
+   * `__other__` last.
+   *
+   * Scale shape: each snapshot reduces map-side to its category counts;
+   * the top-K cut is a distributed TakeOrdered over those counts (never a
+   * global sort of data), and the bounded top set broadcasts back to
+   * classify both histograms. Nothing data-sized shuffles.
+   */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame, catCol: String,
+      topK: Int = 50, alpha: Double = 0.5): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val other = "__other__"
+    def counts(df: DataFrame) = df
+      .filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("__cat"))
+      .groupBy(col("__cat")).agg(count(lit(1)).as("__n"))
+    val refCounts = counts(ref)
+    val top = refCounts
+      .orderBy(col("__n").desc, col("__cat").asc).limit(topK)
+      .select(col("__cat").as("__top"), col("__n").as("__topn"))
+    def hist(df: DataFrame, n: String) = counts(df)
+      .join(broadcast(top), col("__cat") === col("__top"), "left")
+      .select(coalesce(col("__top"), lit(other)).as("category"), col("__n"))
+      .groupBy(col("category")).agg(sum(col("__n")).as(n))
+    // dense frame: the top categories (rank-ordered) + the OTHER row, so
+    // an emptied-out category still appears with n_cur = 0
+    val frame = top
+      .select(col("__top").as("category"), col("__topn").as("__ord"))
+      .unionByName(top.sparkSession.range(1)
+        .select(lit(other).as("category"), lit(-1L).as("__ord")))
+    val joined = frame
+      .join(hist(ref, "__nr"), Seq("category"), "left")
+      .join(hist(cur, "__nc"), Seq("category"), "left")
+      .select(col("category"), col("__ord"),
+        coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"), count(lit(1)).as("__rows"))
+    val pRef = (col("n_ref") + alpha) / (col("__tr") + col("__rows") * alpha)
+    val pCur = (col("n_cur") + alpha) / (col("__tc") + col("__rows") * alpha)
+    joined.crossJoin(totals)
+      .select(col("category"), col("__ord"), col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        ((pCur - pRef) * log(pCur / pRef)).as("psi"))
+      .orderBy(col("__ord").desc, col("category").asc)
+      .drop("__ord")
+  }
+
   /** The drift histogram's bucket expression — shared by
     * [[distributionDrift]] and the streaming monitor
     * ([[graft.streaming.StreamOps.driftSink]]) so the two can never bin

@@ -245,6 +245,30 @@ class ValidationSpec extends AnyFunSuite {
     assert(drained.length == 5 && drained.forall(r => !r._8.isNaN && !r._8.isInfinite))
   }
 
+  test("categoricalDrift: top-K cut with ties, other-fold, emptied category, ordering") {
+    val ref = Seq("a", "a", "a", "b", "b", "c", "c", "d", "e")
+      .map(Option(_)).toDF("cat") // counts: a=3, b=2, c=2, d=1, e=1
+    val cur = Seq(Some("a"), Some("z"), Some("z"), Some("d"), None).toDF("cat")
+    // topK=3 with a tie at the cut (b=2, c=2): count desc then NAME asc
+    // keeps b and c; d/e fold to __other__; cur-only z folds too; the
+    // emptied categories still appear with n_cur = 0
+    val out = Validation.categoricalDrift(ref, cur, "cat", topK = 3)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("a", "b", "c", "__other__")) // rank order, other last
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("a")._2 == 3 && m("a")._3 == 1)
+    assert(m("b")._3 == 0 && m("c")._3 == 0) // went dark
+    assert(m("__other__")._2 == 2 && m("__other__")._3 == 3) // d+e ref; z,z,d cur (null dropped)
+    // smoothing: 4 rows -> p = (n + .5)/(N + 2); identical snapshots -> psi 0
+    assert(math.abs(m("a")._4 - 3.5 / 11.0) < 1e-12)
+    val same = Validation.categoricalDrift(ref, ref, "cat", topK = 3)
+      .agg(sum(col("psi"))).as[Double].head()
+    assert(same == 0.0)
+    // loud params
+    intercept[IllegalArgumentException](
+      Validation.categoricalDrift(ref, cur, "cat", topK = 0))
+  }
+
   test("checkConstraints is ONE scan: single aggregate, no shuffle of data, no cartesian") {
     val plan = Validation.checkConstraints(docs, $"id", Seq(
         "a" -> ($"score" > 0), "b" -> $"text".isNotNull,
