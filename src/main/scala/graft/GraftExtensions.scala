@@ -483,6 +483,16 @@ object GraftExtensions {
             dblArg(args, 4, 1.0, "graft_drift"),
             intArg(args, 5, 10, "graft_drift")))
       },
+      tvf("graft_cat_drift",
+        "graft_cat_drift(refTable, curTable, catCol[, topK]) - categorical " +
+          "PSI drift profile (reference top-K categories + __other__ fold)") {
+        args => arity(args, "graft_cat_drift", 3, 4)
+          logical(operators.Validation.categoricalDrift(
+            activeTable(strArg(args, 0, "graft_cat_drift")),
+            activeTable(strArg(args, 1, "graft_cat_drift")),
+            strArg(args, 2, "graft_cat_drift"),
+            intArg(args, 3, 50, "graft_cat_drift")))
+      },
       tvf("graft_fuzzy_pairs",
         "graft_fuzzy_pairs(table, idCol, keyCol, maxDist) - unordered id " +
           "pairs within Levenshtein distance maxDist (exact, pigeonhole-" +

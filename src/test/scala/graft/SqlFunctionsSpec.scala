@@ -414,6 +414,14 @@ class SqlFunctionsSpec extends AnyFunSuite {
           0.0, 600.0, 12)
         .orderBy(col("bucket")).collect().toSeq)
     assert(dr.count() == 12)
+
+    val cdr = spark.sql(
+      "SELECT * FROM graft_cat_drift('tvfcorpus', 'tvfdocs', 'lang', 3) " +
+        "ORDER BY category")
+    assert(cdr.collect().toSeq ==
+      operators.Validation.categoricalDrift(corpus, docs, "lang", topK = 3)
+        .orderBy(col("category")).collect().toSeq)
+    assert(cdr.count() == 4)
     val fz = spark.sql(
       "SELECT * FROM graft_fuzzy_pairs('tvffuzzy', 'id', 'key', 2) " +
         "ORDER BY id_a, id_b")

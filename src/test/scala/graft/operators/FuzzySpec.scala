@@ -97,6 +97,22 @@ class FuzzySpec extends AnyFunSuite {
     assert(got.nonEmpty) // 0001 vs 0002 etc. are within 1-2 edits
   }
 
+  test("unicode keys: codepoint-level distances (accents, CJK), matching the DP") {
+    // Spark's length/substr/levenshtein all count CODEPOINTS, so the
+    // segment math and the verify agree on non-ASCII keys; the reference
+    // DP below iterates Scala chars (UTF-16), safe here because all test
+    // codepoints are BMP
+    val rows = Seq(1L -> "café", 2L -> "cafe", 3L -> "café",
+      4L -> "日本語", 5L -> "日本誤",
+      6L -> "日本語で")
+    val got = Fuzzy.fuzzyPairs(rows.toDF("id", "key"), "id", "key", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brutePairs(rows, 2), got.toString)
+    // café vs cafe = 1 substitution; composed é vs e+combining = 2 edits
+    assert(got.contains((1L, 2L, 1)) && got.contains((4L, 5L, 1)) &&
+      got.contains((4L, 6L, 1)))
+  }
+
   test("dedupByFuzzy keeps the smallest id per fuzzy cluster, transitively") {
     // chain: aaaa ~ aaab ~ aabb (aaaa-aabb at dist 2 also edges); zzzz alone;
     // an exact duplicate (id 9) of aaaa collapses too
