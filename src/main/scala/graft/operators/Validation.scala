@@ -283,6 +283,31 @@ object Validation {
     distributionDrift(ref, cur, valueCol, lo, hi, buckets, alpha)
       .agg(sum(col("psi"))).head().getDouble(0)
 
+  /** [[distributionDrift]] that THROWS when total PSI exceeds `maxPsi` —
+    * the hard gate a pipeline calls before admitting a new batch
+    * ([[requireConstraints]]'s shape). The exception carries the total and
+    * the worst buckets so one failure report shows WHERE the distribution
+    * moved; returns the per-bucket profile when it passes. The
+    * conventional thresholds are ~0.1 (investigate) / ~0.25 (block). */
+  def requireDriftBelow(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int, maxPsi: Double,
+      alpha: Double = 0.5): Array[org.apache.spark.sql.Row] = {
+    require(maxPsi > 0, s"maxPsi must be positive, got $maxPsi")
+    val profile = distributionDrift(ref, cur, valueCol, lo, hi, buckets, alpha)
+      .collect()
+    val total = profile.map(_.getDouble(7)).sum
+    if (total > maxPsi) {
+      val worst = profile.sortBy(-_.getDouble(7)).take(3).map { r =>
+        f"[${r.getDouble(1)}%.4g, ${r.getDouble(2)}%.4g) " +
+          f"ref=${r.getLong(3)} cur=${r.getLong(4)} psi=${r.getDouble(7)}%.4f"
+      }
+      throw new IllegalStateException(
+        f"distribution drift check failed: total PSI $total%.4f > $maxPsi " +
+          s"on '$valueCol'; worst buckets: ${worst.mkString("; ")}")
+    }
+    profile
+  }
+
   /** [[checkConstraints]] that THROWS (after the full profile is computed)
     * when any rule with a tolerance of zero — or a violation fraction above
     * its per-rule `tolerance` — fails: the hard-gate form a pipeline calls

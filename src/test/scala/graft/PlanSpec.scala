@@ -423,6 +423,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("categorical drift: top-K cut is a distributed TakeOrdered over category counts") {
+    val q = SparkEntry.queries("q_categorical_drift")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("driver smoke: entry() works on a fresh plain session config") {
     // the driver calls entry() without our nanosAsLong session conf; the
     // seeded-log loader must set it on the fly

@@ -243,6 +243,14 @@ class ValidationSpec extends AnyFunSuite {
     val drained = Validation.distributionDrift(ref, empty, "v", 0.0, 10.0, 5)
       .as[(Int, Double, Double, Long, Long, Double, Double, Double)].collect()
     assert(drained.length == 5 && drained.forall(r => !r._8.isNaN && !r._8.isInfinite))
+    // hard gate: identical snapshots pass (profile returned); a shifted
+    // one throws with the total and the worst buckets named
+    assert(Validation.requireDriftBelow(ref, ref, "v", 0.0, 10.0, 5,
+      maxPsi = 0.01).length == 5)
+    val e = intercept[IllegalStateException](
+      Validation.requireDriftBelow(ref, cur, "v", 0.0, 10.0, 5, maxPsi = 0.01))
+    assert(e.getMessage.contains("total PSI") &&
+      e.getMessage.contains("worst buckets"), e.getMessage)
   }
 
   test("categoricalDrift: top-K cut with ties, other-fold, emptied category, ordering") {
