@@ -69,9 +69,9 @@ object Fuzzy {
   def fuzzyJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String,
       rightId: String, rightKey: String,
-      maxDist: Int): DataFrame =
-    fuzzyJoinWith(fit(left, leftId, leftKey, maxDist, share = false),
-      right, rightId, rightKey)
+      maxDist: Int, maxSegmentDf: Int = Int.MaxValue): DataFrame =
+    fuzzyJoinWith(fit(left, leftId, leftKey, maxDist, share = false,
+      maxSegmentDf), right, rightId, rightKey)
 
   /** A fitted fuzzy-join LEFT side ([[fuzzyFit]]): the catalog's distinct
     * keys segmented and indexed once, lazily shared — probe state for
@@ -87,18 +87,19 @@ object Fuzzy {
     * batch then pays only its own probe explosion and the candidate
     * equi-joins. */
   def fuzzyFit(catalog: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int): FuzzyFitted =
-    fit(catalog, idCol, keyCol, maxDist, share = true)
+      maxDist: Int, maxSegmentDf: Int = Int.MaxValue): FuzzyFitted =
+    fit(catalog, idCol, keyCol, maxDist, share = true, maxSegmentDf)
 
   private def fit(catalog: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int, share: Boolean): FuzzyFitted = {
+      maxDist: Int, share: Boolean,
+      maxSegmentDf: Int = Int.MaxValue): FuzzyFitted = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val shared = if (share) Dedup.lazyShare _ else identity[DataFrame] _
     val ids = catalog
       .select(col(idCol).as("__lid"), col(keyCol).as("__lkey"))
       .filter(col("__lid").isNotNull && col("__lkey").isNotNull)
     val keys = ids.select(col("__lkey")).distinct()
-    val (segIdx, shortIdx) = indexFrames(keys, maxDist)
+    val (segIdx, shortIdx) = indexFrames(keys, maxDist, maxSegmentDf)
     FuzzyFitted(shared(segIdx), shared(shortIdx), shared(ids), maxDist)
   }
 
@@ -128,7 +129,7 @@ object Fuzzy {
     * sharing a key pair at distance 0 through the output-sized same-key
     * join; distinct-key pairs through the blocked verify. */
   def fuzzyPairs(df: DataFrame, idCol: String, keyCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxSegmentDf: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val d = df.select(col(idCol).as("__id"), col(keyCol).as("__key"))
       .filter(col("__id").isNotNull && col("__key").isNotNull)
@@ -137,7 +138,7 @@ object Fuzzy {
     // every true pair, so one self pass suffices; normalize the key order
     // and dedup BEFORE the banded DP so each unordered pair verifies once
     val keyPairs = candidates(
-        keys, keys.select(col("__lkey").as("__rkey")), maxDist)
+        keys, keys.select(col("__lkey").as("__rkey")), maxDist, maxSegmentDf)
       .filter(col("__lkey") =!= col("__rkey"))
       .select(least(col("__lkey"), col("__rkey")).as("__lkey"),
         greatest(col("__lkey"), col("__rkey")).as("__rkey"))
@@ -171,15 +172,17 @@ object Fuzzy {
   /** Distinct candidate key pairs (__lkey, __rkey) from the segment
     * equi-join plus the short-string band join. Complete for
     * `ed <= maxDist`; a superset otherwise (verification prunes). */
-  private def candidates(l: DataFrame, r: DataFrame, k: Int): DataFrame = {
-    val (segIdx, shortIdx) = indexFrames(l, k)
+  private def candidates(l: DataFrame, r: DataFrame, k: Int,
+      maxSegmentDf: Int = Int.MaxValue): DataFrame = {
+    val (segIdx, shortIdx) = indexFrames(l, k, maxSegmentDf)
     probeCandidates(segIdx, shortIdx, r, k)
   }
 
   /** The indexed side's two lookup frames from its distinct keys:
     * (cand_len, seg_i, seg, __lkey) segment rows for keys of length
     * >= k+1, and (__bkt, __lkey) length-bucket rows for shorter keys. */
-  private def indexFrames(l: DataFrame, k: Int): (DataFrame, DataFrame) = {
+  private def indexFrames(l: DataFrame, k: Int,
+      maxSegmentDf: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     val m = k + 1 // segments per indexed key
     // --- segmented path: indexed keys of length >= m ---
     // segment i of a length-la key: the last (la % m) segments are one
@@ -194,6 +197,16 @@ object Fuzzy {
             (segStart(m)(col("__la"), i) + 1L).cast("int"),
             segLen(m)(col("__la"), i).cast("int")).as("seg")))).as("__s"))
       .select(col("__lkey"), col("__s.cand_len"), col("__s.seg_i"), col("__s.seg"))
+    // optional templated-corpus guard (the [[Dedup.dropHotKeys]] counted-
+    // drop convention): a boilerplate segment shared by more than
+    // `maxSegmentDf` DISTINCT keys at the same slot is dropped from the
+    // index with a loud counter (Dedup.lastDropStats("fuzzySegments")) —
+    // pairs whose ONLY edit-free segment was the dropped one are missed,
+    // so the operator is exact while the counter reads zero
+    val guarded =
+      if (maxSegmentDf == Int.MaxValue) idx
+      else Dedup.dropHotKeys(idx, Seq("cand_len", "seg_i", "seg"),
+        maxSegmentDf, "fuzzySegments")
 
     // --- short path: indexed keys of length < m can't be segmented;
     // their possible partners all have length <= (m-1)+k < 2k+1. Banded
@@ -202,7 +215,7 @@ object Fuzzy {
       .withColumn("__la", length(col("__lkey")).cast("long"))
       .filter(col("__la") < m)
       .select(col("__lkey"), floor(col("__la") / lit(m)).as("__bkt"))
-    (idx, shortIdx)
+    (guarded, shortIdx)
   }
 
   /** Candidate key pairs for `r`'s distinct keys against a pre-built

@@ -97,6 +97,24 @@ class FuzzySpec extends AnyFunSuite {
     assert(got.nonEmpty) // 0001 vs 0002 etc. are within 1-2 edits
   }
 
+  test("maxSegmentDf guard: boilerplate segments drop with counted semantics, subset result") {
+    // every key's first two segments are corpus-wide boilerplate; a cap
+    // below the corpus size drops those buckets LOUDLY, and only pairs
+    // whose every edit-free segment was boilerplate can be missed
+    val rows = (0L until 300L).map(i => (i, f"PREFIX-BOILERPLATE-$i%04d"))
+    val exact = brutePairs(rows, 2)
+    val capped = Fuzzy.fuzzyPairs(rows.toDF("id", "key"), "id", "key", 2,
+        maxSegmentDf = 100)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped.subsetOf(exact))
+    val drops = Dedup.lastDropStats("fuzzySegments").get
+    assert(drops.buckets > 0 && drops.rows > 0, drops.toString)
+    // an uncapped run is exact and records zero drops under its guard tag
+    val uncapped = Fuzzy.fuzzyPairs(rows.toDF("id", "key"), "id", "key", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped == exact)
+  }
+
   test("unicode keys: codepoint-level distances (accents, CJK), matching the DP") {
     // Spark's length/substr/levenshtein all count CODEPOINTS, so the
     // segment math and the verify agree on non-ASCII keys; the reference
