@@ -277,6 +277,85 @@ class ValidationSpec extends AnyFunSuite {
       Validation.categoricalDrift(ref, cur, "cat", topK = 0))
   }
 
+  test("randomized drift sweep: distributionDrift == plain-Scala reference, 40 cases") {
+    val rnd = new scala.util.Random(2026)
+    for (round <- 0 until 40) {
+      val lo = rnd.nextInt(20) - 10.0
+      val hi = lo + 1 + rnd.nextInt(30)
+      val b = 1 + rnd.nextInt(8)
+      val w = (hi - lo) / b
+      def mk(n: Int) = (0 until n).map { _ =>
+        if (rnd.nextInt(10) == 0) None
+        else Some(lo - 10 + rnd.nextDouble() * (hi - lo + 20)) // tails included
+      }
+      val (refV, curV) = (mk(30 + rnd.nextInt(40)), mk(rnd.nextInt(50)))
+      def refHist(vs: Seq[Option[Double]]) = {
+        val h = new Array[Long](b)
+        vs.flatten.foreach { v =>
+          h(math.min(math.max(math.floor((v - lo) / w), 0.0), (b - 1).toDouble).toInt) += 1
+        }
+        h
+      }
+      val (hr, hc) = (refHist(refV), refHist(curV))
+      val (tr, tc) = (hr.sum.toDouble, hc.sum.toDouble)
+      val want = (0 until b).map { i =>
+        val p = (hr(i) + 0.5) / (tr + 0.5 * b); val q = (hc(i) + 0.5) / (tc + 0.5 * b)
+        (i, hr(i), hc(i), p, q, (q - p) * math.log(q / p))
+      }
+      val got = Validation.distributionDrift(
+          refV.toDF("v"), curV.toDF("v"), "v", lo, hi, b)
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          col("p_ref"), col("p_cur"), col("psi"))
+        .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+      got.zip(want).foreach { case (g, w0) =>
+        assert(g._1 == w0._1 && g._2 == w0._2 && g._3 == w0._3,
+          s"round=$round counts $g != $w0")
+        assert(math.abs(g._4 - w0._4) < 1e-12 && math.abs(g._5 - w0._5) < 1e-12 &&
+          math.abs(g._6 - w0._6) < 1e-12, s"round=$round probs $g != $w0")
+      }
+    }
+  }
+
+  test("randomized categorical sweep: categoricalDrift == plain-Scala reference, 30 cases") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 0 until 30) {
+      val cats = (0 until 2 + rnd.nextInt(10)).map(i => s"c$i")
+      def mk(n: Int) = (0 until n).map { _ =>
+        if (rnd.nextInt(12) == 0) None else Some(cats(rnd.nextInt(cats.size)))
+      }
+      val (refV, curV) = (mk(20 + rnd.nextInt(60)), mk(rnd.nextInt(60)))
+      val k = 1 + rnd.nextInt(cats.size + 2)
+      val refCounts = refV.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val top = refCounts.toSeq.sortBy { case (c, n) => (-n, c) }.take(k).map(_._1)
+      def fold(vs: Seq[Option[String]]) = {
+        val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        vs.flatten.foreach(c => m(if (top.contains(c)) c else "__other__") += 1)
+        m
+      }
+      val (hr, hc) = (fold(refV), fold(curV))
+      val frame = top :+ "__other__"
+      val rows = frame.size
+      val (tr, tc) = (hr.values.sum.toDouble, hc.values.sum.toDouble)
+      val want = frame.map { c =>
+        val p = (hr(c) + 0.5) / (tr + 0.5 * rows)
+        val q = (hc(c) + 0.5) / (tc + 0.5 * rows)
+        (c, hr(c), hc(c), p, q, (q - p) * math.log(q / p))
+      }.sortBy(_._1)
+      val got = Validation.categoricalDrift(
+          refV.toDF("cat"), curV.toDF("cat"), "cat", topK = k)
+        .select(col("category"), col("n_ref"), col("n_cur"),
+          col("p_ref"), col("p_cur"), col("psi"))
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+        .sortBy(_._1)
+      assert(got.map(g => (g._1, g._2, g._3)) == want.map(w0 => (w0._1, w0._2, w0._3)),
+        s"round=$round counts\n$got\n$want")
+      got.zip(want).foreach { case (g, w0) =>
+        assert(math.abs(g._4 - w0._4) < 1e-12 && math.abs(g._6 - w0._6) < 1e-12,
+          s"round=$round probs $g != $w0")
+      }
+    }
+  }
+
   test("checkConstraints is ONE scan: single aggregate, no shuffle of data, no cartesian") {
     val plan = Validation.checkConstraints(docs, $"id", Seq(
         "a" -> ($"score" > 0), "b" -> $"text".isNotNull,
