@@ -483,6 +483,16 @@ object GraftExtensions {
             dblArg(args, 4, 1.0, "graft_drift"),
             intArg(args, 5, 10, "graft_drift")))
       },
+      tvf("graft_embed_drift",
+        "graft_embed_drift(refTable, curTable, labelCol, vecCol) - per-label " +
+          "embedding drift (counts, mean norms, centroid cosine)") {
+        args => arity(args, "graft_embed_drift", 4, 4)
+          logical(operators.Similarity.embeddingDrift(
+            activeTable(strArg(args, 0, "graft_embed_drift")),
+            activeTable(strArg(args, 1, "graft_embed_drift")),
+            strArg(args, 2, "graft_embed_drift"),
+            strArg(args, 3, "graft_embed_drift")))
+      },
       tvf("graft_cat_drift",
         "graft_cat_drift(refTable, curTable, catCol[, topK]) - categorical " +
           "PSI drift profile (reference top-K categories + __other__ fold)") {

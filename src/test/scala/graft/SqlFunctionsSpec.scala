@@ -422,6 +422,19 @@ class SqlFunctionsSpec extends AnyFunSuite {
       operators.Validation.categoricalDrift(corpus, docs, "lang", topK = 3)
         .orderBy(col("category")).collect().toSeq)
     assert(cdr.count() == 4)
+
+    val embs = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    embs.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("tvfembref")
+    embs.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("tvfembcur")
+    val edr = spark.sql(
+      "SELECT * FROM graft_embed_drift('tvfembref', 'tvfembcur', 'label', " +
+        "'embedding') ORDER BY label")
+    assert(edr.collect().toSeq ==
+      operators.Similarity.embeddingDrift(
+          embs.filter(col("vec_id") % 2 === 0),
+          embs.filter(col("vec_id") % 2 === 1), "label", "embedding")
+        .orderBy(col("label")).collect().toSeq)
+    assert(edr.count() == 10)
     val fz = spark.sql(
       "SELECT * FROM graft_fuzzy_pairs('tvffuzzy', 'id', 'key', 2) " +
         "ORDER BY id_a, id_b")
