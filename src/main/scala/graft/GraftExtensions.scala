@@ -485,7 +485,7 @@ object GraftExtensions {
       },
       tvf("graft_embed_drift",
         "graft_embed_drift(refTable, curTable, labelCol, vecCol) - per-label " +
-          "embedding drift (counts, mean norms, centroid cosine)") {
+          "embedding drift (counts, mean norms, centroid cosine, dim_mismatch)") {
         args => arity(args, "graft_embed_drift", 4, 4)
           logical(operators.Similarity.embeddingDrift(
             activeTable(strArg(args, 0, "graft_embed_drift")),

@@ -655,6 +655,9 @@ object SparkEntry {
       // so q_fuzzy_link's oracle gates it unchanged (sides renamed: the
       // fitted catalog is the left side here).
       val outDir = java.nio.file.Files.createTempDirectory("qsfz").toString
+      sys.addShutdownHook {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir)); ()
+      }
       val logName = sharedDocsLog(s, dir, withId = true)
       val nCorpus = GraftEventLog.count(logName)
       val perTrigger = math.max(256L, (nCorpus + 3) / 4)
@@ -1561,7 +1564,8 @@ object SparkEntry {
         .select(col("label"), col("n_ref"), col("n_cur"),
           TextFunctions.stableRound(col("norm_ref"), 4).as("norm_ref_r"),
           TextFunctions.stableRound(col("norm_cur"), 4).as("norm_cur_r"),
-          TextFunctions.stableRound(col("centroid_cos"), 4).as("cos_r"))
+          TextFunctions.stableRound(col("centroid_cos"), 4).as("cos_r"),
+          col("dim_mismatch"))
         .orderBy(col("label"))
     }),
 
@@ -3594,9 +3598,11 @@ object SparkEntry {
            |    CASE WHEN label >= 5 THEN list_transform(v, x -> x * 1.2 + 0.01)
            |    ELSE v END AS v
            |  FROM e WHERE vec_id % 2 = 1),
-           |rs AS (SELECT label, count(*) AS n_ref, $normOf AS norm_ref
+           |rs AS (SELECT label, count(*) AS n_ref, $normOf AS norm_ref,
+           |        min(len(v)) AS dn_r, max(len(v)) AS dx_r
            |       FROM ref GROUP BY 1),
-           |cs AS (SELECT label, count(*) AS n_cur, $normOf AS norm_cur
+           |cs AS (SELECT label, count(*) AS n_cur, $normOf AS norm_cur,
+           |        min(len(v)) AS dn_c, max(len(v)) AS dx_c
            |       FROM cur GROUP BY 1),
            |rc AS (SELECT label, i, avg(v[i]) AS m
            |       FROM ref, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY 1, 2),
@@ -3611,8 +3617,13 @@ object SparkEntry {
            |  GROUP BY 1)
            |SELECT label, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
            | ${sr("norm_ref")} AS norm_ref_r, ${sr("norm_cur")} AS norm_cur_r,
-           | ${sr("cos")} AS cos_r
-           |FROM rs FULL OUTER JOIN cs USING (label) LEFT JOIN cosq USING (label)
+           | CASE WHEN one_dim THEN ${sr("cos")} END AS cos_r,
+           | NOT one_dim AS dim_mismatch
+           |FROM (SELECT *,
+           |   (dn_r IS NULL OR dn_r = dx_r) AND (dn_c IS NULL OR dn_c = dx_c)
+           |   AND (dx_r IS NULL OR dx_c IS NULL OR dx_r = dx_c) AS one_dim
+           |  FROM rs FULL OUTER JOIN cs USING (label)
+           |  LEFT JOIN cosq USING (label))
            |ORDER BY 1""".stripMargin
       },
 
@@ -3990,11 +4001,13 @@ object SparkEntry {
        |r AS (
        |  SELECT CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15)
        |           AS INT) AS bucket, count(*) AS n
-       |  FROM ref0 WHERE value IS NOT NULL GROUP BY 1),
+       |  FROM ref0 WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+       |  GROUP BY 1),
        |c AS (
        |  SELECT CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15)
        |           AS INT) AS bucket, count(*) AS n
-       |  FROM cur0 WHERE value IS NOT NULL GROUP BY 1),
+       |  FROM cur0 WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+       |  GROUP BY 1),
        |f AS (SELECT CAST(range AS INT) AS bucket FROM range(16)),
        |j AS (
        |  SELECT f.bucket, coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur

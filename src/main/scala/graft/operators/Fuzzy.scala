@@ -76,9 +76,19 @@ object Fuzzy {
   /** A fitted fuzzy-join LEFT side ([[fuzzyFit]]): the catalog's distinct
     * keys segmented and indexed once, lazily shared — probe state for
     * [[fuzzyJoinWith]], so a stream (or many batches) of dirty records
-    * links against the catalog without re-segmenting it per trigger. */
+    * links against the catalog without re-segmenting it per trigger.
+    * Call [[release]] when done with it. */
   final case class FuzzyFitted private[Fuzzy] (
-      segIdx: DataFrame, shortIdx: DataFrame, ids: DataFrame, maxDist: Int)
+      segIdx: DataFrame, shortIdx: DataFrame, ids: DataFrame, maxDist: Int) {
+    /** Unpersist the shared probe frames. A long-lived driver that refits
+      * per catalog refresh MUST release the superseded fit, or the cache
+      * accumulates an index generation per refresh for the session's
+      * lifetime. Blocking-free; in-flight batches still probing the old
+      * frames recompute from lineage instead of failing. */
+    def release(): Unit = {
+      segIdx.unpersist(); shortIdx.unpersist(); ids.unpersist(); ()
+    }
+  }
 
   /** Fit the catalog side of a fuzzy join ONCE — the fit-once /
     * probe-many flow ([[Relational.asofFit]]'s pattern). The catalog's

@@ -146,7 +146,14 @@ object Relational {
   final case class AsofFitted(
       byBucket: DataFrame, byKey: DataFrame,
       bucket: Column => Column, maxBucket: Int,
-      rightCols: Map[String, String])
+      rightCols: Map[String, String]) {
+    /** Unpersist the shared probe frames ([[graft.operators.Fuzzy
+      * .FuzzyFitted.release]]'s contract): a long-lived driver that refits
+      * per dimension refresh must release the superseded fit or the cache
+      * grows a generation per refresh. Blocking-free; in-flight probes
+      * recompute from lineage. */
+    def release(): Unit = { byBucket.unpersist(); byKey.unpersist(); () }
+  }
 
   /**
    * Fit the right side of an as-of join ONCE — the fit-once / probe-many

@@ -1077,10 +1077,18 @@ object Similarity extends org.apache.spark.internal.Logging {
    * change, a label's sources shifting) before it poisons ANN indexes and
    * semantic dedup, which both assume one embedding space.
    *
-   * Per label: row counts, mean L2 norms, and the COSINE between the two
+   * Per label: row counts, mean L2 norms, the COSINE between the two
    * snapshots' centroids (1 = same direction, null when a side is missing
-   * or a centroid is zero). Labels present in only one snapshot appear
-   * with the other side's count 0.
+   * or a centroid is zero), and a `dim_mismatch` flag. Labels present in
+   * only one snapshot appear with the other side's count 0.
+   *
+   * `dim_mismatch` is TRUE when the label's vectors do not all share one
+   * dimensionality — across the two snapshots (the advertised encoder
+   * version bump re-embeds one side at a different width) or within
+   * either one (a mixed feed). A truncated cosine over only the
+   * overlapping positions would return a plausible value for a
+   * comparison that is meaningless across spaces, so `centroid_cos` is
+   * NULL whenever the flag is set.
    *
    * Scale shape: everything reduces map-side. Per-(label, dim-position)
    * centroid means and per-label norm/count aggregates shuffle only
@@ -1093,10 +1101,13 @@ object Similarity extends org.apache.spark.internal.Logging {
     def clean(df: DataFrame) = df
       .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v"))
-    def stats(df: DataFrame, n: String, norm: String) = clean(df)
+    def stats(df: DataFrame, side: String) = clean(df)
       .groupBy(col("label"))
-      .agg(count(lit(1)).as(n),
-        avg(sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))).as(norm))
+      .agg(count(lit(1)).as(s"n_$side"),
+        avg(sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+          .as(s"norm_$side"),
+        min(size(col("v"))).as(s"__dn_$side"),
+        max(size(col("v"))).as(s"__dx_$side"))
     def cent(df: DataFrame, m: String) = clean(df)
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos")).agg(avg(col("x")).as(m))
@@ -1107,14 +1118,25 @@ object Similarity extends org.apache.spark.internal.Logging {
         sum(col("mc") * col("mc")).as("__nc2"))
       .select(col("label"),
         when(col("__nr2") > 0 && col("__nc2") > 0,
-          col("__dot") / sqrt(col("__nr2") * col("__nc2"))).as("centroid_cos"))
-    stats(ref, "n_ref", "norm_ref")
-      .join(stats(cur, "n_cur", "norm_cur"), Seq("label"), "full_outer")
+          col("__dot") / sqrt(col("__nr2") * col("__nc2"))).as("__cos"))
+    // one dimensionality per label: uniform within each present side AND
+    // equal across sides; an absent side (null stats after the full outer
+    // join) can't mismatch anything — its cos is already null via the
+    // inner centroid join
+    val oneDim =
+      (col("__dn_ref").isNull || col("__dn_ref") === col("__dx_ref")) &&
+      (col("__dn_cur").isNull || col("__dn_cur") === col("__dx_cur")) &&
+      (col("__dx_ref").isNull || col("__dx_cur").isNull ||
+        col("__dx_ref") === col("__dx_cur"))
+    stats(ref, "ref")
+      .join(stats(cur, "cur"), Seq("label"), "full_outer")
       .join(cos, Seq("label"), "left")
       .select(col("label"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        col("norm_ref"), col("norm_cur"), col("centroid_cos"))
+        col("norm_ref"), col("norm_cur"),
+        when(oneDim, col("__cos")).as("centroid_cos"),
+        (!oneDim).as("dim_mismatch"))
   }
 
   /** DuckDB twin of [[semanticDedupWith]] GIVEN the gate's centroids

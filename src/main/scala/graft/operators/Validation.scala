@@ -136,8 +136,11 @@ object Validation {
    *
    * Fixed equi-width histogram over `[lo, hi)` with `buckets` cells;
    * values outside the range clamp into the edge cells (a drifted tail
-   * lands in a bucket instead of vanishing), NULLs are excluded on both
-   * sides. Per-cell probabilities are Laplace-smoothed with `alpha` so an
+   * lands in a bucket instead of vanishing), NULLs and NaNs are excluded
+   * on both sides (Spark's NaN-is-largest ordering would otherwise clamp
+   * NaN silently into the top cell, indistinguishable from a genuine high
+   * tail — a NaN flood is a [[checkConstraints]] rule, not a histogram
+   * cell). Per-cell probabilities are Laplace-smoothed with `alpha` so an
    * empty cell never divides by zero: `p = (n + alpha) / (N + alpha*B)`.
    * Output is one row per bucket 0..B-1 (empty cells included):
    * (bucket, lo_edge, hi_edge, n_ref, n_cur, p_ref, p_cur, psi) with
@@ -161,7 +164,7 @@ object Validation {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
     def hist(df: DataFrame, n: String): DataFrame = df
-      .filter(col(valueCol).isNotNull)
+      .filter(driftValueOk(col(valueCol)))
       .select(driftBucket(col(valueCol), lo, hi, buckets).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as(n))
     val frame = ref.sparkSession.range(buckets)
@@ -212,7 +215,11 @@ object Validation {
    * category value, so the cut is deterministic); everything else — and
    * every current-only category — folds into the `__other__` row, so the
    * output stays bounded however many distinct values exist (urls,
-   * domains). NULL categories are excluded on both sides. Probabilities
+   * domains). The fold row is keyed internally by an is-other flag, not
+   * by its display string, so a real category named `__other__` neither
+   * merges with nor double-counts against it (it appears as its own row
+   * if it makes the top-K, and folds like any other tail value if not).
+   * NULL categories are excluded on both sides. Probabilities
    * are Laplace-smoothed over the emitted rows (`alpha`), PSI per row as
    * in [[distributionDrift]]; output (category, n_ref, n_cur, p_ref,
    * p_cur, psi), top categories by descending reference count then
@@ -236,19 +243,26 @@ object Validation {
     val top = refCounts
       .orderBy(col("__n").desc, col("__cat").asc).limit(topK)
       .select(col("__cat").as("__top"), col("__n").as("__topn"))
+    // the fold row is keyed by an IS-OTHER boolean, not by the '__other__'
+    // display string: a real category literally named '__other__' that
+    // makes the top-K keeps (false, '__other__') and never merges with —
+    // or double-joins against — the fold row (true, '__other__')
     def hist(df: DataFrame, n: String) = counts(df)
       .join(broadcast(top), col("__cat") === col("__top"), "left")
-      .select(coalesce(col("__top"), lit(other)).as("category"), col("__n"))
-      .groupBy(col("category")).agg(sum(col("__n")).as(n))
+      .select(col("__top").isNull.as("__isoth"),
+        coalesce(col("__top"), lit(other)).as("category"), col("__n"))
+      .groupBy(col("__isoth"), col("category")).agg(sum(col("__n")).as(n))
     // dense frame: the top categories (rank-ordered) + the OTHER row, so
     // an emptied-out category still appears with n_cur = 0
     val frame = top
-      .select(col("__top").as("category"), col("__topn").as("__ord"))
+      .select(lit(false).as("__isoth"), col("__top").as("category"),
+        col("__topn").as("__ord"))
       .unionByName(top.sparkSession.range(1)
-        .select(lit(other).as("category"), lit(-1L).as("__ord")))
+        .select(lit(true).as("__isoth"), lit(other).as("category"),
+          lit(-1L).as("__ord")))
     val joined = frame
-      .join(hist(ref, "__nr"), Seq("category"), "left")
-      .join(hist(cur, "__nc"), Seq("category"), "left")
+      .join(hist(ref, "__nr"), Seq("__isoth", "category"), "left")
+      .join(hist(cur, "__nc"), Seq("__isoth", "category"), "left")
       .select(col("category"), col("__ord"),
         coalesce(col("__nr"), lit(0L)).as("n_ref"),
         coalesce(col("__nc"), lit(0L)).as("n_cur"))
@@ -263,6 +277,14 @@ object Validation {
       .orderBy(col("__ord").desc, col("category").asc)
       .drop("__ord")
   }
+
+  /** The drift histogram's admission predicate — shared by every hist/fit
+    * path so batch and streaming can never disagree on what counts: NULL
+    * and NaN values are excluded (NaN passes `isNotNull` and, via Spark's
+    * NaN-is-largest ordering through greatest/least, would silently land
+    * in the top bucket). */
+  private[graft] def driftValueOk(c: Column): Column =
+    c.isNotNull && !isnan(c.cast("double"))
 
   /** The drift histogram's bucket expression — shared by
     * [[distributionDrift]] and the streaming monitor

@@ -328,16 +328,17 @@ object StreamOps {
 
   /** Fit the drift monitor's reference histogram ONCE from a reference
     * snapshot — one map-side-combined aggregate, <= `buckets` rows
-    * collected. NULLs excluded, out-of-range values clamped into the edge
-    * cells (the exact [[graft.operators.Validation.distributionDrift]]
-    * binning — the bucket expression is shared). */
+    * collected. NULLs and NaNs excluded, out-of-range values clamped into
+    * the edge cells (the exact [[graft.operators.Validation
+    * .distributionDrift]] binning — bucket expression AND admission
+    * predicate are shared). */
   def driftFit(ref: DataFrame, valueCol: String, lo: Double, hi: Double,
       buckets: Int, alpha: Double = 0.5): DriftTracker = {
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
     val refCounts = new Array[Long](buckets)
-    ref.filter(col(valueCol).isNotNull)
+    ref.filter(graft.operators.Validation.driftValueOk(col(valueCol)))
       .select(graft.operators.Validation
         .driftBucket(col(valueCol), lo, hi, buckets).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -351,7 +352,8 @@ object StreamOps {
   def driftSink(tracker: DriftTracker, valueCol: String)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, epochId: Long) => {
-      val counts = batch.filter(col(valueCol).isNotNull)
+      val counts = batch
+        .filter(graft.operators.Validation.driftValueOk(col(valueCol)))
         .select(graft.operators.Validation.driftBucket(
           col(valueCol), tracker.lo, tracker.hi, tracker.buckets).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("n"))

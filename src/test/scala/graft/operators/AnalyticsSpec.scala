@@ -889,7 +889,7 @@ class SimilaritySpec extends AnyFunSuite {
         df(ref), df(cur).unionByName(
           Seq((5, null: Seq[Double])).toDF("label", "v")), "label", "v")
       .orderBy(col("label"))
-      .as[(Int, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .as[(Int, Long, Long, Option[Double], Option[Double], Option[Double], Boolean)]
       .collect()
     val byL = out.map(r => r._1 -> r).toMap
     assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3)) // empties/nulls dropped
@@ -903,6 +903,30 @@ class SimilaritySpec extends AnyFunSuite {
     // one-sided labels: other count 0, cos null
     assert(byL(2)._3 == 0L && byL(2)._6.isEmpty && byL(2)._5.isEmpty)
     assert(byL(3)._2 == 0L && byL(3)._6.isEmpty)
+    // uniform 2-d space everywhere above: no mismatch flags
+    assert(out.forall(!_._7))
+  }
+
+  test("embeddingDrift: dimensionality mismatch flags instead of truncated cosine") {
+    def df(rows: Seq[(Int, Seq[Double])]) = rows.toDF("label", "v")
+    // label 0: encoder bump — ref 2-d, cur 3-d (identical direction on the
+    // overlap, so a truncated cosine would read a misleading 1.0)
+    // label 1: clean 2-d on both sides
+    // label 2: mixed dims WITHIN the cur side
+    val ref = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 2.0),
+      2 -> Seq(1.0, 1.0))
+    val cur = Seq(0 -> Seq(1.0, 0.0, 0.0), 1 -> Seq(0.0, 4.0),
+      2 -> Seq(1.0, 1.0), 2 -> Seq(1.0, 1.0, 1.0, 1.0))
+    val out = Similarity.embeddingDrift(df(ref), df(cur), "label", "v")
+      .orderBy(col("label"))
+      .as[(Int, Long, Long, Option[Double], Option[Double], Option[Double], Boolean)]
+      .collect()
+    val byL = out.map(r => r._1 -> r).toMap
+    assert(byL(0)._7 && byL(0)._6.isEmpty) // cross-side bump: flagged, cos null
+    assert(!byL(1)._7 && math.abs(byL(1)._6.get - 1.0) < 1e-12) // clean
+    assert(byL(2)._7 && byL(2)._6.isEmpty) // within-side mix: flagged
+    // counts and norms still report (they are dimension-agnostic)
+    assert(byL(0)._2 == 1L && byL(0)._3 == 1L && byL(0)._4.nonEmpty)
   }
 
   test("lshTopK returns results from the query bucket (approximate, bounded scan)") {

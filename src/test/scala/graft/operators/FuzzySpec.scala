@@ -150,4 +150,22 @@ class FuzzySpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect()
     assert(got.length == 40 * 39 / 2 && got.forall(_._3 == 0))
   }
+
+  test("fuzzyFit.release unpersists the shared probe frames; probes still answer") {
+    import org.apache.spark.storage.StorageLevel
+    val catalog = Seq(1L -> "kitten", 2L -> "flour").toDF("id", "key")
+    val probe = Seq(10L -> "sitten").toDF("id", "key")
+    val fitted = Fuzzy.fuzzyFit(catalog, "id", "key", maxDist = 1)
+    val first = Fuzzy.fuzzyJoinWith(fitted, probe, "id", "key")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(first == Set((1L, 10L, 1)))
+    assert(fitted.segIdx.storageLevel != StorageLevel.NONE) // shared while live
+    fitted.release()
+    assert(fitted.segIdx.storageLevel == StorageLevel.NONE &&
+      fitted.shortIdx.storageLevel == StorageLevel.NONE &&
+      fitted.ids.storageLevel == StorageLevel.NONE)
+    // release is not invalidation: a straggler batch recomputes from lineage
+    assert(Fuzzy.fuzzyJoinWith(fitted, probe, "id", "key")
+      .as[(Long, Long, Int)].collect().toSet == first)
+  }
 }

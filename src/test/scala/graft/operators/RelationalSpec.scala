@@ -95,6 +95,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(10L), 2L -> Some(20L), 3L -> None, 4L -> None))
   }
 
+  test("asofFit.release unpersists the shared probe frames; probes still answer") {
+    import org.apache.spark.storage.StorageLevel
+    val l = Seq((1L, "K", ts(10))).toDF("id", "k", "ts")
+    val r = Seq(("K", ts(5), 5.0)).toDF("k", "ts", "v")
+    val fitted = Relational.asofFit(r, "k", "ts", Map("v" -> "v"))
+    def probe() = Relational.asofJoinWith(l, fitted, "k", "ts")
+      .select($"id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(probe() == Map(1L -> Some(5.0)))
+    assert(fitted.byKey.storageLevel != StorageLevel.NONE)
+    fitted.release()
+    assert(fitted.byBucket.storageLevel == StorageLevel.NONE &&
+      fitted.byKey.storageLevel == StorageLevel.NONE)
+    assert(probe() == Map(1L -> Some(5.0))) // lineage recompute, not failure
+  }
+
   test("rangeJoinMicros finds exactly the pairs within tolerance (vs brute force)") {
     val l = Seq((1L, 0L), (2L, 1000L), (3L, 5000L)).toDF("id", "t")
     val r = Seq((10L, 900L), (11L, 2500L), (12L, 99999L)).toDF("id", "t")

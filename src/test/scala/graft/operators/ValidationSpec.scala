@@ -277,6 +277,41 @@ class ValidationSpec extends AnyFunSuite {
       Validation.categoricalDrift(ref, cur, "cat", topK = 0))
   }
 
+  test("categoricalDrift: a real category named '__other__' never merges with the fold row") {
+    // '__other__' is the 2nd-biggest REAL category -> makes the top-2;
+    // c and d fold. Totals must not double-count (the r12 ADVICE defect:
+    // joining frame/hist on the display string merged the two rows).
+    val ref = Seq("a", "a", "a", "__other__", "__other__", "c", "d")
+      .toDF("cat")
+    val cur = Seq("__other__", "c", "z").toDF("cat")
+    val out = Validation.categoricalDrift(ref, cur, "cat", topK = 2)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    // rank order: a (3), real __other__ (2), then the fold row (c+d / c+z)
+    assert(out.map(_._1).toSeq == Seq("a", "__other__", "__other__"))
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq((3L, 0L), (2L, 1L), (2L, 2L)))
+    // grand totals intact: smoothing denominators see tr=7, tc=3, 3 rows
+    assert(math.abs(out.head._4 - 3.5 / 8.5) < 1e-12)
+    // ...and when '__other__' does NOT make the cut it folds like any tail
+    val folded = Validation.categoricalDrift(ref, cur, "cat", topK = 1)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(folded.map(_._1).toSeq == Seq("a", "__other__"))
+    assert(folded.map(r => (r._2, r._3)).toSeq == Seq((3L, 0L), (4L, 3L)))
+  }
+
+  test("distributionDrift and driftFit/driftSink exclude NaN like NULL (no top-bucket leak)") {
+    val ref = Seq(Some(1.0), Some(2.0), Some(Double.NaN), None).toDF("v")
+    val cur = Seq(Some(3.0), Some(Double.NaN), Some(Double.NaN)).toDF("v")
+    val out = Validation.distributionDrift(ref, cur, "v", 0.0, 10.0, 5)
+      .as[(Int, Double, Double, Long, Long, Double, Double, Double)].collect()
+    // NaN would clamp into bucket 4 via greatest/least; it must not appear
+    assert(out.map(_._4).sum == 2L && out.map(_._5).sum == 1L)
+    assert(out.find(_._1 == 4).get._4 == 0L)
+    // streaming twin binned identically
+    val t = graft.streaming.StreamOps.driftFit(ref, "v", 0.0, 10.0, 5)
+    graft.streaming.StreamOps.driftSink(t, "v")(cur, 0L)
+    assert(t.counts.map(_._2).sum == 2L && t.counts.map(_._3).sum == 1L)
+  }
+
   test("randomized drift sweep: distributionDrift == plain-Scala reference, 40 cases") {
     val rnd = new scala.util.Random(2026)
     for (round <- 0 until 40) {
