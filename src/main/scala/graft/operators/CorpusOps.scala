@@ -1378,7 +1378,13 @@ object CorpusOps {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val st = docs.agg(count(lit(1)),
       avg(TextFunctions.tokenCount(col(textCol)).cast("long"))).head()
-    (qt, Dedup.lazyShare(dft), st.getLong(0), st.getDouble(1))
+    // materialize the shared tables at FIT time (the (N, avgdl) aggregate
+    // above already runs a job here): a stream scoring against them must
+    // not pay the corpus scan inside its first trigger
+    qt.count()
+    val dftShared = Dedup.lazyShare(dft)
+    dftShared.count()
+    (qt, dftShared, st.getLong(0), st.getDouble(1))
   }
 
   /**
@@ -1432,7 +1438,10 @@ object CorpusOps {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val st = docs.agg(count(lit(1)),
       avg(TextFunctions.tokenCount(col(textCol)).cast("long"))).head()
-    (Dedup.lazyShare(dft), st.getLong(0), st.getDouble(1))
+    // fit-time materialization ([[bm25FitMany]]'s rationale)
+    val dftShared = Dedup.lazyShare(dft)
+    dftShared.count()
+    (dftShared, st.getLong(0), st.getDouble(1))
   }
 
   /**

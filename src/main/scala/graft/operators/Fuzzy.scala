@@ -88,6 +88,14 @@ object Fuzzy {
     def release(): Unit = {
       segIdx.unpersist(); shortIdx.unpersist(); ids.unpersist(); ()
     }
+
+    /** Force the shared probe frames to materialize NOW (one count per
+      * frame) instead of inside the first probe: fit cost belongs to fit
+      * time, not first-batch latency — a stream's first trigger should
+      * cost the same as its later ones. Returns this for chaining. */
+    def materialize(): FuzzyFitted = {
+      segIdx.count(); shortIdx.count(); ids.count(); this
+    }
   }
 
   /** Fit the catalog side of a fuzzy join ONCE — the fit-once /

@@ -153,6 +153,11 @@ object Relational {
       * grows a generation per refresh. Blocking-free; in-flight probes
       * recompute from lineage. */
     def release(): Unit = { byBucket.unpersist(); byKey.unpersist(); () }
+
+    /** Force the shared probe frames to materialize NOW ([[graft.operators
+      * .Fuzzy.FuzzyFitted.materialize]]'s contract): fit cost belongs to
+      * fit time, not the first probe batch's latency. */
+    def materialize(): AsofFitted = { byBucket.count(); byKey.count(); this }
   }
 
   /**

@@ -278,6 +278,97 @@ object Validation {
       .drop("__ord")
   }
 
+  /**
+   * Per-group distribution drift — [[distributionDrift]] keyed by a
+   * segment column (source, language, license): the monitoring shape a
+   * multi-source corpus actually needs, because a 30% shift in one minor
+   * feed disappears inside a corpus-level PSI but screams in its own
+   * group's. ONE pass per snapshot; output one row per (group, bucket)
+   * with per-GROUP smoothed probabilities and PSI terms — a group's PSI
+   * is the sum of its bucket rows, comparable across groups regardless of
+   * group size (each group normalizes by its own totals).
+   *
+   * Groups are the union of non-null groups seen in either snapshot
+   * (cast to string), densified over all `buckets` cells, so a group that
+   * went dark still shows its rows with n_cur = 0 — exactly the outage
+   * the monitor exists to catch. NULL groups are excluded like NULL
+   * categories in [[categoricalDrift]] (an unlabeled row is a
+   * [[checkConstraints]] defect, not a segment). NULL/NaN values excluded
+   * as in [[distributionDrift]].
+   *
+   * Scale shape: each snapshot reduces map-side to <= groups x B rows;
+   * the dense (group, bucket) frame is groups x B (bounded — groups are
+   * segments, not ids), per-group totals re-aggregate those counts, and
+   * everything joins on group/bucket keys. Nothing data-sized shuffles.
+   */
+  def distributionDriftByGroup(ref: DataFrame, cur: DataFrame,
+      groupCol: String, valueCol: String, lo: Double, hi: Double,
+      buckets: Int, alpha: Double = 0.5): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val w = (hi - lo) / buckets
+    def hist(df: DataFrame, n: String): DataFrame = df
+      .filter(col(groupCol).isNotNull && driftValueOk(col(valueCol)))
+      .select(col(groupCol).cast("string").as("group"),
+        driftBucket(col(valueCol), lo, hi, buckets).as("bucket"))
+      .groupBy(col("group"), col("bucket")).agg(count(lit(1)).as(n))
+    def grps(df: DataFrame) = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group")).distinct()
+    val frame = grps(ref).unionByName(grps(cur)).distinct()
+      .crossJoin(ref.sparkSession.range(buckets)
+        .select(col("id").cast("int").as("bucket")))
+    val joined = frame
+      .join(hist(ref, "__nr"), Seq("group", "bucket"), "left")
+      .join(hist(cur, "__nc"), Seq("group", "bucket"), "left")
+      .select(col("group"), col("bucket"),
+        coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    // per-GROUP grand totals (one narrow row per group, equi-joined back)
+    val totals = joined.groupBy(col("group"))
+      .agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val pRef = (col("n_ref") + alpha) / (col("__tr") + alpha * buckets)
+    val pCur = (col("n_cur") + alpha) / (col("__tc") + alpha * buckets)
+    joined.join(broadcast(totals), Seq("group"))
+      .select(col("group"), col("bucket"),
+        lit(lo).plus(col("bucket") * w).as("lo_edge"),
+        lit(lo).plus((col("bucket") + 1) * w).as("hi_edge"),
+        col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        ((pCur - pRef) * log(pCur / pRef)).as("psi"))
+      .orderBy(col("group"), col("bucket"))
+  }
+
+  /** [[distributionDriftByGroup]] that THROWS when ANY group's total PSI
+    * exceeds `maxPsi` — the per-segment hard gate ([[requireDriftBelow]]'s
+    * contract). The exception names every failing group with its total and
+    * worst bucket, worst group first, so one failure report says WHICH
+    * feed moved and WHERE; returns the per-(group, bucket) profile when
+    * all groups pass. */
+  def requireGroupDriftBelow(ref: DataFrame, cur: DataFrame,
+      groupCol: String, valueCol: String, lo: Double, hi: Double,
+      buckets: Int, maxPsi: Double,
+      alpha: Double = 0.5): Array[org.apache.spark.sql.Row] = {
+    require(maxPsi > 0, s"maxPsi must be positive, got $maxPsi")
+    val profile = distributionDriftByGroup(
+      ref, cur, groupCol, valueCol, lo, hi, buckets, alpha).collect()
+    val failing = profile.groupBy(_.getString(0)).toSeq
+      .map { case (g, rows) =>
+        (g, rows.map(_.getDouble(8)).sum, rows.maxBy(_.getDouble(8)))
+      }
+      .filter(_._2 > maxPsi)
+      .sortBy(-_._2)
+    if (failing.nonEmpty) throw new IllegalStateException(
+      s"per-group drift check failed on '$valueCol' (maxPsi $maxPsi): " +
+        failing.map { case (g, total, worst) =>
+          f"group '$g' PSI $total%.4f, worst bucket " +
+            f"[${worst.getDouble(2)}%.4g, ${worst.getDouble(3)}%.4g) " +
+            f"ref=${worst.getLong(4)} cur=${worst.getLong(5)} " +
+            f"psi=${worst.getDouble(8)}%.4f"
+        }.mkString("; "))
+    profile
+  }
+
   /** The drift histogram's admission predicate — shared by every hist/fit
     * path so batch and streaming can never disagree on what counts: NULL
     * and NaN values are excluded (NaN passes `isNotNull` and, via Spark's

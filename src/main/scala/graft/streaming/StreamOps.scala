@@ -54,7 +54,12 @@ object StreamOps {
       timeCol: String, rightCols: Map[String, String])(
       writeBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    val fitted = graft.operators.Relational.asofFit(right, keyCol, timeCol, rightCols)
+    // materialize the fitted state BEFORE the stream starts: lazily-shared
+    // probe frames would otherwise be paid inside the first timed trigger,
+    // inflating first-batch latency (and, under host contention, the whole
+    // stream's profile) with cost that belongs to fit time
+    val fitted = graft.operators.Relational
+      .asofFit(right, keyCol, timeCol, rightCols).materialize()
     stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       writeBatch(graft.operators.Relational.asofJoinWith(
         batch, fitted, keyCol, timeCol), epochId)
@@ -80,8 +85,9 @@ object StreamOps {
       probeId: String, probeKey: String, maxDist: Int)(
       writeBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    // fit cost out of the first trigger ([[asofEnrichStream]]'s rationale)
     val fitted = graft.operators.Fuzzy.fuzzyFit(
-      catalog, catalogId, catalogKey, maxDist)
+      catalog, catalogId, catalogKey, maxDist).materialize()
     stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
       writeBatch(graft.operators.Fuzzy.fuzzyJoinWith(
         fitted, batch, probeId, probeKey), epochId)
@@ -104,10 +110,13 @@ object StreamOps {
     private val nViolations = new Array[Long](ruleNames.size)
     private val firstViolation = new Array[String](ruleNames.size)
 
+    /** Merge one epoch's profile; returns false (state untouched) for a
+      * replayed epoch at or below the merged floor. */
     private[streaming] def update(
-        profile: Seq[(String, Long, Long, Option[String])], epochId: Long): Unit =
+        profile: Seq[(String, Long, Long, Option[String])],
+        epochId: Long): Boolean =
       synchronized {
-        if (epochId <= lastEpoch) return // replayed epoch: already merged
+        if (epochId <= lastEpoch) return false // replayed epoch: merged
         lastEpoch = epochId
         profile.foreach { case (rule, n, v, off) =>
           val i = ruleNames.indexOf(rule)
@@ -117,6 +126,7 @@ object StreamOps {
               firstViolation(i) = o
           }
         }
+        true
       }
 
     /** UTF-8 BYTE order, matching Spark's string min exactly — Java's
@@ -206,10 +216,23 @@ object StreamOps {
   /** foreachBatch sink monitoring a stream's constraint profile: each
     * micro-batch runs ONE [[graft.operators.Validation.checkConstraints]]
     * scan (a per-rule aggregate — no shuffle of data) and folds the
-    * per-rule counts into the tracker. Returns (tracker, sink fn). */
+    * per-rule counts into the tracker. Returns (tracker, sink fn).
+    *
+    * `hardTolerance` turns the monitor into a HARD GATE ([[graft.operators
+    * .Validation.requireConstraints]]'s mid-stream form): after an epoch
+    * MERGES, any rule whose cumulative violation fraction exceeds its
+    * tolerance (default 0.0 for rules not in the map; `Some(Map.empty)` =
+    * zero tolerance everywhere) throws, failing the query at exactly the
+    * epoch the threshold crossed. The gate reads the CUMULATIVE counts —
+    * one bad row trips a zero-tolerance rule whatever the batch slicing —
+    * and a replayed epoch is skipped before the check, so failure
+    * recovery can never double-count its way into a spurious trip. */
   def constraintSink(idCol: org.apache.spark.sql.Column,
-      rules: Seq[(String, org.apache.spark.sql.Column)])
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      hardTolerance: Option[Map[String, Double]] = None)
       : (ConstraintTracker, (DataFrame, Long) => Unit) = {
+    hardTolerance.foreach(_.keys.foreach(k => require(rules.exists(_._1 == k),
+      s"tolerance for unknown rule '$k'")))
     val tracker = new ConstraintTracker(rules.map(_._1))
     val fn = (batch: DataFrame, epochId: Long) => {
       val profile = graft.operators.Validation
@@ -220,7 +243,19 @@ object StreamOps {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           Option(r.getString(3))))
         .toSeq
-      tracker.update(profile, epochId)
+      val merged = tracker.update(profile, epochId)
+      if (merged) hardTolerance.foreach { tol =>
+        val failing = tracker.result.filter { case (rule, n, v, _) =>
+          v > 0 && (if (n == 0) 0.0 else v.toDouble / n) >
+            tol.getOrElse(rule, 0.0)
+        }
+        if (failing.nonEmpty) throw new IllegalStateException(
+          s"stream constraint gate tripped at epoch $epochId: " +
+            failing.map { case (rule, n, v, off) =>
+              s"$rule ($v/$n cumulative rows, first offender " +
+                s"id=${off.orNull})"
+            }.mkString("; "))
+      }
     }
     (tracker, fn)
   }
@@ -243,11 +278,14 @@ object StreamOps {
     private var lastEpoch: Long = Long.MinValue
     private val curCounts = new Array[Long](buckets)
 
+    /** Merge one epoch's histogram; returns false (state untouched) for a
+      * replayed epoch at or below the merged floor. */
     private[streaming] def update(batchCounts: Seq[(Int, Long)],
-        epochId: Long): Unit = synchronized {
-      if (epochId <= lastEpoch) return // replayed epoch: already merged
+        epochId: Long): Boolean = synchronized {
+      if (epochId <= lastEpoch) return false // replayed epoch: merged
       lastEpoch = epochId
       batchCounts.foreach { case (b, n) => curCounts(b) += n }
+      true
     }
 
     /** Per-bucket cumulative (bucket, n_ref, n_cur). */
@@ -348,8 +386,18 @@ object StreamOps {
   }
 
   /** foreachBatch sink folding each micro-batch's histogram (ONE
-    * aggregate, <= B rows) into `tracker`'s cumulative stream side. */
-  def driftSink(tracker: DriftTracker, valueCol: String)
+    * aggregate, <= B rows) into `tracker`'s cumulative stream side.
+    *
+    * A finite `maxPsi` turns the monitor into a HARD GATE ([[graft
+    * .operators.Validation.requireDriftBelow]]'s mid-stream form): after
+    * an epoch MERGES, if the cumulative PSI vs the fitted reference
+    * exceeds `maxPsi` the sink throws — failing the query at exactly the
+    * epoch the threshold crossed, with the worst buckets in the message.
+    * A replayed epoch is skipped before the check (cumulative counts
+    * unchanged), so failure recovery never double-counts into a spurious
+    * trip. */
+  def driftSink(tracker: DriftTracker, valueCol: String,
+      maxPsi: Double = Double.PositiveInfinity)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, epochId: Long) => {
       val counts = batch
@@ -360,7 +408,27 @@ object StreamOps {
         .collect()
         .map(r => (r.getInt(0), r.getLong(1)))
         .toSeq
-      tracker.update(counts, epochId)
+      val merged = tracker.update(counts, epochId)
+      if (merged && tracker.psiTotal > maxPsi) {
+        val w = (tracker.hi - tracker.lo) / tracker.buckets
+        val worst = tracker.counts
+          .map { case (b, nr, nc) =>
+            val p = (nr + tracker.alpha) /
+              (tracker.counts.map(_._2).sum + tracker.alpha * tracker.buckets)
+            val q = (nc + tracker.alpha) /
+              (tracker.counts.map(_._3).sum + tracker.alpha * tracker.buckets)
+            (b, nr, nc, (q - p) * math.log(q / p))
+          }
+          .sortBy(-_._4).take(3)
+          .map { case (b, nr, nc, psi) =>
+            f"[${tracker.lo + b * w}%.4g, ${tracker.lo + (b + 1) * w}%.4g) " +
+              f"ref=$nr cur=$nc psi=$psi%.4f"
+          }
+        throw new IllegalStateException(
+          f"stream drift gate tripped at epoch $epochId: cumulative PSI " +
+            f"${tracker.psiTotal}%.4f > $maxPsi on '$valueCol'; worst " +
+            s"buckets: ${worst.mkString("; ")}")
+      }
     }
 
   final case class SessionUpdate(key: String, nEvents: Long, startMs: Long, endMs: Long)

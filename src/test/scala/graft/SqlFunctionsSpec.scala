@@ -415,6 +415,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
         .orderBy(col("bucket")).collect().toSeq)
     assert(dr.count() == 12)
 
+    val gdr = spark.sql(
+      "SELECT * FROM graft_group_drift('tvfcorpus', 'tvfdocs', 'lang', " +
+        "'n_chars', 0.0, 600.0, 6) ORDER BY 1, 2")
+    assert(gdr.collect().toSeq ==
+      operators.Validation.distributionDriftByGroup(corpus, docs, "lang",
+          "n_chars", 0.0, 600.0, 6)
+        .orderBy(col("group"), col("bucket")).collect().toSeq)
+    assert(gdr.count() % 6 == 0 && gdr.count() > 0)
+
     val cdr = spark.sql(
       "SELECT * FROM graft_cat_drift('tvfcorpus', 'tvfdocs', 'lang', 3) " +
         "ORDER BY category")

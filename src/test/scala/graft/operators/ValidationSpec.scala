@@ -351,6 +351,79 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized per-group drift sweep: distributionDriftByGroup == plain-Scala reference, 25 cases") {
+    val rnd = new scala.util.Random(31)
+    for (round <- 0 until 25) {
+      val lo = rnd.nextInt(20) - 10.0
+      val hi = lo + 1 + rnd.nextInt(30)
+      val b = 1 + rnd.nextInt(6)
+      val w = (hi - lo) / b
+      val nGroups = 1 + rnd.nextInt(4)
+      def mk(n: Int): Seq[(Option[String], Option[Double])] =
+        (0 until n).map { _ =>
+          val g = if (rnd.nextInt(12) == 0) None else Some(s"g${rnd.nextInt(nGroups)}")
+          val v = rnd.nextInt(12) match {
+            case 0 => None
+            case 1 => Some(Double.NaN) // must be excluded like NULL
+            case _ => Some(lo - 10 + rnd.nextDouble() * (hi - lo + 20))
+          }
+          (g, v)
+        }
+      val (refV, curV) = (mk(30 + rnd.nextInt(50)), mk(rnd.nextInt(60)))
+      def ok(r: (Option[String], Option[Double])) =
+        r._1.nonEmpty && r._2.exists(v => !v.isNaN)
+      def hist(vs: Seq[(Option[String], Option[Double])]) = vs.filter(ok)
+        .groupBy(_._1.get).view.mapValues { rows =>
+          val h = new Array[Long](b)
+          rows.foreach { case (_, Some(v)) =>
+            h(math.min(math.max(math.floor((v - lo) / w), 0.0), (b - 1).toDouble).toInt) += 1
+          case _ => ()
+          }
+          h
+        }.toMap
+      val (hr, hc) = (hist(refV), hist(curV))
+      val groups = (refV ++ curV).flatMap(_._1).distinct.sorted
+      val zero = new Array[Long](b)
+      val want = groups.flatMap { g =>
+        val (r0, c0) = (hr.getOrElse(g, zero), hc.getOrElse(g, zero))
+        val (tr, tc) = (r0.sum.toDouble, c0.sum.toDouble)
+        (0 until b).map { i =>
+          val p = (r0(i) + 0.5) / (tr + 0.5 * b)
+          val q = (c0(i) + 0.5) / (tc + 0.5 * b)
+          (g, i, r0(i), c0(i), p, q, (q - p) * math.log(q / p))
+        }
+      }
+      val got = Validation.distributionDriftByGroup(
+          refV.toDF("g", "v"), curV.toDF("g", "v"), "g", "v", lo, hi, b)
+        .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"),
+          col("p_ref"), col("p_cur"), col("psi"))
+        .as[(String, Int, Long, Long, Double, Double, Double)].collect().toSeq
+      assert(got.map(x => (x._1, x._2, x._3, x._4)) ==
+        want.map(x => (x._1, x._2, x._3, x._4)), s"round=$round counts")
+      got.zip(want).foreach { case (g, w0) =>
+        assert(math.abs(g._5 - w0._5) < 1e-12 && math.abs(g._6 - w0._6) < 1e-12 &&
+          math.abs(g._7 - w0._7) < 1e-12, s"round=$round probs $g != $w0")
+      }
+    }
+  }
+
+  test("requireGroupDriftBelow: names the drifted group and worst bucket; passes when under") {
+    val ref = (0 until 200).map(i => ("a", (i % 10).toDouble)) ++
+      (0 until 200).map(i => ("b", (i % 10).toDouble))
+    // group b shifts hard into the top bucket; group a unchanged
+    val cur = (0 until 200).map(i => ("a", (i % 10).toDouble)) ++
+      (0 until 200).map(_ => ("b", 9.9))
+    val (refDf, curDf) = (ref.toDF("g", "v"), cur.toDF("g", "v"))
+    val profile = Validation.requireGroupDriftBelow(
+      refDf, curDf, "g", "v", 0.0, 10.0, 5, maxPsi = 100.0)
+    assert(profile.length == 10) // 2 groups x 5 buckets, returned on pass
+    val e = intercept[IllegalStateException](Validation.requireGroupDriftBelow(
+      refDf, curDf, "g", "v", 0.0, 10.0, 5, maxPsi = 0.05))
+    assert(e.getMessage.contains("group 'b'") &&
+      e.getMessage.contains("worst bucket"), e.getMessage)
+    assert(!e.getMessage.contains("group 'a'"), e.getMessage) // a is clean
+  }
+
   test("randomized categorical sweep: categoricalDrift == plain-Scala reference, 30 cases") {
     val rnd = new scala.util.Random(7)
     for (round <- 0 until 30) {

@@ -238,6 +238,59 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(tracker.counts.map(_._3).sum == 2L)
   }
 
+  test("driftSink hard gate: trips at the exact crossing epoch; replay never double-trips") {
+    import spark.implicits._
+    // reference: uniform over [0, 10); planted drift arrives in epoch 2
+    val ref = Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("v")
+    val tracker = StreamOps.driftFit(ref, "v", lo = 0.0, hi = 10.0, buckets = 5)
+    val sink = StreamOps.driftSink(tracker, "v", maxPsi = 0.5)
+    // epochs 0-1: same distribution — cumulative PSI stays under the gate
+    sink(Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("v"), 0L)
+    assert(tracker.psiTotal < 0.5)
+    sink(Seq(1.0, 3.0, 5.0, 7.0, 9.0).toDF("v"), 1L)
+    // epoch 2: everything lands in the top bucket — cumulative PSI crosses
+    val drifted = Seq.fill(50)(9.9).toDF("v")
+    val e = intercept[IllegalStateException](sink(drifted, 2L))
+    assert(e.getMessage.contains("epoch 2") &&
+      e.getMessage.contains("worst buckets"), e.getMessage)
+    // the tripping epoch MERGED before throwing; its recovery-replay is
+    // skipped by the floor and must NOT trip again (no double-count, no
+    // spurious second failure from the same epoch)
+    val countsAfterTrip = tracker.counts
+    sink(drifted, 2L)
+    assert(tracker.counts == countsAfterTrip)
+    // the NEXT epoch still gates (cumulative PSI remains over)
+    intercept[IllegalStateException](sink(Seq(9.9).toDF("v"), 3L))
+  }
+
+  test("constraintSink hard gate: cumulative tolerance crossing trips once per epoch, replay-safe") {
+    import spark.implicits._
+    val rules = Seq("text_nonempty" -> (length(col("text")) > 0))
+    // tolerance 0.25: one empty text among the first four rows stays under
+    val (tracker, fn) = StreamOps.constraintSink(col("id"), rules,
+      hardTolerance = Some(Map("text_nonempty" -> 0.25)))
+    fn(Seq((1L, "ok"), (2L, "ok"), (3L, ""), (4L, "ok")).toDF("id", "text"), 0L)
+    assert(tracker.result.head._3 == 1L) // merged, under tolerance (1/4)
+    // epoch 1 pushes the CUMULATIVE fraction to 3/6 > 0.25 -> trips
+    val bad = Seq((5L, ""), (6L, "")).toDF("id", "text")
+    val e = intercept[IllegalStateException](fn(bad, 1L))
+    assert(e.getMessage.contains("epoch 1") &&
+      e.getMessage.contains("text_nonempty"), e.getMessage)
+    // replay of the tripping epoch: skipped by the floor, no second trip
+    val after = tracker.result
+    fn(bad, 1L)
+    assert(tracker.result == after)
+    // zero tolerance (empty map): the first violation anywhere trips
+    val (_, strict) = StreamOps.constraintSink(col("id"), rules,
+      hardTolerance = Some(Map.empty))
+    strict(Seq((1L, "ok")).toDF("id", "text"), 0L)
+    intercept[IllegalStateException](
+      strict(Seq((2L, "")).toDF("id", "text"), 1L))
+    // unknown rule name in the tolerance map is a loud config error
+    intercept[IllegalArgumentException](StreamOps.constraintSink(
+      col("id"), rules, hardTolerance = Some(Map("nope" -> 0.1))))
+  }
+
   test("driftTracker checkpoint: byte round-trip validates params AND reference histogram") {
     import spark.implicits._
     val ref = Seq(1.0, 2.0, 7.0).toDF("v")
