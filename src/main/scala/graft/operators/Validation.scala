@@ -266,6 +266,18 @@ object Validation {
       .select(col("category"), col("__ord"),
         coalesce(col("__nr"), lit(0L)).as("n_ref"),
         coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    categoricalDriftFromCounts(joined, alpha)
+  }
+
+  /** [[categoricalDrift]]'s probability/PSI tail over an already-folded
+    * count frame (category, __ord, n_ref, n_cur) — the entry point for
+    * counts accumulated elsewhere (the streaming monitor
+    * [[graft.streaming.StreamOps.CatDriftTracker]]), so batch and
+    * streaming categorical PSI can never use different formulas
+    * ([[distributionDriftFromCounts]]'s contract). Rows order by __ord
+    * descending then category (rank order, fold row last at __ord -1). */
+  private[graft] def categoricalDriftFromCounts(joined: DataFrame,
+      alpha: Double): DataFrame = {
     val totals = joined.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"), count(lit(1)).as("__rows"))
     val pRef = (col("n_ref") + alpha) / (col("__tr") + col("__rows") * alpha)
