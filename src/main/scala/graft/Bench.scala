@@ -63,6 +63,11 @@ object Bench {
       // and the maintenance thread's snapshot write would race the timed loop
       .config("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1000")
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+      // RunStats totals sum over recentProgress; the default retention (100)
+      // silently truncates the per-batch duration totals once a run exceeds
+      // 100 micro-batches (larger SF / smaller trigger) while still claiming
+      // to be full-run numbers — retain far past any plausible batch count
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       // single-node bench: checkpoint to tmpfs when present — a cluster
       // deployment checkpoints to a fast DFS, not the OS root disk, and the
       // per-batch offset/commit/state-delta fsyncs otherwise measure the
@@ -177,6 +182,21 @@ object Bench {
     spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
     val eventsPerSec = totalEvents / math.max(passthrough, 1e-9)
+    // the 2x criterion is evaluated WITHIN a pair (same load window), never
+    // across pairs: min-of-windowed over min-of-passthrough could mix one
+    // run's lucky passthrough with another run's windowed time, flattering
+    // (or slandering) the ratio with cross-run load skew. The headline
+    // ratio is the MEDIAN of per-pair ratios; the per-pair list and the
+    // legacy cross-pair min ratio are both published beside it.
+    val ratioPairs = headlinePairs.map { case (p, w) =>
+      math.round(w.sec / math.max(p.sec, 1e-9) * 100) / 100.0
+    }
+    val ratioMedian = {
+      val s = ratioPairs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2)
+      else math.round((s(n / 2 - 1) + s(n / 2)) / 2 * 100) / 100.0
+    }
 
     // per-query timing, BEST OF 2 passes (like the headline workloads):
     // single-run wall time on this host carries ±15-30% scheduler noise,
@@ -219,7 +239,8 @@ object Bench {
     val total = passthrough + windowed + results.map(r => math.abs(r._2)).sum
     // BASELINE.md's two criteria, machine-checkable from one line:
     // windowed/passthrough <= 2 and events/s/partition >= 1000
-    val windowedRatio =
+    val windowedRatio = ratioMedian
+    val windowedRatioMin =
       math.round(windowed / math.max(passthrough, 1e-9) * 100) / 100.0
     val perPartition = (eventsPerSec / partitions).round
     // the streaming gates' micro-batch harness (AvailableNow setup, trigger
@@ -230,7 +251,17 @@ object Bench {
       .collect { case (k, v) if k.startsWith("q_stream_") => math.abs(v) }.sum
     val headline =
       s""","passthrough_sec":$passthrough,"windowed_sec":$windowed""" +
+      // windowed_ratio = MEDIAN of within-pair ratios (the criterion
+      // statistic); ratio_pairs lists each interleaved pair's own ratio;
+      // windowed_ratio_min is the legacy cross-pair min/min
       s""","windowed_ratio":$windowedRatio""" +
+      s""","ratio_pairs":${ratioPairs.mkString("[", ",", "]")}""" +
+      s""","windowed_ratio_min":$windowedRatioMin""" +
+      // the non-default configs the headline runs under — without them the
+      // artifact's numbers are not reproducible/interpretable on their own
+      s""","headline_configs":{"codegen_factory":"NO_CODEGEN",""" +
+      s""""wholestage_codegen":false,"shuffle_partitions":1,""" +
+      s""""trigger_events":$trigger,"source_partitions":$partitions}""" +
       s""","events_per_sec":${eventsPerSec.round}""" +
       s""","events_per_sec_per_partition":$perPartition,"n_events":$totalEvents""" +
       s""","stream_gates_sec":${math.round(streamGatesSec * 1000) / 1000.0}""" +

@@ -133,12 +133,17 @@ object SparkEntry {
     })
 
   private def sharedDocsLog(s: SparkSession, dir: String, withId: Boolean,
-      dropSrc0: Boolean = false): String = {
-    val shape = (if (withId) "id" else "body") + (if (dropSrc0) "nosrc0" else "")
+      dropSrc0: Boolean = false, withSource: Boolean = false): String = {
+    val shape = (if (withId) "id" else "body") +
+      (if (dropSrc0) "nosrc0" else "") + (if (withSource) "src" else "")
     sharedLog(dir, shape) { name =>
       val docs0 = Tables.documents(s, dir)
       val docs = if (dropSrc0) docs0.filter(col("source") =!= "src0") else docs0
-      (if (withId)
+      (if (withId && withSource)
+        docs.select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string"),
+            lit("source"), col("source")).as("properties"))
+      else if (withId)
         docs.select(col("text").cast("binary").as("body"),
           map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
       else docs.select(col("text").cast("binary").as("body")))
@@ -146,6 +151,23 @@ object SparkEntry {
         .option("name", name).option("partitions", "4").mode("append").save()
     }
   }
+
+  /** Shared embeddings log for q_stream_embed_drift: the vector rides in
+    * the body as a comma-joined DOUBLE rendering (widened BEFORE
+    * stringify — double -> string -> double round-trips exactly in Spark,
+    * while stringifying the raw floats would re-parse to DIFFERENT
+    * doubles than the batch path's float -> double widening). */
+  private def sharedEmbedLog(s: SparkSession, dir: String): String =
+    sharedLog(dir, "emb") { name =>
+      Tables.embeddings(s, dir)
+        .select(concat_ws(",",
+            transform(col("embedding").cast("array<double>"),
+              x => x.cast("string"))).cast("binary").as("body"),
+          map(lit("vec_id"), col("vec_id").cast("string"),
+            lit("label"), col("label").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", name).option("partitions", "4").mode("append").save()
+    }
 
   /** Shared events log carrying (event_id, event_type, value) as typed
     * properties — q_stream_drift's source (the parquet-seeded `path` log
@@ -721,6 +743,131 @@ object SparkEntry {
           TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
           TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
         .orderBy(col("bucket"))
+    }),
+
+    "q_stream_cat_drift" -> ((s, dir) => {
+      // streaming categorical (source-mix) PSI in the fit-once shape: the
+      // reference's top-6 + __other__ mix fits ONCE from the even-id
+      // batch snapshot; each micro-batch classifies against the
+      // broadcast-literal top set (ONE aggregate, <= 7 rows collected)
+      // into bounded driver state. Cumulative integer counts over ANY
+      // trigger slicing == the batch fold, so q_categorical_drift's
+      // oracle gates it unchanged (same planted dark feed: the odd-id
+      // snapshot drops src1 entirely).
+      val logName = sharedDocsLog(s, dir, withId = true, withSource = true)
+      val n = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (n + 3) / 4)
+      val tracker = streaming.StreamOps.catDriftFit(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+        "source", topK = 6)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("properties")("source").as("source"))
+        .filter(col("doc_id") % 2 === 1 && col("source") =!= "src1")
+      val q = stream.writeStream
+        .foreachBatch(streaming.StreamOps.catDriftSink(tracker, "source"))
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q)
+      import s.implicits._
+      operators.Validation.categoricalDriftFromCounts(
+          tracker.counts.toDF("category", "__ord", "n_ref", "n_cur"),
+          alpha = 0.5)
+        .select(col("category"), col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("p_ref"), 6).as("p_ref_r"),
+          TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
+          TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
+        .orderBy(col("category"))
+    }),
+
+    "q_stream_group_drift" -> ((s, dir) => {
+      // streaming PER-GROUP PSI in the fit-once shape: per-segment
+      // reference histograms fit ONCE from the even-id snapshot; each
+      // micro-batch folds one (group, bucket) aggregate (<= groups x 8
+      // rows) into bounded driver state. Exact integer counts over ANY
+      // slicing == the batch per-group profile, so q_group_drift's oracle
+      // gates it unchanged (same planted shift: 'click' values scaled
+      // 1.25x + 8 on the odd-id snapshot).
+      val logName = sharedEventsValLog(s, dir)
+      val nEv = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (nEv + 3) / 4)
+      val tracker = streaming.StreamOps.groupDriftFit(
+        Tables.events(s, dir).filter(col("event_id") % 2 === 0),
+        "event_type", "value", lo = 0.0, hi = 512.0, buckets = 8)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("event_id").cast("long").as("event_id"),
+          col("properties")("event_type").as("event_type"),
+          col("properties")("value").cast("double").as("value"))
+        .filter(col("event_id") % 2 === 1)
+        .withColumn("value", when(col("event_type") === "click",
+          col("value") * 1.25 + 8).otherwise(col("value")))
+      val q = stream.writeStream
+        .foreachBatch(streaming.StreamOps.groupDriftSink(
+          tracker, "event_type", "value"))
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q)
+      import s.implicits._
+      operators.Validation.distributionDriftByGroupFromCounts(
+          tracker.counts.toDF("group", "bucket", "n_ref", "n_cur"),
+          lo = 0.0, hi = 512.0, buckets = 8)
+        .select(col("group").as("grp"), col("bucket"),
+          col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("lo_edge"), 6).as("lo_edge_r"),
+          TextFunctions.stableRound(col("hi_edge"), 6).as("hi_edge_r"),
+          TextFunctions.stableRound(col("p_ref"), 6).as("p_ref_r"),
+          TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
+          TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
+        .orderBy(col("grp"), col("bucket"))
+    }),
+
+    "q_stream_embed_drift" -> ((s, dir) => {
+      // streaming EMBEDDING drift in the fit-once shape: reference
+      // per-label centroids/norms fit ONCE from the even-vec_id snapshot;
+      // each micro-batch folds two bounded aggregates (per-label stats +
+      // per-(label, pos) centroid sums) into labels x dim driver state.
+      // Cumulative sums over ANY slicing == the batch stats up to fp
+      // association, absorbed by stableRound(4) — q_embed_drift's oracle
+      // gates it unchanged (same planted re-scale: odd vec_ids with
+      // label >= 5 get x*1.2 + 0.01; the log round-trips DOUBLES so the
+      // arithmetic is bit-identical to the batch path).
+      val logName = sharedEmbedLog(s, dir)
+      val n = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (n + 3) / 4)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val tracker = streaming.StreamOps.embedDriftFit(
+        e.filter(col("vec_id") % 2 === 0), "label", "v")
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("vec_id").cast("long").as("vec_id"),
+          col("properties")("label").cast("int").as("label"),
+          split(col("body").cast("string"), ",")
+            .cast("array<double>").as("v"))
+        .filter(col("vec_id") % 2 === 1)
+        .withColumn("v", when(col("label") >= 5,
+          transform(col("v"), x => x * 1.2 + 0.01)).otherwise(col("v")))
+      val q = stream.writeStream
+        .foreachBatch(streaming.StreamOps.embedDriftSink(tracker, "label", "v"))
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q)
+      import s.implicits._
+      tracker.result.toDF("label_s", "n_ref", "n_cur", "norm_ref",
+          "norm_cur", "centroid_cos", "dim_mismatch")
+        .select(col("label_s").cast("int").as("label"),
+          col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("norm_ref"), 4).as("norm_ref_r"),
+          TextFunctions.stableRound(col("norm_cur"), 4).as("norm_cur_r"),
+          TextFunctions.stableRound(col("centroid_cos"), 4).as("cos_r"),
+          col("dim_mismatch"))
+        .orderBy(col("label"))
     }),
 
     "q_corpus_pack_texts" -> ((s, dir) => {
@@ -3108,41 +3255,12 @@ object SparkEntry {
           |FROM events, (VALUES (0.25), (0.5), (0.75), (0.95)) q(quantile)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-      "q_group_drift" -> {
-        def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
-        val pr = "(n_ref + 0.5) / (tr + 4.0)"
-        val pc = "(n_cur + 0.5) / (tc + 4.0)"
-        val bkt = "CAST(least(greatest(floor((value - 0.0) / 64.0), 0), 7) AS INT)"
-        s"""WITH ref0 AS (
-           |  SELECT event_type AS grp, value FROM events
-           |  WHERE event_id % 2 = 0 AND event_type IS NOT NULL),
-           |cur0 AS (
-           |  SELECT event_type AS grp,
-           |    CASE WHEN event_type = 'click' THEN value * 1.25 + 8
-           |    ELSE value END AS value
-           |  FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL),
-           |r AS (SELECT grp, $bkt AS bucket, count(*) AS n FROM ref0
-           |      WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
-           |      GROUP BY 1, 2),
-           |c AS (SELECT grp, $bkt AS bucket, count(*) AS n FROM cur0
-           |      WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
-           |      GROUP BY 1, 2),
-           |g AS (SELECT DISTINCT grp FROM
-           |      (SELECT grp FROM ref0 UNION ALL SELECT grp FROM cur0)),
-           |f AS (SELECT grp, CAST(range AS INT) AS bucket FROM g, range(8)),
-           |j AS (SELECT f.grp, f.bucket, coalesce(r.n, 0) AS n_ref,
-           |        coalesce(c.n, 0) AS n_cur
-           |      FROM f LEFT JOIN r USING (grp, bucket)
-           |      LEFT JOIN c USING (grp, bucket)),
-           |t AS (SELECT grp, sum(n_ref) AS tr, sum(n_cur) AS tc
-           |      FROM j GROUP BY 1)
-           |SELECT j.grp, j.bucket, j.n_ref, j.n_cur,
-           | ${sr("0.0 + bucket * 64.0")} AS lo_edge_r,
-           | ${sr("0.0 + (bucket + 1) * 64.0")} AS hi_edge_r,
-           | ${sr(pr)} AS p_ref_r, ${sr(pc)} AS p_cur_r,
-           | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
-           |FROM j JOIN t USING (grp) ORDER BY 1, 2""".stripMargin
-      },
+      "q_group_drift" -> groupDriftOracleSql,
+
+      // exact cumulative (group, bucket) counts over any trigger slicing
+      // == the batch per-group histograms, so the streaming monitor
+      // shares the batch oracle (numericDriftOracleSql's rationale)
+      "q_stream_group_drift" -> groupDriftOracleSql,
 
       "q_stream_enrich" ->
         """SELECT event_type, count(*) AS n_events,
@@ -3611,80 +3729,17 @@ object SparkEntry {
         operators.Dedup.sqlEmbeddingCosinePairs(
           dim = EmbeddingDim, threshold = 0.4, bands = 12, bitsPerBand = 5),
 
-      "q_categorical_drift" -> {
-        def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
-        val pr = "(n_ref + 0.5) / (tr + 0.5 * nrows)"
-        val pc = "(n_cur + 0.5) / (tc + 0.5 * nrows)"
-        s"""WITH refc AS (
-           |  SELECT source AS cat, count(*) AS n FROM documents
-           |  WHERE doc_id % 2 = 0 AND source IS NOT NULL GROUP BY 1),
-           |curc AS (
-           |  SELECT source AS cat, count(*) AS n FROM documents
-           |  WHERE doc_id % 2 = 1 AND source <> 'src1'
-           |    AND source IS NOT NULL GROUP BY 1),
-           |top AS (SELECT cat, n FROM refc ORDER BY n DESC, cat ASC LIMIT 6),
-           |refh AS (
-           |  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat
-           |         ELSE '__other__' END AS category, sum(n)::BIGINT AS n_ref
-           |  FROM refc GROUP BY 1),
-           |curh AS (
-           |  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat
-           |         ELSE '__other__' END AS category, sum(n)::BIGINT AS n_cur
-           |  FROM curc GROUP BY 1),
-           |frame AS (SELECT cat AS category FROM top
-           |          UNION ALL SELECT '__other__'),
-           |j AS (
-           |  SELECT f.category, coalesce(r.n_ref, 0) AS n_ref,
-           |    coalesce(c.n_cur, 0) AS n_cur
-           |  FROM frame f LEFT JOIN refh r USING (category)
-           |  LEFT JOIN curh c USING (category)),
-           |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc,
-           |      count(*) AS nrows FROM j)
-           |SELECT category, n_ref, n_cur,
-           | ${sr(pr)} AS p_ref_r, ${sr(pc)} AS p_cur_r,
-           | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
-           |FROM j, t ORDER BY 1""".stripMargin
-      },
+      "q_categorical_drift" -> categoricalDriftOracleSql,
 
-      "q_embed_drift" -> {
-        def sr(e: String) = TextFunctions.sqlStableRound(e, 4)
-        val normOf = "avg(sqrt(list_sum(list_transform(v, x -> x * x))))"
-        s"""WITH e AS (
-           |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-           |ref AS (SELECT label, v FROM e WHERE vec_id % 2 = 0),
-           |cur AS (
-           |  SELECT label,
-           |    CASE WHEN label >= 5 THEN list_transform(v, x -> x * 1.2 + 0.01)
-           |    ELSE v END AS v
-           |  FROM e WHERE vec_id % 2 = 1),
-           |rs AS (SELECT label, count(*) AS n_ref, $normOf AS norm_ref,
-           |        min(len(v)) AS dn_r, max(len(v)) AS dx_r
-           |       FROM ref GROUP BY 1),
-           |cs AS (SELECT label, count(*) AS n_cur, $normOf AS norm_cur,
-           |        min(len(v)) AS dn_c, max(len(v)) AS dx_c
-           |       FROM cur GROUP BY 1),
-           |rc AS (SELECT label, i, avg(v[i]) AS m
-           |       FROM ref, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY 1, 2),
-           |cc AS (SELECT label, i, avg(v[i]) AS m
-           |       FROM cur, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY 1, 2),
-           |cosq AS (
-           |  SELECT rc.label,
-           |    CASE WHEN sum(rc.m * rc.m) > 0 AND sum(cc.m * cc.m) > 0
-           |      THEN sum(rc.m * cc.m)
-           |           / sqrt(sum(rc.m * rc.m) * sum(cc.m * cc.m)) END AS cos
-           |  FROM rc JOIN cc ON rc.label = cc.label AND rc.i = cc.i
-           |  GROUP BY 1)
-           |SELECT label, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
-           | ${sr("norm_ref")} AS norm_ref_r, ${sr("norm_cur")} AS norm_cur_r,
-           | CASE WHEN one_dim THEN ${sr("cos")} END AS cos_r,
-           | NOT one_dim AS dim_mismatch
-           |FROM (SELECT *,
-           |   (dn_r IS NULL OR dn_r = dx_r) AND (dn_c IS NULL OR dn_c = dx_c)
-           |   AND (dx_r IS NULL OR dx_c IS NULL OR dx_r = dx_c) AS one_dim
-           |  FROM rs FULL OUTER JOIN cs USING (label)
-           |  LEFT JOIN cosq USING (label))
-           |ORDER BY 1""".stripMargin
-      },
+      // exact cumulative classified counts over any trigger slicing ==
+      // the batch fold, so the streaming monitor shares the batch oracle
+      "q_stream_cat_drift" -> categoricalDriftOracleSql,
+
+      "q_embed_drift" -> embedDriftOracleSql,
+
+      // cumulative per-label sums over any slicing == the batch stats up
+      // to fp association, absorbed by the shared stableRound(4)
+      "q_stream_embed_drift" -> embedDriftOracleSql,
 
       "q_ann_lsh" ->
         Similarity.sqlLshTopK(dim = EmbeddingDim, numBits = 6, seed = 42L,
@@ -4079,6 +4134,127 @@ object SparkEntry {
        | ${sr(pc)} AS p_cur_r,
        | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
        |FROM j, t ORDER BY 1""".stripMargin
+  }
+
+  /** Per-group PSI profile of the planted 'click'-shift split — shared by
+    * q_group_drift (batch) and q_stream_group_drift (the cumulative
+    * streaming monitor, whose exact integer counts make the batch SQL its
+    * oracle too — numericDriftOracleSql's rationale). */
+  private val groupDriftOracleSql: String = {
+    def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
+    val pr = "(n_ref + 0.5) / (tr + 4.0)"
+    val pc = "(n_cur + 0.5) / (tc + 4.0)"
+    val bkt = "CAST(least(greatest(floor((value - 0.0) / 64.0), 0), 7) AS INT)"
+    s"""WITH ref0 AS (
+       |  SELECT event_type AS grp, value FROM events
+       |  WHERE event_id % 2 = 0 AND event_type IS NOT NULL),
+       |cur0 AS (
+       |  SELECT event_type AS grp,
+       |    CASE WHEN event_type = 'click' THEN value * 1.25 + 8
+       |    ELSE value END AS value
+       |  FROM events WHERE event_id % 2 = 1 AND event_type IS NOT NULL),
+       |r AS (SELECT grp, $bkt AS bucket, count(*) AS n FROM ref0
+       |      WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+       |      GROUP BY 1, 2),
+       |c AS (SELECT grp, $bkt AS bucket, count(*) AS n FROM cur0
+       |      WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+       |      GROUP BY 1, 2),
+       |g AS (SELECT DISTINCT grp FROM
+       |      (SELECT grp FROM ref0 UNION ALL SELECT grp FROM cur0)),
+       |f AS (SELECT grp, CAST(range AS INT) AS bucket FROM g, range(8)),
+       |j AS (SELECT f.grp, f.bucket, coalesce(r.n, 0) AS n_ref,
+       |        coalesce(c.n, 0) AS n_cur
+       |      FROM f LEFT JOIN r USING (grp, bucket)
+       |      LEFT JOIN c USING (grp, bucket)),
+       |t AS (SELECT grp, sum(n_ref) AS tr, sum(n_cur) AS tc
+       |      FROM j GROUP BY 1)
+       |SELECT j.grp, j.bucket, j.n_ref, j.n_cur,
+       | ${sr("0.0 + bucket * 64.0")} AS lo_edge_r,
+       | ${sr("0.0 + (bucket + 1) * 64.0")} AS hi_edge_r,
+       | ${sr(pr)} AS p_ref_r, ${sr(pc)} AS p_cur_r,
+       | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
+       |FROM j JOIN t USING (grp) ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Categorical (source-mix) PSI of the planted dark-feed split — shared
+    * by q_categorical_drift (batch) and q_stream_cat_drift (the cumulative
+    * streaming monitor with exact integer counts). */
+  private val categoricalDriftOracleSql: String = {
+    def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
+    val pr = "(n_ref + 0.5) / (tr + 0.5 * nrows)"
+    val pc = "(n_cur + 0.5) / (tc + 0.5 * nrows)"
+    s"""WITH refc AS (
+       |  SELECT source AS cat, count(*) AS n FROM documents
+       |  WHERE doc_id % 2 = 0 AND source IS NOT NULL GROUP BY 1),
+       |curc AS (
+       |  SELECT source AS cat, count(*) AS n FROM documents
+       |  WHERE doc_id % 2 = 1 AND source <> 'src1'
+       |    AND source IS NOT NULL GROUP BY 1),
+       |top AS (SELECT cat, n FROM refc ORDER BY n DESC, cat ASC LIMIT 6),
+       |refh AS (
+       |  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat
+       |         ELSE '__other__' END AS category, sum(n)::BIGINT AS n_ref
+       |  FROM refc GROUP BY 1),
+       |curh AS (
+       |  SELECT CASE WHEN cat IN (SELECT cat FROM top) THEN cat
+       |         ELSE '__other__' END AS category, sum(n)::BIGINT AS n_cur
+       |  FROM curc GROUP BY 1),
+       |frame AS (SELECT cat AS category FROM top
+       |          UNION ALL SELECT '__other__'),
+       |j AS (
+       |  SELECT f.category, coalesce(r.n_ref, 0) AS n_ref,
+       |    coalesce(c.n_cur, 0) AS n_cur
+       |  FROM frame f LEFT JOIN refh r USING (category)
+       |  LEFT JOIN curh c USING (category)),
+       |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc,
+       |      count(*) AS nrows FROM j)
+       |SELECT category, n_ref, n_cur,
+       | ${sr(pr)} AS p_ref_r, ${sr(pc)} AS p_cur_r,
+       | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
+       |FROM j, t ORDER BY 1""".stripMargin
+  }
+
+  /** Per-label embedding drift of the planted re-scale split — shared by
+    * q_embed_drift (batch) and q_stream_embed_drift (cumulative per-label
+    * sums; fp-association differences absorbed by stableRound(4)). */
+  private val embedDriftOracleSql: String = {
+    def sr(e: String) = TextFunctions.sqlStableRound(e, 4)
+    val normOf = "avg(sqrt(list_sum(list_transform(v, x -> x * x))))"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |ref AS (SELECT label, v FROM e WHERE vec_id % 2 = 0),
+       |cur AS (
+       |  SELECT label,
+       |    CASE WHEN label >= 5 THEN list_transform(v, x -> x * 1.2 + 0.01)
+       |    ELSE v END AS v
+       |  FROM e WHERE vec_id % 2 = 1),
+       |rs AS (SELECT label, count(*) AS n_ref, $normOf AS norm_ref,
+       |        min(len(v)) AS dn_r, max(len(v)) AS dx_r
+       |       FROM ref GROUP BY 1),
+       |cs AS (SELECT label, count(*) AS n_cur, $normOf AS norm_cur,
+       |        min(len(v)) AS dn_c, max(len(v)) AS dx_c
+       |       FROM cur GROUP BY 1),
+       |rc AS (SELECT label, i, avg(v[i]) AS m
+       |       FROM ref, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY 1, 2),
+       |cc AS (SELECT label, i, avg(v[i]) AS m
+       |       FROM cur, range(1, ${EmbeddingDim + 1}) t(i) GROUP BY 1, 2),
+       |cosq AS (
+       |  SELECT rc.label,
+       |    CASE WHEN sum(rc.m * rc.m) > 0 AND sum(cc.m * cc.m) > 0
+       |      THEN sum(rc.m * cc.m)
+       |           / sqrt(sum(rc.m * rc.m) * sum(cc.m * cc.m)) END AS cos
+       |  FROM rc JOIN cc ON rc.label = cc.label AND rc.i = cc.i
+       |  GROUP BY 1)
+       |SELECT label, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+       | ${sr("norm_ref")} AS norm_ref_r, ${sr("norm_cur")} AS norm_cur_r,
+       | CASE WHEN one_dim THEN ${sr("cos")} END AS cos_r,
+       | NOT one_dim AS dim_mismatch
+       |FROM (SELECT *,
+       |   (dn_r IS NULL OR dn_r = dx_r) AND (dn_c IS NULL OR dn_c = dx_c)
+       |   AND (dx_r IS NULL OR dx_c IS NULL OR dx_r = dx_c) AS one_dim
+       |  FROM rs FULL OUTER JOIN cs USING (label)
+       |  LEFT JOIN cosq USING (label))
+       |ORDER BY 1""".stripMargin
   }
 
   private val incrementalDedupOracleSql: String =

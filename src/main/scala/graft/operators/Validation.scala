@@ -336,6 +336,21 @@ object Validation {
       .select(col("group"), col("bucket"),
         coalesce(col("__nr"), lit(0L)).as("n_ref"),
         coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    distributionDriftByGroupFromCounts(joined, lo, hi, buckets, alpha)
+  }
+
+  /** [[distributionDriftByGroup]]'s probability/PSI tail over an
+    * already-binned dense count frame (group, bucket, n_ref, n_cur) — the
+    * entry point for per-group histograms accumulated elsewhere (the
+    * streaming monitor [[graft.streaming.StreamOps.GroupDriftTracker]]),
+    * so batch and streaming per-group PSI can never use different
+    * formulas ([[distributionDriftFromCounts]]'s contract). */
+  def distributionDriftByGroupFromCounts(joined: DataFrame, lo: Double,
+      hi: Double, buckets: Int, alpha: Double = 0.5): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val w = (hi - lo) / buckets
     // per-GROUP grand totals (one narrow row per group, equi-joined back)
     val totals = joined.groupBy(col("group"))
       .agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))

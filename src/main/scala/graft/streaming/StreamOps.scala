@@ -225,8 +225,11 @@ object StreamOps {
     * zero tolerance everywhere) throws, failing the query at exactly the
     * epoch the threshold crossed. The gate reads the CUMULATIVE counts —
     * one bad row trips a zero-tolerance rule whatever the batch slicing —
-    * and a replayed epoch is skipped before the check, so failure
-    * recovery can never double-count its way into a spurious trip. */
+    * and a replayed epoch is MERGE-skipped (counts never double), while
+    * the gate itself still re-evaluates — the check reads only cumulative
+    * state, so it is idempotent, and a restarted query whose TRIPPING
+    * epoch was also its last (Trigger.AvailableNow crash-then-retry)
+    * re-fails instead of completing with violations over the gate. */
   def constraintSink(idCol: org.apache.spark.sql.Column,
       rules: Seq[(String, org.apache.spark.sql.Column)],
       hardTolerance: Option[Map[String, Double]] = None)
@@ -243,8 +246,11 @@ object StreamOps {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           Option(r.getString(3))))
         .toSeq
-      val merged = tracker.update(profile, epochId)
-      if (merged) hardTolerance.foreach { tol =>
+      tracker.update(profile, epochId)
+      // gate OUTSIDE the merged-branch: a replayed tripping epoch must
+      // re-trip (cumulative state is unchanged by the skipped merge, so
+      // the re-check is idempotent — no double-count, no missed trip)
+      hardTolerance.foreach { tol =>
         val failing = tracker.result.filter { case (rule, n, v, _) =>
           v > 0 && (if (n == 0) 0.0 else v.toDouble / n) >
             tol.getOrElse(rule, 0.0)
@@ -393,9 +399,10 @@ object StreamOps {
     * an epoch MERGES, if the cumulative PSI vs the fitted reference
     * exceeds `maxPsi` the sink throws — failing the query at exactly the
     * epoch the threshold crossed, with the worst buckets in the message.
-    * A replayed epoch is skipped before the check (cumulative counts
-    * unchanged), so failure recovery never double-counts into a spurious
-    * trip. */
+    * A replayed epoch is MERGE-skipped (cumulative counts never double)
+    * but the gate still re-evaluates — it reads only cumulative state, so
+    * a restarted query whose tripping epoch was its last re-fails instead
+    * of completing over the threshold. */
   def driftSink(tracker: DriftTracker, valueCol: String,
       maxPsi: Double = Double.PositiveInfinity)
       : (DataFrame, Long) => Unit =
@@ -408,26 +415,650 @@ object StreamOps {
         .collect()
         .map(r => (r.getInt(0), r.getLong(1)))
         .toSeq
-      val merged = tracker.update(counts, epochId)
-      if (merged && tracker.psiTotal > maxPsi) {
+      tracker.update(counts, epochId)
+      val psi = tracker.psiTotal
+      if (psi > maxPsi) {
         val w = (tracker.hi - tracker.lo) / tracker.buckets
-        val worst = tracker.counts
+        // ONE consistent snapshot + hoisted totals: three separate
+        // synchronized reads inside the per-bucket map could interleave
+        // with a concurrent merge and price each bucket against different
+        // totals (and recomputing the sums per bucket is O(B^2))
+        val snap = tracker.counts
+        val tr = snap.map(_._2).sum + tracker.alpha * tracker.buckets
+        val tc = snap.map(_._3).sum + tracker.alpha * tracker.buckets
+        val worst = snap
           .map { case (b, nr, nc) =>
-            val p = (nr + tracker.alpha) /
-              (tracker.counts.map(_._2).sum + tracker.alpha * tracker.buckets)
-            val q = (nc + tracker.alpha) /
-              (tracker.counts.map(_._3).sum + tracker.alpha * tracker.buckets)
+            val p = (nr + tracker.alpha) / tr
+            val q = (nc + tracker.alpha) / tc
             (b, nr, nc, (q - p) * math.log(q / p))
           }
           .sortBy(-_._4).take(3)
-          .map { case (b, nr, nc, psi) =>
+          .map { case (b, nr, nc, psiB) =>
             f"[${tracker.lo + b * w}%.4g, ${tracker.lo + (b + 1) * w}%.4g) " +
-              f"ref=$nr cur=$nc psi=$psi%.4f"
+              f"ref=$nr cur=$nc psi=$psiB%.4f"
           }
         throw new IllegalStateException(
           f"stream drift gate tripped at epoch $epochId: cumulative PSI " +
-            f"${tracker.psiTotal}%.4f > $maxPsi on '$valueCol'; worst " +
+            f"$psi%.4f > $maxPsi on '$valueCol'; worst " +
             s"buckets: ${worst.mkString("; ")}")
+      }
+    }
+
+  /**
+   * Cumulative CATEGORICAL drift monitor of a stream against a fixed
+   * reference category mix — the streaming twin of [[graft.operators
+   * .Validation.categoricalDrift]], and the monitor a production corpus
+   * pipeline alarms on FIRST (source-mix shift: a feed going dark, a new
+   * domain flooding in). Fit-once / probe-many: the reference reduces
+   * ONCE to its top-K category counts plus the folded tail
+   * ([[catDriftFit]]); each micro-batch classifies its rows against the
+   * broadcast-literal top set in ONE map-side-combined aggregate (<= K+1
+   * rows collected) and folds the counts into bounded driver state —
+   * however many distinct values the stream carries (urls, domains), the
+   * state is K+1 longs. Counts are exact integers, so the cumulative mix
+   * over ANY trigger slicing equals the batch histogram — the PSI after
+   * the last epoch is the batch [[graft.operators.Validation
+   * .categoricalDrift]] PSI on the same snapshots.
+   *
+   * The fold row is keyed by an IS-OTHER marker (classification emits
+   * NULL for tail values after NULL categories are excluded), never by
+   * the `__other__` display string, so a real category named `__other__`
+   * in the top set neither merges with nor double-counts against the
+   * fold row — [[graft.operators.Validation.categoricalDrift]]'s exact
+   * contract. Replay-safe via the same epoch floor as [[DriftTracker]]
+   * (merge skipped, hard gate still re-evaluated); scoped to ONE query
+   * (reset() before reuse).
+   */
+  final class CatDriftTracker private[streaming] (
+      val topK: Int, val alpha: Double,
+      private val topCatsArr: Array[String],
+      private val refCounts: Array[Long],
+      private val refOther: Long) extends Serializable {
+    private var lastEpoch: Long = Long.MinValue
+    private val curCounts = new Array[Long](topCatsArr.length)
+    private var curOther: Long = 0L
+
+    /** The fitted top categories, rank order (ref count desc, name asc). */
+    def topCats: Seq[String] = topCatsArr.toSeq
+
+    /** Merge one epoch's classified counts (None = the folded tail);
+      * returns false (state untouched) for a replayed epoch at or below
+      * the merged floor. */
+    private[streaming] def update(batch: Seq[(Option[String], Long)],
+        epochId: Long): Boolean = synchronized {
+      if (epochId <= lastEpoch) return false // replayed epoch: merged
+      lastEpoch = epochId
+      batch.foreach {
+        case (Some(cat), n) =>
+          val i = topCatsArr.indexOf(cat)
+          require(i >= 0, s"classified category '$cat' is not in the fitted " +
+            "top set — sink and tracker disagree on the fit")
+          curCounts(i) += n
+        case (None, n) => curOther += n
+      }
+      true
+    }
+
+    /** Cumulative rows in [[graft.operators.Validation
+      * .categoricalDriftFromCounts]]'s frame shape
+      * (category, __ord, n_ref, n_cur): top rows keyed by their reference
+      * count (rank order), the fold row last at __ord -1. */
+    def counts: Seq[(String, Long, Long, Long)] = synchronized {
+      topCatsArr.indices.map(i =>
+        (topCatsArr(i), refCounts(i), refCounts(i), curCounts(i))) :+
+        (("__other__", -1L, refOther, curOther))
+    }
+
+    /** Total categorical PSI of the stream so far vs the reference —
+      * [[graft.operators.Validation.categoricalDriftFromCounts]]'s
+      * formula on the cumulative counts (smoothing denominator over the
+      * emitted rows, top + fold). */
+    def psiTotal: Double = synchronized {
+      val rows = topCatsArr.length + 1
+      val tr = refCounts.sum + refOther + alpha * rows
+      val tc = curCounts.sum + curOther + alpha * rows
+      def term(nr: Long, nc: Long): Double = {
+        val p = (nr + alpha) / tr; val q = (nc + alpha) / tc
+        (q - p) * math.log(q / p)
+      }
+      topCatsArr.indices.map(i => term(refCounts(i), curCounts(i))).sum +
+        term(refOther, curOther)
+    }
+
+    /** Clear the stream side + epoch floor (the fitted reference mix
+      * stays). Required before reuse across queries. */
+    def reset(): Unit = synchronized {
+      lastEpoch = Long.MinValue
+      java.util.Arrays.fill(curCounts, 0L)
+      curOther = 0L
+    }
+
+    /** Checkpoint cumulative state + epoch floor; the header carries the
+      * full monitor identity (topK, alpha, the fitted top set and its
+      * reference counts) so restoring into a differently-fitted monitor
+      * throws instead of silently mis-attributing counts
+      * ([[DriftTracker.toBytes]]'s contract). */
+    def toBytes: Array[Byte] = synchronized {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(CatDriftMagic)
+      out.writeInt(topK); out.writeDouble(alpha)
+      out.writeInt(topCatsArr.length)
+      topCatsArr.foreach(out.writeUTF)
+      refCounts.foreach(out.writeLong)
+      out.writeLong(refOther)
+      out.writeLong(lastEpoch)
+      curCounts.foreach(out.writeLong)
+      out.writeLong(curOther)
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Restore state serialized by [[toBytes]]; throws on a foreign blob
+      * or monitor-identity mismatch, with the tracker unchanged. */
+    def restore(bytes: Array[Byte]): Unit = synchronized {
+      require(bytes.length >= 8,
+        s"not a CatDriftTracker checkpoint (${bytes.length} bytes)")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val magic = in.readInt()
+      require(magic == CatDriftMagic,
+        s"not a CatDriftTracker checkpoint (magic 0x${magic.toHexString})")
+      val (sK, sA) = (in.readInt(), in.readDouble())
+      require(sK == topK && sA == alpha,
+        s"checkpoint was written by a differently-configured monitor " +
+          s"(topK=$sK, alpha=$sA vs topK=$topK, alpha=$alpha)")
+      val sCats = Array.fill(in.readInt())(in.readUTF())
+      val sRef = Array.fill(sCats.length)(in.readLong())
+      val sOther = in.readLong()
+      require(java.util.Arrays.equals(
+          sCats.asInstanceOf[Array[AnyRef]],
+          topCatsArr.asInstanceOf[Array[AnyRef]]) &&
+          java.util.Arrays.equals(sRef, refCounts) && sOther == refOther,
+        "checkpoint was written against a DIFFERENT reference mix — " +
+          "cumulative counts would attribute to the wrong categories; " +
+          "refit from the checkpoint's reference snapshot")
+      // parse the whole blob before mutating (truncated checkpoint must
+      // leave the tracker unchanged)
+      val epoch = in.readLong()
+      val cur = Array.fill(topCatsArr.length)(in.readLong())
+      val curOth = in.readLong()
+      lastEpoch = epoch
+      System.arraycopy(cur, 0, curCounts, 0, cur.length)
+      curOther = curOth
+    }
+  }
+
+  /** [[CatDriftTracker.toBytes]] header magic ("gCDT"). */
+  private val CatDriftMagic: Int = 0x67434454
+
+  /** Fit the categorical monitor's reference mix ONCE: category counts
+    * reduce map-side, the top-K cut is a distributed TakeOrdered (count
+    * desc, name asc — [[graft.operators.Validation.categoricalDrift]]'s
+    * deterministic tie-break), the tail folds into one number. NULL
+    * categories excluded. */
+  def catDriftFit(ref: DataFrame, catCol: String, topK: Int = 50,
+      alpha: Double = 0.5): CatDriftTracker = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val counts = ref.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("__cat"))
+      .groupBy(col("__cat")).agg(count(lit(1)).as("__n"))
+    val top = counts.orderBy(col("__n").desc, col("__cat").asc).limit(topK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.agg(coalesce(sum(col("__n")), lit(0L)))
+      .head().getLong(0)
+    new CatDriftTracker(topK, alpha, top.map(_._1), top.map(_._2),
+      total - top.map(_._2).sum)
+  }
+
+  /** foreachBatch sink folding each micro-batch's classified category
+    * counts (ONE aggregate against the broadcast-literal top set, <= K+1
+    * rows) into `tracker`'s cumulative stream side. Tail values classify
+    * to NULL (the is-other key) AFTER null categories are excluded, so a
+    * real `__other__` category never collides with the fold row.
+    *
+    * A finite `maxPsi` turns the monitor into a HARD GATE: after the
+    * epoch's counts are in (merged, or merge-skipped on replay — the
+    * check reads only cumulative state and is idempotent), a cumulative
+    * PSI over `maxPsi` throws with the worst-moving categories in the
+    * message, failing the query at exactly the crossing epoch — and a
+    * restarted query whose tripping epoch was its last re-fails. */
+  def catDriftSink(tracker: CatDriftTracker, catCol: String,
+      maxPsi: Double = Double.PositiveInfinity)
+      : (DataFrame, Long) => Unit = {
+    val topSet = tracker.topCats
+    (batch: DataFrame, epochId: Long) => {
+      val c = col(catCol).cast("string")
+      val isTop =
+        if (topSet.isEmpty) lit(false)
+        else c.isInCollection(topSet)
+      val counts = batch.filter(c.isNotNull)
+        // tail values -> NULL: the is-other key (null never collides with
+        // a real category; nulls-as-categories were just excluded)
+        .select(when(isTop, c).as("__cat"))
+        .groupBy(col("__cat")).agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)))
+        .toSeq
+      tracker.update(counts, epochId)
+      val psi = tracker.psiTotal
+      if (psi > maxPsi) {
+        val snap = tracker.counts
+        val rows = snap.length
+        val tr = snap.map(_._3).sum + tracker.alpha * rows
+        val tc = snap.map(_._4).sum + tracker.alpha * rows
+        val worst = snap.map { case (cat, _, nr, nc) =>
+            val p = (nr + tracker.alpha) / tr
+            val q = (nc + tracker.alpha) / tc
+            (cat, nr, nc, (q - p) * math.log(q / p))
+          }
+          .sortBy(-_._4).take(3)
+          .map { case (cat, nr, nc, psiC) =>
+            f"'$cat' ref=$nr cur=$nc psi=$psiC%.4f"
+          }
+        throw new IllegalStateException(
+          f"stream categorical drift gate tripped at epoch $epochId: " +
+            f"cumulative PSI $psi%.4f > $maxPsi on '$catCol'; worst " +
+            s"categories: ${worst.mkString("; ")}")
+      }
+    }
+  }
+
+  /**
+   * Cumulative PER-GROUP numeric drift monitor — the streaming twin of
+   * [[graft.operators.Validation.distributionDriftByGroup]]: one
+   * [[DriftTracker]]-style histogram per segment (source, language,
+   * license), because a 30% shift in one minor feed disappears inside the
+   * corpus-level PSI but screams in its own group's. Fit-once
+   * ([[groupDriftFit]]): the reference reduces ONCE to <= groups x B
+   * counts; each micro-batch adds one (group, bucket) aggregate
+   * (<= groups x B rows collected) to bounded driver state. Groups
+   * appearing only mid-stream are admitted on the fly (their reference
+   * side is all-zero — exactly the "new feed showed up" alarm), capped by
+   * `maxGroups` with a LOUD error, never silent truncation. Counts are
+   * exact integers, so the cumulative monitor over ANY trigger slicing
+   * equals the batch profile. Replay-safe via the standard epoch floor
+   * (merge skipped, hard gate still re-evaluated); scoped to ONE query.
+   */
+  final class GroupDriftTracker private[streaming] (
+      val lo: Double, val hi: Double, val buckets: Int, val alpha: Double,
+      val maxGroups: Int,
+      private val refCounts: Map[String, Array[Long]]) extends Serializable {
+    private var lastEpoch: Long = Long.MinValue
+    private val curCounts =
+      scala.collection.mutable.HashMap.empty[String, Array[Long]]
+
+    /** Merge one epoch's (group, bucket, n) rows; returns false (state
+      * untouched) for a replayed epoch at or below the merged floor.
+      * Throws (BEFORE mutating) if admitting the epoch's new groups would
+      * exceed `maxGroups` — a group column drifting to id-like
+      * cardinality must fail loudly, not accrete unbounded state. */
+    private[streaming] def update(batch: Seq[(String, Int, Long)],
+        epochId: Long): Boolean = synchronized {
+      if (epochId <= lastEpoch) return false // replayed epoch: merged
+      val incoming = batch.map(_._1).distinct
+        .filterNot(g => refCounts.contains(g) || curCounts.contains(g))
+      val after = refCounts.keySet.union(curCounts.keySet).size + incoming.size
+      require(after <= maxGroups,
+        s"epoch $epochId would grow the monitor to $after groups " +
+          s"(> maxGroups $maxGroups) — the group column has id-like " +
+          "cardinality; segment on a coarser column or raise maxGroups")
+      lastEpoch = epochId
+      batch.foreach { case (g, b, n) =>
+        curCounts.getOrElseUpdate(g, new Array[Long](buckets))(b) += n
+      }
+      true
+    }
+
+    /** Cumulative dense rows (group, bucket, n_ref, n_cur) over the UNION
+      * of reference and stream groups — [[graft.operators.Validation
+      * .distributionDriftByGroupFromCounts]]'s frame shape. */
+    def counts: Seq[(String, Int, Long, Long)] = synchronized {
+      val groups = (refCounts.keySet ++ curCounts.keySet).toSeq.sorted
+      groups.flatMap { g =>
+        val r = refCounts.getOrElse(g, new Array[Long](buckets))
+        val c = curCounts.getOrElse(g, new Array[Long](buckets))
+        (0 until buckets).map(b => (g, b, r(b), c(b)))
+      }
+    }
+
+    /** Per-group total PSI on the cumulative counts (per-GROUP smoothing
+      * denominators — each group normalizes by its own totals, so groups
+      * are comparable regardless of size). */
+    def psiByGroup: Map[String, Double] = synchronized {
+      counts.groupBy(_._1).map { case (g, rows) =>
+        val tr = rows.map(_._3).sum + alpha * buckets
+        val tc = rows.map(_._4).sum + alpha * buckets
+        g -> rows.map { case (_, _, nr, nc) =>
+          val p = (nr + alpha) / tr; val q = (nc + alpha) / tc
+          (q - p) * math.log(q / p)
+        }.sum
+      }
+    }
+
+    /** Clear the stream side + epoch floor (the fitted reference stays). */
+    def reset(): Unit = synchronized {
+      lastEpoch = Long.MinValue
+      curCounts.clear()
+    }
+
+    /** Checkpoint cumulative state + epoch floor; header carries the full
+      * monitor identity including the reference histograms
+      * ([[DriftTracker.toBytes]]'s contract). */
+    def toBytes: Array[Byte] = synchronized {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(GroupDriftMagic)
+      out.writeDouble(lo); out.writeDouble(hi)
+      out.writeInt(buckets); out.writeDouble(alpha); out.writeInt(maxGroups)
+      def writeMap(m: collection.Map[String, Array[Long]]): Unit = {
+        out.writeInt(m.size)
+        m.toSeq.sortBy(_._1).foreach { case (g, arr) =>
+          out.writeUTF(g); arr.foreach(out.writeLong)
+        }
+      }
+      writeMap(refCounts)
+      out.writeLong(lastEpoch)
+      writeMap(curCounts)
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Restore state serialized by [[toBytes]]; throws on a foreign blob
+      * or monitor-identity mismatch, with the tracker unchanged. */
+    def restore(bytes: Array[Byte]): Unit = synchronized {
+      require(bytes.length >= 8,
+        s"not a GroupDriftTracker checkpoint (${bytes.length} bytes)")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val magic = in.readInt()
+      require(magic == GroupDriftMagic,
+        s"not a GroupDriftTracker checkpoint (magic 0x${magic.toHexString})")
+      val (sLo, sHi) = (in.readDouble(), in.readDouble())
+      val (sB, sA, sG) = (in.readInt(), in.readDouble(), in.readInt())
+      require(sLo == lo && sHi == hi && sB == buckets && sA == alpha &&
+          sG == maxGroups,
+        s"checkpoint was written by a differently-configured monitor " +
+          s"([$sLo, $sHi) x $sB, alpha=$sA, maxGroups=$sG vs " +
+          s"[$lo, $hi) x $buckets, alpha=$alpha, maxGroups=$maxGroups)")
+      def readMap(): Map[String, Array[Long]] =
+        (1 to in.readInt()).map { _ =>
+          (in.readUTF(), Array.fill(buckets)(in.readLong()))
+        }.toMap
+      val sRef = readMap()
+      require(sRef.keySet == refCounts.keySet && sRef.forall {
+          case (g, arr) => java.util.Arrays.equals(arr, refCounts(g)) },
+        "checkpoint was written against a DIFFERENT reference profile — " +
+          "refit from the checkpoint's reference snapshot")
+      // parse the whole blob before mutating
+      val epoch = in.readLong()
+      val sCur = readMap()
+      lastEpoch = epoch
+      curCounts.clear()
+      sCur.foreach { case (g, arr) => curCounts.put(g, arr) }
+    }
+  }
+
+  /** [[GroupDriftTracker.toBytes]] header magic ("gGDT"). */
+  private val GroupDriftMagic: Int = 0x67474454
+
+  /** Fit the per-group monitor's reference histograms ONCE — one
+    * map-side-combined (group, bucket) aggregate, <= groups x B rows
+    * collected. NULL groups excluded ([[graft.operators.Validation
+    * .distributionDriftByGroup]]'s admission), NULL/NaN values excluded,
+    * out-of-range values clamped into edge cells (the shared bucket
+    * expression). */
+  def groupDriftFit(ref: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, buckets: Int, alpha: Double = 0.5,
+      maxGroups: Int = 10000): GroupDriftTracker = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
+    val rows = ref
+      .filter(col(groupCol).isNotNull &&
+        graft.operators.Validation.driftValueOk(col(valueCol)))
+      .select(col(groupCol).cast("string").as("g"),
+        graft.operators.Validation
+          .driftBucket(col(valueCol), lo, hi, buckets).as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n"))
+      .collect()
+    val refMap = rows.groupBy(_.getString(0)).map { case (g, rs) =>
+      val arr = new Array[Long](buckets)
+      rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      g -> arr
+    }
+    require(refMap.size <= maxGroups,
+      s"reference snapshot has ${refMap.size} groups (> maxGroups " +
+        s"$maxGroups) — segment on a coarser column or raise maxGroups")
+    new GroupDriftTracker(lo, hi, buckets, alpha, maxGroups, refMap)
+  }
+
+  /** foreachBatch sink folding each micro-batch's (group, bucket)
+    * histogram (ONE aggregate, <= groups x B rows) into `tracker`.
+    *
+    * A finite `maxPsi` is a HARD GATE per group: after the epoch's counts
+    * are in (merged, or merge-skipped on replay — the check is
+    * idempotent), ANY group whose cumulative PSI exceeds `maxPsi` throws,
+    * naming every failing group worst-first ([[graft.operators.Validation
+    * .requireGroupDriftBelow]]'s report shape) at exactly the crossing
+    * epoch; a restarted query whose tripping epoch was its last
+    * re-fails. */
+  def groupDriftSink(tracker: GroupDriftTracker, groupCol: String,
+      valueCol: String, maxPsi: Double = Double.PositiveInfinity)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      val counts = batch
+        .filter(col(groupCol).isNotNull &&
+          graft.operators.Validation.driftValueOk(col(valueCol)))
+        .select(col(groupCol).cast("string").as("g"),
+          graft.operators.Validation.driftBucket(
+            col(valueCol), tracker.lo, tracker.hi, tracker.buckets).as("b"))
+        .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+      tracker.update(counts, epochId)
+      val failing = tracker.psiByGroup.filter(_._2 > maxPsi).toSeq
+        .sortBy(-_._2)
+      if (failing.nonEmpty)
+        throw new IllegalStateException(
+          s"stream per-group drift gate tripped at epoch $epochId on " +
+            s"'$valueCol' (maxPsi $maxPsi): " +
+            failing.map { case (g, p) => f"group '$g' PSI $p%.4f" }
+              .mkString("; "))
+    }
+
+  /**
+   * Cumulative EMBEDDING drift monitor — the streaming twin of
+   * [[graft.operators.Similarity.embeddingDrift]], completing the drift
+   * family's streaming coverage (numeric / categorical / per-group /
+   * vector space): per label, the stream's cumulative count, mean L2
+   * norm, and centroid cosine against fit-once reference centroids —
+   * catching a re-embedded or re-scaled feed before it poisons ANN
+   * indexes and semantic dedup. State is bounded (labels x (dim + 4)
+   * doubles — labels are segments, not ids; capped by `maxLabels` with a
+   * LOUD error); each micro-batch pays two map-side-combined aggregates
+   * (per-label stats + per-(label, pos) centroid partials, <= labels x
+   * dim rows collected). All cumulative quantities are SUMS, so any
+   * trigger slicing yields the batch result up to floating-point
+   * association (~1e-13 — report consumers round). The `dim_mismatch`
+   * flag is preserved mid-stream: min/max dims accumulate per side, and
+   * the cosine is NULL (never a truncated-position value) whenever any
+   * side of a label mixes widths or the sides' widths differ. Labels are
+   * tracked as STRINGS (cast once on both sides). Replay-safe via the
+   * standard epoch floor; scoped to ONE query.
+   */
+  final class EmbedDriftTracker private[streaming] (
+      val maxLabels: Int,
+      private val refStats: Map[String, (Long, Double, Int, Int)],
+      private val refCent: Map[String, Array[Double]]) extends Serializable {
+    private var lastEpoch: Long = Long.MinValue
+    // label -> (n, sum of L2 norms, min dim, max dim)
+    private val curStats = scala.collection.mutable
+      .HashMap.empty[String, (Long, Double, Int, Int)]
+    // label -> per-position sum of components (cos is scale-invariant, so
+    // the SUM vector stands in for the mean centroid exactly)
+    private val curCent = scala.collection.mutable
+      .HashMap.empty[String, scala.collection.mutable.HashMap[Int, Double]]
+
+    private[streaming] def update(
+        stats: Seq[(String, Long, Double, Int, Int)],
+        cents: Seq[(String, Int, Double)], epochId: Long): Boolean =
+      synchronized {
+        if (epochId <= lastEpoch) return false // replayed epoch: merged
+        val incoming = stats.map(_._1).distinct
+          .filterNot(l => refStats.contains(l) || curStats.contains(l))
+        val after =
+          refStats.keySet.union(curStats.keySet).size + incoming.size
+        require(after <= maxLabels,
+          s"epoch $epochId would grow the monitor to $after labels " +
+            s"(> maxLabels $maxLabels) — the label column has id-like " +
+            "cardinality; segment on a coarser column or raise maxLabels")
+        lastEpoch = epochId
+        stats.foreach { case (l, n, ns, dn, dx) =>
+          val (n0, ns0, dn0, dx0) =
+            curStats.getOrElse(l, (0L, 0.0, Int.MaxValue, Int.MinValue))
+          curStats.put(l, (n0 + n, ns0 + ns, math.min(dn0, dn),
+            math.max(dx0, dx)))
+        }
+        cents.foreach { case (l, pos, s) =>
+          val m = curCent.getOrElseUpdate(l,
+            scala.collection.mutable.HashMap.empty[Int, Double])
+          m.put(pos, m.getOrElse(pos, 0.0) + s)
+        }
+        true
+      }
+
+    /** One row per label (union of reference and stream labels), the
+      * batch [[graft.operators.Similarity.embeddingDrift]] columns:
+      * (label, n_ref, n_cur, norm_ref, norm_cur, centroid_cos,
+      * dim_mismatch) — norms/cos None when that side is absent or (cos)
+      * when dims mismatch. */
+    def result: Seq[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Boolean)] = synchronized {
+      val labels = (refStats.keySet ++ curStats.keySet).toSeq.sorted
+      labels.map { l =>
+        val r = refStats.get(l)
+        val c = curStats.get(l)
+        val oneDim =
+          r.forall { case (_, _, dn, dx) => dn == dx } &&
+          c.forall { case (_, _, dn, dx) => dn == dx } &&
+          (r.isEmpty || c.isEmpty || r.get._4 == c.get._4)
+        val cos = for {
+          rv <- refCent.get(l) if oneDim
+          cm <- curCent.get(l)
+          // dot over COMMON positions (all of them when widths agree —
+          // the only case that reaches a non-null cosine)
+          dot = rv.indices.map(i => rv(i) * cm.getOrElse(i, 0.0)).sum
+          nr2 = rv.map(x => x * x).sum
+          nc2 = cm.values.map(x => x * x).sum
+          if nr2 > 0 && nc2 > 0
+        } yield dot / math.sqrt(nr2 * nc2)
+        (l,
+          r.map(_._1).getOrElse(0L), c.map(_._1).getOrElse(0L),
+          r.map { case (n, ns, _, _) => ns / n },
+          c.map { case (n, ns, _, _) => ns / n },
+          cos, !oneDim)
+      }
+    }
+
+    /** Clear the stream side + epoch floor (the fitted reference stays). */
+    def reset(): Unit = synchronized {
+      lastEpoch = Long.MinValue
+      curStats.clear()
+      curCent.clear()
+    }
+  }
+
+  /** Fit the embedding monitor's reference side ONCE: per-label count /
+    * norm-sum / dim bounds plus per-(label, pos) centroid sums — the
+    * exact aggregate shape of [[graft.operators.Similarity
+    * .embeddingDrift]]'s reference half (NULL/empty vectors excluded,
+    * vectors cast to double). */
+  def embedDriftFit(ref: DataFrame, labelCol: String, vecCol: String,
+      maxLabels: Int = 10000): EmbedDriftTracker = {
+    require(maxLabels > 0, s"maxLabels must be positive, got $maxLabels")
+    val (stats, cents) = embedDriftPartials(ref, labelCol, vecCol)
+    require(stats.map(_._1).distinct.size <= maxLabels,
+      s"reference snapshot has ${stats.map(_._1).distinct.size} labels " +
+        s"(> maxLabels $maxLabels) — segment on a coarser column or raise " +
+        "maxLabels")
+    val refStats = stats.map { case (l, n, ns, dn, dx) =>
+      l -> ((n, ns, dn, dx))
+    }.toMap
+    val refCent = cents.groupBy(_._1).map { case (l, rs) =>
+      val dim = rs.map(_._2).max + 1
+      val arr = new Array[Double](dim)
+      rs.foreach { case (_, pos, s) => arr(pos) = s }
+      l -> arr
+    }
+    new EmbedDriftTracker(maxLabels, refStats, refCent)
+  }
+
+  /** One snapshot's two bounded aggregates (shared by fit and sink so the
+    * two sides can never reduce differently): per-label
+    * (n, sum norm, min dim, max dim) and per-(label, pos) component sums.
+    * The cleaned projection is persisted across the two jobs —
+    * [[heavyHitterSink]]'s shared-materialization rationale. */
+  private def embedDriftPartials(df: DataFrame, labelCol: String,
+      vecCol: String): (Seq[(String, Long, Double, Int, Int)],
+      Seq[(String, Int, Double)]) = {
+    val cleaned = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(labelCol).cast("string").as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = cleaned.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+            .as("ns"),
+          min(size(col("v"))).as("dn"), max(size(col("v"))).as("dx"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3), r.getInt(4)))
+        .toSeq
+      val cents = cleaned
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("s"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .toSeq
+      (stats, cents)
+    } finally { cleaned.unpersist(); () }
+  }
+
+  /** foreachBatch sink folding each micro-batch's embedding partials into
+    * `tracker`. A finite `minCos` is a HARD GATE: after the epoch's
+    * partials are in (merged, or merge-skipped on replay — idempotent),
+    * any label whose cumulative centroid cosine falls BELOW `minCos` — or
+    * whose `dim_mismatch` flag is set (a width change is definitionally a
+    * different space) — throws, naming every failing label at exactly the
+    * crossing epoch. */
+  def embedDriftSink(tracker: EmbedDriftTracker, labelCol: String,
+      vecCol: String, minCos: Double = Double.NegativeInfinity)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      val (stats, cents) = embedDriftPartials(batch, labelCol, vecCol)
+      tracker.update(stats, cents, epochId)
+      if (minCos > Double.NegativeInfinity) {
+        val failing = tracker.result.filter { case (_, nr, nc, _, _, cos,
+            mismatch) =>
+          // only labels PRESENT on both sides can fail the cosine gate (a
+          // one-sided label has no comparison); a dim mismatch with both
+          // sides present always fails
+          nr > 0 && nc > 0 && (mismatch || cos.exists(_ < minCos))
+        }
+        if (failing.nonEmpty)
+          throw new IllegalStateException(
+            s"stream embedding drift gate tripped at epoch $epochId on " +
+              s"'$vecCol' (minCos $minCos): " +
+              failing.map { case (l, _, _, _, _, cos, mismatch) =>
+                if (mismatch) s"label '$l' DIM MISMATCH"
+                else f"label '$l' centroid cos ${cos.get}%.4f"
+              }.mkString("; "))
       }
     }
 

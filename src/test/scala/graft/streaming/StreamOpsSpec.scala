@@ -254,11 +254,12 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("epoch 2") &&
       e.getMessage.contains("worst buckets"), e.getMessage)
     // the tripping epoch MERGED before throwing; its recovery-replay is
-    // skipped by the floor and must NOT trip again (no double-count, no
-    // spurious second failure from the same epoch)
+    // merge-skipped by the floor (no double-count) but the gate itself
+    // RE-EVALUATES — if the tripped epoch was the stream's last, a
+    // restarted query must re-fail, not complete over the threshold
     val countsAfterTrip = tracker.counts
-    sink(drifted, 2L)
-    assert(tracker.counts == countsAfterTrip)
+    intercept[IllegalStateException](sink(drifted, 2L))
+    assert(tracker.counts == countsAfterTrip) // idempotent: no double-merge
     // the NEXT epoch still gates (cumulative PSI remains over)
     intercept[IllegalStateException](sink(Seq(9.9).toDF("v"), 3L))
   }
@@ -276,9 +277,11 @@ class StreamOpsSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](fn(bad, 1L))
     assert(e.getMessage.contains("epoch 1") &&
       e.getMessage.contains("text_nonempty"), e.getMessage)
-    // replay of the tripping epoch: skipped by the floor, no second trip
+    // replay of the tripping epoch: merge-skipped by the floor (counts
+    // unchanged) but the gate re-trips — a crash-then-retry on a final
+    // tripping epoch must re-fail, not complete over tolerance
     val after = tracker.result
-    fn(bad, 1L)
+    intercept[IllegalStateException](fn(bad, 1L))
     assert(tracker.result == after)
     // zero tolerance (empty map): the first violation anywhere trips
     val (_, strict) = StreamOps.constraintSink(col("id"), rules,
@@ -479,5 +482,187 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(resumed.estimate("common") == 60L, "replayed epoch was double-merged")
     assert(resumed.estimate("alpha") == 40L && resumed.estimate("beta") == 40L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("catDriftSink: cumulative fold == batch categoricalDrift, replay skipped, __other__ keyed by is-other") {
+    import graft.operators.Validation
+    // reference mix: a dominates, b second, real '__other__' in the tail,
+    // c tail — topK = 2 keeps (a, b), folds (c, __other__)
+    val ref = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c", "__other__"))
+      .toDF("src")
+    val curAll = Seq.fill(2)("a") ++ Seq.fill(5)("b") ++
+      Seq("d", "d", "__other__", null)
+    val tracker = StreamOps.catDriftFit(ref, "src", topK = 2)
+    assert(tracker.topCats == Seq("a", "b"))
+    val sink = StreamOps.catDriftSink(tracker, "src")
+    // any slicing: 3 epochs of uneven sizes
+    sink(curAll.take(4).toDF("src"), 0L)
+    sink(curAll.slice(4, 5).toDF("src"), 1L)
+    sink(curAll.drop(5).toDF("src"), 2L)
+    sink(curAll.take(4).toDF("src"), 1L) // replayed epoch: merge skipped
+    val streamRows = Validation.categoricalDriftFromCounts(
+        tracker.counts.toDF("category", "__ord", "n_ref", "n_cur"), 0.5)
+      .select(col("category"), col("n_ref"), col("n_cur"), col("psi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9)))
+    val batchRows = Validation.categoricalDrift(
+        ref, curAll.toDF("src"), "src", topK = 2)
+      .select(col("category"), col("n_ref"), col("n_cur"), col("psi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9)))
+    assert(streamRows.toSeq == batchRows.toSeq,
+      s"stream ${streamRows.toSeq} != batch ${batchRows.toSeq}")
+    // the fold row holds the tail (c + the real __other__ string + d+d),
+    // never double-counting a top-set category
+    val other = tracker.counts.last
+    assert(other._1 == "__other__" && other._3 == 2L && other._4 == 3L)
+    assert(tracker.psiTotal > 0.0)
+    // reset clears the stream side only
+    tracker.reset()
+    assert(tracker.counts.map(_._4).sum == 0L &&
+      tracker.counts.map(_._3).sum == 11L)
+  }
+
+  test("catDriftSink hard gate: trips at the crossing epoch, replay re-trips idempotently; checkpoint round-trip") {
+    val ref = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).toDF("src")
+    val tracker = StreamOps.catDriftFit(ref, "src", topK = 2)
+    val sink = StreamOps.catDriftSink(tracker, "src", maxPsi = 0.5)
+    sink(Seq("a", "b", "a", "b").toDF("src"), 0L) // balanced: under
+    assert(tracker.psiTotal < 0.5)
+    // epoch 1: everything lands on 'a' -> cumulative mix shifts over
+    val drifted = Seq.fill(60)("a").toDF("src")
+    val e = intercept[IllegalStateException](sink(drifted, 1L))
+    assert(e.getMessage.contains("epoch 1") &&
+      e.getMessage.contains("worst categories"), e.getMessage)
+    // replay: merge-skipped (counts unchanged) but the gate re-trips
+    val after = tracker.counts
+    intercept[IllegalStateException](sink(drifted, 1L))
+    assert(tracker.counts == after)
+    // checkpoint: restore into a same-fit tracker continues the floor
+    val bytes = tracker.toBytes
+    val t2 = StreamOps.catDriftFit(ref, "src", topK = 2)
+    t2.restore(bytes)
+    assert(t2.counts == after)
+    StreamOps.catDriftSink(t2, "src")(Seq.fill(60)("a").toDF("src"), 1L) // replay: skipped
+    assert(t2.counts == after)
+    // differently-fitted monitor refuses the bytes
+    val t3 = StreamOps.catDriftFit(
+      (Seq.fill(10)("a") ++ Seq.fill(3)("b")).toDF("src"), "src", topK = 2)
+    val e2 = intercept[IllegalArgumentException](t3.restore(bytes))
+    assert(e2.getMessage.contains("DIFFERENT reference mix"), e2.getMessage)
+    val t4 = StreamOps.catDriftFit(ref, "src", topK = 3)
+    intercept[IllegalArgumentException](t4.restore(bytes))
+  }
+
+  test("groupDriftSink: cumulative == batch per-group profile, mid-stream group admitted, maxGroups loud") {
+    import graft.operators.Validation
+    val ref = Seq(("g1", 1.0), ("g1", 3.0), ("g1", 9.0), ("g2", 2.0),
+      ("g2", 8.0)).toDF("g", "v")
+    val curAll = Seq(("g1", 9.5), ("g1", 9.9), ("g2", 2.0), ("g3", 5.0),
+      ("g1", 0.5), (null, 7.0), ("g1", Double.NaN))
+    val tracker = StreamOps.groupDriftFit(ref, "g", "v", 0.0, 10.0, 5)
+    val sink = StreamOps.groupDriftSink(tracker, "g", "v")
+    sink(curAll.take(3).toDF("g", "v"), 0L)
+    sink(curAll.drop(3).toDF("g", "v"), 1L) // admits mid-stream group g3
+    sink(curAll.take(3).toDF("g", "v"), 0L) // replay: merge skipped
+    val stream = Validation.distributionDriftByGroupFromCounts(
+        tracker.counts.toDF("group", "bucket", "n_ref", "n_cur"),
+        0.0, 10.0, 5)
+      .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"),
+        col("psi")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 1e9)))
+    val batch = Validation.distributionDriftByGroup(ref,
+        curAll.toDF("g", "v"), "g", "v", 0.0, 10.0, 5)
+      .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"),
+        col("psi")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 1e9)))
+    assert(stream.toSeq == batch.toSeq,
+      s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+    // psiByGroup: g3 has an all-zero reference side, nonzero PSI
+    assert(tracker.psiByGroup.keySet == Set("g1", "g2", "g3"))
+    assert(tracker.psiByGroup("g3") > 0.0)
+    // maxGroups: an id-like group column fails LOUDLY before mutating
+    val tiny = StreamOps.groupDriftFit(ref, "g", "v", 0.0, 10.0, 5,
+      maxGroups = 3)
+    val s2 = StreamOps.groupDriftSink(tiny, "g", "v")
+    s2(curAll.take(4).toDF("g", "v"), 0L) // 3 groups: at the cap
+    val e = intercept[IllegalArgumentException](
+      s2(Seq(("g4", 1.0), ("g5", 2.0)).toDF("g", "v"), 1L))
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+    assert(!tiny.counts.exists(_._1 == "g4"), "failed admit must not mutate")
+  }
+
+  test("groupDriftSink hard gate names the failing group; checkpoint round-trip validates reference") {
+    val ref = Seq(("g1", 1.0), ("g1", 5.0), ("g2", 1.0), ("g2", 5.0))
+      .toDF("g", "v")
+    val tracker = StreamOps.groupDriftFit(ref, "g", "v", 0.0, 10.0, 5)
+    val sink = StreamOps.groupDriftSink(tracker, "g", "v", maxPsi = 0.5)
+    sink(Seq(("g1", 1.0), ("g2", 5.0)).toDF("g", "v"), 0L)
+    // g2 floods one bucket; g1 stays balanced -> only g2 is named
+    val e = intercept[IllegalStateException](
+      sink(Seq.fill(40)(("g2", 9.9)).toDF("g", "v"), 1L))
+    assert(e.getMessage.contains("'g2'") && !e.getMessage.contains("'g1'"),
+      e.getMessage)
+    // replay re-trips idempotently
+    val after = tracker.counts
+    intercept[IllegalStateException](
+      sink(Seq.fill(40)(("g2", 9.9)).toDF("g", "v"), 1L))
+    assert(tracker.counts == after)
+    // checkpoint round-trip; a differently-fitted reference refuses
+    val bytes = tracker.toBytes
+    val t2 = StreamOps.groupDriftFit(ref, "g", "v", 0.0, 10.0, 5)
+    t2.restore(bytes)
+    assert(t2.counts == after && t2.psiByGroup == tracker.psiByGroup)
+    val t3 = StreamOps.groupDriftFit(ref.limit(2), "g", "v", 0.0, 10.0, 5)
+    val e2 = intercept[IllegalArgumentException](t3.restore(bytes))
+    assert(e2.getMessage.contains("DIFFERENT reference"), e2.getMessage)
+  }
+
+  test("embedDriftSink: cumulative sums == batch embeddingDrift (rounded), dim mismatch mid-stream, minCos gate") {
+    import graft.operators.Similarity
+    def r4(d: Double) = math.rint(d * 1e4)
+    val ref = Seq(("x", Seq(1.0, 0.0)), ("x", Seq(0.8, 0.2)),
+      ("y", Seq(0.0, 1.0))).toDF("label", "v")
+    val curAll = Seq(("x", Seq(0.9, 0.1)), ("x", Seq(1.1, -0.1)),
+      ("y", Seq(0.1, 0.9)), ("z", Seq(0.5, 0.5)))
+    val tracker = StreamOps.embedDriftFit(ref, "label", "v")
+    val sink = StreamOps.embedDriftSink(tracker, "label", "v")
+    sink(curAll.take(2).toDF("label", "v"), 0L)
+    sink(curAll.drop(2).toDF("label", "v"), 1L)
+    sink(curAll.take(2).toDF("label", "v"), 0L) // replay: merge skipped
+    val stream = tracker.result.map { case (l, nr, nc, nRef, nCur, cos, mm) =>
+      (l, nr, nc, nRef.map(r4), nCur.map(r4), cos.map(r4), mm)
+    }
+    val batch = Similarity.embeddingDrift(ref, curAll.toDF("label", "v"),
+        "label", "v")
+      .orderBy(col("label")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(x => r4(x.asInstanceOf[Double])),
+        Option(r.get(4)).map(x => r4(x.asInstanceOf[Double])),
+        Option(r.get(5)).map(x => r4(x.asInstanceOf[Double])),
+        r.getBoolean(6)))
+    assert(stream.toSeq == batch.toSeq,
+      s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+    // dim mismatch arriving MID-STREAM: label x gets a width-3 vector
+    sink(Seq(("x", Seq(1.0, 0.0, 0.0))).toDF("label", "v"), 2L)
+    val xRow = tracker.result.find(_._1 == "x").get
+    assert(xRow._7 && xRow._6.isEmpty,
+      "mixed widths must set dim_mismatch and null the cosine")
+    // minCos hard gate: an anti-aligned feed trips with the label named
+    val t2 = StreamOps.embedDriftFit(ref, "label", "v")
+    val gated = StreamOps.embedDriftSink(t2, "label", "v", minCos = 0.5)
+    gated(Seq(("y", Seq(0.0, 1.0))).toDF("label", "v"), 0L) // aligned: ok
+    val e = intercept[IllegalStateException](
+      gated(Seq.fill(30)(("x", Seq(-1.0, 0.05))).toDF("label", "v"), 1L))
+    assert(e.getMessage.contains("'x'") &&
+      e.getMessage.contains("centroid cos"), e.getMessage)
+    // a dim mismatch with both sides present also trips the gate
+    val t3 = StreamOps.embedDriftFit(ref, "label", "v")
+    val g3 = StreamOps.embedDriftSink(t3, "label", "v", minCos = 0.5)
+    val e2 = intercept[IllegalStateException](
+      g3(Seq(("y", Seq(0.0, 1.0, 0.0))).toDF("label", "v"), 0L))
+    assert(e2.getMessage.contains("DIM MISMATCH"), e2.getMessage)
   }
 }
