@@ -1233,7 +1233,7 @@ object Dedup extends Logging {
     * any point leaves either the live table or the backup intact; the next
     * compaction (or [[recoverCompaction]] directly) restores a missing
     * live table from the backup before proceeding. */
-  private def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def swapCompacted(fs: org.apache.hadoop.fs.FileSystem,
       path: String, table: String, writeTmp: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$path/$table")
@@ -1269,7 +1269,7 @@ object Dedup extends Logging {
     * completed: rename the backup back. A live table with content means
     * the swap finished (a valid index dir always holds at least one
     * `epoch=` child), so the backup is stale and dropped. */
-  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       path: String, table: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$path/$table")

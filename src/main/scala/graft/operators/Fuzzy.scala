@@ -275,4 +275,169 @@ object Fuzzy {
 
     segCand.unionAll(shortCand).distinct()
   }
+
+  // -------------------------------------------------------------------
+  // Persisted segment index — the restart-surviving form of [[fuzzyFit]]:
+  // a streaming linkage job (or a fleet of batch jobs) probes a catalog
+  // fitted ONCE and saved, instead of re-segmenting the catalog on every
+  // driver start. Same storage conventions as [[Dedup.saveHashIndex]]:
+  // epoch-partitioned tables (batch writes land in `epoch=-1`; streaming
+  // admission owns `epoch=<id>` so a replayed epoch can overwrite exactly
+  // its own delta), `params/` for probe-compatibility validation, every
+  // mutation under the single-writer lease, compaction crash-safe via the
+  // checked rename swap. Reference precedent: checkpointed source
+  // recovery (EventHubsSource.scala:118-175) — fitted state must outlive
+  // the driver.
+  // -------------------------------------------------------------------
+
+  private val fuzzyIndexParams =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private def fuzzyParamsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) =
+    fuzzyIndexParams.computeIfAbsent(path, _ => {
+      val r = spark.read.parquet(s"$path/params").head()
+      (r.getAs[Int]("max_dist"), r.getAs[Int]("max_segment_df"))
+    })
+
+  private[graft] def forgetFuzzyIndex(path: String): Unit = {
+    fuzzyIndexParams.remove(path); ()
+  }
+
+  /** One catalog slice's three index tables, written under `epochDir`.
+    * The `maxSegmentDf` hot-segment guard applies PER WRITE (each write
+    * sees only its own slice's distinct keys): a boilerplate segment can
+    * exceed the cap only across appends, where the candidate cost it
+    * guards against is already split across delta files. Ids are written
+    * distinct so a double-saved row cannot duplicate output pairs. */
+  private def writeIndexTables(catalog: DataFrame, idCol: String,
+      keyCol: String, maxDist: Int, maxSegmentDf: Int, path: String,
+      epochDir: String, mode: String): Unit = {
+    val ids = catalog
+      .select(col(idCol).as("__lid"), col(keyCol).as("__lkey"))
+      .filter(col("__lid").isNotNull && col("__lkey").isNotNull)
+      .distinct()
+    val keys = Dedup.lazyShare(ids.select(col("__lkey")).distinct())
+    try {
+      val (segIdx, shortIdx) = indexFrames(keys, maxDist, maxSegmentDf)
+      segIdx.write.mode(mode).parquet(s"$path/segments/$epochDir")
+      shortIdx.write.mode(mode).parquet(s"$path/shorts/$epochDir")
+      ids.write.mode(mode).parquet(s"$path/ids/$epochDir")
+    } finally { keys.unpersist(); () }
+  }
+
+  /** Persist the catalog's fitted segment index — [[fuzzyFit]] that
+    * survives the driver: `segments/` + `shorts/` (the two candidate
+    * lookup frames) and `ids/` (the key -> id expansion), all in
+    * `epoch=-1`; `params/` records (maxDist, maxSegmentDf) so a probe
+    * through a reloaded index always verifies at the distance the index
+    * was cut for. */
+  def saveFuzzyIndex(catalog: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int, path: String, maxSegmentDf: Int = Int.MaxValue): Unit = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val spark = catalog.sparkSession
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "saveFuzzyIndex") {
+      writeIndexTables(catalog, idCol, keyCol, maxDist, maxSegmentDf, path,
+        "epoch=-1", "overwrite")
+      import spark.implicits._
+      Seq((maxDist, maxSegmentDf)).toDF("max_dist", "max_segment_df")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      fuzzyIndexParams.put(path, (maxDist, maxSegmentDf))
+    }
+    ()
+  }
+
+  /** Load a persisted index into a [[FuzzyFitted]] — the same probe state
+    * [[fuzzyFit]] builds, minus the fit cost: three parquet scans, no
+    * segmentation, no distinct over the catalog. Call
+    * [[FuzzyFitted.release]] when done (the frames are lazily shared). */
+  def loadFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): FuzzyFitted = {
+    val (maxDist, _) = fuzzyParamsOf(spark, path)
+    def t(name: String) = spark.read.parquet(s"$path/$name").drop("epoch")
+    // ids dedup ACROSS writes (each write is distinct only within its own
+    // slice): a key re-admitted by append/epoch-replay must not duplicate
+    // output pairs. Segment/short duplicates are already harmless — the
+    // candidate set dedups before the verify. One narrow 2-column
+    // shuffle, paid once per load, shared across every probe.
+    FuzzyFitted(Dedup.lazyShare(t("segments")), Dedup.lazyShare(t("shorts")),
+      Dedup.lazyShare(t("ids").distinct()), maxDist)
+  }
+
+  /** Admit a catalog delta: index ONLY the new slice's distinct keys
+    * (appended to `epoch=-1`) — never re-reads the existing index. A key
+    * already indexed gets duplicate segment rows (harmless: candidates
+    * dedup before the verify) and its ids union; [[compactFuzzyIndex]]
+    * collapses the storage. Probing a loaded index after an append equals
+    * probing a fresh [[saveFuzzyIndex]] of the whole catalog, up to the
+    * per-write `maxSegmentDf` note on [[writeIndexTables]]. */
+  def appendToFuzzyIndex(catalog: DataFrame, idCol: String, keyCol: String,
+      path: String): Unit = {
+    val spark = catalog.sparkSession
+    val (maxDist, maxSegmentDf) = fuzzyParamsOf(spark, path)
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path,
+        "appendToFuzzyIndex") {
+      writeIndexTables(catalog, idCol, keyCol, maxDist, maxSegmentDf, path,
+        "epoch=-1", "append")
+    }
+  }
+
+  /** Streaming admission ([[Dedup.admitEpoch]]'s contract): OVERWRITE
+    * epoch `epochId`'s delta partitions with this slice's index rows, so
+    * an at-least-once replay replaces its own possibly-partial delta
+    * instead of double-appending it. */
+  private[graft] def admitFuzzyEpoch(catalog: DataFrame, idCol: String,
+      keyCol: String, path: String, epochId: Long): Unit = {
+    val spark = catalog.sparkSession
+    val (maxDist, maxSegmentDf) = fuzzyParamsOf(spark, path)
+    writeIndexTables(catalog, idCol, keyCol, maxDist, maxSegmentDf, path,
+      s"epoch=$epochId", "overwrite")
+  }
+
+  /** Merge accreted `epoch=<id>` deltas (and append erosion) into the
+    * single `epoch=-1` partition per table — full-row distinct, so
+    * double-admitted keys/ids collapse to one copy. Crash-safe via
+    * [[Dedup.swapCompacted]]; only run while no stream owns the index.
+    * Returns the number of epoch partitions merged (max across tables),
+    * 0 if already compact. */
+  def compactFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tables = Seq("segments", "shorts", "ids")
+    Dedup.withIndexLease(fs, path, "compactFuzzyIndex") {
+      tables.foreach(Dedup.recoverCompaction(fs, path, _))
+      def epochCount(table: String): Int =
+        fs.listStatus(new Path(s"$path/$table"))
+          .count(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      val n = tables.map(epochCount).max
+      if (n <= 1) 0
+      else {
+        tables.foreach { table =>
+          Dedup.swapCompacted(fs, path, table, { tmp =>
+            spark.read.parquet(s"$path/$table").drop("epoch").distinct()
+              .write.mode("overwrite").parquet(tmp)
+          })
+        }
+        n
+      }
+    }
+  }
+
+  /** [[graft.streaming.StreamOps.fuzzyLinkStream]] through a PERSISTED
+    * index: the fitted catalog state is loaded (not refit) — a driver
+    * restart pays three parquet scans instead of re-segmenting the
+    * catalog, the survive-restart story the in-memory fit lacks. Same
+    * union-equals-batch contract; `writeBatch` must be idempotent on the
+    * epoch id. Returns the configured writer. */
+  def fuzzyLinkStreamPersisted(stream: DataFrame, indexPath: String,
+      probeId: String, probeKey: String)(
+      writeBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val fitted = loadFuzzyIndex(stream.sparkSession, indexPath).materialize()
+    stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      writeBatch(fuzzyJoinWith(fitted, batch, probeId, probeKey), epochId)
+    }
+  }
 }

@@ -168,4 +168,142 @@ class FuzzySpec extends AnyFunSuite {
     assert(Fuzzy.fuzzyJoinWith(fitted, probe, "id", "key")
       .as[(Long, Long, Int)].collect().toSet == first)
   }
+
+  // ---- persisted segment index lifecycle ----
+
+  private def probeIdx(path: String, probe: Seq[(Long, String)])
+      : Set[(Long, Long, Int)] = {
+    val fitted = Fuzzy.loadFuzzyIndex(spark, path)
+    try Fuzzy.fuzzyJoinWith(fitted, probe.toDF("id", "key"), "id", "key")
+      .as[(Long, Long, Int)].collect().toSet
+    finally fitted.release()
+  }
+
+  test("persisted fuzzy index: save+load probe == live fit probe; append == rebuild") {
+    val base = java.nio.file.Files.createTempDirectory("fz-idx").toString
+    val catA = Seq(1L -> "kitten", 2L -> "flour", 3L -> "sitting")
+    val catB = Seq(4L -> "mitten", 5L -> "ab")
+    val probe = Seq(10L -> "sitten", 11L -> "miitten", 12L -> "b",
+      13L -> "zzzz")
+    // live fit over the FULL catalog = ground truth
+    val live = {
+      val f = Fuzzy.fuzzyFit((catA ++ catB).toDF("id", "key"), "id", "key",
+        maxDist = 1)
+      try Fuzzy.fuzzyJoinWith(f, probe.toDF("id", "key"), "id", "key")
+        .as[(Long, Long, Int)].collect().toSet
+      finally f.release()
+    }
+    assert(live.nonEmpty && live.map(_._1).intersect(Set(1L, 4L, 5L)).size == 3)
+    // lifecycle 1: save the whole catalog at once
+    val p1 = s"$base/whole"
+    Fuzzy.saveFuzzyIndex((catA ++ catB).toDF("id", "key"), "id", "key",
+      maxDist = 1, p1)
+    assert(probeIdx(p1, probe) == live)
+    // lifecycle 2: save half, append the rest -> identical probes
+    val p2 = s"$base/grown"
+    Fuzzy.saveFuzzyIndex(catA.toDF("id", "key"), "id", "key", maxDist = 1, p2)
+    assert(probeIdx(p2, probe) == live.filter(_._1 <= 3L),
+      "pre-append index must know only the saved half")
+    Fuzzy.appendToFuzzyIndex(catB.toDF("id", "key"), "id", "key", p2)
+    assert(probeIdx(p2, probe) == live, "append == rebuild")
+    // double-append of the same slice must not duplicate output pairs
+    Fuzzy.appendToFuzzyIndex(catB.toDF("id", "key"), "id", "key", p2)
+    val bag = {
+      val fitted = Fuzzy.loadFuzzyIndex(spark, p2)
+      try Fuzzy.fuzzyJoinWith(fitted, probe.toDF("id", "key"), "id", "key")
+        .as[(Long, Long, Int)].collect().toSeq
+      finally fitted.release()
+    }
+    assert(bag.size == bag.distinct.size && bag.toSet == live,
+      s"double append duplicated pairs: $bag")
+    Fuzzy.forgetFuzzyIndex(p1); Fuzzy.forgetFuzzyIndex(p2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("persisted fuzzy index: epoch admission is replay-idempotent; compaction preserves probes") {
+    val base = java.nio.file.Files.createTempDirectory("fz-epoch").toString
+    val path = s"$base/idx"
+    val probe = Seq(10L -> "sitten", 11L -> "miitten")
+    Fuzzy.saveFuzzyIndex(Seq(1L -> "kitten").toDF("id", "key"), "id", "key",
+      maxDist = 1, path)
+    // epoch 7 admits a delta; a crashed attempt's replay OVERWRITES it —
+    // probing after 1 admission == after 2 (no duplicate index rows)
+    val delta = Seq(4L -> "mitten")
+    Fuzzy.admitFuzzyEpoch(delta.toDF("id", "key"), "id", "key", path, 7L)
+    val after1 = probeIdx(path, probe)
+    assert(after1.map(_._1) == Set(1L, 4L))
+    Fuzzy.admitFuzzyEpoch(delta.toDF("id", "key"), "id", "key", path, 7L)
+    val fitted = Fuzzy.loadFuzzyIndex(spark, path)
+    val bag =
+      try Fuzzy.fuzzyJoinWith(fitted, probe.toDF("id", "key"), "id", "key")
+        .as[(Long, Long, Int)].collect().toSeq
+      finally fitted.release()
+    assert(bag.size == bag.distinct.size && bag.toSet == after1,
+      s"replayed admission duplicated rows: $bag")
+    // compaction merges epoch=-1 + epoch=7 into one partition, probes
+    // unchanged; second compaction is a no-op
+    assert(Fuzzy.compactFuzzyIndex(spark, path) == 2)
+    assert(probeIdx(path, probe) == after1)
+    assert(Fuzzy.compactFuzzyIndex(spark, path) == 0)
+    Fuzzy.forgetFuzzyIndex(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("persisted fuzzy index: writer lease refuses a concurrent mutation, stale lease broken") {
+    val base = java.nio.file.Files.createTempDirectory("fz-lease").toString
+    val path = s"$base/idx"
+    Fuzzy.saveFuzzyIndex(Seq(1L -> "kitten").toDF("id", "key"), "id", "key",
+      maxDist = 1, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$path/__lease")
+    val out = fs.create(lease, false)
+    out.write("appendToFuzzyIndex@other".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](Fuzzy.appendToFuzzyIndex(
+      Seq(2L -> "mitten").toDF("id", "key"), "id", "key", path))
+    assert(e.getMessage.contains("lease") &&
+      e.getMessage.contains("appendToFuzzyIndex@other"), e.getMessage)
+    intercept[IllegalStateException](Fuzzy.compactFuzzyIndex(spark, path))
+    // the failed writer must not have mutated the index
+    assert(probeIdx(path, Seq(10L -> "miitten")).isEmpty)
+    // a dead writer's stale lease is broken automatically
+    val old = System.currentTimeMillis() - Dedup.IndexLeaseStaleMs - 60000
+    fs.setTimes(lease, old, old)
+    Fuzzy.appendToFuzzyIndex(Seq(2L -> "mitten").toDF("id", "key"),
+      "id", "key", path)
+    assert(probeIdx(path, Seq(10L -> "miitten")) == Set((2L, 10L, 1)))
+    assert(!fs.exists(lease), "winner must release the lease")
+    Fuzzy.forgetFuzzyIndex(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("fuzzyLinkStreamPersisted: driver-restart probes through the saved index == batch fuzzyJoin") {
+    val base = java.nio.file.Files.createTempDirectory("fz-stream").toString
+    val path = s"$base/idx"
+    val catalog = Seq(1L -> "kitten", 2L -> "flour", 3L -> "mitten")
+    Fuzzy.saveFuzzyIndex(catalog.toDF("id", "key"), "id", "key",
+      maxDist = 1, path)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = Fuzzy.fuzzyLinkStreamPersisted(
+        input.toDS().toDF("id", "key"), path, "id", "key") { (res, _) =>
+      got ++= res.as[(Long, Long, Int)].collect(); ()
+    }.start()
+    input.addData(10L -> "sitten", 11L -> "flour")
+    q.processAllAvailable()
+    // "restart": a fresh writer against the same index, no refit
+    input.addData(12L -> "mittenn")
+    q.processAllAvailable()
+    q.stop()
+    val batch = Fuzzy.fuzzyJoin(catalog.toDF("id", "key"),
+        Seq(10L -> "sitten", 11L -> "flour", 12L -> "mittenn")
+          .toDF("id", "key"),
+        "id", "key", "id", "key", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.toSet == batch, s"stream ${got.toSet} != batch $batch")
+    Fuzzy.forgetFuzzyIndex(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
