@@ -2776,6 +2776,31 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "q_multimodal_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // perceptual near-dup media pairs: the gate PLANTS a RE-ENCODED copy
+      // of every 4th media row (id + 300000; first 40 chars upper-cased — a
+      // byte-level change that leaves the stub raster's gradients nearly
+      // intact, the payload analog of a JPEG re-encode) and the
+      // dHash + Hamming-banded pair machinery recovers each plant at
+      // distance <= 4 while unrelated media stay far apart. The doc_id cap
+      // bounds the ORACLE's all-pairs verify, not the operator (banded
+      // plan, PlanSpec-pinned no-cartesian).
+      val d0 = Tables.documents(s, dir).filter(col("doc_id") < 800)
+      val base = d0.select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"),
+        lit("image").as("format"), col("source"))
+      val planted = d0.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 300000L).as("media_id"),
+          concat(upper(substring(col("text"), 1, 40)),
+            substring(col("text"), 41, Int.MaxValue))
+            .cast("binary").as("content"),
+          lit("image").as("format"), col("source"))
+      Multimodal.perceptualDedupPairs(
+          base.unionByName(planted).as[Multimodal.MediaRow], maxHamming = 4)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // decode-error containment gate: a deterministic faulty codec (rejects
     // media_id % 5 == 0) must yield per-row errors, never task failures
     // (rows-only — the error split is codec-defined)
@@ -4027,6 +4052,47 @@ object SparkEntry {
       // mod-2^64 arithmetic (fnvSql). h >>> 16 of the unsigned value is
       // integer division by 65536; floorMod(·, 120) of that non-negative
       // value is a plain %. Image/audio are always 1 frame.
+      // the stub raster + dHash replayed cell-for-cell: per-cell EXACT
+      // integer byte sums / counts (both engines divide the same integers,
+      // so the doubles — and the > comparisons — are bit-identical), bits
+      // compared as lists (no 1<<63 signed-overflow gymnastics), all-pairs
+      // verify bounded by the gate's doc_id cap
+      "q_multimodal_dedup" -> {
+        val len = "length(t)" // == byte length under the ascii guard
+        val lo = s"(c * $len) // 72"
+        val hi = s"((c + 1) * $len) // 72"
+        s"""WITH m0 AS (
+           |  SELECT (${TextFunctions.sqlAsciiGuard("doc_id", "text")})
+           |    AS media_id, text AS t
+           |  FROM documents WHERE doc_id < 800
+           |  UNION ALL
+           |  SELECT doc_id + 300000,
+           |    upper(substr(text, 1, 40)) || substr(text, 41)
+           |  FROM documents WHERE doc_id < 800 AND doc_id % 4 = 0),
+           |g AS (
+           |  SELECT media_id,
+           |    list_transform(range(0, 72), c -> CASE WHEN $hi > $lo THEN
+           |      (list_sum(list_transform(range($lo, $hi),
+           |         i -> ord(t[(i + 1)::INT])))::DOUBLE) / ($hi - $lo)
+           |      ELSE 0.0 END) AS gr
+           |  FROM m0),
+           |b AS (
+           |  SELECT media_id,
+           |    list_transform(range(0, 64), s ->
+           |      CASE WHEN gr[((s // 8) * 9 + (s % 8) + 1)::INT]
+           |             > gr[((s // 8) * 9 + (s % 8) + 2)::INT]
+           |      THEN 1 ELSE 0 END) AS bits
+           |  FROM g),
+           |p AS (
+           |  SELECT x.media_id AS media_a, y.media_id AS media_b,
+           |    list_sum(list_transform(range(0, 64), i ->
+           |      CASE WHEN x.bits[(i + 1)::INT] <> y.bits[(i + 1)::INT]
+           |      THEN 1 ELSE 0 END))::INT AS hamming
+           |  FROM b x JOIN b y ON x.media_id < y.media_id)
+           |SELECT media_a, media_b, hamming FROM p
+           |WHERE hamming <= 4 ORDER BY 1, 2""".stripMargin
+      },
+
       "q_multimodal_decode" ->
         s"""WITH m AS (
            |  SELECT (${TextFunctions.sqlAsciiGuard("doc_id", "text")}) AS media_id,

@@ -704,15 +704,26 @@ object Dedup extends Logging {
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
     val withSim = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.wordShingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("simhash", simhash64(col("sh")))
       .select(col("doc_id"), col("simhash"))
-    // partition the 64 bits into maxHamming+1 chunks (first `rem` chunks one
-    // bit wider) so the pigeonhole guarantee matches the contract
+    hammingBandedPairs(withSim, maxHamming, maxBucketSize, "simHashPairs")
+  }
+
+  /** All unordered pairs (doc_a, doc_b, hamming) within `maxHamming` over
+    * a `(doc_id, simhash)` frame of 64-bit hashes — the chunk-banded
+    * candidate generator + exact popcount verify shared by [[simHashPairs]]
+    * and the multimodal perceptual-hash dedup
+    * ([[Multimodal.perceptualDedupPairs]]): the 64 bits partition into
+    * `maxHamming + 1` chunks (first `rem` one bit wider), so by pigeonhole
+    * any pair within the distance agrees on at least one whole chunk and
+    * the chunk equi-join is COMPLETE for the advertised distance. */
+  private[operators] def hammingBandedPairs(withSim: DataFrame,
+      maxHamming: Int, maxBucketSize: Int, tag: String): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
     val nChunks = maxHamming + 1
     val base = 64 / nChunks
     val rem = 64 % nChunks
@@ -725,7 +736,7 @@ object Dedup extends Logging {
     }
     val banded = withSim.select(col("doc_id"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    bucketedPairs(banded, "chunk", maxBucketSize, "simHashPairs")
+    bucketedPairs(banded, "chunk", maxBucketSize, tag)
       .join(withSim.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(withSim.as("pb"), col("doc_b") === col("pb.doc_id"))
       .withColumn("hamming",

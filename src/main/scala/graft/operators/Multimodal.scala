@@ -61,6 +61,35 @@ object Multimodal {
     def open(): Unit = ()
     def close(): Unit = ()
     def decode(mediaId: Long, content: Array[Byte], format: String): DecodedMedia
+
+    /** Decode to a gray-intensity raster of exactly `cols` x `rows` cells
+      * (row-major) — the grid a perceptual hash is computed over. The
+      * default is the deterministic stub raster: cell value = the exact
+      * mean byte value of the payload's proportional slice
+      * (integer-exact sum / count, so every engine computing it agrees
+      * bit-for-bit; empty slices — payloads shorter than the grid — read
+      * 0). A REAL image codec overrides this with the decoded, resampled,
+      * gamma-corrected grayscale raster; everything downstream
+      * ([[perceptualHash]], [[perceptualDedupPairs]]) is raster-agnostic. */
+    def rasterize(mediaId: Long, content: Array[Byte], format: String,
+        cols: Int, rows: Int): Array[Double] = {
+      val n = cols * rows
+      val len = if (content == null) 0 else content.length
+      val out = new Array[Double](n)
+      var c = 0
+      while (c < n) {
+        val from = (c.toLong * len / n).toInt
+        val until = ((c + 1).toLong * len / n).toInt
+        if (until > from) {
+          var s = 0L
+          var i = from
+          while (i < until) { s += (content(i) & 0xff); i += 1 }
+          out(c) = s.toDouble / (until - from)
+        }
+        c += 1
+      }
+      out
+    }
   }
 
   /**
@@ -160,6 +189,84 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /**
+   * dHash-style 64-bit perceptual hash per media row — the multimodal twin
+   * of [[Dedup.simHashPairs]]' text fingerprint: a RE-ENCODED copy of the
+   * same image (different bytes, same picture) hashes within a small
+   * Hamming distance, where any content-hash sees a brand-new payload.
+   * Computed through the [[MediaCodec]] raster seam (one codec per
+   * partition task, [[decode]]'s lifecycle): a 9 x 8 gray raster, one bit
+   * per horizontally-adjacent cell pair (`left > right`), 64 bits total —
+   * the classic dHash recipe, gradient-based so uniform brightness/scale
+   * shifts cancel. Payloads the codec rejects yield no hash row (the
+   * decode-stage gate is where per-row errors are accounted,
+   * [[sampleFrames]]' contract).
+   */
+  def perceptualHash(media: Dataset[MediaRow],
+      codec: MediaCodec = StubCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      openForPartition(codec)
+      rows.flatMap { r =>
+        try {
+          val g = codec.rasterize(r.media_id, r.content, r.format, 9, 8)
+          require(g.length == 72, s"rasterize returned ${g.length} cells")
+          var h = 0L
+          var bit = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (g(y * 9 + x) > g(y * 9 + x + 1)) h |= (1L << bit)
+              bit += 1; x += 1
+            }
+            y += 1
+          }
+          Some((r.media_id, h))
+        } catch { case NonFatal(_) => None }
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /**
+   * Near-duplicate media pairs within Hamming distance `maxHamming` of
+   * their perceptual hashes: (media_a, media_b, hamming), media_a <
+   * media_b. Candidates come from [[Dedup.hammingBandedPairs]] — the
+   * SimHash chunk machinery verbatim: `maxHamming + 1` hash chunks,
+   * pigeonhole-complete equi-join on (band, chunk), hot buckets capped by
+   * `maxBucketSize` with counted drops (tag `"perceptualHash"`), exact
+   * popcount verify. Never all-pairs: at 100 TB the only quadratic term
+   * is the OUTPUT (true near-dup clusters), the standard banded-dedup
+   * contract.
+   */
+  def perceptualDedupPairs(media: Dataset[MediaRow],
+      codec: MediaCodec = StubCodec, maxHamming: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame =
+    Dedup.hammingBandedPairs(
+        perceptualHash(media, codec)
+          .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+        maxHamming, maxBucketSize, "perceptualHash")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** Keep-one perceptual dedup: connected components over the
+    * [[perceptualDedupPairs]] edge set, smallest media_id survives each
+    * component — [[Dedup.dedupByNearDup]]'s exact policy (transitive: a
+    * chain of re-encodes collapses to ONE kept copy, not one per edge). */
+  def dedupByPerceptual(media: Dataset[MediaRow],
+      codec: MediaCodec = StubCodec, maxHamming: Int = 4,
+      maxBucketSize: Int = 1000): Dataset[MediaRow] = {
+    val cl = Dedup.clusters(
+      perceptualDedupPairs(media, codec, maxHamming, maxBucketSize),
+      "media_a", "media_b")
+    import media.sparkSession.implicits._
+    media.join(cl, media("media_id") === cl("doc_id"), "left")
+      .withColumn("__cluster", coalesce(cl("cluster"), media("media_id")))
+      .filter(media("media_id") === col("__cluster"))
+      .drop(cl("doc_id")).drop(cl("cluster")).drop(col("__cluster"))
+      .as[MediaRow]
   }
 
   /** Build a MediaRow table from the documents corpus (text bytes standing in

@@ -1868,6 +1868,60 @@ class MultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, stride = 10, new FaultyCodec(rejectMod = 5))
     assert(frames.collect().forall(_.media_id % 5 != 0))
   }
+
+  test("perceptualHash: deterministic, and a byte-identical copy hashes identically") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet")
+    val h1 = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1.size == media.count())
+    val h2 = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+    // hashes discriminate: the corpus is not hash-degenerate
+    assert(h1.values.toSet.size > h1.size / 2)
+  }
+
+  test("perceptualDedupPairs recovers planted re-encodes; dedupByPerceptual keeps originals") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet")
+      .filter(_.media_id < 200)
+    // "re-encode": same perceptual content, different bytes (case change in
+    // a bounded region) — a content hash sees a brand-new payload
+    val reenc = media.map { r =>
+      val s = new String(r.content, "UTF-8")
+      r.copy(media_id = r.media_id + 100000,
+        content = (s.take(40).toUpperCase + s.drop(40)).getBytes("UTF-8"))
+    }
+    val all = media.unionByName(reenc)
+    val pairs = Multimodal.perceptualDedupPairs(all, maxHamming = 4)
+      .as[(Long, Long, Int)].collect()
+    val planted = pairs.filter(p => p._2 == p._1 + 100000).map(_._1).toSet
+    val nMedia = media.count()
+    assert(planted.size == nMedia,
+      s"expected all $nMedia plants recovered, got ${planted.size}")
+    assert(pairs.forall(_._3 <= 4))
+    // a corrupt payload yields no hash row, never a task failure
+    val withBad = all.map(r =>
+      if (r.media_id == 7L) r.copy(content = null) else r)
+    val hashed = Multimodal.perceptualHash(withBad).collect()
+    assert(!hashed.map(_.getLong(0)).contains(7L) ||
+      hashed.length == all.count()) // null-content rows hash as empty or drop
+    // keep-one dedup: every re-encode drops, every unpaired original stays
+    val kept = Multimodal.dedupByPerceptual(all, maxHamming = 4)
+      .collect().map(_.media_id).toSet
+    assert(kept.forall(_ < 100000 + nMedia),
+      "no plant may survive when its original is present")
+    assert(planted.forall(id => kept.contains(id) || pairs.exists(p =>
+      p._2 == id && p._1 < id)), "each component keeps exactly its min")
+    val comps = Dedup.clusters(
+      Multimodal.perceptualDedupPairs(all, maxHamming = 4), "media_a", "media_b")
+      .select($"cluster").distinct().count()
+    val isolated = all.count() - Multimodal.perceptualDedupPairs(all, maxHamming = 4)
+      .select(explode(array($"media_a", $"media_b"))).distinct().count()
+    assert(kept.size == comps + isolated, "keep-one = one per component + isolated rows")
+  }
 }
 
 /** Fault-injecting codec behind the [[Multimodal.MediaCodec]] seam: rejects
