@@ -443,6 +443,19 @@ object GraftExtensions {
               org.apache.spark.sql.functions.col(strArg(args, 3, "graft_pack_rows"))),
             intArg(args, 4, 2048, "graft_pack_rows")))
       },
+      tvf("graft_pack_bestfit",
+        "graft_pack_bestfit(table, groupCol, idCol, textCol, maxSeqLen) - " +
+          "NO-SPLIT first-fit-decreasing packing: every doc lands whole " +
+          "in one sequence (seq_id, seq_offset; -1 for zero-token docs)") {
+        args => arity(args, "graft_pack_bestfit", 5, 5)
+          logical(operators.Sampling.packSequencesBestFit(
+            activeTable(strArg(args, 0, "graft_pack_bestfit")),
+            Seq(org.apache.spark.sql.functions.col(strArg(args, 1, "graft_pack_bestfit"))),
+            org.apache.spark.sql.functions.col(strArg(args, 2, "graft_pack_bestfit")),
+            graft.functions.TextFunctions.tokenCount(
+              org.apache.spark.sql.functions.col(strArg(args, 3, "graft_pack_bestfit"))),
+            intArg(args, 4, 2048, "graft_pack_bestfit")))
+      },
       tvf("graft_bm25",
         "graft_bm25(table, idCol, textCol, query[, k]) - Okapi BM25 top-k " +
           "document retrieval for a space-separated query string") {

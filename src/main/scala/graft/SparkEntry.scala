@@ -598,6 +598,22 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    "q_corpus_pack_bestfit" -> ((s, dir) => {
+      // NO-SPLIT best-fit packing (first-fit-decreasing per (source,
+      // bucket)): every doc lands whole in one 512-token sequence — the
+      // fine-tuning layout where concat-and-chunk's mid-doc splits are
+      // forbidden. Bucket = doc_id % 8 (integer arithmetic, so the oracle
+      // replays it); the oracle replays the FFD recurrence itself with a
+      // recursive CTE — full oracle, not rows-only.
+      val d = Tables.documents(s, dir)
+      operators.Sampling.packSequencesBestFit(d, Seq(col("source")),
+          col("doc_id"), TextFunctions.tokenCount(col("text")),
+          maxSeqLen = 512, bucketCol = Some(pmod(col("doc_id"), lit(8))))
+        .select(col("source"), col("id").as("doc_id"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     "q_corpus_pack_rows" -> ((s, dir) => {
       // materialized packing: one row per (source, seq_id) with the
       // ordered doc slices that tile it — the table a training loader
@@ -2972,6 +2988,49 @@ object SparkEntry {
           |       ELSE floor((sum(n_tokens) OVER w - 1) / 512) END AS BIGINT) AS seq_last,
           | CAST((sum(n_tokens) OVER w - n_tokens) % 512 AS BIGINT) AS seq_offset
           |FROM t WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+          |ORDER BY source, doc_id""".stripMargin,
+
+      // the FFD recurrence replayed verbatim: same (len desc, id asc)
+      // order, same first-fit rule, same bucket arithmetic — the bins
+      // state rides the recursive CTE as a list column
+      "q_corpus_pack_bestfit" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+          |    (doc_id % 8)::INT AS bkt
+          |  FROM documents),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY source, bkt
+          |           ORDER BY n_tokens DESC, doc_id ASC) AS rn
+          |  FROM t WHERE n_tokens > 0),
+          |ffd AS (
+          |  SELECT source, bkt, 0::BIGINT AS rn, NULL::BIGINT AS doc_id,
+          |    NULL::BIGINT AS n_tokens, NULL::BIGINT AS seq_id,
+          |    NULL::BIGINT AS seq_offset, []::BIGINT[] AS used
+          |  FROM (SELECT DISTINCT source, bkt FROM r)
+          |  UNION ALL
+          |  SELECT r.source, r.bkt, r.rn, r.doc_id, r.n_tokens,
+          |    (r.bkt::BIGINT * 4294967296 + bin - 1) AS seq_id,
+          |    CASE WHEN bin <= len(ffd.used) THEN ffd.used[bin::INT]
+          |         ELSE 0 END AS seq_offset,
+          |    CASE WHEN bin <= len(ffd.used)
+          |      THEN list_transform(range(1, len(ffd.used) + 1),
+          |             i -> CASE WHEN i = bin
+          |                  THEN ffd.used[i::INT] + r.n_tokens
+          |                  ELSE ffd.used[i::INT] END)
+          |      ELSE list_append(ffd.used, r.n_tokens) END AS used
+          |  FROM ffd JOIN r ON r.source = ffd.source AND r.bkt = ffd.bkt
+          |    AND r.rn = ffd.rn + 1,
+          |  LATERAL (SELECT coalesce(
+          |      list_filter(range(1, len(ffd.used) + 1),
+          |        i -> ffd.used[i::INT] + r.n_tokens <= 512)[1],
+          |      len(ffd.used) + 1) AS bin) b
+          |)
+          |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  seq_id, seq_offset
+          |FROM ffd WHERE rn > 0
+          |UNION ALL
+          |SELECT source, doc_id, CAST(n_tokens AS BIGINT), -1, 0
+          |FROM t WHERE n_tokens = 0
           |ORDER BY source, doc_id""".stripMargin,
 
       "q_corpus_pack_rows" ->

@@ -2630,18 +2630,25 @@ object CorpusOps {
    * single-partition GlobalLimit that funnels the whole vocabulary through
    * one reducer — at exactly the web-vocabulary scale the cap targets.
    *
-   * Instead the cap is resolved by COUNT THRESHOLD in three bounded steps:
+   * Instead the cap is resolved by COUNT THRESHOLD in three bounded steps
+   * (the [[perplexityBuckets]] integer-rank technique):
    *  1. Histogram the counts (`groupBy(cnt)`): a corpus with T tokens has at
    *     most ~sqrt(2T) distinct count values (counts are positive integers
-   *     summing to T), so the histogram collects KB-scale at any corpus size.
-   *  2. Walk it count-descending on the driver to find the threshold count
-   *     c* where the cumulative term count crosses `cap`. Every term with
-   *     cnt > c* is in; when the boundary lands exactly between histogram
-   *     rows no trim is needed at all (the common case for skewed vocab).
+   *     summing to T) — ~1.4e7 at 100T tokens. That is bounded but NOT
+   *     driver-bounded, so the histogram never collects: the cumulative
+   *     walk is a running-sum window over it whose single-partition
+   *     exchange carries only histogram rows, never terms.
+   *  2. The unique CROSSING row — the count value c* where the cumulative
+   *     term count first reaches `cap`, with the number of terms strictly
+   *     above it and its own tie-band width — filters down to ONE row; only
+   *     that row reaches the driver (empty when the vocabulary already fits,
+   *     where the cap is an identity). Every term with cnt > c* is in; when
+   *     the cap lands exactly on the band edge no trim is needed at all
+   *     (the common case for skewed vocab).
    *  3. Only when the cap lands MID-TIE, trim the tie set (terms with
    *     cnt == c*) to its lexicographically-first `slots` terms via a
    *     DISTRIBUTED range sort + zipWithIndex — exact global ranks from
-   *     per-partition offsets, never a single-partition exchange.
+   *     per-partition offsets, never a single-partition exchange of terms.
    *
    * `counts` is lazily cached first so the histogram pass and the returned
    * plan share one materialization of the vocabulary instead of
@@ -2651,16 +2658,22 @@ object CorpusOps {
     require(cap > 0, s"vocabCap must be positive, got $cap")
     val spark = counts.sparkSession
     val vocab = Dedup.lazyShare(counts)
-    val hist = vocab.groupBy(col("cnt")).agg(count(lit(1)).as("n_terms"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-    if (hist.map(_._2).sum <= cap) return vocab
-    var cum = 0L
-    var i = 0
-    while (cum + hist(i)._2 < cap) { cum += hist(i)._2; i += 1 }
-    val threshold = hist(i)._1
-    val slots = cap - cum // threshold-count terms that still fit under the cap
+    val histCum = vocab.groupBy(col("cnt")).agg(count(lit(1)).as("__nt"))
+      .withColumn("__cum",
+        sum(col("__nt")).over(Window.orderBy(col("cnt").desc)))
+    // the crossing row: cumulative >= cap here, < cap just above — at most
+    // one row exists, and ONLY it is collected (never the histogram)
+    val crossing = histCum
+      .filter(col("__cum") >= cap && col("__cum") - col("__nt") < cap.toLong)
+      .select(col("cnt"), (col("__cum") - col("__nt")).as("__nabove"),
+        col("__nt"))
+      .collect()
+    if (crossing.isEmpty) return vocab // vocabulary already fits the cap
+    val (threshold, nAbove, bandWidth) =
+      (crossing(0).getLong(0), crossing(0).getLong(1), crossing(0).getLong(2))
+    val slots = cap - nAbove // threshold-count terms that still fit
     val above = vocab.filter(col("cnt") > threshold).select(col("term"), col("cnt"))
-    if (slots == hist(i)._2)
+    if (slots == bandWidth)
       above.unionAll(vocab.filter(col("cnt") === threshold).select(col("term"), col("cnt")))
     else {
       val ties = vocab.filter(col("cnt") === threshold).select(col("term"), col("cnt"))

@@ -654,4 +654,84 @@ object Sampling {
         s"CASE WHEN $h < '${hexThreshold(upper)}' THEN '${sqlEscape(label)}' ELSE $acc END"
     }
   }
+
+  /**
+   * BEST-FIT sequence packing — the no-split alternative to
+   * [[packSequences]]' concat-and-chunk: every document lands WHOLE in
+   * exactly one `maxSeqLen`-token training sequence (fine-tuning and
+   * long-context curricula often forbid splitting a document mid-thought),
+   * packed by deterministic FIRST-FIT-DECREASING within each (group,
+   * bucket): docs sort by (n_tokens desc, id asc) and each goes into the
+   * FIRST open sequence with room, else opens a new one — the classic FFD
+   * bin-packing recipe (<= 11/9 OPT + 1 bins), far denser than packing in
+   * arrival order when lengths are mixed.
+   *
+   * Scale shape: the same bucketed machinery as [[packSequences]] — each
+   * group's docs spread over buckets (default: the first two hex digits
+   * of md5(id), [[bucketedCumSum]]'s hexBucket; pass `bucketCol` to
+   * override, e.g. an integer-arithmetic bucket an external replayer can
+   * compute), each (group, bucket) packs independently in ONE task with
+   * O(bins) state, and sequence ids are globally unique within a group by
+   * construction (`bucket * 2^32 + bin`). Bucketing costs fill only at
+   * bucket seams (one possibly-short final bin per bucket); no window, no
+   * single-reducer group, no token materialization.
+   *
+   * Output: one row per input doc — group columns, `id`, `n_tokens`,
+   * `seq_id` (the sequence the WHOLE doc occupies; -1 for zero-token
+   * docs, [[packSequences]]' occupy-nothing convention), `seq_offset`
+   * (token position inside the sequence). A doc longer than `maxSeqLen`
+   * fails LOUDLY — no-split packing cannot place it; filter or chunk
+   * oversized docs upstream.
+   */
+  def packSequencesBestFit(
+      df: DataFrame, groupCols: Seq[Column], idCol: Column,
+      tokenCount: Column, maxSeqLen: Int,
+      bucketCol: Option[Column] = None): DataFrame = {
+    require(maxSeqLen > 0, s"maxSeqLen must be positive, got $maxSeqLen")
+    val bucket = bucketCol.getOrElse(hexBucket(hex13(idCol.cast("string"))))
+    val prep = df.select(
+      groupCols ++ Seq(bucket.cast("int").as("__bkt"), idCol.as("id"),
+        tokenCount.cast("long").as("n_tokens")): _*)
+    val gNames = prep.columns.dropRight(2).toSeq // group names + __bkt
+    val nKey = gNames.size
+    val sorted = prep
+      .repartition(gNames.map(col): _*)
+      .sortWithinPartitions(
+        gNames.map(col) ++ Seq(col("n_tokens").desc, col("id").asc): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      prep.schema.fields.filterNot(_.name == "__bkt") ++ Seq(
+        org.apache.spark.sql.types.StructField("seq_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("seq_offset",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val bktIdx = nKey - 1
+    sorted.mapPartitions { rows =>
+      // FFD state for the CURRENT (group, bucket) run — input is sorted by
+      // the full key, so a key change is a state reset, and one task may
+      // carry many (group, bucket) runs back to back
+      var curKey: Seq[Any] = null
+      val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.map { r =>
+        val key = (0 until nKey).map(r.get)
+        if (key != curKey) { curKey = key; used.clear() }
+        val nt = r.getLong(nKey + 1)
+        require(nt <= maxSeqLen,
+          s"document ${r.get(nKey)} has $nt tokens > maxSeqLen $maxSeqLen " +
+            "— no-split packing cannot place it; filter or chunk oversized " +
+            "docs upstream")
+        val (seqId, off) =
+          if (nt == 0L) (-1L, 0L)
+          else {
+            var i = 0
+            while (i < used.length && used(i) + nt > maxSeqLen) i += 1
+            if (i == used.length) used += 0L
+            val off0 = used(i)
+            used(i) = off0 + nt
+            ((r.getInt(bktIdx).toLong << 32) | i.toLong, off0)
+          }
+        org.apache.spark.sql.Row.fromSeq(
+          (0 until bktIdx).map(r.get) ++ Seq(r.get(nKey), nt, seqId, off))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -423,6 +423,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("perceptual-hash dedup: banded equi-join candidates, no cartesian, no all-pairs") {
+    val q = SparkEntry.queries("q_multimodal_dedup")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the exact popcount verify sits above the (band, chunk) equi-join
+    assert(p.contains("bit_count"), p)
+  }
+
+  test("best-fit packing: one shuffle on (group, bucket), no window, no global sort") {
+    val q = SparkEntry.queries("q_corpus_pack_bestfit")(spark, dir)
+    val p = plan(q)
+    // FFD runs inside partition tasks over a hash repartition; the only
+    // Sort is sortWithinPartitions (local) and the gate's final orderBy —
+    // never a Window (single-reducer group) or a global sort-limit
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("GlobalLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("categorical drift: top-K cut is a distributed TakeOrdered over category counts") {
     val q = SparkEntry.queries("q_categorical_drift")(spark, dir)
     val p = plan(q)

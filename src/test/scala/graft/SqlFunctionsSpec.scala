@@ -371,6 +371,15 @@ class SqlFunctionsSpec extends AnyFunSuite {
           graft.functions.TextFunctions.tokenCount(col("text")), 128)
         .orderBy(col("source"), col("seq_id")).collect().toSeq)
 
+    val bestfit = spark.sql(
+      "SELECT * FROM graft_pack_bestfit('tvfdocs', 'source', 'doc_id', 'text', 512) " +
+        "ORDER BY source, id")
+    assert(bestfit.collect().toSeq ==
+      operators.Sampling.packSequencesBestFit(docs,
+          Seq(col("source")), col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")), 512)
+        .orderBy(col("source"), col("id")).collect().toSeq)
+
     graft.Tables.events(spark, graft.SparkTestSession.sf0001)
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))

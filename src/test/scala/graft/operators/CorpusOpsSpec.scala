@@ -131,6 +131,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == packed.map(p => (p._1, p._3)).toSet)
   }
 
+  test("packSequencesBestFit: no doc spans sequences, FFD known answer, partitioning-invariant") {
+    // one bucket (bucketCol = 0) so FFD order is pure (len desc, id asc):
+    // lens 300, 300, 200, 200, 100, 12 at maxSeqLen 512 ->
+    // FFD: bin0 = [300(d0), 200(d2), 12(d5)]; bin1 = [300(d1), 200(d3)];
+    // 100(d4) fits bin1? 500+100>512 no; bin0? 512+... 512 used -> bin2
+    val docs = Seq(
+      (0L, "a", 300), (1L, "a", 300), (2L, "a", 200),
+      (3L, "a", 200), (4L, "a", 100), (5L, "a", 12),
+      (6L, "b", 512), (7L, "b", 0)) // exact-fit and zero-token edges
+      .toDF("doc_id", "source", "n_tok")
+    def pack(d: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequencesBestFit(d, Seq($"source"), $"doc_id",
+          $"n_tok", maxSeqLen = 512, bucketCol = Some(lit(0)))
+        .select($"id", $"n_tokens", $"seq_id", $"seq_offset")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val got = pack(docs)
+    assert(got(0) == ((0L, 300L, 0L, 0L)))
+    assert(got(1) == ((1L, 300L, 1L, 0L)))
+    assert(got(2) == ((2L, 200L, 0L, 300L)))
+    assert(got(3) == ((3L, 200L, 1L, 300L)))
+    assert(got(4) == ((4L, 100L, 2L, 0L)), got(4).toString)
+    assert(got(5) == ((5L, 12L, 0L, 500L)))
+    assert(got(6) == ((6L, 512L, 0L, 0L))) // exact fit fills one bin
+    assert(got(7) == ((7L, 0L, -1L, 0L)))  // zero-token: occupies nothing
+    // no doc spans sequences BY CONSTRUCTION: offset + len <= maxSeqLen
+    assert(got.filter(_._3 >= 0).forall(r => r._4 + r._2 <= 512))
+    // partitioning-invariant (the sort inside each task is the contract)
+    assert(pack(docs.repartition(7)).toSeq == got.toSeq)
+    // an oversized doc fails LOUDLY
+    val over = Seq((9L, "a", 600)).toDF("doc_id", "source", "n_tok")
+    val e = intercept[org.apache.spark.SparkException] {
+      Sampling.packSequencesBestFit(over, Seq($"source"), $"doc_id",
+        $"n_tok", 512, Some(lit(0))).count()
+    }
+    assert(e.getMessage.contains("no-split packing"), e.getMessage)
+  }
+
+  test("packSequencesBestFit fill ratio beats in-order no-split packing on mixed lengths") {
+    // mixed-length docs, deterministic: FFD's sorted placement must waste
+    // no more space than the naive next-fit-in-arrival-order packing a
+    // no-split pipeline would otherwise use
+    val rnd = new scala.util.Random(7)
+    val lens = (0 until 400).map(_ => 1 + rnd.nextInt(511))
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, "g", ("w " * n).trim) }
+      .toDF("doc_id", "source", "text")
+    val packed = Sampling.packSequencesBestFit(docs, Seq($"source"),
+        $"doc_id", graft.functions.TextFunctions.tokenCount($"text"),
+        maxSeqLen = 512, bucketCol = Some(lit(0)))
+      .select($"seq_id").as[Long].collect()
+    val ffdBins = packed.distinct.length
+    // naive no-split baseline: next-fit in doc_id order
+    var naive = 0; var room = 0
+    lens.foreach { n => if (n > room) { naive += 1; room = 512 }; room -= n }
+    assert(ffdBins <= naive,
+      s"FFD used $ffdBins sequences vs next-fit's $naive")
+    // fill ratio: total tokens / (bins * maxSeqLen)
+    val fill = lens.sum.toDouble / (ffdBins * 512)
+    assert(fill > 0.9, s"FFD fill ratio $fill unexpectedly poor")
+  }
+
   test("packSequenceRows materializes the loader view: ordered slices tile each sequence") {
     val docs = Seq(
       (0L, "a", ("w " * 300).trim),  // [0, 300)
@@ -417,6 +478,24 @@ class CorpusOpsSpec extends AnyFunSuite {
         .as[(String, Long)].collect().toSet
       assert(CorpusOps.cappedVocab(c, cap).as[(String, Long)].collect().toSet == naive,
         s"seed=$i cap=$cap text=$t")
+    }
+    // hostile histogram: EVERY count distinct (histogram rows == vocabulary
+    // size — the shape where collecting the histogram would be
+    // driver-unbounded); the crossing-row plan still resolves the exact
+    // threshold, only one row ever reaches the driver by construction
+    val distinctCounts = (1 to 200).map(i => (f"t$i%03d", i.toLong))
+      .toDF("term", "cnt")
+    val top5 = CorpusOps.cappedVocab(distinctCounts, 5)
+      .as[(String, Long)].collect().toSet
+    assert(top5 == (196 to 200).map(i => (f"t$i%03d", i.toLong)).toSet)
+    // crossing-row uniqueness on the same hostile shape: the filter that
+    // feeds the driver collect is pinned to <= 1 row for ANY cap
+    (1 to 200 by 37).foreach { cap =>
+      val hist = distinctCounts.groupBy($"cnt").agg(count(lit(1)).as("__nt"))
+        .withColumn("__cum", sum($"__nt").over(
+          org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc)))
+        .filter($"__cum" >= cap && $"__cum" - $"__nt" < cap.toLong)
+      assert(hist.count() == 1L, s"cap=$cap must collect exactly one row")
     }
   }
 

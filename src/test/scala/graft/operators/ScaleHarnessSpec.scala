@@ -278,6 +278,52 @@ class ScaleHarnessSpec extends AnyFunSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("packSequencesBestFit on a 95%-skewed group: multi-task FFD, exact per-bucket replay") {
+    val n = 40000
+    val docs = skewedDocs(n, 0.95).cache()
+    docs.count()
+    try {
+      var rows: Array[(String, String, Long, Long, Long)] = null
+      val maxRead = maxTaskShuffleRead {
+        rows = Sampling.packSequencesBestFit(docs, Seq($"source"), $"doc_id",
+            $"n_tok", maxSeqLen = 512)
+          .select($"source", $"id", $"n_tokens", $"seq_id", $"seq_offset")
+          .as[(String, String, Long, Long, Long)].collect()
+      }
+      // the giant group's docs spread over the default md5 buckets — no
+      // task packs (or shuffles) the whole group
+      assert(maxRead < n / 2,
+        s"one task shuffle-read $maxRead of $n rows — bucketing broke")
+      // no doc spans sequences, by construction
+      assert(rows.forall(r => r._5 + r._3 <= 512))
+      // sequences never overfill and slices never overlap
+      rows.groupBy(r => (r._1, r._4)).foreach { case ((_, seq), docsIn) =>
+        assert(docsIn.map(_._3).sum <= 512, s"seq $seq overfilled")
+        val spans = docsIn.map(d => (d._5, d._5 + d._3)).sortBy(_._1)
+        spans.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) => assert(e1 <= s2, s"seq $seq overlaps")
+          case _ =>
+        }
+      }
+      // exact local FFD replay per (group, bucket) — bucket rides in the
+      // seq_id's high bits, so the replay needs no re-hashing
+      rows.groupBy(r => (r._1, r._4 >> 32)).foreach { case ((g, bkt), docsIn) =>
+        val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val expect = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        docsIn.sortBy(d => (-d._3, d._2)).foreach { case (_, id, nt, _, _) =>
+          var i = 0
+          while (i < used.length && used(i) + nt > 512) i += 1
+          if (i == used.length) used += 0L
+          expect(id) = ((bkt << 32) | i.toLong, used(i))
+          used(i) += nt
+        }
+        docsIn.foreach { case (_, id, _, seq, off) =>
+          assert(expect(id) == ((seq, off)), s"($g, $bkt) doc $id diverged")
+        }
+      }
+    } finally { docs.unpersist(); () }
+  }
+
   test("persisted bm25 stats: multi-epoch merge exact under a universal stop term, probe multi-task") {
     // hostile shape: a term in EVERY document (df = n_docs — the worst
     // case for both the df merge and the probe's matching-pair volume),
