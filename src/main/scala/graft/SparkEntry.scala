@@ -257,6 +257,30 @@ object SparkEntry {
       path
     })
 
+  /** Once-per-dir persisted perceptual-hash index over the even-doc_id
+    * media, built through the full incremental lifecycle (save the
+    * doc_id%4==0 quarter, append the doc_id%4==2 quarter). Deleted at JVM
+    * exit. */
+  private val sharedPhashIdxDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def phashIndexDir(s: SparkSession, dir: String): String =
+    sharedPhashIdxDirs.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val d0 = Tables.documents(s, dir).filter(col("doc_id") < 800)
+      def media(m: Long) = d0.filter(col("doc_id") % 4 === m)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content"),
+          lit("image").as("format"), col("source"))
+        .as[operators.Multimodal.MediaRow]
+      val base = java.nio.file.Files.createTempDirectory("phidx").toString
+      val path = s"$base/idx"
+      operators.Multimodal.savePhashIndex(media(0), path, maxHamming = 4)
+      operators.Multimodal.appendToPhashIndex(media(2), path)
+      sys.addShutdownHook {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)); ()
+      }
+      path
+    })
+
   /** Run a gate stream to completion or fail loudly: a timed-out
     * AvailableNow query must never let the caller read partial sink
     * contents as the query's answer (and the still-running stream must not
@@ -2817,6 +2841,31 @@ object SparkEntry {
         .orderBy(col("media_a"), col("media_b"))
     }),
 
+    "q_multimodal_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      // incremental perceptual dedup through the PERSISTED phash index
+      // (even-doc_id media, saved quarter + appended quarter — the full
+      // lifecycle): the batch carries re-encodes of every 8th doc (its
+      // original IS indexed -> drop) and odd-id originals (never indexed
+      // -> survive, unless a natural even-id near-dup exists — which the
+      // oracle replays identically)
+      val path = phashIndexDir(s, dir)
+      val d0 = Tables.documents(s, dir).filter(col("doc_id") < 800)
+      val reenc = d0.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 300000L).as("media_id"),
+          concat(upper(substring(col("text"), 1, 40)),
+            substring(col("text"), 41, Int.MaxValue))
+            .cast("binary").as("content"),
+          lit("image").as("format"), col("source"))
+      val fresh = d0.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content"),
+          lit("image").as("format"), col("source"))
+      operators.Multimodal.dedupAgainstPhashIndex(
+          reenc.unionByName(fresh).as[operators.Multimodal.MediaRow], path)
+        .select(col("media_id")).orderBy(col("media_id"))
+    }),
+
     // decode-error containment gate: a deterministic faulty codec (rejects
     // media_id % 5 == 0) must yield per-row errors, never task failures
     // (rows-only — the error split is codec-defined)
@@ -4116,10 +4165,7 @@ object SparkEntry {
       // so the doubles — and the > comparisons — are bit-identical), bits
       // compared as lists (no 1<<63 signed-overflow gymnastics), all-pairs
       // verify bounded by the gate's doc_id cap
-      "q_multimodal_dedup" -> {
-        val len = "length(t)" // == byte length under the ascii guard
-        val lo = s"(c * $len) // 72"
-        val hi = s"((c + 1) * $len) // 72"
+      "q_multimodal_dedup" ->
         s"""WITH m0 AS (
            |  SELECT (${TextFunctions.sqlAsciiGuard("doc_id", "text")})
            |    AS media_id, text AS t
@@ -4128,29 +4174,37 @@ object SparkEntry {
            |  SELECT doc_id + 300000,
            |    upper(substr(text, 1, 40)) || substr(text, 41)
            |  FROM documents WHERE doc_id < 800 AND doc_id % 4 = 0),
-           |g AS (
-           |  SELECT media_id,
-           |    list_transform(range(0, 72), c -> CASE WHEN $hi > $lo THEN
-           |      (list_sum(list_transform(range($lo, $hi),
-           |         i -> ord(t[(i + 1)::INT])))::DOUBLE) / ($hi - $lo)
-           |      ELSE 0.0 END) AS gr
-           |  FROM m0),
-           |b AS (
-           |  SELECT media_id,
-           |    list_transform(range(0, 64), s ->
-           |      CASE WHEN gr[((s // 8) * 9 + (s % 8) + 1)::INT]
-           |             > gr[((s // 8) * 9 + (s % 8) + 2)::INT]
-           |      THEN 1 ELSE 0 END) AS bits
-           |  FROM g),
+           |${sqlDhashBitsCtes("m0", "b")},
            |p AS (
            |  SELECT x.media_id AS media_a, y.media_id AS media_b,
-           |    list_sum(list_transform(range(0, 64), i ->
-           |      CASE WHEN x.bits[(i + 1)::INT] <> y.bits[(i + 1)::INT]
-           |      THEN 1 ELSE 0 END))::INT AS hamming
+           |    ${sqlHammingOf("x.bits", "y.bits")}::INT AS hamming
            |  FROM b x JOIN b y ON x.media_id < y.media_id)
            |SELECT media_a, media_b, hamming FROM p
-           |WHERE hamming <= 4 ORDER BY 1, 2""".stripMargin
-      },
+           |WHERE hamming <= 4 ORDER BY 1, 2""".stripMargin,
+
+      // same raster/bits machinery over index and batch sides; survivors
+      // = batch media with no indexed bits-list within hamming 4
+      "q_multimodal_dedup_incremental" ->
+        s"""WITH idx0 AS (
+           |  SELECT (${TextFunctions.sqlAsciiGuard("doc_id", "text")})
+           |    AS media_id, text AS t
+           |  FROM documents WHERE doc_id < 800 AND doc_id % 2 = 0),
+           |bat0 AS (
+           |  SELECT doc_id + 300000 AS media_id,
+           |    upper(substr(text, 1, 40)) || substr(text, 41) AS t
+           |  FROM documents WHERE doc_id < 800 AND doc_id % 8 = 0
+           |  UNION ALL
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id < 800 AND doc_id % 2 = 1),
+           |${sqlDhashBitsCtes("idx0", "ib")},
+           |${sqlDhashBitsCtes("bat0", "bb")},
+           |matched AS (
+           |  SELECT DISTINCT x.media_id
+           |  FROM bb x JOIN ib y
+           |    ON ${sqlHammingOf("x.bits", "y.bits")} <= 4)
+           |SELECT media_id FROM bat0
+           |WHERE media_id NOT IN (SELECT media_id FROM matched)
+           |ORDER BY media_id""".stripMargin,
 
       "q_multimodal_decode" ->
         s"""WITH m AS (
@@ -4428,6 +4482,37 @@ object SparkEntry {
        |  LEFT JOIN cosq USING (label))
        |ORDER BY 1""".stripMargin
   }
+
+  /** DuckDB rendering of [[graft.operators.Multimodal.StubCodec]]'s raster
+    * + dHash over a bound CTE `<src>(media_id, t)`: a grid CTE of 72
+    * exact byte-slice means (integer sums / counts — both engines divide
+    * the same integers, so the doubles and the > comparisons are
+    * bit-identical under the ascii guard) and a `<out>(media_id, bits)`
+    * CTE of the 64 adjacent-cell gradient bits. */
+  private def sqlDhashBitsCtes(src: String, out: String): String = {
+    val len = "length(t)" // == byte length under the ascii guard
+    val lo = s"(c * $len) // 72"
+    val hi = s"((c + 1) * $len) // 72"
+    s"""g_$out AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 72), c -> CASE WHEN $hi > $lo THEN
+       |      (list_sum(list_transform(range($lo, $hi),
+       |         i -> ord(t[(i + 1)::INT])))::DOUBLE) / ($hi - $lo)
+       |      ELSE 0.0 END) AS gr
+       |  FROM $src),
+       |$out AS (
+       |  SELECT media_id,
+       |    list_transform(range(0, 64), s ->
+       |      CASE WHEN gr[((s // 8) * 9 + (s % 8) + 1)::INT]
+       |             > gr[((s // 8) * 9 + (s % 8) + 2)::INT]
+       |      THEN 1 ELSE 0 END) AS bits
+       |  FROM g_$out)""".stripMargin
+  }
+
+  /** Hamming distance of two 64-slot 0/1 bits lists. */
+  private def sqlHammingOf(a: String, b: String): String =
+    s"list_sum(list_transform(range(0, 64), i -> " +
+      s"CASE WHEN $a[(i + 1)::INT] <> $b[(i + 1)::INT] THEN 1 ELSE 0 END))"
 
   private val incrementalDedupOracleSql: String =
     """WITH batch AS (

@@ -721,19 +721,28 @@ object Dedup extends Logging {
     * `maxHamming + 1` chunks (first `rem` one bit wider), so by pigeonhole
     * any pair within the distance agrees on at least one whole chunk and
     * the chunk equi-join is COMPLETE for the advertised distance. */
-  private[operators] def hammingBandedPairs(withSim: DataFrame,
-      maxHamming: Int, maxBucketSize: Int, tag: String): DataFrame = {
+  /** The `maxHamming + 1` chunk values of a 64-bit hash column (first
+    * `rem` chunks one bit wider) — the pigeonhole banding shared by
+    * [[hammingBandedPairs]] and the persisted perceptual-hash index
+    * ([[Multimodal.phashIndexMatches]]). */
+  private[operators] def hammingChunks(hashCol: Column,
+      maxHamming: Int): Seq[Column] = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming out of range")
     val nChunks = maxHamming + 1
     val base = 64 / nChunks
     val rem = 64 % nChunks
     val offsets = (0 until nChunks).scanLeft(0)((acc, i) =>
       acc + base + (if (i < rem) 1 else 0))
-    val chunks = (0 until nChunks).map { b =>
+    (0 until nChunks).map { b =>
       val width = base + (if (b < rem) 1 else 0)
       val mask = if (width == 64) -1L else (1L << width) - 1
-      shiftright(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
+      shiftright(hashCol, offsets(b)).bitwiseAND(lit(mask))
     }
+  }
+
+  private[operators] def hammingBandedPairs(withSim: DataFrame,
+      maxHamming: Int, maxBucketSize: Int, tag: String): DataFrame = {
+    val chunks = hammingChunks(col("simhash"), maxHamming)
     val banded = withSim.select(col("doc_id"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     bucketedPairs(banded, "chunk", maxBucketSize, tag)

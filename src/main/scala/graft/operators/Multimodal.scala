@@ -269,6 +269,169 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  // -------------------------------------------------------------------
+  // Persisted perceptual-hash index — INCREMENTAL media dedup, the
+  // multimodal member of the cross-batch family ([[Dedup.saveHashIndex]]
+  // exact text / [[Dedup.saveMinHashIndex]] near-dup text): a daily
+  // ingestion must drop media that are RE-ENCODED copies of anything
+  // admitted in past runs, without holding the past corpus in the job.
+  // The stored index is (media_id, phash) — 16 bytes a row, no content;
+  // banding is computed AT PROBE TIME from the stored hash (cheap bit
+  // ops on the scan), so the on-disk layout stays minimal. Same storage
+  // conventions: epoch partitions (batch -> epoch=-1, streaming
+  // admission overwrites its own epoch), params validation, writer
+  // lease, crash-safe compaction.
+  // -------------------------------------------------------------------
+
+  private val phashIndexParams =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  private def phashParamsOf(spark: SparkSession, path: String): Int =
+    phashIndexParams.computeIfAbsent(path, _ =>
+      spark.read.parquet(s"$path/params").head().getAs[Int]("max_hamming"))
+
+  private[graft] def forgetPhashIndex(path: String): Unit = {
+    phashIndexParams.remove(path); ()
+  }
+
+  /** Persist the corpus's perceptual hashes for incremental dedup
+    * ([[dedupAgainstPhashIndex]]). `params/` records `maxHamming` — the
+    * distance the index promises to answer; probes always band at the
+    * stored distance so candidate generation stays pigeonhole-complete. */
+  def savePhashIndex(media: Dataset[MediaRow], path: String,
+      maxHamming: Int = 4, codec: MediaCodec = StubCodec): Unit = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming $maxHamming out of range")
+    val spark = media.sparkSession
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "savePhashIndex") {
+      perceptualHash(media, codec)
+        .write.mode("overwrite").parquet(s"$path/hashes/epoch=-1")
+      import spark.implicits._
+      Seq(maxHamming).toDF("max_hamming")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      phashIndexParams.put(path, maxHamming)
+    }
+    ()
+  }
+
+  /** Admit a media delta: append its hashes to `epoch=-1` under the
+    * lease. Double-appended ids are collapsed by [[compactPhashIndex]]
+    * and are harmless to probes (duplicate index rows only duplicate a
+    * candidate, which the verify dedups per batch doc). */
+  def appendToPhashIndex(media: Dataset[MediaRow], path: String,
+      codec: MediaCodec = StubCodec): Unit = {
+    val spark = media.sparkSession
+    phashParamsOf(spark, path) // params must exist (fail loudly otherwise)
+    Dedup.withIndexLease(Dedup.indexFs(spark, path), path,
+        "appendToPhashIndex") {
+      perceptualHash(media, codec)
+        .write.mode("append").parquet(s"$path/hashes/epoch=-1")
+    }
+  }
+
+  /** Streaming admission ([[Dedup.admitEpoch]]'s contract): OVERWRITE
+    * epoch `epochId`'s delta with this slice's hashes. */
+  private[graft] def admitPhashEpoch(media: Dataset[MediaRow], path: String,
+      epochId: Long, codec: MediaCodec = StubCodec): Unit =
+    perceptualHash(media, codec)
+      .write.mode("overwrite").parquet(s"$path/hashes/epoch=$epochId")
+
+  /** Per-batch-media matches against the persisted index:
+    * (media_id, n_index_matched, min_hamming) for every batch row with at
+    * least one indexed perceptual near-dup at the index's `maxHamming`.
+    * Scale contract mirrors [[Dedup.minHashIndexMatches]]: the BATCH
+    * bands broadcast against the index scan (the corpus-scale index never
+    * shuffles; its banding is `maxHamming + 1` cheap bit-ops per scanned
+    * row), the candidate verify is one popcount per candidate, and
+    * `excludeEpoch` prunes a replaying epoch's own delta at listing time.
+    * Batch-INTERNAL near-dups both survive (the index only knows past
+    * batches); compose with [[perceptualDedupPairs]] for within-batch. */
+  def phashIndexMatches(batch: Dataset[MediaRow], path: String,
+      codec: MediaCodec = StubCodec,
+      excludeEpoch: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val maxHamming = phashParamsOf(spark, path)
+    val bHash = perceptualHash(batch, codec)
+    val bBand = bHash.select(col("media_id"),
+        posexplode(array(Dedup.hammingChunks(col("phash"), maxHamming): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val idx0 = spark.read.parquet(s"$path/hashes")
+    val idx = excludeEpoch.foldLeft(idx0)(
+      (i, e) => i.filter(col("epoch") =!= lit(e)))
+    val iBand = idx.select(col("media_id").as("idx_id"),
+        col("phash").as("idx_phash"),
+        posexplode(array(Dedup.hammingChunks(col("phash"), maxHamming): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    iBand.join(broadcast(bBand), Seq("band", "chunk"))
+      .select(col("media_id"), col("idx_id"), col("idx_phash")).distinct()
+      .join(broadcast(bHash.withColumnRenamed("phash", "__bp")), Seq("media_id"))
+      .withColumn("hamming",
+        bit_count(col("__bp").bitwiseXOR(col("idx_phash"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_index_matched"),
+        min(col("hamming")).as("min_hamming"))
+  }
+
+  /** Rows of `batch` with NO perceptual near-dup in the persisted index —
+    * the incremental admission filter ([[Dedup.dedupAgainstHashIndex]]'s
+    * re-encode-robust media sibling). */
+  def dedupAgainstPhashIndex(batch: Dataset[MediaRow], path: String,
+      codec: MediaCodec = StubCodec,
+      excludeEpoch: Option[Long] = None): Dataset[MediaRow] = {
+    val matches = phashIndexMatches(batch, path, codec, excludeEpoch)
+      .select(col("media_id").as("__dup_id"))
+    import batch.sparkSession.implicits._
+    // matches <= batch rows by construction; without the hint the
+    // anti-join would sort-merge-shuffle the batch
+    batch.join(broadcast(matches),
+        batch("media_id") === col("__dup_id"), "left_anti")
+      .as[MediaRow]
+  }
+
+  /** Continuous-ingestion form, with [[Dedup.dedupStreamAgainstHashIndex]]'s
+    * replay contract verbatim: every micro-batch probes the index
+    * EXCLUDING its own epoch's delta, survivors go to `writeBatch`
+    * (idempotent on the epoch id), and admission OVERWRITES the epoch's
+    * partition — an at-least-once retry recomputes the identical survivor
+    * set. One live stream per index path. */
+  def dedupStreamAgainstPhashIndex(stream: DataFrame, path: String,
+      codec: MediaCodec = StubCodec, admit: Boolean = true)(
+      writeBatch: (Dataset[MediaRow], Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      import batch.sparkSession.implicits._
+      val fresh = dedupAgainstPhashIndex(batch.as[MediaRow], path, codec,
+        excludeEpoch = Some(epochId)).persist()
+      try {
+        writeBatch(fresh, epochId)
+        if (admit) admitPhashEpoch(fresh, path, epochId, codec)
+      } finally { fresh.unpersist(); () }
+    }
+
+  /** Merge accreted epoch deltas into `epoch=-1`, dropping duplicate
+    * (media_id, phash) rows — crash-safe via [[Dedup.swapCompacted]];
+    * only run while no stream owns the index. Returns partitions merged,
+    * 0 if already compact. */
+  def compactPhashIndex(spark: SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.withIndexLease(fs, path, "compactPhashIndex") {
+      Dedup.recoverCompaction(fs, path, "hashes")
+      val n = fs.listStatus(new Path(s"$path/hashes"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      if (n <= 1) 0
+      else {
+        Dedup.swapCompacted(fs, path, "hashes", { tmp =>
+          spark.read.parquet(s"$path/hashes").drop("epoch").distinct()
+            .write.mode("overwrite").parquet(tmp)
+        })
+        n
+      }
+    }
+  }
+
   /** Build a MediaRow table from the documents corpus (text bytes standing in
     * for media payloads — deterministic, keeps the pipeline testable). */
   def mediaFromDocuments(spark: SparkSession, docsPath: String): Dataset[MediaRow] = {

@@ -1922,6 +1922,91 @@ class MultimodalSpec extends AnyFunSuite {
       .select(explode(array($"media_a", $"media_b"))).distinct().count()
     assert(kept.size == comps + isolated, "keep-one = one per component + isolated rows")
   }
+
+  test("phash index: cross-batch incremental media dedup lifecycle") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ph-idx").toString
+    val path = s"$base/idx"
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet")
+      .filter(_.media_id < 200).cache()
+    def reencOf(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+      ds.map { r =>
+        val s = new String(r.content, "UTF-8")
+        r.copy(media_id = r.media_id + 100000,
+          content = (s.take(40).toUpperCase + s.drop(40)).getBytes("UTF-8"))
+      }
+    // lifecycle: save half, append the rest — probes equal a full save
+    Multimodal.savePhashIndex(media.filter(_.media_id % 2 == 0), path)
+    Multimodal.appendToPhashIndex(media.filter(_.media_id % 2 == 1), path)
+    val batch = reencOf(media.filter(_.media_id % 3 == 0))
+      .unionByName(media.map(r => r.copy(media_id = r.media_id + 500000)))
+    // every re-encode of an indexed original drops; the +500000 copies are
+    // byte-identical (hamming 0) so they drop too — nothing survives
+    assert(Multimodal.dedupAgainstPhashIndex(batch, path).count() == 0)
+    // a batch of genuinely-new media (distinct text) survives
+    val fresh = Seq(Multimodal.MediaRow(999999L,
+      ("totally new payload " * 20).getBytes("UTF-8"), "image", "srcX")).toDS()
+    assert(Multimodal.dedupAgainstPhashIndex(fresh, path).count() == 1)
+    // epoch admission replay: overwrite semantics — probe after 1 == after 2
+    Multimodal.admitPhashEpoch(fresh, path, 7L)
+    assert(Multimodal.dedupAgainstPhashIndex(fresh, path).count() == 0)
+    Multimodal.admitPhashEpoch(fresh, path, 7L)
+    val m = Multimodal.phashIndexMatches(fresh, path).collect()
+    assert(m.length == 1 && m(0).getLong(1) == 1L,
+      s"replayed admission duplicated index rows: ${m.toSeq}")
+    // excluding its own epoch, the replaying batch sees the pre-epoch index
+    assert(Multimodal.dedupAgainstPhashIndex(fresh, path,
+      excludeEpoch = Some(7L)).count() == 1)
+    // compaction merges epochs, probes unchanged
+    assert(Multimodal.compactPhashIndex(spark, path) == 2)
+    assert(Multimodal.dedupAgainstPhashIndex(fresh, path).count() == 0)
+    assert(Multimodal.compactPhashIndex(spark, path) == 0)
+    // writer lease: a held lease refuses mutation
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$path/__lease")
+    val out = fs.create(lease, false)
+    out.write("other@job".getBytes("UTF-8")); out.close()
+    intercept[IllegalStateException](Multimodal.appendToPhashIndex(fresh, path))
+    fs.delete(lease, false)
+    media.unpersist()
+    Multimodal.forgetPhashIndex(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("phash index: streaming admission with replay-safe epoch exclusion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ph-stream").toString
+    val path = s"$base/idx"
+    val seed = Seq(Multimodal.MediaRow(1L,
+      ("seed payload content here " * 10).getBytes("UTF-8"), "image", "s")).toDS()
+    Multimodal.savePhashIndex(seed, path)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Multimodal.dedupStreamAgainstPhashIndex(
+        input.toDS().toDF("media_id", "body")
+          .select($"media_id", $"body".cast("binary").as("content"),
+            lit("image").as("format"), lit("s").as("source")), path) {
+      (fresh, _) => got ++= fresh.collect().map(_.media_id); ()
+    }.option("checkpointLocation", s"$base/ckpt").start()
+    // batch 1: a re-encode-identical copy of the seed (drops) + new media
+    input.addData(2L -> ("seed payload content here " * 10),
+      3L -> ("brand new doc one " * 15))
+    q.processAllAvailable()
+    // batch 2: a copy of batch 1's ADMITTED media must now drop; the
+    // second payload is structurally different (not a near-variant — a
+    // perceptually-similar text would drop by design)
+    input.addData(4L -> ("brand new doc one " * 15),
+      5L -> ("zz 0123 completely different shape! " * 11))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == Set(3L, 5L), s"got ${got.toSet}")
+    Multimodal.forgetPhashIndex(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
 
 /** Fault-injecting codec behind the [[Multimodal.MediaCodec]] seam: rejects
