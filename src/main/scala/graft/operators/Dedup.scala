@@ -1210,7 +1210,11 @@ object Dedup extends Logging {
     val beat = new Thread(() => {
       try {
         while (!Thread.interrupted()) {
-          Thread.sleep(math.max(50L, staleMs / 3))
+          // staleMs/5, not /3: the slack between the last beat and the
+          // stale cutoff must absorb scheduler/GC starvation of this
+          // thread on a saturated host — 4/5 of the window of margin
+          // keeps a live lease fresh even when beats land late
+          Thread.sleep(math.max(50L, staleMs / 5))
           // refresh the lease's mtime by REWRITING it (same holder tag):
           // setTimes is a silent no-op on FileSystems that don't override
           // it (object stores — S3 mtime is immutable), which would leave

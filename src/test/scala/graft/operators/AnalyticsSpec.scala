@@ -685,10 +685,15 @@ class DedupSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("hash-idx-beat").toString
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Dedup.withIndexLease(fs, path, "slowCompaction", staleMs = 500L) {
-      Thread.sleep(1500L) // 3x the stale window
+    // a 2 s stale window (not 500 ms): the guarantee under test is the
+    // heartbeat's MARGIN (beats every staleMs/5), and on a fully-loaded
+    // test host the beat thread can be scheduler-starved for hundreds of
+    // ms — the window must dwarf plausible starvation or the test flakes
+    // on exactly the contention it is supposed to survive
+    Dedup.withIndexLease(fs, path, "slowCompaction", staleMs = 2000L) {
+      Thread.sleep(6000L) // 3x the stale window
       val e = intercept[IllegalStateException](
-        Dedup.withIndexLease(fs, path, "thief", staleMs = 500L) {
+        Dedup.withIndexLease(fs, path, "thief", staleMs = 2000L) {
           fail("a live heartbeating lease was stolen")
         })
       assert(e.getMessage.contains("slowCompaction"), e.getMessage)
