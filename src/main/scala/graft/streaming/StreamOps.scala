@@ -970,7 +970,86 @@ object StreamOps {
       curStats.clear()
       curCent.clear()
     }
+
+    /** Checkpoint cumulative state + epoch floor; header carries the full
+      * monitor identity incl. the fitted reference stats and centroid
+      * sums ([[DriftTracker.toBytes]]'s contract). */
+    def toBytes: Array[Byte] = synchronized {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(EmbedDriftMagic)
+      out.writeInt(maxLabels)
+      def writeStats(m: collection.Map[String, (Long, Double, Int, Int)]): Unit = {
+        out.writeInt(m.size)
+        m.toSeq.sortBy(_._1).foreach { case (l, (n, ns, dn, dx)) =>
+          out.writeUTF(l); out.writeLong(n); out.writeDouble(ns)
+          out.writeInt(dn); out.writeInt(dx)
+        }
+      }
+      def writeCent(m: collection.Map[String, Seq[(Int, Double)]]): Unit = {
+        out.writeInt(m.size)
+        m.toSeq.sortBy(_._1).foreach { case (l, ps) =>
+          out.writeUTF(l); out.writeInt(ps.size)
+          ps.sortBy(_._1).foreach { case (p, s) =>
+            out.writeInt(p); out.writeDouble(s)
+          }
+        }
+      }
+      writeStats(refStats)
+      writeCent(refCent.map { case (l, a) => l -> a.zipWithIndex.map(_.swap).toSeq })
+      out.writeLong(lastEpoch)
+      writeStats(curStats)
+      writeCent(curCent.map { case (l, m) => l -> m.toSeq })
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Restore state serialized by [[toBytes]]; throws on a foreign blob
+      * or monitor-identity mismatch, with the tracker unchanged. */
+    def restore(bytes: Array[Byte]): Unit = synchronized {
+      require(bytes.length >= 8,
+        s"not an EmbedDriftTracker checkpoint (${bytes.length} bytes)")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val magic = in.readInt()
+      require(magic == EmbedDriftMagic,
+        s"not an EmbedDriftTracker checkpoint (magic 0x${magic.toHexString})")
+      val sMax = in.readInt()
+      require(sMax == maxLabels,
+        s"checkpoint was written with maxLabels=$sMax, this monitor has " +
+          s"$maxLabels")
+      def readStats(): Map[String, (Long, Double, Int, Int)] =
+        (1 to in.readInt()).map { _ =>
+          (in.readUTF(), (in.readLong(), in.readDouble(), in.readInt(),
+            in.readInt()))
+        }.toMap
+      def readCent(): Map[String, Seq[(Int, Double)]] =
+        (1 to in.readInt()).map { _ =>
+          (in.readUTF(), Seq.fill(in.readInt())((in.readInt(), in.readDouble())))
+        }.toMap
+      val sRefStats = readStats()
+      val sRefCent = readCent()
+      require(sRefStats == refStats && sRefCent == refCent.map {
+          case (l, a) => l -> a.zipWithIndex.map(_.swap).toSeq },
+        "checkpoint was written against a DIFFERENT reference snapshot — " +
+          "refit from the checkpoint's reference")
+      // parse the whole blob before mutating
+      val epoch = in.readLong()
+      val sCurStats = readStats()
+      val sCurCent = readCent()
+      lastEpoch = epoch
+      curStats.clear(); sCurStats.foreach { case (l, v) => curStats.put(l, v) }
+      curCent.clear()
+      sCurCent.foreach { case (l, ps) =>
+        val m = scala.collection.mutable.HashMap.empty[Int, Double]
+        ps.foreach { case (p, s) => m.put(p, s) }
+        curCent.put(l, m)
+      }
+    }
   }
+
+  /** [[EmbedDriftTracker.toBytes]] header magic ("gEDT"). */
+  private val EmbedDriftMagic: Int = 0x67454454
 
   /** Fit the embedding monitor's reference side ONCE: per-label count /
     * norm-sum / dim bounds plus per-(label, pos) centroid sums — the

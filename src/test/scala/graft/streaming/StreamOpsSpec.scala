@@ -665,4 +665,28 @@ class StreamOpsSpec extends AnyFunSuite {
       g3(Seq(("y", Seq(0.0, 1.0, 0.0))).toDF("label", "v"), 0L))
     assert(e2.getMessage.contains("DIM MISMATCH"), e2.getMessage)
   }
+
+  test("embedDriftTracker checkpoint: byte round-trip validates the fitted reference, floor survives") {
+    val ref = Seq(("x", Seq(1.0, 0.0)), ("y", Seq(0.0, 1.0))).toDF("label", "v")
+    val t1 = StreamOps.embedDriftFit(ref, "label", "v")
+    val sink1 = StreamOps.embedDriftSink(t1, "label", "v")
+    sink1(Seq(("x", Seq(0.9, 0.1))).toDF("label", "v"), 0L)
+    val bytes = t1.toBytes
+    // fresh "process": restore, replayed epoch merge-skipped, totals continue
+    val t2 = StreamOps.embedDriftFit(ref, "label", "v")
+    t2.restore(bytes)
+    assert(t2.result == t1.result)
+    val sink2 = StreamOps.embedDriftSink(t2, "label", "v")
+    sink2(Seq(("x", Seq(0.9, 0.1))).toDF("label", "v"), 0L) // replay
+    sink2(Seq(("x", Seq(1.1, -0.1))).toDF("label", "v"), 1L)
+    assert(t2.result.find(_._1 == "x").get._3 == 2L, t2.result.toString)
+    // a differently-fitted monitor refuses the bytes, unchanged
+    val t3 = StreamOps.embedDriftFit(ref.limit(1), "label", "v")
+    val before = t3.result
+    val e = intercept[IllegalArgumentException](t3.restore(bytes))
+    assert(e.getMessage.contains("DIFFERENT reference"), e.getMessage)
+    assert(t3.result == before)
+    // foreign bytes refuse loudly
+    intercept[IllegalArgumentException](t3.restore(Array[Byte](1, 2, 3)))
+  }
 }
