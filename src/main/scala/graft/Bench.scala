@@ -27,8 +27,12 @@ object Bench {
   val GateSamples: Int = 2
 
   /** Interleaved (passthrough, windowed) timing pairs for the headline
-    * ratio; each reported number is the min across pairs. */
-  val HeadlineSamples: Int = 4
+    * ratio; each reported number is the min across pairs, and the ratio
+    * criterion is the MEDIAN of within-pair ratios. An ODD count makes
+    * the median a real pair's ratio — one contention-inflated pair
+    * cannot move it at all, where the even-count midpoint average moved
+    * by half the outlier's excess. */
+  val HeadlineSamples: Int = 5
 
   /** One headline run's wall time plus its per-batch duration totals from
     * StreamingQueryProgress — recorded per sample in the artifact so a

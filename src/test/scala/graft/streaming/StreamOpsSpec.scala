@@ -666,6 +666,75 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("DIM MISMATCH"), e2.getMessage)
   }
 
+  test("drift monitors: RANDOM trigger slicings all converge to the batch profile (property sweep)") {
+    import graft.operators.{Similarity, Validation}
+    val rnd = new scala.util.Random(42)
+    // one shared corpus: (group/category, value, vector) rows
+    val cats = Array("a", "b", "c", "d")
+    val refRows = (0 until 120).map { i =>
+      (cats(i % 4), (i % 37).toDouble, Seq((i % 5).toDouble, (i % 3).toDouble))
+    }
+    val curRows = (0 until 150).map { i =>
+      (cats((i * 7) % 4), ((i * 11) % 41).toDouble,
+        Seq(((i * 3) % 5).toDouble, ((i * 2) % 3).toDouble))
+    }
+    val ref = refRows.toDF("g", "v", "e")
+    def r9(d: Double) = math.rint(d * 1e9)
+    val batchCat = Validation.categoricalDrift(ref, curRows.toDF("g", "v", "e"),
+        "g", topK = 2)
+      .select(col("category"), col("n_ref"), col("n_cur"), col("psi")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r9(r.getDouble(3))))
+      .toSeq
+    val batchGrp = Validation.distributionDriftByGroup(ref,
+        curRows.toDF("g", "v", "e"), "g", "v", 0.0, 41.0, 5)
+      .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"),
+        col("psi")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r9(r.getDouble(4)))).toSeq
+    def r4(d: Double) = math.rint(d * 1e4)
+    val batchEmb = Similarity.embeddingDrift(ref, curRows.toDF("g", "v", "e"),
+        "g", "e")
+      .orderBy(col("label")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(x => r4(x.asInstanceOf[Double])),
+        Option(r.get(4)).map(x => r4(x.asInstanceOf[Double])),
+        Option(r.get(5)).map(x => r4(x.asInstanceOf[Double])),
+        r.getBoolean(6))).toSeq
+    (0 until 8).foreach { trial =>
+      // random slicing into 1..6 epochs (some possibly empty)
+      val nEpochs = 1 + rnd.nextInt(6)
+      val slices = curRows.groupBy(_ => rnd.nextInt(nEpochs))
+      val cat = StreamOps.catDriftFit(ref, "g", topK = 2)
+      val catSink = StreamOps.catDriftSink(cat, "g")
+      val grp = StreamOps.groupDriftFit(ref, "g", "v", 0.0, 41.0, 5)
+      val grpSink = StreamOps.groupDriftSink(grp, "g", "v")
+      val emb = StreamOps.embedDriftFit(ref, "g", "e")
+      val embSink = StreamOps.embedDriftSink(emb, "g", "e")
+      (0 until nEpochs).foreach { ep =>
+        val df = slices.getOrElse(ep, Seq.empty).toDF("g", "v", "e")
+        catSink(df, ep.toLong); grpSink(df, ep.toLong); embSink(df, ep.toLong)
+      }
+      val streamCat = Validation.categoricalDriftFromCounts(
+          cat.counts.toDF("category", "__ord", "n_ref", "n_cur"), 0.5)
+        .select(col("category"), col("n_ref"), col("n_cur"), col("psi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r9(r.getDouble(3)))).toSeq
+      assert(streamCat == batchCat, s"trial $trial cat: $streamCat")
+      val streamGrp = Validation.distributionDriftByGroupFromCounts(
+          grp.counts.toDF("group", "bucket", "n_ref", "n_cur"), 0.0, 41.0, 5)
+        .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"),
+          col("psi")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r9(r.getDouble(4)))).toSeq
+      assert(streamGrp == batchGrp, s"trial $trial grp")
+      val streamEmb = emb.result.map { case (l, nr, nc, a, b, c, m) =>
+        (l, nr, nc, a.map(r4), b.map(r4), c.map(r4), m)
+      }
+      assert(streamEmb == batchEmb, s"trial $trial emb: $streamEmb")
+    }
+  }
+
   test("embedDriftTracker checkpoint: byte round-trip validates the fitted reference, floor survives") {
     val ref = Seq(("x", Seq(1.0, 0.0)), ("y", Seq(0.0, 1.0))).toDF("label", "v")
     val t1 = StreamOps.embedDriftFit(ref, "label", "v")
