@@ -510,6 +510,18 @@ object GraftExtensions {
             dblArg(args, 5, 1.0, "graft_group_drift"),
             intArg(args, 6, 10, "graft_group_drift")))
       },
+      tvf("graft_group_cat_drift",
+        "graft_group_cat_drift(refTable, curTable, groupCol, catCol[, topK]) - " +
+          "per-group categorical PSI drift (per-group top-K + __other__ " +
+          "fold, per-group smoothing)") {
+        args => arity(args, "graft_group_cat_drift", 4, 5)
+          logical(operators.Validation.categoricalDriftByGroup(
+            activeTable(strArg(args, 0, "graft_group_cat_drift")),
+            activeTable(strArg(args, 1, "graft_group_cat_drift")),
+            strArg(args, 2, "graft_group_cat_drift"),
+            strArg(args, 3, "graft_group_cat_drift"),
+            intArg(args, 4, 50, "graft_group_cat_drift")))
+      },
       tvf("graft_embed_drift",
         "graft_embed_drift(refTable, curTable, labelCol, vecCol) - per-label " +
           "embedding drift (counts, mean norms, centroid cosine, dim_mismatch)") {

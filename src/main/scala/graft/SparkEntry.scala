@@ -133,13 +133,20 @@ object SparkEntry {
     })
 
   private def sharedDocsLog(s: SparkSession, dir: String, withId: Boolean,
-      dropSrc0: Boolean = false, withSource: Boolean = false): String = {
+      dropSrc0: Boolean = false, withSource: Boolean = false,
+      withLang: Boolean = false): String = {
     val shape = (if (withId) "id" else "body") +
-      (if (dropSrc0) "nosrc0" else "") + (if (withSource) "src" else "")
+      (if (dropSrc0) "nosrc0" else "") + (if (withSource) "src" else "") +
+      (if (withLang) "lang" else "")
     sharedLog(dir, shape) { name =>
       val docs0 = Tables.documents(s, dir)
       val docs = if (dropSrc0) docs0.filter(col("source") =!= "src0") else docs0
-      (if (withId && withSource)
+      (if (withId && withSource && withLang)
+        docs.select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string"),
+            lit("source"), col("source"),
+            lit("lang"), col("lang")).as("properties"))
+      else if (withId && withSource)
         docs.select(col("text").cast("binary").as("body"),
           map(lit("doc_id"), col("doc_id").cast("string"),
             lit("source"), col("source")).as("properties"))
@@ -842,6 +849,68 @@ object SparkEntry {
           TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
           TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
         .orderBy(col("category"))
+    }),
+
+    "q_group_cat_drift" -> ((s, dir) => {
+      // per-group CATEGORICAL drift — the last drift-matrix cell: the gate
+      // PLANTS one source's language classifier breaking ('src2' re-labels
+      // 'en' as 'zh' on the odd-id snapshot — identically in the oracle),
+      // so src2's rows light up while every other group reads ~0 PSI.
+      // Per-group top-3 by (count desc, name asc), tails fold to
+      // __other__, per-group smoothing denominators.
+      val d = Tables.documents(s, dir)
+      val ref = d.filter(col("doc_id") % 2 === 0)
+      val cur = d.filter(col("doc_id") % 2 === 1)
+        .withColumn("lang", when(col("source") === "src2" &&
+          col("lang") === "en", "zh").otherwise(col("lang")))
+      operators.Validation.categoricalDriftByGroup(ref, cur,
+          "source", "lang", topK = 3)
+        .select(col("group").as("grp"), col("category"),
+          col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("p_ref"), 6).as("p_ref_r"),
+          TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
+          TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
+        .orderBy(col("grp"), col("category"))
+    }),
+
+    "q_stream_group_cat_drift" -> ((s, dir) => {
+      // the streaming twin: per-group top-3 mixes fit ONCE from the
+      // even-id snapshot; each micro-batch classifies against the bounded
+      // broadcast top table (ONE aggregate, <= groups x 4 rows) into
+      // bounded driver state. Exact integer counts over ANY slicing ==
+      // the batch fold, so q_group_cat_drift's oracle gates it unchanged.
+      val logName = sharedDocsLog(s, dir, withId = true, withSource = true,
+        withLang = true)
+      val n = GraftEventLog.count(logName)
+      val perTrigger = math.max(256L, (n + 3) / 4)
+      val tracker = streaming.StreamOps.groupCatDriftFit(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+        "source", "lang", topK = 3)
+      val stream = s.readStream.format(GraftEventLog.Format)
+        .option("name", logName)
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .select(col("properties")("doc_id").cast("long").as("doc_id"),
+          col("properties")("source").as("source"),
+          col("properties")("lang").as("lang"))
+        .filter(col("doc_id") % 2 === 1)
+        .withColumn("lang", when(col("source") === "src2" &&
+          col("lang") === "en", "zh").otherwise(col("lang")))
+      val q = stream.writeStream
+        .foreachBatch(streaming.StreamOps.groupCatDriftSink(
+          tracker, "source", "lang"))
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q)
+      import s.implicits._
+      operators.Validation.categoricalDriftByGroupFromCounts(
+          tracker.counts.toDF("group", "category", "__ord", "n_ref", "n_cur"),
+          alpha = 0.5)
+        .select(col("group").as("grp"), col("category"),
+          col("n_ref"), col("n_cur"),
+          TextFunctions.stableRound(col("p_ref"), 6).as("p_ref_r"),
+          TextFunctions.stableRound(col("p_cur"), 6).as("p_cur_r"),
+          TextFunctions.stableRound(col("psi"), 6).as("psi_r"))
+        .orderBy(col("grp"), col("category"))
     }),
 
     "q_stream_group_drift" -> ((s, dir) => {
@@ -3911,6 +3980,12 @@ object SparkEntry {
 
       "q_categorical_drift" -> categoricalDriftOracleSql,
 
+      "q_group_cat_drift" -> groupCatDriftOracleSql,
+
+      // exact cumulative classified counts over any slicing == the batch
+      // per-group fold, so the streaming twin shares the batch oracle
+      "q_stream_group_cat_drift" -> groupCatDriftOracleSql,
+
       // exact cumulative classified counts over any trigger slicing ==
       // the batch fold, so the streaming monitor shares the batch oracle
       "q_stream_cat_drift" -> categoricalDriftOracleSql,
@@ -4438,6 +4513,58 @@ object SparkEntry {
        | ${sr(pr)} AS p_ref_r, ${sr(pc)} AS p_cur_r,
        | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
        |FROM j, t ORDER BY 1""".stripMargin
+  }
+
+  /** Per-group categorical (language-mix-per-source) PSI of the planted
+    * broken-classifier split — shared by q_group_cat_drift (batch) and
+    * q_stream_group_cat_drift (exact cumulative classified counts). */
+  private val groupCatDriftOracleSql: String = {
+    def sr(e: String) = TextFunctions.sqlStableRound(e, 6)
+    val pr = "(n_ref + 0.5) / (tr + 0.5 * nrows)"
+    val pc = "(n_cur + 0.5) / (tc + 0.5 * nrows)"
+    s"""WITH refc AS (
+       |  SELECT source AS grp, lang AS cat, count(*) AS n FROM documents
+       |  WHERE doc_id % 2 = 0 AND source IS NOT NULL AND lang IS NOT NULL
+       |  GROUP BY 1, 2),
+       |curc AS (
+       |  SELECT source AS grp,
+       |    CASE WHEN source = 'src2' AND lang = 'en' THEN 'zh'
+       |    ELSE lang END AS cat, count(*) AS n
+       |  FROM documents
+       |  WHERE doc_id % 2 = 1 AND source IS NOT NULL AND lang IS NOT NULL
+       |  GROUP BY 1, 2),
+       |top AS (SELECT grp, cat FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY grp
+       |      ORDER BY n DESC, cat ASC) AS rk FROM refc)
+       |  WHERE rk <= 3),
+       |refh AS (
+       |  SELECT r.grp, t.cat IS NULL AS isoth,
+       |    coalesce(t.cat, '__other__') AS category, sum(r.n)::BIGINT AS n_ref
+       |  FROM refc r LEFT JOIN top t ON r.grp = t.grp AND r.cat = t.cat
+       |  GROUP BY 1, 2, 3),
+       |curh AS (
+       |  SELECT c.grp, t.cat IS NULL AS isoth,
+       |    coalesce(t.cat, '__other__') AS category, sum(c.n)::BIGINT AS n_cur
+       |  FROM curc c LEFT JOIN top t ON c.grp = t.grp AND c.cat = t.cat
+       |  GROUP BY 1, 2, 3),
+       |g AS (SELECT DISTINCT grp FROM
+       |      (SELECT grp FROM refc UNION ALL SELECT grp FROM curc)),
+       |frame AS (SELECT grp, false AS isoth, cat AS category FROM top
+       |  UNION ALL SELECT grp, true, '__other__' FROM g),
+       |j AS (
+       |  SELECT f.grp, f.category, coalesce(r.n_ref, 0) AS n_ref,
+       |    coalesce(c.n_cur, 0) AS n_cur
+       |  FROM frame f
+       |  LEFT JOIN refh r ON f.grp = r.grp AND f.isoth = r.isoth
+       |    AND f.category = r.category
+       |  LEFT JOIN curh c ON f.grp = c.grp AND f.isoth = c.isoth
+       |    AND f.category = c.category),
+       |t2 AS (SELECT grp, sum(n_ref) AS tr, sum(n_cur) AS tc,
+       |       count(*) AS nrows FROM j GROUP BY 1)
+       |SELECT j.grp, j.category, j.n_ref, j.n_cur,
+       | ${sr(pr)} AS p_ref_r, ${sr(pc)} AS p_cur_r,
+       | ${sr(s"(($pc) - ($pr)) * ln(($pc) / ($pr))")} AS psi_r
+       |FROM j JOIN t2 USING (grp) ORDER BY 1, 2""".stripMargin
   }
 
   /** Per-label embedding drift of the planted re-scale split — shared by

@@ -366,6 +366,98 @@ object Validation {
       .orderBy(col("group"), col("bucket"))
   }
 
+  /**
+   * Per-group CATEGORICAL drift — [[categoricalDrift]] keyed by a segment
+   * column: the last cell of the drift matrix (numeric / categorical x
+   * corpus-level / per-group), catching a mix shift INSIDE one feed that
+   * corpus-level PSI averages away (one source's language classifier
+   * breaking, one crawl's license mix flipping). Per GROUP: the
+   * reference's top `topK` categories (count desc, name asc within the
+   * group), everything else — and every cur-only category — folds into
+   * the group's `__other__` row (keyed by an is-other boolean, never the
+   * display string — [[categoricalDrift]]'s collision contract), and
+   * probabilities smooth over the group's own emitted rows so each
+   * group's PSI is comparable regardless of group size. Groups are the
+   * union of non-null groups in either snapshot: a group present only in
+   * `cur` has an empty top set, so ALL its rows fold to `__other__` with
+   * n_ref = 0 — the "new feed showed up" alarm. NULL groups and NULL
+   * categories are excluded.
+   *
+   * Scale shape: each snapshot reduces map-side to (group, category)
+   * counts; the per-group top-K cut is a rank window WITH the
+   * rank-limit (WindowGroupLimit) pushdown — never a global sort — and
+   * the bounded top set (groups x K rows) broadcasts back to classify
+   * both histograms. Output is groups x (K+1) rows; nothing data-sized
+   * shuffles.
+   */
+  def categoricalDriftByGroup(ref: DataFrame, cur: DataFrame,
+      groupCol: String, catCol: String, topK: Int = 50,
+      alpha: Double = 0.5): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val other = "__other__"
+    def counts(df: DataFrame) = df
+      .filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        col(catCol).cast("string").as("__cat"))
+      .groupBy(col("group"), col("__cat")).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__n").desc, col("__cat").asc)
+    val top = counts(ref)
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= topK)
+      .select(col("group"), col("__cat").as("__top"), col("__n").as("__topn"))
+    def hist(df: DataFrame, n: String) = {
+      val c = counts(df)
+      c.join(broadcast(top),
+          c("group") === top("group") && c("__cat") === top("__top"), "left")
+        .select(c("group").as("group"),
+          col("__top").isNull.as("__isoth"),
+          coalesce(col("__top"), lit(other)).as("category"), col("__n"))
+        .groupBy(col("group"), col("__isoth"), col("category"))
+        .agg(sum(col("__n")).as(n))
+    }
+    def grps(df: DataFrame) = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group")).distinct()
+    // dense frame: each group's top rows (rank-ordered) + its OTHER row —
+    // union of groups from BOTH snapshots, so a cur-only group appears
+    val frame = top
+      .select(col("group"), lit(false).as("__isoth"),
+        col("__top").as("category"), col("__topn").as("__ord"))
+      .unionByName(grps(ref).unionByName(grps(cur)).distinct()
+        .select(col("group"), lit(true).as("__isoth"),
+          lit(other).as("category"), lit(-1L).as("__ord")))
+    val joined = frame
+      .join(hist(ref, "__nr"), Seq("group", "__isoth", "category"), "left")
+      .join(hist(cur, "__nc"), Seq("group", "__isoth", "category"), "left")
+      .select(col("group"), col("category"), col("__ord"),
+        coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    categoricalDriftByGroupFromCounts(joined, alpha)
+  }
+
+  /** [[categoricalDriftByGroup]]'s probability/PSI tail over an
+    * already-folded count frame (group, category, __ord, n_ref, n_cur) —
+    * the entry point for counts accumulated elsewhere (the streaming
+    * monitor [[graft.streaming.StreamOps.GroupCatDriftTracker]]), so
+    * batch and streaming can never use different formulas. Per-GROUP
+    * totals and row counts drive the smoothing; rows order by group, then
+    * rank (__ord desc), then category, fold row last. */
+  private[graft] def categoricalDriftByGroupFromCounts(joined: DataFrame,
+      alpha: Double): DataFrame = {
+    val totals = joined.groupBy(col("group"))
+      .agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"),
+        count(lit(1)).as("__rows"))
+    val pRef = (col("n_ref") + alpha) / (col("__tr") + col("__rows") * alpha)
+    val pCur = (col("n_cur") + alpha) / (col("__tc") + col("__rows") * alpha)
+    joined.join(broadcast(totals), Seq("group"))
+      .select(col("group"), col("category"), col("__ord"),
+        col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        ((pCur - pRef) * log(pCur / pRef)).as("psi"))
+      .orderBy(col("group"), col("__ord").desc, col("category").asc)
+      .drop("__ord")
+  }
+
   /** [[distributionDriftByGroup]] that THROWS when ANY group's total PSI
     * exceeds `maxPsi` — the per-segment hard gate ([[requireDriftBelow]]'s
     * contract). The exception names every failing group with its total and

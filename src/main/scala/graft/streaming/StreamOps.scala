@@ -871,6 +871,254 @@ object StreamOps {
     }
 
   /**
+   * Cumulative PER-GROUP CATEGORICAL drift monitor — the streaming twin
+   * of [[graft.operators.Validation.categoricalDriftByGroup]], completing
+   * the streaming drift matrix (numeric / categorical x corpus-level /
+   * per-group): one top-K + `__other__` mix per segment, because one
+   * source's language classifier breaking disappears inside the
+   * corpus-level mix but screams in its own group's. Fit-once
+   * ([[groupCatDriftFit]]): each reference group reduces to its top-K
+   * category counts + folded tail; each micro-batch classifies against
+   * the bounded broadcast top table in ONE aggregate (<= groups x (K+1)
+   * rows collected) into groups x (K+1) longs of driver state. Groups
+   * appearing only mid-stream are admitted on the fly with an EMPTY top
+   * set (everything folds to `__other__`, n_ref = 0 — the batch
+   * operator's cur-only-group semantics exactly), capped by `maxGroups`
+   * with a LOUD pre-mutation error. Exact integer counts, so any trigger
+   * slicing converges to the batch profile. Replay-safe epoch floor
+   * (merge skipped, hard gate re-evaluated); scoped to ONE query.
+   */
+  final class GroupCatDriftTracker private[streaming] (
+      val topK: Int, val alpha: Double, val maxGroups: Int,
+      private val refTop: Map[String, Seq[(String, Long)]],
+      private val refOther: Map[String, Long]) extends Serializable {
+    private var lastEpoch: Long = Long.MinValue
+    // group -> per-top-category cumulative counts (index-aligned with
+    // refTop(group)) and the group's fold-row count
+    private val curTop =
+      scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    private val curOther = scala.collection.mutable.HashMap.empty[String, Long]
+
+    /** The fitted (group -> rank-ordered top categories) table — the
+      * sink's classification side. */
+    def topSets: Map[String, Seq[String]] =
+      refTop.map { case (g, ts) => g -> ts.map(_._1) }
+
+    /** Merge one epoch's classified (group, Option(category), n) counts
+      * (None = the folded tail); returns false for a replayed epoch.
+      * Throws BEFORE mutating if new groups would exceed `maxGroups`. */
+    private[streaming] def update(batch: Seq[(String, Option[String], Long)],
+        epochId: Long): Boolean = synchronized {
+      if (epochId <= lastEpoch) return false // replayed epoch: merged
+      val known = refTop.keySet ++ refOther.keySet ++ curTop.keySet ++
+        curOther.keySet
+      val incoming = batch.map(_._1).distinct.filterNot(known)
+      require(known.size + incoming.size <= maxGroups,
+        s"epoch $epochId would grow the monitor to " +
+          s"${known.size + incoming.size} groups (> maxGroups $maxGroups) " +
+          "— the group column has id-like cardinality; segment on a " +
+          "coarser column or raise maxGroups")
+      lastEpoch = epochId
+      batch.foreach {
+        case (g, Some(cat), n) =>
+          val tops = refTop.getOrElse(g, Seq.empty)
+          val i = tops.indexWhere(_._1 == cat)
+          require(i >= 0, s"classified category '$cat' is not in group " +
+            s"'$g''s fitted top set — sink and tracker disagree on the fit")
+          curTop.getOrElseUpdate(g, new Array[Long](tops.size))(i) += n
+        case (g, None, n) =>
+          curOther.put(g, curOther.getOrElse(g, 0L) + n)
+      }
+      true
+    }
+
+    /** Cumulative rows in [[graft.operators.Validation
+      * .categoricalDriftByGroupFromCounts]]'s frame shape
+      * (group, category, __ord, n_ref, n_cur) over the union of reference
+      * and stream groups — top rows rank-keyed by their reference count,
+      * each group's fold row at __ord -1. */
+    def counts: Seq[(String, String, Long, Long, Long)] = synchronized {
+      val groups = (refTop.keySet ++ refOther.keySet ++ curTop.keySet ++
+        curOther.keySet).toSeq.sorted
+      groups.flatMap { g =>
+        val tops = refTop.getOrElse(g, Seq.empty)
+        val cur = curTop.getOrElse(g, new Array[Long](tops.size))
+        tops.zipWithIndex.map { case ((cat, nRef), i) =>
+          (g, cat, nRef, nRef, cur(i))
+        } :+ ((g, "__other__", -1L, refOther.getOrElse(g, 0L),
+          curOther.getOrElse(g, 0L)))
+      }
+    }
+
+    /** Per-group total PSI on the cumulative counts (per-group smoothing
+      * over each group's own emitted rows). */
+    def psiByGroup: Map[String, Double] = synchronized {
+      counts.groupBy(_._1).map { case (g, rows) =>
+        val tr = rows.map(_._4).sum + alpha * rows.size
+        val tc = rows.map(_._5).sum + alpha * rows.size
+        g -> rows.map { case (_, _, _, nr, nc) =>
+          val p = (nr + alpha) / tr; val q = (nc + alpha) / tc
+          (q - p) * math.log(q / p)
+        }.sum
+      }
+    }
+
+    /** Clear the stream side + epoch floor (the fitted reference stays). */
+    def reset(): Unit = synchronized {
+      lastEpoch = Long.MinValue
+      curTop.clear(); curOther.clear()
+    }
+
+    /** Checkpoint cumulative state + epoch floor; header carries the full
+      * monitor identity incl. the fitted per-group top sets. */
+    def toBytes: Array[Byte] = synchronized {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(GroupCatDriftMagic)
+      out.writeInt(topK); out.writeDouble(alpha); out.writeInt(maxGroups)
+      out.writeInt(refTop.size)
+      refTop.toSeq.sortBy(_._1).foreach { case (g, ts) =>
+        out.writeUTF(g); out.writeInt(ts.size)
+        ts.foreach { case (c, n) => out.writeUTF(c); out.writeLong(n) }
+      }
+      out.writeInt(refOther.size)
+      refOther.toSeq.sortBy(_._1).foreach { case (g, n) =>
+        out.writeUTF(g); out.writeLong(n)
+      }
+      out.writeLong(lastEpoch)
+      out.writeInt(curTop.size)
+      curTop.toSeq.sortBy(_._1).foreach { case (g, arr) =>
+        out.writeUTF(g); out.writeInt(arr.length); arr.foreach(out.writeLong)
+      }
+      out.writeInt(curOther.size)
+      curOther.toSeq.sortBy(_._1).foreach { case (g, n) =>
+        out.writeUTF(g); out.writeLong(n)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Restore state serialized by [[toBytes]]; throws on a foreign blob
+      * or monitor-identity mismatch, with the tracker unchanged. */
+    def restore(bytes: Array[Byte]): Unit = synchronized {
+      require(bytes.length >= 8,
+        s"not a GroupCatDriftTracker checkpoint (${bytes.length} bytes)")
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val magic = in.readInt()
+      require(magic == GroupCatDriftMagic,
+        s"not a GroupCatDriftTracker checkpoint (magic 0x${magic.toHexString})")
+      val (sK, sA, sG) = (in.readInt(), in.readDouble(), in.readInt())
+      require(sK == topK && sA == alpha && sG == maxGroups,
+        s"checkpoint was written by a differently-configured monitor " +
+          s"(topK=$sK, alpha=$sA, maxGroups=$sG)")
+      val sRefTop = (1 to in.readInt()).map { _ =>
+        (in.readUTF(), Seq.fill(in.readInt())((in.readUTF(), in.readLong())))
+      }.toMap
+      val sRefOther = (1 to in.readInt()).map { _ =>
+        (in.readUTF(), in.readLong())
+      }.toMap
+      require(sRefTop == refTop && sRefOther == refOther,
+        "checkpoint was written against a DIFFERENT reference mix — " +
+          "refit from the checkpoint's reference snapshot")
+      // parse the whole blob before mutating
+      val epoch = in.readLong()
+      val sCurTop = (1 to in.readInt()).map { _ =>
+        (in.readUTF(), Array.fill(in.readInt())(in.readLong()))
+      }.toMap
+      val sCurOther = (1 to in.readInt()).map { _ =>
+        (in.readUTF(), in.readLong())
+      }.toMap
+      lastEpoch = epoch
+      curTop.clear(); sCurTop.foreach { case (g, a) => curTop.put(g, a) }
+      curOther.clear(); sCurOther.foreach { case (g, n) => curOther.put(g, n) }
+    }
+  }
+
+  /** [[GroupCatDriftTracker.toBytes]] header magic ("gGCT"). */
+  private val GroupCatDriftMagic: Int = 0x67474354
+
+  /** Fit the per-group categorical monitor ONCE: (group, category) counts
+    * reduce map-side, each group's top-K cut comes off a rank window with
+    * the group-limit pushdown (the batch operator's exact cut — count
+    * desc, name asc within the group), tails fold per group. NULL groups
+    * and categories excluded. */
+  def groupCatDriftFit(ref: DataFrame, groupCol: String, catCol: String,
+      topK: Int = 50, alpha: Double = 0.5,
+      maxGroups: Int = 10000): GroupCatDriftTracker = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
+    val counts = ref
+      .filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(catCol).cast("string").as("c"))
+      .groupBy(col("g"), col("c")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("n").desc, col("c").asc)
+    val ranked = counts.withColumn("rk", row_number().over(w))
+    val top = ranked.filter(col("rk") <= topK)
+      .select(col("g"), col("c"), col("n"), col("rk")).collect()
+      .groupBy(_.getString(0)).map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(3)).map(r =>
+          (r.getString(1), r.getLong(2))).toSeq
+      }
+    val tails = ranked.filter(col("rk") > topK)
+      .groupBy(col("g")).agg(sum(col("n")).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    require(top.size <= maxGroups,
+      s"reference snapshot has ${top.size} groups (> maxGroups " +
+        s"$maxGroups) — segment on a coarser column or raise maxGroups")
+    val refOther = top.keysIterator
+      .map(g => g -> tails.getOrElse(g, 0L)).toMap
+    new GroupCatDriftTracker(topK, alpha, maxGroups, top, refOther)
+  }
+
+  /** foreachBatch sink classifying each micro-batch against the fitted
+    * per-group top table (a bounded broadcast-literal frame — groups x K
+    * rows) in ONE aggregate, folding <= groups x (K+1) rows into
+    * `tracker`. A finite `maxPsi` is a HARD GATE per group ([[
+    * groupDriftSink]]'s semantics): any group's cumulative PSI over the
+    * threshold throws, naming the failing groups worst-first, and a
+    * replayed tripping epoch re-fails idempotently. */
+  def groupCatDriftSink(tracker: GroupCatDriftTracker, groupCol: String,
+      catCol: String, maxPsi: Double = Double.PositiveInfinity)
+      : (DataFrame, Long) => Unit = {
+    val topPairs = tracker.topSets.toSeq
+      .flatMap { case (g, cs) => cs.map(c => (g, c)) }
+    (batch: DataFrame, epochId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val g = col(groupCol).cast("string")
+      val c = col(catCol).cast("string")
+      val base = batch.filter(g.isNotNull && c.isNotNull)
+        .select(g.as("group"), c.as("__cat"))
+      val classified =
+        if (topPairs.isEmpty)
+          base.select(col("group"), lit(null).cast("string").as("__top"))
+        else base.join(
+            broadcast(topPairs.toDF("__tg", "__top")),
+            col("group") === col("__tg") && col("__cat") === col("__top"),
+            "left")
+          .select(col("group"), col("__top"))
+      val counts = classified
+        .groupBy(col("group"), col("__top")).agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+        .toSeq
+      tracker.update(counts, epochId)
+      val failing = tracker.psiByGroup.filter(_._2 > maxPsi).toSeq
+        .sortBy(-_._2)
+      if (failing.nonEmpty)
+        throw new IllegalStateException(
+          s"stream per-group categorical drift gate tripped at epoch " +
+            s"$epochId on '$catCol' (maxPsi $maxPsi): " +
+            failing.map { case (grp, p) => f"group '$grp' PSI $p%.4f" }
+              .mkString("; "))
+    }
+  }
+
+  /**
    * Cumulative EMBEDDING drift monitor — the streaming twin of
    * [[graft.operators.Similarity.embeddingDrift]], completing the drift
    * family's streaming coverage (numeric / categorical / per-group /

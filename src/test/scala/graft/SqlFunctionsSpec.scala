@@ -441,6 +441,14 @@ class SqlFunctionsSpec extends AnyFunSuite {
         .orderBy(col("category")).collect().toSeq)
     assert(cdr.count() == 4)
 
+    val gcdr = spark.sql(
+      "SELECT * FROM graft_group_cat_drift('tvfcorpus', 'tvfdocs', " +
+        "'source', 'lang', 2) ORDER BY group, category")
+    assert(gcdr.collect().toSeq ==
+      operators.Validation.categoricalDriftByGroup(corpus, docs,
+          "source", "lang", topK = 2)
+        .orderBy(col("group"), col("category")).collect().toSeq)
+
     val embs = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
     embs.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("tvfembref")
     embs.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("tvfembcur")

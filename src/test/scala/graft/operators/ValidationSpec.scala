@@ -298,6 +298,45 @@ class ValidationSpec extends AnyFunSuite {
     assert(folded.map(r => (r._2, r._3)).toSeq == Seq((3L, 0L), (4L, 3L)))
   }
 
+  test("categoricalDriftByGroup == categoricalDrift run per group (incl. cur-only and dark groups)") {
+    // g1: normal mix shift; g2: dark (ref-only); g3: new (cur-only);
+    // a real '__other__' category inside g1 exercises the collision key
+    val ref = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g1", "b"), ("g1", "__other__"), ("g1", "c"), ("g1", "d"),
+      ("g2", "x"), ("g2", "y"), (null, "a"), ("g1", null))
+      .toDF("g", "cat")
+    val cur = Seq(("g1", "a"), ("g1", "z"), ("g1", "z"), ("g1", "d"),
+      ("g3", "q"), ("g3", "r"), (null, "q"), ("g3", null))
+      .toDF("g", "cat")
+    def r9(d: Double) = math.rint(d * 1e9)
+    val byGroup = Validation.categoricalDriftByGroup(ref, cur, "g", "cat",
+        topK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r9(r.getDouble(6))))
+    // each group's slice must equal the single-group operator on the
+    // group-filtered snapshots — per-group top-K, fold, and smoothing are
+    // all group-local by construction
+    Seq("g1", "g2", "g3").foreach { g =>
+      val single = Validation.categoricalDrift(
+          ref.filter(col("g") === g), cur.filter(col("g") === g),
+          "cat", topK = 2)
+        .collect()
+        .map(r => (g, r.getString(0), r.getLong(1), r.getLong(2),
+          r9(r.getDouble(5))))
+      val slice = byGroup.filter(_._1 == g)
+      assert(slice.toSeq == single.toSeq,
+        s"group $g: ${slice.toSeq} != ${single.toSeq}")
+    }
+    // null groups excluded entirely; cur-only g3 is one all-fold row
+    assert(!byGroup.exists(_._1 == null))
+    val g3 = byGroup.filter(_._1 == "g3")
+    assert(g3.length == 1 && g3(0)._2 == "__other__" &&
+      g3(0)._3 == 0L && g3(0)._4 == 2L)
+    // dark g2 keeps its top rows with n_cur = 0 and positive PSI
+    assert(byGroup.filter(_._1 == "g2").forall(_._4 == 0L))
+  }
+
   test("distributionDrift and driftFit/driftSink exclude NaN like NULL (no top-bucket leak)") {
     val ref = Seq(Some(1.0), Some(2.0), Some(Double.NaN), None).toDF("v")
     val cur = Seq(Some(3.0), Some(Double.NaN), Some(Double.NaN)).toDF("v")

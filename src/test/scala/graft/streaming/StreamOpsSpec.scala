@@ -685,6 +685,12 @@ class StreamOpsSpec extends AnyFunSuite {
       .select(col("category"), col("n_ref"), col("n_cur"), col("psi")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r9(r.getDouble(3))))
       .toSeq
+    val batchGrpCat = Validation.categoricalDriftByGroup(ref,
+        curRows.toDF("g", "v", "e"), "g", "v", topK = 3)
+      .select(col("group"), col("category"), col("n_ref"), col("n_cur"),
+        col("psi")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r9(r.getDouble(4)))).toSeq
     val batchGrp = Validation.distributionDriftByGroup(ref,
         curRows.toDF("g", "v", "e"), "g", "v", 0.0, 41.0, 5)
       .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"),
@@ -708,12 +714,23 @@ class StreamOpsSpec extends AnyFunSuite {
       val catSink = StreamOps.catDriftSink(cat, "g")
       val grp = StreamOps.groupDriftFit(ref, "g", "v", 0.0, 41.0, 5)
       val grpSink = StreamOps.groupDriftSink(grp, "g", "v")
+      val gcat = StreamOps.groupCatDriftFit(ref, "g", "v", topK = 3)
+      val gcatSink = StreamOps.groupCatDriftSink(gcat, "g", "v")
       val emb = StreamOps.embedDriftFit(ref, "g", "e")
       val embSink = StreamOps.embedDriftSink(emb, "g", "e")
       (0 until nEpochs).foreach { ep =>
         val df = slices.getOrElse(ep, Seq.empty).toDF("g", "v", "e")
-        catSink(df, ep.toLong); grpSink(df, ep.toLong); embSink(df, ep.toLong)
+        catSink(df, ep.toLong); grpSink(df, ep.toLong)
+        gcatSink(df, ep.toLong); embSink(df, ep.toLong)
       }
+      val streamGrpCat = Validation.categoricalDriftByGroupFromCounts(
+          gcat.counts.toDF("group", "category", "__ord", "n_ref", "n_cur"),
+          0.5)
+        .select(col("group"), col("category"), col("n_ref"), col("n_cur"),
+          col("psi")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r9(r.getDouble(4)))).toSeq
+      assert(streamGrpCat == batchGrpCat, s"trial $trial grpCat")
       val streamCat = Validation.categoricalDriftFromCounts(
           cat.counts.toDF("category", "__ord", "n_ref", "n_cur"), 0.5)
         .select(col("category"), col("n_ref"), col("n_cur"), col("psi"))
@@ -733,6 +750,43 @@ class StreamOpsSpec extends AnyFunSuite {
       }
       assert(streamEmb == batchEmb, s"trial $trial emb: $streamEmb")
     }
+  }
+
+  test("groupCatDriftSink: mid-stream new group folds with empty top set; hard gate names the group; checkpoint") {
+    val ref = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "x"),
+      ("g2", "x"), ("g2", "y")).toDF("g", "c")
+    val tracker = StreamOps.groupCatDriftFit(ref, "g", "c", topK = 1)
+    assert(tracker.topSets == Map("g1" -> Seq("a"), "g2" -> Seq("x")))
+    val sink = StreamOps.groupCatDriftSink(tracker, "g", "c", maxPsi = 0.5)
+    sink(Seq(("g1", "a"), ("g2", "x"), ("g3", "new")).toDF("g", "c"), 0L)
+    // g3 admitted mid-stream: empty top set, everything folds, n_ref 0
+    val g3 = tracker.counts.filter(_._1 == "g3")
+    assert(g3 == Seq(("g3", "__other__", -1L, 0L, 1L)))
+    // g2's mix floods its fold row -> only g2 trips, named in the message
+    val bad = Seq.fill(40)(("g2", "zzz")).toDF("g", "c")
+    val e = intercept[IllegalStateException](sink(bad, 1L))
+    assert(e.getMessage.contains("'g2'") && !e.getMessage.contains("'g1'"),
+      e.getMessage)
+    // replay: merge-skipped but the gate re-trips idempotently
+    val after = tracker.counts
+    intercept[IllegalStateException](sink(bad, 1L))
+    assert(tracker.counts == after)
+    // checkpoint round-trip; differently-fitted reference refused
+    val bytes = tracker.toBytes
+    val t2 = StreamOps.groupCatDriftFit(ref, "g", "c", topK = 1)
+    t2.restore(bytes)
+    assert(t2.counts == after && t2.psiByGroup == tracker.psiByGroup)
+    val t3 = StreamOps.groupCatDriftFit(ref.limit(3), "g", "c", topK = 1)
+    val e2 = intercept[IllegalArgumentException](t3.restore(bytes))
+    assert(e2.getMessage.contains("DIFFERENT reference"), e2.getMessage)
+    // maxGroups admission is loud and pre-mutation
+    val tiny = StreamOps.groupCatDriftFit(ref, "g", "c", topK = 1,
+      maxGroups = 2)
+    val s2 = StreamOps.groupCatDriftSink(tiny, "g", "c")
+    val e3 = intercept[IllegalArgumentException](
+      s2(Seq(("g9", "q")).toDF("g", "c"), 0L))
+    assert(e3.getMessage.contains("maxGroups"), e3.getMessage)
+    assert(!tiny.counts.exists(_._1 == "g9"))
   }
 
   test("embedDriftTracker checkpoint: byte round-trip validates the fitted reference, floor survives") {
