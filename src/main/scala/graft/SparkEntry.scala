@@ -645,6 +645,22 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    "q_corpus_pack_bestfit_chunked" -> ((s, dir) => {
+      // chunk-then-best-fit: docs LONGER than the 96-token sequence split
+      // into the minimal piece set (full pieces + remainder) and the
+      // pieces pack as units — the practical fallback where the plain
+      // no-split packer fails loudly. doc_id cap + %8 bucket as in
+      // q_corpus_pack_bestfit; the oracle replays piece derivation AND
+      // the FFD recurrence.
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 800)
+      operators.Sampling.packSequencesBestFitChunked(d, Seq(col("source")),
+          col("doc_id"), TextFunctions.tokenCount(col("text")),
+          maxSeqLen = 96, bucketCol = Some(pmod(col("doc_id"), lit(8))))
+        .select(col("source"), col("id").as("doc_id"), col("piece"),
+          col("n_tokens"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("source"), col("doc_id"), col("piece"))
+    }),
+
     "q_corpus_pack_rows" -> ((s, dir) => {
       // materialized packing: one row per (source, seq_id) with the
       // ordered doc slices that tile it — the table a training loader
@@ -3150,6 +3166,57 @@ object SparkEntry {
           |SELECT source, doc_id, CAST(n_tokens AS BIGINT), -1, 0
           |FROM t WHERE n_tokens = 0
           |ORDER BY source, doc_id""".stripMargin,
+
+      // piece derivation (minimal split set) + the FFD recurrence, both
+      // replayed; piece asc is the in-doc tie-break among full pieces
+      "q_corpus_pack_bestfit_chunked" ->
+        """WITH RECURSIVE t AS (
+          |  SELECT source, doc_id, len(string_split(text, ' ')) AS n,
+          |    (doc_id % 8)::INT AS bkt
+          |  FROM documents WHERE doc_id < 800),
+          |p AS (
+          |  SELECT source, doc_id, bkt,
+          |    unnest(range(0, greatest((n + 95) // 96, 1))) AS piece, n
+          |  FROM t),
+          |p2 AS (
+          |  SELECT source, doc_id, bkt, piece,
+          |    least(96, n - piece * 96) AS n_tokens
+          |  FROM p),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY source, bkt
+          |    ORDER BY n_tokens DESC, doc_id ASC, piece ASC) AS rn
+          |  FROM p2 WHERE n_tokens > 0),
+          |ffd AS (
+          |  SELECT source, bkt, 0::BIGINT AS rn, NULL::BIGINT AS doc_id,
+          |    NULL::BIGINT AS piece, NULL::BIGINT AS n_tokens,
+          |    NULL::BIGINT AS seq_id, NULL::BIGINT AS seq_offset,
+          |    []::BIGINT[] AS used
+          |  FROM (SELECT DISTINCT source, bkt FROM r)
+          |  UNION ALL
+          |  SELECT r.source, r.bkt, r.rn, r.doc_id, r.piece, r.n_tokens,
+          |    (r.bkt::BIGINT * 4294967296 + bin - 1) AS seq_id,
+          |    CASE WHEN bin <= len(ffd.used) THEN ffd.used[bin::INT]
+          |         ELSE 0 END AS seq_offset,
+          |    CASE WHEN bin <= len(ffd.used)
+          |      THEN list_transform(range(1, len(ffd.used) + 1),
+          |             i -> CASE WHEN i = bin
+          |                  THEN ffd.used[i::INT] + r.n_tokens
+          |                  ELSE ffd.used[i::INT] END)
+          |      ELSE list_append(ffd.used, r.n_tokens) END AS used
+          |  FROM ffd JOIN r ON r.source = ffd.source AND r.bkt = ffd.bkt
+          |    AND r.rn = ffd.rn + 1,
+          |  LATERAL (SELECT coalesce(
+          |      list_filter(range(1, len(ffd.used) + 1),
+          |        i -> ffd.used[i::INT] + r.n_tokens <= 96)[1],
+          |      len(ffd.used) + 1) AS bin) b
+          |)
+          |SELECT source, doc_id, CAST(piece AS BIGINT) AS piece,
+          |  CAST(n_tokens AS BIGINT) AS n_tokens, seq_id, seq_offset
+          |FROM ffd WHERE rn > 0
+          |UNION ALL
+          |SELECT source, doc_id, CAST(piece AS BIGINT), 0, -1, 0
+          |FROM p2 WHERE n_tokens = 0
+          |ORDER BY source, doc_id, piece""".stripMargin,
 
       "q_corpus_pack_rows" ->
         """WITH d AS (

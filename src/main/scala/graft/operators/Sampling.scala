@@ -683,6 +683,44 @@ object Sampling {
    * fails LOUDLY — no-split packing cannot place it; filter or chunk
    * oversized docs upstream.
    */
+  /**
+   * [[packSequencesBestFit]] with the practical fallback for documents
+   * LONGER than a sequence: each oversized doc splits into the MINIMAL
+   * piece set (full maxSeqLen pieces + one remainder — the fewest cuts
+   * any packing could make), and the pieces pack as ordinary units.
+   * Full pieces fill a sequence exactly; only the remainder competes in
+   * FFD. Output adds a `piece` column (0 for docs that were never split),
+   * so "no doc spans sequences" holds piece-wise and a doc's pieces are
+   * recoverable in order. Same determinism and bucketed machinery; a
+   * doc's pieces inherit its bucket.
+   */
+  def packSequencesBestFitChunked(
+      df: DataFrame, groupCols: Seq[Column], idCol: Column,
+      tokenCount: Column, maxSeqLen: Int,
+      bucketCol: Option[Column] = None): DataFrame = {
+    require(maxSeqLen > 0, s"maxSeqLen must be positive, got $maxSeqLen")
+    val nt = tokenCount.cast("long")
+    // minimal piece set: ceil(n/max) pieces, all but the last full-length;
+    // zero-token docs keep one zero piece (the occupy-nothing row)
+    val nPieces = greatest(ceil(nt / lit(maxSeqLen.toLong)).cast("long"), lit(1L))
+    val pieces = df.select(
+        groupCols ++ Seq(idCol.as("__pid"), nt.as("__nt"),
+          bucketCol.getOrElse(hexBucket(hex13(idCol.cast("string"))))
+            .cast("int").as("__pbkt"),
+          explode(sequence(lit(0L), nPieces - 1L)).as("piece")): _*)
+      .withColumn("__plen",
+        least(lit(maxSeqLen.toLong), col("__nt") - col("piece") * maxSeqLen))
+    val gNames = pieces.columns
+      .filterNot(Set("__pid", "__nt", "__pbkt", "piece", "__plen")).toSeq
+    val packed = packSequencesBestFit(
+      pieces, gNames.map(col),
+      struct(col("__pid").as("id"), col("piece").as("piece")),
+      col("__plen"), maxSeqLen, Some(col("__pbkt")))
+    packed.select(gNames.map(col) ++ Seq(
+      col("id.id").as("id"), col("id.piece").as("piece"),
+      col("n_tokens"), col("seq_id"), col("seq_offset")): _*)
+  }
+
   def packSequencesBestFit(
       df: DataFrame, groupCols: Seq[Column], idCol: Column,
       tokenCount: Column, maxSeqLen: Int,

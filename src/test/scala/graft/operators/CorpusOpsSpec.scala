@@ -168,6 +168,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no-split packing"), e.getMessage)
   }
 
+  test("packSequencesBestFitChunked: minimal piece sets, pieces pack as units, unsplit == plain") {
+    val docs = Seq(
+      (0L, "a", 300), // fits whole: piece 0 only
+      (1L, "a", 512), // exact multiple: ONE full piece, no empty remainder
+      (2L, "a", 1100), // 512 + 512 + 76
+      (3L, "a", 0),    // zero tokens: one occupy-nothing piece
+      (4L, "a", 200))
+      .toDF("doc_id", "source", "n_tok")
+    val got = Sampling.packSequencesBestFitChunked(docs, Seq($"source"),
+        $"doc_id", $"n_tok", maxSeqLen = 512, bucketCol = Some(lit(0)))
+      .select($"id", $"piece", $"n_tokens", $"seq_id", $"seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // piece sets are MINIMAL: ceil(n/max) pieces (>= 1), full then remainder
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 512L), (1L, 512L), (2L, 76L)))
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 512L)))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, -1L, 0L)))
+    // full pieces each fill a sequence alone; remainders FFD with the rest
+    val full = got.filter(_._3 == 512L)
+    assert(full.map(_._4).distinct.length == full.length &&
+      full.forall(_._5 == 0L), "a full piece must own its sequence")
+    // piece-wise no-span invariant
+    assert(got.filter(_._4 >= 0).forall(r => r._5 + r._3 <= 512))
+    // docs that never split pack EXACTLY like the plain packer run on the
+    // same already-fitting corpus (same FFD over the same units)
+    val small = docs.filter($"n_tok" <= 512)
+    val viaChunked = Sampling.packSequencesBestFitChunked(small,
+        Seq($"source"), $"doc_id", $"n_tok", 512, Some(lit(0)))
+      .select($"id", $"n_tokens", $"seq_id", $"seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val viaPlain = Sampling.packSequencesBestFit(small, Seq($"source"),
+        $"doc_id", $"n_tok", 512, Some(lit(0)))
+      .select($"id", $"n_tokens", $"seq_id", $"seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(viaChunked.toSeq == viaPlain.toSeq)
+  }
+
   test("packSequencesBestFit fill ratio beats in-order no-split packing on mixed lengths") {
     // mixed-length docs, deterministic: FFD's sorted placement must waste
     // no more space than the naive next-fit-in-arrival-order packing a
