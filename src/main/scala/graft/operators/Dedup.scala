@@ -960,6 +960,7 @@ object Dedup extends Logging {
     withIndexLease(indexFs(spark, path), path, "saveHashIndex") {
       hashesOf(df, keyCols).distinct()
         .write.mode("overwrite").parquet(s"$path/hashes/epoch=-1")
+      dropStaleEpochDeltas(indexFs(spark, path), s"$path/hashes")
       import spark.implicits._
       val asked = keyCols.map(nameOf).mkString(",")
       Seq(asked).toDF("key_cols")
@@ -1151,6 +1152,22 @@ object Dedup extends Logging {
     * writer that died without cleanup must not brick its index forever,
     * but a SLOW live compaction must not get its lease stolen mid-swap. */
   private[operators] val IndexLeaseStaleMs: Long = 30L * 60 * 1000
+
+  /** Delete every `epoch=<id>` delta partition EXCEPT the `epoch=-1` base
+    * under `dir` — a fresh save to an already-used index path must start
+    * from scratch, not silently union stale deltas left by a previous
+    * streaming run into every subsequent load/probe. Every `saveXIndex`
+    * calls this (under the writer lease) after writing its new base. */
+  private[graft] def dropStaleEpochDeltas(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("epoch=") && n != "epoch=-1")
+        fs.delete(st.getPath, true)
+    }
+    ()
+  }
 
   /** Best-effort single-writer lease over an index path. The compaction
     * swap is crash-safe against a writer DYING, but two simultaneous
@@ -1370,6 +1387,8 @@ object Dedup extends Logging {
         .write.mode("overwrite").parquet(s"$path/bands/epoch=-1")
       hashedShingles(base, "doc_id")
         .write.mode("overwrite").parquet(s"$path/shingles/epoch=-1")
+      dropStaleEpochDeltas(indexFs(spark, path), s"$path/bands")
+      dropStaleEpochDeltas(indexFs(spark, path), s"$path/shingles")
       import spark.implicits._
       Seq((k, numHashes, bands, seed)).toDF("k", "num_hashes", "bands", "seed")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/params")

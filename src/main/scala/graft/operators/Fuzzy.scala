@@ -339,6 +339,8 @@ object Fuzzy {
     Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "saveFuzzyIndex") {
       writeIndexTables(catalog, idCol, keyCol, maxDist, maxSegmentDf, path,
         "epoch=-1", "overwrite")
+      Seq("segments", "shorts", "ids").foreach(t =>
+        Dedup.dropStaleEpochDeltas(Dedup.indexFs(spark, path), s"$path/$t"))
       import spark.implicits._
       Seq((maxDist, maxSegmentDf)).toDF("max_dist", "max_segment_df")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/params")

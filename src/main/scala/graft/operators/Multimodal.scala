@@ -207,12 +207,38 @@ object Multimodal {
   def perceptualHash(media: Dataset[MediaRow],
       codec: MediaCodec = StubCodec): DataFrame = {
     import media.sparkSession.implicits._
+    val rejected = media.sparkSession.sparkContext
+      .longAccumulator("graft.perceptualHash.rejectedRows")
+    rejectedAcc = Some(rejected)
     media.mapPartitions { rows =>
       openForPartition(codec)
+      var warned = 0
       rows.flatMap { r =>
-        try {
-          val g = codec.rasterize(r.media_id, r.content, r.format, 9, 8)
-          require(g.length == 72, s"rasterize returned ${g.length} cells")
+        val g =
+          try codec.rasterize(r.media_id, r.content, r.format, 9, 8)
+          catch {
+            case NonFatal(e) =>
+              // per-ROW containment is for corrupt payloads only; the
+              // drop is counted (accumulator + Spark UI) and warn-logged
+              // so an all-rows-rejected codec cannot silently yield zero
+              // hash rows and zero dedup pairs.
+              rejected.add(1L)
+              if (warned < 3) {
+                warned += 1
+                RejectLog.log.warn(s"[perceptualHash] codec rejected media " +
+                  s"${r.media_id}: ${e.getClass.getSimpleName}: ${e.getMessage}" +
+                  (if (warned == 3) " (further rejections in this partition " +
+                    "unlogged; totals in the rejectedRows accumulator)" else ""))
+              }
+              null
+          }
+        if (g == null) None
+        else {
+          // OUTSIDE the containment: a wrong-sized raster is a codec
+          // CONTRACT violation (programming error), not a corrupt payload —
+          // it must fail the task, never degrade to an empty result.
+          require(g.length == 72,
+            s"rasterize contract violation: returned ${g.length} cells, expected 72")
           var h = 0L
           var bit = 0
           var y = 0
@@ -225,10 +251,22 @@ object Multimodal {
             y += 1
           }
           Some((r.media_id, h))
-        } catch { case NonFatal(_) => None }
+        }
       }
     }.toDF("media_id", "phash")
   }
+
+  /** Serializable logger holder for executor-side rejection warnings. */
+  private object RejectLog extends Serializable {
+    @transient lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Multimodal")
+  }
+
+  /** Accumulator behind the most recent [[perceptualHash]] call in this JVM;
+    * read side for tests and pipeline harnesses (the same numbers appear in
+    * the Spark UI under "graft.perceptualHash.rejectedRows"). */
+  @volatile private var rejectedAcc: Option[org.apache.spark.util.LongAccumulator] = None
+  def lastPerceptualRejected: Long =
+    rejectedAcc.map(_.value.longValue).getOrElse(0L)
 
   /**
    * Near-duplicate media pairs within Hamming distance `maxHamming` of
@@ -306,6 +344,7 @@ object Multimodal {
     Dedup.withIndexLease(Dedup.indexFs(spark, path), path, "savePhashIndex") {
       perceptualHash(media, codec)
         .write.mode("overwrite").parquet(s"$path/hashes/epoch=-1")
+      Dedup.dropStaleEpochDeltas(Dedup.indexFs(spark, path), s"$path/hashes")
       import spark.implicits._
       Seq(maxHamming).toDF("max_hamming")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/params")

@@ -487,14 +487,22 @@ object StreamOps {
     private[streaming] def update(batch: Seq[(Option[String], Long)],
         epochId: Long): Boolean = synchronized {
       if (epochId <= lastEpoch) return false // replayed epoch: merged
-      lastEpoch = epochId
-      batch.foreach {
+      // Resolve (and validate) the WHOLE batch before any mutation: a
+      // sink/tracker fit mismatch must throw with state AND the epoch
+      // floor untouched, so a replay of this epoch is not merge-skipped
+      // against half-merged counts — the same pre-mutation discipline as
+      // the maxGroups admission check.
+      val resolved = batch.map {
         case (Some(cat), n) =>
           val i = topCatsArr.indexOf(cat)
           require(i >= 0, s"classified category '$cat' is not in the fitted " +
             "top set — sink and tracker disagree on the fit")
-          curCounts(i) += n
-        case (None, n) => curOther += n
+          (i, n)
+        case (None, n) => (-1, n)
+      }
+      lastEpoch = epochId
+      resolved.foreach { case (i, n) =>
+        if (i >= 0) curCounts(i) += n else curOther += n
       }
       true
     }
@@ -691,9 +699,13 @@ object StreamOps {
 
     /** Merge one epoch's (group, bucket, n) rows; returns false (state
       * untouched) for a replayed epoch at or below the merged floor.
-      * Throws (BEFORE mutating) if admitting the epoch's new groups would
-      * exceed `maxGroups` — a group column drifting to id-like
-      * cardinality must fail loudly, not accrete unbounded state. */
+      * A bucket of -1 is ADMISSION-ONLY: the group's rows all carried
+      * NULL/NaN values this epoch, so the group enters the monitor (the
+      * batch operator's group-not-null admission) but no histogram cell
+      * moves. Throws (BEFORE mutating) if admitting the epoch's new
+      * groups would exceed `maxGroups` — a group column drifting to
+      * id-like cardinality must fail loudly, not accrete unbounded
+      * state. */
     private[streaming] def update(batch: Seq[(String, Int, Long)],
         epochId: Long): Boolean = synchronized {
       if (epochId <= lastEpoch) return false // replayed epoch: merged
@@ -706,7 +718,8 @@ object StreamOps {
           "cardinality; segment on a coarser column or raise maxGroups")
       lastEpoch = epochId
       batch.foreach { case (g, b, n) =>
-        curCounts.getOrElseUpdate(g, new Array[Long](buckets))(b) += n
+        val arr = curCounts.getOrElseUpdate(g, new Array[Long](buckets))
+        if (b >= 0) arr(b) += n
       }
       true
     }
@@ -816,17 +829,22 @@ object StreamOps {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
     require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
+    // group admission matches the batch operator's grps(): group-not-null
+    // rows only — a group whose rows ALL carry NULL/NaN values is still
+    // ADMITTED (all-zero histogram), it just contributes no counts. The
+    // NULL bucket carries that admission through the same single
+    // aggregate (<= groups x (B+1) rows).
     val rows = ref
-      .filter(col(groupCol).isNotNull &&
-        graft.operators.Validation.driftValueOk(col(valueCol)))
+      .filter(col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
-        graft.operators.Validation
-          .driftBucket(col(valueCol), lo, hi, buckets).as("b"))
+        when(graft.operators.Validation.driftValueOk(col(valueCol)),
+          graft.operators.Validation
+            .driftBucket(col(valueCol), lo, hi, buckets)).as("b"))
       .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n"))
       .collect()
     val refMap = rows.groupBy(_.getString(0)).map { case (g, rs) =>
       val arr = new Array[Long](buckets)
-      rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+      rs.foreach(r => if (!r.isNullAt(1)) arr(r.getInt(1)) = r.getLong(2))
       g -> arr
     }
     require(refMap.size <= maxGroups,
@@ -849,15 +867,20 @@ object StreamOps {
       valueCol: String, maxPsi: Double = Double.PositiveInfinity)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, epochId: Long) => {
+      // group-not-null admission (the batch operator's grps()): rows with
+      // NULL/NaN values land in the NULL bucket, carried to the tracker
+      // as bucket -1 = admit-the-group-without-counts.
       val counts = batch
-        .filter(col(groupCol).isNotNull &&
-          graft.operators.Validation.driftValueOk(col(valueCol)))
+        .filter(col(groupCol).isNotNull)
         .select(col(groupCol).cast("string").as("g"),
-          graft.operators.Validation.driftBucket(
-            col(valueCol), tracker.lo, tracker.hi, tracker.buckets).as("b"))
+          when(graft.operators.Validation.driftValueOk(col(valueCol)),
+            graft.operators.Validation.driftBucket(
+              col(valueCol), tracker.lo, tracker.hi, tracker.buckets))
+            .as("b"))
         .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n"))
         .collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+          r.getLong(2)))
         .toSeq
       tracker.update(counts, epochId)
       val failing = tracker.psiByGroup.filter(_._2 > maxPsi).toSeq
@@ -918,16 +941,24 @@ object StreamOps {
           s"${known.size + incoming.size} groups (> maxGroups $maxGroups) " +
           "— the group column has id-like cardinality; segment on a " +
           "coarser column or raise maxGroups")
-      lastEpoch = epochId
-      batch.foreach {
+      // Resolve (and validate) the WHOLE batch before any mutation — the
+      // same pre-mutation discipline as the maxGroups check above: a
+      // sink/tracker fit mismatch throws with counts AND the epoch floor
+      // untouched, so a replay of this epoch is not merge-skipped against
+      // half-merged state.
+      val resolved = batch.map {
         case (g, Some(cat), n) =>
           val tops = refTop.getOrElse(g, Seq.empty)
           val i = tops.indexWhere(_._1 == cat)
           require(i >= 0, s"classified category '$cat' is not in group " +
             s"'$g''s fitted top set — sink and tracker disagree on the fit")
-          curTop.getOrElseUpdate(g, new Array[Long](tops.size))(i) += n
-        case (g, None, n) =>
-          curOther.put(g, curOther.getOrElse(g, 0L) + n)
+          (g, i, tops.size, n)
+        case (g, None, n) => (g, -1, 0, n)
+      }
+      lastEpoch = epochId
+      resolved.foreach { case (g, i, nTops, n) =>
+        if (i >= 0) curTop.getOrElseUpdate(g, new Array[Long](nTops))(i) += n
+        else curOther.put(g, curOther.getOrElse(g, 0L) + n)
       }
       true
     }
@@ -1066,12 +1097,19 @@ object StreamOps {
     val tails = ranked.filter(col("rk") > topK)
       .groupBy(col("g")).agg(sum(col("n")).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    require(top.size <= maxGroups,
-      s"reference snapshot has ${top.size} groups (> maxGroups " +
+    // group admission matches the batch operator's grps(): group-not-null
+    // rows only, so a group whose rows ALL carry NULL categories is still
+    // admitted (empty top set, zero fold) — one extra map-side-combined
+    // distinct, <= groups rows.
+    val allGroups = ref.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g")).distinct()
+      .collect().map(_.getString(0))
+    require(allGroups.length <= maxGroups,
+      s"reference snapshot has ${allGroups.length} groups (> maxGroups " +
         s"$maxGroups) — segment on a coarser column or raise maxGroups")
-    val refOther = top.keysIterator
-      .map(g => g -> tails.getOrElse(g, 0L)).toMap
-    new GroupCatDriftTracker(topK, alpha, maxGroups, top, refOther)
+    val topAll = allGroups.map(g => g -> top.getOrElse(g, Seq.empty)).toMap
+    val refOther = allGroups.map(g => g -> tails.getOrElse(g, 0L)).toMap
+    new GroupCatDriftTracker(topK, alpha, maxGroups, topAll, refOther)
   }
 
   /** foreachBatch sink classifying each micro-batch against the fitted
@@ -1091,20 +1129,30 @@ object StreamOps {
       import spark.implicits._
       val g = col(groupCol).cast("string")
       val c = col(catCol).cast("string")
-      val base = batch.filter(g.isNotNull && c.isNotNull)
+      // group-not-null admission (the batch operator's grps()): a NULL
+      // category never counts (batch excludes it from every histogram)
+      // but its group is still admitted — carried as a zero-count fold
+      // row through the same single aggregate.
+      val base = batch.filter(g.isNotNull)
         .select(g.as("group"), c.as("__cat"))
       val classified =
         if (topPairs.isEmpty)
-          base.select(col("group"), lit(null).cast("string").as("__top"))
+          base.select(col("group"), lit(null).cast("string").as("__top"),
+            col("__cat"))
         else base.join(
             broadcast(topPairs.toDF("__tg", "__top")),
             col("group") === col("__tg") && col("__cat") === col("__top"),
             "left")
-          .select(col("group"), col("__top"))
+          .select(col("group"), col("__top"), col("__cat"))
       val counts = classified
-        .groupBy(col("group"), col("__top")).agg(count(lit(1)).as("__n"))
+        .groupBy(col("group"), col("__top"),
+          col("__cat").isNull.as("__nullcat"))
+        .agg(count(lit(1)).as("__n"))
         .collect()
-        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+        .map { r =>
+          if (r.getBoolean(2)) (r.getString(0), None: Option[String], 0L)
+          else (r.getString(0), Option(r.getString(1)), r.getLong(3))
+        }
         .toSeq
       tracker.update(counts, epochId)
       val failing = tracker.psiByGroup.filter(_._2 > maxPsi).toSeq

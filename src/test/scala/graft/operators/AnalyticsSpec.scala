@@ -618,6 +618,34 @@ class DedupSpec extends AnyFunSuite {
     Dedup.forgetMinHashIndex(path)
   }
 
+  test("re-saving an index path drops stale epoch deltas (hash + minhash families)") {
+    val path = java.nio.file.Files.createTempDirectory("hash-idx-resave").toString
+    Dedup.saveHashIndex(docs, Seq($"text"), path)
+    val stale = Seq((50L, "a stale streaming-run document")).toDF("doc_id", "text")
+    Dedup.admitEpoch(stale, Seq($"text"), path, 7L)
+    // a FRESH save must not silently union the dead stream's delta
+    Dedup.saveHashIndex(docs, Seq($"text"), path)
+    val probe = Seq((60L, "a stale streaming-run document")).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstHashIndex(probe, Seq($"text"), path)
+        .select($"doc_id").as[Long].collect().toSet == Set(60L),
+      "stale epoch delta survived a fresh saveHashIndex")
+    assert(Dedup.loadHashIndex(spark, path)
+      .select($"epoch").distinct().as[Long].collect().toSeq == Seq(-1L))
+    // minhash family: same contract
+    val p2 = java.nio.file.Files.createTempDirectory("mh-idx-resave").toString
+    Dedup.saveMinHashIndex(docs, "doc_id", "text", p2)
+    Dedup.admitMinHashEpoch(stale, "doc_id", "text", p2, 3L)
+    Dedup.saveMinHashIndex(docs, "doc_id", "text", p2)
+    val fs = new org.apache.hadoop.fs.Path(p2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("bands", "shingles").foreach { t =>
+      val kids = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p2/$t"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(kids.filter(_.startsWith("epoch=")) == Set("epoch=-1"),
+        s"$t kept stale deltas: $kids")
+    }
+  }
+
   test("hash index: epoch compaction merges deltas without changing probes") {
     val path = java.nio.file.Files.createTempDirectory("hash-idx-compact").toString
     Dedup.saveHashIndex(docs, Seq($"text"), path)
@@ -1928,6 +1956,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.size == comps + isolated, "keep-one = one per component + isolated rows")
   }
 
+  test("perceptualHash: codec rejections are COUNTED; a contract violation fails the task") {
+    val media = Multimodal.mediaFromDocuments(spark,
+      s"${SparkTestSession.sf0001}/documents.parquet")
+    val total = media.count()
+    val hashed = Multimodal.perceptualHash(media, new FaultyCodec(rejectMod = 5))
+      .count()
+    val rejected = Multimodal.lastPerceptualRejected
+    assert(rejected > 0 && hashed + rejected == total,
+      s"every input row must be hashed or counted rejected: " +
+        s"$hashed + $rejected != $total")
+    // a wrong-sized raster is a codec CONTRACT violation — the job fails
+    // loudly instead of yielding zero hash rows and zero dedup pairs
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.perceptualHash(media, new BrokenRasterCodec).count()
+    }
+    assert(e.getMessage.contains("rasterize contract violation") ||
+      Option(e.getCause).exists(_.getMessage.contains("rasterize contract violation")),
+      e.getMessage)
+  }
+
   test("phash index: cross-batch incremental media dedup lifecycle") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("ph-idx").toString
@@ -1980,6 +2028,25 @@ class MultimodalSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("re-saving a phash index path drops stale epoch deltas") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ph-resave").toString
+    val path = s"$base/idx"
+    def row(id: Long, body: String) = Multimodal.MediaRow(id,
+      body.getBytes("UTF-8"), "image", "s")
+    val seed = Seq(row(1L, "seed payload content here " * 10)).toDS()
+    Multimodal.savePhashIndex(seed, path)
+    Multimodal.admitPhashEpoch(
+      Seq(row(2L, "stale streamed payload " * 12)).toDS(), path, 7L)
+    // fresh save: the dead stream's epoch=7 delta must NOT survive
+    Multimodal.savePhashIndex(seed, path)
+    val probe = Seq(row(10L, "stale streamed payload " * 12)).toDS()
+    assert(Multimodal.phashIndexMatches(probe, path).collect().isEmpty,
+      "stale epoch delta survived a fresh savePhashIndex")
+    Multimodal.forgetPhashIndex(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("phash index: streaming admission with replay-safe epoch exclusion") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -2025,6 +2092,21 @@ class FaultyCodec(rejectMod: Int) extends Multimodal.MediaCodec {
       throw new IllegalArgumentException(s"malformed payload for media $mediaId")
     Multimodal.StubCodec.decode(mediaId, content, format)
   }
+  override def rasterize(mediaId: Long, content: Array[Byte], format: String,
+      cols: Int, rows: Int): Array[Double] = {
+    if (rejectMod > 0 && mediaId % rejectMod == 0)
+      throw new IllegalArgumentException(s"malformed payload for media $mediaId")
+    super.rasterize(mediaId, content, format, cols, rows)
+  }
+}
+
+/** Codec that violates the rasterize CONTRACT (wrong cell count) — a
+  * programming error, which must fail the task, never degrade silently. */
+class BrokenRasterCodec extends Multimodal.MediaCodec {
+  def decode(mediaId: Long, content: Array[Byte], format: String): Multimodal.DecodedMedia =
+    Multimodal.StubCodec.decode(mediaId, content, format)
+  override def rasterize(mediaId: Long, content: Array[Byte], format: String,
+      cols: Int, rows: Int): Array[Double] = new Array[Double](7)
 }
 
 object FaultyCodec {

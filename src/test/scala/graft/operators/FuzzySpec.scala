@@ -220,6 +220,26 @@ class FuzzySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("re-saving a fuzzy index path drops stale epoch deltas") {
+    val base = java.nio.file.Files.createTempDirectory("fz-resave").toString
+    val path = s"$base/idx"
+    Fuzzy.saveFuzzyIndex(Seq(1L -> "kitten").toDF("id", "key"), "id", "key",
+      maxDist = 1, path)
+    Fuzzy.admitFuzzyEpoch(Seq(2L -> "mitten").toDF("id", "key"), "id", "key",
+      path, 7L)
+    // fresh save: the dead stream's epoch=7 delta must NOT survive
+    Fuzzy.saveFuzzyIndex(Seq(1L -> "kitten").toDF("id", "key"), "id", "key",
+      maxDist = 1, path)
+    val fitted = Fuzzy.loadFuzzyIndex(spark, path)
+    val hits =
+      try Fuzzy.fuzzyJoinWith(fitted, Seq(10L -> "miitten").toDF("id", "key"),
+        "id", "key").as[(Long, Long, Int)].collect().toSet
+      finally fitted.release()
+    assert(hits.isEmpty, s"stale delta survived a fresh saveFuzzyIndex: $hits")
+    Fuzzy.forgetFuzzyIndex(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("persisted fuzzy index: epoch admission is replay-idempotent; compaction preserves probes") {
     val base = java.nio.file.Files.createTempDirectory("fz-epoch").toString
     val path = s"$base/idx"

@@ -812,4 +812,73 @@ class StreamOpsSpec extends AnyFunSuite {
     // foreign bytes refuse loudly
     intercept[IllegalArgumentException](t3.restore(Array[Byte](1, 2, 3)))
   }
+
+  test("cat drift trackers: fit-mismatch throws PRE-mutation — the epoch floor stays, a valid retry merges") {
+    val ref = Seq("a", "a", "b").toDF("c")
+    val t = StreamOps.catDriftFit(ref, "c", topK = 2)
+    // a category outside the fitted top set (sink/tracker fit mismatch)
+    // throws with counts AND the epoch floor untouched
+    intercept[IllegalArgumentException](
+      t.update(Seq((Some("a"), 5L), (Some("nope"), 1L)), 0L))
+    assert(t.counts.forall(_._4 == 0L), "failed update must not mutate")
+    assert(t.update(Seq((Some("a"), 2L)), 0L),
+      "the failed epoch must still be mergeable — its floor never advanced")
+    assert(t.counts.find(_._1 == "a").get._4 == 2L)
+
+    val refG = Seq(("g1", "a"), ("g1", "b")).toDF("g", "c")
+    val tg = StreamOps.groupCatDriftFit(refG, "g", "c", topK = 2)
+    intercept[IllegalArgumentException](
+      tg.update(Seq(("g1", Some("a"), 5L), ("g1", Some("nope"), 1L)), 0L))
+    assert(tg.counts.forall(_._5 == 0L), "failed update must not mutate")
+    assert(tg.update(Seq(("g1", Some("a"), 2L)), 0L))
+    assert(tg.counts.find(r => r._1 == "g1" && r._2 == "a").get._5 == 2L)
+  }
+
+  test("group drift admission: all-null-value groups enter fit and sink like the batch grps()") {
+    import graft.operators.Validation
+    def jd(d: Double): java.lang.Double = d
+    // gN's reference rows carry only null/NaN values — the batch operator
+    // still admits the group (group-not-null filter only), all-zero rows
+    val ref = Seq(("g1", jd(1.0)), ("g1", jd(9.0)), ("gN", null),
+      ("gN", jd(Double.NaN))).toDF("g", "v")
+    val cur = Seq(("g1", jd(9.5)), ("gM", null), ("g1", jd(0.5)),
+      ("gN", jd(5.0))).toDF("g", "v")
+    val tracker = StreamOps.groupDriftFit(ref, "g", "v", 0.0, 10.0, 5)
+    val sink = StreamOps.groupDriftSink(tracker, "g", "v")
+    sink(cur.limit(2), 0L)
+    sink(cur.except(cur.limit(2)), 1L)
+    assert(tracker.counts.exists(_._1 == "gN"), "all-null ref group admitted")
+    assert(tracker.counts.exists(_._1 == "gM"), "all-null cur group admitted")
+    val stream = Validation.distributionDriftByGroupFromCounts(
+        tracker.counts.toDF("group", "bucket", "n_ref", "n_cur"), 0.0, 10.0, 5)
+      .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val batch = Validation.distributionDriftByGroup(ref, cur, "g", "v",
+        0.0, 10.0, 5)
+      .select(col("group"), col("bucket"), col("n_ref"), col("n_cur"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(stream.toSeq == batch.toSeq, s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+
+    // categorical twin: all-null-CATEGORY groups admitted on both sides
+    val refC = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("gN", null))
+      .toDF("g", "c")
+    val curC = Seq(("g1", "a"), ("gM", null), ("g1", null), ("gN", "z"))
+      .toDF("g", "c")
+    val tc = StreamOps.groupCatDriftFit(refC, "g", "c", topK = 2)
+    assert(tc.topSets.get("gN") == Some(Seq.empty),
+      "all-null-cat ref group admitted with an empty top set")
+    val sc = StreamOps.groupCatDriftSink(tc, "g", "c")
+    sc(curC.limit(2), 0L)
+    sc(curC.except(curC.limit(2)), 1L)
+    val streamC = Validation.categoricalDriftByGroupFromCounts(
+        tc.counts.toDF("group", "category", "__ord", "n_ref", "n_cur"), 0.5)
+      .select(col("group"), col("category"), col("n_ref"), col("n_cur"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batchC = Validation.categoricalDriftByGroup(refC, curC, "g", "c",
+        topK = 2)
+      .select(col("group"), col("category"), col("n_ref"), col("n_cur"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(streamC.toSeq == batchC.toSeq,
+      s"stream ${streamC.toSeq} != batch ${batchC.toSeq}")
+  }
 }
