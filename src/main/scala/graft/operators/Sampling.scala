@@ -697,7 +697,8 @@ object Sampling {
   def packSequencesBestFitChunked(
       df: DataFrame, groupCols: Seq[Column], idCol: Column,
       tokenCount: Column, maxSeqLen: Int,
-      bucketCol: Option[Column] = None): DataFrame = {
+      bucketCol: Option[Column] = None,
+      numBuckets: Int = CumSumBuckets): DataFrame = {
     require(maxSeqLen > 0, s"maxSeqLen must be positive, got $maxSeqLen")
     val nt = tokenCount.cast("long")
     // minimal piece set: ceil(n/max) pieces, all but the last full-length;
@@ -705,7 +706,8 @@ object Sampling {
     val nPieces = greatest(ceil(nt / lit(maxSeqLen.toLong)).cast("long"), lit(1L))
     val pieces = df.select(
         groupCols ++ Seq(idCol.as("__pid"), nt.as("__nt"),
-          bucketCol.getOrElse(hexBucket(hex13(idCol.cast("string"))))
+          bucketCol.getOrElse(
+              hexBucketN(hex13(idCol.cast("string")), numBuckets))
             .cast("int").as("__pbkt"),
           explode(sequence(lit(0L), nPieces - 1L)).as("piece")): _*)
       .withColumn("__plen",
@@ -715,7 +717,7 @@ object Sampling {
     val packed = packSequencesBestFit(
       pieces, gNames.map(col),
       struct(col("__pid").as("id"), col("piece").as("piece")),
-      col("__plen"), maxSeqLen, Some(col("__pbkt")))
+      col("__plen"), maxSeqLen, Some(col("__pbkt")), numBuckets)
     packed.select(gNames.map(col) ++ Seq(
       col("id.id").as("id"), col("id.piece").as("piece"),
       col("n_tokens"), col("seq_id"), col("seq_offset")): _*)
@@ -724,9 +726,13 @@ object Sampling {
   def packSequencesBestFit(
       df: DataFrame, groupCols: Seq[Column], idCol: Column,
       tokenCount: Column, maxSeqLen: Int,
-      bucketCol: Option[Column] = None): DataFrame = {
+      bucketCol: Option[Column] = None,
+      numBuckets: Int = CumSumBuckets): DataFrame = {
     require(maxSeqLen > 0, s"maxSeqLen must be positive, got $maxSeqLen")
-    val bucket = bucketCol.getOrElse(hexBucket(hex13(idCol.cast("string"))))
+    require(numBuckets > 0 && numBuckets <= (1 << 30),
+      s"numBuckets must be in [1, 2^30], got $numBuckets")
+    val bucket =
+      bucketCol.getOrElse(hexBucketN(hex13(idCol.cast("string")), numBuckets))
     val prep = df.select(
       groupCols ++ Seq(bucket.cast("int").as("__bkt"), idCol.as("id"),
         tokenCount.cast("long").as("n_tokens")): _*)
@@ -748,10 +754,10 @@ object Sampling {
       // the full key, so a key change is a state reset, and one task may
       // carry many (group, bucket) runs back to back
       var curKey: Seq[Any] = null
-      val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var bins: FirstFitBins = null
       rows.map { r =>
         val key = (0 until nKey).map(r.get)
-        if (key != curKey) { curKey = key; used.clear() }
+        if (key != curKey) { curKey = key; bins = new FirstFitBins(maxSeqLen) }
         val nt = r.getLong(nKey + 1)
         require(nt <= maxSeqLen,
           s"document ${r.get(nKey)} has $nt tokens > maxSeqLen $maxSeqLen " +
@@ -760,11 +766,14 @@ object Sampling {
         val (seqId, off) =
           if (nt == 0L) (-1L, 0L)
           else {
-            var i = 0
-            while (i < used.length && used(i) + nt > maxSeqLen) i += 1
-            if (i == used.length) used += 0L
-            val off0 = used(i)
-            used(i) = off0 + nt
+            // fast-path: a FULL-length doc can never fit an open bin
+            // (every open bin already holds >= 1 token), so it opens its
+            // own bin without a lookup — the exact placement first-fit
+            // would make, minus the search
+            val found = if (nt == maxSeqLen) -1 else bins.findFirstFit(nt)
+            val i = if (found < 0) bins.open() else found
+            val off0 = maxSeqLen - bins.residual(i)
+            bins.place(i, nt)
             ((r.getInt(bktIdx).toLong << 32) | i.toLong, off0)
           }
         org.apache.spark.sql.Row.fromSeq(
@@ -772,4 +781,71 @@ object Sampling {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /**
+   * One (group, bucket) run's open-bin state for [[packSequencesBestFit]]:
+   * a max segment tree over per-bin residual capacity, so FIRST-FIT — the
+   * lowest-indexed bin whose residual fits the doc — resolves in O(log
+   * bins) instead of a linear scan of every open bin. The scan mattered:
+   * FFD never closes a bin, so a run holding 1/numBuckets of a group's
+   * corpus accretes millions of open bins at 100 TB, and the pathological
+   * workload ([[packSequencesBestFitChunked]]'s full-length pieces, which
+   * fit NO open bin) walked all of them per piece — quadratic in pieces.
+   * Placement semantics are bit-identical to the scan: the tree descends
+   * left-first, returning the same lowest index first-fit would.
+   */
+  private final class FirstFitBins(maxSeqLen: Int) {
+    private var cap = 1024
+    private var tree = new Array[Long](2 * cap) // leaf i at tree(cap+i)
+    private var bins = 0
+    def count: Int = bins
+    def residual(i: Int): Long = tree(cap + i)
+    /** Lowest-indexed open bin with residual >= need, or -1. Unopened
+      * slots hold residual 0 and `need` >= 1, so they never match. */
+    def findFirstFit(need: Long): Int = {
+      if (tree(1) < need) return -1
+      var node = 1
+      while (node < cap)
+        node = if (tree(2 * node) >= need) 2 * node else 2 * node + 1
+      node - cap
+    }
+    def open(): Int = {
+      if (bins == cap) grow()
+      val i = bins
+      bins += 1
+      update(i, maxSeqLen.toLong)
+      i
+    }
+    def place(i: Int, nt: Long): Unit = update(i, tree(cap + i) - nt)
+    private def update(i: Int, residual: Long): Unit = {
+      var node = cap + i
+      tree(node) = residual
+      node >>= 1
+      while (node >= 1) {
+        tree(node) = math.max(tree(2 * node), tree(2 * node + 1))
+        node >>= 1
+      }
+    }
+    private def grow(): Unit = {
+      val nc = cap * 2
+      val nt = new Array[Long](2 * nc)
+      System.arraycopy(tree, cap, nt, nc, bins)
+      var i = nc - 1
+      while (i >= 1) { nt(i) = math.max(nt(2 * i), nt(2 * i + 1)); i -= 1 }
+      cap = nc
+      tree = nt
+    }
+  }
+
+  /** [[hexBucket]] generalized to `n` order-key buckets. n = 256 is the
+    * 2-hex-digit fast path (identical buckets to [[hexBucket]], keeping
+    * default results stable); other widths take the first 8 hex digits
+    * mod n — NOT order-consistent across bucket boundaries, which the
+    * packers don't need (each bucket is an independent packing run). */
+  private def hexBucketN(hexKey: Column, n: Int): Column =
+    if (n == CumSumBuckets) hexBucket(hexKey)
+    else coalesce(
+      pmod(conv(substring(hexKey, 1, 8), 16, 10).cast("long"), lit(n.toLong))
+        .cast("int"),
+      lit(0))
 }

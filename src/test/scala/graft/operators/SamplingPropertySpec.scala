@@ -350,4 +350,74 @@ class SamplingPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunked best-fit packing == plain-Scala FFD simulator: random corpora sweep") {
+    // the distributed chunk-then-first-fit-decreasing packer must equal a
+    // literal driver-side simulator for any token-count mix (zeros,
+    // exact multiples, oversized docs), plus the packing invariants:
+    // minimal piece sets, no piece spans sequences, never more bins than
+    // next-fit over the same piece order
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val maxSeqLen = 16
+    def piecesOf(id: Long, t: Long): Seq[(Long, Long, Long)] = {
+      val np = math.max(1L, (t + maxSeqLen - 1) / maxSeqLen)
+      (0L until np).map(p => (id, p, math.min(maxSeqLen.toLong, t - p * maxSeqLen)))
+    }
+    val gen = Gen.listOf(Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(0L, 50L)))
+    forSamples(gen, n = 25) { rows0 =>
+      val docs = rows0.zipWithIndex.map { case ((g, t), i) => (g, i.toLong, t) }
+      if (docs.nonEmpty) {
+        val df = docs.toDF("g", "doc_id", "n_tok").repartition(5)
+        val got = Sampling.packSequencesBestFitChunked(df, Seq($"g"),
+            $"doc_id", $"n_tok", maxSeqLen, bucketCol = Some(lit(0)))
+          .select($"g", $"id", $"piece", $"n_tokens", $"seq_id", $"seq_offset")
+          .as[(String, Long, Long, Long, Long, Long)].collect()
+        // (a) minimal piece sets: ceil(t/max) pieces, all but the last full
+        val byDoc = got.groupBy(r => (r._1, r._2))
+        docs.foreach { case (g, id, t) =>
+          val ps = byDoc((g, id)).sortBy(_._3)
+          val want = math.max(1L, (t + maxSeqLen - 1) / maxSeqLen)
+          assert(ps.length == want && ps.map(_._3).toSeq == (0L until want),
+            s"doc ($g,$id,$t) pieces ${ps.toSeq}")
+          assert(ps.dropRight(1).forall(_._4 == maxSeqLen) && ps.map(_._4).sum == t)
+        }
+        // (b) no piece spans sequences
+        assert(got.filter(_._5 >= 0).forall(r => r._6 + r._4 <= maxSeqLen))
+        // (d) placement equality with the simulator (len desc, (id, piece)
+        // asc, lowest-indexed fitting bin; zero-len pieces occupy nothing)
+        val sim = docs.groupBy(_._1).flatMap { case (g, ds) =>
+          val order = ds.flatMap { case (_, id, t) => piecesOf(id, t) }
+            .sortBy { case (id, p, len) => (-len, id, p) }
+          val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+          order.map { case (id, p, len) =>
+            if (len == 0L) (g, id, p) -> ((-1L, 0L))
+            else {
+              var i = 0
+              while (i < bins.length && bins(i) + len > maxSeqLen) i += 1
+              if (i == bins.length) bins += 0L
+              val off = bins(i); bins(i) += len
+              (g, id, p) -> ((i.toLong, off))
+            }
+          }
+        }
+        got.foreach(r => assert(sim((r._1, r._2, r._3)) == ((r._5, r._6)),
+          s"row $r expected ${sim((r._1, r._2, r._3))}"))
+        // (c) FFD never uses more bins than next-fit over the same order
+        docs.groupBy(_._1).foreach { case (g, ds) =>
+          val lens = ds.flatMap { case (_, id, t) => piecesOf(id, t) }
+            .sortBy { case (id, p, len) => (-len, id, p) }
+            .map(_._3).filter(_ > 0)
+          var nf = 0; var cur = 0L
+          lens.foreach { l =>
+            if (nf == 0 || cur + l > maxSeqLen) { nf += 1; cur = l }
+            else cur += l
+          }
+          val ffd = got.filter(r => r._1 == g && r._5 >= 0).map(_._5).distinct.length
+          assert(ffd <= nf, s"group $g: FFD $ffd bins > next-fit $nf")
+        }
+      }
+    }
+  }
 }

@@ -564,4 +564,32 @@ class ScaleHarnessSpec extends AnyFunSuite {
     assert(got.toSet == Set("doc_0000" -> "doc_0001"),
       s"expected only the planted twin pair, got ${got.toSeq}")
   }
+
+  test("best-fit packing: 200k pieces in ONE bucket-run complete in bounded time") {
+    // the adversarial shape for a linear open-bin scan: every piece fails
+    // to fit every open bin (full pieces and 9-of-16 docs) or fits only
+    // after probing a deep prefix (the 7s). A linear first-fit scan is
+    // quadratic here (~10^10 steps — minutes to hours); the segment-tree
+    // placement is O(n log n) and must finish in seconds.
+    val maxSeqLen = 16
+    val docs = spark.range(0, 100001).select(
+      $"id".cast("long").as("doc_id"),
+      when($"id" === 0L, lit(100000L * maxSeqLen)) // 100k full pieces
+        .when($"id" % 2 === 1, lit(9L))            // 50k: never fit (residual 7)
+        .otherwise(lit(7L)).as("n_tok"),           // 50k: fill the 9-bins
+      lit("g").as("g"))
+    val t0 = System.nanoTime()
+    val packed = Sampling.packSequencesBestFitChunked(docs, Seq($"g"),
+      $"doc_id", $"n_tok", maxSeqLen, bucketCol = Some(lit(0)))
+    val (rows, bins, toks) = packed.agg(count(lit(1)),
+        countDistinct(when($"seq_id" >= 0, $"seq_id")), sum($"n_tokens"))
+      .as[(Long, Long, Long)].head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows == 200000L, s"rows $rows")   // 100k full pieces + 100k docs
+    // 100k full bins + 50k bins opened by the 9s (the 7s fill them 9+7=16)
+    assert(bins == 150000L, s"bins $bins")
+    assert(toks == 100000L * maxSeqLen + 50000L * 9 + 50000L * 7)
+    assert(secs < 60.0, f"200k-piece single-run pack took $secs%.1f s " +
+      "— placement has regressed to a linear bin scan")
+  }
 }
