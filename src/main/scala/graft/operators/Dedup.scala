@@ -73,6 +73,40 @@ object Dedup extends Logging {
     published.asScala.toMap
   }
 
+  /** Scope label prefixed onto drop-stat keys (`<scope>/<tag>`). The
+    * registry is process-wide, so without scoping every pipeline in the
+    * JVM publishes under the same operator tags and a source's SQL-UI
+    * metrics can attribute ANOTHER query's recall loss to itself. Wrap
+    * operator CONSTRUCTION in [[withDropScope]] (inheritable by child
+    * threads — foreachBatch bodies included) and set the source option
+    * `dropMetricsScope` to the same label: that source then reports only
+    * its own pipeline's counters. Empty scope = the pre-existing
+    * unscoped keying, fully backward-compatible. */
+  private val dropScope = new InheritableThreadLocal[String] {
+    override def initialValue(): String = ""
+  }
+  def withDropScope[T](scope: String)(f: => T): T = {
+    require(scope.nonEmpty && !scope.contains("/"),
+      s"drop scope must be non-empty and '/'-free, got '$scope'")
+    val prev = dropScope.get()
+    dropScope.set(scope)
+    try f finally dropScope.set(prev)
+  }
+  private def scopedTag(tag: String): String = {
+    val s = dropScope.get()
+    if (s == null || s.isEmpty) tag else s"$s/$tag"
+  }
+
+  /** The published counters belonging to ONE scope, keys stripped back to
+    * their bare operator tags — the read side for a source whose
+    * `dropMetricsScope` is set. */
+  def scopedDropStats(scope: String): Map[String, DropStats] = {
+    val p = scope + "/"
+    publishedDropStats.collect {
+      case (k, s) if k.startsWith(p) => k.substring(p.length) -> s
+    }
+  }
+
   /** Executor-side alarm baked into the hot-key plan itself: fires when the
     * caller's OWN action materializes the table, so a pipeline that drops
     * recall warns in its logs even if nobody ever polls `lastDropStats`.
@@ -153,7 +187,8 @@ object Dedup extends Logging {
    * caller's own action (operators stay lazy DataFrame transformations).
    */
   private[operators] def dropHotKeys(
-      index: DataFrame, keyCols: Seq[String], cap: Int, tag: String): DataFrame = {
+      index: DataFrame, keyCols: Seq[String], cap: Int, tag0: String): DataFrame = {
+    val tag = scopedTag(tag0) // registry key: "<scope>/<tag>" when scoped
     val hot0 = index.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > cap)
     // route the (metadata-scale) hot-key table through the executor-side

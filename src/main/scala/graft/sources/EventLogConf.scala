@@ -145,6 +145,14 @@ final case class EventLogConf(options: Map[String, String]) {
     * 30 s, package.scala:43). Plain millis or ISO-8601 duration. */
   def maxAcceptableBatchReceiveTimeMs: Long =
     durationMs("maxacceptablebatchreceivetime", 30000L)
+  /** Scope label for the drop-stat counters this source's SQL-UI metrics
+    * report: when set, only counters registered under the SAME
+    * [[graft.operators.Dedup.withDropScope]] label are published, so two
+    * pipelines sharing a JVM never read each other's recall loss. Unset =
+    * the legacy process-wide view (every tag, whichever pipeline). */
+  def dropMetricsScope: Option[String] =
+    get("dropmetricsscope").filter(_.nonEmpty)
+
   def metricPlugin: Option[MetricPlugin] =
     get("metricplugin").map(cls => Class.forName(cls)
       .getDeclaredConstructor().newInstance().asInstanceOf[MetricPlugin])
@@ -273,7 +281,7 @@ object EventLogConf {
     "startingposition", "endingposition", "startingpositions", "endingpositions",
     "maxeventspertrigger", "maxratesperpartition", "consumergroup",
     "failondataloss", "placementstrategy", "slowpartitionadjustment",
-    "maxacceptablebatchreceivetime",
+    "maxacceptablebatchreceivetime", "dropmetricsscope",
     "metricplugin", "throttlingstatusplugin",
     "maxretries", "retrydelayms", "receivertimeout", "operationtimeout",
     "prefetchcount",

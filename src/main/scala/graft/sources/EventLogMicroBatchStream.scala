@@ -199,12 +199,16 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
       // recall-loss counters from the operator layer's skew guards (already
       // computed and cached — no job here): a streaming pipeline's hot-key
       // drops surface in the SQL UI next to the source's own metrics instead
-      // of only in executor logs / the pull API. Scope caveat: the registry
-      // is PROCESS-wide and keyed by operator tag (latest computation wins),
-      // so every graft source in the JVM reports the same counters — they
-      // attribute recall loss to the process's pipelines, not specifically
-      // to the query this source feeds.
-      graft.operators.Dedup.publishedDropStats.foreach { case (tag, s) =>
+      // of only in executor logs / the pull API. With `dropMetricsScope`
+      // set (and the pipeline's operators built under the matching
+      // Dedup.withDropScope label) only THIS query's counters publish;
+      // unset keeps the legacy process-wide view, where every graft source
+      // in the JVM reports every pipeline's tags.
+      val drops = conf.dropMetricsScope match {
+        case Some(scope) => graft.operators.Dedup.scopedDropStats(scope)
+        case None        => graft.operators.Dedup.publishedDropStats
+      }
+      drops.foreach { case (tag, s) =>
         out.put(s"drops.$tag.buckets", s.buckets.toString)
         out.put(s"drops.$tag.rows", s.rows.toString)
       }

@@ -318,6 +318,46 @@ class ConnectorMetricsSpec extends AnyFunSuite {
     assert(m.last.get("drops.decontaminate.rows").toLong > 0)
   }
 
+  test("dropMetricsScope: two concurrent scoped pipelines never read each other's counters") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two pipelines sharing the JVM, SAME operator tag, different scopes
+    // and different drop volumes — without scoping the later computation
+    // would clobber the earlier one under the shared tag
+    def docs(n: Int) = (0 until n)
+      .map(i => (i.toLong, s"common shared prefix doc $i")).toDF("doc_id", "text")
+    Dedup.withDropScope("qA") {
+      Dedup.ngramJaccardPairs(docs(30), "doc_id", "text", k = 3,
+        threshold = 0.9, maxShingleDf = 2).count()
+    }
+    Dedup.withDropScope("qB") {
+      Dedup.ngramJaccardPairs(docs(12), "doc_id", "text", k = 3,
+        threshold = 0.9, maxShingleDf = 2).count()
+    }
+    Dedup.publishDropStats()
+    val a = Dedup.scopedDropStats("qA")
+    val b = Dedup.scopedDropStats("qB")
+    assert(a.contains("ngramJaccardPairs") && b.contains("ngramJaccardPairs"))
+    assert(a("ngramJaccardPairs").rows > b("ngramJaccardPairs").rows,
+      s"scoped counters must keep each pipeline's own volume: $a vs $b")
+    // a source scoped to qA reports ONLY qA's counters in its metrics
+    EventLogRegistry.drop("met-scoped")
+    val log = EventLogRegistry.create("met-scoped", 1)
+    for (i <- 0 until 5) log.append(0, Event(s"e$i".getBytes, (i + 1) * 1000000L))
+    val q = spark.readStream.format("graft-eventlog")
+      .option("name", "met-scoped").option("dropMetricsScope", "qA").load()
+      .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val keys = q.recentProgress.flatMap(_.sources).flatMap { s =>
+      import scala.jdk.CollectionConverters._
+      s.metrics.asScala.keys
+    }.filter(_.startsWith("drops.")).toSet
+    assert(keys.contains("drops.ngramJaccardPairs.buckets"),
+      s"own scope's counters missing: $keys")
+    assert(keys.forall(k => !k.contains("qB") && !k.contains("qA/")),
+      s"cross-pipeline counters leaked into a scoped source's metrics: $keys")
+  }
+
   test("progress carries source metrics (events behind latest, throttle) and sink metrics") {
     EventLogRegistry.drop("met-src"); EventLogRegistry.drop("met-dst")
     val src = EventLogRegistry.create("met-src", 2)
