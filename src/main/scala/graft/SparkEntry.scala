@@ -1442,6 +1442,27 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_sink_durable" -> ((s, dir) => {
+      // q_sink_roundtrip through the DURABLE file-backed log: events land
+      // as parquet segments, every in-JVM cache is dropped before the
+      // re-read (a fresh process sees only the files), and the re-read
+      // runs in a NEW SparkSession — write, "restart", re-read -> oracle
+      val root = java.nio.file.Files.createTempDirectory("graft-durable-gate")
+        .toString + "/log"
+      Tables.events(s, dir)
+        .select(col("props").as("body"),
+          map(lit("event_type"), col("event_type")).as("properties"))
+        .write.mode("append").format(GraftEventLog.Format)
+        .option("durablePath", root).option("partitions", "4").save()
+      graft.sources.DurableEventLog.invalidate(root)
+      val fresh = s.newSession()
+      fresh.read.format(GraftEventLog.Format)
+        .option("durablePath", root).option("partitions", "4").load()
+        .groupBy(col("properties")("event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_sketch_terms" -> ((s, dir) => {
       // mergeable Count-Min term frequencies; point estimates read from the
       // KB-sized sketch, never from the data. FULL-oracle form: the output
@@ -3830,6 +3851,9 @@ object SparkEntry {
            |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_sink_roundtrip" ->
+        """SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+
+      "q_sink_durable" ->
         """SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
 
       "q_sink_foreach" ->

@@ -1221,7 +1221,7 @@ object Dedup extends Logging {
     * stores without atomic create the guard still refuses every
     * OBSERVABLE overlap — its job is turning a silent corruption into a
     * loud error, not distributed locking. */
-  private[operators] def withIndexLease[T](fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def withIndexLease[T](fs: org.apache.hadoop.fs.FileSystem,
       path: String, op: String,
       staleMs: Long = IndexLeaseStaleMs)(body: => T): T = {
     import org.apache.hadoop.fs.Path
@@ -1295,7 +1295,7 @@ object Dedup extends Logging {
     }
   }
 
-  private[operators] def indexFs(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def indexFs(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

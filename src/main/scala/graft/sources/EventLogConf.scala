@@ -40,10 +40,11 @@ final case class EventLogConf(options: Map[String, String]) {
   def name: String =
     get("name")
       .orElse(connectionStringEntityPath)
+      .orElse(get("durablepath").map(p => DurableEventLog.logName(p, partitions)))
       .orElse(get("path").map(p => EventLogConf.parquetLogName(p, partitions)))
       .getOrElse(throw new IllegalArgumentException(
-        "one of 'name', 'connectionString' (with EntityPath), or 'path' is " +
-          "required for the graft-eventlog source"))
+        "one of 'name', 'connectionString' (with EntityPath), 'durablePath', " +
+          "or 'path' is required for the graft-eventlog source"))
 
   /** Decrypted connection string, if one was set (ref
     * EventHubsConf.connectionString, EventHubsConf.scala:137-145: stored
@@ -83,6 +84,18 @@ final case class EventLogConf(options: Map[String, String]) {
     EventLogConf(options.view.filterKeys(EventLogConf.ExecutorOptions).toMap)
 
   def path: Option[String] = get("path")
+
+  /** Root directory of a DURABLE file-backed log ([[DurableEventLog]]):
+    * readable AND writable, events survive the JVM. Mutually exclusive
+    * with `path` (the read-only driver-seeded parquet view). */
+  def durablePath: Option[String] = {
+    val d = get("durablepath")
+    require(d.isEmpty || path.isEmpty,
+      "'durablePath' and 'path' are mutually exclusive — 'path' is the " +
+        "read-only seeded view, 'durablePath' the writable durable log")
+    d
+  }
+
   def partitions: Int = get("partitions").map(_.toInt).getOrElse(DefaultPartitionCount)
 
   def startingPosition: EventPosition =
@@ -277,7 +290,7 @@ object EventLogConf {
 
   /** Every option the connector understands (lowercase). */
   val KnownOptions: Set[String] = Set(
-    "name", "path", "partitions", "connectionstring",
+    "name", "path", "durablepath", "partitions", "connectionstring",
     "startingposition", "endingposition", "startingpositions", "endingpositions",
     "maxeventspertrigger", "maxratesperpartition", "consumergroup",
     "failondataloss", "placementstrategy", "slowpartitionadjustment",
@@ -297,7 +310,7 @@ object EventLogConf {
     * the same executor→driver feedback path), so stripping them would
     * silently disable R3 throttling. Everything else is planning state. */
   val ExecutorOptions: Set[String] = Set(
-    "name", "path", "partitions", "connectionstring", "consumergroup",
+    "name", "path", "durablepath", "partitions", "connectionstring", "consumergroup",
     "failondataloss", "metricplugin",
     "slowpartitionadjustment", "maxacceptablebatchreceivetime",
     "maxretries", "retrydelayms", "receivertimeout", "operationtimeout",

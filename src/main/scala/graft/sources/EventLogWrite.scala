@@ -80,16 +80,67 @@ object EventLogWriteSupport {
     }
     ColumnPlan(bodyIdx, bodyIsString, pIdx, kIdx, propIdx)
   }
+
+  /** Decode one written row against a validated plan: (explicit target
+    * partition, partition key, event) — shared by the in-memory and
+    * durable writers so the sink's validation error matrix cannot drift
+    * between backends. */
+  def decodeRow(row: InternalRow, plan: ColumnPlan, numPartitions: Int)
+      : (Option[Int], Option[String], Event) = {
+    val body: Array[Byte] =
+      if (row.isNullAt(plan.bodyIdx))
+        throw new IllegalArgumentException("null 'body' in write")
+      else if (plan.bodyIsString) row.getUTF8String(plan.bodyIdx).getBytes
+      else row.getBinary(plan.bodyIdx)
+
+    val pid: Option[Int] =
+      if (plan.partitionIdx < 0 || row.isNullAt(plan.partitionIdx)) None
+      else {
+        val s = row.getUTF8String(plan.partitionIdx).toString
+        val p = try s.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"invalid partition id '$s'")
+        }
+        if (p < 0 || p >= numPartitions)
+          throw new IllegalArgumentException(
+            s"partition id $p out of range [0, $numPartitions)")
+        Some(p)
+      }
+
+    val key: Option[String] =
+      if (plan.partitionKeyIdx < 0 || row.isNullAt(plan.partitionKeyIdx)) None
+      else Some(row.getUTF8String(plan.partitionKeyIdx).toString)
+
+    val props: Map[String, String] =
+      if (plan.propertiesIdx < 0 || row.isNullAt(plan.propertiesIdx)) Map.empty
+      else {
+        val m = row.getMap(plan.propertiesIdx)
+        val keys = m.keyArray(); val vals = m.valueArray()
+        (0 until m.numElements()).map { i =>
+          if (keys.isNullAt(i) || vals.isNullAt(i))
+            throw new IllegalArgumentException(
+              "null key or value in 'properties' map (ref EventHubsWriteTask.scala:125-128)")
+          keys.getUTF8String(i).toString -> vals.getUTF8String(i).toString
+        }.toMap
+      }
+
+    (pid, key,
+      Event(body, enqueuedTimeMicros = System.currentTimeMillis() * 1000L,
+        partitionKey = key.orNull, properties = props))
+  }
 }
 
 class EventLogWriteBuilder(conf: EventLogConf, schema: StructType, queryId: String)
     extends WriteBuilder {
   override def build(): Write = {
-    if (conf.path.isDefined)
-      throw new IllegalArgumentException(
-        "parquet-backed event logs are read-only; write to a named log instead")
     val plan = EventLogWriteSupport.plan(schema) // validate eagerly at planning
-    new EventLogWrite(conf, schema, plan, queryId)
+    if (conf.durablePath.isDefined)
+      new DurableEventLogWrite(conf, schema, plan, queryId)
+    else if (conf.path.isDefined)
+      throw new IllegalArgumentException(
+        "parquet-backed event logs are read-only; write to a named log or a " +
+          "'durablePath' log instead")
+    else new EventLogWrite(conf, schema, plan, queryId)
   }
 }
 
@@ -209,48 +260,8 @@ class EventLogDataWriter(
   private val buf =
     scala.collection.mutable.ArrayBuffer.empty[(Option[Int], Option[String], Event)]
 
-  override def write(row: InternalRow): Unit = {
-    val body: Array[Byte] =
-      if (row.isNullAt(plan.bodyIdx))
-        throw new IllegalArgumentException("null 'body' in write")
-      else if (plan.bodyIsString) row.getUTF8String(plan.bodyIdx).getBytes
-      else row.getBinary(plan.bodyIdx)
-
-    val pid: Option[Int] =
-      if (plan.partitionIdx < 0 || row.isNullAt(plan.partitionIdx)) None
-      else {
-        val s = row.getUTF8String(plan.partitionIdx).toString
-        val p = try s.toInt catch {
-          case _: NumberFormatException =>
-            throw new IllegalArgumentException(s"invalid partition id '$s'")
-        }
-        if (p < 0 || p >= numPartitions)
-          throw new IllegalArgumentException(
-            s"partition id $p out of range [0, $numPartitions)")
-        Some(p)
-      }
-
-    val key: Option[String] =
-      if (plan.partitionKeyIdx < 0 || row.isNullAt(plan.partitionKeyIdx)) None
-      else Some(row.getUTF8String(plan.partitionKeyIdx).toString)
-
-    val props: Map[String, String] =
-      if (plan.propertiesIdx < 0 || row.isNullAt(plan.propertiesIdx)) Map.empty
-      else {
-        val m = row.getMap(plan.propertiesIdx)
-        val keys = m.keyArray(); val vals = m.valueArray()
-        (0 until m.numElements()).map { i =>
-          if (keys.isNullAt(i) || vals.isNullAt(i))
-            throw new IllegalArgumentException(
-              "null key or value in 'properties' map (ref EventHubsWriteTask.scala:125-128)")
-          keys.getUTF8String(i).toString -> vals.getUTF8String(i).toString
-        }.toMap
-      }
-
-    buf += ((pid, key,
-      Event(body, enqueuedTimeMicros = System.currentTimeMillis() * 1000L,
-        partitionKey = key.orNull, properties = props)))
-  }
+  override def write(row: InternalRow): Unit =
+    buf += EventLogWriteSupport.decodeRow(row, plan, numPartitions)
 
   override def currentMetricsValues()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -264,6 +275,121 @@ class EventLogDataWriter(
   override def abort(): Unit = {
     buf.clear()
     EventLogRegistry.get(logName).discardStaged(stagingKey)
+  }
+  override def close(): Unit = ()
+}
+
+/**
+ * Write into a DURABLE file-backed log ([[DurableEventLog]]): the same
+ * staged two-phase commit as [[EventLogWrite]], with staging and replay
+ * state on DISK — written events survive JVM exit, and a replayed epoch is
+ * skipped by its on-disk commit marker, so idempotence holds across driver
+ * restarts (the in-memory sink's committedEpochs map dies with the JVM).
+ */
+class DurableEventLogWrite(
+    conf: EventLogConf,
+    schema: StructType,
+    plan: EventLogWriteSupport.ColumnPlan,
+    queryId: String) extends Write {
+
+  private val path = conf.durablePath.get
+  private val partitions = {
+    DurableEventLog.create(path, conf.partitions) // idempotent; count-checked
+    DurableEventLog.partitionCount(conf.name)
+  }
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new StagedRowsMetric)
+
+  private def publish(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case m: StagedEventsMessage => m }
+      .sortBy(m => (m.partitionId, m.taskId))
+    val published = DurableEventLog.publishStaged(
+      path, queryId, epochId, staged.map(_.stagingKey).toSeq)
+    val reported = staged.map(_.count).sum
+    if (published >= 0 && published != reported) throw new IllegalStateException(
+      s"durable staged-write commit for '$path' epoch $epochId published " +
+        s"$published of $reported reported rows — staging was lost before commit")
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new DurableEventLogWriterFactory(path, schema, plan, partitions, queryId)
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      publish(EventLogWrite.BatchEpochIdValue, messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      DurableEventLog.sweepStaged(path, queryId, EventLogWrite.BatchEpochIdValue)
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      new DurableEventLogWriterFactory(path, schema, plan, partitions, queryId)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      publish(epochId, messages) // marker-checked inside: replay sweeps + skips
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      DurableEventLog.sweepStaged(path, queryId, epochId)
+  }
+}
+
+class DurableEventLogWriterFactory(
+    path: String,
+    schema: StructType,
+    plan: EventLogWriteSupport.ColumnPlan,
+    numPartitions: Int,
+    queryId: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DurableEventLogDataWriter(path, schema, plan, numPartitions,
+      queryId, EventLogWrite.BatchEpochIdValue, partitionId, taskId)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DurableEventLogDataWriter(path, schema, plan, numPartitions,
+      queryId, epochId, partitionId, taskId)
+}
+
+/** Per-task durable writer: routes rows to their target partition at write
+  * time (explicit partition > key hash > task-offset round-robin — the
+  * in-memory log's routing, minus the shared counter a multi-JVM write
+  * cannot have), stages per-partition parquet files on task commit. */
+class DurableEventLogDataWriter(
+    path: String,
+    schema: StructType,
+    plan: EventLogWriteSupport.ColumnPlan,
+    numPartitions: Int,
+    queryId: String,
+    epochId: Long,
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val byPid = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Event]]
+  private var rows = 0L
+  private var rr = partitionId.toLong // spread unkeyed rows across tasks
+
+  override def write(row: InternalRow): Unit = {
+    val (pid, key, e) = EventLogWriteSupport.decodeRow(row, plan, numPartitions)
+    val target = pid.getOrElse(
+      key.map(k => math.floorMod(k.hashCode, numPartitions)).getOrElse {
+        val t = math.floorMod(rr, numPartitions.toLong).toInt
+        rr += 1
+        t
+      })
+    byPid.getOrElseUpdate(target, scala.collection.mutable.ArrayBuffer.empty) += e
+    rows += 1
+  }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new LongTaskMetric("stagedRows", rows))
+
+  override def commit(): WriterCommitMessage = {
+    val taskDir = DurableEventLog.stageTask(path, queryId, epochId,
+      partitionId, taskId, byPid.view.mapValues(_.toSeq).toMap)
+    StagedEventsMessage(taskDir, partitionId, taskId, rows)
+  }
+  override def abort(): Unit = {
+    byPid.clear()
+    DurableEventLog.discardTask(path, queryId, epochId, partitionId, taskId)
   }
   override def close(): Unit = ()
 }

@@ -870,7 +870,9 @@ object EventLogClients {
 
   def forConf(conf: EventLogConf): EventLogClient = {
     val base: EventLogClient =
-      if (conf.path.isDefined) ParquetEventLog else EventLogRegistry
+      if (conf.durablePath.isDefined) DurableEventLog
+      else if (conf.path.isDefined) ParquetEventLog
+      else EventLogRegistry
     conf.path.foreach(p =>
       conf.prefetchCount.foreach(n => ParquetEventLog.tunePrefetch(p, conf.partitions, n)))
     val faulted = Option(wrappers.get(conf.name)).map(_(base)).getOrElse(base)
@@ -878,16 +880,18 @@ object EventLogClients {
   }
 
   /** Reading an unknown/missing log is an error, not a silent empty result. */
-  def validateForRead(conf: EventLogConf): Unit = conf.path match {
-    case Some(p) =>
-      try ParquetEventLog.validate(p)
-      catch {
-        case e: java.io.FileNotFoundException =>
-          throw new IllegalArgumentException(s"parquet event-log path not found: $p", e)
-      }
-    case None =>
-      if (!EventLogRegistry.exists(conf.name))
-        throw new IllegalArgumentException(
-          s"unknown event log '${conf.name}' — create it first or pass a 'path' to seed from")
-  }
+  def validateForRead(conf: EventLogConf): Unit =
+    if (conf.durablePath.isDefined) DurableEventLog.validate(conf.name)
+    else conf.path match {
+      case Some(p) =>
+        try ParquetEventLog.validate(p)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(s"parquet event-log path not found: $p", e)
+        }
+      case None =>
+        if (!EventLogRegistry.exists(conf.name))
+          throw new IllegalArgumentException(
+            s"unknown event log '${conf.name}' — create it first or pass a 'path' to seed from")
+    }
 }

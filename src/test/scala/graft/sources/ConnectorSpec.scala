@@ -570,4 +570,119 @@ class ConnectorSinkSpec extends AnyFunSuite {
     val bodies = dst.select(col("body").cast("string")).as[String].collect().toSet
     assert(bodies == (for (p <- 0 until 2; i <- 0 until 25) yield s"$p-$i").toSet)
   }
+
+  test("durable sink: batch write survives a process restart and re-reads exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-durable").toString + "/log"
+    Seq(("a", "k1", Map("p" -> "1")), ("b", "k2", Map("p" -> "2")),
+        ("c", "k1", Map.empty[String, String]))
+      .toDF("body", "partitionKey", "properties")
+      .write.mode("append").format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2").save()
+    // simulate a fresh process: drop every in-JVM cache; the data is files
+    DurableEventLog.invalidate(root)
+    val back = spark.read.format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2").load()
+    assert(back.count() == 3)
+    val rows = back.select(col("body").cast("string"), col("partitionKey"),
+        col("properties")).as[(String, String, Map[String, String])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a", "b", "c"))
+    assert(rows.map(_._2).toSeq == Seq("k1", "k2", "k1"), "partitionKey survives")
+    assert(rows.map(_._3).toSeq == Seq(Map("p" -> "1"), Map("p" -> "2"), Map.empty),
+      "properties survive")
+    // same key = same partition, across a second (appending) batch write
+    Seq(("d", "k1")).toDF("body", "partitionKey")
+      .write.mode("append").format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2").save()
+    val byPart = spark.read.format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2").load()
+      .filter(col("partitionKey") === "k1")
+      .select(col("partition")).distinct().count()
+    assert(byPart == 1, "k1 rows must land in ONE partition across batches")
+    // a partition-count mismatch on an existing log fails loudly
+    val e = intercept[Exception] {
+      spark.read.format("graft-eventlog")
+        .option("durablePath", root).option("partitions", "8").load().count()
+    }
+    assert(e.getMessage.contains("partitions"), e.getMessage)
+  }
+
+  test("durable sink: streaming roundtrip + restart-safe replay idempotence on the file path") {
+    EventLogRegistry.drop("w6src")
+    val src = EventLogRegistry.create("w6src", 2)
+    for (p <- 0 until 2; i <- 0 until 25)
+      src.append(p, Event(s"$p-$i".getBytes, i * 1000000L))
+    val base = java.nio.file.Files.createTempDirectory("graft-durable-s").toString
+    val root = s"$base/log"
+    val q = spark.readStream.format("graft-eventlog").option("name", "w6src")
+      .option("maxEventsPerTrigger", "20").load()
+      .select($"body", $"partition")
+      .writeStream.format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    DurableEventLog.invalidate(root) // fresh-process read
+    val dst = spark.read.format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2").load()
+    assert(dst.count() == 50)
+    assert(dst.select(col("body").cast("string")).as[String].collect().toSet ==
+      (for (p <- 0 until 2; i <- 0 until 25) yield s"$p-$i").toSet)
+    // restart the SAME query from its checkpoint: every epoch replays as
+    // already-committed (markers are ON DISK, not process state) — zero
+    // duplicates even though this is a "new driver"
+    val q2 = spark.readStream.format("graft-eventlog").option("name", "w6src")
+      .option("maxEventsPerTrigger", "20").load()
+      .select($"body", $"partition")
+      .writeStream.format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2").load().count() == 50,
+      "restarted query must not duplicate committed epochs")
+  }
+
+  test("durable sink: staged replay/abort/speculative semantics on the file path") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val root = java.nio.file.Files.createTempDirectory("graft-durable-2pc").toString + "/log"
+    val conf = EventLogConf(Map("durablepath" -> root, "partitions" -> "2"))
+    val schema = StructType(Seq(StructField("body", StringType)))
+    val write = new DurableEventLogWrite(conf, schema,
+      EventLogWriteSupport.plan(schema), "q-dur1")
+    val sw = write.toStreaming
+    val factory = sw.createStreamingWriterFactory(null)
+    def runTask(pid: Int, tid: Long, epoch: Long, n: Int) = {
+      val w = factory.createWriter(pid, tid, epoch)
+      (0 until n).foreach(i => w.write(InternalRow(UTF8String.fromString(s"e$pid-$tid-$i"))))
+      w.commit()
+    }
+    def total() = spark.read.format("graft-eventlog")
+      .option("durablePath", root).option("partitions", "2").load().count()
+    val m1 = runTask(0, 1L, 0L, 3)
+    val m2 = runTask(1, 2L, 0L, 2)
+    runTask(0, 99L, 0L, 3) // speculative duplicate Spark will NOT report
+    sw.commit(0L, Array(m1, m2))
+    assert(total() == 5, "only reported tasks published")
+    // replayed epoch (same epochId, e.g. after recovery): marker-skipped
+    val m3 = runTask(0, 3L, 0L, 3)
+    sw.commit(0L, Array(m3))
+    assert(total() == 5, "replayed epoch must not re-publish")
+    // epoch abort sweeps staging but leaves the epoch OPEN for a retry
+    val m4 = runTask(0, 4L, 1L, 4)
+    sw.abort(1L, Array(m4))
+    assert(total() == 5)
+    val m5 = runTask(0, 5L, 1L, 4)
+    sw.commit(1L, Array(m5))
+    assert(total() == 9, "an aborted epoch's retry must publish")
+    // task abort drops its own staging
+    val w = factory.createWriter(0, 6L, 2L)
+    w.write(InternalRow(UTF8String.fromString("doomed")))
+    w.commit(); w.abort()
+    sw.commit(2L, Array.empty)
+    assert(total() == 9)
+  }
 }
