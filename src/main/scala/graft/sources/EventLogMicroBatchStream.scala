@@ -51,6 +51,36 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
   EventLogClients.validateForRead(conf)
   private val name = conf.name
 
+  // Executor -> driver transport for slow-partition receive metrics (ref
+  // R3's PartitionPerformanceReceiver RPC, re-expressed as a Spark
+  // accumulator — the non-private-API channel): readers add one
+  // ReceiveSample per (partition, batch); task completion delivers them
+  // here, and latestOffset()/metrics() drain them into the tracker. In
+  // local mode the readers ALSO feed the tracker directly (shared JVM);
+  // delivery is deduplicated per (partition, batch) by the tracker.
+  private val receiveAcc
+      : Option[org.apache.spark.util.CollectionAccumulator[ReceiveSample]] =
+    if (!conf.slowPartitionAdjustment) None
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.collectionAccumulator[ReceiveSample](
+        s"graft.receive.${conf.throttlerKey}"))
+
+  /** Fold accumulated receive samples into the driver tracker, then clear
+    * the accumulator (samples landing during the tiny read-to-reset window
+    * are lost — acceptable for an advisory throttle signal, and the next
+    * batch's samples re-measure the same partitions). */
+  private def drainReceiveMetrics(): Unit = receiveAcc.foreach { acc =>
+    import scala.jdk.CollectionConverters._
+    val snapshot = acc.value.asScala.toList
+    if (snapshot.nonEmpty) {
+      acc.reset()
+      val t = PartitionThrottler.forLog(
+        conf.throttlerKey, conf.maxAcceptableBatchReceiveTimeMs)
+      snapshot.foreach(s => t.record(s.batchId, s.pid, s.events, s.elapsedNanos))
+    }
+  }
+
   // Trigger.AvailableNow: snapshot the end offsets once; rate-limited
   // micro-batches then run until the snapshot is reached (without this,
   // Spark falls back to one unbounded batch and admission control is
@@ -110,6 +140,7 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
     // Adaptive throttling: shrink slow partitions' share (ref R3).
     val factor: PartitionId => Double =
       if (conf.slowPartitionAdjustment) {
+        drainReceiveMetrics() // pull executor-side samples before deciding
         val f = PartitionThrottler.forLog(conf.throttlerKey, conf.maxAcceptableBatchReceiveTimeMs).factors
         conf.throttlingStatusPlugin.foreach(p =>
           p.onPartitionsStatusUpdate(merged.keys.map(k => k -> f(k)).toMap))
@@ -157,7 +188,7 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
     org.apache.spark.graft.ExecutorDiscovery.sortedExecutors()
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventLogReaderFactory(schema)
+    new EventLogReaderFactory(schema, receiveAcc)
 
   /**
    * Per-source observability in `StreamingQueryProgress.sources[].metrics`
@@ -191,6 +222,7 @@ class EventLogMicroBatchStream(conf: EventLogConf, schema: StructType)
         }
       }
       if (conf.slowPartitionAdjustment) {
+        drainReceiveMetrics()
         val f = PartitionThrottler.forLog(conf.throttlerKey, conf.maxAcceptableBatchReceiveTimeMs).factors
         val rendered = (0 until client.partitionCount(name))
           .map(p => s""""$p":${f(p)}""").mkString("{", ",", "}")

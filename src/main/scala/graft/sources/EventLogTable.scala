@@ -435,11 +435,14 @@ final case class EventLogInputPartition(options: Map[String, String], range: Off
   override def preferredLocations(): Array[String] = range.preferredLoc.toArray
 }
 
-class EventLogReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class EventLogReaderFactory(
+    schema: StructType,
+    receiveAcc: Option[org.apache.spark.util.CollectionAccumulator[ReceiveSample]] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[
       org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[EventLogInputPartition]
-    new EventLogPartitionReader(EventLogConf(p.options), p.range, schema)
+    new EventLogPartitionReader(EventLogConf(p.options), p.range, schema, receiveAcc)
   }
 }
 
@@ -451,7 +454,8 @@ class EventLogReaderFactory(schema: StructType) extends PartitionReaderFactory {
  * logs through the in-JVM registry; both are the local analog of the
  * reference's executor-cached receivers (C3: CachedEventHubsReceiver.scala).
  */
-class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: StructType)
+class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: StructType,
+    receiveAcc: Option[org.apache.spark.util.CollectionAccumulator[ReceiveSample]] = None)
     extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -523,8 +527,14 @@ class EventLogPartitionReader(conf: EventLogConf, range: OffsetRange, schema: St
     }
     val elapsed = System.nanoTime() - startedNanos
     if (conf.slowPartitionAdjustment) {
+      // local-mode fast path: reader and driver share a JVM, feed the
+      // tracker directly (replaced, not duplicated, when the accumulator
+      // delivers the same (partition, batch) sample)
       PartitionThrottler.forLog(conf.throttlerKey, conf.maxAcceptableBatchReceiveTimeMs)
         .record(range.fromSeqNo, range.partitionId, rowsRead, elapsed)
+      // cluster path: ride Spark's accumulator channel back to the driver
+      receiveAcc.foreach(_.add(
+        ReceiveSample(range.fromSeqNo, range.partitionId, rowsRead, elapsed)))
     }
     conf.metricPlugin.foreach(
       _.onReceiveMetric(range.nameAndPartition, range.fromSeqNo, rowsRead, elapsed))

@@ -27,12 +27,27 @@ import types._
  * The factor multiplies the partition's prorated share in the next batch's
  * admission control (RateLimiter.prorate(throttleFactor)).
  *
- * Metrics transport: in local mode the reader and driver share a JVM, so a
- * singleton registry suffices (the exact analog of the reference's simulated
- * tracker used by its own tests). On a multi-node cluster the same `record`
- * call would be carried by an RPC endpoint or task-metrics accumulator; the
- * tracker math is transport-agnostic.
+ * Metrics transport: TWO paths feed the same tracker. In local mode the
+ * reader and driver share a JVM, so the reader's direct `record` call
+ * lands in the driver registry (the exact analog of the reference's
+ * simulated tracker used by its own tests). On a multi-node cluster that
+ * call lands in the executor's own JVM and would be invisible — so the
+ * streaming source ALSO ships a [[ReceiveSample]] accumulator to every
+ * reader (the SURVEY-suggested non-private-API stand-in for the
+ * reference's RpcEndpoint, PartitionPerformanceReceiver.scala:27-71):
+ * task completion carries the samples to the driver, which drains them
+ * into the tracker before each admission decision. Double delivery in
+ * local mode is harmless — `record` replaces same-(partition, batch)
+ * samples instead of appending. The tracker math is transport-agnostic.
  */
+/** One reader task's receive measurement, carried executor -> driver by a
+  * CollectionAccumulator on task completion (Spark's own metrics channel —
+  * no private APIs, no extra RPC). `batchId` is the range-start surrogate
+  * the readers already use: unique per (partition, micro-batch) for a
+  * progressing stream. */
+final case class ReceiveSample(
+    batchId: Long, pid: PartitionId, events: Long, elapsedNanos: Long)
+
 final class PartitionThrottler(
     val windowSize: Int = 3,
     val stddevMultiplier: Double = 1.0,

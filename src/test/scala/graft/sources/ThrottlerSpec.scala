@@ -198,4 +198,36 @@ class RateLimiterPropertySpec extends AnyFunSuite {
       assert(EventLogSourceOffset.parse(off.json()) == off)
     }
   }
+
+  test("local-cluster[2,1,1024]: factors move via the accumulator transport (multi-JVM)") {
+    // executors run as SEPARATE processes, so reader-side record() calls
+    // are invisible to the driver — the driver's factors moving proves the
+    // ReceiveSample accumulator transport end-to-end. Runs the check as a
+    // subprocess because this suite's JVM already holds the shared local
+    // SparkContext (one context per JVM).
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = (Seq(javaBin) ++ graft.tools.ClusterThrottleCheck.JdkAddOpens ++
+      Seq("-Xmx1g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
+        "graft.tools.ClusterThrottleCheck")).toList
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val buf = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() => {
+      try proc.getInputStream.transferTo(buf) catch { case _: Exception => () }
+    })
+    drainer.setDaemon(true)
+    drainer.start()
+    val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) proc.destroyForcibly()
+    drainer.join(10000)
+    val out = buf.toString("UTF-8")
+    assert(done, "local-cluster check timed out\n" + out.takeRight(4000))
+    assert(out.contains("CLUSTER THROTTLE OK"),
+      "expected the slow partition's factor to drop via the accumulator " +
+        "transport; output tail:\n" + out.takeRight(4000))
+  }
 }
