@@ -1795,6 +1795,80 @@ object SparkEntry {
       s.read.parquet(outDir).select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "q_stream_pipeline" -> ((s, dir) => {
+      // THE deployment shape every piece exists for, composed END-TO-END
+      // through the connector in ONE streaming query: per-row quality gate
+      // (qualityReason — q_corpus_filter's exact rules) -> persisted-index
+      // dedup admission (cross-run state, q_dedup_incremental's planted
+      // construction) -> cumulative numeric drift HARD GATE over what was
+      // admitted (driftSink with a finite maxPsi — a drifted feed KILLS
+      // the query before the epoch lands). Every stage is trigger-slicing
+      // invariant (stateless predicate; no two stream rows share a text;
+      // exact integer histograms), so the full oracle replays all three
+      // in SQL; the final cumulative PSI rides along as a constant column
+      // every row must hash-match.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idxPath =
+        java.nio.file.Files.createTempDirectory("graft-pipe-idx").toString
+      Dedup.saveHashIndex(docs, Seq(col("text")), idxPath)
+      val tracker = streaming.StreamOps.driftFit(
+        docs.select(TextFunctions.tokenCount(col("text")).cast("double")
+          .as("n_tok")),
+        "n_tok", lo = 0.0, hi = 128.0, buckets = 16)
+      val batch = docs.select((col("doc_id") + 200000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" batch2 #"), col("doc_id")))
+          .as("text"))
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val logName = "spipe_" + tag
+      val outDir =
+        java.nio.file.Files.createTempDirectory(s"spipe_out_$tag").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      batch.select(col("text").cast("binary").as("body"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
+        .write.format(GraftEventLog.Format)
+        .option("name", logName).option("partitions", "4").mode("append").save()
+      try {
+        val nBatch = GraftEventLog.count(logName)
+        val perTrigger = math.max(256L, (nBatch + 3) / 4)
+        val stream = s.readStream.format(GraftEventLog.Format)
+          .option("name", logName)
+          .option("maxEventsPerTrigger", perTrigger.toString)
+          .load()
+          .select(col("properties")("doc_id").cast("long").as("doc_id"),
+            col("body").cast("string").as("text"))
+          .filter(operators.CorpusOps.qualityReason(col("text"),
+            20, 80, "en", 0.5, 0.75) === "keep")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val drift = streaming.StreamOps.driftSink(tracker, "n_tok",
+          maxPsi = 100.0)
+        val q = Dedup.dedupStreamAgainstHashIndex(stream, Seq(col("text")),
+            idxPath) { (survivors, epochId) =>
+          val admitted = survivors.select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+          // HARD GATE fires before the epoch's output lands: a drifted
+          // feed stops the pipeline, not just flags it afterwards
+          drift(admitted.select(col("n_tok").cast("double").as("n_tok")),
+            epochId)
+          admitted.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+        }.trigger(Trigger.AvailableNow()).start()
+        awaitOrFail(q)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        sources.EventLogRegistry.drop(logName)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+        Dedup.forgetHashIndex(idxPath)
+      }
+      import s.implicits._
+      val psiTotal = operators.Validation.distributionDriftFromCounts(
+          tracker.counts.toDF("bucket", "n_ref", "n_cur"), 0.0, 128.0, 16)
+        .agg(sum(col("psi"))).head().getDouble(0)
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("n_tok"))
+        .withColumn("psi_r", TextFunctions.stableRound(lit(psiTotal), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDeDup (k-means cells -> within-cell cosine pruning). The
       // synthetic vectors are near-orthogonal (max pairwise cosine ~0.6),
@@ -3979,6 +4053,50 @@ object SparkEntry {
       // the streaming form admits per epoch, but no two stream rows share
       // a text, so ANY trigger slicing unions to the batch result
       "q_stream_dedup_incremental" -> incrementalDedupOracleSql,
+
+      "q_stream_pipeline" -> {
+        val reason = operators.CorpusOps.sqlQualityFilterReason(
+          "text", 20, 80, "en", 0.5, 0.75)
+        // quality -> anti-join dedup -> PSI of admitted token counts vs
+        // the corpus fit: the same dense-16-bucket, alpha=0.5 formula as
+        // numericDriftOracleSql (alpha*buckets = 8.0, width 128/16 = 8)
+        s"""WITH batch AS (
+           | SELECT doc_id + 200000 AS doc_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN text
+           |       ELSE text || ' batch2 #' || doc_id END AS text
+           | FROM documents),
+           |kept AS (SELECT * FROM batch WHERE ($reason) = 'keep'),
+           |surv AS (
+           | SELECT b.doc_id,
+           |        CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tok
+           | FROM kept b
+           | WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)),
+           |refh AS (
+           | SELECT LEAST(GREATEST(CAST(floor(
+           |          len(string_split(text, ' ')) / 8.0) AS INTEGER), 0), 15)
+           |          AS bucket,
+           |        count(*) AS n_ref
+           | FROM documents GROUP BY 1),
+           |curh AS (
+           | SELECT LEAST(GREATEST(CAST(floor(n_tok / 8.0) AS INTEGER), 0), 15)
+           |          AS bucket,
+           |        count(*) AS n_cur
+           | FROM surv GROUP BY 1),
+           |cells AS (
+           | SELECT g.bucket, COALESCE(n_ref, 0) AS n_ref,
+           |        COALESCE(n_cur, 0) AS n_cur
+           | FROM (SELECT unnest(generate_series(0, 15)) AS bucket) g
+           | LEFT JOIN refh USING (bucket) LEFT JOIN curh USING (bucket)),
+           |tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells),
+           |psi AS (
+           | SELECT sum(((n_cur + 0.5) / (tc + 8.0) - (n_ref + 0.5) / (tr + 8.0))
+           |        * ln(((n_cur + 0.5) / (tc + 8.0))
+           |             / ((n_ref + 0.5) / (tr + 8.0)))) AS p
+           | FROM cells, tot)
+           |SELECT doc_id, n_tok,
+           |       ${TextFunctions.sqlStableRound("(SELECT p FROM psi)", 6)} AS psi_r
+           |FROM surv ORDER BY doc_id""".stripMargin
+      },
 
       "q_dedup_ngram" ->
         s"""WITH d AS (

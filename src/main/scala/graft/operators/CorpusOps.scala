@@ -362,15 +362,31 @@ object CorpusOps {
         nTok.cast("double"), 4)
     val quality = TextFunctions.stableRound(TextFunctions.qualityScore(t), 4)
     val langId = TextFunctions.langIdGuess(t)
-    val reason = when(nTok < minTokens, "too_short")
+    val reason = qualityReason(t, minTokens, maxTokens, lang, minQuality,
+      maxDupWordFrac)
+    docs.select(col(idCol).as("doc_id"), nTok.cast("long").as("n_tokens"),
+      langId.as("lang"), quality.as("quality"), dup.as("dup_word_frac"),
+      (reason === "keep").as("keep"), reason.as("reason"))
+  }
+
+  /** [[qualityFilter]]'s first-failing-rule label as a bare Column — for
+    * pipelines that FILTER on the same rules while keeping their payload
+    * columns (streaming stages that must not drop the text). Shared by
+    * [[qualityFilter]] itself, so the two can never drift. */
+  def qualityReason(t: Column, minTokens: Int, maxTokens: Int, lang: String,
+      minQuality: Double, maxDupWordFrac: Double): Column = {
+    val nTok = TextFunctions.tokenCount(t)
+    val dup = TextFunctions.stableRound(lit(1.0) -
+      size(array_distinct(TextFunctions.words(t))).cast("double") /
+        nTok.cast("double"), 4)
+    val quality = TextFunctions.stableRound(TextFunctions.qualityScore(t), 4)
+    val langId = TextFunctions.langIdGuess(t)
+    when(nTok < minTokens, "too_short")
       .when(nTok > maxTokens, "too_long")
       .when(langId =!= lang, "wrong_lang")
       .when(quality < minQuality, "low_quality")
       .when(dup > maxDupWordFrac, "repetitive")
       .otherwise("keep")
-    docs.select(col(idCol).as("doc_id"), nTok.cast("long").as("n_tokens"),
-      langId.as("lang"), quality.as("quality"), dup.as("dup_word_frac"),
-      (reason === "keep").as("keep"), reason.as("reason"))
   }
 
   /** DuckDB rendering of [[qualityFilter]]'s reason expression (oracle

@@ -813,6 +813,81 @@ class StreamOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t3.restore(Array[Byte](1, 2, 3)))
   }
 
+  test("streaming curation pipeline restart: quality -> persisted dedup -> drift gate survives epoch replay") {
+    // the q_stream_pipeline composition stopped mid-corpus and resumed
+    // from the same checkpoint with the last commit deleted (a genuine
+    // epoch replay): the replayed epoch must (a) not duplicate survivors
+    // (per-epoch overwrite sink), (b) not re-merge into the drift tracker
+    // (epoch floor), (c) not drop against its own replayed admission (the
+    // index probe excludes the epoch's own delta).
+    import graft.operators.{CorpusOps, Dedup}
+    val corpusTexts = (0 until 10).map(i =>
+      s"the quick brown fox number $i jumps over the lazy dog and sleeps")
+    val corpus = corpusTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("pipe_restart").toString
+    val idxPath = s"$base/idx"
+    Dedup.saveHashIndex(corpus, Seq(col("text")), idxPath)
+    val tracker = StreamOps.driftFit(
+      corpus.select(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("double").as("n_tok")), "n_tok", 0.0, 32.0, 8)
+    // incoming: id%4==0 duplicates corpus (dedup drops), id%4==1 fails
+    // quality (too short), the rest are unique keepers
+    val incoming = (0 until 40).map { i =>
+      val text =
+        if (i % 4 == 0) corpusTexts(i / 4)
+        else if (i % 4 == 1) "tiny"
+        else s"the shiny new document number $i rolls in with the morning crawl"
+      (i.toLong, text)
+    }
+    def feed(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    def run(): Unit = {
+      val kept = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        .filter(CorpusOps.qualityReason(col("text"), 3, 100, "en", 0.0, 1.0)
+          === "keep")
+      val drift = StreamOps.driftSink(tracker, "n_tok", maxPsi = 100.0)
+      val q = Dedup.dedupStreamAgainstHashIndex(kept, Seq(col("text")),
+          idxPath) { (survivors, epochId) =>
+        val admitted = survivors.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("double").as("n_tok"))
+        drift(admitted.select(col("n_tok")), epochId)
+        admitted.write.mode("overwrite").parquet(s"$base/out/epoch=$epochId")
+      }.option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+    }
+    incoming.grouped(10).take(2).foreach(feed); run() // 2 epochs
+    val lastCommit = new java.io.File(s"$base/cp/commits/1")
+    assert(lastCommit.exists, "expected 2 committed epochs")
+    assert(lastCommit.delete())
+    new java.io.File(s"$base/cp/commits/.1.crc").delete()
+    incoming.grouped(10).drop(2).foreach(feed); run() // replay epoch 1 + rest
+    val got = spark.read.parquet(s"$base/out")
+      .select($"doc_id").as[Long].collect().sorted
+    val expected = incoming.collect {
+      case (id, _) if id % 4 >= 2 => id
+    }.sorted
+    assert(got.toSeq == expected.toSeq,
+      s"survivors after replay: got ${got.toSeq} expected ${expected.toSeq}")
+    // drift state merged each admitted row EXACTLY once across the replay
+    val fresh = StreamOps.driftFit(
+      corpus.select(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("double").as("n_tok")), "n_tok", 0.0, 32.0, 8)
+    StreamOps.driftSink(fresh, "n_tok")(
+      incoming.filter(_._1 % 4 >= 2).toDF("doc_id", "text")
+        .select(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("double").as("n_tok")), 0L)
+    assert(tracker.counts == fresh.counts,
+      "replayed epoch double-merged into the drift tracker")
+    Dedup.forgetHashIndex(idxPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    ()
+  }
+
   test("cat drift trackers: fit-mismatch throws PRE-mutation — the epoch floor stays, a valid retry merges") {
     val ref = Seq("a", "a", "b").toDF("c")
     val t = StreamOps.catDriftFit(ref, "c", topK = 2)
