@@ -34,6 +34,12 @@ object Bench {
     * by half the outlier's excess. */
   val HeadlineSamples: Int = 5
 
+  /** Interleaved pairs for the DEFAULT-codegen tracking series (odd, so
+    * its median is a real pair's ratio). Smaller than [[HeadlineSamples]]:
+    * this series watches for codegen-path regressions, it is not the
+    * ratio criterion. */
+  val CodegenHeadlineSamples: Int = 3
+
   /** One headline run's wall time plus its per-batch duration totals from
     * StreamingQueryProgress — recorded per sample in the artifact so a
     * contended run is diagnosable from the JSON alone (which component
@@ -100,7 +106,7 @@ object Bench {
 
     val partitions = 4
     val trigger = partitions * 1000
-    def stream(agg: Boolean): RunStats = {
+    def stream(agg: Boolean, statePartitions: String = "1"): RunStats = {
       val out = "bench_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // state-partition sizing: the windowed agg COMMITS every state
       // partition every micro-batch, so state partitions are sized to the
@@ -110,7 +116,7 @@ object Bench {
       // commit time for zero parallelism gain). At cluster scale this is
       // the shuffle-partition count the streaming job is launched with,
       // sized to state volume per trigger, not to the source
-      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
         val sec = time {
@@ -185,6 +191,22 @@ object Bench {
     val windowed = headlinePairs.map(_._2.sec).min
     spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // TRACKING series at DEFAULT codegen + default shuffle partitions: the
+    // NO_CODEGEN headline above is the criterion (it removes the
+    // per-batch Janino recompile the advancing-watermark literal forces —
+    // see the block comment), but users run the default path, so a
+    // codegen-path regression in these two workloads must stay visible in
+    // the artifact round over round. Fewer samples: this series tracks,
+    // it does not gate.
+    val codegenPairs = (1 to CodegenHeadlineSamples)
+      .map(_ => (stream(agg = false, statePartitions = cpus),
+        stream(agg = true, statePartitions = cpus)))
+    val passthroughCg = codegenPairs.map(_._1.sec).min
+    val windowedCg = codegenPairs.map(_._2.sec).min
+    val ratioPairsCg = codegenPairs.map { case (p, w) =>
+      math.round(w.sec / math.max(p.sec, 1e-9) * 100) / 100.0
+    }
+    val ratioMedianCg = ratioPairsCg.sorted.apply(ratioPairsCg.length / 2)
     val eventsPerSec = totalEvents / math.max(passthrough, 1e-9)
     // the 2x criterion is evaluated WITHIN a pair (same load window), never
     // across pairs: min-of-windowed over min-of-passthrough could mix one
@@ -265,6 +287,17 @@ object Bench {
       // artifact's numbers are not reproducible/interpretable on their own
       s""","headline_configs":{"codegen_factory":"NO_CODEGEN",""" +
       s""""wholestage_codegen":false,"shuffle_partitions":1,""" +
+      s""""trigger_events":$trigger,"source_partitions":$partitions}""" +
+      // tracking series: same two workloads at DEFAULT codegen + default
+      // shuffle partitions (configs stamped per series) — watches for
+      // codegen-path regressions the NO_CODEGEN criterion cannot see
+      s""","passthrough_codegen_sec":$passthroughCg""" +
+      s""","windowed_codegen_sec":$windowedCg""" +
+      s""","windowed_ratio_codegen":$ratioMedianCg""" +
+      s""","ratio_pairs_codegen":${ratioPairsCg.mkString("[", ",", "]")}""" +
+      s""","codegen_headline_samples":$CodegenHeadlineSamples""" +
+      s""","headline_configs_codegen":{"codegen_factory":"FALLBACK",""" +
+      s""""wholestage_codegen":true,"shuffle_partitions":$cpus,""" +
       s""""trigger_events":$trigger,"source_partitions":$partitions}""" +
       s""","events_per_sec":${eventsPerSec.round}""" +
       s""","events_per_sec_per_partition":$perPartition,"n_events":$totalEvents""" +
