@@ -83,6 +83,12 @@ object Bench {
       // per-batch offset/commit/state-delta fsyncs otherwise measure the
       // benchmark host's disk instead of the engine
       .config("spark.sql.streaming.checkpointLocation", ckptRoot)
+      // local checkpoints only (tmpfs/tmp): the NIO manager avoids the
+      // Hadoop local-FS fork-per-stat path (no libhadoop here), which
+      // jstack showed dominating the stream thread's runnable time — a
+      // DFS deployment keeps Spark's default manager
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.LocalCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -106,16 +112,19 @@ object Bench {
 
     val partitions = 4
     val trigger = partitions * 1000
-    def stream(agg: Boolean, statePartitions: String = "1"): RunStats = {
+    def stream(agg: Boolean, statePartitions: String = "4"): RunStats = {
       val out = "bench_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // state-partition sizing: the windowed agg COMMITS every state
-      // partition every micro-batch, so state partitions are sized to the
-      // micro-batch volume (4k rows, ~900 live windows) — ONE partition
-      // holds that with room to spare, and each extra partition only adds
-      // a per-batch store commit + task (4 partitions measured 4.7x the
-      // commit time for zero parallelism gain). At cluster scale this is
-      // the shuffle-partition count the streaming job is launched with,
-      // sized to state volume per trigger, not to the source
+      // partition every micro-batch, so state partitions balance per-batch
+      // commit overhead against row-work parallelism. r13-r14 ran ONE
+      // partition because each extra partition cost a ~35 ms delta-file
+      // commit (Hadoop local-FS fork-per-stat, see
+      // LocalCheckpointFileManager) for zero gain; with the NIO manager a
+      // commit is ~1.5 ms, and the ~3.6k window updates+evictions per
+      // trigger now win from 4-way parallelism (r15 sweep: 1p 2.9-3.6 s,
+      // 4p 2.7-3.0 s warm). At cluster scale this remains the
+      // shuffle-partition count the streaming job is launched with, sized
+      // to state volume per trigger, not to the source
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
@@ -286,7 +295,7 @@ object Bench {
       // the non-default configs the headline runs under — without them the
       // artifact's numbers are not reproducible/interpretable on their own
       s""","headline_configs":{"codegen_factory":"NO_CODEGEN",""" +
-      s""""wholestage_codegen":false,"shuffle_partitions":1,""" +
+      s""""wholestage_codegen":false,"shuffle_partitions":4,""" +
       s""""trigger_events":$trigger,"source_partitions":$partitions}""" +
       // tracking series: same two workloads at DEFAULT codegen + default
       // shuffle partitions (configs stamped per series) — watches for

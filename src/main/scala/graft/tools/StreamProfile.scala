@@ -17,6 +17,8 @@ object StreamProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.streaming.minBatchesToRetain", "2")
       .config("spark.sql.streaming.checkpointLocation", "/dev/shm/graft_sp_ckpt")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.LocalCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,6 +11,11 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tests checkpoint to local disk/tmpfs only: the NIO manager (no
+      // Hadoop local-FS subprocess stats) is the engine's local-path
+      // default, so the suites exercise the same code path the bench runs
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.LocalCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
