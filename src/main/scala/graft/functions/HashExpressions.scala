@@ -406,6 +406,15 @@ case class BestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   override def nullable: Boolean = true
   override def prettyName: String = "best_centroid"
 
+  /** Plan rendering prints a DIGEST, not the matrix: the centroid literals
+    * (nCells × dim doubles) appear in every copy of an index subtree, and
+    * stringifying them inline made the driver's plan-description strings
+    * (rebuilt for every AQE listener update) a measured ~0.5 s/run cost on
+    * centroid gates — thousands of Double.toString calls per description.
+    * Equality/canonicalization still see the full `centroids` field. */
+  override def stringArgs: Iterator[Any] = Iterator(child,
+    s"<centroids ${centroids.length}x${centroids.headOption.map(_.size).getOrElse(0)}>")
+
   @transient private lazy val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
   @transient private lazy val cNorms: Array[Double] = cents.map { c =>
     var s = 0.0; var i = 0

@@ -1936,14 +1936,22 @@ object CorpusOps {
       lambda: Double = 0.7, broadcastLm: Boolean = false,
       vocabCap: Int = Int.MaxValue, broadcastVocab: Boolean = false): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    // split ONCE per document and carry the array through the explode:
+    // the r14 shape kept the raw text and re-split it inside two
+    // element_at(words(__t), pos) lookups, i.e. an O(doc_len) split per
+    // TOKEN (quadratic per document — guide §1.2 step 2, per-task work);
+    // element_at on the pre-split array is O(1) and the whole
+    // Project-Generate-Project chain fuses into one codegen span, so the
+    // array lives in a local, never materialized per token row
     val toks = docs.select(col(idCol).as("doc_id"),
-        col(textCol).as("__t"), posexplode(TextFunctions.words(col(textCol))))
+        TextFunctions.words(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"), posexplode(col("__w")))
       .select(col("doc_id"), col("pos"), col("col").as("term"),
         when(col("pos") > 0,
-          concat(element_at(TextFunctions.words(col("__t")), col("pos")),
+          concat(element_at(col("__w"), col("pos")),
             lit(" "), col("col"))).as("big"),
         when(col("pos") > 0,
-          element_at(TextFunctions.words(col("__t")), col("pos"))).as("prev"))
+          element_at(col("__w"), col("pos"))).as("prev"))
     // the unigram table is read four ways (scoring join, prev-count join,
     // token total, vocabulary size) — share it lazily so the corpus
     // explodes once for it, and derive total/vocab from it (sum of counts
@@ -2065,12 +2073,18 @@ object CorpusOps {
         sum(col("n_docs")).over(Window.orderBy(col("avg_nll"))))
     val total = scored.agg(count(lit(1)).as("n"))
     // t_k = smallest value whose cumulative count reaches ceil(k*n/nBuckets)
-    // (`div` keeps the rank integer-exact); one broadcastable row per cut
-    val cuts = (1 until nBuckets).map { k =>
-      histCum.crossJoin(broadcast(total))
-        .filter(col("cum") >= expr(s"($k * n + ${nBuckets - 1}) div $nBuckets"))
-        .agg(min(col("avg_nll")).as(s"__t$k"))
-    }.reduce(_.crossJoin(_))
+    // (`div` keeps the rank integer-exact). ALL cuts fold into ONE
+    // aggregate over ONE histogram pass — min(when(cond, v)) ≡ the former
+    // per-cut filter+min, but the r14 shape re-ran the groupBy + running-sum
+    // window once per boundary and chained (nBuckets-1) one-row cross
+    // joins (guide §1.2/§2.4: fewer passes; plan: 2x hist scan + window →
+    // 1x, BNLJ chain → single one-row broadcast)
+    val cutAggs = (1 until nBuckets).map { k =>
+      min(when(col("cum") >= expr(s"($k * n + ${nBuckets - 1}) div $nBuckets"),
+        col("avg_nll"))).as(s"__t$k")
+    }
+    val cuts = histCum.crossJoin(broadcast(total))
+      .agg(cutAggs.head, cutAggs.tail: _*)
     val bucket = (1 until nBuckets).foldLeft(lit(1)) { (acc, k) =>
       acc + when(col("avg_nll") > col(s"__t$k"), 1).otherwise(0)
     }

@@ -793,9 +793,26 @@ object Similarity extends org.apache.spark.internal.Logging {
       maxCellSize: Int = 10000): DataFrame = {
     val dim = cents.head._2.length
     val idx = requireDim(ivfIndexWith(embs, idCol, vecCol, cents), col("v"), dim)
+    // widen the vector to array<double> ONCE PER ROW, map-side of the pair
+    // exchange: cosine_similarity declares double-array inputs, so leaving
+    // the float storage type here made the analyzer wrap BOTH condition
+    // sides in implicit casts — a fresh 64-element array allocation per
+    // CANDIDATE PAIR per side inside the join's fused loop (the dominant
+    // per-task cost of the gate). Same cast, same values, evaluated |rows|
+    // instead of |pairs|×2 times (guide §1.2 per-task work).
     val sized = Dedup.dropHotKeys(idx, Seq("cell"), maxCellSize, "semanticDedup")
+      .withColumn("v", col("v").cast("array<double>"))
+    // the pair join is pinned to the documented scale shape — SHUFFLE
+    // equijoin on the cell key — rather than left to size-based planning:
+    // at gate scale the planner picked a broadcast hash join, whose pair
+    // condition re-evaluates each side's VECTOR EXPRESSION per candidate
+    // pair (jstack: interpreted ArrayTransform from a caller's planted
+    // `transform(embedding, ·)` burned ~1.9 s of a 2.4 s gate); a shuffle
+    // join materializes `v` into the exchange once per ROW, and the two
+    // identical sides share one exchange (ReusedExchange). Guide §3.1
+    // (pick the strategy deliberately), §1.2 (per-task work).
     val a = sized.as("a"); val b = sized.as("b")
-    val drops = a.join(b,
+    val drops = a.hint("merge").join(b.hint("merge"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
       .filter(graft.functions.TextFunctions.stableRound(
         cosine_similarity(col("a.v"), col("b.v")), 6) >= tau)
