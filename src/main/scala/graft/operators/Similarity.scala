@@ -800,8 +800,16 @@ object Similarity extends org.apache.spark.internal.Logging {
     // CANDIDATE PAIR per side inside the join's fused loop (the dominant
     // per-task cost of the gate). Same cast, same values, evaluated |rows|
     // instead of |pairs|×2 times (guide §1.2 per-task work).
-    val sized = Dedup.dropHotKeys(idx, Seq("cell"), maxCellSize, "semanticDedup")
-      .withColumn("v", col("v").cast("array<double>"))
+    // lazily shared: the sized index feeds BOTH pair-join sides and the
+    // hot-key guard — unshared, the analyzer/optimizer re-derived the whole
+    // assignment subtree (scan + union + best_centroid + guard) once per
+    // use (52 scan nodes in the r15 plan dump), and every AQE listener
+    // update re-stringified all of them; the share collapses the plan to
+    // one subtree + InMemoryRelation reads (persist is lazy — EXPLAIN
+    // still runs zero jobs)
+    val sized = Dedup.lazyShare(
+      Dedup.dropHotKeys(idx, Seq("cell"), maxCellSize, "semanticDedup")
+        .withColumn("v", col("v").cast("array<double>")))
     // the pair join is pinned to the documented scale shape — SHUFFLE
     // equijoin on the cell key — rather than left to size-based planning:
     // at gate scale the planner picked a broadcast hash join, whose pair
