@@ -28,6 +28,28 @@ object SparkEntry {
 
   private def mid(dir: String) = s"$dir/events.parquet"
 
+  /** Gate-scratch directory for per-run verification plumbing (per-epoch
+    * outputs, temp indexes, seeded copies): tmpfs when the host has one,
+    * else the OS temp dir, deleted at JVM exit either way. These artifacts
+    * are the harness's scratch space, not the operator under measurement —
+    * a cluster job would land them on its fast local scratch/DFS, while
+    * `/tmp` here is a spinning-rust-class block device whose per-file
+    * commit latency taxes every epoch write. The DURABLE sink gate
+    * (q_sink_durable) deliberately does NOT use this: real disk is part of
+    * its contract. */
+  private def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val p =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)
+    val f = p.toFile
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(f); ()
+    }
+    p.toString
+  }
+
   /** The exact ngram-Jaccard pair set feeds BOTH q_dedup_ngram and
     * q_dedup_clusters; computing the shingle-index join once per (session,
     * dir) and checkpointing halves the most expensive pipeline in the sweep
@@ -206,7 +228,7 @@ object SparkEntry {
   private def overlapSketchDir(s: SparkSession, dir: String): String =
     sharedSketchDirs.computeIfAbsent(dir, _ => {
       val d = Tables.documents(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("ovm").toString
+      val base = scratchDir("ovm")
       Seq("m2" -> 2, "m3" -> 3, "m5" -> 5).foreach { case (nm, m) =>
         operators.CorpusOps.saveOverlapSketch(
           d.filter(col("doc_id") % m === 0), "text", s"$base/$nm")
@@ -230,7 +252,7 @@ object SparkEntry {
   private def bm25StatsDir(s: SparkSession, dir: String): String =
     sharedBm25StatsDirs.computeIfAbsent(dir, _ => {
       val d = Tables.documents(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("bm25s").toString
+      val base = scratchDir("bm25s")
       val path = s"$base/stats"
       operators.CorpusOps.saveBm25Stats(
         d.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
@@ -252,7 +274,7 @@ object SparkEntry {
     sharedFuzzyIdxDirs.computeIfAbsent(dir, _ => {
       val d0 = Tables.documents(s, dir).filter(col("doc_id") < 800)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
-      val base = java.nio.file.Files.createTempDirectory("fzidx").toString
+      val base = scratchDir("fzidx")
       val path = s"$base/idx"
       operators.Fuzzy.saveFuzzyIndex(
         d0.filter(col("doc_id") % 2 === 0), "doc_id", "key", maxDist = 1, path)
@@ -278,7 +300,7 @@ object SparkEntry {
           col("text").cast("binary").as("content"),
           lit("image").as("format"), col("source"))
         .as[operators.Multimodal.MediaRow]
-      val base = java.nio.file.Files.createTempDirectory("phidx").toString
+      val base = scratchDir("phidx")
       val path = s"$base/idx"
       operators.Multimodal.savePhashIndex(media(0), path, maxHamming = 4)
       operators.Multimodal.appendToPhashIndex(media(2), path)
@@ -761,7 +783,7 @@ object SparkEntry {
       // Per-row stateless -> any slicing unions to the batch fuzzyJoin,
       // so q_fuzzy_link's oracle gates it unchanged (sides renamed: the
       // fitted catalog is the left side here).
-      val outDir = java.nio.file.Files.createTempDirectory("qsfz").toString
+      val outDir = scratchDir("qsfz")
       sys.addShutdownHook {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir)); ()
       }
@@ -1231,7 +1253,7 @@ object SparkEntry {
         // to advance the final watermark past every real session end + gap
         val sentinel = Seq((-1L,
           new java.sql.Timestamp(maxTs.getTime + 36000000L))).toDF("user_id", "ts")
-        val d = java.nio.file.Files.createTempDirectory("ssw_src").toString
+        val d = scratchDir("ssw_src")
         ev.unionByName(sentinel).write.mode("overwrite").parquet(d)
         sys.addShutdownHook {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)); ()
@@ -1594,7 +1616,7 @@ object SparkEntry {
         .select(col("properties")("event_id").cast("long").as("event_id"),
           col("properties")("user_id").cast("long").as("user_id"),
           timestamp_micros(col("properties")("ts_us").cast("long")).as("ts"))
-      val outDir = java.nio.file.Files.createTempDirectory(s"sa_out_$tag").toString
+      val outDir = scratchDir(s"sa_out_$tag")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -1711,7 +1733,7 @@ object SparkEntry {
       // odd ids carry a genuinely new suffix (must survive)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val path = hashIndexShared(s, dir, () => {
-        val p = java.nio.file.Files.createTempDirectory("graft-hash-idx").toString
+        val p = scratchDir("graft-hash-idx")
         Dedup.saveHashIndex(docs, Seq(col("text")), p)
         p
       })
@@ -1730,7 +1752,7 @@ object SparkEntry {
       // drop; genuinely new docs (reversed word order) survive
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val path = minHashIndexPaths.getOrBuild(s, dir, () => {
-        val p = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+        val p = scratchDir("graft-mh-idx")
         Dedup.saveMinHashIndex(d, "doc_id", "text", p)
         p
       })
@@ -1752,7 +1774,7 @@ object SparkEntry {
       // rows share a text, so the survivor set is trigger-slicing invariant
       // and the batch operator's SQL (q_dedup_incremental) gates it exactly
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val idxPath = java.nio.file.Files.createTempDirectory("graft-hash-sidx").toString
+      val idxPath = scratchDir("graft-hash-sidx")
       Dedup.saveHashIndex(docs, Seq(col("text")), idxPath)
       val batch = docs.select((col("doc_id") + 200000L).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
@@ -1760,7 +1782,7 @@ object SparkEntry {
           .as("text"))
       val tag = java.util.UUID.randomUUID().toString.replace("-", "")
       val logName = "sdi_" + tag
-      val outDir = java.nio.file.Files.createTempDirectory(s"sdi_out_$tag").toString
+      val outDir = scratchDir(s"sdi_out_$tag")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       batch.select(col("text").cast("binary").as("body"),
           map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
@@ -1809,7 +1831,7 @@ object SparkEntry {
       // every row must hash-match.
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val idxPath =
-        java.nio.file.Files.createTempDirectory("graft-pipe-idx").toString
+        scratchDir("graft-pipe-idx")
       Dedup.saveHashIndex(docs, Seq(col("text")), idxPath)
       val tracker = streaming.StreamOps.driftFit(
         docs.select(TextFunctions.tokenCount(col("text")).cast("double")
@@ -1822,7 +1844,7 @@ object SparkEntry {
       val tag = java.util.UUID.randomUUID().toString.replace("-", "")
       val logName = "spipe_" + tag
       val outDir =
-        java.nio.file.Files.createTempDirectory(s"spipe_out_$tag").toString
+        scratchDir(s"spipe_out_$tag")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       batch.select(col("text").cast("binary").as("body"),
           map(lit("doc_id"), col("doc_id").cast("string")).as("properties"))
@@ -2017,7 +2039,7 @@ object SparkEntry {
       // Runs through the PERSISTED index (built once per corpus, partitioned
       // by bucket) so each probe prunes unread buckets at file-listing level.
       val (buckets, bits, seed) = lshIndexShared(s, dir, () => {
-        val p = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+        val p = scratchDir("graft-lsh-idx")
         Similarity.saveLshIndex(
           Similarity.lshIndex(e, "vec_id", "embedding", numBits = 6, seed = 42L),
           numBits = 6, seed = 42L, p)
@@ -2410,7 +2432,7 @@ object SparkEntry {
         .load()
         .select(col("properties")("doc_id").cast("long").as("doc_id"),
           col("body").cast("string").as("text"))
-      val outDir = java.nio.file.Files.createTempDirectory(s"sdc_out_$tag").toString
+      val outDir = scratchDir(s"sdc_out_$tag")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
@@ -2446,7 +2468,7 @@ object SparkEntry {
         .load()
         .select(col("properties")("doc_id").cast("long").as("doc_id"),
           col("body").cast("string").as("text"))
-      val outDir = java.nio.file.Files.createTempDirectory(s"sq_out_$tag").toString
+      val outDir = scratchDir(s"sq_out_$tag")
       val q = stream.writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
           operators.CorpusOps.gopherRules(batch, "doc_id", "text")
@@ -2478,7 +2500,7 @@ object SparkEntry {
         .load()
         .select(col("properties")("doc_id").cast("long").as("doc_id"),
           col("body").cast("string").as("text"))
-      val outDir = java.nio.file.Files.createTempDirectory(s"sc_out_$tag").toString
+      val outDir = scratchDir(s"sc_out_$tag")
       val q = stream.writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
           operators.CorpusOps.linearClassifierScore(
@@ -2510,7 +2532,7 @@ object SparkEntry {
         .load()
         .select(col("properties")("doc_id").cast("long").as("doc_id"),
           col("body").cast("string").as("text"))
-      val outDir = java.nio.file.Files.createTempDirectory(s"sb_out_$tag").toString
+      val outDir = scratchDir(s"sb_out_$tag")
       val q = stream.writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
           operators.CorpusOps.bm25ScoreWith(
@@ -2543,7 +2565,7 @@ object SparkEntry {
         .load()
         .select(col("properties")("doc_id").cast("long").as("doc_id"),
           col("body").cast("string").as("text"))
-      val outDir = java.nio.file.Files.createTempDirectory(s"sbm_out_$tag").toString
+      val outDir = scratchDir(s"sbm_out_$tag")
       val q = stream.writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
           operators.CorpusOps.bm25ScoreManyWith(
@@ -2656,7 +2678,7 @@ object SparkEntry {
         .select(col("properties")("vec_id").cast("long").as("vec_id"),
           transform(split(col("body").cast("string"), ","),
             x => x.cast("double")).as("embedding"))
-      val outDir = java.nio.file.Files.createTempDirectory(s"knn_out_$tag").toString
+      val outDir = scratchDir(s"knn_out_$tag")
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
