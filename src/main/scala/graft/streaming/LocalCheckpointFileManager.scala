@@ -79,8 +79,14 @@ class LocalCheckpointFileManager(path: Path, conf: Configuration)
                 StandardCopyOption.ATOMIC_MOVE,
                 StandardCopyOption.REPLACE_EXISTING)
             } else {
-              // no REPLACE_EXISTING: an existing target must surface as
-              // FileAlreadyExistsException (concurrent-committer signal)
+              // On Linux, ATOMIC_MOVE without REPLACE_EXISTING still maps to
+              // rename(2), which silently replaces an existing destination —
+              // NIO only throws FileAlreadyExistsException on filesystems
+              // where the distinction is native. An existing target must
+              // surface as FileAlreadyExistsException (HDFSMetadataLog's
+              // concurrent-committer signal), so check explicitly first.
+              // Same benign TOCTOU window as Spark's rename-based manager.
+              if (Files.exists(dst.toPath)) throw new NioFileAlreadyExists(dst.toString)
               Files.move(tmp.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
             }
           } catch {
@@ -126,8 +132,18 @@ class LocalCheckpointFileManager(path: Path, conf: Configuration)
     if (f.isDirectory) {
       val children = f.listFiles()
       if (children == null) throw new FileNotFoundException(s"$p")
-      children.iterator.map(statusOf)
-        .filter(st => filter == null || filter.accept(st.getPath)).toArray
+      // Apply the PathFilter BEFORE statting (the filter only looks at the
+      // name), and skip entries that vanish between listFiles() and the stat
+      // — atomic-commit temp files, retention cleanup and concurrent state
+      // maintenance delete files mid-listing, and NIO's NoSuchFileException
+      // is NOT a java.io.FileNotFoundException, so callers' FNF handling
+      // would not catch it and the micro-batch would fail.
+      children.iterator
+        .filter(c => filter == null || filter.accept(qualify(c)))
+        .flatMap { c =>
+          try Some(statusOf(c))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        }.toArray
     } else if (f.exists()) {
       val st = statusOf(f)
       if (filter == null || filter.accept(st.getPath)) Array(st)
@@ -141,12 +157,20 @@ class LocalCheckpointFileManager(path: Path, conf: Configuration)
   override def exists(p: Path): Boolean = toFile(p).exists()
 
   override def delete(p: Path): Unit = {
+    // Silent on missing paths, like the FileSystem-based manager, but real
+    // IO errors must propagate — swallowing them turns retention-cleanup
+    // failures into silent unbounded checkpoint growth.
     val f = toFile(p)
-    if (f.exists()) {
-      if (f.isDirectory) org.apache.commons.io.FileUtils.deleteQuietly(f)
-      else Files.deleteIfExists(f.toPath)
+    try {
+      if (f.isDirectory) {
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+      } else {
+        Files.deleteIfExists(f.toPath)
+      }
+    } catch {
+      case _: FileNotFoundException | _: java.nio.file.NoSuchFileException => ()
     }
-    () // silent on missing paths, like the FileSystem-based manager
+    ()
   }
 
   override def isLocal: Boolean = true
