@@ -266,7 +266,10 @@ object Bench {
       // magnitude (negative) so the artifact shows time-to-exception
       (name, if (ok.nonEmpty) ok.min else vs.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms resolution: full double precision only pads the contract line
+    // (scheduler noise is ±15-30%, so digits past 4 decimals carry nothing)
+    def r4(d: Double): Double = math.round(d * 10000) / 10000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -325,14 +328,21 @@ object Bench {
         s"""{"passthrough":${p.json},"windowed":${w.json}}"""
       }.mkString("[", ",", "]")}""" +
       s""","failed":$failedNames"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec"""" + headline +
+    // Driver contract: exactly ONE JSON line on stdout, printed last, with
+    // the per-query map. It must be the only line that parses as JSON so
+    // both first-match and last-match line parsers land on it; build.sbt
+    // routes forked stdout through raw (OutputStrategy.StdoutOutput) so no
+    // sbt "[info] " prefix is prepended (that prefix is why every
+    // BENCH_r11..r15 parse came back null). The r15 duplicate "headline"
+    // line is gone for the same reason: a second parseable line is a
+    // footgun for first-match parsers and it was still too long for a tail
+    // capture anyway. Diagnostics that used to ride that line go to stderr
+    // below, prefixed so they can never parse as JSON.
+    System.err.println(s"[bench] headline summary: passthrough=${passthrough}s " +
+      s"windowed=${windowed}s ratio=$windowedRatio ev/s/part=$perPartition " +
+      s"total=${r4(total)}s sf=$sfDir")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec"""" + headline +
       s""","queries":$qs,"sf":"$sfDir"}""")
-    // the full line above is ~90 queries wide and has been truncated out of
-    // the driver's tail capture two rounds running (BENCH parse came back
-    // null); repeat the headline metrics as a SECOND, short, self-contained
-    // JSON line so a tail capture of any length keeps them
-    println(s"""{"metric":"headline","value":$total,"unit":"sec"""" + headline +
-      s""","sf":"$sfDir"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
   }
