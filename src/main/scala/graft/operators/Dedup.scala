@@ -175,8 +175,50 @@ object Dedup extends Logging {
    * real Spark jobs while the operator is merely being CONSTRUCTED, i.e.
    * during `EXPLAIN` of any SQL TVF built on it.
    */
-  private[graft] def lazyShare(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[graft] def lazyShare(df: DataFrame): DataFrame = {
+    // canonicalized-plan key: a re-share of an EQUIVALENT plan (same gate
+    // re-constructed, retry, second pass) touches the existing entry
+    // instead of adding a duplicate whose eviction would unpersist the
+    // newer share's one CacheManager entry out from under it
+    val key = df.queryExecution.analyzed.canonicalized
+    shareRegistry.synchronized {
+      shareRegistry.put(key, df)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      while (shareRegistry.size() > LazyShareCap) {
+        val it = shareRegistry.entrySet().iterator()
+        val eldest = it.next(); it.remove()
+        // non-blocking: an in-flight reader of an evicted share recomputes
+        // from lineage (AsofFitted.release's contract); a stopped session
+        // just no-ops/throws harmlessly
+        try eldest.getValue.unpersist(false) catch { case _: Throwable => () }
+      }
+    }
+    df
+  }
+
+  /** Upper bound on live [[lazyShare]] cache entries. Shares are scoped to
+    * one operator construction (both sides of a self-join, a band table
+    * plus its verify join) but a plain `persist` has no release point — a
+    * long-lived driver constructing gates forever would accrete one
+    * corpus-scale cached relation per DISTINCT input (CacheManager dedups
+    * equivalent plans). The LRU registry below unpersists the eldest share
+    * past this cap: by then its gate's action has long finished, and a
+    * straggler reader only recomputes from lineage. */
+  private val LazyShareCap = 64
+
+  /** Insertion+access-ordered so the eldest entry is the least recently
+    * (re-)shared plan; bounded at [[LazyShareCap]] entries, so the registry
+    * itself cannot leak plan objects either. */
+  private val shareRegistry =
+    new java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      16, 0.75f, true)
+
+  /** Live share count (tests). */
+  private[graft] def lazyShareLive: Int =
+    shareRegistry.synchronized(shareRegistry.size())
 
   /**
    * The shared skew guard: drop index rows whose key (shingle, fingerprint,
