@@ -221,6 +221,44 @@ object Dedup extends Logging {
     shareRegistry.synchronized(shareRegistry.size())
 
   /**
+   * Run independent Spark actions concurrently (guide §2.6: actions are
+   * only sequential because driver code calls them sequentially). Used
+   * where one epoch/fit produces several independent outputs — the
+   * survivor write and the index admission of a streaming dedup epoch,
+   * the band/shingle/segment tables of one index build — whose small jobs
+   * otherwise serialize their scheduling tails. Inputs shared through
+   * [[lazyShare]]/`persist` stay safe: cache blocks are computed under
+   * block-level locking, so concurrent first readers do not corrupt, at
+   * worst duplicate, the materialization. The first work item runs on the
+   * calling thread (fresh threads inherit the caller's job group /
+   * description via Spark's inheritable thread locals); every item is
+   * awaited, the first failure is rethrown with the others suppressed.
+   */
+  private[graft] def concurrently(works: Seq[() => Unit]): Unit = {
+    if (works.lengthCompare(1) <= 0) { works.foreach(_()); return }
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val threads = works.tail.map { w =>
+      val t = new Thread(() => {
+        try w() catch { case e: Throwable => errs.add(e); () }
+      }, "graft-concurrent-action")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try works.head() catch { case e: Throwable => errs.add(0, e) }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) {
+      val first = errs.get(0)
+      (1 until errs.size()).foreach(i => first.addSuppressed(errs.get(i)))
+      throw first
+    }
+  }
+
+  /** Two-action sugar for [[concurrently]]. */
+  private[graft] def concurrently(a: => Unit, b: => Unit): Unit =
+    concurrently(Seq(() => a, () => b))
+
+  /**
    * The shared skew guard: drop index rows whose key (shingle, fingerprint,
    * LSH bucket) occurs in more than `cap` rows, recording what was dropped
    * under `tag`. The hot-key table is one narrow row per distinct key —
@@ -1185,8 +1223,14 @@ object Dedup extends Logging {
       val fresh = dedupAgainstHashIndex(batch, keyCols, path,
         excludeEpoch = Some(epochId)).persist()
       try {
-        writeBatch(fresh, epochId)
-        if (admit) admitEpoch(fresh, keyCols, path, epochId)
+        // the survivor write and the epoch admission are independent
+        // actions over the SAME persisted rows, and the replay contract
+        // above already covers every partial-completion interleaving
+        // (retry excludes + overwrites the epoch's delta) — overlap them
+        if (admit) concurrently(
+          writeBatch(fresh, epochId),
+          admitEpoch(fresh, keyCols, path, epochId))
+        else writeBatch(fresh, epochId)
       } finally { fresh.unpersist(); () }
     }
 
@@ -1460,10 +1504,12 @@ object Dedup extends Logging {
     val spark = docs.sparkSession
     withIndexLease(indexFs(spark, path), path, "saveMinHashIndex") {
       val base = lazyShare(shingleBase(docs, idCol, textCol, k, "doc_id"))
-      bandRows(base, "doc_id", numHashes, bands, seed)
-        .write.mode("overwrite").parquet(s"$path/bands/epoch=-1")
-      hashedShingles(base, "doc_id")
-        .write.mode("overwrite").parquet(s"$path/shingles/epoch=-1")
+      // independent outputs from one shared base — overlap the two writes
+      concurrently(
+        bandRows(base, "doc_id", numHashes, bands, seed)
+          .write.mode("overwrite").parquet(s"$path/bands/epoch=-1"),
+        hashedShingles(base, "doc_id")
+          .write.mode("overwrite").parquet(s"$path/shingles/epoch=-1"))
       dropStaleEpochDeltas(indexFs(spark, path), s"$path/bands")
       dropStaleEpochDeltas(indexFs(spark, path), s"$path/shingles")
       import spark.implicits._
@@ -1580,10 +1626,11 @@ object Dedup extends Logging {
     val p = minHashParamsOf(batch.sparkSession, path)
     withIndexLease(indexFs(batch.sparkSession, path), path, "appendToMinHashIndex") {
       val base = lazyShare(shingleBase(batch, idCol, textCol, p.k, "doc_id"))
-      bandRows(base, "doc_id", p.numHashes, p.bands, p.seed)
-        .write.mode("append").parquet(s"$path/bands/epoch=-1")
-      hashedShingles(base, "doc_id")
-        .write.mode("append").parquet(s"$path/shingles/epoch=-1")
+      concurrently(
+        bandRows(base, "doc_id", p.numHashes, p.bands, p.seed)
+          .write.mode("append").parquet(s"$path/bands/epoch=-1"),
+        hashedShingles(base, "doc_id")
+          .write.mode("append").parquet(s"$path/shingles/epoch=-1"))
     }
   }
 
@@ -1605,8 +1652,12 @@ object Dedup extends Logging {
       val fresh = dedupAgainstMinHashIndex(batch, idCol, textCol, path,
         threshold, excludeEpoch = Some(epochId)).persist()
       try {
-        writeBatch(fresh, epochId)
-        if (admit) admitMinHashEpoch(fresh, idCol, textCol, path, epochId)
+        // overlap write + admission ([[dedupStreamAgainstHashIndex]]'s
+        // rationale): independent actions, replay-contract-covered
+        if (admit) concurrently(
+          writeBatch(fresh, epochId),
+          admitMinHashEpoch(fresh, idCol, textCol, path, epochId))
+        else writeBatch(fresh, epochId)
       } finally { fresh.unpersist(); () }
     }
 
@@ -1614,10 +1665,12 @@ object Dedup extends Logging {
       textCol: String, path: String, epochId: Long): Unit = {
     val p = minHashParamsOf(df.sparkSession, path)
     val base = lazyShare(shingleBase(df, idCol, textCol, p.k, "doc_id"))
-    bandRows(base, "doc_id", p.numHashes, p.bands, p.seed)
-      .write.mode("overwrite").parquet(s"$path/bands/epoch=$epochId")
-    hashedShingles(base, "doc_id")
-      .write.mode("overwrite").parquet(s"$path/shingles/epoch=$epochId")
+    // independent outputs from one shared base — overlap the two writes
+    concurrently(
+      bandRows(base, "doc_id", p.numHashes, p.bands, p.seed)
+        .write.mode("overwrite").parquet(s"$path/bands/epoch=$epochId"),
+      hashedShingles(base, "doc_id")
+        .write.mode("overwrite").parquet(s"$path/shingles/epoch=$epochId"))
   }
 
   /**

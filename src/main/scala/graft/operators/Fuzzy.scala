@@ -320,9 +320,13 @@ object Fuzzy {
     val keys = Dedup.lazyShare(ids.select(col("__lkey")).distinct())
     try {
       val (segIdx, shortIdx) = indexFrames(keys, maxDist, maxSegmentDf)
-      segIdx.write.mode(mode).parquet(s"$path/segments/$epochDir")
-      shortIdx.write.mode(mode).parquet(s"$path/shorts/$epochDir")
-      ids.write.mode(mode).parquet(s"$path/ids/$epochDir")
+      // three independent tables of one slice — overlap the writes (the
+      // first shared-`keys` reader materializes the cache under block
+      // locking; the others read it)
+      Dedup.concurrently(Seq(
+        () => segIdx.write.mode(mode).parquet(s"$path/segments/$epochDir"),
+        () => shortIdx.write.mode(mode).parquet(s"$path/shorts/$epochDir"),
+        () => ids.write.mode(mode).parquet(s"$path/ids/$epochDir")))
     } finally { keys.unpersist(); () }
   }
 

@@ -443,8 +443,12 @@ object Multimodal {
       val fresh = dedupAgainstPhashIndex(batch.as[MediaRow], path, codec,
         excludeEpoch = Some(epochId)).persist()
       try {
-        writeBatch(fresh, epochId)
-        if (admit) admitPhashEpoch(fresh, path, epochId, codec)
+        // overlap write + admission ([[Dedup.dedupStreamAgainstHashIndex]]'s
+        // rationale): independent actions, replay-contract-covered
+        if (admit) Dedup.concurrently(
+          writeBatch(fresh, epochId),
+          admitPhashEpoch(fresh, path, epochId, codec))
+        else writeBatch(fresh, epochId)
       } finally { fresh.unpersist(); () }
     }
 
