@@ -31,8 +31,18 @@ object Bench {
     * criterion is the MEDIAN of within-pair ratios. An ODD count makes
     * the median a real pair's ratio — one contention-inflated pair
     * cannot move it at all, where the even-count midpoint average moved
-    * by half the outlier's excess. */
-  val HeadlineSamples: Int = 5
+    * by half the outlier's excess. 7 (r15 ran 5): the criterion margin is
+    * thin (~1.8 vs the ≤2 bound) and two bad pairs out of five could drag
+    * the median; out of seven they cannot. */
+  val HeadlineSamples: Int = 7
+
+  /** Warmup (passthrough, windowed) pairs run BEFORE the counted pairs and
+    * EXCLUDED from every statistic (disclosed in `headline_configs`): the
+    * first sf-scale pair of a fresh JVM consistently carries cold page
+    * cache / lazily-initialized streaming machinery that the tiny-SF
+    * stateful warmup does not absorb — r16-start ratio_pairs led with a
+    * 1.29 outlier against a 1.78-1.96 steady state. */
+  val HeadlineWarmupPairs: Int = 1
 
   /** Interleaved pairs for the DEFAULT-codegen tracking series (odd, so
     * its median is a real pair's ratio). Smaller than [[HeadlineSamples]]:
@@ -194,22 +204,30 @@ object Bench {
     // that lands on one workload's back-to-back samples but not the
     // other's would skew the ratio; interleaving exposes both workloads to
     // the same load windows and the min approximates the quiet-host value
+    (1 to HeadlineWarmupPairs).foreach { _ =>
+      stream(agg = false); stream(agg = true)
+    }
     val headlinePairs = (1 to HeadlineSamples)
       .map(_ => (stream(agg = false), stream(agg = true)))
     val passthrough = headlinePairs.map(_._1.sec).min
     val windowed = headlinePairs.map(_._2.sec).min
     spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    // TRACKING series at DEFAULT codegen + default shuffle partitions: the
-    // NO_CODEGEN headline above is the criterion (it removes the
-    // per-batch Janino recompile the advancing-watermark literal forces —
-    // see the block comment), but users run the default path, so a
-    // codegen-path regression in these two workloads must stay visible in
-    // the artifact round over round. Fewer samples: this series tracks,
-    // it does not gate.
+    // TRACKING series at DEFAULT codegen, SAME state partitions as the
+    // criterion series: this series exists to watch the codegen path (the
+    // NO_CODEGEN headline above is the criterion — it removes the
+    // per-batch Janino recompile the advancing-watermark literal forces,
+    // see the block comment), so codegen must be the ONLY variable.
+    // r15 ran it at shuffle_partitions = cpus, which mostly measured
+    // state-partition sizing, not codegen: the r16 CodegenLoop matrix
+    // (warm, 26 batches) put 4→32 state partitions at ~+1.0 s/run
+    // (32 state-store commits/batch: commitTimeMs 5-14 → 150-540 ms/run;
+    // plus 2×32-task scheduling for ~3.6k rows) vs codegen on/off at
+    // ~+0.2-0.4 s/run (+37 Janino compiles ≈ 1.4/batch — the advancing
+    // watermark predicates — ~150-250 ms). Both series' configs are
+    // stamped below. Fewer samples: this series tracks, it does not gate.
     val codegenPairs = (1 to CodegenHeadlineSamples)
-      .map(_ => (stream(agg = false, statePartitions = cpus),
-        stream(agg = true, statePartitions = cpus)))
+      .map(_ => (stream(agg = false), stream(agg = true)))
     val passthroughCg = codegenPairs.map(_._1.sec).min
     val windowedCg = codegenPairs.map(_._2.sec).min
     val ratioPairsCg = codegenPairs.map { case (p, w) =>
@@ -294,12 +312,15 @@ object Bench {
       // windowed_ratio_min is the legacy cross-pair min/min
       s""","windowed_ratio":$windowedRatio""" +
       s""","ratio_pairs":${ratioPairs.mkString("[", ",", "]")}""" +
+      s""","ratio_spread":{"min":${ratioPairs.min},"median":$windowedRatio""" +
+      s""","max":${ratioPairs.max}}""" +
       s""","windowed_ratio_min":$windowedRatioMin""" +
       // the non-default configs the headline runs under — without them the
       // artifact's numbers are not reproducible/interpretable on their own
       s""","headline_configs":{"codegen_factory":"NO_CODEGEN",""" +
       s""""wholestage_codegen":false,"shuffle_partitions":4,""" +
-      s""""trigger_events":$trigger,"source_partitions":$partitions}""" +
+      s""""trigger_events":$trigger,"source_partitions":$partitions,""" +
+      s""""warmup_pairs":$HeadlineWarmupPairs}""" +
       // tracking series: same two workloads at DEFAULT codegen + default
       // shuffle partitions (configs stamped per series) — watches for
       // codegen-path regressions the NO_CODEGEN criterion cannot see
@@ -308,8 +329,11 @@ object Bench {
       s""","windowed_ratio_codegen":$ratioMedianCg""" +
       s""","ratio_pairs_codegen":${ratioPairsCg.mkString("[", ",", "]")}""" +
       s""","codegen_headline_samples":$CodegenHeadlineSamples""" +
+      // shuffle_partitions matches the criterion series since r16 so
+      // codegen is the only variable (r15 stamped cpus here; the delta was
+      // dominated by state-partition count, not the codegen path)
       s""","headline_configs_codegen":{"codegen_factory":"FALLBACK",""" +
-      s""""wholestage_codegen":true,"shuffle_partitions":$cpus,""" +
+      s""""wholestage_codegen":true,"shuffle_partitions":4,""" +
       s""""trigger_events":$trigger,"source_partitions":$partitions}""" +
       s""","events_per_sec":${eventsPerSec.round}""" +
       s""","events_per_sec_per_partition":$perPartition,"n_events":$totalEvents""" +
