@@ -40,7 +40,7 @@ object SparkEntry {
   private def scratchDir(prefix: String): String = {
     val shm = new java.io.File("/dev/shm")
     val p =
-      if (shm.isDirectory && shm.canWrite)
+      if (tmpfsUsable(shm))
         java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
       else java.nio.file.Files.createTempDirectory(prefix)
     val f = p.toFile
@@ -49,6 +49,17 @@ object SparkEntry {
     }
     p.toString
   }
+
+  /** Size guard for the tmpfs scratch choice: tmpfs pages compete with
+    * executor memory, so a RAM-constrained host (or a much larger SF)
+    * must fall back to disk instead of OOMing the machine through the
+    * page cache. "Usable" = writable with at least [[TmpfsMinFreeBytes]]
+    * of free space (≥ 2× any plausible per-gate scratch at bench scale;
+    * a bigger deployment lands scratch on real local disk/DFS anyway). */
+  private[graft] val TmpfsMinFreeBytes: Long = 2L << 30
+
+  private[graft] def tmpfsUsable(shm: java.io.File): Boolean =
+    shm.isDirectory && shm.canWrite && shm.getUsableSpace >= TmpfsMinFreeBytes
 
   /** The exact ngram-Jaccard pair set feeds BOTH q_dedup_ngram and
     * q_dedup_clusters; computing the shingle-index join once per (session,
