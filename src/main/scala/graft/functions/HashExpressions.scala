@@ -71,11 +71,25 @@ trait RefEvalCodegen { self: UnaryExpression =>
       val r = ctx.freshName("r")
       val javaT = CodeGenerator.javaType(dataType)
       val boxedT = CodeGenerator.boxedType(dataType)
-      s"""
-         |Object $r = $ref.refEval($c);
-         |if ($r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ($javaT)(($boxedT) $r); }
-       """.stripMargin
+      // `ev.isNull` may only be WRITTEN when the expression is nullable:
+      // in the non-nullable branch nullSafeCodeGen never declares the
+      // isNull variable (it substitutes FalseLiteral into the RETURNED
+      // ExprCode only), so referencing it here produced uncompilable code
+      // ("isNull_0 is not an rvalue") and silently disabled whole-stage
+      // codegen for every span containing a non-nullable RefEvalCodegen
+      // expression (bloom_might_contain_bc over xxhash64: 136 failed
+      // Janino compiles per bench run, each span dropping to interpreted).
+      if (nullable) {
+        s"""
+           |Object $r = $ref.refEval($c);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ($javaT)(($boxedT) $r); }
+         """.stripMargin
+      } else {
+        // refEval cannot return null here: nullSafeEval only runs on
+        // non-null input and a non-nullable kernel always produces a value
+        s"${ev.value} = ($javaT)(($boxedT) $ref.refEval($c));"
+      }
     })
   }
 }

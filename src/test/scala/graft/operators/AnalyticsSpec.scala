@@ -162,6 +162,39 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(math.abs(agree - 1.0 / 3.0) < 0.1, s"estimate $agree far from 1/3")
   }
 
+  test("non-nullable RefEvalCodegen expressions compile under CODEGEN_ONLY") {
+    // regression: the trait wrote `ev.isNull = true` even when the
+    // expression was non-nullable, where nullSafeCodeGen never declares
+    // the isNull variable — Janino rejected the code ("isNull_0 is not an
+    // rvalue") and every containing span fell back to interpreted.
+    // CODEGEN_ONLY turns that silent fallback into a test failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // bloom probe over xxhash64: child is non-nullable => expr non-nullable.
+      // Build over xxhash64(k) (seed 42) -- the probe hashes `value` the
+      // same way internally, so build and probe must agree.
+      val keys = Seq(1L, 2L, 3L).toDF("k")
+        .withColumn("h", org.apache.spark.sql.functions.xxhash64($"k"))
+      val bloom = keys.stat.bloomFilter("h", 100L, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val hit = keys.filter(graft.functions.hashFunctions.bloom_might_contain_bc(
+        spark, bos.toByteArray,
+        org.apache.spark.sql.functions.col("k"))).count()
+      assert(hit == 3L)
+      // nfc_normalize over a non-nullable literal column
+      val n = Seq("café").toDF("s")
+        .select(graft.functions.hashFunctions.nfc_normalize(
+          org.apache.spark.sql.functions.col("s")).as("n"))
+        .as[String].head()
+      assert(n == "café")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        v => spark.conf.set("spark.sql.codegen.factoryMode", v))
+    }
+  }
+
   test("simhash: near-identical token sets have small hamming distance") {
     val base = (0 until 60).map(i => s"t$i")
     val near = base.updated(3, "CHANGED").updated(40, "ALSO")
