@@ -37,12 +37,16 @@ object Bench {
   val HeadlineSamples: Int = 7
 
   /** Warmup (passthrough, windowed) pairs run BEFORE the counted pairs and
-    * EXCLUDED from every statistic (disclosed in `headline_configs`): the
-    * first sf-scale pair of a fresh JVM consistently carries cold page
-    * cache / lazily-initialized streaming machinery that the tiny-SF
-    * stateful warmup does not absorb — r16-start ratio_pairs led with a
-    * 1.29 outlier against a 1.78-1.96 steady state. */
-  val HeadlineWarmupPairs: Int = 1
+    * EXCLUDED from every statistic (disclosed in `headline_configs`).
+    * ZERO since the r16 A/B: the first sf-scale pair of a fresh JVM runs
+    * cold (page cache, lazily-initialized streaming machinery), but cold
+    * is a legitimate SAME-CONDITIONS pair for a within-pair ratio — both
+    * workloads pay the same cold constants — and r14/r15 always counted
+    * it. Excluding it shifted the criterion median up ~0.15 (r16 A/B:
+    * 1.79 with the cold pair vs 2.08 without, adjacent runs) while
+    * measuring nothing new; the spread is published either way via
+    * `ratio_spread`, so a reader still sees the cold/warm range. */
+  val HeadlineWarmupPairs: Int = 0
 
   /** Interleaved pairs for the DEFAULT-codegen tracking series (odd, so
     * its median is a real pair's ratio). Smaller than [[HeadlineSamples]]:
