@@ -1183,8 +1183,11 @@ object CorpusOps {
    * Returns (doc_id, term, tf, df, score), score rounded to 4 digits, `k`
    * rows per document ordered by score desc with a term-asc tiebreak.
    */
-  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3,
+  def tfIdfTopTerms(docs0: DataFrame, idCol: String, textCol: String, k: Int = 3,
       broadcastDf: Boolean = false): DataFrame = {
+    // tokenization is the dominant per-row cost; spread a sub-split input
+    // so it does not run single-threaded above a one-partition scan
+    val docs = Dedup.spreadCpuScan(docs0, idCol)
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(TextFunctions.words(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1232,7 +1235,10 @@ object CorpusOps {
     val terms = queryTerms.distinct
     val k1p1 = k1 + 1.0
     val oneMb = 1.0 - b
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // tokenization dominates; spread a sub-split input (see
+    // [[Dedup.spreadCpuScan]]) so it does not run on one core
+    val toks = Dedup.spreadCpuScan(docs, idCol)
+      .select(col(idCol).as("doc_id"),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
         explode(TextFunctions.words(col(textCol))).as("term"))
       .filter(col("term").isin(terms: _*))
@@ -1807,7 +1813,10 @@ object CorpusOps {
     require(k > 0, s"k must be positive, got $k")
     val (dftAll, nDocs, avgdl) = loadBm25Stats(docs.sparkSession, path)
     val dft = dftAll.filter(col("term").isin(queryTerms.distinct: _*))
-    bm25ScoreWith(docs, idCol, textCol, dft, nDocs, avgdl, k1, b)
+    // batch-only path (streams score through bm25ScoreWith directly):
+    // spread a sub-split corpus so tokenization does not run on one core
+    bm25ScoreWith(Dedup.spreadCpuScan(docs, idCol), idCol, textCol,
+        dft, nDocs, avgdl, k1, b)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

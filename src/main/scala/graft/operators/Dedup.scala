@@ -259,6 +259,31 @@ object Dedup extends Logging {
     concurrently(Seq(() => a, () => b))
 
   /**
+   * Spread a physically tiny input before CPU-heavy per-row map work
+   * (tokenize / shingle / rolling-fingerprint kernels). A source whose
+   * plan-stats size is below ONE scan split planned as ~one scan
+   * partition — and a single-row-group parquet file cannot be split at
+   * all — so the whole fused per-row pipeline above it runs on one core
+   * while the rest of the machine idles (profiled: sequential 150-270 ms
+   * single-task stages). One metadata-scale hash exchange on the row key
+   * buys the map parallelism. Capped at 8 ways: the r16 A/B measured
+   * 8-way beating 32-way on sub-MB inputs (per-task constants dominate
+   * past ~8). Guard: an input of at least one split is left alone — a
+   * cluster-scale table is already parallel there, and the exchange
+   * would be a full corpus shuffle (guide §2: derive partitioning from
+   * input size, not a constant).
+   */
+  private[graft] def spreadCpuScan(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    if (cores <= 1) return df
+    val split = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > 0 && est < split) df.repartition(math.min(cores, 8), col(key))
+    else df
+  }
+
+  /**
    * The shared skew guard: drop index rows whose key (shingle, fingerprint,
    * LSH bucket) occurs in more than `cap` rows, recording what was dropped
    * under `tag`. The hot-key table is one narrow row per distinct key —
@@ -973,8 +998,9 @@ object Dedup extends Logging {
       docs: DataFrame, idCol: String, textCol: String,
       ngram: Int = 24, window: Int = 8, minShared: Int = 5,
       maxFingerprintDf: Int = 1000): DataFrame = {
-    val fp = lazyShare(docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(rolling_fingerprints(col(textCol), ngram, window))).as("f")))
+    val fp = lazyShare(spreadCpuScan(docs, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(rolling_fingerprints(col(textCol), ngram, window))).as("f")))
     // df-cap: a fingerprint present in thousands of docs is a stop-phrase
     val sized = dropHotKeys(fp, Seq("f"), maxFingerprintDf, "fingerprintPairs")
     val a = sized.as("a"); val b = sized.as("b")
